@@ -1,0 +1,397 @@
+"""Tracing front-end tests — the analog of the reference's transpiler suite
+(reference: tests/test_transpiler.py, 723 LoC of WGSL string assertions).
+
+Where the reference asserts generated WGSL substrings, we assert the traced
+function's *numerics* (the traced callable must agree with the Python
+original on concrete inputs) plus the same error-routing behaviour: the
+constructs that raised TranspilerError there raise TraceError here.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_montecarlo import TraceError, is_traceable, trace_function
+
+# module-level constants for capture tests
+GLOBAL_SCALE = 2.5
+GLOBAL_FLAG = True
+GLOBAL_LIST = [1, 2, 3]
+GLOBAL_DICT = {"a": 1}
+
+
+def assert_traced_matches(func, pts, ref=None, tol=None):
+    traced = trace_function(func)
+    ref = ref or func
+    for p in pts:
+        expected = float(ref(p))
+        got = float(traced(jnp.float32(p)))
+        # float32 device math vs float64 Python math
+        approx = (
+            pytest.approx(expected, abs=tol)
+            if tol is not None
+            else pytest.approx(expected, rel=2e-4, abs=2e-5)
+        )
+        assert got == approx, f"at x={p}"
+
+
+class TestBasicExpressions:
+    def test_identity(self):
+        assert_traced_matches(lambda x: x, [0.0, 1.5, -2.0])
+
+    def test_arithmetic(self):
+        assert_traced_matches(lambda x: x * 2.0 + 3.0 - x / 4.0, [0.0, 1.0, -3.5])
+
+    def test_power(self):
+        assert_traced_matches(lambda x: x**2, [0.0, 2.0, -3.0])
+        assert_traced_matches(lambda x: x**3 + x**0.5, [1.0, 4.0])
+
+    def test_modulo_python_semantics(self):
+        # Python floor-mod (deliberate deviation from WGSL trunc-mod).
+        assert_traced_matches(lambda x: x % 3.0, [7.5, -7.5, 2.0])
+
+    def test_unary(self):
+        assert_traced_matches(lambda x: -x + (+x) * 2.0, [1.0, -2.0])
+
+    def test_nested_parens(self):
+        assert_traced_matches(lambda x: ((x + 1.0) * (x - 1.0)) / (x * x + 1.0), [0.5, 3.0])
+
+
+class TestComparisonsAndBooleans:
+    def test_bool_result_becomes_float(self):
+        traced = trace_function(lambda x: x > 1.0)
+        assert float(traced(2.0)) == 1.0
+        assert float(traced(0.5)) == 0.0
+        assert traced(2.0).dtype == jnp.float32
+
+    def test_ternary(self):
+        assert_traced_matches(lambda x: 1.0 if x > 0 else -1.0, [0.5, -0.5])
+
+    def test_and_or(self):
+        f = lambda x: 1.0 if (0.0 <= x) and (x < 2.0) else 0.0
+        assert_traced_matches(f, [-1.0, 0.0, 1.0, 2.0, 3.0])
+        g = lambda x: 1.0 if (x < 0.0) or (x > 1.0) else 0.0
+        assert_traced_matches(g, [-1.0, 0.5, 2.0])
+
+    def test_chained_comparison(self):
+        # Capability superset: the reference transpiler rejected chains.
+        assert_traced_matches(lambda x: 1.0 if 0.0 < x < 1.0 else 0.0,
+                              [-0.5, 0.5, 1.5])
+
+    def test_not(self):
+        assert_traced_matches(lambda x: 1.0 if not (x > 0) else 0.0, [1.0, -1.0])
+
+    def test_all_comparison_ops(self):
+        for f in [
+            lambda x: x > 1.0,
+            lambda x: x < 1.0,
+            lambda x: x >= 1.0,
+            lambda x: x <= 1.0,
+            lambda x: x == 1.0,
+            lambda x: x != 1.0,
+        ]:
+            traced = trace_function(f)
+            for p in [0.0, 1.0, 2.0]:
+                assert float(traced(p)) == float(f(p))
+
+
+class TestMathFunctions:
+    def test_math_module(self):
+        assert_traced_matches(lambda x: math.exp(x), [0.0, 1.0, -1.0])
+        assert_traced_matches(lambda x: math.sqrt(x + 4.0), [0.0, 5.0])
+        assert_traced_matches(lambda x: math.sin(x) + math.cos(x), [0.0, 1.0])
+        assert_traced_matches(lambda x: math.log(x + 2.0), [0.0, 1.0])
+        assert_traced_matches(lambda x: math.tanh(x), [0.0, 2.0])
+        assert_traced_matches(lambda x: math.floor(x) + math.ceil(x), [1.3, -2.7])
+        assert_traced_matches(lambda x: math.atan2(x, 2.0), [1.0, -1.0])
+        assert_traced_matches(lambda x: math.pow(x, 3.0), [2.0])
+
+    def test_numpy_module(self):
+        assert_traced_matches(lambda x: np.exp(x) * np.sqrt(x + 4.0), [0.0, 1.0])
+        assert_traced_matches(lambda x: np.abs(x) + np.sign(x), [2.0, -2.0])
+
+    def test_builtins(self):
+        assert_traced_matches(lambda x: abs(x), [-3.0, 3.0])
+        assert_traced_matches(lambda x: min(x, 2.0), [1.0, 3.0])
+        assert_traced_matches(lambda x: max(x, 0.0) + pow(x, 2.0), [1.5, -1.0])
+        assert_traced_matches(lambda x: min(x, 2.0, 1.0), [0.5, 3.0])
+
+    def test_from_import(self):
+        from math import exp, pi
+
+        def f(x):
+            return exp(-x) / pi
+
+        assert_traced_matches(f, [0.0, 1.0])
+
+    def test_import_idiom(self):
+        f = lambda x: __import__("math").exp(x)
+        assert_traced_matches(f, [0.0, 1.0])
+
+
+class TestConstants:
+    def test_math_constants(self):
+        assert_traced_matches(lambda x: x * math.pi, [1.0], tol=1e-4)
+        assert_traced_matches(lambda x: x + math.e, [0.0], tol=1e-4)
+        assert_traced_matches(lambda x: x * math.tau, [1.0], tol=1e-4)
+
+    def test_numpy_constants(self):
+        assert_traced_matches(lambda x: x * np.pi, [2.0], tol=1e-4)
+        assert_traced_matches(lambda x: x + np.euler_gamma, [0.0], tol=1e-4)
+
+    def test_inf(self):
+        traced = trace_function(lambda x: x < math.inf)
+        assert float(traced(1e30)) == 1.0
+
+
+class TestExternalCapture:
+    def test_global_float(self):
+        assert_traced_matches(lambda x: x * GLOBAL_SCALE, [2.0])
+
+    def test_global_bool_as_float(self):
+        traced = trace_function(lambda x: x + GLOBAL_FLAG)
+        assert float(traced(1.0)) == 2.0
+
+    def test_closure_capture(self):
+        a, b = 1.5, -0.5
+
+        def make(c):
+            return lambda x: a * x + b + c
+
+        assert_traced_matches(make(2.0), [0.0, 1.0])
+
+    def test_closure_int(self):
+        n = 3
+        assert_traced_matches(lambda x: x * n, [2.0])
+
+    def test_numpy_scalar_capture(self):
+        c = np.float64(0.25)
+        assert_traced_matches(lambda x: x + c, [1.0])
+
+    def test_unsupported_list_global_via_ast(self):
+        # The AST tier rejects list captures; indexing also fails the
+        # direct tier when the index is traced.
+        def f(x):
+            return GLOBAL_LIST[0] * x  # direct tier handles concrete index
+
+        # concrete index works through the direct tier (superset)
+        assert is_traceable(f)
+
+    def test_unsupported_dict_usage(self):
+        def f(x):
+            return GLOBAL_DICT[x]
+
+        assert not is_traceable(f)
+
+
+class TestStatements:
+    def test_if_else_return(self):
+        def f(x):
+            if x > 0:
+                return x * 2.0
+            else:
+                return -x
+
+        assert_traced_matches(f, [3.0, -3.0, 0.0])
+
+    def test_if_without_else(self):
+        def f(x):
+            if x > 1.0:
+                return 1.0
+            return x
+
+        assert_traced_matches(f, [0.5, 2.0])
+
+    def test_if_assignment_merge(self):
+        def f(x):
+            y = 0.0
+            if x > 0:
+                y = x * 2.0
+            else:
+                y = -x
+            return y + 1.0
+
+        assert_traced_matches(f, [2.0, -2.0])
+
+    def test_elif_chain(self):
+        def f(x):
+            if x < 0:
+                return -1.0
+            elif x < 1:
+                return 0.0
+            else:
+                return 1.0
+
+        assert_traced_matches(f, [-0.5, 0.5, 1.5])
+
+    def test_local_variables(self):
+        def f(x):
+            a = x * 2.0
+            b = a + 1.0
+            a = b * b
+            return a - x
+
+        assert_traced_matches(f, [0.0, 1.5])
+
+    def test_augmented_assign(self):
+        def f(x):
+            y = x
+            y += 2.0
+            y *= 3.0
+            return y
+
+        assert_traced_matches(f, [1.0])
+
+    def test_while_loop(self):
+        def f(x):
+            s = 0.0
+            while s < x:
+                s = s + 1.0
+            return s
+
+        assert_traced_matches(f, [0.0, 3.5, 7.0])
+
+    def test_while_vectorizes(self):
+        def f(x):
+            s = x
+            while s > 1.0:
+                s = s * 0.5
+            return s
+
+        traced = trace_function(f)
+        out = jax.vmap(traced)(jnp.array([8.0, 0.5, 3.0], jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), [1.0, 0.5, 0.75])
+
+    def test_docstring_ignored(self):
+        def f(x):
+            """Doc."""
+            return x
+
+        assert_traced_matches(f, [1.0])
+
+
+class TestMultipleLambdas:
+    def test_two_lambdas_one_line(self):
+        fs = [lambda x: x, lambda x: x**2]
+        t0, t1 = trace_function(fs[0]), trace_function(fs[1])
+        assert float(t0(3.0)) == 3.0
+        assert float(t1(3.0)) == 9.0
+
+    def test_three_lambdas_one_line(self):
+        fs = [lambda x: x + 1.0, lambda x: x + 2.0, lambda x: x + 3.0]
+        for i, f in enumerate(fs):
+            assert float(trace_function(f)(0.0)) == i + 1.0
+
+
+class TestUserHelpers:
+    def test_helper_function_call(self):
+        def helper(y):
+            return y * y
+
+        def f(x):
+            return helper(x) + 1.0
+
+        assert_traced_matches(f, [3.0])
+
+    def test_nested_helpers(self):
+        def inner(y):
+            return y + 1.0
+
+        def mid(y):
+            return inner(y) * 2.0
+
+        def f(x):
+            return mid(x) - 1.0
+
+        assert_traced_matches(f, [1.0])
+
+
+class TestErrors:
+    """Constructs that must raise TraceError — these drive the
+    importance-sampling table-fallback routing."""
+
+    def test_int_cast(self):
+        def f(x):
+            return float(int(x) % 2) * 0.5 + 0.1
+
+        with pytest.raises(TraceError):
+            trace_function(f)
+
+    def test_float_int_combination(self):
+        def f(x):
+            return float(int(x * 2) % 3) * 0.3 + 0.1
+
+        with pytest.raises(TraceError):
+            trace_function(f)
+
+    def test_unknown_module(self):
+        import time
+
+        def f(x):
+            return time.sleep(x)
+
+        with pytest.raises(TraceError):
+            trace_function(f)
+
+    def test_unknown_module_concrete_result_is_superset(self):
+        # A call returning a concrete value traces via the direct tier.
+        import os
+
+        def f(x):
+            return os.getpid() * 0.0 + x
+
+        assert is_traceable(f)
+
+    def test_non_callable(self):
+        with pytest.raises(TypeError):
+            trace_function(42)
+
+    def test_str_concat(self):
+        def f(x):
+            return "a" + str(x)
+
+        with pytest.raises(TraceError):
+            trace_function(f)
+
+    def test_non_scalar_output(self):
+        def f(x):
+            return jnp.stack([x, x])
+
+        with pytest.raises(TraceError):
+            trace_function(f)
+
+    def test_is_traceable_probe(self):
+        assert is_traceable(lambda x: x * 2.0)
+        assert not is_traceable(lambda x: float(int(x)))
+
+
+class TestJaxNativeFunctions:
+    """Direct-trace tier: functions already written in jax.numpy."""
+
+    def test_jnp_function(self):
+        traced = trace_function(lambda x: jnp.tanh(x) * 2.0)
+        assert float(traced(1.0)) == pytest.approx(2.0 * math.tanh(1.0), abs=1e-5)
+
+    def test_already_traced_passthrough(self):
+        t1 = trace_function(lambda x: x)
+        t2 = trace_function(t1)
+        assert t1 is t2
+
+
+class TestJitAndVmap:
+    def test_traced_functions_jit(self):
+        traced = trace_function(lambda x: math.exp(-0.5 * x * x))
+        jitted = jax.jit(jax.vmap(traced))
+        xs = jnp.linspace(-2, 2, 16)
+        expected = np.exp(-0.5 * np.asarray(xs) ** 2)
+        np.testing.assert_allclose(np.asarray(jitted(xs)), expected, rtol=1e-5)
+
+    def test_grad_through_traced(self):
+        # Bonus capability the reference cannot offer: differentiation.
+        traced = trace_function(lambda x: x**3)
+        g = jax.grad(lambda x: traced(x))(2.0)
+        assert float(g) == pytest.approx(12.0, abs=1e-4)

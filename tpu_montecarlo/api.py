@@ -1,0 +1,512 @@
+"""Public API: MonteCarloIntegrator, IntegrationResult, convenience funcs.
+
+Call signatures, defaults, validation messages and result conventions match
+the reference (reference: python/wgpu_montecarlo/__init__.py:611-1266):
+
+  * ``integrate(functions, distribution, n_samples=1_000_000, seed=42)``
+  * ``integrate_importance_sampling(...)`` — PDFs that trace compile into
+    closed-form ``f·p/q`` weight kernels; PDFs that don't fall back to
+    interpolated PDF-table lookups (same routing triggers as the reference's
+    TranspilerError, __init__.py:826-838)
+  * ``integrate_mcmc(functions, target, proposal, n_steps=10_000,
+    n_chains=1024, n_burnin=1_000, seed=42)``
+  * results come back float64 in an ``IntegrationResult``
+
+Unlike the reference — which re-generates and re-compiles its shader on
+every call (SURVEY.md §3.2) — compiled programs are cached, keyed by the
+traced functions and workload plan, so repeat calls skip compilation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import OrderedDict
+from typing import Callable, List, Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .distributions import Distribution, DistributionType
+from .ops.integrate_xla import build_integrate_fn
+from .ops.mcmc_xla import build_mcmc_fn, plan_chains
+from .sampling import DistKind, dist_spec_of, log_pdf_from_table, pdf_from_table
+from .tracing import TraceError, trace_function
+from .utils.dispatch import make_integrate_plan
+from .wgsl_frontend import trace_wgsl_function
+
+__all__ = [
+    "IntegrationResult",
+    "MonteCarloIntegrator",
+    "integrate",
+    "integrate_importance_sampling",
+    "integrate_mcmc",
+]
+
+_DUMMY_TABLE = np.zeros(1, dtype=np.float32)
+
+
+class IntegrationResult:
+    """Estimates from a Monte Carlo run.
+
+    Attributes:
+        values: float64 array of expected values, one per function.
+        n_samples: total requested sample count.
+        n_functions: number of integrands.
+        acceptance_rate: MCMC only — sampling-phase acceptance fraction
+            (None for plain/IS integration; an observability addition over
+            the reference).
+    """
+
+    def __init__(
+        self,
+        values,
+        n_samples: int,
+        n_functions: int,
+        acceptance_rate: Optional[float] = None,
+    ):
+        self.values = np.array(values, dtype=np.float64)
+        self.n_samples = n_samples
+        self.n_functions = n_functions
+        self.acceptance_rate = acceptance_rate
+
+    def __repr__(self):
+        return (
+            f"IntegrationResult(values={self.values}, "
+            f"n_samples={self.n_samples})"
+        )
+
+    def __getitem__(self, idx):
+        return self.values[idx]
+
+    def __len__(self):
+        return self.n_functions
+
+
+class _ProgramCache:
+    """Bounded LRU of compiled programs.  Holding the traced functions in
+    the key tuple keeps their ids stable for the cache's lifetime."""
+
+    def __init__(self, maxsize: int = 128):
+        self._store: OrderedDict = OrderedDict()
+        self._maxsize = maxsize
+
+    def get_or_build(self, key, builder):
+        if key in self._store:
+            self._store.move_to_end(key)
+            return self._store[key]
+        value = builder()
+        self._store[key] = value
+        if len(self._store) > self._maxsize:
+            self._store.popitem(last=False)
+        return value
+
+
+_GLOBAL_CACHE = _ProgramCache()
+
+
+def _resolve_mesh(mesh):
+    if mesh is None or isinstance(mesh, jax.sharding.Mesh):
+        return mesh
+    if mesh == "auto":
+        devices = jax.devices()
+        if len(devices) == 1:
+            return None
+        return jax.sharding.Mesh(np.array(devices), ("mc",))
+    raise TypeError(f"mesh must be None, 'auto' or a jax Mesh, got {mesh!r}")
+
+
+def _mesh_key(mesh):
+    if mesh is None:
+        return None
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
+class MonteCarloIntegrator:
+    """TPU-accelerated Monte Carlo integrator for expected values.
+
+    Fuses K integrands into a single compiled pass over shared samples
+    (E[f_1(X)] … E[f_K(X)] in one sweep), with native device sampling for
+    uniform/normal/exponential/table distributions and on-device reduction.
+
+    Args:
+        target_threads: lane-width knob, kept from the reference API
+            (default 65,536; reference src/engine.rs:164).  For MCMC it
+            overrides ``n_chains`` (reference quirk, src/engine.rs:860).
+        backend: "auto" | "xla" | "pallas".  "auto" picks the fused Pallas
+            kernels on TPU where available and the XLA sweep elsewhere.
+        mesh: None (single device), "auto" (1-D mesh over all visible
+            devices), or a ``jax.sharding.Mesh`` — samples/chains are
+            sharded over the mesh and reduced with psum over ICI.
+    """
+
+    def __init__(
+        self,
+        target_threads: Optional[int] = None,
+        backend: str = "auto",
+        mesh=None,
+    ):
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"Unknown backend: {backend!r}")
+        self._target_threads = target_threads
+        self._backend = backend
+        self._mesh = _resolve_mesh(mesh)
+        self._cache = _GLOBAL_CACHE
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _trace_user_functions(self, functions) -> tuple:
+        if len(functions) == 0:
+            raise ValueError("At least one function is required")
+        traced = []
+        for func in functions:
+            if isinstance(func, str):
+                traced.append(trace_wgsl_function(func))
+            elif callable(func):
+                traced.append(trace_function(func))
+            else:
+                raise TypeError(
+                    f"Function must be callable or WGSL string, got {type(func)}"
+                )
+        return tuple(traced)
+
+    def _use_pallas(self, kind: DistKind) -> bool:
+        if self._backend == "xla":
+            return False
+        try:
+            from .ops import integrate_pallas  # noqa: F401
+        except Exception:
+            return False
+        on_tpu = jax.default_backend() == "tpu"
+        if self._backend == "pallas":
+            return True
+        return on_tpu
+
+    # ------------------------------------------------------------------
+    # integrate
+    # ------------------------------------------------------------------
+
+    def integrate(
+        self,
+        functions: List[Union[Callable, str]],
+        distribution: Distribution,
+        n_samples: int = 1_000_000,
+        seed: int = 42,
+    ) -> IntegrationResult:
+        """Compute E[f_i(X)] for all functions on shared samples."""
+        traced = self._trace_user_functions(functions)
+        values = self._run_integrate(traced, distribution, n_samples, seed)
+        return IntegrationResult(
+            values=values, n_samples=n_samples, n_functions=len(functions)
+        )
+
+    def _run_integrate(self, traced, distribution, n_samples, seed):
+        spec = dist_spec_of(distribution)
+        mesh = self._mesh
+        n_dev = 1 if mesh is None else mesh.size
+
+        if self._use_pallas(spec.kind):
+            from .ops.integrate_pallas import (
+                build_integrate_fn_pallas,
+                pallas_supports,
+            )
+
+            if pallas_supports(spec.kind):
+                plan = make_integrate_plan(
+                    n_samples, self._target_threads, n_dev=n_dev
+                )
+                key = (
+                    "integrate_pallas",
+                    _fns_key(traced),
+                    spec.kind,
+                    plan,
+                    _table_shapes(spec),
+                    _mesh_key(mesh),
+                )
+                run = self._cache.get_or_build(
+                    key,
+                    lambda: build_integrate_fn_pallas(
+                        traced, spec.kind, plan, mesh=mesh
+                    ),
+                )
+                return run(
+                    np.uint32(seed),
+                    jnp.asarray(spec.params),
+                    _tbl(spec.x_table),
+                    _tbl(spec.cdf_table),
+                )
+
+        plan = make_integrate_plan(n_samples, self._target_threads, n_dev=n_dev)
+        key = (
+            "integrate_xla",
+            _fns_key(traced),
+            spec.kind,
+            plan,
+            _table_shapes(spec),
+            _mesh_key(mesh),
+        )
+        run = self._cache.get_or_build(
+            key,
+            lambda: build_integrate_fn(
+                traced,
+                spec.kind,
+                plan,
+                has_tables=spec.x_table is not None,
+                mesh=mesh,
+            ),
+        )
+        return run(
+            np.uint32(seed),
+            jnp.asarray(spec.params),
+            _tbl(spec.x_table),
+            _tbl(spec.cdf_table),
+        )
+
+    # ------------------------------------------------------------------
+    # importance sampling
+    # ------------------------------------------------------------------
+
+    def integrate_importance_sampling(
+        self,
+        functions: List[Union[Callable, str]],
+        target_distribution: Distribution,
+        proposal_distribution: Distribution,
+        n_samples: int = 1_000_000,
+        seed: int = 42,
+    ) -> IntegrationResult:
+        """Compute E_p[f(X)] sampling from q with weights p(x)/q(x).
+
+        All K functions share samples and see identical weights (the weight
+        is folded into each integrand, reference __init__.py:893-905).  PDFs
+        that fail tracing fall back to interpolated table lookups with the
+        0-outside-support convention (reference distribution.rs:186-190).
+        """
+        if len(functions) == 0:
+            raise ValueError("At least one function is required")
+
+        p_eval = self._pdf_evaluator(target_distribution)
+        q_eval = self._pdf_evaluator(proposal_distribution)
+
+        traced = self._trace_user_functions(functions)
+
+        def weighted(f):
+            def wf(x):
+                return f(x) * p_eval(x) / q_eval(x)
+
+            wf.__tpu_mc_traced__ = True
+            wf.__tpu_mc_key__ = (
+                "is_weight",
+                _fn_key(f),
+                _fn_key(p_eval),
+                _fn_key(q_eval),
+            )
+            return wf
+
+        weighted_fns = tuple(weighted(f) for f in traced)
+        values = self._run_integrate(
+            weighted_fns, proposal_distribution, n_samples, seed
+        )
+        return IntegrationResult(
+            values=values, n_samples=n_samples, n_functions=len(functions)
+        )
+
+    def _pdf_evaluator(self, dist: Distribution) -> Callable:
+        """Closed-form traced PDF when traceable, else table interpolation
+        — the traceability probe that mirrors the reference's
+        try-transpile/except routing (__init__.py:826-838)."""
+        try:
+            return trace_function(dist._pdf_func)
+        except (TraceError, TypeError):
+            pass
+        x_table, pdf_table = dist.get_or_compute_pdf_table()
+        xt = jnp.asarray(x_table)
+        pt = jnp.asarray(pdf_table)
+
+        def table_pdf(x):
+            return pdf_from_table(x, xt, pt)
+
+        table_pdf.__tpu_mc_traced__ = True
+        table_pdf.__tpu_mc_key__ = (
+            "pdf_table",
+            hashlib.sha1(np.asarray(x_table).tobytes()).hexdigest(),
+            hashlib.sha1(np.asarray(pdf_table).tobytes()).hexdigest(),
+        )
+        return table_pdf
+
+    # ------------------------------------------------------------------
+    # MCMC
+    # ------------------------------------------------------------------
+
+    def integrate_mcmc(
+        self,
+        functions: List[Union[Callable, str]],
+        target_distribution: Distribution,
+        proposal_distribution: Distribution,
+        n_steps: int = 10_000,
+        n_chains: int = 1024,
+        n_burnin: int = 1_000,
+        seed: int = 42,
+    ) -> IntegrationResult:
+        """Compute E_p[f(X)] with parallel independence-sampler
+        Metropolis-Hastings chains (one chain per lane)."""
+        if len(functions) == 0:
+            raise ValueError("At least one function is required")
+        if n_steps <= 0:
+            raise ValueError("n_steps must be positive")
+        if n_chains <= 0:
+            raise ValueError("n_chains must be positive")
+        if n_burnin < 0:
+            raise ValueError("n_burnin must be non-negative")
+
+        traced = self._trace_user_functions(functions)
+
+        prop_spec = dist_spec_of(proposal_distribution)
+        targ_spec = dist_spec_of(target_distribution)
+        mesh = self._mesh
+        n_dev = 1 if mesh is None else mesh.size
+
+        total_chains = plan_chains(n_chains, self._target_threads, n_dev)
+
+        # Log-pdf tables are fetched for both distributions (reference
+        # __init__.py:1077-1081) but only consulted for CUSTOM families —
+        # analytic ones use closed forms (shader_gen.rs:543-571).
+        targ_lx, targ_lp = target_distribution.get_log_pdf_table()
+        prop_lx, prop_lp = proposal_distribution.get_log_pdf_table()
+
+        key = (
+            "mcmc_xla",
+            _fns_key(traced),
+            prop_spec.kind,
+            targ_spec.kind,
+            n_steps,
+            n_burnin,
+            total_chains,
+            _table_shapes(prop_spec),
+            (targ_lx.shape, prop_lx.shape),
+            _mesh_key(mesh),
+        )
+        run = self._cache.get_or_build(
+            key,
+            lambda: build_mcmc_fn(
+                traced,
+                prop_spec.kind,
+                targ_spec.kind,
+                n_steps,
+                n_burnin,
+                total_chains,
+                mesh=mesh,
+            ),
+        )
+        use_targ_table = targ_spec.kind == DistKind.CUSTOM
+        use_prop_table = prop_spec.kind == DistKind.CUSTOM
+        values, acc_rate = run(
+            np.uint32(seed),
+            jnp.asarray(prop_spec.params),
+            jnp.asarray(targ_spec.params),
+            _tbl(prop_spec.x_table),
+            _tbl(prop_spec.cdf_table),
+            _tbl(targ_lx if use_targ_table else None),
+            _tbl(targ_lp if use_targ_table else None),
+            _tbl(prop_lx if use_prop_table else None),
+            _tbl(prop_lp if use_prop_table else None),
+        )
+
+        total_samples = n_chains * n_steps
+        return IntegrationResult(
+            values=values,
+            n_samples=total_samples,
+            n_functions=len(functions),
+            acceptance_rate=float(acc_rate),
+        )
+
+
+def _fn_key(f):
+    return getattr(f, "__tpu_mc_key__", ("id", id(f)))
+
+
+def _fns_key(fns):
+    return tuple(_fn_key(f) for f in fns)
+
+
+def _tbl(arr):
+    if arr is None:
+        return jnp.asarray(_DUMMY_TABLE)
+    return jnp.asarray(arr, jnp.float32)
+
+
+def _table_shapes(spec):
+    return (
+        None if spec.x_table is None else spec.x_table.shape,
+        None if spec.cdf_table is None else spec.cdf_table.shape,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Convenience functions (defaults per reference __init__.py:1138-1266)
+# ---------------------------------------------------------------------------
+
+
+def integrate(
+    functions: List[Union[Callable, str]],
+    distribution: Distribution,
+    n_samples: int = 1_000_000,
+    seed: int = 42,
+    target_threads: Optional[int] = None,
+    backend: str = "auto",
+    mesh=None,
+) -> IntegrationResult:
+    """One-shot Monte Carlo integration (fresh integrator; compiled programs
+    are still cached process-wide)."""
+    integrator = MonteCarloIntegrator(
+        target_threads=target_threads, backend=backend, mesh=mesh
+    )
+    return integrator.integrate(functions, distribution, n_samples, seed)
+
+
+def integrate_importance_sampling(
+    functions: List[Union[Callable, str]],
+    target_distribution: Distribution,
+    proposal_distribution: Distribution,
+    n_samples: int = 1_000_000,
+    seed: int = 42,
+    target_threads: Optional[int] = None,
+    backend: str = "auto",
+    mesh=None,
+) -> IntegrationResult:
+    """One-shot importance-sampling integration."""
+    integrator = MonteCarloIntegrator(
+        target_threads=target_threads, backend=backend, mesh=mesh
+    )
+    return integrator.integrate_importance_sampling(
+        functions, target_distribution, proposal_distribution, n_samples, seed
+    )
+
+
+def integrate_mcmc(
+    functions: List[Union[Callable, str]],
+    target_distribution: Distribution,
+    proposal_distribution: Distribution,
+    n_steps: int = 10_000,
+    n_chains: int = 1024,
+    n_burnin: int = 1_000,
+    seed: int = 42,
+    target_threads: Optional[int] = None,
+    backend: str = "auto",
+    mesh=None,
+) -> IntegrationResult:
+    """One-shot MCMC integration."""
+    integrator = MonteCarloIntegrator(
+        target_threads=target_threads, backend=backend, mesh=mesh
+    )
+    return integrator.integrate_mcmc(
+        functions,
+        target_distribution,
+        proposal_distribution,
+        n_steps,
+        n_chains,
+        n_burnin,
+        seed,
+    )

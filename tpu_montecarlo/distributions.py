@@ -1,0 +1,297 @@
+"""Probability distributions for TPU Monte Carlo integration.
+
+``Distribution`` is a host-side value object: it records the distribution
+family, its parameters, and (for table-backed distributions) the lookup
+tables the device samplers consume.  The factory surface, parameter
+conventions, support conventions and validation behaviour follow the
+reference API (reference: python/wgpu_montecarlo/__init__.py:254-608) so a
+reference user can switch without code changes.
+"""
+
+from __future__ import annotations
+
+import math
+from enum import Enum, auto
+from typing import Callable, Optional, Tuple, Union
+
+import numpy as np
+
+from . import tables as _tables
+
+__all__ = ["Distribution", "DistributionType"]
+
+
+class DistributionType(Enum):
+    """Supported sampling families."""
+
+    UNIFORM = auto()
+    NORMAL = auto()
+    EXPONENTIAL = auto()
+    CUSTOM = auto()
+
+
+class Distribution:
+    """Configuration for a 1-D probability distribution.
+
+    All distributions expose a unified scalar ``pdf(x)`` for host use and
+    importance sampling.  Analytic families (uniform / normal / exponential)
+    sample on-device with closed-form transforms; CUSTOM distributions sample
+    by inverse-CDF lookup against ``x_table`` / ``cdf_table``.
+
+    Examples:
+        >>> dist = Distribution.uniform(min=0.0, max=1.0)
+        >>> dist = Distribution.normal(mean=0.0, std=1.0)
+        >>> dist = Distribution.exponential(lambda_param=2.0)
+        >>> dist = Distribution.beta(alpha=2.0, beta_param=5.0)
+        >>> dist = Distribution.from_pdf(lambda x: abs(x) < 1 and 0.5 or 0.0)
+    """
+
+    def __init__(
+        self,
+        dist_type: DistributionType,
+        params: dict,
+        pdf_func: Callable[[float], float],
+        x_table: Optional[np.ndarray] = None,
+        cdf_table: Optional[np.ndarray] = None,
+        pdf_table: Optional[np.ndarray] = None,
+    ):
+        self.dist_type = dist_type
+        self.params = params
+        self._pdf_func = pdf_func
+        self._x_table = x_table
+        self._cdf_table = cdf_table
+        self._pdf_table = pdf_table
+
+    def pdf(self, x: float) -> float:
+        """Evaluate the PDF at a point."""
+        return self._pdf_func(x)
+
+    def __repr__(self):
+        return f"Distribution({self.dist_type.name}, params={self.params})"
+
+    # ------------------------------------------------------------------
+    # Factories
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def uniform(min: float = 0.0, max: float = 1.0) -> "Distribution":
+        """Uniform distribution U(min, max), half-open: pdf = 1/(max-min) on
+        [min, max), 0 elsewhere."""
+        width = max - min
+
+        def pdf(x: float) -> float:
+            return 1.0 / width if (min <= x) and (x < max) else 0.0
+
+        return Distribution(
+            dist_type=DistributionType.UNIFORM,
+            params={"min": min, "max": max, "support": (min, max)},
+            pdf_func=pdf,
+        )
+
+    @staticmethod
+    def normal(mean: float = 0.0, std: float = 1.0) -> "Distribution":
+        """Normal distribution N(mean, std); device sampling uses a
+        Box-Muller transform.  Recorded support is mean ± 7 std."""
+        sigma = std
+        sqrt_2pi = np.sqrt(2 * np.pi)
+
+        def pdf(x: float) -> float:
+            z = (x - mean) / sigma
+            return np.exp(-0.5 * z * z) / (sigma * sqrt_2pi)
+
+        return Distribution(
+            dist_type=DistributionType.NORMAL,
+            params={
+                "mean": mean,
+                "std": std,
+                "support": (mean - 7 * std, mean + 7 * std),
+            },
+            pdf_func=pdf,
+        )
+
+    @staticmethod
+    def exponential(lambda_param: float = 1.0) -> "Distribution":
+        """Exponential distribution Exp(lambda); device sampling uses the
+        inverse transform.  Recorded support is (0, 10/lambda)."""
+
+        def pdf(x: float) -> float:
+            return lambda_param * math.exp(-lambda_param * x) if x >= 0 else 0.0
+
+        return Distribution(
+            dist_type=DistributionType.EXPONENTIAL,
+            params={"lambda": lambda_param, "support": (0.0, 10.0 / lambda_param)},
+            pdf_func=pdf,
+        )
+
+    @staticmethod
+    def beta(
+        alpha: float, beta_param: float, table_size: int = 2048
+    ) -> "Distribution":
+        """Beta(alpha, beta) on [0, 1]; table-sampled via ``from_pdf``."""
+        try:
+            from scipy.special import beta as beta_fn
+        except ImportError as e:
+            raise ImportError(
+                "scipy is required for Beta distribution. "
+                "Install with: pip install scipy"
+            ) from e
+
+        B = float(beta_fn(alpha, beta_param))
+
+        def pdf(x: float) -> float:
+            if 0 < x < 1:
+                return (x ** (alpha - 1)) * ((1 - x) ** (beta_param - 1)) / B
+            return 0.0
+
+        return Distribution.from_pdf(pdf, support=(0.0, 1.0), table_size=table_size)
+
+    @staticmethod
+    def from_pdf(
+        pdf_func: Callable[[float], float],
+        support: Optional[tuple] = None,
+        table_size: int = 2048,
+    ) -> "Distribution":
+        """Custom distribution from a scalar PDF function.
+
+        If ``support`` is omitted it is auto-detected
+        (locate -> peak-find -> expand); a normalised CDF lookup table with
+        at least 1000 points is built by trapezoid integration.
+
+        Raises:
+            TypeError: if ``pdf_func`` is not callable.
+            ValueError: if the PDF is zero on the scan grid, or integrates
+                to zero on the support.
+        """
+        if not callable(pdf_func):
+            raise TypeError("pdf_func must be callable")
+
+        if support is not None:
+            x_min, x_max = support
+        else:
+            x_min, x_max = _tables.find_support(pdf_func)
+
+        x_table, cdf_table = _tables.compute_cdf_table(
+            pdf_func, x_min, x_max, table_size
+        )
+        actual_size = len(x_table)
+
+        return Distribution(
+            dist_type=DistributionType.CUSTOM,
+            params={"table_size": actual_size, "support": (x_min, x_max)},
+            pdf_func=pdf_func,
+            x_table=x_table.astype(np.float32),
+            cdf_table=cdf_table.astype(np.float32),
+        )
+
+    @staticmethod
+    def from_pdf_table(
+        x_table: Union[np.ndarray, list],
+        pdf_table: Union[np.ndarray, list],
+        cdf_table: Optional[Union[np.ndarray, list]] = None,
+    ) -> "Distribution":
+        """Custom distribution from pre-computed PDF values on a grid.
+
+        ``x_table`` must be 1-D, strictly ascending, with at least 2 points;
+        ``pdf_table`` must match its length and be non-negative.  If
+        ``cdf_table`` is omitted it is computed by trapezoid integration and
+        normalised.
+        """
+        x_arr = np.asarray(x_table, dtype=np.float32)
+        pdf_arr = np.asarray(pdf_table, dtype=np.float32)
+
+        if x_arr.ndim != 1 or pdf_arr.ndim != 1:
+            raise ValueError("x_table and pdf_table must be 1D arrays")
+        if len(x_arr) != len(pdf_arr):
+            raise ValueError("x_table and pdf_table must have the same length")
+        if len(x_arr) < 2:
+            raise ValueError("Tables must have at least 2 points")
+        if not np.all(np.diff(x_arr) > 0):
+            raise ValueError("x_table must be sorted in ascending order")
+        if np.any(pdf_arr < 0):
+            raise ValueError("pdf_table must contain non-negative values")
+
+        table_size = len(x_arr)
+        x_min, x_max = float(x_arr[0]), float(x_arr[-1])
+
+        if cdf_table is not None:
+            cdf_arr = np.asarray(cdf_table, dtype=np.float32)
+            if len(cdf_arr) != table_size:
+                raise ValueError("cdf_table must have same length as x_table")
+        else:
+            x64 = x_arr.astype(np.float64)
+            p64 = pdf_arr.astype(np.float64)
+            cdf64 = np.zeros(table_size)
+            cdf64[1:] = np.cumsum(
+                0.5 * (p64[1:] + p64[:-1]) * np.diff(x64)
+            )
+            if cdf64[-1] > 0:
+                cdf64 = cdf64 / cdf64[-1]
+            cdf_arr = cdf64.astype(np.float32)
+
+        pdf_copy = pdf_arr.copy()
+
+        def pdf_func(x: float) -> float:
+            if x < x_min or x > x_max:
+                return 0.0
+            idx = int(np.searchsorted(x_arr, x))
+            if idx == 0:
+                return float(pdf_copy[0])
+            if idx >= table_size:
+                return float(pdf_copy[-1])
+            t = (x - x_arr[idx - 1]) / (x_arr[idx] - x_arr[idx - 1])
+            return float((1 - t) * pdf_copy[idx - 1] + t * pdf_copy[idx])
+
+        return Distribution(
+            dist_type=DistributionType.CUSTOM,
+            params={"table_size": table_size, "support": (x_min, x_max)},
+            pdf_func=pdf_func,
+            x_table=x_arr,
+            cdf_table=cdf_arr,
+            pdf_table=pdf_arr,
+        )
+
+    # ------------------------------------------------------------------
+    # Table access
+    # ------------------------------------------------------------------
+
+    def get_or_compute_pdf_table(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (x_table, pdf_table), lazily evaluating the PDF on the
+        distribution's grid (default grid: support, fallback (-5, 5), size
+        2048) the first time."""
+        if self._pdf_table is not None and self._x_table is not None:
+            return self._x_table, self._pdf_table
+
+        if self._x_table is None:
+            support = self.params.get("support", (-5.0, 5.0))
+            table_size = self.params.get("table_size", 2048)
+            x_min, x_max = support
+            self._x_table = np.linspace(
+                x_min, x_max, table_size, dtype=np.float32
+            )
+
+        self._pdf_table = _tables.compute_pdf_table(self._pdf_func, self._x_table)
+        return self._x_table, self._pdf_table
+
+    def get_log_pdf_table(
+        self, min_log_value: float = _tables.LOG_PDF_FLOOR
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (x_table, log_pdf_table) for MCMC.
+
+        Zero/negative PDF values map to ``min_log_value``.  For UNIFORM the
+        final table entry is forced to log(1/width): the half-open pdf makes
+        x = max read as zero, which would poison acceptance ratios at the
+        boundary (reference: __init__.py:598-606).
+        """
+        x_table, pdf_table = self.get_or_compute_pdf_table()
+        log_pdf_table = np.where(
+            pdf_table > 0,
+            np.log(np.maximum(pdf_table, 1e-16)),
+            min_log_value,
+        ).astype(np.float32)
+
+        if self.dist_type == DistributionType.UNIFORM:
+            width = self.params.get("max", 1.0) - self.params.get("min", 0.0)
+            if width > 0:
+                log_pdf_table[-1] = np.log(1.0 / width)
+
+        return x_table, log_pdf_table

@@ -1,0 +1,196 @@
+"""Massively parallel independence-sampler Metropolis-Hastings (XLA backend).
+
+One chain per lane; a ``lax.scan`` over ``n_burnin + n_steps`` iterations
+carries (x, log_p, K accumulators) per chain — the TPU analog of the
+reference's per-thread ``var<private>`` chain state and sequential MH loop
+(src/shader_gen.rs:312-442).  Semantics preserved:
+
+  * independence proposal; acceptance
+    ``log u < log_p(x') + log_q(x) - log_p(x) - log_q(x')``
+    (src/shader_gen.rs:525-534),
+  * distinct random streams for chain init, proposals and accept draws
+    (the reference offsets counters by +1000000 / +999999,
+    src/shader_gen.rs:477-536; here: distinct fold_in tags),
+  * burn-in steps advance the chain but are not accumulated,
+  * the accumulator adds f(current_x) every sampling step whether or not
+    the step accepted (correct MH),
+  * per-chain output is ``acc / n_steps``; chains are averaged unweighted
+    (src/shader_gen.rs:574-579, src/lib.rs:419-431),
+  * closed-form log-PDFs for analytic families, table lookup with the -100
+    floor for CUSTOM (src/shader_gen.rs:543-571).
+
+As a new observability feature over the reference, the sampling-phase
+acceptance rate is returned alongside the estimates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..sampling import DistKind, log_pdf, sample_block
+from ..utils.dispatch import round_up
+
+__all__ = ["build_mcmc_fn", "plan_chains"]
+
+# fold_in stream tags
+_STREAM_INIT = 0
+_STREAM_PROPOSAL = 1
+_STREAM_ACCEPT = 2
+
+
+def plan_chains(
+    n_chains: int, target_threads: Optional[int], n_dev: int = 1
+) -> int:
+    """Total chain count: ``target_threads`` overrides ``n_chains`` when
+    given (reference quirk, src/engine.rs:860), rounded up to a multiple of
+    256 (and of the device count); ALL rounded-up chains run and enter the
+    final average (src/engine.rs:864-871)."""
+    chains = target_threads if target_threads is not None else n_chains
+    return round_up(max(int(chains), 1), max(256, n_dev))
+
+
+def build_mcmc_fn(
+    eval_fns: Sequence[Callable],
+    proposal_kind: DistKind,
+    target_kind: DistKind,
+    n_steps: int,
+    n_burnin: int,
+    total_chains: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    axis_name: str = "mc",
+):
+    """Build a jitted MH program.
+
+    Signature of the returned function::
+
+        (seed, proposal_params, target_params,
+         prop_x_table, prop_cdf_table,          # proposal sampling tables
+         targ_logpdf_x, targ_logpdf,            # target log-pdf table
+         prop_logpdf_x, prop_logpdf)            # proposal log-pdf table
+        -> ((K,) float32 estimates, () float32 acceptance_rate)
+
+    Analytic families ignore their tables (dummy 1-element arrays).
+    """
+    k = len(eval_fns)
+    vfns = [jax.vmap(f) for f in eval_fns]
+    n_dev = 1 if mesh is None else mesh.size
+    if total_chains % n_dev != 0:
+        raise ValueError("total_chains must divide evenly over devices")
+    local_chains = total_chains // n_dev
+    n_iters = n_burnin + n_steps
+
+    def _chain_sweep(
+        seed,
+        prop_params,
+        targ_params,
+        prop_x_table,
+        prop_cdf_table,
+        targ_lx,
+        targ_lp,
+        prop_lx,
+        prop_lp,
+        device_idx,
+    ):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), device_idx)
+        key_init = jax.random.fold_in(key, _STREAM_INIT)
+        key_prop = jax.random.fold_in(key, _STREAM_PROPOSAL)
+        key_acc = jax.random.fold_in(key, _STREAM_ACCEPT)
+
+        def target_log_pdf(x):
+            return log_pdf(target_kind, targ_params, x, targ_lx, targ_lp)
+
+        def proposal_log_pdf(x):
+            return log_pdf(proposal_kind, prop_params, x, prop_lx, prop_lp)
+
+        x0 = sample_block(
+            key_init,
+            (local_chains,),
+            proposal_kind,
+            prop_params,
+            prop_x_table,
+            prop_cdf_table,
+        )
+        logp0 = target_log_pdf(x0)
+
+        def step(carry, i):
+            x, logp, acc, n_accept = carry
+            xp = sample_block(
+                jax.random.fold_in(key_prop, i),
+                (local_chains,),
+                proposal_kind,
+                prop_params,
+                prop_x_table,
+                prop_cdf_table,
+            )
+            logp_prop = target_log_pdf(xp)
+            logq_cur = proposal_log_pdf(x)
+            logq_prop = proposal_log_pdf(xp)
+            log_alpha = logp_prop + logq_cur - logp - logq_prop
+            u = jax.random.uniform(
+                jax.random.fold_in(key_acc, i), (local_chains,), jnp.float32
+            )
+            accept = jnp.log(jnp.maximum(u, 1e-38)) < log_alpha
+            x = jnp.where(accept, xp, x)
+            logp = jnp.where(accept, logp_prop, logp)
+
+            collect = i >= n_burnin
+            vals = jnp.stack([vf(x) for vf in vfns])  # (K, chains)
+            acc = acc + jnp.where(collect, vals, 0.0)
+            n_accept = n_accept + jnp.where(
+                collect, jnp.sum(accept.astype(jnp.float32)), 0.0
+            )
+            return (x, logp, acc, n_accept), None
+
+        init = (
+            x0,
+            logp0,
+            jnp.zeros((k, local_chains), jnp.float32),
+            jnp.float32(0.0),
+        )
+        (_, _, acc, n_accept), _ = jax.lax.scan(
+            step, init, jnp.arange(n_iters, dtype=jnp.int32)
+        )
+        # Per-chain means, summed over local chains (global divide later).
+        chain_means = acc / jnp.float32(n_steps)
+        return jnp.sum(chain_means, axis=1), n_accept
+
+    denom_vals = jnp.float32(total_chains)
+    denom_acc = jnp.float32(total_chains) * jnp.float32(max(n_steps, 1))
+
+    if mesh is None:
+
+        @jax.jit
+        def run(seed, prop_params, targ_params, *tables):
+            sums, n_accept = _chain_sweep(
+                seed, prop_params, targ_params, *tables, jnp.int32(0)
+            )
+            return sums / denom_vals, n_accept / denom_acc
+
+        return run
+
+    replicated = P()
+
+    def sharded_body(seed, prop_params, targ_params, *tables):
+        d = jax.lax.axis_index(axis_name)
+        sums, n_accept = _chain_sweep(seed, prop_params, targ_params, *tables, d)
+        sums = jax.lax.psum(sums, axis_name)
+        n_accept = jax.lax.psum(n_accept, axis_name)
+        return sums / denom_vals, n_accept / denom_acc
+
+    shard_mapped = jax.shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(replicated,) * 9,
+        out_specs=(replicated, replicated),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(seed, prop_params, targ_params, *tables):
+        return shard_mapped(seed, prop_params, targ_params, *tables)
+
+    return run

@@ -1,0 +1,211 @@
+"""Host-side table numerics: support detection, CDF tables, log-PDF tables.
+
+This is the pure-NumPy preprocessing layer that turns user PDFs into the
+lookup tables consumed by the device samplers.  Behaviour (grids, thresholds,
+normalisation, sanitisation, the -100 log floor and the uniform endpoint fix)
+mirrors the reference implementation so that estimates land inside the same
+statistical tolerances (reference: python/wgpu_montecarlo/__init__.py:88-251
+and :549-608).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "find_support",
+    "compute_cdf_table",
+    "compute_pdf_table",
+    "log_pdf_from_pdf",
+    "MIN_TABLE_POINTS",
+    "LOG_PDF_FLOOR",
+]
+
+# Minimum number of CDF table points (reference: __init__.py:231).
+MIN_TABLE_POINTS = 1000
+# Log-PDF value used outside the support / where pdf <= 0
+# (reference: __init__.py:574, distribution.rs:382-383).
+LOG_PDF_FLOOR = -100.0
+
+
+def _try_pdf(pdf: Callable[[float], float], x: float) -> float:
+    """Evaluate a user PDF defensively; exceptions count as 'no density'."""
+    try:
+        v = pdf(x)
+    except (ValueError, TypeError, OverflowError, ZeroDivisionError):
+        return 0.0
+    try:
+        v = float(v)
+    except (ValueError, TypeError):
+        return 0.0
+    return v
+
+
+def find_support(
+    pdf: Callable[[float], float],
+    threshold_ratio: float = 1e-5,
+    max_hard_limit: float = 10000.0,
+) -> Tuple[float, float]:
+    """Auto-detect the effective support of a 1-D PDF.
+
+    Three phases (reference: __init__.py:88-206):
+      1. *Locate*: scan a fixed grid — dense [-4, 4] with step 0.5 plus
+         exponentially spaced points ±2^4 .. ±2^10 — for the first point of
+         positive, finite density.
+      2. *Peak find*: hill-climb from that point with a step that halves down
+         to 1e-6.
+      3. *Expand*: walk outward from the peak with a doubling step until the
+         density drops below ``peak * threshold_ratio`` (or the hard limit).
+
+    Raises:
+        ValueError: if the PDF is zero everywhere on the scan grid.
+    """
+    points = {i * 0.5 for i in range(-8, 9)}
+    for e in range(4, 11):
+        points.add(float(2**e))
+        points.add(-float(2**e))
+    scan_points = sorted(points)
+
+    first_x = None
+    first_val = 0.0
+    for x in scan_points:
+        val = _try_pdf(pdf, x)
+        if val > 0 and math.isfinite(val):
+            first_x = x
+            first_val = val
+            break
+
+    if first_x is None:
+        raise ValueError(
+            "PDF is zero everywhere in scanned range [-4, 4] (step=0.5) and "
+            "[-1024, 1024] (exponential).\n"
+            "This may happen if your distribution is:\n"
+            "  - Bounded and located outside [-4, 4] (e.g., Uniform(10, 10.1))\n"
+            "  - Heavily shifted (e.g., N(1000, 1)) but not detected by the "
+            "exponential scan\n\n"
+            "Solution: manually specify the support parameter:\n"
+            "  dist = Distribution.from_pdf(your_pdf, support=(x_min, x_max))"
+        )
+
+    # Phase 2: hill climb.
+    peak_x, peak_val = first_x, first_val
+    step = 1.0
+    for _ in range(100):
+        left = (
+            _try_pdf(pdf, peak_x - step) if peak_x - step > -max_hard_limit else 0.0
+        )
+        right = (
+            _try_pdf(pdf, peak_x + step) if peak_x + step < max_hard_limit else 0.0
+        )
+        if left > peak_val:
+            peak_x, peak_val = peak_x - step, left
+        elif right > peak_val:
+            peak_x, peak_val = peak_x + step, right
+        else:
+            step /= 2.0
+            if step < 1e-6:
+                break
+
+    threshold = peak_val * threshold_ratio
+
+    # Phase 3: expand outward with doubling steps.
+    x_min = peak_x
+    step = 0.1
+    while x_min > -max_hard_limit:
+        val = _try_pdf(pdf, x_min - step)
+        if val <= 0 or val < threshold:
+            x_min -= step
+            break
+        x_min -= step
+        step *= 2.0
+
+    x_max = peak_x
+    step = 0.1
+    while x_max < max_hard_limit:
+        val = _try_pdf(pdf, x_max + step)
+        if val <= 0 or val < threshold:
+            x_max += step
+            break
+        x_max += step
+        step *= 2.0
+
+    return x_min, x_max
+
+
+def _eval_pdf_grid(pdf: Callable, x_grid: np.ndarray) -> np.ndarray:
+    """Evaluate a scalar PDF on a grid; vectorised fast path with a scalar
+    fallback for PDFs that only accept Python floats."""
+    try:
+        vals = pdf(x_grid)
+        vals = np.asarray(vals, dtype=np.float64)
+        if vals.shape != x_grid.shape:
+            raise ValueError
+        return vals
+    except Exception:
+        return np.array([_try_pdf(pdf, float(x)) for x in x_grid], dtype=np.float64)
+
+
+def compute_cdf_table(
+    pdf: Callable[[float], float],
+    x_min: float,
+    x_max: float,
+    n_points: int = 2048,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build a normalised CDF lookup table on a uniform grid.
+
+    Trapezoid integration; NaN/Inf/negative PDF values are sanitised to zero;
+    the table has at least MIN_TABLE_POINTS entries and its final value is
+    exactly 1 (reference: __init__.py:209-251).
+
+    Raises:
+        ValueError: if the integral of the PDF over the support is zero.
+    """
+    n_points = max(int(n_points), MIN_TABLE_POINTS)
+
+    x_grid = np.linspace(x_min, x_max, n_points)
+    pdf_values = _eval_pdf_grid(pdf, x_grid)
+    pdf_values = np.nan_to_num(pdf_values, nan=0.0, posinf=0.0, neginf=0.0)
+    pdf_values = np.clip(pdf_values, 0.0, None)
+
+    dx = (x_max - x_min) / (n_points - 1)
+    cdf_values = np.zeros(n_points)
+    cdf_values[1:] = np.cumsum((pdf_values[:-1] + pdf_values[1:]) / 2.0) * dx
+
+    total = cdf_values[-1]
+    if total <= 0:
+        raise ValueError(
+            "PDF integral is zero. Please check the PDF function or support range."
+        )
+    cdf_values = cdf_values / total
+    return x_grid, cdf_values
+
+
+def compute_pdf_table(
+    pdf: Callable[[float], float],
+    x_table: np.ndarray,
+) -> np.ndarray:
+    """Evaluate a PDF on an existing x-grid, returning float32 values."""
+    return _eval_pdf_grid(pdf, np.asarray(x_table, dtype=np.float64)).astype(
+        np.float32
+    )
+
+
+def log_pdf_from_pdf(
+    pdf_table: np.ndarray,
+    min_log_value: float = LOG_PDF_FLOOR,
+) -> np.ndarray:
+    """Convert PDF values to log-space with a finite floor.
+
+    pdf > 0  -> log(max(pdf, 1e-16))
+    pdf <= 0 -> ``min_log_value``
+    (reference: __init__.py:572-596)
+    """
+    pdf_table = np.asarray(pdf_table)
+    return np.where(
+        pdf_table > 0,
+        np.log(np.maximum(pdf_table, 1e-16)),
+        min_log_value,
+    ).astype(np.float32)

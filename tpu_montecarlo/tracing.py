@@ -1,0 +1,928 @@
+"""Tracing front-end: restricted Python -> jittable JAX scalar functions.
+
+This module plays the role the Python->WGSL transpiler plays in the
+reference (reference: python/wgpu_montecarlo/transpiler.py): it takes user
+callables written against a restricted math subset of Python — lambdas or
+``def`` functions of one float argument using arithmetic, comparisons,
+``math``/``numpy`` functions, ternaries, ``and``/``or``, ``if``/``while``
+statements, and captured numeric constants — and turns them into pure,
+jittable JAX scalar functions that compile straight into fused TPU kernels.
+
+Instead of generating device source text, we *symbolically evaluate* the
+function's AST on JAX tracers:
+
+  * ternary expressions and ``if`` statements become ``jnp.where`` merges
+    (both branches evaluated, like WGSL ``select``),
+  * ``while`` loops become ``jax.lax.while_loop`` (vectorising via ``vmap``
+    batching, i.e. per-sample loop termination like per-thread WGSL loops),
+  * ``math.*`` / ``numpy.*`` calls and constants are resolved to their
+    ``jax.numpy`` equivalents,
+  * captured closure/global ``int``/``float``/``bool`` values are baked in
+    as constants (bools as 1.0/0.0),
+
+and the same constructs that defeated the reference transpiler raise
+``TraceError`` here — ``int(x)``/``float(x)`` casts, ``for`` loops, captured
+lists/dicts/arrays, unknown modules — so importance sampling routes to the
+PDF-table fallback for exactly the same class of functions (reference:
+python/wgpu_montecarlo/__init__.py:826-838).
+
+Functions that are already JAX-traceable (e.g. written with ``jax.numpy``)
+are accepted as-is via a direct-tracing tier, a capability superset of the
+reference (which required raw WGSL strings for anything its transpiler
+could not handle).
+"""
+
+from __future__ import annotations
+
+import ast
+import functools
+import inspect
+import linecache
+import math
+import textwrap
+import types
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["TraceError", "trace_function", "is_traceable"]
+
+_MAX_TRACE_DEPTH = 16
+
+
+class TraceError(Exception):
+    """Raised when a user function cannot be traced to a JAX computation."""
+
+
+# ---------------------------------------------------------------------------
+# Function / constant tables
+# ---------------------------------------------------------------------------
+
+
+def _int_pow(base, exp: int):
+    """Binary exponentiation with exact multiplies."""
+    if exp == 0:
+        return jnp.ones_like(jnp.asarray(base))
+    inv = exp < 0
+    exp = abs(exp)
+    result = None
+    acc = jnp.asarray(base)
+    while exp:
+        if exp & 1:
+            result = acc if result is None else result * acc
+        exp >>= 1
+        if exp:
+            acc = acc * acc
+    return 1.0 / result if inv else result
+
+
+def _truthy(v):
+    v = jnp.asarray(v)
+    if v.dtype == jnp.bool_:
+        return v
+    return v != 0
+
+
+def _fract(x):
+    return x - jnp.floor(x)
+
+
+def _mix(a, b, t):
+    return a + (b - a) * t
+
+
+def _step(edge, x):
+    return jnp.where(jnp.asarray(x) < edge, 0.0, 1.0)
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _select(f_val, t_val, cond):
+    return jnp.where(_truthy(cond), t_val, f_val)
+
+
+def _cast_f32(v):
+    v = jnp.asarray(v)
+    return v.astype(jnp.float32)
+
+
+def _minmax(op):
+    def impl(*args):
+        if len(args) < 2:
+            raise TraceError("min/max need at least two arguments")
+        return functools.reduce(op, args)
+
+    return impl
+
+
+# Python math-subset name -> JAX implementation.  Mirrors (and modestly
+# extends) the reference transpiler's FUNC_MAP (transpiler.py:82-112).
+_FUNC_MAP: Dict[str, Callable] = {
+    "abs": jnp.abs,
+    "fabs": jnp.abs,
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "tan": jnp.tan,
+    "asin": jnp.arcsin,
+    "acos": jnp.arccos,
+    "atan": jnp.arctan,
+    "atan2": jnp.arctan2,
+    "arcsin": jnp.arcsin,
+    "arccos": jnp.arccos,
+    "arctan": jnp.arctan,
+    "arctan2": jnp.arctan2,
+    "sinh": jnp.sinh,
+    "cosh": jnp.cosh,
+    "tanh": jnp.tanh,
+    "asinh": jnp.arcsinh,
+    "acosh": jnp.arccosh,
+    "atanh": jnp.arctanh,
+    "sqrt": jnp.sqrt,
+    "cbrt": jnp.cbrt,
+    "exp": jnp.exp,
+    "exp2": jnp.exp2,
+    "expm1": jnp.expm1,
+    "log": jnp.log,
+    "log2": jnp.log2,
+    "log10": jnp.log10,
+    "log1p": jnp.log1p,
+    "floor": jnp.floor,
+    "ceil": jnp.ceil,
+    "round": jnp.round,
+    "trunc": jnp.trunc,
+    "fract": _fract,
+    "sign": jnp.sign,
+    "copysign": jnp.copysign,
+    "fmod": jnp.fmod,
+    "hypot": jnp.hypot,
+    "degrees": jnp.degrees,
+    "radians": jnp.radians,
+    "min": _minmax(jnp.minimum),
+    "max": _minmax(jnp.maximum),
+    "minimum": jnp.minimum,
+    "maximum": jnp.maximum,
+    "fmin": jnp.minimum,
+    "fmax": jnp.maximum,
+    "clamp": jnp.clip,
+    "clip": jnp.clip,
+    "mix": _mix,
+    "lerp": _mix,
+    "step": _step,
+    "smoothstep": _smoothstep,
+    "pow": jnp.power,
+    "power": jnp.power,
+    "where": jnp.where,
+    "select": _select,
+    "heaviside": jnp.heaviside,
+    "square": jnp.square,
+    # WGSL-style casts used by the WGSL front-end
+    "f32": _cast_f32,
+}
+
+# Explicitly rejected calls — these are exactly the constructs whose failure
+# drives the importance-sampling table fallback (transpiler parity).
+_REJECTED_CALLS = {
+    "int": "int() casts are not traceable",
+    "float": "float() casts are not traceable",
+    "bool": "bool() casts are not traceable",
+    "complex": "complex numbers are not supported",
+    "str": "str() is not supported",
+    "list": "list() is not supported",
+    "dict": "dict() is not supported",
+    "tuple": "tuple() is not supported",
+    "set": "set() is not supported",
+    "len": "len() is not supported",
+    "range": "range() is not supported",
+    "print": "print() is not supported",
+    "input": "input() is not supported",
+}
+
+_KNOWN_MODULES = {"math", "numpy", "np", "jnp", "jax"}
+
+# Module constants (reference: transpiler.py:114-126).
+_CONSTANTS: Dict[str, float] = {
+    "pi": math.pi,
+    "e": math.e,
+    "tau": math.tau,
+    "inf": math.inf,
+    "nan": math.nan,
+    "euler_gamma": float(np.euler_gamma),
+}
+
+_BUILTIN_FUNCS = {
+    "abs": jnp.abs,
+    "min": _FUNC_MAP["min"],
+    "max": _FUNC_MAP["max"],
+    "pow": jnp.power,
+    "round": jnp.round,
+}
+
+
+class _ModuleRef:
+    """Marker for a resolved math-like module (math / numpy / jax.numpy)."""
+
+    __slots__ = ("kind",)
+
+    def __init__(self, kind: str):
+        self.kind = kind  # "math" | "numpy" | "jnp"
+
+
+def _classify_module(val) -> Optional[_ModuleRef]:
+    if not isinstance(val, types.ModuleType):
+        return None
+    name = getattr(val, "__name__", "")
+    if name == "math":
+        return _ModuleRef("math")
+    if name == "numpy":
+        return _ModuleRef("numpy")
+    if name in ("jax.numpy", "jax"):
+        return _ModuleRef("jnp")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Source recovery
+# ---------------------------------------------------------------------------
+
+
+def _first_instruction_col(code) -> Optional[int]:
+    """Smallest column of any instruction on the code object's first line.
+
+    Used to pick the right lambda when several share a source line
+    (requires Python >= 3.11 position tables; reference transpiler solves
+    the same problem with co_positions at transpiler.py:413-453).
+    """
+    try:
+        positions = list(code.co_positions())
+    except AttributeError:
+        return None
+    cols = [
+        p[2]
+        for p in positions
+        if p[0] == code.co_firstlineno
+        and p[2] is not None
+        # skip zero-width prologue positions (RESUME reports col 0:0)
+        and not (p[2] == 0 and p[3] == 0)
+    ]
+    return min(cols) if cols else None
+
+
+def _find_def_node(func) -> ast.AST:
+    """Recover the AST node (Lambda or FunctionDef) for a live callable."""
+    code = func.__code__
+    filename = code.co_filename
+    lineno = code.co_firstlineno
+    is_lambda = func.__name__ == "<lambda>"
+
+    trees: List[Tuple[ast.AST, int]] = []  # (tree, line offset)
+
+    file_src = "".join(linecache.getlines(filename))
+    if file_src:
+        try:
+            trees.append((ast.parse(file_src), 0))
+        except SyntaxError:
+            pass
+
+    if not trees:
+        try:
+            snippet = textwrap.dedent(inspect.getsource(func))
+            snippet_start = lineno  # getsource starts at the def/statement
+            trees.append((ast.parse(snippet), snippet_start - 1))
+        except (OSError, TypeError, SyntaxError, IndentationError):
+            pass
+
+    for tree, offset in trees:
+        if is_lambda:
+            cands = [
+                n
+                for n in ast.walk(tree)
+                if isinstance(n, ast.Lambda) and n.lineno + offset == lineno
+            ]
+            if len(cands) == 1:
+                return cands[0]
+            if len(cands) > 1:
+                col = _first_instruction_col(code)
+                if col is not None:
+                    inside = [
+                        n
+                        for n in cands
+                        if n.col_offset
+                        <= col
+                        <= (n.end_col_offset or 10**9)
+                    ]
+                    if inside:
+                        return min(
+                            inside,
+                            key=lambda n: (n.end_col_offset or 10**9)
+                            - n.col_offset,
+                        )
+                raise TraceError(
+                    "Cannot disambiguate multiple lambdas defined on one "
+                    "source line (Python >= 3.11 required)"
+                )
+        else:
+            cands = [
+                n
+                for n in ast.walk(tree)
+                if isinstance(n, ast.FunctionDef) and n.name == func.__name__
+            ]
+            if cands:
+                return min(cands, key=lambda n: abs(n.lineno + offset - lineno))
+
+    raise TraceError(
+        f"Cannot retrieve source for {getattr(func, '__name__', func)!r}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# AST interpreter
+# ---------------------------------------------------------------------------
+
+
+def _collect_assigned(stmts: Sequence[ast.stmt]) -> List[str]:
+    names: List[str] = []
+    for node in stmts:
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Assign):
+                for tgt in sub.targets:
+                    if isinstance(tgt, ast.Name):
+                        names.append(tgt.id)
+            elif isinstance(sub, (ast.AugAssign, ast.AnnAssign)):
+                if isinstance(sub.target, ast.Name):
+                    names.append(sub.target.id)
+    seen, out = set(), []
+    for n in names:
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
+
+
+def _contains_return(stmts: Sequence[ast.stmt]) -> bool:
+    return any(
+        isinstance(sub, ast.Return)
+        for node in stmts
+        for sub in ast.walk(node)
+    )
+
+
+class _Interpreter:
+    """Symbolically evaluates a restricted-Python function body on JAX
+    values.  One instance per traced call; cheap (runs only at trace time —
+    jit caches the result)."""
+
+    def __init__(self, func=None, depth: int = 0, captured: Optional[Dict[str, Any]] = None):
+        self.func = func
+        self.depth = depth
+        if depth > _MAX_TRACE_DEPTH:
+            raise TraceError("Maximum trace recursion depth exceeded")
+        if captured is not None:
+            # Pre-built environment (used by the WGSL front-end).
+            self.captured = captured
+            return
+        # Captured environment: closure cells first, then globals.
+        self.captured = dict(getattr(func, "__globals__", {}) or {})
+        code = func.__code__
+        closure = func.__closure__ or ()
+        for name, cell in zip(code.co_freevars, closure):
+            try:
+                self.captured[name] = cell.cell_contents
+            except ValueError:
+                pass
+
+    # -- name resolution ---------------------------------------------------
+
+    def resolve_external(self, name: str):
+        if name in self.captured:
+            return self.admit(name, self.captured[name])
+        if name in _BUILTIN_FUNCS:
+            return _BUILTIN_FUNCS[name]
+        if name in _REJECTED_CALLS:
+            raise TraceError(_REJECTED_CALLS[name])
+        raise TraceError(f"Unknown variable or function: '{name}'")
+
+    def admit(self, name: str, val):
+        """Validate a captured external value (reference transpiler captures
+        only int/float/bool; transpiler.py:234-300)."""
+        if isinstance(val, bool):
+            return 1.0 if val else 0.0
+        if isinstance(val, (int, float, np.floating, np.integer)):
+            return float(val)
+        mod = _classify_module(val)
+        if mod is not None:
+            return mod
+        if callable(val):
+            return val  # resolved further at call sites
+        raise TraceError(
+            f"Unsupported external variable '{name}' of type "
+            f"{type(val).__name__} (only int/float/bool constants, math "
+            f"modules and callables are allowed)"
+        )
+
+    # -- expression evaluation ----------------------------------------------
+
+    def eval(self, node: ast.expr, env: Dict[str, Any]):
+        meth = getattr(self, f"_eval_{type(node).__name__}", None)
+        if meth is None:
+            raise TraceError(
+                f"Unsupported expression: {type(node).__name__}"
+            )
+        return meth(node, env)
+
+    def _eval_Constant(self, node, env):
+        v = node.value
+        if isinstance(v, bool):
+            return 1.0 if v else 0.0
+        if isinstance(v, (int, float)):
+            return float(v)
+        if v is None:
+            raise TraceError("None is not a valid value in traced functions")
+        raise TraceError(f"Unsupported constant: {v!r}")
+
+    def _eval_Name(self, node, env):
+        if node.id in env:
+            return env[node.id]
+        return self.resolve_external(node.id)
+
+    def _eval_BinOp(self, node, env):
+        left = self.eval(node.left, env)
+        right = self.eval(node.right, env)
+        op = type(node.op).__name__
+        if op == "Add":
+            return left + right
+        if op == "Sub":
+            return left - right
+        if op == "Mult":
+            return left * right
+        if op == "Div":
+            return left / right
+        if op == "Mod":
+            # Python floor-mod semantics (jnp.mod); note the reference
+            # transpiles '%' to WGSL '%' (trunc-mod) — Python semantics win.
+            if isinstance(left, float) and isinstance(right, float):
+                return math.fmod(left, right) if right == 0 else left % right
+            return jnp.mod(left, right)
+        if op == "Pow":
+            if isinstance(left, float) and isinstance(right, float):
+                return left**right
+            if isinstance(right, float) and right.is_integer() and abs(right) <= 64:
+                # Exact repeated-multiplication for integer exponents: avoids
+                # the f32 exp/log round-trip and is defined for negative
+                # bases (unlike WGSL pow, which the reference emits).
+                return _int_pow(left, int(right))
+            return jnp.power(left, right)
+        if op == "FloorDiv":
+            return jnp.floor_divide(left, right)
+        raise TraceError(f"Unsupported binary operator: {op}")
+
+    def _eval_UnaryOp(self, node, env):
+        val = self.eval(node.operand, env)
+        op = type(node.op).__name__
+        if op == "USub":
+            return -val
+        if op == "UAdd":
+            return +val
+        if op == "Not":
+            return jnp.logical_not(_truthy(val))
+        raise TraceError(f"Unsupported unary operator: {op}")
+
+    _CMP = {
+        "Gt": lambda a, b: a > b,
+        "Lt": lambda a, b: a < b,
+        "GtE": lambda a, b: a >= b,
+        "LtE": lambda a, b: a <= b,
+        "Eq": lambda a, b: a == b,
+        "NotEq": lambda a, b: a != b,
+    }
+
+    def _eval_Compare(self, node, env):
+        left = self.eval(node.left, env)
+        result = None
+        for op, comparator in zip(node.ops, node.comparators):
+            opname = type(op).__name__
+            if opname not in self._CMP:
+                raise TraceError(f"Unsupported comparison: {opname}")
+            right = self.eval(comparator, env)
+            term = self._CMP[opname](jnp.asarray(left), jnp.asarray(right))
+            result = term if result is None else jnp.logical_and(result, term)
+            left = right
+        return result
+
+    def _eval_BoolOp(self, node, env):
+        # Python value semantics without short-circuit: a and b ==
+        # where(truthy(a), b, a); a or b == where(truthy(a), a, b).
+        # For boolean operands this reduces to logical and/or (which is what
+        # the reference's '&&'/'||' mapping produces).
+        vals = [self.eval(v, env) for v in node.values]
+        is_and = isinstance(node.op, ast.And)
+        acc = vals[0]
+        for v in vals[1:]:
+            if is_and:
+                acc = jnp.where(_truthy(acc), v, acc)
+            else:
+                acc = jnp.where(_truthy(acc), acc, v)
+        return acc
+
+    def _eval_IfExp(self, node, env):
+        test = _truthy(self.eval(node.test, env))
+        body = self.eval(node.body, env)
+        orelse = self.eval(node.orelse, env)
+        return jnp.where(test, body, orelse)
+
+    def _eval_Attribute(self, node, env):
+        base = self.eval(node.value, env)
+        if isinstance(base, _ModuleRef):
+            if node.attr in _CONSTANTS:
+                if node.attr == "euler_gamma" and base.kind == "math":
+                    raise TraceError("math module has no attribute euler_gamma")
+                return _CONSTANTS[node.attr]
+            if node.attr in _FUNC_MAP:
+                return _FUNC_MAP[node.attr]
+            if base.kind == "jnp":
+                impl = getattr(jnp, node.attr, None)
+                if impl is not None:
+                    return impl
+            raise TraceError(
+                f"Unknown function or constant: {base.kind}.{node.attr}"
+            )
+        raise TraceError(
+            f"Attribute access is only supported on math modules, got "
+            f"attribute '{node.attr}'"
+        )
+
+    def _eval_Call(self, node, env):
+        if node.keywords:
+            raise TraceError("Keyword arguments are not supported")
+
+        # __import__('math') idiom
+        if (
+            isinstance(node.func, ast.Name)
+            and node.func.id == "__import__"
+            and len(node.args) == 1
+            and isinstance(node.args[0], ast.Constant)
+        ):
+            modname = node.args[0].value
+            if modname == "math":
+                return _ModuleRef("math")
+            if modname == "numpy":
+                return _ModuleRef("numpy")
+            raise TraceError(f"Unknown module: {modname}")
+
+        fn = self._resolve_callable(node.func, env)
+        args = [self.eval(a, env) for a in node.args]
+        return fn(*args)
+
+    def _resolve_callable(self, func_node: ast.expr, env: Dict[str, Any]):
+        if isinstance(func_node, ast.Name):
+            name = func_node.id
+            if name in env:
+                val = env[name]
+            else:
+                if name in _REJECTED_CALLS:
+                    raise TraceError(_REJECTED_CALLS[name])
+                if name in self.captured:
+                    val = self.admit(name, self.captured[name])
+                elif name in _BUILTIN_FUNCS:
+                    return _BUILTIN_FUNCS[name]
+                else:
+                    raise TraceError(f"Unknown function: {name}")
+            return self._as_callable(name, val)
+        if isinstance(func_node, ast.Attribute):
+            val = self.eval(func_node, env)
+            return self._as_callable(func_node.attr, val)
+        raise TraceError("Only direct function calls are supported")
+
+    def _as_callable(self, name: str, val):
+        if isinstance(val, _ModuleRef):
+            raise TraceError(f"'{name}' is a module, not callable")
+        if callable(val):
+            modname = getattr(val, "__module__", "") or ""
+            qualname = getattr(val, "__name__", name)
+            if modname == "math" or isinstance(val, np.ufunc):
+                impl = _FUNC_MAP.get(qualname)
+                if impl is None:
+                    raise TraceError(f"Unknown function: {qualname}")
+                return impl
+            if modname.startswith("jax") or modname.startswith(
+                "tpu_montecarlo"
+            ):
+                return val
+            if isinstance(val, types.FunctionType):
+                # User helper function: trace it recursively (capability
+                # superset over the reference, which rejected these).
+                return _interpret_callable(val, self.depth + 1)
+            impl = _FUNC_MAP.get(qualname)
+            if impl is not None:
+                return impl
+            raise TraceError(f"Unknown function: {qualname}")
+        if isinstance(val, float):
+            raise TraceError(f"'{name}' is a constant, not callable")
+        raise TraceError(f"Unknown function: {name}")
+
+    # -- statement execution -------------------------------------------------
+
+    def exec_block(
+        self, stmts: Sequence[ast.stmt], env: Dict[str, Any]
+    ) -> Tuple[Dict[str, Any], Optional[Any]]:
+        """Execute statements; returns (env, return_value_or_None)."""
+        for idx, stmt in enumerate(stmts):
+            rest = stmts[idx + 1 :]
+            kind = type(stmt).__name__
+
+            if kind == "Return":
+                if stmt.value is None:
+                    raise TraceError("Functions must return a value")
+                return env, self.eval(stmt.value, env)
+
+            if kind == "Assign":
+                if len(stmt.targets) != 1 or not isinstance(
+                    stmt.targets[0], ast.Name
+                ):
+                    raise TraceError(
+                        "Only single-variable assignments are supported"
+                    )
+                env = dict(env)
+                env[stmt.targets[0].id] = self.eval(stmt.value, env)
+                continue
+
+            if kind == "AugAssign":
+                if not isinstance(stmt.target, ast.Name):
+                    raise TraceError(
+                        "Only single-variable assignments are supported"
+                    )
+                binop = ast.BinOp(
+                    left=ast.Name(id=stmt.target.id, ctx=ast.Load()),
+                    op=stmt.op,
+                    right=stmt.value,
+                )
+                ast.copy_location(binop, stmt)
+                ast.fix_missing_locations(binop)
+                env = dict(env)
+                env[stmt.target.id] = self._eval_BinOp(binop, env)
+                continue
+
+            if kind == "AnnAssign":
+                if stmt.value is None or not isinstance(stmt.target, ast.Name):
+                    raise TraceError("Unsupported annotated assignment")
+                env = dict(env)
+                env[stmt.target.id] = self.eval(stmt.value, env)
+                continue
+
+            if kind == "If":
+                return self._exec_if(stmt, rest, env)
+
+            if kind == "While":
+                env = self._exec_while(stmt, env)
+                continue
+
+            if kind == "Expr":
+                # Docstrings and bare expressions: no effect.
+                continue
+
+            if kind == "Pass":
+                continue
+
+            if kind == "For":
+                raise TraceError("For loops are not supported")
+
+            raise TraceError(f"Unsupported statement: {kind}")
+
+        return env, None
+
+    def _exec_if(self, stmt: ast.If, rest, env):
+        test = _truthy(self.eval(stmt.test, env))
+        env_t, ret_t = self.exec_block(stmt.body, dict(env))
+        env_f, ret_f = self.exec_block(stmt.orelse, dict(env))
+
+        if ret_t is not None and ret_f is not None:
+            return env, jnp.where(test, ret_t, ret_f)
+
+        if ret_t is None and ret_f is None:
+            merged = dict(env)
+            for key in set(env_t) | set(env_f):
+                in_t, in_f = key in env_t, key in env_f
+                if in_t and in_f:
+                    if env_t[key] is env_f[key]:
+                        merged[key] = env_t[key]
+                    else:
+                        merged[key] = jnp.where(test, env_t[key], env_f[key])
+                elif key in env:
+                    merged[key] = jnp.where(
+                        test, env_t.get(key, env[key]), env_f.get(key, env[key])
+                    )
+                # else: one-sided new variable — dropped; later use errors.
+            return self.exec_block(rest, merged)
+
+        # Exactly one branch returned: the continuation only runs on the
+        # non-returning side.
+        if ret_t is not None:
+            env_c, ret_c = self.exec_block(rest, env_f)
+            if ret_c is None:
+                raise TraceError("All code paths must return a value")
+            return env, jnp.where(test, ret_t, ret_c)
+        env_c, ret_c = self.exec_block(rest, env_t)
+        if ret_c is None:
+            raise TraceError("All code paths must return a value")
+        return env, jnp.where(test, ret_c, ret_f)
+
+    def _exec_while(self, stmt: ast.While, env):
+        if stmt.orelse:
+            raise TraceError("while/else is not supported")
+        if _contains_return([stmt]):
+            raise TraceError("return inside while loops is not supported")
+
+        carry_names = [n for n in _collect_assigned(stmt.body) if n in env]
+        if not carry_names:
+            raise TraceError(
+                "while loop must modify at least one pre-existing variable"
+            )
+
+        def to_carry(e):
+            return tuple(
+                jnp.asarray(e[n], dtype=jnp.float32) for n in carry_names
+            )
+
+        base_env = dict(env)
+
+        def with_carry(carry):
+            e = dict(base_env)
+            e.update(zip(carry_names, carry))
+            return e
+
+        def cond_fn(carry):
+            return _truthy(self.eval(stmt.test, with_carry(carry)))
+
+        def body_fn(carry):
+            e2, _ = self.exec_block(stmt.body, with_carry(carry))
+            return to_carry(e2)
+
+        final = jax.lax.while_loop(cond_fn, body_fn, to_carry(env))
+        out = dict(env)
+        out.update(zip(carry_names, final))
+        return out
+
+    # -- entry ----------------------------------------------------------------
+
+    def run(self, node: ast.AST, args: Sequence[Any]):
+        if isinstance(node, ast.Lambda):
+            params = [a.arg for a in node.args.args]
+            if len(params) != len(args):
+                raise TraceError(
+                    f"Function takes {len(params)} arguments, got {len(args)}"
+                )
+            env = dict(zip(params, args))
+            return self.eval(node.body, env)
+        if isinstance(node, ast.FunctionDef):
+            params = [a.arg for a in node.args.args]
+            if len(params) != len(args):
+                raise TraceError(
+                    f"Function takes {len(params)} arguments, got {len(args)}"
+                )
+            env = dict(zip(params, args))
+            _, ret = self.exec_block(node.body, env)
+            if ret is None:
+                raise TraceError("Function must return a value")
+            return ret
+        raise TraceError(f"Cannot trace node of type {type(node).__name__}")
+
+
+def _as_scalar_f32(value):
+    out = jnp.asarray(value)
+    if out.dtype == jnp.bool_:
+        # Boolean results become 0.0/1.0, like the reference's
+        # select(0.0, 1.0, cond) wrapping (transpiler.py:540-543).
+        out = out.astype(jnp.float32)
+    return out.astype(jnp.float32)
+
+
+def _interpret_callable(func, depth: int = 0) -> Callable:
+    node = _find_def_node(func)
+    interp = _Interpreter(func, depth)
+
+    def traced(*args):
+        return _as_scalar_f32(interp.run(node, args))
+
+    traced.__name__ = getattr(func, "__name__", "traced")
+    return traced
+
+
+def _direct_callable(func) -> Callable:
+    def traced(*args):
+        return _as_scalar_f32(func(*args))
+
+    traced.__name__ = getattr(func, "__name__", "traced")
+    return traced
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _code_fingerprint(code, depth: int = 0):
+    """Structural fingerprint of a code object (recursing into nested code
+    constants, e.g. inner lambdas)."""
+    consts = []
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            if depth < 4:
+                consts.append(_code_fingerprint(c, depth + 1))
+        elif isinstance(c, (int, float, bool, str, bytes, type(None))):
+            consts.append(c)
+    return (code.co_filename, code.co_firstlineno, code.co_code, tuple(consts))
+
+
+def function_fingerprint(func) -> Optional[tuple]:
+    """Content-based cache key for a user function: code identity plus the
+    values of captured numeric constants (and the code identity of captured
+    helper callables).  Lets the compiled-program cache hit for fresh lambda
+    objects with identical semantics — the reference re-compiles its shader
+    on every call; we don't."""
+    try:
+        code = func.__code__
+    except AttributeError:
+        return None
+    try:
+        captured = []
+        glb = getattr(func, "__globals__", {}) or {}
+        cells = dict(zip(code.co_freevars, func.__closure__ or ()))
+        for name in sorted(set(code.co_names) | set(code.co_freevars)):
+            if name in cells:
+                try:
+                    v = cells[name].cell_contents
+                except ValueError:
+                    continue
+            elif name in glb:
+                v = glb[name]
+            else:
+                continue
+            if isinstance(v, (bool, int, float, np.floating, np.integer)):
+                captured.append((name, float(v)))
+            elif isinstance(v, types.FunctionType):
+                captured.append((name, function_fingerprint(v)))
+        return ("pyfn", _code_fingerprint(code), tuple(captured))
+    except Exception:
+        return None
+
+
+def trace_function(func: Callable, n_args: int = 1) -> Callable:
+    """Convert a user callable into a jittable JAX scalar function.
+
+    Tries the restricted-subset AST interpreter first (the analog of the
+    reference transpiler); if the source is unavailable or uses constructs
+    outside the subset, falls back to tracing the callable directly (for
+    functions already written against ``jax.numpy``).
+
+    Raises:
+        TraceError: if the function cannot be traced by either tier —
+            callers use this to route importance sampling to the PDF-table
+            fallback path.
+    """
+    if getattr(func, "__tpu_mc_traced__", False):
+        return func
+    if not callable(func):
+        raise TypeError(f"Function must be callable, got {type(func)}")
+
+    probe_args = [jax.ShapeDtypeStruct((), jnp.float32)] * n_args
+    errors: List[Exception] = []
+
+    for builder in (_interpret_callable, _direct_callable):
+        try:
+            candidate = builder(func)
+            out = jax.eval_shape(candidate, *probe_args)
+            if out.shape != ():
+                raise TraceError(
+                    f"Traced function must be scalar->scalar, got output "
+                    f"shape {out.shape}"
+                )
+            candidate.__tpu_mc_traced__ = True
+            fp = function_fingerprint(func)
+            candidate.__tpu_mc_key__ = (
+                fp if fp is not None else ("id", id(candidate))
+            )
+            return candidate
+        except TraceError as e:
+            errors.append(e)
+        except Exception as e:  # direct-trace failures (concretization etc.)
+            errors.append(e)
+
+    primary = next((e for e in errors if isinstance(e, TraceError)), errors[0])
+    if isinstance(primary, TraceError):
+        raise primary
+    raise TraceError(str(primary)) from primary
+
+
+def is_traceable(func: Callable, n_args: int = 1) -> bool:
+    """True if ``trace_function`` would succeed — the traceability probe
+    that drives the importance-sampling closed-form vs. table routing."""
+    try:
+        trace_function(func, n_args)
+        return True
+    except (TraceError, TypeError):
+        return False
