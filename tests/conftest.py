@@ -2,7 +2,11 @@
 
 Tests must run without TPU hardware (tier parity with the reference's
 no-GPU test strategy, SURVEY.md §4) and exercise the multi-chip sharding
-path on a fake 8-device mesh.  The env vars must be set before jax imports.
+path on a fake 8-device mesh.
+
+Env vars alone are not enough here: the environment's sitecustomize
+registers the axon TPU backend and overrides ``JAX_PLATFORMS``, so the
+platform is pinned via ``jax.config`` before any backend initializes.
 """
 
 import os
@@ -13,6 +17,17 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    # Backends already initialized (e.g. a plugin touched them); the env
+    # vars above are then the only lever and tests that need 8 devices
+    # will skip via the mesh8 fixture.
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -27,7 +42,6 @@ def integrator():
 
 @pytest.fixture(scope="session")
 def mesh8():
-    import jax
     from tpu_montecarlo.parallel import default_mesh
 
     devices = jax.devices()
