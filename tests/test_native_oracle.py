@@ -1,0 +1,137 @@
+"""Native C++ oracle tier: independent implementations of the sampler /
+table / MH math cross-check the JAX estimators (SURVEY.md §7.1 native/).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_montecarlo import Distribution, MonteCarloIntegrator
+from tpu_montecarlo.native import get_oracle, oracle_available
+from tpu_montecarlo.sampling import DistKind
+
+pytestmark = pytest.mark.skipif(
+    not oracle_available(), reason="g++ toolchain unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return get_oracle()
+
+
+class TestOracleSamplers:
+    def test_uniform_moments(self, oracle):
+        x = oracle.sample(DistKind.UNIFORM, [0.0, 1.0], seed=1, n=200_000)
+        assert abs(x.mean() - 0.5) < 0.01
+        assert abs(x.var() - 1 / 12) < 0.01
+        assert x.min() >= 0.0 and x.max() < 1.0
+
+    def test_normal_moments(self, oracle):
+        x = oracle.sample(DistKind.NORMAL, [0.0, 1.0], seed=1, n=200_000)
+        assert abs(x.mean()) < 0.01
+        assert abs(x.var() - 1.0) < 0.02
+
+    def test_exponential_moments(self, oracle):
+        x = oracle.sample(DistKind.EXPONENTIAL, [2.0, 0.0], seed=1, n=200_000)
+        assert abs(x.mean() - 0.5) < 0.01
+        assert x.min() >= 0.0
+
+    def test_custom_table_sampling(self, oracle):
+        d = Distribution.beta(2.0, 5.0)
+        x = oracle.sample(
+            DistKind.CUSTOM, [0.0, 0.0], seed=1, n=200_000,
+            x_table=d._x_table, cdf_table=d._cdf_table,
+        )
+        assert abs(x.mean() - 2.0 / 7.0) < 0.01
+
+
+class TestOracleTableLookups:
+    def test_pdf_outside_support_is_zero(self, oracle):
+        xt = np.linspace(0, 1, 100).astype(np.float32)
+        pt = np.ones(100, np.float32)
+        vals = oracle.pdf_from_table(
+            np.array([-0.5, 0.5, 1.5], np.float32), xt, pt
+        )
+        assert vals[0] == 0.0
+        assert vals[1] == pytest.approx(1.0)
+        assert vals[2] == 0.0
+
+    def test_log_pdf_outside_support_is_floor(self, oracle):
+        xt = np.linspace(0, 1, 100).astype(np.float32)
+        lt = np.zeros(100, np.float32)
+        vals = oracle.log_pdf_from_table(
+            np.array([-0.5, 0.5, 1.5], np.float32), xt, lt
+        )
+        assert vals[0] == -100.0
+        assert vals[1] == pytest.approx(0.0)
+        assert vals[2] == -100.0
+
+    def test_interpolation_matches_numpy(self, oracle):
+        xt = np.linspace(-2, 2, 64).astype(np.float32)
+        pt = np.exp(-(xt**2)).astype(np.float32)
+        q = np.linspace(-1.9, 1.9, 37).astype(np.float32)
+        got = oracle.pdf_from_table(q, xt, pt)
+        want = np.interp(q, xt, pt)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_closed_form_log_pdfs_match_jax(self, oracle):
+        from tpu_montecarlo.sampling import log_pdf
+        import jax.numpy as jnp
+
+        x = np.linspace(-3, 3, 101).astype(np.float32)
+        for kind, params in [
+            (DistKind.UNIFORM, [0.0, 1.0]),
+            (DistKind.NORMAL, [0.5, 1.5]),
+            (DistKind.EXPONENTIAL, [2.0, 0.0]),
+        ]:
+            got = oracle.log_pdf(kind, params, x)
+            want = np.asarray(
+                log_pdf(kind, jnp.asarray(params, jnp.float32), jnp.asarray(x))
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestOracleVsDevice:
+    """The oracle and the device estimator must agree within combined
+    statistical error (they use different RNG streams by design)."""
+
+    def test_integrate_normal_moments(self, oracle, integrator):
+        want = oracle.integrate_moments(
+            DistKind.NORMAL, [0.0, 1.0], seed=3, n=1_000_000, k=2
+        )
+        got = integrator.integrate(
+            [lambda x: x, lambda x: x * x],
+            Distribution.normal(0.0, 1.0),
+            n_samples=1_000_000,
+        )
+        np.testing.assert_allclose(got.values, want, atol=0.01)
+
+    def test_integrate_beta_mean(self, oracle, integrator):
+        d = Distribution.beta(2.0, 5.0)
+        want = oracle.integrate_moments(
+            DistKind.CUSTOM, [0.0, 0.0], seed=3, n=1_000_000, k=1,
+            x_table=d._x_table, cdf_table=d._cdf_table,
+        )
+        got = integrator.integrate([lambda x: x], d, n_samples=1_000_000)
+        np.testing.assert_allclose(got.values, want, atol=0.01)
+
+    def test_mcmc_normal(self, oracle, integrator):
+        want, acc_want = oracle.mcmc_moments(
+            DistKind.NORMAL, [0.0, 2.0], DistKind.NORMAL, [0.0, 1.0],
+            seed=3, n_chains=256, n_steps=1500, n_burnin=200, k=2,
+        )
+        got = integrator.integrate_mcmc(
+            [lambda x: x, lambda x: x * x],
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+            n_steps=1500, n_chains=256, n_burnin=200,
+        )
+        np.testing.assert_allclose(got.values, want, atol=0.1)
+        assert abs(got.acceptance_rate - acc_want) < 0.05
+
+    def test_mean_reduce_parity(self, oracle):
+        rng = np.random.default_rng(0)
+        partials = rng.normal(size=(4096, 3)).astype(np.float32)
+        got = oracle.mean_reduce(partials)
+        want = partials.astype(np.float64).mean(axis=0)
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -19,6 +19,7 @@ Example:
 
 from .api import (
     IntegrationResult,
+    McmcState,
     MonteCarloIntegrator,
     integrate,
     integrate_importance_sampling,
@@ -41,6 +42,7 @@ __all__ = [
     "Distribution",
     "DistributionType",
     "IntegrationResult",
+    "McmcState",
     "integrate",
     "integrate_importance_sampling",
     "integrate_mcmc",

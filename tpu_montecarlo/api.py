@@ -38,6 +38,7 @@ from .wgsl_frontend import trace_wgsl_function
 
 __all__ = [
     "IntegrationResult",
+    "McmcState",
     "MonteCarloIntegrator",
     "integrate",
     "integrate_importance_sampling",
@@ -45,6 +46,26 @@ __all__ = [
 ]
 
 _DUMMY_TABLE = np.zeros(1, dtype=np.float32)
+
+
+class McmcState:
+    """Checkpointable MCMC chain state: per-chain position and cached
+    target log-density.  Returned by ``integrate_mcmc(...,
+    return_state=True)`` and accepted back via ``initial_state=`` to extend
+    chains across calls — a resume capability the stateless one-shot
+    reference lacks (SURVEY.md §5, chain state never left GPU registers
+    there)."""
+
+    def __init__(self, x: np.ndarray, log_p: np.ndarray):
+        self.x = np.asarray(x, np.float32)
+        self.log_p = np.asarray(log_p, np.float32)
+
+    @property
+    def n_chains(self) -> int:
+        return len(self.x)
+
+    def __repr__(self):
+        return f"McmcState(n_chains={self.n_chains})"
 
 
 class IntegrationResult:
@@ -57,6 +78,8 @@ class IntegrationResult:
         acceptance_rate: MCMC only — sampling-phase acceptance fraction
             (None for plain/IS integration; an observability addition over
             the reference).
+        chain_state: MCMC only — final ``McmcState`` when requested with
+            ``return_state=True``, else None.
     """
 
     def __init__(
@@ -65,11 +88,13 @@ class IntegrationResult:
         n_samples: int,
         n_functions: int,
         acceptance_rate: Optional[float] = None,
+        chain_state: Optional[McmcState] = None,
     ):
         self.values = np.array(values, dtype=np.float64)
         self.n_samples = n_samples
         self.n_functions = n_functions
         self.acceptance_rate = acceptance_rate
+        self.chain_state = chain_state
 
     def __repr__(self):
         return (
@@ -215,6 +240,9 @@ class MonteCarloIntegrator:
             )
 
             if pallas_supports(spec.kind):
+                # Off-TPU a forced pallas backend runs in the interpreter
+                # (kernel-logic validation; the compiled path needs Mosaic).
+                interpret = jax.default_backend() != "tpu"
                 plan = make_integrate_plan(
                     n_samples, self._target_threads, n_dev=n_dev
                 )
@@ -225,11 +253,13 @@ class MonteCarloIntegrator:
                     plan,
                     _table_shapes(spec),
                     _mesh_key(mesh),
+                    interpret,
                 )
                 run = self._cache.get_or_build(
                     key,
                     lambda: build_integrate_fn_pallas(
-                        traced, spec.kind, plan, mesh=mesh
+                        traced, spec.kind, plan, mesh=mesh,
+                        interpret=interpret,
                     ),
                 )
                 return run(
@@ -349,9 +379,17 @@ class MonteCarloIntegrator:
         n_chains: int = 1024,
         n_burnin: int = 1_000,
         seed: int = 42,
+        initial_state: Optional[McmcState] = None,
+        return_state: bool = False,
     ) -> IntegrationResult:
         """Compute E_p[f(X)] with parallel independence-sampler
-        Metropolis-Hastings chains (one chain per lane)."""
+        Metropolis-Hastings chains (one chain per lane).
+
+        ``return_state=True`` attaches the final per-chain state to the
+        result; passing it back as ``initial_state`` resumes those chains
+        (skipping the fresh proposal-draw initialisation; burn-in still
+        runs as requested).
+        """
         if len(functions) == 0:
             raise ValueError("At least one function is required")
         if n_steps <= 0:
@@ -376,6 +414,60 @@ class MonteCarloIntegrator:
         targ_lx, targ_lp = target_distribution.get_log_pdf_table()
         prop_lx, prop_lp = proposal_distribution.get_log_pdf_table()
 
+        want_state = return_state or initial_state is not None
+        if initial_state is not None and initial_state.n_chains != total_chains:
+            raise ValueError(
+                f"initial_state has {initial_state.n_chains} chains but this "
+                f"run plans {total_chains}; pass the state back with the "
+                "same n_chains/target_threads"
+            )
+
+        # Chain-state checkpoint/resume runs on the XLA backend.
+        if not want_state and self._use_pallas(prop_spec.kind):
+            from .ops.mcmc_pallas import (
+                build_mcmc_fn_pallas,
+                mcmc_pallas_supports,
+            )
+
+            if mcmc_pallas_supports(prop_spec.kind, targ_spec.kind):
+                interpret = jax.default_backend() != "tpu"
+                key = (
+                    "mcmc_pallas",
+                    _fns_key(traced),
+                    prop_spec.kind,
+                    targ_spec.kind,
+                    n_steps,
+                    n_burnin,
+                    total_chains,
+                    _mesh_key(mesh),
+                    interpret,
+                )
+                run = self._cache.get_or_build(
+                    key,
+                    lambda: build_mcmc_fn_pallas(
+                        traced,
+                        prop_spec.kind,
+                        targ_spec.kind,
+                        n_steps,
+                        n_burnin,
+                        total_chains,
+                        mesh=mesh,
+                        interpret=interpret,
+                    ),
+                )
+                values, acc_rate = run(
+                    np.uint32(seed),
+                    jnp.asarray(prop_spec.params),
+                    jnp.asarray(targ_spec.params),
+                )
+                return IntegrationResult(
+                    values=values,
+                    n_samples=n_chains * n_steps,
+                    n_functions=len(functions),
+                    acceptance_rate=float(acc_rate),
+                )
+
+        use_init = initial_state is not None
         key = (
             "mcmc_xla",
             _fns_key(traced),
@@ -387,6 +479,7 @@ class MonteCarloIntegrator:
             _table_shapes(prop_spec),
             (targ_lx.shape, prop_lx.shape),
             _mesh_key(mesh),
+            (want_state, use_init),
         )
         run = self._cache.get_or_build(
             key,
@@ -398,11 +491,13 @@ class MonteCarloIntegrator:
                 n_burnin,
                 total_chains,
                 mesh=mesh,
+                with_state=want_state,
+                use_init_state=use_init,
             ),
         )
         use_targ_table = targ_spec.kind == DistKind.CUSTOM
         use_prop_table = prop_spec.kind == DistKind.CUSTOM
-        values, acc_rate = run(
+        args = (
             np.uint32(seed),
             jnp.asarray(prop_spec.params),
             jnp.asarray(targ_spec.params),
@@ -413,6 +508,18 @@ class MonteCarloIntegrator:
             _tbl(prop_lx if use_prop_table else None),
             _tbl(prop_lp if use_prop_table else None),
         )
+        chain_state = None
+        if want_state:
+            if use_init:
+                x0 = jnp.asarray(initial_state.x, jnp.float32)
+                logp0 = jnp.asarray(initial_state.log_p, jnp.float32)
+            else:
+                x0 = jnp.zeros(total_chains, jnp.float32)
+                logp0 = jnp.zeros(total_chains, jnp.float32)
+            values, acc_rate, x_f, logp_f = run(*args, x0, logp0)
+            chain_state = McmcState(np.asarray(x_f), np.asarray(logp_f))
+        else:
+            values, acc_rate = run(*args)
 
         total_samples = n_chains * n_steps
         return IntegrationResult(
@@ -420,6 +527,7 @@ class MonteCarloIntegrator:
             n_samples=total_samples,
             n_functions=len(functions),
             acceptance_rate=float(acc_rate),
+            chain_state=chain_state if return_state else None,
         )
 
 
@@ -496,6 +604,8 @@ def integrate_mcmc(
     target_threads: Optional[int] = None,
     backend: str = "auto",
     mesh=None,
+    initial_state: Optional[McmcState] = None,
+    return_state: bool = False,
 ) -> IntegrationResult:
     """One-shot MCMC integration."""
     integrator = MonteCarloIntegrator(
@@ -509,4 +619,6 @@ def integrate_mcmc(
         n_chains,
         n_burnin,
         seed,
+        initial_state=initial_state,
+        return_state=return_state,
     )

@@ -1,0 +1,279 @@
+// Native parity oracle: independent C++ implementations of the sampler /
+// table-lookup / Metropolis-Hastings math, used by the test suite as an
+// oracle against the device kernels.
+//
+// This mirrors the role of the reference's native (Rust) layer — the
+// algorithmic content of src/distribution.rs (samplers, table lookups),
+// src/shader_gen.rs (the MH step math) and src/lib.rs:129-140 (the host
+// mean-reduction) — reimplemented from the written behaviour, not
+// translated.  On TPU the hot path belongs to XLA/Pallas; this library is
+// the independent cross-check that keeps the native-component parity
+// honest (SURVEY.md §2.1, §7.1).
+//
+// C ABI only; loaded from Python with ctypes (no pybind11 in this image).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr float kLogPdfFloor = -100.0f;
+constexpr double kTwoPi = 6.283185307179586476925286766559;
+
+// splitmix64: a well-known, public, tiny counter-based generator.  The
+// oracle needs *a* reproducible stateless stream per (seed, index), not
+// the device's exact one — estimates are compared statistically.
+inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ull;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+  return x ^ (x >> 31);
+}
+
+// Uniform in [0, 1) from a (seed, index, stream) counter triple.
+inline double u01(uint64_t seed, uint64_t idx, uint64_t stream) {
+  uint64_t h = splitmix64(seed ^ splitmix64(idx ^ splitmix64(stream)));
+  return static_cast<double>(h >> 11) * (1.0 / 9007199254740992.0);
+}
+
+inline double u01_open(uint64_t seed, uint64_t idx, uint64_t stream) {
+  double u = u01(seed, idx, stream);
+  return u > 0.0 ? u : 5e-324;
+}
+
+enum DistKind : int32_t {
+  kUniform = 0,
+  kNormal = 1,
+  kExponential = 2,
+  kCustom = 3,
+};
+
+// Inverse-CDF lookup: binary search over the CDF table + linear
+// interpolation into the x table (behavioural parity with the 12-iteration
+// device search, reference src/distribution.rs:128-158).
+inline float sample_from_cdf_table(double u, const float* x_table,
+                                   const float* cdf_table, int64_t n) {
+  if (n < 2) return n == 1 ? x_table[0] : 0.0f;
+  int64_t lo = 0, hi = n - 1;
+  while (hi - lo > 1) {
+    int64_t mid = (lo + hi) / 2;
+    if (static_cast<double>(cdf_table[mid]) < u) {
+      lo = mid;
+    } else {
+      hi = mid;
+    }
+  }
+  double c0 = cdf_table[lo], c1 = cdf_table[hi];
+  double t = (c1 > c0) ? (u - c0) / (c1 - c0) : 0.0;
+  if (t < 0.0) t = 0.0;
+  if (t > 1.0) t = 1.0;
+  return static_cast<float>(x_table[lo] + t * (x_table[hi] - x_table[lo]));
+}
+
+inline float sample_one(int32_t kind, const float* params, uint64_t seed,
+                        uint64_t idx, uint64_t stream, const float* x_table,
+                        const float* cdf_table, int64_t table_n) {
+  switch (kind) {
+    case kUniform: {
+      double u = u01(seed, idx, stream);
+      return static_cast<float>(params[0] + u * (params[1] - params[0]));
+    }
+    case kNormal: {
+      // Box-Muller, matching the device transform family
+      // (reference src/distribution.rs:87-114).
+      double u1 = u01_open(seed, idx, stream * 2 + 1);
+      double u2 = u01(seed, idx, stream * 2 + 2);
+      double z = std::sqrt(-2.0 * std::log(u1)) * std::cos(kTwoPi * u2);
+      return static_cast<float>(params[0] + params[1] * z);
+    }
+    case kExponential: {
+      double u = u01(seed, idx, stream);
+      if (u < 1e-7) u = 1e-7;  // reference clamp, distribution.rs:122
+      return static_cast<float>(-std::log(u) / params[0]);
+    }
+    case kCustom: {
+      double u = u01(seed, idx, stream);
+      return sample_from_cdf_table(u, x_table, cdf_table, table_n);
+    }
+  }
+  return 0.0f;
+}
+
+inline float log_pdf_closed(int32_t kind, const float* params, float x) {
+  // Closed-form log densities (reference src/shader_gen.rs:543-571).
+  switch (kind) {
+    case kUniform:
+      return (params[0] <= x && x < params[1])
+                 ? -std::log(params[1] - params[0])
+                 : kLogPdfFloor;
+    case kNormal: {
+      float z = (x - params[0]) / params[1];
+      return -0.5f * z * z - std::log(params[1] * 2.50662827463f);
+    }
+    case kExponential:
+      return (x >= 0.0f) ? std::log(params[0]) - params[0] * x
+                         : kLogPdfFloor;
+  }
+  return kLogPdfFloor;
+}
+
+// Interpolated table lookup with out-of-support conventions: 0 for PDF,
+// -100 for log-PDF (reference src/distribution.rs:173-281, 367-475).
+inline float table_interp(float x, const float* x_table, const float* vals,
+                          int64_t n, float outside) {
+  if (n < 1) return outside;
+  if (x < x_table[0] || x > x_table[n - 1]) return outside;
+  int64_t lo = 0, hi = n - 1;
+  while (hi - lo > 1) {
+    int64_t mid = (lo + hi) / 2;
+    if (x_table[mid] <= x) {
+      lo = mid;
+    } else {
+      hi = mid;
+    }
+  }
+  float x0 = x_table[lo], x1 = x_table[hi];
+  float t = (x1 > x0) ? (x - x0) / (x1 - x0) : 0.0f;
+  return vals[lo] + t * (vals[hi] - vals[lo]);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Draw n samples from the distribution into out[n].
+void mc_sample(int32_t kind, const float* params, uint64_t seed, int64_t n,
+               const float* x_table, const float* cdf_table, int64_t table_n,
+               float* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = sample_one(kind, params, seed, static_cast<uint64_t>(i), 0,
+                        x_table, cdf_table, table_n);
+  }
+}
+
+// PDF table lookup for each x[i]; 0 outside the table range.
+void mc_pdf_from_table(const float* x, int64_t n, const float* x_table,
+                       const float* pdf_table, int64_t table_n, float* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = table_interp(x[i], x_table, pdf_table, table_n, 0.0f);
+  }
+}
+
+// Log-PDF table lookup for each x[i]; -100 outside the table range.
+void mc_log_pdf_from_table(const float* x, int64_t n, const float* x_table,
+                           const float* log_pdf_table, int64_t table_n,
+                           float* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] =
+        table_interp(x[i], x_table, log_pdf_table, table_n, kLogPdfFloor);
+  }
+}
+
+// Closed-form log-PDF for each x[i].
+void mc_log_pdf(int32_t kind, const float* params, const float* x, int64_t n,
+                float* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = log_pdf_closed(kind, params, x[i]);
+  }
+}
+
+// Monte Carlo mean of the k monomial moments x^(1..k) over n samples —
+// the oracle's version of the fused-K integrate (per-thread partial means
+// + host reduction, reference src/lib.rs:129-140), with double
+// accumulation standing in for the device's Kahan/pairwise tree.
+void mc_integrate_moments(int32_t kind, const float* params, uint64_t seed,
+                          int64_t n, const float* x_table,
+                          const float* cdf_table, int64_t table_n, int32_t k,
+                          double* out) {
+  for (int32_t j = 0; j < k; ++j) out[j] = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    float x = sample_one(kind, params, seed, static_cast<uint64_t>(i), 0,
+                         x_table, cdf_table, table_n);
+    double p = 1.0;
+    for (int32_t j = 0; j < k; ++j) {
+      p *= static_cast<double>(x);
+      out[j] += p;
+    }
+  }
+  for (int32_t j = 0; j < k; ++j) out[j] /= static_cast<double>(n);
+}
+
+// Independence-sampler Metropolis-Hastings over n_chains chains.
+// Estimates E[x^(1..k)] under the target; returns the sampling-phase
+// acceptance rate.  Math parity with the device kernel: acceptance
+// log u < log_p(x') + log_q(x) - log_p(x) - log_q(x'); burn-in advances
+// but does not accumulate; f(current_x) accumulates every sampling step;
+// per-chain mean / n_steps then unweighted chain average
+// (reference src/shader_gen.rs:312-442, 512-536).
+double mc_mcmc_moments(int32_t prop_kind, const float* prop_params,
+                       int32_t targ_kind, const float* targ_params,
+                       uint64_t seed, int64_t n_chains, int64_t n_steps,
+                       int64_t n_burnin, const float* prop_x_table,
+                       const float* prop_cdf_table, int64_t prop_table_n,
+                       const float* targ_lx, const float* targ_lp,
+                       int64_t targ_table_n, int32_t k, double* out) {
+  for (int32_t j = 0; j < k; ++j) out[j] = 0.0;
+  double n_accept = 0.0;
+
+  for (int64_t c = 0; c < n_chains; ++c) {
+    uint64_t chain_seed = splitmix64(seed ^ splitmix64(c + 1));
+    float x = sample_one(prop_kind, prop_params, chain_seed, 0, 1,
+                         prop_x_table, prop_cdf_table, prop_table_n);
+    auto targ_logp = [&](float v) {
+      return targ_kind == kCustom
+                 ? table_interp(v, targ_lx, targ_lp, targ_table_n,
+                                kLogPdfFloor)
+                 : log_pdf_closed(targ_kind, targ_params, v);
+    };
+    auto prop_logp = [&](float v) {
+      return log_pdf_closed(prop_kind, prop_params, v);
+    };
+    float logp = targ_logp(x);
+
+    double acc[16] = {0.0};
+    for (int64_t i = 0; i < n_burnin + n_steps; ++i) {
+      float xp = sample_one(prop_kind, prop_params, chain_seed,
+                            static_cast<uint64_t>(i + 1), 2, prop_x_table,
+                            prop_cdf_table, prop_table_n);
+      float logp_prop = targ_logp(xp);
+      float log_alpha =
+          logp_prop + prop_logp(x) - logp - prop_logp(xp);
+      double u = u01_open(chain_seed, static_cast<uint64_t>(i + 1), 3);
+      bool accept = std::log(u) < static_cast<double>(log_alpha);
+      if (accept) {
+        x = xp;
+        logp = logp_prop;
+      }
+      if (i >= n_burnin) {
+        double p = 1.0;
+        for (int32_t j = 0; j < k && j < 16; ++j) {
+          p *= static_cast<double>(x);
+          acc[j] += p;
+        }
+        if (accept) n_accept += 1.0;
+      }
+    }
+    for (int32_t j = 0; j < k && j < 16; ++j) {
+      out[j] += acc[j] / static_cast<double>(n_steps);
+    }
+  }
+  for (int32_t j = 0; j < k; ++j) out[j] /= static_cast<double>(n_chains);
+  return n_accept /
+         (static_cast<double>(n_chains) * static_cast<double>(n_steps));
+}
+
+// Host mean-reduction parity: mean over `threads` partials per function
+// (reference src/lib.rs:129-140 summed f32 partials in f64).
+void mc_mean_reduce(const float* partials, int64_t threads, int32_t k,
+                    double* out) {
+  for (int32_t j = 0; j < k; ++j) {
+    double s = 0.0;
+    for (int64_t t = 0; t < threads; ++t) {
+      s += static_cast<double>(partials[t * k + j]);
+    }
+    out[j] = s / static_cast<double>(threads);
+  }
+}
+
+}  // extern "C"

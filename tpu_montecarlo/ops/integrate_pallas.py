@@ -1,0 +1,264 @@
+"""Fused Monte Carlo integration kernel (Pallas TPU backend).
+
+One Pallas program = the TPU analog of a GPU workgroup sweep
+(reference: src/shader_gen.rs:45-128): it seeds the per-core PRNG from
+(seed, program_id), loops ``loops_per_program`` times generating a
+(BLOCK_ROWS, 128) block of samples in VMEM, evaluates all K traced
+integrands on the SAME block (multi-function fusion), and accumulates K
+per-lane partial-sum blocks carried through the loop — disjoint writes,
+no atomics, same race-free-by-construction design as the reference's
+per-thread accumulators.  Each program writes one padded row of K partial
+sums; the host-side jitted wrapper tree-reduces rows on device and divides
+by the processed sample count.
+
+Sampling transforms match the WGSL samplers (src/distribution.rs:80-124):
+uniform affine, Box-Muller normal (two uniforms -> two normal blocks per
+iteration), exponential inverse-transform with the 1e-7 clamp.  CUSTOM
+(table) distributions route to the XLA backend instead (in-kernel gather
+is not worth it at current table sizes).
+
+RNG is the TPU hardware PRNG seeded per (seed, program index) —
+counter-style stream separation like the reference's
+``pcg_hash(seed + idx*7199369 + iter*15485863)`` (distribution.rs:69-73);
+estimates are grid-shape-dependent (so was the reference's thread layout)
+but bit-reproducible for a fixed (seed, plan).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from ..sampling import DistKind
+from ..utils.dispatch import IntegratePlan
+
+__all__ = ["build_integrate_fn_pallas", "pallas_supports", "plan_pallas_grid"]
+
+BLOCK_ROWS = 256
+LANES = 128
+BLOCK_ELEMS = BLOCK_ROWS * LANES
+MAX_LOOPS_PER_PROGRAM = 512
+
+_INV_2POW24 = np.float32(1.0 / (1 << 24))
+_TWO_PI = np.float32(2.0 * np.pi)
+
+
+def pallas_supports(kind: DistKind) -> bool:
+    return kind in (DistKind.UNIFORM, DistKind.NORMAL, DistKind.EXPONENTIAL)
+
+
+def plan_pallas_grid(n_samples: int):
+    """(num_programs, loops_per_program, actual_samples) with
+    actual >= n_samples — the rounded-up equal-weight semantics of the
+    reference dispatch planner (src/engine.rs:157-181)."""
+    total_blocks = -(-n_samples // BLOCK_ELEMS)
+    loops = min(total_blocks, MAX_LOOPS_PER_PROGRAM)
+    programs = -(-total_blocks // loops)
+    actual = programs * loops * BLOCK_ELEMS
+    return programs, loops, actual
+
+
+class HardwareRng:
+    """Random bits from the TPU hardware PRNG.  Stateful/sequential, so the
+    (counter, tag) arguments are ignored — the hardware stream advances on
+    every draw.  Seed once per program."""
+
+    def seed(self, *words):
+        pltpu.prng_seed(*words)
+
+    def bits(self, shape, counter, tag):
+        return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+
+class CounterRng:
+    """Pure-jnp counter-based PCG-hash stream for the Pallas interpreter
+    tier, where the hardware PRNG is stubbed out.  Same stateless-counter
+    design as the reference's ``pcg_hash(seed + idx*7199369 +
+    iter*15485863)`` (src/distribution.rs:62-73)."""
+
+    def seed(self, *words):
+        s = jnp.uint32(0x9E3779B9)
+        for w in words:
+            s = self._pcg(s ^ jnp.asarray(w).astype(jnp.uint32))
+        self._state = s
+
+    @staticmethod
+    def _pcg(x):
+        x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+        word = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) * jnp.uint32(277803737)
+        return (word >> jnp.uint32(22)) ^ word
+
+    def bits(self, shape, counter, tag):
+        rows, lanes = shape
+        pos = (
+            jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(lanes)
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        )
+        base = self._pcg(
+            self._state
+            + jnp.asarray(counter).astype(jnp.uint32) * jnp.uint32(15485863)
+            + jnp.uint32(tag) * jnp.uint32(7199369)
+        )
+        return self._pcg(base + pos * jnp.uint32(2654435761))
+
+
+def _mantissa(bits):
+    """24-bit random integers as int32 (uint32->f32 casts are unsupported
+    on Mosaic; after the >>8 the value fits int32 exactly)."""
+    return jax.lax.bitcast_convert_type(bits >> 8, jnp.int32)
+
+
+def _uniform_open01(rng, shape, counter=0, tag=0):
+    """(0, 1] uniforms (24-bit mantissa)."""
+    m = _mantissa(rng.bits(shape, counter, tag))
+    return (m + 1).astype(jnp.float32) * _INV_2POW24
+
+
+def _uniform_halfopen01(rng, shape, counter=0, tag=0):
+    """[0, 1) uniforms."""
+    m = _mantissa(rng.bits(shape, counter, tag))
+    return m.astype(jnp.float32) * _INV_2POW24
+
+
+def _sample_block(kind: DistKind, p1, p2, rng, counter):
+    """One (BLOCK_ROWS, 128) float32 sample block."""
+    if kind == DistKind.UNIFORM:
+        u = _uniform_halfopen01(rng, (BLOCK_ROWS, LANES), counter, 0)
+        return p1 + u * (p2 - p1)
+    if kind == DistKind.NORMAL:
+        half = BLOCK_ROWS // 2
+        u1 = _uniform_open01(rng, (half, LANES), counter, 0)
+        u2 = _uniform_halfopen01(rng, (half, LANES), counter, 1)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = _TWO_PI * u2
+        z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+        return p1 + p2 * z
+    if kind == DistKind.EXPONENTIAL:
+        u = _uniform_open01(rng, (BLOCK_ROWS, LANES), counter, 0)
+        return -jnp.log(jnp.maximum(u, 1e-7)) / p1
+    raise ValueError(f"Pallas kernel does not support {kind}")
+
+
+def build_integrate_fn_pallas(
+    eval_fns: Sequence[Callable],
+    kind: DistKind,
+    plan: IntegratePlan,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    axis_name: str = "mc",
+    interpret: bool = False,
+):
+    """Build a jitted ``(seed, params, x_table, cdf_table) -> (K,) float32``
+    program running the fused Pallas kernel.  Table args are accepted for
+    signature parity with the XLA backend but unused (analytic families
+    only).  With a mesh, programs split across devices and partials combine
+    with psum over ICI."""
+    k = len(eval_fns)
+    if k > LANES:
+        raise ValueError(f"at most {LANES} fused functions supported")
+    if not pallas_supports(kind):
+        raise ValueError(f"Pallas backend does not support {kind}")
+
+    n_dev = 1 if mesh is None else mesh.size
+    programs, loops, actual = plan_pallas_grid(plan.actual_samples)
+    # Shape the grid to divide evenly over devices.
+    programs = -(-programs // n_dev) * n_dev
+    actual = programs * loops * BLOCK_ELEMS
+    local_programs = programs // n_dev
+
+    rng_factory = CounterRng if interpret else HardwareRng
+
+    def kernel(seed_ref, params_ref, pid_base_ref, out_ref):
+        pid = pl.program_id(0)
+        rng = rng_factory()
+        rng.seed(seed_ref[0, 0], pid_base_ref[0, 0] + pid)
+        p1 = params_ref[0, 0]
+        p2 = params_ref[0, 1]
+
+        def body(i, accs):
+            x = _sample_block(kind, p1, p2, rng, i)
+            return tuple(
+                acc + f(x).astype(jnp.float32)
+                for acc, f in zip(accs, eval_fns)
+            )
+
+        init = tuple(
+            jnp.zeros((BLOCK_ROWS, LANES), jnp.float32) for _ in range(k)
+        )
+        accs = jax.lax.fori_loop(0, loops, body, init)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        row = jnp.zeros((1, LANES), jnp.float32)
+        for i, acc in enumerate(accs):
+            row = jnp.where(col == i, jnp.sum(acc), row)
+        out_ref[pl.ds(pid, 1), :] = row
+
+    smem_scalar = pl.BlockSpec(
+        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    smem_params = pl.BlockSpec(
+        (1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    def pallas_sweep(seed, params, pid_base):
+        out = pl.pallas_call(
+            kernel,
+            grid=(local_programs,),
+            in_specs=[smem_scalar, smem_params, smem_scalar],
+            # The whole (programs, 128) partial-sum buffer stays resident in
+            # VMEM; each program writes its own disjoint row (race-free by
+            # construction, like the reference's output[idx*K+i] slots).
+            out_specs=pl.BlockSpec(
+                (local_programs, LANES),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((local_programs, LANES), jnp.float32),
+            interpret=interpret,
+        )(seed, params, pid_base)
+        return jnp.sum(out[:, :k], axis=0)
+
+    def _prep(seed, params):
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        params_arr = jnp.asarray(params, jnp.float32).reshape(1, 2)
+        return seed_arr, params_arr
+
+    if mesh is None:
+
+        @jax.jit
+        def run(seed, params, x_table, cdf_table):
+            seed_arr, params_arr = _prep(seed, params)
+            base = jnp.zeros((1, 1), jnp.int32)
+            sums = pallas_sweep(seed_arr, params_arr, base)
+            return sums / jnp.float32(actual)
+
+        return run
+
+    replicated = P()
+
+    def sharded_body(seed_arr, params_arr):
+        d = jax.lax.axis_index(axis_name)
+        base = (d * local_programs).astype(jnp.int32).reshape(1, 1)
+        sums = pallas_sweep(seed_arr, params_arr, base)
+        return jax.lax.psum(sums, axis_name) / jnp.float32(actual)
+
+    shard_mapped = jax.shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(replicated, replicated),
+        out_specs=replicated,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(seed, params, x_table, cdf_table):
+        seed_arr, params_arr = _prep(seed, params)
+        return shard_mapped(seed_arr, params_arr)
+
+    return run

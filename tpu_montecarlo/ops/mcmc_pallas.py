@@ -1,0 +1,235 @@
+"""Independence-sampler Metropolis-Hastings kernel (Pallas TPU backend).
+
+Chains live one-per-lane in a (ROWS, 128) VMEM block; a ``fori_loop`` over
+``n_burnin + n_steps`` iterations carries (x, log_p, K accumulators,
+accept count) — the TPU analog of the reference's per-thread
+``var<private>`` chain state and sequential MH loop
+(src/shader_gen.rs:312-442).  Semantics preserved (see ops/mcmc_xla.py for
+the full list): acceptance ``log u < log_p(x') + log_q(x) - log_p(x) -
+log_q(x')``, burn-in advanced but not accumulated, f(current_x) added every
+sampling step, per-chain mean ``/n_steps`` then unweighted chain average.
+
+Closed-form log-PDFs only (uniform/normal/exponential,
+src/shader_gen.rs:543-571); CUSTOM (table) targets/proposals route to the
+XLA backend.  RNG: hardware PRNG seeded per (seed, program, purpose) — the
+same stream-separation idea as the reference's +1000000/+999999 counter
+offsets (src/shader_gen.rs:477-536).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from ..sampling import DistKind
+from ..tables import LOG_PDF_FLOOR
+from .integrate_pallas import (
+    LANES,
+    CounterRng,
+    HardwareRng,
+    _uniform_halfopen01,
+    _uniform_open01,
+)
+
+__all__ = ["build_mcmc_fn_pallas", "mcmc_pallas_supports", "plan_mcmc_grid"]
+
+_SQRT_2PI = np.float32(2.50662827463)
+
+
+def mcmc_pallas_supports(proposal_kind: DistKind, target_kind: DistKind) -> bool:
+    analytic = (DistKind.UNIFORM, DistKind.NORMAL, DistKind.EXPONENTIAL)
+    return proposal_kind in analytic and target_kind in analytic
+
+
+def plan_mcmc_grid(total_chains: int):
+    """(num_programs, rows, chains_actual): chains per program fill a
+    (rows, 128) lane block; all rounded-up chains run and enter the final
+    average (the reference's round-up-and-run-everything semantics,
+    src/engine.rs:860-871)."""
+    rows = max(8, min(64, -(-total_chains // LANES)))
+    rows = (rows + 7) // 8 * 8
+    block = rows * LANES
+    programs = -(-total_chains // block)
+    return programs, rows, programs * block
+
+
+def _sample_chain_block(kind: DistKind, p1, p2, rows, rng, counter):
+    if kind == DistKind.UNIFORM:
+        u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+        return p1 + u * (p2 - p1)
+    if kind == DistKind.NORMAL:
+        u1 = _uniform_open01(rng, (rows, LANES), counter, 0)
+        u2 = _uniform_halfopen01(rng, (rows, LANES), counter, 1)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        return p1 + p2 * (r * jnp.cos(np.float32(2.0 * np.pi) * u2))
+    if kind == DistKind.EXPONENTIAL:
+        u = _uniform_open01(rng, (rows, LANES), counter, 0)
+        return -jnp.log(jnp.maximum(u, 1e-7)) / p1
+    raise ValueError(f"Pallas MCMC does not support {kind}")
+
+
+def _log_pdf(kind: DistKind, p1, p2, x):
+    """Closed-form log densities, -100 floor outside support (reference:
+    src/shader_gen.rs:543-571)."""
+    if kind == DistKind.UNIFORM:
+        inside = jnp.logical_and(p1 <= x, x < p2)
+        return jnp.where(inside, -jnp.log(p2 - p1), LOG_PDF_FLOOR)
+    if kind == DistKind.NORMAL:
+        z = (x - p1) / p2
+        return -0.5 * z * z - jnp.log(p2 * _SQRT_2PI)
+    if kind == DistKind.EXPONENTIAL:
+        return jnp.where(x >= 0.0, jnp.log(p1) - p1 * x, LOG_PDF_FLOOR)
+    raise ValueError(f"Pallas MCMC does not support {kind}")
+
+
+def build_mcmc_fn_pallas(
+    eval_fns: Sequence[Callable],
+    proposal_kind: DistKind,
+    target_kind: DistKind,
+    n_steps: int,
+    n_burnin: int,
+    total_chains: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    axis_name: str = "mc",
+    interpret: bool = False,
+):
+    """Build a jitted MH program with the XLA backend's call signature
+    (tables accepted but unused).  Returns ((K,) estimates, acceptance)."""
+    k = len(eval_fns)
+    if k >= LANES:
+        raise ValueError(f"at most {LANES - 1} fused functions supported")
+    if not mcmc_pallas_supports(proposal_kind, target_kind):
+        raise ValueError("Pallas MCMC supports analytic families only")
+
+    n_dev = 1 if mesh is None else mesh.size
+    programs, rows, chains_actual = plan_mcmc_grid(total_chains)
+    programs = -(-programs // n_dev) * n_dev
+    chains_actual = programs * rows * LANES
+    local_programs = programs // n_dev
+    n_iters = n_burnin + n_steps
+
+    rng_factory = CounterRng if interpret else HardwareRng
+
+    def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, out_ref):
+        pid = pl.program_id(0)
+        rng = rng_factory()
+        # Hardware seeding takes at most two words: distinguish the MCMC
+        # stream family from the integrate kernel's via a seed-word XOR.
+        rng.seed(seed_ref[0, 0] ^ 0x5BD1E995, pid_base_ref[0, 0] + pid)
+        q1 = prop_ref[0, 0]
+        q2 = prop_ref[0, 1]
+        t1 = targ_ref[0, 0]
+        t2 = targ_ref[0, 1]
+
+        x0 = _sample_chain_block(proposal_kind, q1, q2, rows, rng, 0)
+        logp0 = _log_pdf(target_kind, t1, t2, x0)
+
+        def body(i, carry):
+            x, logp, accs, n_acc = carry
+            # Distinct counters per draw purpose — the reference's stream
+            # separation via +1000000/+999999 offsets (shader_gen.rs:477-536).
+            xp = _sample_chain_block(
+                proposal_kind, q1, q2, rows, rng, 3 * i + 1
+            )
+            logp_prop = _log_pdf(target_kind, t1, t2, xp)
+            logq_cur = _log_pdf(proposal_kind, q1, q2, x)
+            logq_prop = _log_pdf(proposal_kind, q1, q2, xp)
+            log_alpha = logp_prop + logq_cur - logp - logq_prop
+            u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
+            accept = jnp.log(u) < log_alpha
+            x = jnp.where(accept, xp, x)
+            logp = jnp.where(accept, logp_prop, logp)
+
+            collect = (i >= n_burnin).astype(jnp.float32)
+            accs = tuple(
+                acc + collect * f(x).astype(jnp.float32)
+                for acc, f in zip(accs, eval_fns)
+            )
+            n_acc = n_acc + collect * accept.astype(jnp.float32)
+            return (x, logp, accs, n_acc)
+
+        init = (
+            x0,
+            logp0,
+            tuple(jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)),
+            jnp.zeros((rows, LANES), jnp.float32),
+        )
+        _, _, accs, n_acc = jax.lax.fori_loop(0, n_iters, body, init)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        row_out = jnp.zeros((1, LANES), jnp.float32)
+        for i, acc in enumerate(accs):
+            row_out = jnp.where(col == i, jnp.sum(acc), row_out)
+        row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
+        out_ref[pl.ds(pid, 1), :] = row_out
+
+    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem_params = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def pallas_sweep(seed, prop, targ, pid_base):
+        out = pl.pallas_call(
+            kernel,
+            grid=(local_programs,),
+            in_specs=[smem_scalar, smem_params, smem_params, smem_scalar],
+            out_specs=pl.BlockSpec(
+                (local_programs, LANES), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((local_programs, LANES), jnp.float32),
+            interpret=interpret,
+        )(seed, prop, targ, pid_base)
+        totals = jnp.sum(out, axis=0)
+        return totals[:k], totals[k]
+
+    denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
+    denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
+
+    def _prep(seed, prop_params, targ_params):
+        return (
+            jnp.asarray(seed, jnp.int32).reshape(1, 1),
+            jnp.asarray(prop_params, jnp.float32).reshape(1, 2),
+            jnp.asarray(targ_params, jnp.float32).reshape(1, 2),
+        )
+
+    if mesh is None:
+
+        @jax.jit
+        def run(seed, prop_params, targ_params, *tables):
+            seed_a, prop_a, targ_a = _prep(seed, prop_params, targ_params)
+            base = jnp.zeros((1, 1), jnp.int32)
+            sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base)
+            return sums / denom_vals, n_acc / denom_acc
+
+        return run
+
+    replicated = P()
+
+    def sharded_body(seed_a, prop_a, targ_a):
+        d = jax.lax.axis_index(axis_name)
+        base = (d * local_programs).astype(jnp.int32).reshape(1, 1)
+        sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base)
+        sums = jax.lax.psum(sums, axis_name)
+        n_acc = jax.lax.psum(n_acc, axis_name)
+        return sums / denom_vals, n_acc / denom_acc
+
+    shard_mapped = jax.shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(replicated,) * 3,
+        out_specs=(replicated, replicated),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(seed, prop_params, targ_params, *tables):
+        seed_a, prop_a, targ_a = _prep(seed, prop_params, targ_params)
+        return shard_mapped(seed_a, prop_a, targ_a)
+
+    return run

@@ -62,6 +62,8 @@ def build_mcmc_fn(
     total_chains: int,
     mesh: Optional[jax.sharding.Mesh] = None,
     axis_name: str = "mc",
+    with_state: bool = False,
+    use_init_state: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -74,6 +76,14 @@ def build_mcmc_fn(
         -> ((K,) float32 estimates, () float32 acceptance_rate)
 
     Analytic families ignore their tables (dummy 1-element arrays).
+
+    With ``with_state=True`` (a checkpoint/resume capability the stateless
+    one-shot reference lacks, SURVEY.md §5) the function takes two extra
+    trailing args ``(x0, logp0)`` of shape (total_chains,) and additionally
+    returns the final ``(x, logp)`` so chains can be extended across calls;
+    the initial state is consumed only when ``use_init_state=True``
+    (otherwise a fresh proposal draw initialises the chains and the args
+    are ignored — pass zeros).
     """
     k = len(eval_fns)
     vfns = [jax.vmap(f) for f in eval_fns]
@@ -94,6 +104,8 @@ def build_mcmc_fn(
         prop_lx,
         prop_lp,
         device_idx,
+        init_x=None,
+        init_logp=None,
     ):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), device_idx)
         key_init = jax.random.fold_in(key, _STREAM_INIT)
@@ -106,15 +118,18 @@ def build_mcmc_fn(
         def proposal_log_pdf(x):
             return log_pdf(proposal_kind, prop_params, x, prop_lx, prop_lp)
 
-        x0 = sample_block(
-            key_init,
-            (local_chains,),
-            proposal_kind,
-            prop_params,
-            prop_x_table,
-            prop_cdf_table,
-        )
-        logp0 = target_log_pdf(x0)
+        if init_x is not None:
+            x0, logp0 = init_x, init_logp
+        else:
+            x0 = sample_block(
+                key_init,
+                (local_chains,),
+                proposal_kind,
+                prop_params,
+                prop_x_table,
+                prop_cdf_table,
+            )
+            logp0 = target_log_pdf(x0)
 
         def step(carry, i):
             x, logp, acc, n_accept = carry
@@ -151,21 +166,37 @@ def build_mcmc_fn(
             jnp.zeros((k, local_chains), jnp.float32),
             jnp.float32(0.0),
         )
-        (_, _, acc, n_accept), _ = jax.lax.scan(
+        (x_f, logp_f, acc, n_accept), _ = jax.lax.scan(
             step, init, jnp.arange(n_iters, dtype=jnp.int32)
         )
         # Per-chain means, summed over local chains (global divide later).
         chain_means = acc / jnp.float32(n_steps)
-        return jnp.sum(chain_means, axis=1), n_accept
+        return jnp.sum(chain_means, axis=1), n_accept, x_f, logp_f
 
     denom_vals = jnp.float32(total_chains)
     denom_acc = jnp.float32(total_chains) * jnp.float32(max(n_steps, 1))
 
     if mesh is None:
+        if with_state:
+
+            @jax.jit
+            def run(seed, prop_params, targ_params, *tables_and_state):
+                tables = tables_and_state[:-2]
+                x0, logp0 = tables_and_state[-2:]
+                sums, n_accept, x_f, logp_f = _chain_sweep(
+                    seed, prop_params, targ_params, *tables, jnp.int32(0),
+                    init_x=x0 if use_init_state else None,
+                    init_logp=logp0 if use_init_state else None,
+                )
+                return (
+                    sums / denom_vals, n_accept / denom_acc, x_f, logp_f
+                )
+
+            return run
 
         @jax.jit
         def run(seed, prop_params, targ_params, *tables):
-            sums, n_accept = _chain_sweep(
+            sums, n_accept, _, _ = _chain_sweep(
                 seed, prop_params, targ_params, *tables, jnp.int32(0)
             )
             return sums / denom_vals, n_accept / denom_acc
@@ -173,24 +204,46 @@ def build_mcmc_fn(
         return run
 
     replicated = P()
+    sharded = P(axis_name)
 
-    def sharded_body(seed, prop_params, targ_params, *tables):
+    def sharded_body(seed, prop_params, targ_params, *tables_and_state):
         d = jax.lax.axis_index(axis_name)
-        sums, n_accept = _chain_sweep(seed, prop_params, targ_params, *tables, d)
+        if with_state:
+            tables = tables_and_state[:-2]
+            x0, logp0 = tables_and_state[-2:]
+            sums, n_accept, x_f, logp_f = _chain_sweep(
+                seed, prop_params, targ_params, *tables, d,
+                init_x=x0 if use_init_state else None,
+                init_logp=logp0 if use_init_state else None,
+            )
+        else:
+            sums, n_accept, x_f, logp_f = _chain_sweep(
+                seed, prop_params, targ_params, *tables_and_state, d
+            )
         sums = jax.lax.psum(sums, axis_name)
         n_accept = jax.lax.psum(n_accept, axis_name)
-        return sums / denom_vals, n_accept / denom_acc
+        out = (sums / denom_vals, n_accept / denom_acc)
+        if with_state:
+            out = out + (x_f, logp_f)
+        return out
+
+    n_table_args = 9
+    in_specs = (replicated,) * n_table_args
+    out_specs = (replicated, replicated)
+    if with_state:
+        in_specs = in_specs + (sharded, sharded)
+        out_specs = out_specs + (sharded, sharded)
 
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(replicated,) * 9,
-        out_specs=(replicated, replicated),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
 
     @jax.jit
-    def run(seed, prop_params, targ_params, *tables):
-        return shard_mapped(seed, prop_params, targ_params, *tables)
+    def run(seed, prop_params, targ_params, *rest):
+        return shard_mapped(seed, prop_params, targ_params, *rest)
 
     return run
