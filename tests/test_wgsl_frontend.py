@@ -1,0 +1,197 @@
+"""WGSL string front-end: the reference accepted raw WGSL scalar functions
+wherever it accepted Python callables (reference
+python/wgpu_montecarlo/__init__.py:734-747); here those strings are parsed
+and traced to JAX.  Covers the statement/expression subset the reference's
+shader generator emitted and consumed."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tpu_montecarlo import WgslError, trace_wgsl_function
+
+
+def _ev(src, x):
+    f = trace_wgsl_function(src)
+    return float(f(np.float32(x)))
+
+
+class TestBasics:
+    def test_identity(self):
+        assert _ev("fn f(x: f32) -> f32 { return x; }", 2.5) == 2.5
+
+    def test_arithmetic(self):
+        src = "fn f(x: f32) -> f32 { return (x + 1.0) * 2.0 - x / 4.0; }"
+        assert _ev(src, 4.0) == pytest.approx((4 + 1) * 2 - 1)
+
+    def test_numeric_suffixes(self):
+        assert _ev("fn f(x: f32) -> f32 { return x + 1f; }", 1.0) == 2.0
+
+    def test_let_var_locals(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            let a = x * 2.0;
+            var b: f32 = a + 1.0;
+            b = b * b;
+            return b;
+        }
+        """
+        assert _ev(src, 1.0) == pytest.approx(9.0)
+
+    def test_compound_assignment(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var acc: f32 = x;
+            acc += 2.0;
+            acc *= 3.0;
+            return acc;
+        }
+        """
+        assert _ev(src, 1.0) == pytest.approx(9.0)
+
+    def test_comments_stripped(self):
+        src = """
+        // line comment
+        fn f(x: f32) -> f32 {
+            /* block
+               comment */
+            return x; // trailing
+        }
+        """
+        assert _ev(src, 3.0) == 3.0
+
+
+class TestControlFlow:
+    def test_if_else(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            if (x > 0.0) { return 1.0; } else { return -1.0; }
+        }
+        """
+        assert _ev(src, 2.0) == 1.0
+        assert _ev(src, -2.0) == -1.0
+
+    def test_if_without_parens(self):
+        src = "fn f(x: f32) -> f32 { if x > 0.0 { return x; } return 0.0; }"
+        assert _ev(src, 3.0) == 3.0
+        assert _ev(src, -3.0) == 0.0
+
+    def test_while_loop(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var v: f32 = x;
+            while (v < 10.0) { v = v * 2.0; }
+            return v;
+        }
+        """
+        assert _ev(src, 1.0) == 16.0
+
+    def test_select(self):
+        src = "fn f(x: f32) -> f32 { return select(0.0, 1.0, x > 0.0); }"
+        assert _ev(src, 5.0) == 1.0
+        assert _ev(src, -5.0) == 0.0
+
+    def test_for_rejected(self):
+        with pytest.raises(WgslError):
+            trace_wgsl_function(
+                "fn f(x: f32) -> f32 { for (;;) {} return x; }"
+            )
+
+
+class TestBuiltinsAndOps:
+    def test_math_builtins(self):
+        src = "fn f(x: f32) -> f32 { return sqrt(abs(x)) + exp(0.0); }"
+        assert _ev(src, -4.0) == pytest.approx(3.0)
+
+    def test_trig(self):
+        src = "fn f(x: f32) -> f32 { return sin(x) * sin(x) + cos(x) * cos(x); }"
+        assert _ev(src, 0.7) == pytest.approx(1.0, abs=1e-6)
+
+    def test_pow(self):
+        assert _ev("fn f(x: f32) -> f32 { return pow(x, 3.0); }", 2.0) == 8.0
+
+    def test_min_max_clamp(self):
+        src = "fn f(x: f32) -> f32 { return clamp(x, 0.0, 1.0) + min(x, 0.5) + max(x, 2.0); }"
+        assert _ev(src, 0.75) == pytest.approx(0.75 + 0.5 + 2.0)
+
+    def test_mix_step_smoothstep_fract(self):
+        assert _ev("fn f(x: f32) -> f32 { return mix(0.0, 10.0, x); }", 0.25) == 2.5
+        assert _ev("fn f(x: f32) -> f32 { return step(1.0, x); }", 2.0) == 1.0
+        assert _ev("fn f(x: f32) -> f32 { return fract(x); }", 2.75) == pytest.approx(0.75)
+
+    def test_logical_ops(self):
+        src = "fn f(x: f32) -> f32 { return select(0.0, 1.0, x > 0.0 && x < 1.0); }"
+        assert _ev(src, 0.5) == 1.0
+        assert _ev(src, 1.5) == 0.0
+
+    def test_negation(self):
+        assert _ev("fn f(x: f32) -> f32 { return -x; }", 3.0) == -3.0
+
+
+class TestMultiFunction:
+    def test_first_function_is_entry(self):
+        """The FIRST function is the entry point, matching the reference's
+        first-match rename (_rename_wgsl_function, __init__.py:1123-1135)."""
+        src = """
+        fn entry(x: f32) -> f32 { return helper(x) * 2.0; }
+        fn helper(x: f32) -> f32 { return x + 1.0; }
+        """
+        assert _ev(src, 1.0) == 4.0
+
+    def test_is_wrapper_shape(self):
+        """The shape the reference's IS path generates: weight folded into
+        a wrapper calling renamed user/pdf helpers (__init__.py:893-905)."""
+        src = """
+        fn _is_wrapper_0(x: f32) -> f32 {
+            return user_f(x) * p_pdf(x) / q_pdf(x);
+        }
+        fn user_f(x: f32) -> f32 { return x * x; }
+        fn p_pdf(x: f32) -> f32 { return exp(-0.5 * x * x); }
+        fn q_pdf(x: f32) -> f32 { return exp(-0.25 * x * x); }
+        """
+        x = 1.3
+        want = (x * x) * math.exp(-0.5 * x * x) / math.exp(-0.25 * x * x)
+        assert _ev(src, x) == pytest.approx(want, rel=1e-5)
+
+
+class TestErrors:
+    def test_empty_source(self):
+        with pytest.raises(WgslError):
+            trace_wgsl_function("")
+
+    def test_garbage(self):
+        with pytest.raises(WgslError):
+            trace_wgsl_function("this is not wgsl")
+
+    def test_unknown_builtin(self):
+        from tpu_montecarlo import TraceError
+
+        # Unknown calls surface as TraceError (the class that drives the
+        # IS table fallback); WgslError is its parse-level subclass.
+        with pytest.raises(TraceError):
+            f = trace_wgsl_function(
+                "fn f(x: f32) -> f32 { return frobnicate(x); }"
+            )
+            f(np.float32(1.0))
+
+    def test_bad_type(self):
+        with pytest.raises(WgslError):
+            trace_wgsl_function("fn f(x: vec4) -> f32 { return 0.0; }")
+
+    def test_wgsl_error_is_trace_error(self):
+        from tpu_montecarlo import TraceError
+
+        assert issubclass(WgslError, TraceError)
+
+
+class TestVectorised:
+    def test_traced_wgsl_vmaps(self):
+        import jax
+        import jax.numpy as jnp
+
+        f = trace_wgsl_function(
+            "fn f(x: f32) -> f32 { if (x > 0.0) { return x; } return 0.0; }"
+        )
+        out = jax.vmap(f)(jnp.asarray([-1.0, 2.0, 3.0], jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), [0.0, 2.0, 3.0])

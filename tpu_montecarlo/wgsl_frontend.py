@@ -32,6 +32,10 @@ class WgslError(TraceError):
     """Raised when a WGSL string cannot be parsed/traced."""
 
 
+def _inverse_sqrt(x):
+    return jax.lax.rsqrt(jnp.asarray(x, jnp.float32))
+
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
@@ -382,7 +386,12 @@ def trace_wgsl_function(code: str) -> Callable:
         )
 
         def call(*args):
-            interp = _Interpreter(captured=registry)
+            # WGSL builtins (sqrt/sin/select/mix/clamp/…) resolve from the
+            # shared FUNC_MAP; user-defined functions shadow them.
+            namespace = dict(_FUNC_MAP)
+            namespace["inverseSqrt"] = _inverse_sqrt
+            namespace.update(registry)
+            interp = _Interpreter(captured=namespace)
             return interp.run(fdef, args)
 
         return call
