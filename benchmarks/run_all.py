@@ -1,0 +1,199 @@
+#!/usr/bin/env python3
+"""Benchmark harness: the five BASELINE.md configs + chain-steps/sec.
+
+Prints one JSON line per config.  Timing methodology: compile+warm with a
+fetched run, then time R dispatches with distinct seeds and fetch every
+output (through the test-harness tunnel only the device-to-host copy truly
+synchronises; see bench.py).
+
+Run:  python benchmarks/run_all.py [--repeats N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _setup_jax():
+    import jax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return jax
+
+
+def _time_integrate(integrator, fns, dist, n_samples, repeats):
+    """Sustained samples/sec over `repeats` fetched runs."""
+    integrator.integrate(fns, dist, n_samples=n_samples, seed=42)  # warm
+    t0 = time.perf_counter()
+    for rep in range(repeats):
+        r = integrator.integrate(fns, dist, n_samples=n_samples, seed=100 + rep)
+    dt = time.perf_counter() - t0
+    return n_samples * repeats / dt, r.values
+
+
+def _time_is(integrator, fns, target, proposal, n_samples, repeats):
+    integrator.integrate_importance_sampling(
+        fns, target, proposal, n_samples=n_samples, seed=42
+    )
+    t0 = time.perf_counter()
+    for rep in range(repeats):
+        r = integrator.integrate_importance_sampling(
+            fns, target, proposal, n_samples=n_samples, seed=100 + rep
+        )
+    dt = time.perf_counter() - t0
+    return n_samples * repeats / dt, r.values
+
+
+def _time_mcmc(integrator, fns, target, proposal, n_steps, n_chains, n_burnin, repeats):
+    integrator.integrate_mcmc(
+        fns, target, proposal, n_steps=n_steps, n_chains=n_chains,
+        n_burnin=n_burnin, seed=42,
+    )
+    t0 = time.perf_counter()
+    for rep in range(repeats):
+        r = integrator.integrate_mcmc(
+            fns, target, proposal, n_steps=n_steps, n_chains=n_chains,
+            n_burnin=n_burnin, seed=100 + rep,
+        )
+    dt = time.perf_counter() - t0
+    return n_chains * (n_steps + n_burnin) * repeats / dt, r.values
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=None)
+    args = ap.parse_args()
+
+    jax = _setup_jax()
+    from tpu_montecarlo import Distribution, MonteCarloIntegrator
+
+    on_tpu = jax.default_backend() == "tpu"
+    repeats = args.repeats if args.repeats else (5 if on_tpu else 1)
+    scale = 1 if on_tpu else 10  # shrink sample counts off-TPU
+
+    integrator = MonteCarloIntegrator()
+    results = []
+
+    def emit(name, metric, value, unit, estimates):
+        rec = {
+            "config": name,
+            "metric": metric,
+            "value": value,
+            "unit": unit,
+            "backend": jax.default_backend(),
+            "estimates": [float(v) for v in np.ravel(estimates)[:4]],
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # Config 1: K=2 simple moments, 1e6 samples (CPU-runnable sanity).
+    sps, est = _time_integrate(
+        integrator,
+        [lambda x: x, lambda x: x**2],
+        Distribution.normal(0.0, 1.0),
+        1_000_000,
+        repeats,
+    )
+    emit("c1_k2_normal_1e6", "samples_per_sec", sps, "samples/s", est)
+
+    # Config 2: K=8 fused incl. indicators, 1e7 samples.
+    k8 = [
+        lambda x: x,
+        lambda x: x**2,
+        lambda x: x**3,
+        lambda x: x**4,
+        lambda x: np.sin(x),
+        lambda x: np.exp(-x * x),
+        lambda x: x > 1.0,
+        lambda x: abs(x),
+    ]
+    sps, est = _time_integrate(
+        integrator, k8, Distribution.normal(0.0, 1.0),
+        100_000_000 // scale, repeats,
+    )
+    emit("c2_k8_normal_1e8", "samples_per_sec", sps, "samples/s", est)
+
+    # Config 3: custom from_pdf Beta(2,5) + triangular via table, 1e7 samples.
+    def tri_pdf(x):
+        if 0 <= x <= 1:
+            return x
+        if 1 < x <= 2:
+            return 2 - x
+        return 0.0
+
+    beta = Distribution.beta(2.0, 5.0, table_size=512)
+    tri = Distribution.from_pdf(tri_pdf, support=(0.0, 2.0), table_size=512)
+    sps_b, est_b = _time_integrate(
+        integrator, [lambda x: x, lambda x: x * x], beta,
+        10_000_000 // scale, repeats,
+    )
+    emit("c3a_beta_table_1e7", "samples_per_sec", sps_b, "samples/s", est_b)
+    sps_t, est_t = _time_integrate(
+        integrator, [lambda x: x], tri, 10_000_000 // scale, repeats
+    )
+    emit("c3b_triangular_table_1e7", "samples_per_sec", sps_t, "samples/s", est_t)
+
+    # Config 4: IS rare event P(X>4), 1e8 samples.
+    sps, est = _time_is(
+        integrator,
+        [lambda x: x > 4.0],
+        Distribution.normal(0.0, 1.0),
+        Distribution.normal(4.0, 1.5),
+        100_000_000 // scale,
+        repeats,
+    )
+    emit("c4_is_rare_event_1e8", "samples_per_sec", sps, "samples/s", est)
+
+    # Config 5: MCMC 4096 chains x 10k steps + 1k burn-in, table target.
+    def bimodal(x):
+        import math
+
+        return math.exp(-0.5 * (x - 2.0) ** 2) + math.exp(-0.5 * (x + 2.0) ** 2)
+
+    table_target = Distribution.from_pdf(bimodal, support=(-6.0, 6.0))
+    csps, est = _time_mcmc(
+        integrator,
+        [lambda x: x * x],
+        table_target,
+        Distribution.uniform(-6.0, 6.0),
+        n_steps=10_000 // scale,
+        n_chains=4096,
+        n_burnin=1_000 // scale,
+        repeats=repeats,
+    )
+    emit("c5_mcmc_4096x10k_table", "chain_steps_per_sec", csps, "steps/s", est)
+
+    # Chain-steps/sec on the analytic fast path.
+    csps, est = _time_mcmc(
+        integrator,
+        [lambda x: x * x],
+        Distribution.normal(0.0, 1.0),
+        Distribution.normal(0.0, 2.0),
+        n_steps=10_000 // scale,
+        n_chains=4096,
+        n_burnin=1_000 // scale,
+        repeats=repeats,
+    )
+    emit("c5b_mcmc_4096x10k_analytic", "chain_steps_per_sec", csps, "steps/s", est)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"# wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

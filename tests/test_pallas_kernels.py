@@ -38,8 +38,10 @@ class TestSupportMatrix:
         assert pallas_supports(DistKind.NORMAL)
         assert pallas_supports(DistKind.EXPONENTIAL)
 
-    def test_custom_not_supported(self):
-        assert not pallas_supports(DistKind.CUSTOM)
+    def test_custom_integrate_supported_via_inv_table(self):
+        assert pallas_supports(DistKind.CUSTOM)
+
+    def test_custom_mcmc_not_supported(self):
         assert not mcmc_pallas_supports(DistKind.CUSTOM, DistKind.NORMAL)
         assert not mcmc_pallas_supports(DistKind.NORMAL, DistKind.CUSTOM)
 
@@ -100,10 +102,38 @@ class TestInterpretedIntegrate:
         v2 = np.asarray(run(np.uint32(7), p, _DUMMY, _DUMMY))
         np.testing.assert_array_equal(v1, v2)
 
-    def test_custom_kind_rejected(self):
+    def test_custom_table_sampling(self):
+        from tpu_montecarlo import Distribution
+        from tpu_montecarlo.sampling import dist_spec_of
+
+        beta = Distribution.beta(2.0, 5.0)
+        spec = dist_spec_of(beta)
+        plan = make_integrate_plan(200_000, target_threads=1024)
+        run = build_integrate_fn_pallas(
+            _fns(), DistKind.CUSTOM, plan, interpret=True
+        )
+        vals = np.asarray(
+            run(
+                np.uint32(42),
+                jnp.asarray(spec.params),
+                jnp.asarray(spec.x_table),
+                jnp.asarray(spec.cdf_table),
+            )
+        )
+        assert abs(vals[0] - 2.0 / 7.0) < 0.02
+
+    def test_custom_table_must_be_lane_multiple(self):
         plan = make_integrate_plan(1000)
+        run = build_integrate_fn_pallas(
+            _fns(), DistKind.CUSTOM, plan, interpret=True
+        )
         with pytest.raises(ValueError):
-            build_integrate_fn_pallas(_fns(), DistKind.CUSTOM, plan)
+            run(
+                np.uint32(42),
+                jnp.zeros(2, jnp.float32),
+                jnp.zeros(100, jnp.float32),
+                jnp.zeros(1, jnp.float32),
+            )
 
 
 class TestInterpretedMCMC:

@@ -51,7 +51,12 @@ _TWO_PI = np.float32(2.0 * np.pi)
 
 
 def pallas_supports(kind: DistKind) -> bool:
-    return kind in (DistKind.UNIFORM, DistKind.NORMAL, DistKind.EXPONENTIAL)
+    return kind in (
+        DistKind.UNIFORM,
+        DistKind.NORMAL,
+        DistKind.EXPONENTIAL,
+        DistKind.CUSTOM,
+    )
 
 
 def plan_pallas_grid(n_samples: int):
@@ -127,7 +132,32 @@ def _uniform_halfopen01(rng, shape, counter=0, tag=0):
     return m.astype(jnp.float32) * _INV_2POW24
 
 
-def _sample_block(kind: DistKind, p1, p2, rng, counter):
+def _table_lookup(table_ref, dx_ref, i0, frac, rows):
+    """Inverse-CDF lookup of ``i0``/``frac`` indices against a uniform-u
+    table laid out (SEGMENTS, 128) in VMEM.
+
+    Mosaic's dynamic_gather reaches 128 lanes per op with operand and index
+    shapes equal, so the lookup decomposes into one broadcast-row lane
+    gather per 128-entry segment plus a segment-select — all VPU work, no
+    searchsorted (the reference's 12-iteration device binary search,
+    distribution.rs:128-158, is pathological on TPU)."""
+    segments = table_ref.shape[0]
+    seg = i0 >> 7
+    col = i0 - (seg << 7)
+    x0 = jnp.zeros((rows, LANES), jnp.float32)
+    dx = jnp.zeros((rows, LANES), jnp.float32)
+    for s in range(segments):
+        row_x = jnp.broadcast_to(table_ref[s : s + 1, :], (rows, LANES))
+        row_d = jnp.broadcast_to(dx_ref[s : s + 1, :], (rows, LANES))
+        g_x = jnp.take_along_axis(row_x, col, axis=1)
+        g_d = jnp.take_along_axis(row_d, col, axis=1)
+        hit = seg == s
+        x0 = jnp.where(hit, g_x, x0)
+        dx = jnp.where(hit, g_d, dx)
+    return x0 + frac * dx
+
+
+def _sample_block(kind: DistKind, p1, p2, rng, counter, tables=None):
     """One (BLOCK_ROWS, 128) float32 sample block."""
     if kind == DistKind.UNIFORM:
         u = _uniform_halfopen01(rng, (BLOCK_ROWS, LANES), counter, 0)
@@ -143,6 +173,14 @@ def _sample_block(kind: DistKind, p1, p2, rng, counter):
     if kind == DistKind.EXPONENTIAL:
         u = _uniform_open01(rng, (BLOCK_ROWS, LANES), counter, 0)
         return -jnp.log(jnp.maximum(u, 1e-7)) / p1
+    if kind == DistKind.CUSTOM:
+        table_ref, dx_ref = tables
+        m = table_ref.shape[0] * LANES
+        u = _uniform_halfopen01(rng, (BLOCK_ROWS, LANES), counter, 0)
+        pos = u * jnp.float32(m - 1)
+        i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
+        frac = pos - i0.astype(jnp.float32)
+        return _table_lookup(table_ref, dx_ref, i0, frac, BLOCK_ROWS)
     raise ValueError(f"Pallas kernel does not support {kind}")
 
 
@@ -164,6 +202,7 @@ def build_integrate_fn_pallas(
         raise ValueError(f"at most {LANES} fused functions supported")
     if not pallas_supports(kind):
         raise ValueError(f"Pallas backend does not support {kind}")
+    is_custom = kind == DistKind.CUSTOM
 
     n_dev = 1 if mesh is None else mesh.size
     programs, loops, actual = plan_pallas_grid(plan.actual_samples)
@@ -174,7 +213,13 @@ def build_integrate_fn_pallas(
 
     rng_factory = CounterRng if interpret else HardwareRng
 
-    def kernel(seed_ref, params_ref, pid_base_ref, out_ref):
+    def kernel(seed_ref, params_ref, pid_base_ref, *rest):
+        if is_custom:
+            table_ref, dx_ref, out_ref = rest
+            tables = (table_ref, dx_ref)
+        else:
+            (out_ref,) = rest
+            tables = None
         pid = pl.program_id(0)
         rng = rng_factory()
         rng.seed(seed_ref[0, 0], pid_base_ref[0, 0] + pid)
@@ -182,7 +227,7 @@ def build_integrate_fn_pallas(
         p2 = params_ref[0, 1]
 
         def body(i, accs):
-            x = _sample_block(kind, p1, p2, rng, i)
+            x = _sample_block(kind, p1, p2, rng, i, tables)
             return tuple(
                 acc + f(x).astype(jnp.float32)
                 for acc, f in zip(accs, eval_fns)
@@ -206,11 +251,15 @@ def build_integrate_fn_pallas(
         (1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
     )
 
-    def pallas_sweep(seed, params, pid_base):
+    def pallas_sweep(seed, params, pid_base, *tables):
+        in_specs = [smem_scalar, smem_params, smem_scalar]
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tables
+        ]
         out = pl.pallas_call(
             kernel,
             grid=(local_programs,),
-            in_specs=[smem_scalar, smem_params, smem_scalar],
+            in_specs=in_specs,
             # The whole (programs, 128) partial-sum buffer stays resident in
             # VMEM; each program writes its own disjoint row (race-free by
             # construction, like the reference's output[idx*K+i] slots).
@@ -221,7 +270,7 @@ def build_integrate_fn_pallas(
             ),
             out_shape=jax.ShapeDtypeStruct((local_programs, LANES), jnp.float32),
             interpret=interpret,
-        )(seed, params, pid_base)
+        )(seed, params, pid_base, *tables)
         return jnp.sum(out[:, :k], axis=0)
 
     def _prep(seed, params):
@@ -229,29 +278,45 @@ def build_integrate_fn_pallas(
         params_arr = jnp.asarray(params, jnp.float32).reshape(1, 2)
         return seed_arr, params_arr
 
+    def _prep_tables(x_table):
+        """Inverse-CDF table + forward differences, tiled (SEGMENTS, 128)."""
+        if not is_custom:
+            return ()
+        m = x_table.shape[0]
+        if m % LANES != 0:
+            raise ValueError(
+                f"inverse-CDF table size must be a multiple of {LANES}"
+            )
+        t = jnp.asarray(x_table, jnp.float32)
+        dx = jnp.concatenate([t[1:] - t[:-1], jnp.zeros(1, jnp.float32)])
+        return (t.reshape(m // LANES, LANES), dx.reshape(m // LANES, LANES))
+
     if mesh is None:
 
         @jax.jit
         def run(seed, params, x_table, cdf_table):
             seed_arr, params_arr = _prep(seed, params)
             base = jnp.zeros((1, 1), jnp.int32)
-            sums = pallas_sweep(seed_arr, params_arr, base)
+            sums = pallas_sweep(
+                seed_arr, params_arr, base, *_prep_tables(x_table)
+            )
             return sums / jnp.float32(actual)
 
         return run
 
     replicated = P()
 
-    def sharded_body(seed_arr, params_arr):
+    def sharded_body(seed_arr, params_arr, *tables):
         d = jax.lax.axis_index(axis_name)
         base = (d * local_programs).astype(jnp.int32).reshape(1, 1)
-        sums = pallas_sweep(seed_arr, params_arr, base)
+        sums = pallas_sweep(seed_arr, params_arr, base, *tables)
         return jax.lax.psum(sums, axis_name) / jnp.float32(actual)
 
+    n_extra = 2 if is_custom else 0
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(replicated, replicated),
+        in_specs=(replicated, replicated) + (replicated,) * n_extra,
         out_specs=replicated,
         check_vma=False,
     )
@@ -259,6 +324,6 @@ def build_integrate_fn_pallas(
     @jax.jit
     def run(seed, params, x_table, cdf_table):
         seed_arr, params_arr = _prep(seed, params)
-        return shard_mapped(seed_arr, params_arr)
+        return shard_mapped(seed_arr, params_arr, *_prep_tables(x_table))
 
     return run

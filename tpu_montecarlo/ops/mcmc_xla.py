@@ -64,6 +64,8 @@ def build_mcmc_fn(
     axis_name: str = "mc",
     with_state: bool = False,
     use_init_state: bool = False,
+    targ_table_uniform: bool = False,
+    prop_table_uniform: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -113,10 +115,16 @@ def build_mcmc_fn(
         key_acc = jax.random.fold_in(key, _STREAM_ACCEPT)
 
         def target_log_pdf(x):
-            return log_pdf(target_kind, targ_params, x, targ_lx, targ_lp)
+            return log_pdf(
+                target_kind, targ_params, x, targ_lx, targ_lp,
+                uniform=targ_table_uniform,
+            )
 
         def proposal_log_pdf(x):
-            return log_pdf(proposal_kind, prop_params, x, prop_lx, prop_lp)
+            return log_pdf(
+                proposal_kind, prop_params, x, prop_lx, prop_lp,
+                uniform=prop_table_uniform,
+            )
 
         if init_x is not None:
             x0, logp0 = init_x, init_logp

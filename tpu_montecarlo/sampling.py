@@ -46,7 +46,11 @@ class DistSpec(NamedTuple):
 
     ``kind`` is static (changes the traced program); ``params`` is a (2,)
     float32 array (param1/param2 like the reference's 16-byte POD,
-    src/engine.rs:30-37); tables are float32 arrays for CUSTOM only.
+    src/engine.rs:30-37).  For CUSTOM, ``x_table`` carries the host-built
+    uniform-u inverse-CDF table the device samples from (tables.py
+    compute_inverse_cdf_table — TPU-friendly index arithmetic replaces the
+    reference's 12-iteration device binary search, distribution.rs:128-158);
+    ``cdf_table`` is unused by the device and kept for parity plumbing.
     """
 
     kind: DistKind
@@ -59,6 +63,7 @@ def dist_spec_of(dist) -> DistSpec:
     """Build a DistSpec from a ``Distribution`` (param packing parity with
     reference parse_dist_params, src/lib.rs:436-502)."""
     from .distributions import DistributionType
+    from .tables import compute_inverse_cdf_table
 
     t = dist.dist_type
     if t == DistributionType.UNIFORM:
@@ -73,10 +78,14 @@ def dist_spec_of(dist) -> DistSpec:
     if t == DistributionType.CUSTOM:
         if dist._x_table is None or dist._cdf_table is None:
             raise ValueError("Custom distribution requires x/cdf tables")
+        inv = getattr(dist, "_inv_cdf_table", None)
+        if inv is None:
+            inv = compute_inverse_cdf_table(dist._x_table, dist._cdf_table)
+            dist._inv_cdf_table = inv
         return DistSpec(
             DistKind.CUSTOM,
             np.zeros(2, np.float32),
-            np.asarray(dist._x_table, np.float32),
+            inv,
             np.asarray(dist._cdf_table, np.float32),
         )
     raise ValueError(f"Unknown distribution type: {t}")
@@ -110,8 +119,17 @@ def sample_block(
         u = jax.random.uniform(key, shape, jnp.float32)
         return -jnp.log(jnp.maximum(u, 1e-7)) / params[0]
     if kind == DistKind.CUSTOM:
+        # x_table here is the uniform-u inverse-CDF table: sampling is
+        # index arithmetic + two small-table lookups (no searchsorted —
+        # TPU gathers over sorted knots are pathological).
         u = jax.random.uniform(key, shape, jnp.float32)
-        return jnp.interp(u, cdf_table, x_table).astype(jnp.float32)
+        m = x_table.shape[0]
+        pos = u * jnp.float32(m - 1)
+        i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
+        frac = pos - i0.astype(jnp.float32)
+        x0 = jnp.take(x_table, i0)
+        x1 = jnp.take(x_table, i0 + 1)
+        return (x0 + frac * (x1 - x0)).astype(jnp.float32)
     raise ValueError(f"Unknown DistKind: {kind}")
 
 
@@ -121,6 +139,7 @@ def log_pdf(
     x: jax.Array,
     x_table: Optional[jax.Array] = None,
     log_pdf_table: Optional[jax.Array] = None,
+    uniform: bool = False,
 ) -> jax.Array:
     """Closed-form log-densities for analytic families, table lookup for
     CUSTOM; out-of-support values map to the -100 floor.  Matches the MCMC
@@ -139,25 +158,53 @@ def log_pdf(
             x >= 0.0, jnp.log(params[0]) - params[0] * x, LOG_PDF_FLOOR
         )
     if kind == DistKind.CUSTOM:
-        return log_pdf_from_table(x, x_table, log_pdf_table)
+        return log_pdf_from_table(x, x_table, log_pdf_table, uniform=uniform)
     raise ValueError(f"Unknown DistKind: {kind}")
 
 
+def _uniform_grid_interp(x, x_table, values):
+    """Linear interpolation over a UNIFORM x grid: pure index arithmetic +
+    two takes instead of searchsorted (the TPU-friendly path; grids built
+    by tables.py are always uniform)."""
+    n = x_table.shape[0]
+    x0 = x_table[0]
+    step = (x_table[n - 1] - x0) / jnp.float32(n - 1)
+    pos = (x - x0) / step
+    i0 = jnp.clip(pos.astype(jnp.int32), 0, n - 2)
+    frac = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
+    v0 = jnp.take(values, i0)
+    v1 = jnp.take(values, i0 + 1)
+    return v0 + frac * (v1 - v0)
+
+
 def pdf_from_table(
-    x: jax.Array, x_table: jax.Array, pdf_table: jax.Array
+    x: jax.Array,
+    x_table: jax.Array,
+    pdf_table: jax.Array,
+    uniform: bool = False,
 ) -> jax.Array:
     """Linear-interp PDF lookup; 0.0 outside the table's x-range (reference:
-    src/distribution.rs:173-281)."""
-    vals = jnp.interp(x, x_table, pdf_table)
+    src/distribution.rs:173-281).  Pass ``uniform=True`` (static) when the
+    grid spacing is constant to skip the searchsorted."""
+    if uniform:
+        vals = _uniform_grid_interp(x, x_table, pdf_table)
+    else:
+        vals = jnp.interp(x, x_table, pdf_table)
     inside = jnp.logical_and(x >= x_table[0], x <= x_table[-1])
     return jnp.where(inside, vals, 0.0).astype(jnp.float32)
 
 
 def log_pdf_from_table(
-    x: jax.Array, x_table: jax.Array, log_pdf_table: jax.Array
+    x: jax.Array,
+    x_table: jax.Array,
+    log_pdf_table: jax.Array,
+    uniform: bool = False,
 ) -> jax.Array:
     """Linear-interp log-PDF lookup; -100 outside the table's x-range
     (reference: src/distribution.rs:367-475)."""
-    vals = jnp.interp(x, x_table, log_pdf_table)
+    if uniform:
+        vals = _uniform_grid_interp(x, x_table, log_pdf_table)
+    else:
+        vals = jnp.interp(x, x_table, log_pdf_table)
     inside = jnp.logical_and(x >= x_table[0], x <= x_table[-1])
     return jnp.where(inside, vals, LOG_PDF_FLOOR).astype(jnp.float32)

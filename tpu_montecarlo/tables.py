@@ -19,9 +19,12 @@ __all__ = [
     "find_support",
     "compute_cdf_table",
     "compute_pdf_table",
+    "compute_inverse_cdf_table",
     "log_pdf_from_pdf",
+    "is_uniform_grid",
     "MIN_TABLE_POINTS",
     "LOG_PDF_FLOOR",
+    "INV_CDF_TABLE_SIZE",
 ]
 
 # Minimum number of CDF table points (reference: __init__.py:231).
@@ -29,6 +32,14 @@ MIN_TABLE_POINTS = 1000
 # Log-PDF value used outside the support / where pdf <= 0
 # (reference: __init__.py:574, distribution.rs:382-383).
 LOG_PDF_FLOOR = -100.0
+# Knot count of the uniform-u inverse-CDF table used by the device
+# samplers.  Gathers over arbitrary sorted knots (binary search, the
+# reference's 12-iteration device loop, distribution.rs:128-158) are
+# pathological on TPU; resampling the exact piecewise-linear inverse onto a
+# uniform u-grid on the host turns device sampling into index arithmetic +
+# two small-table lookups.  4096 knots keep moment errors far below the
+# reference's statistical test tolerances.
+INV_CDF_TABLE_SIZE = 4096
 
 
 def _try_pdf(pdf: Callable[[float], float], x: float) -> float:
@@ -191,6 +202,40 @@ def compute_pdf_table(
     return _eval_pdf_grid(pdf, np.asarray(x_table, dtype=np.float64)).astype(
         np.float32
     )
+
+
+def compute_inverse_cdf_table(
+    x_table: np.ndarray,
+    cdf_table: np.ndarray,
+    m: int = INV_CDF_TABLE_SIZE,
+) -> np.ndarray:
+    """Resample the piecewise-linear inverse CDF onto a uniform u-grid.
+
+    ``out[i] = inverse_cdf(i / (m - 1))`` computed exactly (float64
+    interpolation over the CDF knots) on the host; the device then samples
+    with ``x = lerp(out[floor(u*(m-1))], out[floor(u*(m-1))+1])`` — no
+    searchsorted on device.
+    """
+    u_grid = np.linspace(0.0, 1.0, m)
+    x64 = np.asarray(x_table, np.float64)
+    c64 = np.asarray(cdf_table, np.float64)
+    # np.interp requires increasing xp; CDFs can have flat (zero-density)
+    # runs.  np.interp picks the left edge of a flat run, matching the
+    # convention that zero-density spans contribute their left endpoint.
+    return np.interp(u_grid, c64, x64).astype(np.float32)
+
+
+def is_uniform_grid(x_table: np.ndarray, rtol: float = 1e-4) -> bool:
+    """True if the grid spacing is uniform enough for arithmetic indexing
+    (linspace-built grids always are; user from_pdf_table grids may not be)."""
+    x = np.asarray(x_table, np.float64)
+    if len(x) < 2:
+        return False
+    d = np.diff(x)
+    step = (x[-1] - x[0]) / (len(x) - 1)
+    if step <= 0:
+        return False
+    return bool(np.all(np.abs(d - step) <= rtol * abs(step) + 1e-12))
 
 
 def log_pdf_from_pdf(
