@@ -244,7 +244,9 @@ class MonteCarloIntegrator:
                 spec.x_table is not None
                 and spec.x_table.shape[0] % 128 == 0
             )
-            if pallas_supports(spec.kind) and custom_ok:
+            # The Pallas kernel packs per-program partials into one
+            # 128-lane row; larger K falls back to the XLA sweep.
+            if pallas_supports(spec.kind) and custom_ok and len(traced) <= 128:
                 # Off-TPU a forced pallas backend runs in the interpreter
                 # (kernel-logic validation; the compiled path needs Mosaic).
                 interpret = jax.default_backend() != "tpu"
