@@ -272,3 +272,16 @@ class TestErrorsAndConfig:
         )
         assert result.n_samples == 123_456
         assert result.n_functions == 2
+
+
+class TestPallasRouting:
+    def test_table_fallback_marks_no_pallas(self, integrator):
+        """Integrands carrying table-lookup closures must be flagged so the
+        Pallas integrate kernel (which cannot lower the gathers) is skipped."""
+        target = Distribution.from_pdf(
+            TestTableFallback._untraceable_uniform_pdf, support=(-1.0, 1.0)
+        )
+        p_eval = integrator._pdf_evaluator(target)
+        assert getattr(p_eval, "__tpu_mc_no_pallas__", False)
+        q_eval = integrator._pdf_evaluator(Distribution.normal(0.0, 1.0))
+        assert not getattr(q_eval, "__tpu_mc_no_pallas__", False)

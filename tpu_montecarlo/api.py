@@ -245,8 +245,12 @@ class MonteCarloIntegrator:
                 and spec.x_table.shape[0] % 128 == 0
             )
             # The Pallas kernel packs per-program partials into one
-            # 128-lane row; larger K falls back to the XLA sweep.
-            if pallas_supports(spec.kind) and custom_ok and len(traced) <= 128:
+            # 128-lane row; larger K — and integrands carrying table-lookup
+            # closures — fall back to the XLA sweep.
+            pallas_fns_ok = len(traced) <= 128 and not any(
+                getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
+            )
+            if pallas_supports(spec.kind) and custom_ok and pallas_fns_ok:
                 # Off-TPU a forced pallas backend runs in the interpreter
                 # (kernel-logic validation; the compiled path needs Mosaic).
                 interpret = jax.default_backend() != "tpu"
@@ -333,6 +337,10 @@ class MonteCarloIntegrator:
             def wf(x):
                 return f(x) * p_eval(x) / q_eval(x)
 
+            wf.__tpu_mc_no_pallas__ = any(
+                getattr(g, "__tpu_mc_no_pallas__", False)
+                for g in (f, p_eval, q_eval)
+            )
             wf.__tpu_mc_traced__ = True
             wf.__tpu_mc_key__ = (
                 "is_weight",
@@ -366,6 +374,9 @@ class MonteCarloIntegrator:
         def table_pdf(x):
             return pdf_from_table(x, xt, pt, uniform=uniform)
 
+        # Table lookups need gathers the Pallas integrate kernel does not
+        # lower; integrands carrying this closure stay on the XLA sweep.
+        table_pdf.__tpu_mc_no_pallas__ = True
         table_pdf.__tpu_mc_traced__ = True
         table_pdf.__tpu_mc_key__ = (
             "pdf_table",

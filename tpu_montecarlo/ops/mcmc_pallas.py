@@ -130,22 +130,25 @@ def build_mcmc_fn_pallas(
 
         x0 = _sample_chain_block(proposal_kind, q1, q2, rows, rng, 0)
         logp0 = _log_pdf(target_kind, t1, t2, x0)
+        logq0 = _log_pdf(proposal_kind, q1, q2, x0)
 
         def body(i, carry):
-            x, logp, accs, n_acc = carry
+            # The chain's own proposal log-density is carried, not
+            # recomputed (it only changes on acceptance).
+            x, logp, logq, accs, n_acc = carry
             # Distinct counters per draw purpose — the reference's stream
             # separation via +1000000/+999999 offsets (shader_gen.rs:477-536).
             xp = _sample_chain_block(
                 proposal_kind, q1, q2, rows, rng, 3 * i + 1
             )
             logp_prop = _log_pdf(target_kind, t1, t2, xp)
-            logq_cur = _log_pdf(proposal_kind, q1, q2, x)
             logq_prop = _log_pdf(proposal_kind, q1, q2, xp)
-            log_alpha = logp_prop + logq_cur - logp - logq_prop
+            log_alpha = logp_prop + logq - logp - logq_prop
             u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
             accept = jnp.log(u) < log_alpha
             x = jnp.where(accept, xp, x)
             logp = jnp.where(accept, logp_prop, logp)
+            logq = jnp.where(accept, logq_prop, logq)
 
             collect = (i >= n_burnin).astype(jnp.float32)
             accs = tuple(
@@ -153,15 +156,16 @@ def build_mcmc_fn_pallas(
                 for acc, f in zip(accs, eval_fns)
             )
             n_acc = n_acc + collect * accept.astype(jnp.float32)
-            return (x, logp, accs, n_acc)
+            return (x, logp, logq, accs, n_acc)
 
         init = (
             x0,
             logp0,
+            logq0,
             tuple(jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)),
             jnp.zeros((rows, LANES), jnp.float32),
         )
-        _, _, accs, n_acc = jax.lax.fori_loop(0, n_iters, body, init)
+        _, _, _, accs, n_acc = jax.lax.fori_loop(0, n_iters, body, init)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         row_out = jnp.zeros((1, LANES), jnp.float32)

@@ -138,9 +138,12 @@ def build_mcmc_fn(
                 prop_cdf_table,
             )
             logp0 = target_log_pdf(x0)
+        logq0 = proposal_log_pdf(x0)
 
         def step(carry, i):
-            x, logp, acc, n_accept = carry
+            # The chain's own proposal log-density is carried, not
+            # recomputed (it only changes on acceptance).
+            x, logp, logq, acc, n_accept = carry
             xp = sample_block(
                 jax.random.fold_in(key_prop, i),
                 (local_chains,),
@@ -150,15 +153,15 @@ def build_mcmc_fn(
                 prop_cdf_table,
             )
             logp_prop = target_log_pdf(xp)
-            logq_cur = proposal_log_pdf(x)
             logq_prop = proposal_log_pdf(xp)
-            log_alpha = logp_prop + logq_cur - logp - logq_prop
+            log_alpha = logp_prop + logq - logp - logq_prop
             u = jax.random.uniform(
                 jax.random.fold_in(key_acc, i), (local_chains,), jnp.float32
             )
             accept = jnp.log(jnp.maximum(u, 1e-38)) < log_alpha
             x = jnp.where(accept, xp, x)
             logp = jnp.where(accept, logp_prop, logp)
+            logq = jnp.where(accept, logq_prop, logq)
 
             collect = i >= n_burnin
             vals = jnp.stack([vf(x) for vf in vfns])  # (K, chains)
@@ -166,15 +169,16 @@ def build_mcmc_fn(
             n_accept = n_accept + jnp.where(
                 collect, jnp.sum(accept.astype(jnp.float32)), 0.0
             )
-            return (x, logp, acc, n_accept), None
+            return (x, logp, logq, acc, n_accept), None
 
         init = (
             x0,
             logp0,
+            logq0,
             jnp.zeros((k, local_chains), jnp.float32),
             jnp.float32(0.0),
         )
-        (x_f, logp_f, acc, n_accept), _ = jax.lax.scan(
+        (x_f, logp_f, _, acc, n_accept), _ = jax.lax.scan(
             step, init, jnp.arange(n_iters, dtype=jnp.int32)
         )
         # Per-chain means, summed over local chains (global divide later).
