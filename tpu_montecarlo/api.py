@@ -273,12 +273,7 @@ class MonteCarloIntegrator:
                         interpret=interpret,
                     ),
                 )
-                return run(
-                    np.uint32(seed),
-                    jnp.asarray(spec.params),
-                    _tbl(spec.x_table),
-                    _tbl(spec.cdf_table),
-                )
+                return run(np.uint32(seed), *_device_args_of(distribution, spec))
 
         plan = make_integrate_plan(n_samples, self._target_threads, n_dev=n_dev)
         key = (
@@ -299,12 +294,7 @@ class MonteCarloIntegrator:
                 mesh=mesh,
             ),
         )
-        return run(
-            np.uint32(seed),
-            jnp.asarray(spec.params),
-            _tbl(spec.x_table),
-            _tbl(spec.cdf_table),
-        )
+        return run(np.uint32(seed), *_device_args_of(distribution, spec))
 
     # ------------------------------------------------------------------
     # importance sampling
@@ -477,11 +467,9 @@ class MonteCarloIntegrator:
                         interpret=interpret,
                     ),
                 )
-                values, acc_rate = run(
-                    np.uint32(seed),
-                    jnp.asarray(prop_spec.params),
-                    jnp.asarray(targ_spec.params),
-                )
+                prop_dev = _device_args_of(proposal_distribution, prop_spec)
+                targ_dev = _device_args_of(target_distribution, targ_spec)
+                values, acc_rate = run(np.uint32(seed), prop_dev[0], targ_dev[0])
                 return IntegrationResult(
                     values=values,
                     n_samples=n_chains * n_steps,
@@ -523,16 +511,27 @@ class MonteCarloIntegrator:
         )
         use_targ_table = targ_spec.kind == DistKind.CUSTOM
         use_prop_table = prop_spec.kind == DistKind.CUSTOM
+        prop_dev = _device_args_of(proposal_distribution, prop_spec)
+        targ_dev = _device_args_of(target_distribution, targ_spec)
+        dummy = _tbl(None)
+        targ_log_dev = (
+            _device_log_tables_of(target_distribution)
+            if use_targ_table
+            else (dummy, dummy)
+        )
+        prop_log_dev = (
+            _device_log_tables_of(proposal_distribution)
+            if use_prop_table
+            else (dummy, dummy)
+        )
         args = (
             np.uint32(seed),
-            jnp.asarray(prop_spec.params),
-            jnp.asarray(targ_spec.params),
-            _tbl(prop_spec.x_table),
-            _tbl(prop_spec.cdf_table),
-            _tbl(targ_lx if use_targ_table else None),
-            _tbl(targ_lp if use_targ_table else None),
-            _tbl(prop_lx if use_prop_table else None),
-            _tbl(prop_lp if use_prop_table else None),
+            prop_dev[0],
+            targ_dev[0],
+            prop_dev[1],
+            prop_dev[2],
+            *targ_log_dev,
+            *prop_log_dev,
         )
         chain_state = None
         if want_state:
@@ -565,10 +564,42 @@ def _fns_key(fns):
     return tuple(_fn_key(f) for f in fns)
 
 
+_DEVICE_DUMMY = None
+
+
 def _tbl(arr):
+    # Device transfers through a tunnelled backend cost a full round-trip;
+    # the shared dummy is uploaded exactly once per process.
+    global _DEVICE_DUMMY
     if arr is None:
-        return jnp.asarray(_DUMMY_TABLE)
+        if _DEVICE_DUMMY is None:
+            _DEVICE_DUMMY = jnp.asarray(_DUMMY_TABLE)
+        return _DEVICE_DUMMY
     return jnp.asarray(arr, jnp.float32)
+
+
+def _device_args_of(distribution, spec):
+    """Per-Distribution cache of the device-resident (params, x_table,
+    cdf_table) triple so repeat calls skip host->device uploads."""
+    cached = getattr(distribution, "_device_args", None)
+    if cached is None:
+        cached = (
+            jnp.asarray(spec.params),
+            _tbl(spec.x_table),
+            _tbl(spec.cdf_table),
+        )
+        distribution._device_args = cached
+    return cached
+
+
+def _device_log_tables_of(distribution):
+    """Per-Distribution cache of the device-resident log-pdf tables."""
+    cached = getattr(distribution, "_device_log_tables", None)
+    if cached is None:
+        lx, lp = distribution.get_log_pdf_table()
+        cached = (jnp.asarray(lx, jnp.float32), jnp.asarray(lp, jnp.float32))
+        distribution._device_log_tables = cached
+    return cached
 
 
 def _table_shapes(spec):

@@ -280,8 +280,14 @@ class Distribution:
         Zero/negative PDF values map to ``min_log_value``.  For UNIFORM the
         final table entry is forced to log(1/width): the half-open pdf makes
         x = max read as zero, which would poison acceptance ratios at the
-        boundary (reference: __init__.py:598-606).
+        boundary (reference: __init__.py:598-606).  Cached per
+        ``min_log_value``.
         """
+        cache = getattr(self, "_log_pdf_cache", None)
+        if cache is None:
+            cache = self._log_pdf_cache = {}
+        if min_log_value in cache:
+            return cache[min_log_value]
         x_table, pdf_table = self.get_or_compute_pdf_table()
         log_pdf_table = np.where(
             pdf_table > 0,
@@ -294,4 +300,5 @@ class Distribution:
             if width > 0:
                 log_pdf_table[-1] = np.log(1.0 / width)
 
+        cache[min_log_value] = (x_table, log_pdf_table)
         return x_table, log_pdf_table

@@ -61,10 +61,21 @@ class DistSpec(NamedTuple):
 
 def dist_spec_of(dist) -> DistSpec:
     """Build a DistSpec from a ``Distribution`` (param packing parity with
-    reference parse_dist_params, src/lib.rs:436-502)."""
+    reference parse_dist_params, src/lib.rs:436-502).  Cached on the
+    Distribution: through a tunnelled device every host->device transfer
+    costs a round-trip, so repeat calls must not re-upload tables/params."""
     from .distributions import DistributionType
     from .tables import compute_inverse_cdf_table
 
+    cached = getattr(dist, "_cached_spec", None)
+    if cached is not None:
+        return cached
+    spec = _build_spec(dist, DistributionType, compute_inverse_cdf_table)
+    dist._cached_spec = spec
+    return spec
+
+
+def _build_spec(dist, DistributionType, compute_inverse_cdf_table) -> DistSpec:
     t = dist.dist_type
     if t == DistributionType.UNIFORM:
         p = (dist.params["min"], dist.params["max"])
