@@ -1,10 +1,14 @@
 #!/usr/bin/env python3
 """Benchmark harness: the five BASELINE.md configs + chain-steps/sec.
 
-Prints one JSON line per config.  Timing methodology: compile+warm with a
-fetched run, then time R dispatches with distinct seeds and fetch every
-output (through the test-harness tunnel only the device-to-host copy truly
-synchronises; see bench.py).
+Prints one JSON line per config and writes benchmarks/results.json.
+
+Methodology: programs are compiled once via the ahead-of-time handles
+(`compile_integrate` / `compile_importance_sampling` / `compile_mcmc`),
+warmed with a fetched run, then R dispatches with distinct seeds are
+pipelined and ALL outputs fetched before the clock stops — sustained device
+throughput, not per-call host/tunnel latency (through the test-harness
+tunnel only the device-to-host copy truly synchronises; see bench.py).
 
 Run:  python benchmarks/run_all.py [--repeats N]
 """
@@ -34,42 +38,13 @@ def _setup_jax():
     return jax
 
 
-def _time_integrate(integrator, fns, dist, n_samples, repeats):
-    """Sustained samples/sec over `repeats` fetched runs."""
-    integrator.integrate(fns, dist, n_samples=n_samples, seed=42)  # warm
+def _throughput(prog, work_per_call, repeats, fetch=lambda out: np.asarray(out)):
+    fetch(prog(42))  # warm: compile + upload + first run, fully fetched
     t0 = time.perf_counter()
-    for rep in range(repeats):
-        r = integrator.integrate(fns, dist, n_samples=n_samples, seed=100 + rep)
+    outs = [prog(100 + rep) for rep in range(repeats)]
+    fetched = [fetch(out) for out in outs]
     dt = time.perf_counter() - t0
-    return n_samples * repeats / dt, r.values
-
-
-def _time_is(integrator, fns, target, proposal, n_samples, repeats):
-    integrator.integrate_importance_sampling(
-        fns, target, proposal, n_samples=n_samples, seed=42
-    )
-    t0 = time.perf_counter()
-    for rep in range(repeats):
-        r = integrator.integrate_importance_sampling(
-            fns, target, proposal, n_samples=n_samples, seed=100 + rep
-        )
-    dt = time.perf_counter() - t0
-    return n_samples * repeats / dt, r.values
-
-
-def _time_mcmc(integrator, fns, target, proposal, n_steps, n_chains, n_burnin, repeats):
-    integrator.integrate_mcmc(
-        fns, target, proposal, n_steps=n_steps, n_chains=n_chains,
-        n_burnin=n_burnin, seed=42,
-    )
-    t0 = time.perf_counter()
-    for rep in range(repeats):
-        r = integrator.integrate_mcmc(
-            fns, target, proposal, n_steps=n_steps, n_chains=n_chains,
-            n_burnin=n_burnin, seed=100 + rep,
-        )
-    dt = time.perf_counter() - t0
-    return n_chains * (n_steps + n_burnin) * repeats / dt, r.values
+    return work_per_call * repeats / dt, fetched[-1]
 
 
 def main():
@@ -81,7 +56,7 @@ def main():
     from tpu_montecarlo import Distribution, MonteCarloIntegrator
 
     on_tpu = jax.default_backend() == "tpu"
-    repeats = args.repeats if args.repeats else (5 if on_tpu else 1)
+    repeats = args.repeats if args.repeats else (10 if on_tpu else 2)
     scale = 1 if on_tpu else 10  # shrink sample counts off-TPU
 
     integrator = MonteCarloIntegrator()
@@ -100,16 +75,15 @@ def main():
         print(json.dumps(rec), flush=True)
 
     # Config 1: K=2 simple moments, 1e6 samples (CPU-runnable sanity).
-    sps, est = _time_integrate(
-        integrator,
+    prog = integrator.compile_integrate(
         [lambda x: x, lambda x: x**2],
         Distribution.normal(0.0, 1.0),
-        1_000_000,
-        repeats,
+        n_samples=1_000_000,
     )
+    sps, est = _throughput(prog, 1_000_000, repeats)
     emit("c1_k2_normal_1e6", "samples_per_sec", sps, "samples/s", est)
 
-    # Config 2: K=8 fused incl. indicators, 1e7 samples.
+    # Config 2: K=8 fused incl. indicators, 1e8 samples.
     k8 = [
         lambda x: x,
         lambda x: x**2,
@@ -120,10 +94,11 @@ def main():
         lambda x: x > 1.0,
         lambda x: abs(x),
     ]
-    sps, est = _time_integrate(
-        integrator, k8, Distribution.normal(0.0, 1.0),
-        100_000_000 // scale, repeats,
+    n2 = 100_000_000 // scale
+    prog = integrator.compile_integrate(
+        k8, Distribution.normal(0.0, 1.0), n_samples=n2
     )
+    sps, est = _throughput(prog, n2, repeats)
     emit("c2_k8_normal_1e8", "samples_per_sec", sps, "samples/s", est)
 
     # Config 3: custom from_pdf Beta(2,5) + triangular via table, 1e7 samples.
@@ -134,27 +109,27 @@ def main():
             return 2 - x
         return 0.0
 
+    n3 = 10_000_000 // scale
     beta = Distribution.beta(2.0, 5.0, table_size=512)
     tri = Distribution.from_pdf(tri_pdf, support=(0.0, 2.0), table_size=512)
-    sps_b, est_b = _time_integrate(
-        integrator, [lambda x: x, lambda x: x * x], beta,
-        10_000_000 // scale, repeats,
+    prog = integrator.compile_integrate(
+        [lambda x: x, lambda x: x * x], beta, n_samples=n3
     )
+    sps_b, est_b = _throughput(prog, n3, repeats)
     emit("c3a_beta_table_1e7", "samples_per_sec", sps_b, "samples/s", est_b)
-    sps_t, est_t = _time_integrate(
-        integrator, [lambda x: x], tri, 10_000_000 // scale, repeats
-    )
+    prog = integrator.compile_integrate([lambda x: x], tri, n_samples=n3)
+    sps_t, est_t = _throughput(prog, n3, repeats)
     emit("c3b_triangular_table_1e7", "samples_per_sec", sps_t, "samples/s", est_t)
 
     # Config 4: IS rare event P(X>4), 1e8 samples.
-    sps, est = _time_is(
-        integrator,
+    n4 = 100_000_000 // scale
+    prog = integrator.compile_importance_sampling(
         [lambda x: x > 4.0],
         Distribution.normal(0.0, 1.0),
         Distribution.normal(4.0, 1.5),
-        100_000_000 // scale,
-        repeats,
+        n_samples=n4,
     )
+    sps, est = _throughput(prog, n4, repeats)
     emit("c4_is_rare_event_1e8", "samples_per_sec", sps, "samples/s", est)
 
     # Config 5: MCMC 4096 chains x 10k steps + 1k burn-in, table target.
@@ -163,29 +138,30 @@ def main():
 
         return math.exp(-0.5 * (x - 2.0) ** 2) + math.exp(-0.5 * (x + 2.0) ** 2)
 
+    def fetch_mcmc(out):
+        return np.asarray(out[0])
+
+    steps5 = 10_000 // scale
+    burn5 = 1_000 // scale
     table_target = Distribution.from_pdf(bimodal, support=(-6.0, 6.0))
-    csps, est = _time_mcmc(
-        integrator,
-        [lambda x: x * x],
-        table_target,
-        Distribution.uniform(-6.0, 6.0),
-        n_steps=10_000 // scale,
-        n_chains=4096,
-        n_burnin=1_000 // scale,
-        repeats=repeats,
+    prog = integrator.compile_mcmc(
+        [lambda x: x * x], table_target, Distribution.uniform(-6.0, 6.0),
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
     )
     emit("c5_mcmc_4096x10k_table", "chain_steps_per_sec", csps, "steps/s", est)
 
     # Chain-steps/sec on the analytic fast path.
-    csps, est = _time_mcmc(
-        integrator,
+    prog = integrator.compile_mcmc(
         [lambda x: x * x],
         Distribution.normal(0.0, 1.0),
         Distribution.normal(0.0, 2.0),
-        n_steps=10_000 // scale,
-        n_chains=4096,
-        n_burnin=1_000 // scale,
-        repeats=repeats,
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
     )
     emit("c5b_mcmc_4096x10k_analytic", "chain_steps_per_sec", csps, "steps/s", est)
 

@@ -41,9 +41,9 @@ class TestSupportMatrix:
     def test_custom_integrate_supported_via_inv_table(self):
         assert pallas_supports(DistKind.CUSTOM)
 
-    def test_custom_mcmc_not_supported(self):
-        assert not mcmc_pallas_supports(DistKind.CUSTOM, DistKind.NORMAL)
-        assert not mcmc_pallas_supports(DistKind.NORMAL, DistKind.CUSTOM)
+    def test_custom_mcmc_supported(self):
+        assert mcmc_pallas_supports(DistKind.CUSTOM, DistKind.NORMAL)
+        assert mcmc_pallas_supports(DistKind.NORMAL, DistKind.CUSTOM)
 
     def test_grid_plans_cover_request(self):
         for n in (1, 1000, 32768, 32769, 10_000_000):
@@ -147,10 +147,12 @@ class TestInterpretedMCMC:
             total_chains=1024,
             interpret=True,
         )
+        dummy = jnp.zeros(1, jnp.float32)
         vals, acc = run(
             np.uint32(42),
             jnp.asarray([0.0, 2.0], jnp.float32),
             jnp.asarray([0.0, 1.0], jnp.float32),
+            *([dummy] * 6),
         )
         vals = np.asarray(vals)
         assert abs(vals[0]) < 0.15
@@ -167,20 +169,80 @@ class TestInterpretedMCMC:
             total_chains=1024,
             interpret=True,
         )
+        dummy = jnp.zeros(1, jnp.float32)
         _, acc = run(
             np.uint32(42),
             jnp.asarray([0.0, 1.0], jnp.float32),
             jnp.asarray([0.0, 1.0], jnp.float32),
+            *([dummy] * 6),
         )
         assert float(acc) > 0.99
 
-    def test_custom_rejected(self):
-        with pytest.raises(ValueError):
-            build_mcmc_fn_pallas(
-                _fns(),
-                proposal_kind=DistKind.CUSTOM,
-                target_kind=DistKind.NORMAL,
-                n_steps=10,
-                n_burnin=0,
-                total_chains=256,
-            )
+    def test_custom_target_via_log_table(self):
+        from tpu_montecarlo import Distribution
+        from tpu_montecarlo.sampling import dist_spec_of
+
+        # Table target N(1,1) truncated to its grid; uniform proposal.
+        import math
+
+        target = Distribution.from_pdf(
+            lambda x: math.exp(-0.5 * (x - 1.0) ** 2), support=(-4.0, 6.0)
+        )
+        lx, lp = target.get_log_pdf_table()
+        run = build_mcmc_fn_pallas(
+            (trace_function(lambda x: x),),
+            proposal_kind=DistKind.UNIFORM,
+            target_kind=DistKind.CUSTOM,
+            n_steps=400,
+            n_burnin=50,
+            total_chains=1024,
+            interpret=True,
+        )
+        dummy = jnp.zeros(1, jnp.float32)
+        vals, acc = run(
+            np.uint32(42),
+            jnp.asarray([-4.0, 6.0], jnp.float32),
+            jnp.zeros(2, jnp.float32),
+            dummy, dummy,
+            jnp.asarray(lx), jnp.asarray(lp),
+            dummy, dummy,
+        )
+        assert abs(float(np.asarray(vals)[0]) - 1.0) < 0.1
+        assert 0.0 < float(acc) <= 1.0
+
+    def test_custom_proposal_via_inv_table(self):
+        from tpu_montecarlo import Distribution
+        from tpu_montecarlo.sampling import dist_spec_of
+
+        # Custom Laplace-ish proposal sampling a normal target.  The pdf is
+        # strictly positive on its support: a pdf that reads exactly zero at
+        # a grid knot interpolates toward the -100 log floor nearby, which
+        # legitimately (reference convention, distribution.rs:367-475)
+        # distorts acceptance around that knot.
+        import math
+
+        prop = Distribution.from_pdf(
+            lambda x: math.exp(-abs(x) / 2.0), support=(-4.0, 4.0)
+        )
+        spec = dist_spec_of(prop)
+        lx, lp = prop.get_log_pdf_table()
+        run = build_mcmc_fn_pallas(
+            (trace_function(lambda x: x * x),),
+            proposal_kind=DistKind.CUSTOM,
+            target_kind=DistKind.NORMAL,
+            n_steps=400,
+            n_burnin=50,
+            total_chains=1024,
+            interpret=True,
+        )
+        dummy = jnp.zeros(1, jnp.float32)
+        vals, acc = run(
+            np.uint32(42),
+            jnp.zeros(2, jnp.float32),
+            jnp.asarray([0.0, 1.0], jnp.float32),
+            jnp.asarray(spec.x_table), jnp.asarray(spec.cdf_table),
+            dummy, dummy,
+            jnp.asarray(lx), jnp.asarray(lp),
+        )
+        assert abs(float(np.asarray(vals)[0]) - 1.0) < 0.25
+        assert 0.0 < float(acc) <= 1.0

@@ -229,7 +229,35 @@ class MonteCarloIntegrator:
             values=values, n_samples=n_samples, n_functions=len(functions)
         )
 
+    def compile_integrate(
+        self,
+        functions: List[Union[Callable, str]],
+        distribution: Distribution,
+        n_samples: int = 1_000_000,
+    ) -> Callable:
+        """Ahead-of-time handle for serving: returns ``prog(seed) ->
+        jax.Array (K,)`` with tracing, compilation, and device uploads done
+        once.  Repeat calls cost one dispatch — no per-call host work and no
+        host round-trips beyond the result fetch the caller chooses to do.
+        (A capability the reference lacks: it re-generated and re-compiled
+        its shader on every call, SURVEY.md §3.2.)"""
+        traced = self._trace_user_functions(functions)
+        run, dev_args = self._get_integrate_program(
+            traced, distribution, n_samples
+        )
+
+        def prog(seed) -> jax.Array:
+            return run(np.uint32(seed), *dev_args)
+
+        return prog
+
     def _run_integrate(self, traced, distribution, n_samples, seed):
+        run, dev_args = self._get_integrate_program(
+            traced, distribution, n_samples
+        )
+        return run(np.uint32(seed), *dev_args)
+
+    def _get_integrate_program(self, traced, distribution, n_samples):
         spec = dist_spec_of(distribution)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
@@ -273,7 +301,7 @@ class MonteCarloIntegrator:
                         interpret=interpret,
                     ),
                 )
-                return run(np.uint32(seed), *_device_args_of(distribution, spec))
+                return run, _device_args_of(distribution, spec)
 
         plan = make_integrate_plan(n_samples, self._target_threads, n_dev=n_dev)
         key = (
@@ -294,7 +322,7 @@ class MonteCarloIntegrator:
                 mesh=mesh,
             ),
         )
-        return run(np.uint32(seed), *_device_args_of(distribution, spec))
+        return run, _device_args_of(distribution, spec)
 
     # ------------------------------------------------------------------
     # importance sampling
@@ -315,6 +343,39 @@ class MonteCarloIntegrator:
         that fail tracing fall back to interpolated table lookups with the
         0-outside-support convention (reference distribution.rs:186-190).
         """
+        weighted_fns = self._weighted_fns(
+            functions, target_distribution, proposal_distribution
+        )
+        values = self._run_integrate(
+            weighted_fns, proposal_distribution, n_samples, seed
+        )
+        return IntegrationResult(
+            values=values, n_samples=n_samples, n_functions=len(functions)
+        )
+
+    def compile_importance_sampling(
+        self,
+        functions: List[Union[Callable, str]],
+        target_distribution: Distribution,
+        proposal_distribution: Distribution,
+        n_samples: int = 1_000_000,
+    ) -> Callable:
+        """Ahead-of-time IS handle: ``prog(seed) -> jax.Array (K,)``."""
+        weighted_fns = self._weighted_fns(
+            functions, target_distribution, proposal_distribution
+        )
+        run, dev_args = self._get_integrate_program(
+            weighted_fns, proposal_distribution, n_samples
+        )
+
+        def prog(seed) -> jax.Array:
+            return run(np.uint32(seed), *dev_args)
+
+        return prog
+
+    def _weighted_fns(
+        self, functions, target_distribution, proposal_distribution
+    ) -> tuple:
         if len(functions) == 0:
             raise ValueError("At least one function is required")
 
@@ -340,13 +401,7 @@ class MonteCarloIntegrator:
             )
             return wf
 
-        weighted_fns = tuple(weighted(f) for f in traced)
-        values = self._run_integrate(
-            weighted_fns, proposal_distribution, n_samples, seed
-        )
-        return IntegrationResult(
-            values=values, n_samples=n_samples, n_functions=len(functions)
-        )
+        return tuple(weighted(f) for f in traced)
 
     def _pdf_evaluator(self, dist: Distribution) -> Callable:
         """Closed-form traced PDF when traceable, else table interpolation
@@ -435,47 +490,22 @@ class MonteCarloIntegrator:
         # analytic families take the Pallas kernel on TPU — measured 5.7x
         # faster than the XLA scan on v5e (1.8e9 vs 3.2e8 chain-steps/s at
         # 4096 chains x 11k steps, pipelined device-time measurement).
-        if not want_state and self._use_pallas(prop_spec.kind):
-            from .ops.mcmc_pallas import (
-                build_mcmc_fn_pallas,
-                mcmc_pallas_supports,
+        if not want_state:
+            stateless = self._get_mcmc_program(
+                traced,
+                target_distribution,
+                proposal_distribution,
+                n_steps,
+                n_chains,
+                n_burnin,
             )
-
-            if mcmc_pallas_supports(prop_spec.kind, targ_spec.kind):
-                interpret = jax.default_backend() != "tpu"
-                key = (
-                    "mcmc_pallas",
-                    _fns_key(traced),
-                    prop_spec.kind,
-                    targ_spec.kind,
-                    n_steps,
-                    n_burnin,
-                    total_chains,
-                    _mesh_key(mesh),
-                    interpret,
-                )
-                run = self._cache.get_or_build(
-                    key,
-                    lambda: build_mcmc_fn_pallas(
-                        traced,
-                        prop_spec.kind,
-                        targ_spec.kind,
-                        n_steps,
-                        n_burnin,
-                        total_chains,
-                        mesh=mesh,
-                        interpret=interpret,
-                    ),
-                )
-                prop_dev = _device_args_of(proposal_distribution, prop_spec)
-                targ_dev = _device_args_of(target_distribution, targ_spec)
-                values, acc_rate = run(np.uint32(seed), prop_dev[0], targ_dev[0])
-                return IntegrationResult(
-                    values=values,
-                    n_samples=n_chains * n_steps,
-                    n_functions=len(functions),
-                    acceptance_rate=float(acc_rate),
-                )
+            values, acc_rate = stateless(seed)
+            return IntegrationResult(
+                values=values,
+                n_samples=n_chains * n_steps,
+                n_functions=len(functions),
+                acceptance_rate=float(acc_rate),
+            )
 
         use_init = initial_state is not None
         targ_uniform = is_uniform_grid(targ_lx)
@@ -554,6 +584,186 @@ class MonteCarloIntegrator:
             acceptance_rate=float(acc_rate),
             chain_state=chain_state if return_state else None,
         )
+
+    def compile_mcmc(
+        self,
+        functions: List[Union[Callable, str]],
+        target_distribution: Distribution,
+        proposal_distribution: Distribution,
+        n_steps: int = 10_000,
+        n_chains: int = 1024,
+        n_burnin: int = 1_000,
+    ) -> Callable:
+        """Ahead-of-time MCMC handle for serving: ``prog(seed) ->
+        ((K,) jax.Array, acceptance jax scalar)`` — tracing, compilation and
+        uploads done once; each call is one device dispatch."""
+        if len(functions) == 0:
+            raise ValueError("At least one function is required")
+        if n_steps <= 0:
+            raise ValueError("n_steps must be positive")
+        if n_chains <= 0:
+            raise ValueError("n_chains must be positive")
+        if n_burnin < 0:
+            raise ValueError("n_burnin must be non-negative")
+        traced = self._trace_user_functions(functions)
+        return self._get_mcmc_program(
+            traced,
+            target_distribution,
+            proposal_distribution,
+            n_steps,
+            n_chains,
+            n_burnin,
+        )
+
+    def _get_mcmc_program(
+        self,
+        traced,
+        target_distribution,
+        proposal_distribution,
+        n_steps,
+        n_chains,
+        n_burnin,
+    ) -> Callable:
+        """Stateless MCMC program: ``prog(seed) -> (values, acceptance)``."""
+        prop_spec = dist_spec_of(proposal_distribution)
+        targ_spec = dist_spec_of(target_distribution)
+        mesh = self._mesh
+        n_dev = 1 if mesh is None else mesh.size
+        total_chains = plan_chains(n_chains, self._target_threads, n_dev)
+
+        if self._use_pallas(prop_spec.kind):
+            from .ops.mcmc_pallas import (
+                build_mcmc_fn_pallas,
+                mcmc_pallas_supports,
+            )
+
+            # CUSTOM families need uniform log-pdf x-grids (host-built ones
+            # are) and a lane-multiple inverse-CDF table for the in-kernel
+            # lookups; anything else routes to the XLA backend.
+            pallas_ok = mcmc_pallas_supports(prop_spec.kind, targ_spec.kind)
+            if pallas_ok and targ_spec.kind == DistKind.CUSTOM:
+                lx, _ = target_distribution.get_log_pdf_table()
+                pallas_ok = is_uniform_grid(lx)
+            if pallas_ok and prop_spec.kind == DistKind.CUSTOM:
+                lx, _ = proposal_distribution.get_log_pdf_table()
+                pallas_ok = (
+                    is_uniform_grid(lx)
+                    and prop_spec.x_table is not None
+                    and prop_spec.x_table.shape[0] % 128 == 0
+                )
+            if pallas_ok:
+                interpret = jax.default_backend() != "tpu"
+                key = (
+                    "mcmc_pallas",
+                    _fns_key(traced),
+                    prop_spec.kind,
+                    targ_spec.kind,
+                    n_steps,
+                    n_burnin,
+                    total_chains,
+                    _table_shapes(prop_spec),
+                    _mesh_key(mesh),
+                    interpret,
+                )
+                run = self._cache.get_or_build(
+                    key,
+                    lambda: build_mcmc_fn_pallas(
+                        traced,
+                        prop_spec.kind,
+                        targ_spec.kind,
+                        n_steps,
+                        n_burnin,
+                        total_chains,
+                        mesh=mesh,
+                        interpret=interpret,
+                    ),
+                )
+                prop_dev = _device_args_of(proposal_distribution, prop_spec)
+                targ_dev = _device_args_of(target_distribution, targ_spec)
+                dummy = _tbl(None)
+                targ_log_dev = (
+                    _device_log_tables_of(target_distribution)
+                    if targ_spec.kind == DistKind.CUSTOM
+                    else (dummy, dummy)
+                )
+                prop_log_dev = (
+                    _device_log_tables_of(proposal_distribution)
+                    if prop_spec.kind == DistKind.CUSTOM
+                    else (dummy, dummy)
+                )
+                static_args = (
+                    prop_dev[0],
+                    targ_dev[0],
+                    prop_dev[1],
+                    prop_dev[2],
+                    *targ_log_dev,
+                    *prop_log_dev,
+                )
+
+                def prog(seed):
+                    return run(np.uint32(seed), *static_args)
+
+                return prog
+
+        targ_lx, targ_lp = target_distribution.get_log_pdf_table()
+        prop_lx, prop_lp = proposal_distribution.get_log_pdf_table()
+        targ_uniform = is_uniform_grid(targ_lx)
+        prop_uniform = is_uniform_grid(prop_lx)
+        key = (
+            "mcmc_xla",
+            _fns_key(traced),
+            prop_spec.kind,
+            targ_spec.kind,
+            n_steps,
+            n_burnin,
+            total_chains,
+            _table_shapes(prop_spec),
+            (targ_lx.shape, prop_lx.shape),
+            _mesh_key(mesh),
+            (False, False, targ_uniform, prop_uniform),
+        )
+        run = self._cache.get_or_build(
+            key,
+            lambda: build_mcmc_fn(
+                traced,
+                prop_spec.kind,
+                targ_spec.kind,
+                n_steps,
+                n_burnin,
+                total_chains,
+                mesh=mesh,
+                targ_table_uniform=targ_uniform,
+                prop_table_uniform=prop_uniform,
+            ),
+        )
+        use_targ_table = targ_spec.kind == DistKind.CUSTOM
+        use_prop_table = prop_spec.kind == DistKind.CUSTOM
+        prop_dev = _device_args_of(proposal_distribution, prop_spec)
+        targ_dev = _device_args_of(target_distribution, targ_spec)
+        dummy = _tbl(None)
+        targ_log_dev = (
+            _device_log_tables_of(target_distribution)
+            if use_targ_table
+            else (dummy, dummy)
+        )
+        prop_log_dev = (
+            _device_log_tables_of(proposal_distribution)
+            if use_prop_table
+            else (dummy, dummy)
+        )
+        static_args = (
+            prop_dev[0],
+            targ_dev[0],
+            prop_dev[1],
+            prop_dev[2],
+            *targ_log_dev,
+            *prop_log_dev,
+        )
+
+        def prog(seed):
+            return run(np.uint32(seed), *static_args)
+
+        return prog
 
 
 def _fn_key(f):

@@ -1,7 +1,7 @@
 """Independence-sampler Metropolis-Hastings kernel (Pallas TPU backend).
 
 Chains live one-per-lane in a (ROWS, 128) VMEM block; a ``fori_loop`` over
-``n_burnin + n_steps`` iterations carries (x, log_p, K accumulators,
+``n_burnin + n_steps`` iterations carries (x, log_p, log_q, K accumulators,
 accept count) — the TPU analog of the reference's per-thread
 ``var<private>`` chain state and sequential MH loop
 (src/shader_gen.rs:312-442).  Semantics preserved (see ops/mcmc_xla.py for
@@ -9,11 +9,17 @@ the full list): acceptance ``log u < log_p(x') + log_q(x) - log_p(x) -
 log_q(x')``, burn-in advanced but not accumulated, f(current_x) added every
 sampling step, per-chain mean ``/n_steps`` then unweighted chain average.
 
-Closed-form log-PDFs only (uniform/normal/exponential,
-src/shader_gen.rs:543-571); CUSTOM (table) targets/proposals route to the
-XLA backend.  RNG: hardware PRNG seeded per (seed, program, purpose) — the
-same stream-separation idea as the reference's +1000000/+999999 counter
-offsets (src/shader_gen.rs:477-536).
+Analytic families use closed-form log-PDFs (src/shader_gen.rs:543-571);
+CUSTOM families run fully in-kernel too: proposal sampling through the
+uniform-u inverse-CDF table and log-PDF evaluation through the uniform-grid
+log table (-100 floor outside support, src/distribution.rs:367-475), both
+via the segment lane-gather lookup shared with the integrate kernel.
+Requires uniform log-pdf x-grids (tables built by this library always are;
+non-uniform user grids route to the XLA backend).
+
+RNG: hardware PRNG seeded per (seed, program) — the same stream-separation
+idea as the reference's +1000000/+999999 counter offsets
+(src/shader_gen.rs:477-536).
 """
 
 from __future__ import annotations
@@ -34,6 +40,7 @@ from .integrate_pallas import (
     LANES,
     CounterRng,
     HardwareRng,
+    _table_lookup,
     _uniform_halfopen01,
     _uniform_open01,
 )
@@ -44,8 +51,15 @@ _SQRT_2PI = np.float32(2.50662827463)
 
 
 def mcmc_pallas_supports(proposal_kind: DistKind, target_kind: DistKind) -> bool:
-    analytic = (DistKind.UNIFORM, DistKind.NORMAL, DistKind.EXPONENTIAL)
-    return proposal_kind in analytic and target_kind in analytic
+    """All four families run in-kernel (CUSTOM via table lookups); callers
+    must additionally ensure CUSTOM log-pdf x-grids are uniform."""
+    kinds = (
+        DistKind.UNIFORM,
+        DistKind.NORMAL,
+        DistKind.EXPONENTIAL,
+        DistKind.CUSTOM,
+    )
+    return proposal_kind in kinds and target_kind in kinds
 
 
 def plan_mcmc_grid(total_chains: int):
@@ -60,7 +74,7 @@ def plan_mcmc_grid(total_chains: int):
     return programs, rows, programs * block
 
 
-def _sample_chain_block(kind: DistKind, p1, p2, rows, rng, counter):
+def _sample_chain_block(kind: DistKind, p1, p2, rows, rng, counter, inv=None):
     if kind == DistKind.UNIFORM:
         u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
         return p1 + u * (p2 - p1)
@@ -72,12 +86,21 @@ def _sample_chain_block(kind: DistKind, p1, p2, rows, rng, counter):
     if kind == DistKind.EXPONENTIAL:
         u = _uniform_open01(rng, (rows, LANES), counter, 0)
         return -jnp.log(jnp.maximum(u, 1e-7)) / p1
+    if kind == DistKind.CUSTOM:
+        inv_t, inv_dx = inv
+        m = inv_t.shape[0] * LANES
+        u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+        pos = u * jnp.float32(m - 1)
+        i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
+        frac = pos - i0.astype(jnp.float32)
+        return _table_lookup(inv_t, inv_dx, i0, frac, rows)
     raise ValueError(f"Pallas MCMC does not support {kind}")
 
 
-def _log_pdf(kind: DistKind, p1, p2, x):
-    """Closed-form log densities, -100 floor outside support (reference:
-    src/shader_gen.rs:543-571)."""
+def _log_pdf(kind: DistKind, p1, p2, x, rows, log_tab=None):
+    """Closed-form log densities for analytic families; uniform-x-grid table
+    lookup with the -100 floor for CUSTOM (reference conventions:
+    src/shader_gen.rs:543-571, src/distribution.rs:367-475)."""
     if kind == DistKind.UNIFORM:
         inside = jnp.logical_and(p1 <= x, x < p2)
         return jnp.where(inside, -jnp.log(p2 - p1), LOG_PDF_FLOOR)
@@ -86,7 +109,48 @@ def _log_pdf(kind: DistKind, p1, p2, x):
         return -0.5 * z * z - jnp.log(p2 * _SQRT_2PI)
     if kind == DistKind.EXPONENTIAL:
         return jnp.where(x >= 0.0, jnp.log(p1) - p1 * x, LOG_PDF_FLOOR)
+    if kind == DistKind.CUSTOM:
+        v_ref, dx_ref, grid_ref = log_tab
+        x0 = grid_ref[0, 0]
+        step = grid_ref[0, 1]
+        x_max = grid_ref[0, 2]
+        n_pad = v_ref.shape[0] * LANES
+        pos = (x - x0) / step
+        i0 = jnp.clip(pos.astype(jnp.int32), 0, n_pad - 2)
+        frac = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
+        val = _table_lookup(v_ref, dx_ref, i0, frac, rows)
+        inside = jnp.logical_and(x >= x0, x <= x_max)
+        return jnp.where(inside, val, LOG_PDF_FLOOR)
     raise ValueError(f"Pallas MCMC does not support {kind}")
+
+
+def _pad_log_table(lx, lp):
+    """Pad a uniform-grid log table to a lane multiple (floor padding
+    extends the grid; the x_max gate keeps semantics identical) and return
+    (values (S,128), dx (S,128), grid scalars (1,4))."""
+    n = lp.shape[0]
+    x0 = lx[0]
+    x_max = lx[n - 1]
+    step = (x_max - x0) / jnp.float32(n - 1)
+    pad = (-n) % LANES
+    vals = jnp.concatenate(
+        [lp, jnp.full((pad,), LOG_PDF_FLOOR, jnp.float32)]
+    ) if pad else lp
+    dx = jnp.concatenate([vals[1:] - vals[:-1], jnp.zeros(1, jnp.float32)])
+    grid = jnp.stack([x0, step, x_max, jnp.float32(0.0)]).reshape(1, 4)
+    seg = (n + pad) // LANES
+    return vals.reshape(seg, LANES), dx.reshape(seg, LANES), grid
+
+
+def _prep_inv_table(inv):
+    m = inv.shape[0]
+    if m % LANES != 0:
+        raise ValueError(
+            f"inverse-CDF table size must be a multiple of {LANES}"
+        )
+    t = jnp.asarray(inv, jnp.float32)
+    dx = jnp.concatenate([t[1:] - t[:-1], jnp.zeros(1, jnp.float32)])
+    return t.reshape(m // LANES, LANES), dx.reshape(m // LANES, LANES)
 
 
 def build_mcmc_fn_pallas(
@@ -100,13 +164,25 @@ def build_mcmc_fn_pallas(
     axis_name: str = "mc",
     interpret: bool = False,
 ):
-    """Build a jitted MH program with the XLA backend's call signature
-    (tables accepted but unused).  Returns ((K,) estimates, acceptance)."""
+    """Build a jitted MH program.
+
+    Signature of the returned function (matches the XLA backend)::
+
+        (seed, proposal_params, target_params,
+         prop_inv_cdf_table, prop_cdf_table(unused),
+         targ_logpdf_x, targ_logpdf, prop_logpdf_x, prop_logpdf)
+        -> ((K,) float32 estimates, () float32 acceptance_rate)
+
+    Analytic families ignore their tables (dummy 1-element arrays).  CUSTOM
+    log-pdf x-grids must be uniform (the host-built ones are).
+    """
     k = len(eval_fns)
     if k >= LANES:
         raise ValueError(f"at most {LANES - 1} fused functions supported")
     if not mcmc_pallas_supports(proposal_kind, target_kind):
-        raise ValueError("Pallas MCMC supports analytic families only")
+        raise ValueError("Unsupported distribution family for Pallas MCMC")
+    prop_custom = proposal_kind == DistKind.CUSTOM
+    targ_custom = target_kind == DistKind.CUSTOM
 
     n_dev = 1 if mesh is None else mesh.size
     programs, rows, chains_actual = plan_mcmc_grid(total_chains)
@@ -117,7 +193,17 @@ def build_mcmc_fn_pallas(
 
     rng_factory = CounterRng if interpret else HardwareRng
 
-    def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, out_ref):
+    def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, *rest):
+        rest = list(rest)
+        inv = (rest.pop(0), rest.pop(0)) if prop_custom else None
+        targ_tab = (
+            (rest.pop(0), rest.pop(0), rest.pop(0)) if targ_custom else None
+        )
+        prop_tab = (
+            (rest.pop(0), rest.pop(0), rest.pop(0)) if prop_custom else None
+        )
+        (out_ref,) = rest
+
         pid = pl.program_id(0)
         rng = rng_factory()
         # Hardware seeding takes at most two words: distinguish the MCMC
@@ -128,21 +214,30 @@ def build_mcmc_fn_pallas(
         t1 = targ_ref[0, 0]
         t2 = targ_ref[0, 1]
 
-        x0 = _sample_chain_block(proposal_kind, q1, q2, rows, rng, 0)
-        logp0 = _log_pdf(target_kind, t1, t2, x0)
-        logq0 = _log_pdf(proposal_kind, q1, q2, x0)
+        def sample(counter):
+            return _sample_chain_block(
+                proposal_kind, q1, q2, rows, rng, counter, inv
+            )
+
+        def lp_t(v):
+            return _log_pdf(target_kind, t1, t2, v, rows, targ_tab)
+
+        def lp_q(v):
+            return _log_pdf(proposal_kind, q1, q2, v, rows, prop_tab)
+
+        x0 = sample(0)
+        logp0 = lp_t(x0)
+        logq0 = lp_q(x0)
 
         def body(i, carry):
-            # The chain's own proposal log-density is carried, not
-            # recomputed (it only changes on acceptance).
+            # The chain's own log-densities are carried, not recomputed
+            # (they only change on acceptance).
             x, logp, logq, accs, n_acc = carry
             # Distinct counters per draw purpose — the reference's stream
             # separation via +1000000/+999999 offsets (shader_gen.rs:477-536).
-            xp = _sample_chain_block(
-                proposal_kind, q1, q2, rows, rng, 3 * i + 1
-            )
-            logp_prop = _log_pdf(target_kind, t1, t2, xp)
-            logq_prop = _log_pdf(proposal_kind, q1, q2, xp)
+            xp = sample(3 * i + 1)
+            logp_prop = lp_t(xp)
+            logq_prop = lp_q(xp)
             log_alpha = logp_prop + logq - logp - logq_prop
             u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
             accept = jnp.log(u) < log_alpha
@@ -176,49 +271,80 @@ def build_mcmc_fn_pallas(
 
     smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     smem_params = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem_grid = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def pallas_sweep(seed, prop, targ, pid_base):
+    def pallas_sweep(seed, prop, targ, pid_base, *tables):
+        in_specs = [smem_scalar, smem_params, smem_params, smem_scalar]
+        if prop_custom:
+            in_specs += [vmem, vmem]  # inverse-CDF table + dx
+        if targ_custom:
+            in_specs += [vmem, vmem, smem_grid]  # log table, dx, grid
+        if prop_custom:
+            in_specs += [vmem, vmem, smem_grid]
         out = pl.pallas_call(
             kernel,
             grid=(local_programs,),
-            in_specs=[smem_scalar, smem_params, smem_params, smem_scalar],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (local_programs, LANES), lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((local_programs, LANES), jnp.float32),
             interpret=interpret,
-        )(seed, prop, targ, pid_base)
+        )(seed, prop, targ, pid_base, *tables)
         totals = jnp.sum(out, axis=0)
         return totals[:k], totals[k]
 
     denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
 
-    def _prep(seed, prop_params, targ_params):
+    def _prep(seed, prop_params, targ_params, tables):
+        (prop_inv, _unused_cdf, targ_lx, targ_lp, prop_lx, prop_lp) = tables
+        prepped = []
+        if prop_custom:
+            prepped += list(_prep_inv_table(prop_inv))
+        if targ_custom:
+            prepped += list(
+                _pad_log_table(
+                    jnp.asarray(targ_lx, jnp.float32),
+                    jnp.asarray(targ_lp, jnp.float32),
+                )
+            )
+        if prop_custom:
+            prepped += list(
+                _pad_log_table(
+                    jnp.asarray(prop_lx, jnp.float32),
+                    jnp.asarray(prop_lp, jnp.float32),
+                )
+            )
         return (
             jnp.asarray(seed, jnp.int32).reshape(1, 1),
             jnp.asarray(prop_params, jnp.float32).reshape(1, 2),
             jnp.asarray(targ_params, jnp.float32).reshape(1, 2),
+            tuple(prepped),
         )
 
     if mesh is None:
 
         @jax.jit
         def run(seed, prop_params, targ_params, *tables):
-            seed_a, prop_a, targ_a = _prep(seed, prop_params, targ_params)
+            seed_a, prop_a, targ_a, prepped = _prep(
+                seed, prop_params, targ_params, tables
+            )
             base = jnp.zeros((1, 1), jnp.int32)
-            sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base)
+            sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base, *prepped)
             return sums / denom_vals, n_acc / denom_acc
 
         return run
 
     replicated = P()
+    n_extra = (5 if prop_custom else 0) + (3 if targ_custom else 0)
 
-    def sharded_body(seed_a, prop_a, targ_a):
+    def sharded_body(seed_a, prop_a, targ_a, *prepped):
         d = jax.lax.axis_index(axis_name)
         base = (d * local_programs).astype(jnp.int32).reshape(1, 1)
-        sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base)
+        sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base, *prepped)
         sums = jax.lax.psum(sums, axis_name)
         n_acc = jax.lax.psum(n_acc, axis_name)
         return sums / denom_vals, n_acc / denom_acc
@@ -226,14 +352,16 @@ def build_mcmc_fn_pallas(
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(replicated,) * 3,
+        in_specs=(replicated,) * (3 + n_extra),
         out_specs=(replicated, replicated),
         check_vma=False,
     )
 
     @jax.jit
     def run(seed, prop_params, targ_params, *tables):
-        seed_a, prop_a, targ_a = _prep(seed, prop_params, targ_params)
-        return shard_mapped(seed_a, prop_a, targ_a)
+        seed_a, prop_a, targ_a, prepped = _prep(
+            seed, prop_params, targ_params, tables
+        )
+        return shard_mapped(seed_a, prop_a, targ_a, *prepped)
 
     return run
