@@ -12,10 +12,11 @@ sums; the host-side jitted wrapper tree-reduces rows on device and divides
 by the processed sample count.
 
 Sampling transforms match the WGSL samplers (src/distribution.rs:80-124):
-uniform affine, Box-Muller normal (two uniforms -> two normal blocks per
-iteration), exponential inverse-transform with the 1e-7 clamp.  CUSTOM
-(table) distributions route to the XLA backend instead (in-kernel gather
-is not worth it at current table sizes).
+uniform affine, Box-Muller normal (two uniforms -> two normal sub-blocks
+per iteration, no concatenate), exponential inverse-transform with the
+1e-7 clamp.  CUSTOM (table) distributions sample fully in-kernel through
+the host-built uniform-u inverse-CDF table with segment lane-gathers
+(see _table_lookup).
 
 RNG is the TPU hardware PRNG seeded per (seed, program index) —
 counter-style stream separation like the reference's
@@ -157,22 +158,23 @@ def _table_lookup(table_ref, dx_ref, i0, frac, rows):
     return x0 + frac * dx
 
 
-def _sample_block(kind: DistKind, p1, p2, rng, counter, tables=None):
-    """One (BLOCK_ROWS, 128) float32 sample block."""
+def _sample_subblocks(kind: DistKind, p1, p2, rng, counter, tables=None):
+    """Sample BLOCK_ROWS*128 values as a list of equal-shape sub-blocks
+    (Box-Muller yields its cos/sin pair as two separate sub-blocks so no
+    concatenate/copy is needed; integrands just run once per sub-block)."""
     if kind == DistKind.UNIFORM:
         u = _uniform_halfopen01(rng, (BLOCK_ROWS, LANES), counter, 0)
-        return p1 + u * (p2 - p1)
+        return [p1 + u * (p2 - p1)]
     if kind == DistKind.NORMAL:
         half = BLOCK_ROWS // 2
         u1 = _uniform_open01(rng, (half, LANES), counter, 0)
         u2 = _uniform_halfopen01(rng, (half, LANES), counter, 1)
         r = jnp.sqrt(-2.0 * jnp.log(u1))
         theta = _TWO_PI * u2
-        z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
-        return p1 + p2 * z
+        return [p1 + p2 * (r * jnp.cos(theta)), p1 + p2 * (r * jnp.sin(theta))]
     if kind == DistKind.EXPONENTIAL:
         u = _uniform_open01(rng, (BLOCK_ROWS, LANES), counter, 0)
-        return -jnp.log(jnp.maximum(u, 1e-7)) / p1
+        return [-jnp.log(jnp.maximum(u, 1e-7)) / p1]
     if kind == DistKind.CUSTOM:
         table_ref, dx_ref = tables
         m = table_ref.shape[0] * LANES
@@ -180,8 +182,12 @@ def _sample_block(kind: DistKind, p1, p2, rng, counter, tables=None):
         pos = u * jnp.float32(m - 1)
         i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
         frac = pos - i0.astype(jnp.float32)
-        return _table_lookup(table_ref, dx_ref, i0, frac, BLOCK_ROWS)
+        return [_table_lookup(table_ref, dx_ref, i0, frac, BLOCK_ROWS)]
     raise ValueError(f"Pallas kernel does not support {kind}")
+
+
+def _acc_rows(kind: DistKind) -> int:
+    return BLOCK_ROWS // 2 if kind == DistKind.NORMAL else BLOCK_ROWS
 
 
 def build_integrate_fn_pallas(
@@ -227,14 +233,16 @@ def build_integrate_fn_pallas(
         p2 = params_ref[0, 1]
 
         def body(i, accs):
-            x = _sample_block(kind, p1, p2, rng, i, tables)
-            return tuple(
-                acc + f(x).astype(jnp.float32)
-                for acc, f in zip(accs, eval_fns)
-            )
+            for x in _sample_subblocks(kind, p1, p2, rng, i, tables):
+                accs = tuple(
+                    acc + f(x).astype(jnp.float32)
+                    for acc, f in zip(accs, eval_fns)
+                )
+            return accs
 
         init = tuple(
-            jnp.zeros((BLOCK_ROWS, LANES), jnp.float32) for _ in range(k)
+            jnp.zeros((_acc_rows(kind), LANES), jnp.float32)
+            for _ in range(k)
         )
         accs = jax.lax.fori_loop(0, loops, body, init)
 
