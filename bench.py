@@ -59,7 +59,7 @@ def main() -> None:
         # accumulators); measured faster than the XLA sweep on v5e.
         run = build_integrate_fn_pallas(traced, DistKind.NORMAL, plan)
     else:
-        run = build_integrate_fn(traced, DistKind.NORMAL, plan, has_tables=False)
+        run = build_integrate_fn(traced, DistKind.NORMAL, plan)
 
     dummy = jnp.zeros(1, jnp.float32)
     params = jnp.asarray([0.0, 1.0], jnp.float32)

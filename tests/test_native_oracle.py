@@ -135,3 +135,24 @@ class TestOracleVsDevice:
         got = oracle.mean_reduce(partials)
         want = partials.astype(np.float64).mean(axis=0)
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_mcmc_custom_proposal_uses_log_table(self, oracle):
+        """Independence-sampler q-correction must survive CUSTOM proposals
+        (regression: the oracle used to floor both q terms, silently
+        degrading to plain Metropolis)."""
+        # Triangular proposal on [-4, 4]: q strongly non-uniform, so a
+        # dropped q-correction visibly biases E[X^2] under N(0,1).
+        prop = Distribution.from_pdf(
+            lambda x: 4.0 - abs(x) if abs(x) < 4.0 else 0.0,
+            support=(-4.0, 4.0),
+        )
+        lx, lp = prop.get_log_pdf_table()
+        want, acc = oracle.mcmc_moments(
+            DistKind.CUSTOM, [0.0, 0.0], DistKind.NORMAL, [0.0, 1.0],
+            seed=3, n_chains=256, n_steps=1500, n_burnin=200, k=2,
+            prop_x_table=prop._x_table, prop_cdf_table=prop._cdf_table,
+            prop_lx=lx, prop_lp=lp,
+        )
+        assert abs(want[0]) < 0.1
+        assert abs(want[1] - 1.0) < 0.15
+        assert 0.0 < acc < 1.0

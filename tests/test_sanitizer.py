@@ -38,7 +38,7 @@ class TestNaNChecks:
             trace_function(f) for f in [lambda x: x, lambda x: x * x]
         )
         plan = make_integrate_plan(100_000, target_threads=1024)
-        run = build_integrate_fn(traced, kind, plan, has_tables=False)
+        run = build_integrate_fn(traced, kind, plan)
         err, out = _checked(run)(
             np.uint32(42), jnp.asarray(params, jnp.float32), _DUMMY, _DUMMY
         )

@@ -40,10 +40,8 @@ class TestShardedIntegrate:
         dummy = jnp.zeros(1, jnp.float32)
         params = jnp.asarray([0.0, 1.0], jnp.float32)
 
-        single = build_integrate_fn(traced, DistKind.NORMAL, plan, False)
-        sharded = build_integrate_fn(
-            traced, DistKind.NORMAL, plan, False, mesh=mesh8
-        )
+        single = build_integrate_fn(traced, DistKind.NORMAL, plan)
+        sharded = build_integrate_fn(traced, DistKind.NORMAL, plan, mesh=mesh8)
         v1 = np.asarray(single(np.uint32(42), params, dummy, dummy))
         v8 = np.asarray(sharded(np.uint32(42), params, dummy, dummy))
         np.testing.assert_allclose(v1, v8, rtol=1e-6)

@@ -57,16 +57,21 @@ class McmcState:
     reference lacks (SURVEY.md §5, chain state never left GPU registers
     there)."""
 
-    def __init__(self, x: np.ndarray, log_p: np.ndarray):
+    def __init__(self, x: np.ndarray, log_p: np.ndarray, segment: int = 0):
         self.x = np.asarray(x, np.float32)
         self.log_p = np.asarray(log_p, np.float32)
+        # Resume-segment counter, folded into the RNG key so continuation
+        # runs draw fresh streams even under the same seed.
+        self.segment = int(segment)
 
     @property
     def n_chains(self) -> int:
         return len(self.x)
 
     def __repr__(self):
-        return f"McmcState(n_chains={self.n_chains})"
+        return (
+            f"McmcState(n_chains={self.n_chains}, segment={self.segment})"
+        )
 
 
 class IntegrationResult:
@@ -200,16 +205,19 @@ class MonteCarloIntegrator:
         return tuple(traced)
 
     def _use_pallas(self, kind: DistKind) -> bool:
+        del kind  # per-kind routing happens at the call sites
         if self._backend == "xla":
             return False
         try:
             from .ops import integrate_pallas  # noqa: F401
         except Exception:
+            if self._backend == "pallas":
+                # An explicitly forced backend must not silently degrade.
+                raise
             return False
-        on_tpu = jax.default_backend() == "tpu"
         if self._backend == "pallas":
             return True
-        return on_tpu
+        return jax.default_backend() == "tpu"
 
     # ------------------------------------------------------------------
     # integrate
@@ -314,13 +322,7 @@ class MonteCarloIntegrator:
         )
         run = self._cache.get_or_build(
             key,
-            lambda: build_integrate_fn(
-                traced,
-                spec.kind,
-                plan,
-                has_tables=spec.x_table is not None,
-                mesh=mesh,
-            ),
+            lambda: build_integrate_fn(traced, spec.kind, plan, mesh=mesh),
         )
         return run, _device_args_of(distribution, spec)
 
@@ -568,11 +570,17 @@ class MonteCarloIntegrator:
             if use_init:
                 x0 = jnp.asarray(initial_state.x, jnp.float32)
                 logp0 = jnp.asarray(initial_state.log_p, jnp.float32)
+                segment = initial_state.segment + 1
             else:
                 x0 = jnp.zeros(total_chains, jnp.float32)
                 logp0 = jnp.zeros(total_chains, jnp.float32)
-            values, acc_rate, x_f, logp_f = run(*args, x0, logp0)
-            chain_state = McmcState(np.asarray(x_f), np.asarray(logp_f))
+                segment = 0
+            values, acc_rate, x_f, logp_f = run(
+                *args, x0, logp0, jnp.int32(segment)
+            )
+            chain_state = McmcState(
+                np.asarray(x_f), np.asarray(logp_f), segment=segment
+            )
         else:
             values, acc_rate = run(*args)
 
@@ -639,8 +647,13 @@ class MonteCarloIntegrator:
 
             # CUSTOM families need uniform log-pdf x-grids (host-built ones
             # are) and a lane-multiple inverse-CDF table for the in-kernel
-            # lookups; anything else routes to the XLA backend.
-            pallas_ok = mcmc_pallas_supports(prop_spec.kind, targ_spec.kind)
+            # lookups; the kernel also reserves one output lane for the
+            # accept count, capping K at 127.  Anything else routes to the
+            # XLA backend.
+            pallas_ok = (
+                mcmc_pallas_supports(prop_spec.kind, targ_spec.kind)
+                and len(traced) < 128
+            )
             if pallas_ok and targ_spec.kind == DistKind.CUSTOM:
                 lx, _ = target_distribution.get_log_pdf_table()
                 pallas_ok = is_uniform_grid(lx)

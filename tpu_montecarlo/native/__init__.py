@@ -76,6 +76,7 @@ class NativeOracle:
             ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             _F32P, _F32P, ctypes.c_int64,
             _F32P, _F32P, ctypes.c_int64,
+            _F32P, _F32P, ctypes.c_int64,
             ctypes.c_int32, _F64P,
         ]
         lib.mc_mcmc_moments.restype = ctypes.c_double
@@ -145,18 +146,22 @@ class NativeOracle:
         seed: int, n_chains: int, n_steps: int, n_burnin: int, k: int,
         prop_x_table=None, prop_cdf_table=None,
         targ_lx=None, targ_lp=None,
+        prop_lx=None, prop_lp=None,
     ) -> Tuple[np.ndarray, float]:
         out = np.empty(k, np.float64)
         pxt = self._tbl(prop_x_table)
         pct = self._tbl(prop_cdf_table)
         tlx = self._tbl(targ_lx)
         tlp = self._tbl(targ_lp)
+        plx = self._tbl(prop_lx)
+        plp = self._tbl(prop_lp)
         acc = self._lib.mc_mcmc_moments(
             prop_kind, np.asarray(prop_params, np.float32),
             targ_kind, np.asarray(targ_params, np.float32),
             seed, n_chains, n_steps, n_burnin,
             pxt, pct, len(pxt) if prop_x_table is not None else 0,
             tlx, tlp, len(tlx) if targ_lx is not None else 0,
+            plx, plp, len(plx) if prop_lx is not None else 0,
             k, out,
         )
         return out, float(acc)

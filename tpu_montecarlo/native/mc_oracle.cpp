@@ -212,7 +212,9 @@ double mc_mcmc_moments(int32_t prop_kind, const float* prop_params,
                        int64_t n_burnin, const float* prop_x_table,
                        const float* prop_cdf_table, int64_t prop_table_n,
                        const float* targ_lx, const float* targ_lp,
-                       int64_t targ_table_n, int32_t k, double* out) {
+                       int64_t targ_table_n, const float* prop_lx,
+                       const float* prop_lp, int64_t prop_log_table_n,
+                       int32_t k, double* out) {
   for (int32_t j = 0; j < k; ++j) out[j] = 0.0;
   double n_accept = 0.0;
 
@@ -227,7 +229,13 @@ double mc_mcmc_moments(int32_t prop_kind, const float* prop_params,
                  : log_pdf_closed(targ_kind, targ_params, v);
     };
     auto prop_logp = [&](float v) {
-      return log_pdf_closed(prop_kind, prop_params, v);
+      // CUSTOM proposals use their log table, like the device kernels —
+      // closed-form fallthrough would floor both q terms and silently
+      // drop the independence-sampler correction.
+      return prop_kind == kCustom
+                 ? table_interp(v, prop_lx, prop_lp, prop_log_table_n,
+                                kLogPdfFloor)
+                 : log_pdf_closed(prop_kind, prop_params, v);
     };
     float logp = targ_logp(x);
 

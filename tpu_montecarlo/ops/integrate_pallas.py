@@ -163,8 +163,13 @@ def _sample_subblocks(kind: DistKind, p1, p2, rng, counter, tables=None):
     (Box-Muller yields its cos/sin pair as two separate sub-blocks so no
     concatenate/copy is needed; integrands just run once per sub-block)."""
     if kind == DistKind.UNIFORM:
+        from ..sampling import next_below_f32
+
         u = _uniform_halfopen01(rng, (BLOCK_ROWS, LANES), counter, 0)
-        return [p1 + u * (p2 - p1)]
+        x = p1 + u * (p2 - p1)
+        # Clamp below max: f32 rounding may land on the half-open boundary
+        # (Mosaic bitcast is vector-only, so decrement the offending lanes).
+        return [jnp.where(x >= p2, next_below_f32(jnp.full_like(x, p2)), x)]
     if kind == DistKind.NORMAL:
         half = BLOCK_ROWS // 2
         u1 = _uniform_open01(rng, (half, LANES), counter, 0)
@@ -188,6 +193,20 @@ def _sample_subblocks(kind: DistKind, p1, p2, rng, counter, tables=None):
 
 def _acc_rows(kind: DistKind) -> int:
     return BLOCK_ROWS // 2 if kind == DistKind.NORMAL else BLOCK_ROWS
+
+
+def prep_inv_table(x_table):
+    """Inverse-CDF table + forward differences, tiled (SEGMENTS, 128) for
+    the segment lane-gather lookup (shared by the integrate and MCMC
+    kernels)."""
+    m = x_table.shape[0]
+    if m % LANES != 0:
+        raise ValueError(
+            f"inverse-CDF table size must be a multiple of {LANES}"
+        )
+    t = jnp.asarray(x_table, jnp.float32)
+    dx = jnp.concatenate([t[1:] - t[:-1], jnp.zeros(1, jnp.float32)])
+    return (t.reshape(m // LANES, LANES), dx.reshape(m // LANES, LANES))
 
 
 def build_integrate_fn_pallas(
@@ -287,17 +306,9 @@ def build_integrate_fn_pallas(
         return seed_arr, params_arr
 
     def _prep_tables(x_table):
-        """Inverse-CDF table + forward differences, tiled (SEGMENTS, 128)."""
         if not is_custom:
             return ()
-        m = x_table.shape[0]
-        if m % LANES != 0:
-            raise ValueError(
-                f"inverse-CDF table size must be a multiple of {LANES}"
-            )
-        t = jnp.asarray(x_table, jnp.float32)
-        dx = jnp.concatenate([t[1:] - t[:-1], jnp.zeros(1, jnp.float32)])
-        return (t.reshape(m // LANES, LANES), dx.reshape(m // LANES, LANES))
+        return prep_inv_table(x_table)
 
     if mesh is None:
 

@@ -42,7 +42,6 @@ def build_integrate_fn(
     eval_fns: Sequence[Callable],
     kind: DistKind,
     plan: IntegratePlan,
-    has_tables: bool,
     mesh: Optional[jax.sharding.Mesh] = None,
     axis_name: str = "mc",
 ):

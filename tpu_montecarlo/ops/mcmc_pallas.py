@@ -43,6 +43,7 @@ from .integrate_pallas import (
     _table_lookup,
     _uniform_halfopen01,
     _uniform_open01,
+    prep_inv_table,
 )
 
 __all__ = ["build_mcmc_fn_pallas", "mcmc_pallas_supports", "plan_mcmc_grid"]
@@ -76,8 +77,13 @@ def plan_mcmc_grid(total_chains: int):
 
 def _sample_chain_block(kind: DistKind, p1, p2, rows, rng, counter, inv=None):
     if kind == DistKind.UNIFORM:
+        from ..sampling import next_below_f32
+
         u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
-        return p1 + u * (p2 - p1)
+        x = p1 + u * (p2 - p1)
+        # Clamp below max: f32 rounding may land on the half-open boundary
+        # (Mosaic bitcast is vector-only, so decrement the offending lanes).
+        return jnp.where(x >= p2, next_below_f32(jnp.full_like(x, p2)), x)
     if kind == DistKind.NORMAL:
         u1 = _uniform_open01(rng, (rows, LANES), counter, 0)
         u2 = _uniform_halfopen01(rng, (rows, LANES), counter, 1)
@@ -142,15 +148,6 @@ def _pad_log_table(lx, lp):
     return vals.reshape(seg, LANES), dx.reshape(seg, LANES), grid
 
 
-def _prep_inv_table(inv):
-    m = inv.shape[0]
-    if m % LANES != 0:
-        raise ValueError(
-            f"inverse-CDF table size must be a multiple of {LANES}"
-        )
-    t = jnp.asarray(inv, jnp.float32)
-    dx = jnp.concatenate([t[1:] - t[:-1], jnp.zeros(1, jnp.float32)])
-    return t.reshape(m // LANES, LANES), dx.reshape(m // LANES, LANES)
 
 
 def build_mcmc_fn_pallas(
@@ -303,7 +300,7 @@ def build_mcmc_fn_pallas(
         (prop_inv, _unused_cdf, targ_lx, targ_lp, prop_lx, prop_lp) = tables
         prepped = []
         if prop_custom:
-            prepped += list(_prep_inv_table(prop_inv))
+            prepped += list(prep_inv_table(prop_inv))
         if targ_custom:
             prepped += list(
                 _pad_log_table(

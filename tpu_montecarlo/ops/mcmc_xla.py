@@ -46,11 +46,14 @@ def plan_chains(
     n_chains: int, target_threads: Optional[int], n_dev: int = 1
 ) -> int:
     """Total chain count: ``target_threads`` overrides ``n_chains`` when
-    given (reference quirk, src/engine.rs:860), rounded up to a multiple of
-    256 (and of the device count); ALL rounded-up chains run and enter the
-    final average (src/engine.rs:864-871)."""
+    given (reference quirk, src/engine.rs:860), rounded up to a common
+    multiple of 256 and the device count (a plain max() would break meshes
+    whose size doesn't divide 256, e.g. 3 devices); ALL rounded-up chains
+    run and enter the final average (src/engine.rs:864-871)."""
+    import math as _math
+
     chains = target_threads if target_threads is not None else n_chains
-    return round_up(max(int(chains), 1), max(256, n_dev))
+    return round_up(max(int(chains), 1), _math.lcm(256, max(int(n_dev), 1)))
 
 
 def build_mcmc_fn(
@@ -80,12 +83,14 @@ def build_mcmc_fn(
     Analytic families ignore their tables (dummy 1-element arrays).
 
     With ``with_state=True`` (a checkpoint/resume capability the stateless
-    one-shot reference lacks, SURVEY.md §5) the function takes two extra
-    trailing args ``(x0, logp0)`` of shape (total_chains,) and additionally
-    returns the final ``(x, logp)`` so chains can be extended across calls;
-    the initial state is consumed only when ``use_init_state=True``
-    (otherwise a fresh proposal draw initialises the chains and the args
-    are ignored — pass zeros).
+    one-shot reference lacks, SURVEY.md §5) the function takes three extra
+    trailing args ``(x0, logp0, segment)`` — chain state of shape
+    (total_chains,) plus an int32 segment counter folded into the RNG key so
+    resumed segments draw fresh streams — and additionally returns the final
+    ``(x, logp)`` so chains can be extended across calls; the initial state
+    is consumed only when ``use_init_state=True`` (otherwise a fresh
+    proposal draw initialises the chains and the state args are ignored —
+    pass zeros).
     """
     k = len(eval_fns)
     vfns = [jax.vmap(f) for f in eval_fns]
@@ -108,8 +113,15 @@ def build_mcmc_fn(
         device_idx,
         init_x=None,
         init_logp=None,
+        segment=None,
     ):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), device_idx)
+        if segment is not None:
+            # Resumed segments must draw FRESH streams: without this fold a
+            # same-seed continuation would replay the original segment's
+            # proposals/accepts exactly (the independence sampler then
+            # resynchronises onto the old trajectory).
+            key = jax.random.fold_in(key, segment)
         key_init = jax.random.fold_in(key, _STREAM_INIT)
         key_prop = jax.random.fold_in(key, _STREAM_PROPOSAL)
         key_acc = jax.random.fold_in(key, _STREAM_ACCEPT)
@@ -192,13 +204,14 @@ def build_mcmc_fn(
         if with_state:
 
             @jax.jit
-            def run(seed, prop_params, targ_params, *tables_and_state):
-                tables = tables_and_state[:-2]
-                x0, logp0 = tables_and_state[-2:]
+            def run(seed, prop_params, targ_params, *tables_state_segment):
+                tables = tables_state_segment[:-3]
+                x0, logp0, segment = tables_state_segment[-3:]
                 sums, n_accept, x_f, logp_f = _chain_sweep(
                     seed, prop_params, targ_params, *tables, jnp.int32(0),
                     init_x=x0 if use_init_state else None,
                     init_logp=logp0 if use_init_state else None,
+                    segment=segment,
                 )
                 return (
                     sums / denom_vals, n_accept / denom_acc, x_f, logp_f
@@ -221,12 +234,13 @@ def build_mcmc_fn(
     def sharded_body(seed, prop_params, targ_params, *tables_and_state):
         d = jax.lax.axis_index(axis_name)
         if with_state:
-            tables = tables_and_state[:-2]
-            x0, logp0 = tables_and_state[-2:]
+            tables = tables_and_state[:-3]
+            x0, logp0, segment = tables_and_state[-3:]
             sums, n_accept, x_f, logp_f = _chain_sweep(
                 seed, prop_params, targ_params, *tables, d,
                 init_x=x0 if use_init_state else None,
                 init_logp=logp0 if use_init_state else None,
+                segment=segment,
             )
         else:
             sums, n_accept, x_f, logp_f = _chain_sweep(
@@ -243,7 +257,7 @@ def build_mcmc_fn(
     in_specs = (replicated,) * n_table_args
     out_specs = (replicated, replicated)
     if with_state:
-        in_specs = in_specs + (sharded, sharded)
+        in_specs = in_specs + (sharded, sharded, replicated)
         out_specs = out_specs + (sharded, sharded)
 
     shard_mapped = jax.shard_map(

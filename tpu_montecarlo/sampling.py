@@ -102,6 +102,19 @@ def _build_spec(dist, DistributionType, compute_inverse_cdf_table) -> DistSpec:
     raise ValueError(f"Unknown distribution type: {t}")
 
 
+def next_below_f32(hi):
+    """Largest float32 strictly below ``hi`` (finite hi), via bit
+    arithmetic (portable to Pallas/Mosaic, unlike lax.nextafter)."""
+    h = jnp.asarray(hi, jnp.float32)
+    bits = jax.lax.bitcast_convert_type(h, jnp.int32)
+    dec = jnp.where(
+        h > 0,
+        bits - 1,
+        jnp.where(h < 0, bits + 1, jnp.int32(-2147483647)),  # -denorm_min
+    )
+    return jax.lax.bitcast_convert_type(dec, jnp.float32)
+
+
 def sample_block(
     key: jax.Array,
     shape: Tuple[int, ...],
@@ -122,7 +135,11 @@ def sample_block(
     """
     if kind == DistKind.UNIFORM:
         u = jax.random.uniform(key, shape, jnp.float32)
-        return params[0] + u * (params[1] - params[0])
+        x = params[0] + u * (params[1] - params[0])
+        # u < 1 guarantees x < max mathematically; float32 rounding can
+        # still land exactly on max, where the half-open pdf is zero (an
+        # IS weight would then divide by q=0) — clamp just below.
+        return jnp.minimum(x, next_below_f32(params[1]))
     if kind == DistKind.NORMAL:
         z = jax.random.normal(key, shape, jnp.float32)
         return params[0] + params[1] * z

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import ast
 import functools
+import hashlib
 import inspect
 import linecache
 import math
@@ -866,6 +867,32 @@ def function_fingerprint(func) -> Optional[tuple]:
                 captured.append((name, float(v)))
             elif isinstance(v, types.FunctionType):
                 captured.append((name, function_fingerprint(v)))
+            elif isinstance(v, types.ModuleType):
+                captured.append((name, ("mod", getattr(v, "__name__", ""))))
+            elif isinstance(v, np.ufunc) or isinstance(
+                v, types.BuiltinFunctionType
+            ):
+                captured.append(
+                    (name, ("ufunc", getattr(v, "__name__", str(v))))
+                )
+            elif isinstance(v, np.ndarray):
+                captured.append(
+                    (name, ("arr", v.shape, str(v.dtype),
+                            hashlib.sha1(np.ascontiguousarray(v)).hexdigest()))
+                )
+            elif isinstance(v, jax.Array):
+                host = np.asarray(v)
+                captured.append(
+                    (name, ("arr", host.shape, str(host.dtype),
+                            hashlib.sha1(np.ascontiguousarray(host)).hexdigest()))
+                )
+            else:
+                # A captured value the fingerprint can't represent (custom
+                # object, builtin callable, ...): content-addressing would
+                # collide two semantically different functions that share
+                # code (direct-trace tier accepts captures the interpreter
+                # tier rejects), so fall back to identity keying.
+                return None
         return ("pyfn", _code_fingerprint(code), tuple(captured))
     except Exception:
         return None

@@ -36,6 +36,21 @@ def _inverse_sqrt(x):
     return jax.lax.rsqrt(jnp.asarray(x, jnp.float32))
 
 
+def _trunc_mod(a, b):
+    """WGSL '%' semantics: remainder with the sign of the dividend."""
+    return jnp.fmod(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+
+
+def _wgsl_mod_call(left: ast.expr, right: ast.expr) -> ast.expr:
+    return _loc(
+        ast.Call(
+            func=_loc(ast.Name(id="__wgsl_mod__", ctx=ast.Load())),
+            args=[left, right],
+            keywords=[],
+        )
+    )
+
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
@@ -186,22 +201,18 @@ class _Parser:
             if op in ("+=", "-=", "*=", "/=", "%="):
                 value = self.parse_expr()
                 self.expect(";")
+                lhs = _loc(ast.Name(id=name, ctx=ast.Load()))
+                if op == "%=":
+                    return self._assign(name, _wgsl_mod_call(lhs, value))
                 binop = {
                     "+=": ast.Add,
                     "-=": ast.Sub,
                     "*=": ast.Mult,
                     "/=": ast.Div,
-                    "%=": ast.Mod,
                 }[op]
                 return self._assign(
                     name,
-                    _loc(
-                        ast.BinOp(
-                            left=_loc(ast.Name(id=name, ctx=ast.Load())),
-                            op=binop(),
-                            right=value,
-                        )
-                    ),
+                    _loc(ast.BinOp(left=lhs, op=binop(), right=value)),
                 )
             raise WgslError(f"Unexpected token after identifier: {op!r}")
 
@@ -298,8 +309,14 @@ class _Parser:
         while self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
             right = self.parse_unary()
-            node_op = {"*": ast.Mult, "/": ast.Div, "%": ast.Mod}[op]()
-            left = _loc(ast.BinOp(left=left, op=node_op, right=right))
+            if op == "%":
+                # WGSL '%' is trunc-mod (sign of the dividend), not
+                # Python's floor-mod — route through the helper so WGSL
+                # strings with negative operands keep reference semantics.
+                left = _wgsl_mod_call(left, right)
+            else:
+                node_op = {"*": ast.Mult, "/": ast.Div}[op]()
+                left = _loc(ast.BinOp(left=left, op=node_op, right=right))
         return left
 
     def parse_unary(self) -> ast.expr:
@@ -390,6 +407,7 @@ def trace_wgsl_function(code: str) -> Callable:
             # shared FUNC_MAP; user-defined functions shadow them.
             namespace = dict(_FUNC_MAP)
             namespace["inverseSqrt"] = _inverse_sqrt
+            namespace["__wgsl_mod__"] = _trunc_mod
             namespace.update(registry)
             interp = _Interpreter(captured=namespace)
             return interp.run(fdef, args)
