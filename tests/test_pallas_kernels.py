@@ -246,3 +246,59 @@ class TestInterpretedMCMC:
         )
         assert abs(float(np.asarray(vals)[0]) - 1.0) < 0.25
         assert 0.0 < float(acc) <= 1.0
+
+
+class TestInterpretedISWeights:
+    """In-kernel table-PDF importance sampling (backend='pallas' routes
+    through the interpreter off-TPU)."""
+
+    @staticmethod
+    def _untraceable_pdf(x):
+        return 0.5 if int(abs(x)) < 1 else 0.0
+
+    def test_table_target_weight(self):
+        from tpu_montecarlo import Distribution, MonteCarloIntegrator
+
+        integ = MonteCarloIntegrator(backend="pallas")
+        target = Distribution.from_pdf(
+            self._untraceable_pdf, support=(-1.0, 1.0)
+        )
+        proposal = Distribution.uniform(-1.0, 1.0)
+        r = integ.integrate_importance_sampling(
+            [lambda x: x * x], target, proposal, n_samples=400_000
+        )
+        assert abs(r.values[0] - 1.0 / 3.0) < 0.02
+
+    def test_both_table_weights(self):
+        from tpu_montecarlo import Distribution, MonteCarloIntegrator
+
+        integ = MonteCarloIntegrator(backend="pallas")
+        target = Distribution.from_pdf(
+            self._untraceable_pdf, support=(-1.0, 1.0)
+        )
+        proposal = Distribution.from_pdf(
+            self._untraceable_pdf, support=(-1.0, 1.0)
+        )
+        r = integ.integrate_importance_sampling(
+            [lambda x: x * x], target, proposal, n_samples=400_000
+        )
+        assert abs(r.values[0] - 1.0 / 3.0) < 0.02
+
+    def test_matches_xla_fallback_statistically(self):
+        from tpu_montecarlo import Distribution, MonteCarloIntegrator
+
+        target = Distribution.from_pdf(
+            self._untraceable_pdf, support=(-1.0, 1.0)
+        )
+        proposal = Distribution.normal(0.0, 1.0)
+        r_pallas = MonteCarloIntegrator(
+            backend="pallas"
+        ).integrate_importance_sampling(
+            [lambda x: x * x], target, proposal, n_samples=400_000
+        )
+        r_xla = MonteCarloIntegrator(
+            backend="xla"
+        ).integrate_importance_sampling(
+            [lambda x: x * x], target, proposal, n_samples=400_000
+        )
+        assert abs(r_pallas.values[0] - r_xla.values[0]) < 0.02

@@ -345,12 +345,10 @@ class MonteCarloIntegrator:
         that fail tracing fall back to interpolated table lookups with the
         0-outside-support convention (reference distribution.rs:186-190).
         """
-        weighted_fns = self._weighted_fns(
-            functions, target_distribution, proposal_distribution
+        prog = self._get_is_program(
+            functions, target_distribution, proposal_distribution, n_samples
         )
-        values = self._run_integrate(
-            weighted_fns, proposal_distribution, n_samples, seed
-        )
+        values = prog(seed)
         return IntegrationResult(
             values=values, n_samples=n_samples, n_functions=len(functions)
         )
@@ -363,6 +361,129 @@ class MonteCarloIntegrator:
         n_samples: int = 1_000_000,
     ) -> Callable:
         """Ahead-of-time IS handle: ``prog(seed) -> jax.Array (K,)``."""
+        return self._get_is_program(
+            functions, target_distribution, proposal_distribution, n_samples
+        )
+
+    def _get_is_program(
+        self, functions, target_distribution, proposal_distribution, n_samples
+    ) -> Callable:
+        """IS program: ``prog(seed) -> (K,) jax.Array``.
+
+        Both PDFs traceable -> closed-form weight folded into each integrand
+        (the weighted closures lower into the Pallas kernel as-is).  Any
+        table PDF -> in-kernel uniform-grid table weights on TPU when
+        eligible, else the XLA sweep with interpolating closures.
+        """
+        if len(functions) == 0:
+            raise ValueError("At least one function is required")
+        traced = self._trace_user_functions(functions)
+        p_mode = self._pdf_mode(target_distribution)
+        q_mode = self._pdf_mode(proposal_distribution)
+
+        if p_mode[0] == "traced" and q_mode[0] == "traced":
+            weighted_fns = self._weighted_fns(
+                functions, target_distribution, proposal_distribution
+            )
+            run, dev_args = self._get_integrate_program(
+                weighted_fns, proposal_distribution, n_samples
+            )
+
+            def prog(seed) -> jax.Array:
+                return run(np.uint32(seed), *dev_args)
+
+            return prog
+
+        spec = dist_spec_of(proposal_distribution)
+        mesh = self._mesh
+        n_dev = 1 if mesh is None else mesh.size
+
+        pallas_ok = False
+        if self._use_pallas(spec.kind):
+            from .ops.integrate_pallas import (
+                build_integrate_fn_pallas,
+                pallas_supports,
+            )
+
+            pallas_ok = (
+                pallas_supports(spec.kind)
+                and len(traced) <= 128
+                and not any(
+                    getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
+                )
+                and (
+                    spec.kind != DistKind.CUSTOM
+                    or (
+                        spec.x_table is not None
+                        and spec.x_table.shape[0] % 128 == 0
+                    )
+                )
+            )
+            # Table PDFs need uniform x-grids for in-kernel lookup.
+            for mode in (p_mode, q_mode):
+                if pallas_ok and mode[0] == "table":
+                    pallas_ok = is_uniform_grid(mode[1])
+
+        if pallas_ok:
+            interpret = jax.default_backend() != "tpu"
+            plan = make_integrate_plan(
+                n_samples, self._target_threads, n_dev=n_dev
+            )
+
+            def mode_arg(mode):
+                return "table" if mode[0] == "table" else mode[1]
+
+            def mode_key(mode, dist):
+                if mode[0] == "table":
+                    return (
+                        "pdf_table",
+                        hashlib.sha1(
+                            np.ascontiguousarray(mode[1])
+                        ).hexdigest(),
+                        hashlib.sha1(
+                            np.ascontiguousarray(mode[2])
+                        ).hexdigest(),
+                    )
+                return _fn_key(mode[1])
+
+            key = (
+                "is_pallas",
+                _fns_key(traced),
+                spec.kind,
+                plan,
+                _table_shapes(spec),
+                mode_key(p_mode, target_distribution),
+                mode_key(q_mode, proposal_distribution),
+                _mesh_key(mesh),
+                interpret,
+            )
+            run = self._cache.get_or_build(
+                key,
+                lambda: build_integrate_fn_pallas(
+                    traced,
+                    spec.kind,
+                    plan,
+                    mesh=mesh,
+                    interpret=interpret,
+                    is_weight=(mode_arg(p_mode), mode_arg(q_mode)),
+                ),
+            )
+            dev_args = list(_device_args_of(proposal_distribution, spec))
+            if p_mode[0] == "table":
+                dev_args += list(
+                    _device_pdf_tables_of(target_distribution)
+                )
+            if q_mode[0] == "table":
+                dev_args += list(
+                    _device_pdf_tables_of(proposal_distribution)
+                )
+            static_args = tuple(dev_args)
+
+            def prog(seed) -> jax.Array:
+                return run(np.uint32(seed), *static_args)
+
+            return prog
+
         weighted_fns = self._weighted_fns(
             functions, target_distribution, proposal_distribution
         )
@@ -374,6 +495,17 @@ class MonteCarloIntegrator:
             return run(np.uint32(seed), *dev_args)
 
         return prog
+
+    def _pdf_mode(self, dist: Distribution):
+        """("traced", fn) when the PDF traces, else ("table", x, pdf) —
+        the traceability probe driving the closed-form vs table routing
+        (reference __init__.py:826-838)."""
+        try:
+            return ("traced", trace_function(dist._pdf_func))
+        except (TraceError, TypeError):
+            pass
+        x_table, pdf_table = dist.get_or_compute_pdf_table()
+        return ("table", x_table, pdf_table)
 
     def _weighted_fns(
         self, functions, target_distribution, proposal_distribution
@@ -822,6 +954,16 @@ def _device_log_tables_of(distribution):
         lx, lp = distribution.get_log_pdf_table()
         cached = (jnp.asarray(lx, jnp.float32), jnp.asarray(lp, jnp.float32))
         distribution._device_log_tables = cached
+    return cached
+
+
+def _device_pdf_tables_of(distribution):
+    """Per-Distribution cache of the device-resident pdf tables."""
+    cached = getattr(distribution, "_device_pdf_tables", None)
+    if cached is None:
+        xt, pt = distribution.get_or_compute_pdf_table()
+        cached = (jnp.asarray(xt, jnp.float32), jnp.asarray(pt, jnp.float32))
+        distribution._device_pdf_tables = cached
     return cached
 
 

@@ -209,6 +209,44 @@ def prep_inv_table(x_table):
     return (t.reshape(m // LANES, LANES), dx.reshape(m // LANES, LANES))
 
 
+def pad_uniform_table(xs, values, fill):
+    """Tile a uniform-x-grid value table for in-kernel lookup: pad values
+    to a lane multiple with ``fill`` (the padding extends the grid past
+    x_max, which the in-kernel inside-gate already excludes) and return
+    (values (S,128), dx (S,128), grid scalars (1,4) = [x0, step, x_max, 0])."""
+    n = values.shape[0]
+    x0 = xs[0]
+    x_max = xs[n - 1]
+    step = (x_max - x0) / jnp.float32(n - 1)
+    pad = (-n) % LANES
+    vals = (
+        jnp.concatenate([values, jnp.full((pad,), fill, jnp.float32)])
+        if pad
+        else values
+    )
+    dx = jnp.concatenate([vals[1:] - vals[:-1], jnp.zeros(1, jnp.float32)])
+    grid = jnp.stack([x0, step, x_max, jnp.float32(0.0)]).reshape(1, 4)
+    seg = (n + pad) // LANES
+    return vals.reshape(seg, LANES), dx.reshape(seg, LANES), grid
+
+
+def uniform_table_value(x, tab, rows, outside):
+    """Interpolated lookup of ``x`` against a pad_uniform_table() trio;
+    ``outside`` outside [x0, x_max] (0.0 for PDFs, -100 for log-PDFs —
+    reference conventions, src/distribution.rs:173-281, 367-475)."""
+    v_ref, dx_ref, grid_ref = tab
+    x0 = grid_ref[0, 0]
+    step = grid_ref[0, 1]
+    x_max = grid_ref[0, 2]
+    n_pad = v_ref.shape[0] * LANES
+    pos = (x - x0) / step
+    i0 = jnp.clip(pos.astype(jnp.int32), 0, n_pad - 2)
+    frac = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
+    val = _table_lookup(v_ref, dx_ref, i0, frac, rows)
+    inside = jnp.logical_and(x >= x0, x <= x_max)
+    return jnp.where(inside, val, outside)
+
+
 def build_integrate_fn_pallas(
     eval_fns: Sequence[Callable],
     kind: DistKind,
@@ -216,18 +254,31 @@ def build_integrate_fn_pallas(
     mesh: Optional[jax.sharding.Mesh] = None,
     axis_name: str = "mc",
     interpret: bool = False,
+    is_weight=None,
 ):
-    """Build a jitted ``(seed, params, x_table, cdf_table) -> (K,) float32``
-    program running the fused Pallas kernel.  Table args are accepted for
-    signature parity with the XLA backend but unused (analytic families
-    only).  With a mesh, programs split across devices and partials combine
-    with psum over ICI."""
+    """Build a jitted ``(seed, params, x_table, cdf_table[, p_x, p_pdf]
+    [, q_x, q_pdf]) -> (K,) float32`` program running the fused Pallas
+    kernel.  The cdf_table arg is accepted for signature parity with the
+    XLA backend but unused.  With a mesh, programs split across devices and
+    partials combine with psum over ICI.
+
+    ``is_weight``: optional importance-sampling weight descriptor
+    ``(p_mode, q_mode)`` with each mode either a traced scalar pdf callable
+    or the string ``"table"`` — table modes append (x_grid, pdf_values)
+    runtime args (uniform x-grids required) and evaluate p(x)/q(x) in-kernel
+    via the segment lane-gather lookup, with the 0-outside-support
+    convention (reference src/distribution.rs:173-281).  The weight
+    multiplies every integrand, so all K functions see identical weights on
+    shared samples (reference __init__.py:893-905)."""
     k = len(eval_fns)
     if k > LANES:
         raise ValueError(f"at most {LANES} fused functions supported")
     if not pallas_supports(kind):
         raise ValueError(f"Pallas backend does not support {kind}")
     is_custom = kind == DistKind.CUSTOM
+    p_mode, q_mode = is_weight if is_weight is not None else (None, None)
+    p_table = p_mode == "table"
+    q_table = q_mode == "table"
 
     n_dev = 1 if mesh is None else mesh.size
     programs, loops, actual = plan_pallas_grid(plan.actual_samples)
@@ -239,24 +290,45 @@ def build_integrate_fn_pallas(
     rng_factory = CounterRng if interpret else HardwareRng
 
     def kernel(seed_ref, params_ref, pid_base_ref, *rest):
-        if is_custom:
-            table_ref, dx_ref, out_ref = rest
-            tables = (table_ref, dx_ref)
-        else:
-            (out_ref,) = rest
-            tables = None
+        rest = list(rest)
+        tables = (rest.pop(0), rest.pop(0)) if is_custom else None
+        p_tab = (
+            (rest.pop(0), rest.pop(0), rest.pop(0)) if p_table else None
+        )
+        q_tab = (
+            (rest.pop(0), rest.pop(0), rest.pop(0)) if q_table else None
+        )
+        (out_ref,) = rest
         pid = pl.program_id(0)
         rng = rng_factory()
         rng.seed(seed_ref[0, 0], pid_base_ref[0, 0] + pid)
         p1 = params_ref[0, 0]
         p2 = params_ref[0, 1]
+        rows = _acc_rows(kind)
+
+        def weight(x):
+            if is_weight is None:
+                return None
+            p_val = (
+                uniform_table_value(x, p_tab, rows, 0.0)
+                if p_table
+                else p_mode(x).astype(jnp.float32)
+            )
+            q_val = (
+                uniform_table_value(x, q_tab, rows, 0.0)
+                if q_table
+                else q_mode(x).astype(jnp.float32)
+            )
+            return p_val / q_val
 
         def body(i, accs):
             for x in _sample_subblocks(kind, p1, p2, rng, i, tables):
-                accs = tuple(
-                    acc + f(x).astype(jnp.float32)
-                    for acc, f in zip(accs, eval_fns)
-                )
+                w = weight(x)
+                for j, f in enumerate(eval_fns):
+                    v = f(x).astype(jnp.float32)
+                    if w is not None:
+                        v = v * w
+                    accs = accs[:j] + (accs[j] + v,) + accs[j + 1 :]
             return accs
 
         init = tuple(
@@ -277,12 +349,18 @@ def build_integrate_fn_pallas(
     smem_params = pl.BlockSpec(
         (1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
     )
+    smem_grid = pl.BlockSpec(
+        (1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def pallas_sweep(seed, params, pid_base, *tables):
         in_specs = [smem_scalar, smem_params, smem_scalar]
-        in_specs += [
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tables
-        ]
+        if is_custom:
+            in_specs += [vmem, vmem]
+        for flag in (p_table, q_table):
+            if flag:
+                in_specs += [vmem, vmem, smem_grid]
         out = pl.pallas_call(
             kernel,
             grid=(local_programs,),
@@ -305,19 +383,27 @@ def build_integrate_fn_pallas(
         params_arr = jnp.asarray(params, jnp.float32).reshape(1, 2)
         return seed_arr, params_arr
 
-    def _prep_tables(x_table):
-        if not is_custom:
-            return ()
-        return prep_inv_table(x_table)
+    def _prep_tables(x_table, weight_tables):
+        prepped = []
+        if is_custom:
+            prepped += list(prep_inv_table(x_table))
+        wt = list(weight_tables)
+        for flag in (p_table, q_table):
+            if flag:
+                xs = jnp.asarray(wt.pop(0), jnp.float32)
+                vals = jnp.asarray(wt.pop(0), jnp.float32)
+                prepped += list(pad_uniform_table(xs, vals, 0.0))
+        return tuple(prepped)
 
     if mesh is None:
 
         @jax.jit
-        def run(seed, params, x_table, cdf_table):
+        def run(seed, params, x_table, cdf_table, *weight_tables):
             seed_arr, params_arr = _prep(seed, params)
             base = jnp.zeros((1, 1), jnp.int32)
             sums = pallas_sweep(
-                seed_arr, params_arr, base, *_prep_tables(x_table)
+                seed_arr, params_arr, base,
+                *_prep_tables(x_table, weight_tables),
             )
             return sums / jnp.float32(actual)
 
@@ -331,7 +417,7 @@ def build_integrate_fn_pallas(
         sums = pallas_sweep(seed_arr, params_arr, base, *tables)
         return jax.lax.psum(sums, axis_name) / jnp.float32(actual)
 
-    n_extra = 2 if is_custom else 0
+    n_extra = (2 if is_custom else 0) + 3 * (int(p_table) + int(q_table))
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
@@ -341,8 +427,10 @@ def build_integrate_fn_pallas(
     )
 
     @jax.jit
-    def run(seed, params, x_table, cdf_table):
+    def run(seed, params, x_table, cdf_table, *weight_tables):
         seed_arr, params_arr = _prep(seed, params)
-        return shard_mapped(seed_arr, params_arr, *_prep_tables(x_table))
+        return shard_mapped(
+            seed_arr, params_arr, *_prep_tables(x_table, weight_tables)
+        )
 
     return run

@@ -43,7 +43,9 @@ from .integrate_pallas import (
     _table_lookup,
     _uniform_halfopen01,
     _uniform_open01,
+    pad_uniform_table,
     prep_inv_table,
+    uniform_table_value,
 )
 
 __all__ = ["build_mcmc_fn_pallas", "mcmc_pallas_supports", "plan_mcmc_grid"]
@@ -116,36 +118,12 @@ def _log_pdf(kind: DistKind, p1, p2, x, rows, log_tab=None):
     if kind == DistKind.EXPONENTIAL:
         return jnp.where(x >= 0.0, jnp.log(p1) - p1 * x, LOG_PDF_FLOOR)
     if kind == DistKind.CUSTOM:
-        v_ref, dx_ref, grid_ref = log_tab
-        x0 = grid_ref[0, 0]
-        step = grid_ref[0, 1]
-        x_max = grid_ref[0, 2]
-        n_pad = v_ref.shape[0] * LANES
-        pos = (x - x0) / step
-        i0 = jnp.clip(pos.astype(jnp.int32), 0, n_pad - 2)
-        frac = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
-        val = _table_lookup(v_ref, dx_ref, i0, frac, rows)
-        inside = jnp.logical_and(x >= x0, x <= x_max)
-        return jnp.where(inside, val, LOG_PDF_FLOOR)
+        return uniform_table_value(x, log_tab, rows, LOG_PDF_FLOOR)
     raise ValueError(f"Pallas MCMC does not support {kind}")
 
 
 def _pad_log_table(lx, lp):
-    """Pad a uniform-grid log table to a lane multiple (floor padding
-    extends the grid; the x_max gate keeps semantics identical) and return
-    (values (S,128), dx (S,128), grid scalars (1,4))."""
-    n = lp.shape[0]
-    x0 = lx[0]
-    x_max = lx[n - 1]
-    step = (x_max - x0) / jnp.float32(n - 1)
-    pad = (-n) % LANES
-    vals = jnp.concatenate(
-        [lp, jnp.full((pad,), LOG_PDF_FLOOR, jnp.float32)]
-    ) if pad else lp
-    dx = jnp.concatenate([vals[1:] - vals[:-1], jnp.zeros(1, jnp.float32)])
-    grid = jnp.stack([x0, step, x_max, jnp.float32(0.0)]).reshape(1, 4)
-    seg = (n + pad) // LANES
-    return vals.reshape(seg, LANES), dx.reshape(seg, LANES), grid
+    return pad_uniform_table(lx, lp, LOG_PDF_FLOOR)
 
 
 
