@@ -137,3 +137,48 @@ class TestGraftEntry:
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 devices")
         dryrun_multichip(8)
+
+
+class TestShardedPallas:
+    def test_sharded_pallas_integrate_interpret(self, mesh8):
+        """The Pallas kernel's mesh branch (psum over the mesh axis) runs
+        in interpreter mode on the virtual CPU mesh."""
+        from tpu_montecarlo.ops.integrate_pallas import (
+            build_integrate_fn_pallas,
+        )
+
+        traced = _fns()
+        plan = make_integrate_plan(600_000, n_dev=8)
+        run = build_integrate_fn_pallas(
+            traced, DistKind.NORMAL, plan, mesh=mesh8, interpret=True
+        )
+        dummy = jnp.zeros(1, jnp.float32)
+        vals = np.asarray(
+            run(np.uint32(42), jnp.asarray([0.0, 1.0], jnp.float32),
+                dummy, dummy)
+        )
+        assert abs(vals[0]) < 0.05
+        assert abs(vals[1] - 1.0) < 0.05
+
+    def test_sharded_pallas_mcmc_interpret(self, mesh8):
+        from tpu_montecarlo.ops.mcmc_pallas import build_mcmc_fn_pallas
+
+        run = build_mcmc_fn_pallas(
+            _fns(),
+            proposal_kind=DistKind.NORMAL,
+            target_kind=DistKind.NORMAL,
+            n_steps=100,
+            n_burnin=20,
+            total_chains=8 * 1024,
+            mesh=mesh8,
+            interpret=True,
+        )
+        dummy = jnp.zeros(1, jnp.float32)
+        vals, acc = run(
+            np.uint32(42),
+            jnp.asarray([0.0, 2.0], jnp.float32),
+            jnp.asarray([0.0, 1.0], jnp.float32),
+            *([dummy] * 6),
+        )
+        assert abs(float(np.asarray(vals)[1]) - 1.0) < 0.3
+        assert 0.0 < float(acc) <= 1.0
