@@ -132,3 +132,63 @@ class TestForcedBackendErrors:
     def test_unknown_backend_still_rejected(self):
         with pytest.raises(ValueError):
             MonteCarloIntegrator(backend="wgsl")
+
+
+class TestZeroDensitySpans:
+    """Distributions whose pdf is exactly zero on interior spans must
+    sample through the exact inverse CDF: the fast uniform-u table would
+    interpolate across the CDF jump and emit impossible samples
+    (absorbing-state MCMC bias / inf IS weights)."""
+
+    @staticmethod
+    def _gapped():
+        x = np.linspace(0.0, 1.0, 2048)
+        p = np.where((x > 0.4) & (x < 0.6), 0.0, 1.0)
+        return Distribution.from_pdf_table(x, p)
+
+    def test_detected_as_exact_inverse(self):
+        from tpu_montecarlo.sampling import dist_spec_of
+
+        spec = dist_spec_of(self._gapped())
+        assert spec.exact_inverse
+
+    def test_smooth_beta_keeps_fast_path(self):
+        from tpu_montecarlo.sampling import dist_spec_of
+
+        spec = dist_spec_of(Distribution.beta(2.0, 5.0))
+        assert not spec.exact_inverse
+
+    def test_sampler_avoids_gap(self):
+        import jax
+        import jax.numpy as jnp
+        from tpu_montecarlo.sampling import DistKind, dist_spec_of, sample_block
+
+        spec = dist_spec_of(self._gapped())
+        x = np.asarray(
+            sample_block(
+                jax.random.PRNGKey(0), (200_000,), DistKind.CUSTOM,
+                jnp.asarray(spec.params), jnp.asarray(spec.x_table),
+                jnp.asarray(spec.cdf_table), exact_inverse=True,
+            )
+        )
+        in_gap = np.sum((x > 0.41) & (x < 0.59))
+        assert in_gap == 0
+
+    def test_is_estimate_finite(self, integrator):
+        proposal = self._gapped()
+        target = Distribution.uniform(0.0, 1.0)
+        r = integrator.integrate_importance_sampling(
+            [lambda x: x], target, proposal, n_samples=200_000
+        )
+        assert np.isfinite(r.values[0])
+        assert abs(r.values[0] - 0.5) < 0.02
+
+    def test_mcmc_not_absorbed_in_gap(self, integrator):
+        proposal = self._gapped()
+        target = Distribution.uniform(0.0, 1.0)
+        r = integrator.integrate_mcmc(
+            [lambda x: x], target, proposal,
+            n_steps=3000, n_chains=256, n_burnin=200,
+        )
+        # With absorbing gap states this read ~0.63.
+        assert abs(r.values[0] - 0.5) < 0.03

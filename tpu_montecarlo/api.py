@@ -20,6 +20,7 @@ traced functions and workload plan, so repeat calls skip compilation.
 from __future__ import annotations
 
 import hashlib
+import warnings
 from collections import OrderedDict
 from typing import Callable, List, Optional, Union
 
@@ -28,10 +29,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .distributions import Distribution, DistributionType
+from .distributions import Distribution
 from .ops.integrate_xla import build_integrate_fn
 from .ops.mcmc_xla import build_mcmc_fn, plan_chains
-from .sampling import DistKind, dist_spec_of, log_pdf_from_table, pdf_from_table
+from .sampling import DistKind, dist_spec_of, pdf_from_table
 from .tables import is_uniform_grid
 from .tracing import TraceError, trace_function
 from .utils.dispatch import make_integrate_plan
@@ -219,6 +220,39 @@ class MonteCarloIntegrator:
             return True
         return jax.default_backend() == "tpu"
 
+    def _pallas_eligible(self, spec, traced) -> bool:
+        """Shared Pallas-kernel eligibility gate for the sampling side:
+        kernel-supported family, lane-multiple inverse table (and no
+        exact-inverse requirement — in-kernel searchsorted is not a thing),
+        <=128 fused integrands none of which carry table-lookup closures.
+        Warns when a forced backend='pallas' has to fall back."""
+        from .ops.integrate_pallas import pallas_supports
+
+        ok = (
+            pallas_supports(spec.kind)
+            and len(traced) <= 128
+            and not any(
+                getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
+            )
+            and (
+                spec.kind != DistKind.CUSTOM
+                or (
+                    not spec.exact_inverse
+                    and spec.x_table is not None
+                    and spec.x_table.shape[0] % 128 == 0
+                )
+            )
+        )
+        if not ok and self._backend == "pallas":
+            warnings.warn(
+                "backend='pallas' requested but this workload is not "
+                "Pallas-eligible (table-lookup closure, K>128, or a "
+                "zero-density custom distribution needing the exact "
+                "inverse); running the XLA backend instead",
+                stacklevel=3,
+            )
+        return ok
+
     # ------------------------------------------------------------------
     # integrate
     # ------------------------------------------------------------------
@@ -276,17 +310,7 @@ class MonteCarloIntegrator:
                 pallas_supports,
             )
 
-            custom_ok = spec.kind != DistKind.CUSTOM or (
-                spec.x_table is not None
-                and spec.x_table.shape[0] % 128 == 0
-            )
-            # The Pallas kernel packs per-program partials into one
-            # 128-lane row; larger K — and integrands carrying table-lookup
-            # closures — fall back to the XLA sweep.
-            pallas_fns_ok = len(traced) <= 128 and not any(
-                getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
-            )
-            if pallas_supports(spec.kind) and custom_ok and pallas_fns_ok:
+            if self._pallas_eligible(spec, traced):
                 # Off-TPU a forced pallas backend runs in the interpreter
                 # (kernel-logic validation; the compiled path needs Mosaic).
                 interpret = jax.default_backend() != "tpu"
@@ -322,7 +346,10 @@ class MonteCarloIntegrator:
         )
         run = self._cache.get_or_build(
             key,
-            lambda: build_integrate_fn(traced, spec.kind, plan, mesh=mesh),
+            lambda: build_integrate_fn(
+                traced, spec.kind, plan, mesh=mesh,
+                exact_inverse=spec.exact_inverse,
+            ),
         )
         return run, _device_args_of(distribution, spec)
 
@@ -382,9 +409,7 @@ class MonteCarloIntegrator:
         q_mode = self._pdf_mode(proposal_distribution)
 
         if p_mode[0] == "traced" and q_mode[0] == "traced":
-            weighted_fns = self._weighted_fns(
-                functions, target_distribution, proposal_distribution
-            )
+            weighted_fns = self._weighted_fns(traced, p_mode[1], q_mode[1])
             run, dev_args = self._get_integrate_program(
                 weighted_fns, proposal_distribution, n_samples
             )
@@ -400,25 +425,9 @@ class MonteCarloIntegrator:
 
         pallas_ok = False
         if self._use_pallas(spec.kind):
-            from .ops.integrate_pallas import (
-                build_integrate_fn_pallas,
-                pallas_supports,
-            )
+            from .ops.integrate_pallas import build_integrate_fn_pallas
 
-            pallas_ok = (
-                pallas_supports(spec.kind)
-                and len(traced) <= 128
-                and not any(
-                    getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
-                )
-                and (
-                    spec.kind != DistKind.CUSTOM
-                    or (
-                        spec.x_table is not None
-                        and spec.x_table.shape[0] % 128 == 0
-                    )
-                )
-            )
+            pallas_ok = self._pallas_eligible(spec, traced)
             # Table PDFs need uniform x-grids for in-kernel lookup.
             for mode in (p_mode, q_mode):
                 if pallas_ok and mode[0] == "table":
@@ -485,7 +494,9 @@ class MonteCarloIntegrator:
             return prog
 
         weighted_fns = self._weighted_fns(
-            functions, target_distribution, proposal_distribution
+            traced,
+            self._mode_evaluator(p_mode),
+            self._mode_evaluator(q_mode),
         )
         run, dev_args = self._get_integrate_program(
             weighted_fns, proposal_distribution, n_samples
@@ -507,20 +518,42 @@ class MonteCarloIntegrator:
         x_table, pdf_table = dist.get_or_compute_pdf_table()
         return ("table", x_table, pdf_table)
 
-    def _weighted_fns(
-        self, functions, target_distribution, proposal_distribution
-    ) -> tuple:
-        if len(functions) == 0:
-            raise ValueError("At least one function is required")
+    @staticmethod
+    def _mode_evaluator(mode) -> Callable:
+        """Scalar pdf evaluator for a _pdf_mode result: the traced callable,
+        or an interpolating closure over the tables (0 outside support,
+        reference distribution.rs:186-190)."""
+        if mode[0] == "traced":
+            return mode[1]
+        x_table, pdf_table = mode[1], mode[2]
+        xt = jnp.asarray(x_table)
+        pt = jnp.asarray(pdf_table)
+        uniform = is_uniform_grid(x_table)
 
-        p_eval = self._pdf_evaluator(target_distribution)
-        q_eval = self._pdf_evaluator(proposal_distribution)
+        def table_pdf(x):
+            return pdf_from_table(x, xt, pt, uniform=uniform)
 
-        traced = self._trace_user_functions(functions)
+        # Table lookups need gathers the Pallas integrate kernel does not
+        # lower; integrands carrying this closure stay on the XLA sweep.
+        table_pdf.__tpu_mc_no_pallas__ = True
+        table_pdf.__tpu_mc_traced__ = True
+        table_pdf.__tpu_mc_key__ = (
+            "pdf_table",
+            hashlib.sha1(np.ascontiguousarray(x_table)).hexdigest(),
+            hashlib.sha1(np.ascontiguousarray(pdf_table)).hexdigest(),
+        )
+        return table_pdf
 
+    def _weighted_fns(self, traced, p_eval, q_eval) -> tuple:
         def weighted(f):
             def wf(x):
-                return f(x) * p_eval(x) / q_eval(x)
+                # Guard q(x) > 0: rounding can put a sample exactly on a
+                # point of zero proposal density (table edge), and one
+                # inf/NaN weight would poison the whole mean.  Such points
+                # carry zero probability mass, so weight 0 is exact.
+                q = q_eval(x)
+                safe_q = jnp.where(q > 0, q, 1.0)
+                return jnp.where(q > 0, f(x) * p_eval(x) / safe_q, 0.0)
 
             wf.__tpu_mc_no_pallas__ = any(
                 getattr(g, "__tpu_mc_no_pallas__", False)
@@ -541,28 +574,7 @@ class MonteCarloIntegrator:
         """Closed-form traced PDF when traceable, else table interpolation
         — the traceability probe that mirrors the reference's
         try-transpile/except routing (__init__.py:826-838)."""
-        try:
-            return trace_function(dist._pdf_func)
-        except (TraceError, TypeError):
-            pass
-        x_table, pdf_table = dist.get_or_compute_pdf_table()
-        xt = jnp.asarray(x_table)
-        pt = jnp.asarray(pdf_table)
-        uniform = is_uniform_grid(x_table)
-
-        def table_pdf(x):
-            return pdf_from_table(x, xt, pt, uniform=uniform)
-
-        # Table lookups need gathers the Pallas integrate kernel does not
-        # lower; integrands carrying this closure stay on the XLA sweep.
-        table_pdf.__tpu_mc_no_pallas__ = True
-        table_pdf.__tpu_mc_traced__ = True
-        table_pdf.__tpu_mc_key__ = (
-            "pdf_table",
-            hashlib.sha1(np.asarray(x_table).tobytes()).hexdigest(),
-            hashlib.sha1(np.asarray(pdf_table).tobytes()).hexdigest(),
-        )
-        return table_pdf
+        return self._mode_evaluator(self._pdf_mode(dist))
 
     # ------------------------------------------------------------------
     # MCMC
@@ -606,12 +618,6 @@ class MonteCarloIntegrator:
 
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
-        # Log-pdf tables are fetched for both distributions (reference
-        # __init__.py:1077-1081) but only consulted for CUSTOM families —
-        # analytic ones use closed forms (shader_gen.rs:543-571).
-        targ_lx, targ_lp = target_distribution.get_log_pdf_table()
-        prop_lx, prop_lp = proposal_distribution.get_log_pdf_table()
-
         want_state = return_state or initial_state is not None
         if initial_state is not None and initial_state.n_chains != total_chains:
             raise ValueError(
@@ -620,8 +626,9 @@ class MonteCarloIntegrator:
                 "same n_chains/target_threads"
             )
 
-        # Chain-state checkpoint/resume runs on the XLA backend; otherwise
-        # analytic families take the Pallas kernel on TPU — measured 5.7x
+        # Chain-state checkpoint/resume runs on the XLA backend (the Pallas
+        # kernel keeps chain state in VMEM and does not surface it);
+        # otherwise the Pallas kernel is preferred on TPU — measured 5.7x
         # faster than the XLA scan on v5e (1.8e9 vs 3.2e8 chain-steps/s at
         # 4096 chains x 11k steps, pipelined device-time measurement).
         if not want_state:
@@ -640,6 +647,12 @@ class MonteCarloIntegrator:
                 n_functions=len(functions),
                 acceptance_rate=float(acc_rate),
             )
+
+        # Log-pdf tables are fetched for both distributions (reference
+        # __init__.py:1077-1081) but only consulted for CUSTOM families —
+        # analytic ones use closed forms (shader_gen.rs:543-571).
+        targ_lx, targ_lp = target_distribution.get_log_pdf_table()
+        prop_lx, prop_lp = proposal_distribution.get_log_pdf_table()
 
         use_init = initial_state is not None
         targ_uniform = is_uniform_grid(targ_lx)
@@ -671,6 +684,7 @@ class MonteCarloIntegrator:
                 use_init_state=use_init,
                 targ_table_uniform=targ_uniform,
                 prop_table_uniform=prop_uniform,
+                prop_exact_inverse=prop_spec.exact_inverse,
             ),
         )
         use_targ_table = targ_spec.kind == DistKind.CUSTOM
@@ -793,8 +807,15 @@ class MonteCarloIntegrator:
                 lx, _ = proposal_distribution.get_log_pdf_table()
                 pallas_ok = (
                     is_uniform_grid(lx)
+                    and not prop_spec.exact_inverse
                     and prop_spec.x_table is not None
                     and prop_spec.x_table.shape[0] % 128 == 0
+                )
+            if not pallas_ok and self._backend == "pallas":
+                warnings.warn(
+                    "backend='pallas' requested but this MCMC workload is "
+                    "not Pallas-eligible; running the XLA backend instead",
+                    stacklevel=3,
                 )
             if pallas_ok:
                 interpret = jax.default_backend() != "tpu"
@@ -879,6 +900,7 @@ class MonteCarloIntegrator:
                 mesh=mesh,
                 targ_table_uniform=targ_uniform,
                 prop_table_uniform=prop_uniform,
+                prop_exact_inverse=prop_spec.exact_inverse,
             ),
         )
         use_targ_table = targ_spec.kind == DistKind.CUSTOM
@@ -971,6 +993,7 @@ def _table_shapes(spec):
     return (
         None if spec.x_table is None else spec.x_table.shape,
         None if spec.cdf_table is None else spec.cdf_table.shape,
+        spec.exact_inverse,
     )
 
 

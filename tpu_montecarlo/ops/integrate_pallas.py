@@ -319,7 +319,11 @@ def build_integrate_fn_pallas(
                 if q_table
                 else q_mode(x).astype(jnp.float32)
             )
-            return p_val / q_val
+            # q > 0 guard: a rounding-edge sample with zero proposal
+            # density would otherwise poison the whole mean with inf/NaN
+            # (zero-mass points, so weight 0 is exact).
+            safe_q = jnp.where(q_val > 0, q_val, 1.0)
+            return jnp.where(q_val > 0, p_val / safe_q, 0.0)
 
         def body(i, accs):
             for x in _sample_subblocks(kind, p1, p2, rng, i, tables):

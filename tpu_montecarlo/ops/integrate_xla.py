@@ -18,7 +18,6 @@ are independent of the device-mesh size for a fixed plan.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -44,6 +43,7 @@ def build_integrate_fn(
     plan: IntegratePlan,
     mesh: Optional[jax.sharding.Mesh] = None,
     axis_name: str = "mc",
+    exact_inverse: bool = False,
 ):
     """Build a jitted ``(seed, params, x_table, cdf_table) -> (K,) float32``
     integration program.  ``eval_fns`` are traced scalar functions; they are
@@ -72,7 +72,8 @@ def build_integrate_fn(
             sums, comps = carry
             ck = jax.random.fold_in(key, chunk_start + i)
             x = sample_block(
-                ck, (plan.chunk_elems,), kind, params, x_table, cdf_table
+                ck, (plan.chunk_elems,), kind, params, x_table, cdf_table,
+                exact_inverse=exact_inverse,
             )
             vals = jnp.stack([jnp.sum(vf(x)) for vf in vfns])
             return _kahan_add(sums, comps, vals), None

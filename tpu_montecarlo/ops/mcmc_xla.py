@@ -69,6 +69,7 @@ def build_mcmc_fn(
     use_init_state: bool = False,
     targ_table_uniform: bool = False,
     prop_table_uniform: bool = False,
+    prop_exact_inverse: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -148,6 +149,7 @@ def build_mcmc_fn(
                 prop_params,
                 prop_x_table,
                 prop_cdf_table,
+                exact_inverse=prop_exact_inverse,
             )
             logp0 = target_log_pdf(x0)
         logq0 = proposal_log_pdf(x0)
@@ -163,6 +165,7 @@ def build_mcmc_fn(
                 prop_params,
                 prop_x_table,
                 prop_cdf_table,
+                exact_inverse=prop_exact_inverse,
             )
             logp_prop = target_log_pdf(xp)
             logq_prop = proposal_log_pdf(xp)

@@ -57,6 +57,11 @@ class DistSpec(NamedTuple):
     params: np.ndarray  # (2,) float32
     x_table: Optional[np.ndarray] = None
     cdf_table: Optional[np.ndarray] = None
+    # True when the CDF has flat (zero-density) runs: the uniform-u inverse
+    # table would sample inside them, so the exact searchsorted inverse
+    # must be used (x_table then holds the ORIGINAL x grid, not the
+    # inverse table).  Static — part of every compiled-program cache key.
+    exact_inverse: bool = False
 
 
 def dist_spec_of(dist) -> DistSpec:
@@ -89,16 +94,24 @@ def _build_spec(dist, DistributionType, compute_inverse_cdf_table) -> DistSpec:
     if t == DistributionType.CUSTOM:
         if dist._x_table is None or dist._cdf_table is None:
             raise ValueError("Custom distribution requires x/cdf tables")
+        from .tables import needs_exact_inverse
+
+        cdf = np.asarray(dist._cdf_table, np.float32)
+        _, pdf_vals = dist.get_or_compute_pdf_table()
+        if needs_exact_inverse(cdf, pdf_vals):
+            # Zero-density spans: keep the exact searchsorted inverse.
+            return DistSpec(
+                DistKind.CUSTOM,
+                np.zeros(2, np.float32),
+                np.asarray(dist._x_table, np.float32),
+                cdf,
+                exact_inverse=True,
+            )
         inv = getattr(dist, "_inv_cdf_table", None)
         if inv is None:
             inv = compute_inverse_cdf_table(dist._x_table, dist._cdf_table)
             dist._inv_cdf_table = inv
-        return DistSpec(
-            DistKind.CUSTOM,
-            np.zeros(2, np.float32),
-            inv,
-            np.asarray(dist._cdf_table, np.float32),
-        )
+        return DistSpec(DistKind.CUSTOM, np.zeros(2, np.float32), inv, cdf)
     raise ValueError(f"Unknown distribution type: {t}")
 
 
@@ -122,6 +135,7 @@ def sample_block(
     params: jax.Array,
     x_table: Optional[jax.Array] = None,
     cdf_table: Optional[jax.Array] = None,
+    exact_inverse: bool = False,
 ) -> jax.Array:
     """Draw a block of float32 samples from the distribution.
 
@@ -147,10 +161,15 @@ def sample_block(
         u = jax.random.uniform(key, shape, jnp.float32)
         return -jnp.log(jnp.maximum(u, 1e-7)) / params[0]
     if kind == DistKind.CUSTOM:
+        u = jax.random.uniform(key, shape, jnp.float32)
+        if exact_inverse:
+            # CDF with flat runs: the exact (discontinuous) inverse keeps
+            # samples out of zero-density spans (reference bsearch
+            # semantics, distribution.rs:128-158); slower searchsorted.
+            return jnp.interp(u, cdf_table, x_table).astype(jnp.float32)
         # x_table here is the uniform-u inverse-CDF table: sampling is
         # index arithmetic + two small-table lookups (no searchsorted —
         # TPU gathers over sorted knots are pathological).
-        u = jax.random.uniform(key, shape, jnp.float32)
         m = x_table.shape[0]
         pos = u * jnp.float32(m - 1)
         i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)

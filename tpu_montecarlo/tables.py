@@ -217,12 +217,54 @@ def compute_inverse_cdf_table(
     searchsorted on device.
     """
     u_grid = np.linspace(0.0, 1.0, m)
-    x64 = np.asarray(x_table, np.float64)
-    c64 = np.asarray(cdf_table, np.float64)
-    # np.interp requires increasing xp; CDFs can have flat (zero-density)
-    # runs.  np.interp picks the left edge of a flat run, matching the
-    # convention that zero-density spans contribute their left endpoint.
+    sl = _effective_support_slice(np.asarray(cdf_table))
+    x64 = np.asarray(x_table, np.float64)[sl]
+    c64 = np.asarray(cdf_table, np.float64)[sl]
+    # Leading/trailing zero-density padding is trimmed above so u=0 / u=1
+    # map to the true support edges, not across dead tails.  np.interp
+    # tolerates the remaining (micro) flat runs.
     return np.interp(u_grid, c64, x64).astype(np.float32)
+
+
+def _effective_support_slice(cdf: np.ndarray) -> slice:
+    """Index range covering cdf in (0, 1) plus one knot on each side —
+    leading/trailing zero-density padding (e.g. over-wide supports) is
+    excluded so it neither biases the resampled inverse nor triggers the
+    exact-inverse fallback."""
+    n = len(cdf)
+    pos = np.flatnonzero(cdf > 0.0)
+    below = np.flatnonzero(cdf < 1.0)
+    lo = max(int(pos[0]) - 1, 0) if len(pos) else 0
+    hi = min(int(below[-1]) + 2, n) if len(below) else n
+    if hi - lo < 2:
+        return slice(0, n)
+    return slice(lo, hi)
+
+
+def needs_exact_inverse(
+    cdf_table: np.ndarray, pdf_table: np.ndarray, min_run: int = 2
+) -> bool:
+    """True if the PDF is exactly zero over ``min_run``+ consecutive
+    INTERIOR grid knots — a genuine zero-density span.  The exact inverse
+    CDF is then discontinuous, and a uniform-u resampled inverse table
+    would linearly interpolate ACROSS the jump, emitting samples inside the
+    zero-density span (a bias the reference's knot-exact binary search
+    cannot produce); such distributions must sample through exact
+    searchsorted instead.
+
+    Detection uses the PDF, not CDF flatness: float32 CDFs go flat from
+    rounding underflow in thin-but-positive tails (e.g. Beta), where the
+    fast resampled inverse is perfectly fine."""
+    cdf = np.asarray(cdf_table)
+    sl = _effective_support_slice(cdf)
+    p = np.asarray(pdf_table)[sl]
+    zero = p == 0.0
+    run = 0
+    for z in zero:
+        run = run + 1 if z else 0
+        if run >= min_run:
+            return True
+    return False
 
 
 def is_uniform_grid(x_table: np.ndarray, rtol: float = 1e-4) -> bool:
