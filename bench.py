@@ -54,10 +54,16 @@ def main() -> None:
     traced = tuple(trace_function(f) for f in fns)
     plan = make_integrate_plan(N_SAMPLES)
     on_tpu = jax.default_backend() == "tpu"
+    samples_per_dispatch = plan.actual_samples
     if on_tpu:
         # Fused Pallas kernel — the TPU hot path (hardware PRNG, VMEM
         # accumulators); measured faster than the XLA sweep on v5e.
+        from tpu_montecarlo.ops.integrate_pallas import plan_pallas_grid
+
         run = build_integrate_fn_pallas(traced, DistKind.NORMAL, plan)
+        # The Pallas grid rounds the sample count up again; count what the
+        # device actually executes.
+        _, _, samples_per_dispatch = plan_pallas_grid(plan.actual_samples)
     else:
         run = build_integrate_fn(traced, DistKind.NORMAL, plan)
 
@@ -83,7 +89,7 @@ def main() -> None:
     ex2 = float(vals[-1][1])
     assert abs(ex2 - 1.0) < 0.05, f"E[X^2] = {ex2}, expected ~1"
 
-    samples_per_sec = plan.actual_samples * n_repeats / elapsed
+    samples_per_sec = samples_per_dispatch * n_repeats / elapsed
     print(
         json.dumps(
             {

@@ -1,0 +1,202 @@
+"""Round-2 regression tests: Pallas routing probe, find_support expand
+parity, stateful-run reproducibility, IS table-grid resampling."""
+
+import math
+import warnings
+
+import numpy as np
+import pytest
+
+from tpu_montecarlo import (
+    Distribution,
+    MonteCarloIntegrator,
+    integrate,
+    integrate_importance_sampling,
+)
+
+
+def _while_fn(x):
+    v = x * x + 2.0
+    while v > 1.0:
+        v = v * 0.5
+    return v
+
+
+class TestBlockTraceabilityProbe:
+    """A sample-dependent ``while`` traces as a scalar program but its
+    vector cond cannot lower inside a Pallas kernel; the eligibility gate
+    must route it to the XLA sweep instead of crashing (round-1 confirmed
+    crash on the TPU default path)."""
+
+    def test_block_traceable_rejects_while(self):
+        from tpu_montecarlo.api import _block_traceable
+        from tpu_montecarlo.tracing import trace_function
+
+        good = trace_function(lambda x: x * x)
+        bad = trace_function(_while_fn)
+        assert _block_traceable((good,))
+        assert not _block_traceable((bad,))
+        assert not _block_traceable((good, bad))
+        # Cached on the function object after the first probe.
+        assert bad.__tpu_mc_block_ok__ is False
+
+    def test_forced_pallas_falls_back_and_matches_xla(self):
+        d = Distribution.normal(0.0, 1.0)
+        ref = integrate([_while_fn], d, n_samples=50_000, backend="xla")
+        with pytest.warns(UserWarning, match="not\\s+Pallas-eligible"):
+            got = integrate(
+                [_while_fn], d, n_samples=50_000, backend="pallas"
+            )
+        assert np.array_equal(ref.values, got.values)
+
+    def test_auto_backend_integrates_while_fn(self):
+        d = Distribution.uniform(0.0, 1.0)
+        r = integrate([_while_fn], d, n_samples=200_000)
+        # E[(x^2+2)/4] over U(0,1) = (1/3 + 2) / 4 = 7/12.
+        assert abs(r.values[0] - 7.0 / 12.0) < 0.01
+
+    def test_mcmc_while_fn_falls_back(self):
+        from tpu_montecarlo import integrate_mcmc
+
+        d = Distribution.normal(0.0, 1.0)
+        integ = MonteCarloIntegrator(backend="pallas")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = integ.integrate_mcmc(
+                [_while_fn], d, d, n_steps=300, n_chains=256, n_burnin=50
+            )
+        assert np.isfinite(r.values[0])
+
+    def test_is_traced_pdf_with_while_falls_back(self):
+        """A weight PDF that only evaluates scalar-wise must push IS off the
+        kernel path without crashing."""
+
+        def weird_pdf(x):
+            v = x * x + 2.0
+            while v > 1.0:
+                v = v * 0.5
+            return v * 0.0 + 0.39894228 * math.e ** (-0.5 * x * x)
+
+        p = Distribution.from_pdf(weird_pdf, support=(-7.0, 7.0))
+        q = Distribution.normal(0.0, 1.2)
+        r = integrate_importance_sampling(
+            [lambda x: x * x], p, q, n_samples=100_000
+        )
+        assert abs(r.values[0] - 1.0) < 0.05
+
+
+class TestFindSupportExpandParity:
+    def test_raising_pdf_breaks_without_extending(self):
+        """A PDF that raises during the expand walk stops the walk at the
+        current bound (reference __init__.py:182-204); a zero return takes
+        one final step first."""
+        from tpu_montecarlo.tables import find_support
+
+        def pdf(x):
+            if abs(x) > 5.0:
+                raise ValueError("outside domain")
+            return math.exp(-x * x)
+
+        x_min, x_max = find_support(pdf)
+        # Expand probes -6.3 after reaching -3.1; the raise must NOT extend.
+        assert abs(x_min + 3.1) < 1e-9
+        assert abs(x_max - 3.1) < 1e-9
+
+    def test_zero_pdf_still_extends_one_step(self):
+        from tpu_montecarlo.tables import find_support
+
+        def pdf(x):
+            return math.exp(-x * x) if abs(x) <= 5.0 else 0.0
+
+        x_min, x_max = find_support(pdf)
+        # Zero density at -6.3 takes the step before breaking.
+        assert abs(x_min + 6.3) < 1e-9
+        assert abs(x_max - 6.3) < 1e-9
+
+
+class TestStatefulReproducibility:
+    def test_return_state_reproduces_stateless_run(self, integrator):
+        """Merely enabling return_state=True must not change same-seed
+        estimates (segment 0 skips the RNG fold)."""
+        d = Distribution.normal(0.0, 1.0)
+        r_plain = integrator.integrate_mcmc(
+            [lambda x: x, lambda x: x * x], d, d,
+            n_steps=200, n_chains=256, n_burnin=20, seed=9,
+        )
+        r_state = integrator.integrate_mcmc(
+            [lambda x: x, lambda x: x * x], d, d,
+            n_steps=200, n_chains=256, n_burnin=20, seed=9,
+            return_state=True,
+        )
+        assert np.array_equal(r_plain.values, r_state.values)
+        assert r_state.chain_state is not None
+
+
+class TestUniformResampling:
+    def test_resample_uniform_table_roundtrip(self):
+        from tpu_montecarlo.tables import (
+            is_uniform_grid,
+            resample_uniform_table,
+        )
+
+        x = np.concatenate(
+            [np.linspace(0.0, 1.0, 200, endpoint=False), np.linspace(1.0, 2.0, 700)]
+        )
+        v = np.where(x < 1.0, x, 2.0 - x)
+        out = resample_uniform_table(x, v)
+        assert out is not None
+        xu, vu = out
+        assert is_uniform_grid(xu)
+        probe = np.linspace(0.0, 2.0, 1777)
+        err = np.max(np.abs(np.interp(probe, xu, vu) - np.interp(probe, x, v)))
+        assert err <= 1e-3 * np.max(np.abs(v)) + 1e-7
+
+    def test_resample_gives_up_on_pathological_grid(self):
+        from tpu_montecarlo.tables import resample_uniform_table
+
+        x = np.array([0.0, 1e-9, 1.0])
+        v = np.array([0.0, 1.0, 0.0])
+        assert resample_uniform_table(x, v, max_points=65_536) is None
+
+    def test_is_irregular_grid_routes_in_kernel(self):
+        """Irregular from_pdf_table grids must resample and keep the
+        in-kernel Pallas IS path (no fallback warning under a forced
+        backend), matching the XLA estimate."""
+        x = np.concatenate(
+            [np.linspace(0.0, 0.5, 150, endpoint=False), np.linspace(0.5, 2.0, 850)]
+        )
+        pdf = x / 2.0
+        target = Distribution.from_pdf_table(x, pdf)
+        proposal = Distribution.normal(1.0, 1.2)
+        fns = [lambda x: x]
+
+        ref = integrate_importance_sampling(
+            fns, target, proposal, n_samples=200_000, backend="xla"
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            got = integrate_importance_sampling(
+                fns, target, proposal, n_samples=200_000, backend="pallas"
+            )
+        # E_p[x] over pdf x/2 on [0,2] = 4/3; both routes must agree
+        # statistically (they use different RNG streams).
+        assert abs(got.values[0] - 4.0 / 3.0) < 0.02
+        assert abs(ref.values[0] - 4.0 / 3.0) < 0.02
+
+    def test_mcmc_irregular_target_grid_resamples(self):
+        """Irregular target log-pdf grids resample onto the Pallas MCMC
+        kernel path (forced backend, no warning) and land near the truth."""
+        x = np.concatenate(
+            [np.linspace(0.0, 0.5, 150, endpoint=False), np.linspace(0.5, 2.0, 850)]
+        )
+        pdf = x / 2.0
+        target = Distribution.from_pdf_table(x, pdf)
+        proposal = Distribution.uniform(0.0, 2.0)
+        integ = MonteCarloIntegrator(backend="pallas")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            r = integ.integrate_mcmc(
+                [lambda x: x], target, proposal,
+                n_steps=400, n_chains=512, n_burnin=50,
+            )
+        assert abs(r.values[0] - 4.0 / 3.0) < 0.05

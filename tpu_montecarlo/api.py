@@ -224,8 +224,12 @@ class MonteCarloIntegrator:
         """Shared Pallas-kernel eligibility gate for the sampling side:
         kernel-supported family, lane-multiple inverse table (and no
         exact-inverse requirement — in-kernel searchsorted is not a thing),
-        <=128 fused integrands none of which carry table-lookup closures.
-        Warns when a forced backend='pallas' has to fall back."""
+        <=128 fused integrands, none carrying table-lookup closures and all
+        evaluating on a (rows, 128) lane block (functions with
+        sample-dependent ``while`` loops trace as scalar programs but their
+        vector cond cannot lower inside the kernel — those take the XLA
+        sweep, which vmaps them).  Warns when a forced backend='pallas' has
+        to fall back."""
         from .ops.integrate_pallas import pallas_supports
 
         ok = (
@@ -234,6 +238,7 @@ class MonteCarloIntegrator:
             and not any(
                 getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
             )
+            and _block_traceable(traced)
             and (
                 spec.kind != DistKind.CUSTOM
                 or (
@@ -428,10 +433,29 @@ class MonteCarloIntegrator:
             from .ops.integrate_pallas import build_integrate_fn_pallas
 
             pallas_ok = self._pallas_eligible(spec, traced)
-            # Table PDFs need uniform x-grids for in-kernel lookup.
-            for mode in (p_mode, q_mode):
-                if pallas_ok and mode[0] == "table":
-                    pallas_ok = is_uniform_grid(mode[1])
+            was_eligible = pallas_ok
+            # Table PDFs need uniform x-grids for in-kernel lookup —
+            # irregular user grids are resampled host-side (error-bounded)
+            # to stay in-kernel; traced PDFs must evaluate on a lane block
+            # like the integrands.
+            p_mode_k = _uniform_table_mode(target_distribution, p_mode)
+            q_mode_k = _uniform_table_mode(proposal_distribution, q_mode)
+            for mode in (p_mode_k, q_mode_k):
+                if not pallas_ok:
+                    break
+                if mode is None:
+                    pallas_ok = False
+                elif mode[0] != "table":
+                    pallas_ok = _block_traceable((mode[1],))
+            if was_eligible and not pallas_ok and self._backend == "pallas":
+                warnings.warn(
+                    "backend='pallas' requested but an IS weight PDF is not "
+                    "kernel-eligible (a table x-grid too irregular to "
+                    "resample within error bounds, or a PDF that does not "
+                    "evaluate on a lane block); running the XLA backend "
+                    "instead",
+                    stacklevel=3,
+                )
 
         if pallas_ok:
             interpret = jax.default_backend() != "tpu"
@@ -461,8 +485,8 @@ class MonteCarloIntegrator:
                 spec.kind,
                 plan,
                 _table_shapes(spec),
-                mode_key(p_mode, target_distribution),
-                mode_key(q_mode, proposal_distribution),
+                mode_key(p_mode_k, target_distribution),
+                mode_key(q_mode_k, proposal_distribution),
                 _mesh_key(mesh),
                 interpret,
             )
@@ -474,17 +498,17 @@ class MonteCarloIntegrator:
                     plan,
                     mesh=mesh,
                     interpret=interpret,
-                    is_weight=(mode_arg(p_mode), mode_arg(q_mode)),
+                    is_weight=(mode_arg(p_mode_k), mode_arg(q_mode_k)),
                 ),
             )
             dev_args = list(_device_args_of(proposal_distribution, spec))
-            if p_mode[0] == "table":
+            if p_mode_k[0] == "table":
                 dev_args += list(
-                    _device_pdf_tables_of(target_distribution)
+                    _device_mode_tables(target_distribution, p_mode_k)
                 )
-            if q_mode[0] == "table":
+            if q_mode_k[0] == "table":
                 dev_args += list(
-                    _device_pdf_tables_of(proposal_distribution)
+                    _device_mode_tables(proposal_distribution, q_mode_k)
                 )
             static_args = tuple(dev_args)
 
@@ -799,14 +823,15 @@ class MonteCarloIntegrator:
             pallas_ok = (
                 mcmc_pallas_supports(prop_spec.kind, targ_spec.kind)
                 and len(traced) < 128
+                and _block_traceable(traced)
             )
             if pallas_ok and targ_spec.kind == DistKind.CUSTOM:
-                lx, _ = target_distribution.get_log_pdf_table()
-                pallas_ok = is_uniform_grid(lx)
-            if pallas_ok and prop_spec.kind == DistKind.CUSTOM:
-                lx, _ = proposal_distribution.get_log_pdf_table()
                 pallas_ok = (
-                    is_uniform_grid(lx)
+                    _uniform_log_tables(target_distribution) is not None
+                )
+            if pallas_ok and prop_spec.kind == DistKind.CUSTOM:
+                pallas_ok = (
+                    _uniform_log_tables(proposal_distribution) is not None
                     and not prop_spec.exact_inverse
                     and prop_spec.x_table is not None
                     and prop_spec.x_table.shape[0] % 128 == 0
@@ -848,12 +873,12 @@ class MonteCarloIntegrator:
                 targ_dev = _device_args_of(target_distribution, targ_spec)
                 dummy = _tbl(None)
                 targ_log_dev = (
-                    _device_log_tables_of(target_distribution)
+                    _device_uniform_log_tables(target_distribution)
                     if targ_spec.kind == DistKind.CUSTOM
                     else (dummy, dummy)
                 )
                 prop_log_dev = (
-                    _device_log_tables_of(proposal_distribution)
+                    _device_uniform_log_tables(proposal_distribution)
                     if prop_spec.kind == DistKind.CUSTOM
                     else (dummy, dummy)
                 )
@@ -933,6 +958,33 @@ class MonteCarloIntegrator:
         return prog
 
 
+def _block_traceable(fns) -> bool:
+    """True when every function evaluates on a (8, 128) float32 lane block
+    with a block-broadcastable result — the shape the Pallas kernels feed
+    integrands.  A scalar trace alone does not guarantee this: a
+    sample-dependent ``while`` becomes a ``lax.while_loop`` whose cond is a
+    bool block, which cannot lower inside a kernel (the XLA backend vmaps
+    such functions instead, keeping the reference's run-anything-on-device
+    guarantee, src/shader_gen.rs:272-282).  Cached on the function object."""
+    probe = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+    for f in fns:
+        ok = getattr(f, "__tpu_mc_block_ok__", None)
+        if ok is None:
+            try:
+                out = jax.eval_shape(f, probe)
+                shape = getattr(out, "shape", ())
+                ok = np.broadcast_shapes(shape, (8, 128)) == (8, 128)
+            except Exception:
+                ok = False
+            try:
+                f.__tpu_mc_block_ok__ = ok
+            except Exception:
+                pass
+        if not ok:
+            return False
+    return True
+
+
 def _fn_key(f):
     return getattr(f, "__tpu_mc_key__", ("id", id(f)))
 
@@ -986,6 +1038,85 @@ def _device_pdf_tables_of(distribution):
         xt, pt = distribution.get_or_compute_pdf_table()
         cached = (jnp.asarray(xt, jnp.float32), jnp.asarray(pt, jnp.float32))
         distribution._device_pdf_tables = cached
+    return cached
+
+
+def _uniform_log_tables(distribution):
+    """(x, log_pdf) tables on a uniform grid for in-kernel MCMC lookups.
+
+    Host-built grids are already uniform; irregular from_pdf_table grids
+    resample the PDF (error-bounded in density space — a log-space bound is
+    unattainable near the -100 floor cliffs, and density-space errors of
+    ~1e-3 of the peak are statistically invisible to MH) and take logs
+    after, exactly how host-built log tables are made.  Returns None when
+    the bound cannot be met — MCMC then routes to the XLA backend.  Cached
+    per Distribution."""
+    lx, lp = distribution.get_log_pdf_table()
+    if is_uniform_grid(lx):
+        return lx, lp
+    cached = getattr(distribution, "_uniform_log_tables", False)
+    if cached is False:
+        mode = _uniform_table_mode(
+            distribution,
+            ("table",) + tuple(distribution.get_or_compute_pdf_table()),
+        )
+        if mode is None:
+            cached = None
+        else:
+            from .tables import log_pdf_from_pdf
+
+            cached = (mode[1], log_pdf_from_pdf(mode[2]))
+        distribution._uniform_log_tables = cached
+    return cached
+
+
+def _device_uniform_log_tables(distribution):
+    """Device-resident uniform-grid log tables (resampled if needed)."""
+    lx, lp = _uniform_log_tables(distribution)
+    orig_lx, _ = distribution.get_log_pdf_table()
+    if lx is orig_lx:
+        return _device_log_tables_of(distribution)
+    cached = getattr(distribution, "_device_log_tables_u", None)
+    if cached is None:
+        cached = (jnp.asarray(lx, jnp.float32), jnp.asarray(lp, jnp.float32))
+        distribution._device_log_tables_u = cached
+    return cached
+
+
+def _uniform_table_mode(distribution, mode):
+    """Give a table pdf-mode a uniform x-grid for in-kernel lookup.
+
+    Already-uniform grids pass through; irregular user grids (from_pdf_table)
+    are resampled host-side with an error bound, cached per Distribution.
+    Returns the (possibly resampled) mode, or None when the bound cannot be
+    met — callers then take the XLA closure path.  Traced modes pass
+    through untouched."""
+    if mode is None or mode[0] != "table":
+        return mode
+    if is_uniform_grid(mode[1]):
+        return mode
+    cached = getattr(distribution, "_uniform_pdf_tables", False)
+    if cached is False:
+        from .tables import resample_uniform_table
+
+        cached = resample_uniform_table(mode[1], mode[2])
+        distribution._uniform_pdf_tables = cached
+    if cached is None:
+        return None
+    return ("table", cached[0], cached[1])
+
+
+def _device_mode_tables(distribution, mode):
+    """Device-resident (x_grid, pdf_values) for a table mode, cached per
+    Distribution (separately for the original and resampled grids)."""
+    xt, pt = mode[1], mode[2]
+    orig = getattr(distribution, "_pdf_table", None)
+    if orig is not None and pt is orig:
+        return _device_pdf_tables_of(distribution)
+    cached = getattr(distribution, "_device_pdf_tables_u", None)
+    if cached is None:
+        cached = (jnp.asarray(xt, jnp.float32), jnp.asarray(pt, jnp.float32))
+        distribution._device_pdf_tables_u = cached
     return cached
 
 

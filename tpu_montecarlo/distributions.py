@@ -38,6 +38,12 @@ class Distribution:
     sample on-device with closed-form transforms; CUSTOM distributions sample
     by inverse-CDF lookup against ``x_table`` / ``cdf_table``.
 
+    Treat instances as immutable once used: the first integration caches the
+    packed spec, derived tables and their device-resident copies on the
+    instance (host->device uploads through a tunnelled backend cost a full
+    round-trip each).  Mutating ``params`` or the tables afterwards will not
+    be observed — build a fresh Distribution instead.
+
     Examples:
         >>> dist = Distribution.uniform(min=0.0, max=1.0)
         >>> dist = Distribution.normal(mean=0.0, std=1.0)
@@ -132,8 +138,8 @@ class Distribution:
             from scipy.special import beta as beta_fn
         except ImportError as e:
             raise ImportError(
-                "scipy is required for Beta distribution. "
-                "Install with: pip install scipy"
+                "Distribution.beta needs scipy for the normalising "
+                "constant (scipy.special.beta); install scipy to use it"
             ) from e
 
         B = float(beta_fn(alpha, beta_param))

@@ -121,8 +121,12 @@ def build_mcmc_fn(
             # Resumed segments must draw FRESH streams: without this fold a
             # same-seed continuation would replay the original segment's
             # proposals/accepts exactly (the independence sampler then
-            # resynchronises onto the old trajectory).
-            key = jax.random.fold_in(key, segment)
+            # resynchronises onto the old trajectory).  Segment 0 (a fresh
+            # stateful run) skips the fold so merely enabling
+            # return_state=True reproduces the stateless run's estimates.
+            key = jnp.where(
+                segment == 0, key, jax.random.fold_in(key, segment)
+            )
         key_init = jax.random.fold_in(key, _STREAM_INIT)
         key_prop = jax.random.fold_in(key, _STREAM_PROPOSAL)
         key_acc = jax.random.fold_in(key, _STREAM_ACCEPT)

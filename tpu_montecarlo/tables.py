@@ -21,6 +21,7 @@ __all__ = [
     "compute_pdf_table",
     "compute_inverse_cdf_table",
     "log_pdf_from_pdf",
+    "resample_uniform_table",
     "is_uniform_grid",
     "MIN_TABLE_POINTS",
     "LOG_PDF_FLOOR",
@@ -91,14 +92,13 @@ def find_support(
 
     if first_x is None:
         raise ValueError(
-            "PDF is zero everywhere in scanned range [-4, 4] (step=0.5) and "
-            "[-1024, 1024] (exponential).\n"
-            "This may happen if your distribution is:\n"
-            "  - Bounded and located outside [-4, 4] (e.g., Uniform(10, 10.1))\n"
-            "  - Heavily shifted (e.g., N(1000, 1)) but not detected by the "
-            "exponential scan\n\n"
-            "Solution: manually specify the support parameter:\n"
-            "  dist = Distribution.from_pdf(your_pdf, support=(x_min, x_max))"
+            "Support auto-detection found no positive density anywhere on "
+            "its probe grid (a dense sweep of [-4, 4] in 0.5 steps plus "
+            "powers of two out to ±1024). Distributions whose mass sits "
+            "entirely between grid points (very narrow) or far from the "
+            "origin cannot be located automatically — construct them with "
+            "an explicit support instead:\n"
+            "  Distribution.from_pdf(your_pdf, support=(x_min, x_max))"
         )
 
     # Phase 2: hill climb.
@@ -122,26 +122,37 @@ def find_support(
 
     threshold = peak_val * threshold_ratio
 
-    # Phase 3: expand outward with doubling steps.
+    # Phase 3: expand outward with doubling steps.  A PDF that *raises* at a
+    # probe point stops the walk at the current bound — without taking the
+    # step — whereas a PDF that returns zero/sub-threshold density takes one
+    # final step before stopping (reference: __init__.py:182-204; the
+    # distinction changes detected supports for PDFs that raise at their
+    # domain edges).
     x_min = peak_x
     step = 0.1
     while x_min > -max_hard_limit:
-        val = _try_pdf(pdf, x_min - step)
-        if val <= 0 or val < threshold:
+        try:
+            val = pdf(x_min - step)
+            if val <= 0 or val < threshold:
+                x_min -= step
+                break
             x_min -= step
+            step *= 2.0
+        except (ValueError, TypeError, OverflowError):
             break
-        x_min -= step
-        step *= 2.0
 
     x_max = peak_x
     step = 0.1
     while x_max < max_hard_limit:
-        val = _try_pdf(pdf, x_max + step)
-        if val <= 0 or val < threshold:
+        try:
+            val = pdf(x_max + step)
+            if val <= 0 or val < threshold:
+                x_max += step
+                break
             x_max += step
+            step *= 2.0
+        except (ValueError, TypeError, OverflowError):
             break
-        x_max += step
-        step *= 2.0
 
     return x_min, x_max
 
@@ -188,7 +199,9 @@ def compute_cdf_table(
     total = cdf_values[-1]
     if total <= 0:
         raise ValueError(
-            "PDF integral is zero. Please check the PDF function or support range."
+            "The PDF's integral is zero over this support — there is no "
+            "probability mass to normalise. Check the PDF function and the "
+            "support bounds."
         )
     cdf_values = cdf_values / total
     return x_grid, cdf_values
@@ -278,6 +291,44 @@ def is_uniform_grid(x_table: np.ndarray, rtol: float = 1e-4) -> bool:
     if step <= 0:
         return False
     return bool(np.all(np.abs(d - step) <= rtol * abs(step) + 1e-12))
+
+
+def resample_uniform_table(
+    x_table: np.ndarray,
+    values: np.ndarray,
+    rtol: float = 1e-3,
+    max_points: int = 65_536,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Resample a piecewise-linear table onto a uniform x-grid, error-bounded.
+
+    User tables from ``from_pdf_table`` may have irregular knot spacing,
+    which forces device lookups through searchsorted (pathological on TPU).
+    This re-knots them onto a uniform grid, doubling the point count until
+    the two linear interpolants differ by at most ``rtol * max|values|``
+    everywhere (probed at the union of both knot sets).  Returns None when
+    the bound cannot be met within ``max_points`` — callers then keep the
+    original grid and the searchsorted path.
+    """
+    x = np.asarray(x_table, np.float64)
+    v = np.asarray(values, np.float64)
+    if len(x) < 2 or x[-1] <= x[0]:
+        return None
+    scale = float(np.max(np.abs(v)))
+    if scale == 0.0 or not np.isfinite(scale):
+        return None
+    tol = rtol * scale
+    n = max(1024, len(x))
+    while n <= max_points:
+        xu = np.linspace(x[0], x[-1], n)
+        vu = np.interp(xu, x, v)
+        probe = np.union1d(x, xu)
+        err = np.max(
+            np.abs(np.interp(probe, xu, vu) - np.interp(probe, x, v))
+        )
+        if err <= tol:
+            return xu.astype(np.float32), vu.astype(np.float32)
+        n *= 2
+    return None
 
 
 def log_pdf_from_pdf(
