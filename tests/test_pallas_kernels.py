@@ -122,6 +122,40 @@ class TestInterpretedIntegrate:
         )
         assert abs(vals[0] - 2.0 / 7.0) < 0.02
 
+    def test_custom_table_stratified_moments(self):
+        # Beta(2,5): E[X]=2/7, E[X^2]=a(a+1)/((a+b)(a+b+1))=6/56.
+        # Exercises the row-stratified sampler on both default (2048) and
+        # small (1024) table sizes.
+        from tpu_montecarlo import Distribution
+        from tpu_montecarlo.sampling import dist_spec_of
+
+        for table_size in (1024, 2048):
+            beta = Distribution.beta(2.0, 5.0, table_size=table_size)
+            spec = dist_spec_of(beta)
+            plan = make_integrate_plan(200_000, target_threads=1024)
+            run = build_integrate_fn_pallas(
+                _fns(), DistKind.CUSTOM, plan, interpret=True
+            )
+            vals = np.asarray(
+                run(
+                    np.uint32(123),
+                    jnp.asarray(spec.params),
+                    jnp.asarray(spec.x_table),
+                    jnp.asarray(spec.cdf_table),
+                )
+            )
+            assert abs(vals[0] - 2.0 / 7.0) < 0.02
+            assert abs(vals[1] - 6.0 / 56.0) < 0.02
+
+    def test_stratified_table_ok(self):
+        from tpu_montecarlo.ops.integrate_pallas import stratified_table_ok
+
+        for m in (128, 256, 1024, 2048, 4096):
+            assert stratified_table_ok(m)
+        for m in (100, 1000, 192, 8192):
+            # 8192 -> 64 segments -> 4 rows each (< 8): falls back to XLA.
+            assert not stratified_table_ok(m)
+
     def test_custom_table_must_be_lane_multiple(self):
         plan = make_integrate_plan(1000)
         run = build_integrate_fn_pallas(

@@ -244,7 +244,7 @@ class MonteCarloIntegrator:
                 or (
                     not spec.exact_inverse
                     and spec.x_table is not None
-                    and spec.x_table.shape[0] % 128 == 0
+                    and _stratified_ok(spec.x_table.shape[0])
                 )
             )
         )
@@ -956,6 +956,12 @@ class MonteCarloIntegrator:
             return run(np.uint32(seed), *static_args)
 
         return prog
+
+
+def _stratified_ok(m: int) -> bool:
+    from .ops.integrate_pallas import stratified_table_ok
+
+    return stratified_table_ok(m)
 
 
 def _block_traceable(fns) -> bool:

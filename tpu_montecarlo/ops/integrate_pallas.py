@@ -40,7 +40,12 @@ from jax.sharding import PartitionSpec as P
 from ..sampling import DistKind
 from ..utils.dispatch import IntegratePlan
 
-__all__ = ["build_integrate_fn_pallas", "pallas_supports", "plan_pallas_grid"]
+__all__ = [
+    "build_integrate_fn_pallas",
+    "pallas_supports",
+    "plan_pallas_grid",
+    "stratified_table_ok",
+]
 
 BLOCK_ROWS = 256
 LANES = 128
@@ -158,6 +163,79 @@ def _table_lookup(table_ref, dx_ref, i0, frac, rows):
     return x0 + frac * dx
 
 
+def stratified_table_ok(m: int) -> bool:
+    """True when an m-knot inverse-CDF table can use the stratified
+    in-kernel sampler: segments must divide BLOCK_ROWS with at least 8
+    rows each (so every (8, 128) VMEM tile of the row-tiled table holds
+    identical rows — the lane-gather pattern Mosaic supports)."""
+    if m % LANES != 0:
+        return False
+    segments = m // LANES
+    return (
+        BLOCK_ROWS % segments == 0 and (BLOCK_ROWS // segments) % 8 == 0
+    )
+
+
+def prep_inv_table_stratified(x_table, rows: int):
+    """Row-stratified inverse-CDF tables for the integrate kernel.
+
+    u-space splits into S equal-mass strata (S = table segments); block row
+    r is statically assigned stratum ``r // (rows/S)`` and draws u uniformly
+    within it.  Each stratum gets the same number of rows, so the block
+    mean stays unbiased (proportional allocation) with variance at most the
+    i.i.d. sampler's.  The device lookup then needs ONE lane-gather per
+    draw — the per-row stratum is static, so the (rows, 128) value/slope
+    tables are pre-tiled here with 8+ identical consecutive rows (one
+    broadcast row per VMEM tile) — instead of the S-iteration segment scan
+    an i.i.d. draw needs (the 12-iteration device binary search of the
+    reference, src/distribution.rs:128-158, is worse still on TPU).
+
+    Returns (ts, dts), both (rows, 128): per-stratum 128-knot resamplings
+    of the piecewise-linear inverse CDF and their forward differences.
+    """
+    t = jnp.asarray(x_table, jnp.float32)
+    m = t.shape[0]
+    if not stratified_table_ok(m):
+        raise ValueError(
+            f"inverse-CDF table size must be a multiple of {LANES} with "
+            f"segments dividing {rows} block rows in groups of 8+ "
+            f"(got {m})"
+        )
+    segments = m // LANES
+    # Stratum s, knot j: u = (s + j/(LANES-1)) / S, evaluated against the
+    # m-knot inverse table by pure index arithmetic (uniform u-grid).
+    j = jnp.arange(LANES, dtype=jnp.float32) / jnp.float32(LANES - 1)
+    s = jnp.arange(segments, dtype=jnp.float32).reshape(segments, 1)
+    u = (s + j) / jnp.float32(segments)
+    pos = u * jnp.float32(m - 1)
+    i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
+    frac = pos - i0.astype(jnp.float32)
+    t0 = jnp.take(t, i0)
+    ts = t0 + frac * (jnp.take(t, i0 + 1) - t0)
+    dts = jnp.concatenate(
+        [ts[:, 1:] - ts[:, :-1], jnp.zeros((segments, 1), jnp.float32)],
+        axis=1,
+    )
+    rep = rows // segments
+    return (
+        jnp.repeat(ts, rep, axis=0),
+        jnp.repeat(dts, rep, axis=0),
+    )
+
+
+def _stratified_sample(ts_ref, dts_ref, rng, counter):
+    """One stratified inverse-CDF draw per (row, lane): the row's stratum
+    is baked into the pre-tiled tables, so the lookup is a single
+    equal-shape lane-gather."""
+    w = _uniform_halfopen01(rng, (BLOCK_ROWS, LANES), counter, 0)
+    pos = w * jnp.float32(LANES - 1)
+    j = pos.astype(jnp.int32)
+    frac = pos - j.astype(jnp.float32)
+    x0 = jnp.take_along_axis(ts_ref[...], j, axis=1)
+    dx = jnp.take_along_axis(dts_ref[...], j, axis=1)
+    return x0 + frac * dx
+
+
 def _sample_subblocks(kind: DistKind, p1, p2, rng, counter, tables=None):
     """Sample BLOCK_ROWS*128 values as a list of equal-shape sub-blocks
     (Box-Muller yields its cos/sin pair as two separate sub-blocks so no
@@ -181,13 +259,8 @@ def _sample_subblocks(kind: DistKind, p1, p2, rng, counter, tables=None):
         u = _uniform_open01(rng, (BLOCK_ROWS, LANES), counter, 0)
         return [-jnp.log(jnp.maximum(u, 1e-7)) / p1]
     if kind == DistKind.CUSTOM:
-        table_ref, dx_ref = tables
-        m = table_ref.shape[0] * LANES
-        u = _uniform_halfopen01(rng, (BLOCK_ROWS, LANES), counter, 0)
-        pos = u * jnp.float32(m - 1)
-        i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
-        frac = pos - i0.astype(jnp.float32)
-        return [_table_lookup(table_ref, dx_ref, i0, frac, BLOCK_ROWS)]
+        ts_ref, dts_ref = tables
+        return [_stratified_sample(ts_ref, dts_ref, rng, counter)]
     raise ValueError(f"Pallas kernel does not support {kind}")
 
 
@@ -390,7 +463,7 @@ def build_integrate_fn_pallas(
     def _prep_tables(x_table, weight_tables):
         prepped = []
         if is_custom:
-            prepped += list(prep_inv_table(x_table))
+            prepped += list(prep_inv_table_stratified(x_table, BLOCK_ROWS))
         wt = list(weight_tables)
         for flag in (p_table, q_table):
             if flag:
