@@ -281,19 +281,64 @@ class MonteCarloIntegrator:
         functions: List[Union[Callable, str]],
         distribution: Distribution,
         n_samples: int = 1_000_000,
+        seed_batch: int = 1,
     ) -> Callable:
         """Ahead-of-time handle for serving: returns ``prog(seed) ->
         jax.Array (K,)`` with tracing, compilation, and device uploads done
         once.  Repeat calls cost one dispatch — no per-call host work and no
         host round-trips beyond the result fetch the caller chooses to do.
         (A capability the reference lacks: it re-generated and re-compiled
-        its shader on every call, SURVEY.md §3.2.)"""
+        its shader on every call, SURVEY.md §3.2.)
+
+        ``seed_batch=R`` returns ``prog(seeds) -> jax.Array (R, K)``
+        instead: R independent n_samples-integrations (one per seed) run
+        back-to-back inside ONE device program, so per-dispatch host/link
+        latency amortises over the batch — the serving-throughput mode.
+        """
         traced = self._trace_user_functions(functions)
         run, dev_args = self._get_integrate_program(
             traced, distribution, n_samples
         )
+        if seed_batch != 1:
+            return self._batched_prog(run, dev_args, seed_batch)
 
         def prog(seed) -> jax.Array:
+            return run(np.uint32(seed), *dev_args)
+
+        return prog
+
+    def _batched_prog(self, run, dev_args, seed_batch: int) -> Callable:
+        """One-RPC batched dispatch: R statically-unrolled calls of an
+        already-built program inside a single jit — each keeps its exact
+        single-seed semantics and streams (prog(seeds)[i] equals
+        prog(seeds[i]) of the unbatched handle bit-for-bit)."""
+        if seed_batch < 1:
+            raise ValueError("seed_batch must be >= 1")
+        batched = self._cache.get_or_build(
+            ("seed_batch", id(run), seed_batch),
+            lambda: jax.jit(
+                lambda seeds, *args: jax.tree.map(
+                    lambda *outs: jnp.stack(outs),
+                    *[run(seeds[i], *args) for i in range(seed_batch)],
+                )
+            ),
+        )
+
+        def prog(seeds):
+            seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
+            if seeds_arr.shape != (seed_batch,):
+                raise ValueError(
+                    f"expected {seed_batch} seeds, got shape {seeds_arr.shape}"
+                )
+            return batched(seeds_arr, *dev_args)
+
+        return prog
+
+    def _finalize_prog(self, run, dev_args, seed_batch: int) -> Callable:
+        if seed_batch != 1:
+            return self._batched_prog(run, tuple(dev_args), seed_batch)
+
+        def prog(seed):
             return run(np.uint32(seed), *dev_args)
 
         return prog
@@ -391,14 +436,19 @@ class MonteCarloIntegrator:
         target_distribution: Distribution,
         proposal_distribution: Distribution,
         n_samples: int = 1_000_000,
+        seed_batch: int = 1,
     ) -> Callable:
-        """Ahead-of-time IS handle: ``prog(seed) -> jax.Array (K,)``."""
+        """Ahead-of-time IS handle: ``prog(seed) -> jax.Array (K,)``; with
+        ``seed_batch=R``, ``prog(seeds) -> (R, K)`` in one dispatch (see
+        compile_integrate)."""
         return self._get_is_program(
-            functions, target_distribution, proposal_distribution, n_samples
+            functions, target_distribution, proposal_distribution, n_samples,
+            seed_batch=seed_batch,
         )
 
     def _get_is_program(
-        self, functions, target_distribution, proposal_distribution, n_samples
+        self, functions, target_distribution, proposal_distribution,
+        n_samples, seed_batch: int = 1,
     ) -> Callable:
         """IS program: ``prog(seed) -> (K,) jax.Array``.
 
@@ -418,11 +468,7 @@ class MonteCarloIntegrator:
             run, dev_args = self._get_integrate_program(
                 weighted_fns, proposal_distribution, n_samples
             )
-
-            def prog(seed) -> jax.Array:
-                return run(np.uint32(seed), *dev_args)
-
-            return prog
+            return self._finalize_prog(run, dev_args, seed_batch)
 
         spec = dist_spec_of(proposal_distribution)
         mesh = self._mesh
@@ -510,12 +556,7 @@ class MonteCarloIntegrator:
                 dev_args += list(
                     _device_mode_tables(proposal_distribution, q_mode_k)
                 )
-            static_args = tuple(dev_args)
-
-            def prog(seed) -> jax.Array:
-                return run(np.uint32(seed), *static_args)
-
-            return prog
+            return self._finalize_prog(run, dev_args, seed_batch)
 
         weighted_fns = self._weighted_fns(
             traced,
@@ -525,11 +566,7 @@ class MonteCarloIntegrator:
         run, dev_args = self._get_integrate_program(
             weighted_fns, proposal_distribution, n_samples
         )
-
-        def prog(seed) -> jax.Array:
-            return run(np.uint32(seed), *dev_args)
-
-        return prog
+        return self._finalize_prog(run, dev_args, seed_batch)
 
     def _pdf_mode(self, dist: Distribution):
         """("traced", fn) when the PDF traces, else ("table", x, pdf) —
@@ -643,20 +680,9 @@ class MonteCarloIntegrator:
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
         want_state = return_state or initial_state is not None
-        if initial_state is not None and initial_state.n_chains != total_chains:
-            raise ValueError(
-                f"initial_state has {initial_state.n_chains} chains but this "
-                f"run plans {total_chains}; pass the state back with the "
-                "same n_chains/target_threads"
-            )
 
-        # Chain-state checkpoint/resume runs on the XLA backend (the Pallas
-        # kernel keeps chain state in VMEM and does not surface it);
-        # otherwise the Pallas kernel is preferred on TPU — measured 5.7x
-        # faster than the XLA scan on v5e (1.8e9 vs 3.2e8 chain-steps/s at
-        # 4096 chains x 11k steps, pipelined device-time measurement).
         if not want_state:
-            stateless = self._get_mcmc_program(
+            stateless, _ = self._get_mcmc_program(
                 traced,
                 target_distribution,
                 proposal_distribution,
@@ -672,87 +698,45 @@ class MonteCarloIntegrator:
                 acceptance_rate=float(acc_rate),
             )
 
-        # Log-pdf tables are fetched for both distributions (reference
-        # __init__.py:1077-1081) but only consulted for CUSTOM families —
-        # analytic ones use closed forms (shader_gen.rs:543-571).
-        targ_lx, targ_lp = target_distribution.get_log_pdf_table()
-        prop_lx, prop_lp = proposal_distribution.get_log_pdf_table()
-
+        # Checkpoint/resume: both backends surface chain state (the Pallas
+        # kernel carries it in VMEM for the whole sweep and writes the
+        # final (x, log_p) blocks; reference bar: state never leaves the
+        # device, src/shader_gen.rs:390-392).  The backends plan chain
+        # counts differently, so a resume state minted on one routes back
+        # to it via its chain count.
         use_init = initial_state is not None
-        targ_uniform = is_uniform_grid(targ_lx)
-        prop_uniform = is_uniform_grid(prop_lx)
-        key = (
-            "mcmc_xla",
-            _fns_key(traced),
-            prop_spec.kind,
-            targ_spec.kind,
+        prog, state_chains = self._get_mcmc_program(
+            traced,
+            target_distribution,
+            proposal_distribution,
             n_steps,
+            n_chains,
             n_burnin,
-            total_chains,
-            _table_shapes(prop_spec),
-            (targ_lx.shape, prop_lx.shape),
-            _mesh_key(mesh),
-            (want_state, use_init, targ_uniform, prop_uniform),
+            with_state=True,
+            use_init_state=use_init,
+            initial_chains=initial_state.n_chains if use_init else None,
         )
-        run = self._cache.get_or_build(
-            key,
-            lambda: build_mcmc_fn(
-                traced,
-                prop_spec.kind,
-                targ_spec.kind,
-                n_steps,
-                n_burnin,
-                total_chains,
-                mesh=mesh,
-                with_state=want_state,
-                use_init_state=use_init,
-                targ_table_uniform=targ_uniform,
-                prop_table_uniform=prop_uniform,
-                prop_exact_inverse=prop_spec.exact_inverse,
-            ),
-        )
-        use_targ_table = targ_spec.kind == DistKind.CUSTOM
-        use_prop_table = prop_spec.kind == DistKind.CUSTOM
-        prop_dev = _device_args_of(proposal_distribution, prop_spec)
-        targ_dev = _device_args_of(target_distribution, targ_spec)
-        dummy = _tbl(None)
-        targ_log_dev = (
-            _device_log_tables_of(target_distribution)
-            if use_targ_table
-            else (dummy, dummy)
-        )
-        prop_log_dev = (
-            _device_log_tables_of(proposal_distribution)
-            if use_prop_table
-            else (dummy, dummy)
-        )
-        args = (
-            np.uint32(seed),
-            prop_dev[0],
-            targ_dev[0],
-            prop_dev[1],
-            prop_dev[2],
-            *targ_log_dev,
-            *prop_log_dev,
-        )
-        chain_state = None
-        if want_state:
-            if use_init:
-                x0 = jnp.asarray(initial_state.x, jnp.float32)
-                logp0 = jnp.asarray(initial_state.log_p, jnp.float32)
-                segment = initial_state.segment + 1
-            else:
-                x0 = jnp.zeros(total_chains, jnp.float32)
-                logp0 = jnp.zeros(total_chains, jnp.float32)
-                segment = 0
-            values, acc_rate, x_f, logp_f = run(
-                *args, x0, logp0, jnp.int32(segment)
+        if use_init and initial_state.n_chains != state_chains:
+            raise ValueError(
+                f"initial_state has {initial_state.n_chains} chains but "
+                f"this run plans {state_chains}; pass the state back with "
+                "the same n_chains/target_threads (and the backend that "
+                "produced it)"
             )
-            chain_state = McmcState(
-                np.asarray(x_f), np.asarray(logp_f), segment=segment
-            )
+        if use_init:
+            x0 = jnp.asarray(initial_state.x, jnp.float32)
+            logp0 = jnp.asarray(initial_state.log_p, jnp.float32)
+            segment = initial_state.segment + 1
         else:
-            values, acc_rate = run(*args)
+            x0 = jnp.zeros(state_chains, jnp.float32)
+            logp0 = jnp.zeros(state_chains, jnp.float32)
+            segment = 0
+        values, acc_rate, x_f, logp_f = prog(
+            seed, x0, logp0, jnp.int32(segment)
+        )
+        chain_state = McmcState(
+            np.asarray(x_f), np.asarray(logp_f), segment=segment
+        )
 
         total_samples = n_chains * n_steps
         return IntegrationResult(
@@ -771,10 +755,13 @@ class MonteCarloIntegrator:
         n_steps: int = 10_000,
         n_chains: int = 1024,
         n_burnin: int = 1_000,
+        seed_batch: int = 1,
     ) -> Callable:
         """Ahead-of-time MCMC handle for serving: ``prog(seed) ->
         ((K,) jax.Array, acceptance jax scalar)`` — tracing, compilation and
-        uploads done once; each call is one device dispatch."""
+        uploads done once; each call is one device dispatch.  With
+        ``seed_batch=R``: ``prog(seeds) -> ((R, K), (R,))`` in one dispatch
+        (see compile_integrate)."""
         if len(functions) == 0:
             raise ValueError("At least one function is required")
         if n_steps <= 0:
@@ -784,14 +771,45 @@ class MonteCarloIntegrator:
         if n_burnin < 0:
             raise ValueError("n_burnin must be non-negative")
         traced = self._trace_user_functions(functions)
-        return self._get_mcmc_program(
+        prog, _ = self._get_mcmc_program(
             traced,
             target_distribution,
             proposal_distribution,
             n_steps,
             n_chains,
             n_burnin,
+            seed_batch=seed_batch,
         )
+        return prog
+
+    def _mcmc_pallas_ok(
+        self, traced, prop_spec, targ_spec,
+        target_distribution, proposal_distribution,
+    ) -> bool:
+        """Pallas-kernel eligibility for an MCMC workload: CUSTOM families
+        need uniform log-pdf x-grids (host-built ones are) and a
+        lane-multiple inverse-CDF table for the in-kernel lookups; the
+        kernel also reserves one output lane for the accept count, capping
+        K at 127.  Anything else routes to the XLA backend."""
+        if not self._use_pallas(prop_spec.kind):
+            return False
+        from .ops.mcmc_pallas import mcmc_pallas_supports
+
+        ok = (
+            mcmc_pallas_supports(prop_spec.kind, targ_spec.kind)
+            and len(traced) < 128
+            and _block_traceable(traced)
+        )
+        if ok and targ_spec.kind == DistKind.CUSTOM:
+            ok = _uniform_log_tables(target_distribution) is not None
+        if ok and prop_spec.kind == DistKind.CUSTOM:
+            ok = (
+                _uniform_log_tables(proposal_distribution) is not None
+                and not prop_spec.exact_inverse
+                and prop_spec.x_table is not None
+                and prop_spec.x_table.shape[0] % 128 == 0
+            )
+        return ok
 
     def _get_mcmc_program(
         self,
@@ -801,101 +819,114 @@ class MonteCarloIntegrator:
         n_steps,
         n_chains,
         n_burnin,
-    ) -> Callable:
-        """Stateless MCMC program: ``prog(seed) -> (values, acceptance)``."""
+        with_state: bool = False,
+        use_init_state: bool = False,
+        initial_chains: Optional[int] = None,
+        seed_batch: int = 1,
+    ):
+        """MCMC program + the chain count its state carries.
+
+        Stateless: ``prog(seed) -> (values, acceptance)``.  With
+        ``with_state=True``: ``prog(seed, x0, logp0, segment) -> (values,
+        acceptance, x_final, logp_final)``; ``initial_chains`` (the resume
+        state's chain count, if resuming) steers routing — a state minted
+        by the XLA backend keeps routing there when its count doesn't fit
+        the Pallas plan."""
         prop_spec = dist_spec_of(proposal_distribution)
         targ_spec = dist_spec_of(target_distribution)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
-        if self._use_pallas(prop_spec.kind):
-            from .ops.mcmc_pallas import (
-                build_mcmc_fn_pallas,
-                mcmc_pallas_supports,
-            )
+        pallas_ok = self._mcmc_pallas_ok(
+            traced, prop_spec, targ_spec,
+            target_distribution, proposal_distribution,
+        )
+        if pallas_ok and with_state:
+            from .ops.mcmc_pallas import plan_state_chains
 
-            # CUSTOM families need uniform log-pdf x-grids (host-built ones
-            # are) and a lane-multiple inverse-CDF table for the in-kernel
-            # lookups; the kernel also reserves one output lane for the
-            # accept count, capping K at 127.  Anything else routes to the
-            # XLA backend.
-            pallas_ok = (
-                mcmc_pallas_supports(prop_spec.kind, targ_spec.kind)
-                and len(traced) < 128
-                and _block_traceable(traced)
+            pallas_state_chains = plan_state_chains(total_chains, n_dev)
+            if (
+                initial_chains is not None
+                and initial_chains != pallas_state_chains
+                and initial_chains == total_chains
+            ):
+                pallas_ok = False  # state minted by the XLA backend
+        if not pallas_ok and self._backend == "pallas":
+            warnings.warn(
+                "backend='pallas' requested but this MCMC workload is "
+                "not Pallas-eligible; running the XLA backend instead",
+                stacklevel=3,
             )
-            if pallas_ok and targ_spec.kind == DistKind.CUSTOM:
-                pallas_ok = (
-                    _uniform_log_tables(target_distribution) is not None
-                )
-            if pallas_ok and prop_spec.kind == DistKind.CUSTOM:
-                pallas_ok = (
-                    _uniform_log_tables(proposal_distribution) is not None
-                    and not prop_spec.exact_inverse
-                    and prop_spec.x_table is not None
-                    and prop_spec.x_table.shape[0] % 128 == 0
-                )
-            if not pallas_ok and self._backend == "pallas":
-                warnings.warn(
-                    "backend='pallas' requested but this MCMC workload is "
-                    "not Pallas-eligible; running the XLA backend instead",
-                    stacklevel=3,
-                )
-            if pallas_ok:
-                interpret = jax.default_backend() != "tpu"
-                key = (
-                    "mcmc_pallas",
-                    _fns_key(traced),
+        if pallas_ok:
+            from .ops.mcmc_pallas import build_mcmc_fn_pallas
+
+            interpret = jax.default_backend() != "tpu"
+            key = (
+                "mcmc_pallas",
+                _fns_key(traced),
+                prop_spec.kind,
+                targ_spec.kind,
+                n_steps,
+                n_burnin,
+                total_chains,
+                _table_shapes(prop_spec),
+                _mesh_key(mesh),
+                interpret,
+                (with_state, use_init_state),
+            )
+            run = self._cache.get_or_build(
+                key,
+                lambda: build_mcmc_fn_pallas(
+                    traced,
                     prop_spec.kind,
                     targ_spec.kind,
                     n_steps,
                     n_burnin,
                     total_chains,
-                    _table_shapes(prop_spec),
-                    _mesh_key(mesh),
-                    interpret,
-                )
-                run = self._cache.get_or_build(
-                    key,
-                    lambda: build_mcmc_fn_pallas(
-                        traced,
-                        prop_spec.kind,
-                        targ_spec.kind,
-                        n_steps,
-                        n_burnin,
-                        total_chains,
-                        mesh=mesh,
-                        interpret=interpret,
-                    ),
-                )
-                prop_dev = _device_args_of(proposal_distribution, prop_spec)
-                targ_dev = _device_args_of(target_distribution, targ_spec)
-                dummy = _tbl(None)
-                targ_log_dev = (
-                    _device_uniform_log_tables(target_distribution)
-                    if targ_spec.kind == DistKind.CUSTOM
-                    else (dummy, dummy)
-                )
-                prop_log_dev = (
-                    _device_uniform_log_tables(proposal_distribution)
-                    if prop_spec.kind == DistKind.CUSTOM
-                    else (dummy, dummy)
-                )
-                static_args = (
-                    prop_dev[0],
-                    targ_dev[0],
-                    prop_dev[1],
-                    prop_dev[2],
-                    *targ_log_dev,
-                    *prop_log_dev,
-                )
+                    mesh=mesh,
+                    interpret=interpret,
+                    with_state=with_state,
+                    use_init_state=use_init_state,
+                ),
+            )
+            prop_dev = _device_args_of(proposal_distribution, prop_spec)
+            targ_dev = _device_args_of(target_distribution, targ_spec)
+            dummy = _tbl(None)
+            targ_log_dev = (
+                _device_uniform_log_tables(target_distribution)
+                if targ_spec.kind == DistKind.CUSTOM
+                else (dummy, dummy)
+            )
+            prop_log_dev = (
+                _device_uniform_log_tables(proposal_distribution)
+                if prop_spec.kind == DistKind.CUSTOM
+                else (dummy, dummy)
+            )
+            static_args = (
+                prop_dev[0],
+                targ_dev[0],
+                prop_dev[1],
+                prop_dev[2],
+                *targ_log_dev,
+                *prop_log_dev,
+            )
 
-                def prog(seed):
-                    return run(np.uint32(seed), *static_args)
+            if with_state:
 
-                return prog
+                def prog(seed, x0, logp0, segment):
+                    return run(np.uint32(seed), *static_args, x0, logp0, segment)
 
+                return prog, pallas_state_chains
+
+            return (
+                self._finalize_prog(run, static_args, seed_batch),
+                total_chains,
+            )
+
+        # Log-pdf tables are fetched for both distributions (reference
+        # __init__.py:1077-1081) but only consulted for CUSTOM families —
+        # analytic ones use closed forms (shader_gen.rs:543-571).
         targ_lx, targ_lp = target_distribution.get_log_pdf_table()
         prop_lx, prop_lp = proposal_distribution.get_log_pdf_table()
         targ_uniform = is_uniform_grid(targ_lx)
@@ -911,7 +942,7 @@ class MonteCarloIntegrator:
             _table_shapes(prop_spec),
             (targ_lx.shape, prop_lx.shape),
             _mesh_key(mesh),
-            (False, False, targ_uniform, prop_uniform),
+            (with_state, use_init_state, targ_uniform, prop_uniform),
         )
         run = self._cache.get_or_build(
             key,
@@ -923,6 +954,8 @@ class MonteCarloIntegrator:
                 n_burnin,
                 total_chains,
                 mesh=mesh,
+                with_state=with_state,
+                use_init_state=use_init_state,
                 targ_table_uniform=targ_uniform,
                 prop_table_uniform=prop_uniform,
                 prop_exact_inverse=prop_spec.exact_inverse,
@@ -952,10 +985,17 @@ class MonteCarloIntegrator:
             *prop_log_dev,
         )
 
-        def prog(seed):
-            return run(np.uint32(seed), *static_args)
+        if with_state:
 
-        return prog
+            def prog(seed, x0, logp0, segment):
+                return run(np.uint32(seed), *static_args, x0, logp0, segment)
+
+            return prog, total_chains
+
+        return (
+            self._finalize_prog(run, static_args, seed_batch),
+            total_chains,
+        )
 
 
 def _stratified_ok(m: int) -> bool:

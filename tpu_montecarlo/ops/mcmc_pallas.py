@@ -48,7 +48,12 @@ from .integrate_pallas import (
     uniform_table_value,
 )
 
-__all__ = ["build_mcmc_fn_pallas", "mcmc_pallas_supports", "plan_mcmc_grid"]
+__all__ = [
+    "build_mcmc_fn_pallas",
+    "mcmc_pallas_supports",
+    "plan_mcmc_grid",
+    "plan_state_chains",
+]
 
 _SQRT_2PI = np.float32(2.50662827463)
 
@@ -75,6 +80,21 @@ def plan_mcmc_grid(total_chains: int):
     block = rows * LANES
     programs = -(-total_chains // block)
     return programs, rows, programs * block
+
+
+def plan_state_chains(total_chains: int, n_dev: int = 1) -> int:
+    """Chain count carried by the Pallas kernel's state buffers: the
+    plan_mcmc_grid round-up with programs padded to a device multiple —
+    the count ``McmcState`` must have to resume on this backend."""
+    programs, rows, _ = plan_mcmc_grid(total_chains)
+    programs = -(-programs // n_dev) * n_dev
+    return programs * rows * LANES
+
+
+# Odd 32-bit mix constant folded into the seed word per resume segment so
+# continuations draw fresh streams; segment 0 leaves the seed unchanged so
+# a fresh stateful run reproduces the stateless kernel bit-for-bit.
+_SEGMENT_MIX = np.int32(0x9E3779B1 - (1 << 32))  # 0x9E3779B1 as int32
 
 
 def _sample_chain_block(kind: DistKind, p1, p2, rows, rng, counter, inv=None):
@@ -138,6 +158,8 @@ def build_mcmc_fn_pallas(
     mesh: Optional[jax.sharding.Mesh] = None,
     axis_name: str = "mc",
     interpret: bool = False,
+    with_state: bool = False,
+    use_init_state: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -150,6 +172,16 @@ def build_mcmc_fn_pallas(
 
     Analytic families ignore their tables (dummy 1-element arrays).  CUSTOM
     log-pdf x-grids must be uniform (the host-built ones are).
+
+    ``with_state=True`` appends trailing args ``(x0, logp0, segment)`` —
+    per-chain state of shape (plan_state_chains(total_chains),) plus an
+    int32 segment counter mixed into the seed word so continuations draw
+    fresh streams — and returns ``(values, acceptance, x_final,
+    logp_final)``.  Chain state stays in VMEM for the whole sweep (the
+    reference holds it in GPU registers, src/shader_gen.rs:390-392); only
+    the final (x, log_p) blocks are written out.  The incoming state is
+    consumed when ``use_init_state=True``; logq at the resume point is
+    recomputed from x (it is a deterministic function of x).
     """
     k = len(eval_fns)
     if k >= LANES:
@@ -170,6 +202,7 @@ def build_mcmc_fn_pallas(
 
     def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, *rest):
         rest = list(rest)
+        seg_ref = rest.pop(0) if with_state else None
         inv = (rest.pop(0), rest.pop(0)) if prop_custom else None
         targ_tab = (
             (rest.pop(0), rest.pop(0), rest.pop(0)) if targ_custom else None
@@ -177,13 +210,24 @@ def build_mcmc_fn_pallas(
         prop_tab = (
             (rest.pop(0), rest.pop(0), rest.pop(0)) if prop_custom else None
         )
-        (out_ref,) = rest
+        if use_init_state:
+            x0_ref = rest.pop(0)
+            logp0_ref = rest.pop(0)
+        if with_state:
+            out_ref, x_out_ref, logp_out_ref = rest
+        else:
+            (out_ref,) = rest
 
         pid = pl.program_id(0)
         rng = rng_factory()
         # Hardware seeding takes at most two words: distinguish the MCMC
         # stream family from the integrate kernel's via a seed-word XOR.
-        rng.seed(seed_ref[0, 0] ^ 0x5BD1E995, pid_base_ref[0, 0] + pid)
+        seed_word = seed_ref[0, 0] ^ 0x5BD1E995
+        if with_state:
+            # Segment 0 multiplies to 0: a fresh stateful run reproduces
+            # the stateless kernel's streams exactly.
+            seed_word = seed_word ^ (seg_ref[0, 0] * _SEGMENT_MIX)
+        rng.seed(seed_word, pid_base_ref[0, 0] + pid)
         q1 = prop_ref[0, 0]
         q2 = prop_ref[0, 1]
         t1 = targ_ref[0, 0]
@@ -200,8 +244,12 @@ def build_mcmc_fn_pallas(
         def lp_q(v):
             return _log_pdf(proposal_kind, q1, q2, v, rows, prop_tab)
 
-        x0 = sample(0)
-        logp0 = lp_t(x0)
+        if use_init_state:
+            x0 = x0_ref[pl.ds(pid * rows, rows), :]
+            logp0 = logp0_ref[pl.ds(pid * rows, rows), :]
+        else:
+            x0 = sample(0)
+            logp0 = lp_t(x0)
         logq0 = lp_q(x0)
 
         def body(i, carry):
@@ -235,7 +283,9 @@ def build_mcmc_fn_pallas(
             tuple(jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)),
             jnp.zeros((rows, LANES), jnp.float32),
         )
-        _, _, _, accs, n_acc = jax.lax.fori_loop(0, n_iters, body, init)
+        x_f, logp_f, _, accs, n_acc = jax.lax.fori_loop(
+            0, n_iters, body, init
+        )
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         row_out = jnp.zeros((1, LANES), jnp.float32)
@@ -243,32 +293,57 @@ def build_mcmc_fn_pallas(
             row_out = jnp.where(col == i, jnp.sum(acc), row_out)
         row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
         out_ref[pl.ds(pid, 1), :] = row_out
+        if with_state:
+            x_out_ref[pl.ds(pid * rows, rows), :] = x_f
+            logp_out_ref[pl.ds(pid * rows, rows), :] = logp_f
 
     smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     smem_params = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
     smem_grid = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def pallas_sweep(seed, prop, targ, pid_base, *tables):
+    state_rows = local_programs * rows
+    state_block = pl.BlockSpec(
+        (state_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    def pallas_sweep(seed, prop, targ, pid_base, *rest):
         in_specs = [smem_scalar, smem_params, smem_params, smem_scalar]
+        if with_state:
+            in_specs += [smem_scalar]  # segment
         if prop_custom:
             in_specs += [vmem, vmem]  # inverse-CDF table + dx
         if targ_custom:
             in_specs += [vmem, vmem, smem_grid]  # log table, dx, grid
         if prop_custom:
             in_specs += [vmem, vmem, smem_grid]
+        if use_init_state:
+            in_specs += [state_block, state_block]  # x0, logp0
+        sums_spec = pl.BlockSpec(
+            (local_programs, LANES), lambda i: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        sums_shape = jax.ShapeDtypeStruct((local_programs, LANES), jnp.float32)
+        state_shape = jax.ShapeDtypeStruct((state_rows, LANES), jnp.float32)
+        if with_state:
+            out_specs = (sums_spec, state_block, state_block)
+            out_shape = (sums_shape, state_shape, state_shape)
+        else:
+            out_specs = sums_spec
+            out_shape = sums_shape
         out = pl.pallas_call(
             kernel,
             grid=(local_programs,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (local_programs, LANES), lambda i: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((local_programs, LANES), jnp.float32),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
-        )(seed, prop, targ, pid_base, *tables)
+        )(seed, prop, targ, pid_base, *rest)
+        if with_state:
+            out, x_f, logp_f = out
         totals = jnp.sum(out, axis=0)
+        if with_state:
+            return totals[:k], totals[k], x_f.reshape(-1), logp_f.reshape(-1)
         return totals[:k], totals[k]
 
     denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
@@ -300,7 +375,37 @@ def build_mcmc_fn_pallas(
             tuple(prepped),
         )
 
+    def _prep_state(state_args):
+        """(x0, logp0, segment) host args -> kernel-ordered extras:
+        segment (1,1) SMEM scalar first, state blocks last."""
+        x0, logp0, segment = state_args
+        seg_a = jnp.asarray(segment, jnp.int32).reshape(1, 1)
+        pre = (seg_a,)
+        post = ()
+        if use_init_state:
+            post = (
+                jnp.asarray(x0, jnp.float32).reshape(-1, LANES),
+                jnp.asarray(logp0, jnp.float32).reshape(-1, LANES),
+            )
+        return pre, post
+
     if mesh is None:
+        if with_state:
+
+            @jax.jit
+            def run(seed, prop_params, targ_params, *tables_state):
+                tables = tables_state[:-3]
+                pre, post = _prep_state(tables_state[-3:])
+                seed_a, prop_a, targ_a, prepped = _prep(
+                    seed, prop_params, targ_params, tables
+                )
+                base = jnp.zeros((1, 1), jnp.int32)
+                sums, n_acc, x_f, logp_f = pallas_sweep(
+                    seed_a, prop_a, targ_a, base, *pre, *prepped, *post
+                )
+                return sums / denom_vals, n_acc / denom_acc, x_f, logp_f
+
+            return run
 
         @jax.jit
         def run(seed, prop_params, targ_params, *tables):
@@ -314,23 +419,63 @@ def build_mcmc_fn_pallas(
         return run
 
     replicated = P()
+    sharded = P(axis_name)
     n_extra = (5 if prop_custom else 0) + (3 if targ_custom else 0)
 
-    def sharded_body(seed_a, prop_a, targ_a, *prepped):
+    def sharded_body(seed_a, prop_a, targ_a, *rest):
         d = jax.lax.axis_index(axis_name)
         base = (d * local_programs).astype(jnp.int32).reshape(1, 1)
-        sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base, *prepped)
+        if use_init_state:
+            # Shard-local flat (local_chains,) state -> kernel blocks.
+            rest = rest[:-2] + tuple(
+                a.reshape(-1, LANES) for a in rest[-2:]
+            )
+        sums, n_acc, *state = pallas_sweep(seed_a, prop_a, targ_a, base, *rest)
         sums = jax.lax.psum(sums, axis_name)
         n_acc = jax.lax.psum(n_acc, axis_name)
-        return sums / denom_vals, n_acc / denom_acc
+        return (sums / denom_vals, n_acc / denom_acc, *state)
+
+    body_in_specs = (replicated,) * (3 + n_extra)
+    body_out_specs = (replicated, replicated)
+    if with_state:
+        # segment scalar (replicated, right after params) + per-chain state
+        # blocks (sharded over the chain axis, trailing).
+        body_in_specs = (
+            body_in_specs[:3] + (replicated,) + body_in_specs[3:]
+        )
+        if use_init_state:
+            body_in_specs = body_in_specs + (sharded, sharded)
+        body_out_specs = body_out_specs + (sharded, sharded)
 
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(replicated,) * (3 + n_extra),
-        out_specs=(replicated, replicated),
+        in_specs=body_in_specs,
+        out_specs=body_out_specs,
         check_vma=False,
     )
+
+    if with_state:
+
+        @jax.jit
+        def run(seed, prop_params, targ_params, *tables_state):
+            tables = tables_state[:-3]
+            x0, logp0, segment = tables_state[-3:]
+            seed_a, prop_a, targ_a, prepped = _prep(
+                seed, prop_params, targ_params, tables
+            )
+            seg_a = jnp.asarray(segment, jnp.int32).reshape(1, 1)
+            post = ()
+            if use_init_state:
+                post = (
+                    jnp.asarray(x0, jnp.float32),
+                    jnp.asarray(logp0, jnp.float32),
+                )
+            out = shard_mapped(seed_a, prop_a, targ_a, seg_a, *prepped, *post)
+            sums, n_acc, x_f, logp_f = out
+            return sums, n_acc, x_f, logp_f
+
+        return run
 
     @jax.jit
     def run(seed, prop_params, targ_params, *tables):
