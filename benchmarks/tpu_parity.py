@@ -1,0 +1,266 @@
+#!/usr/bin/env python3
+"""Asserted statistical parity of the COMPILED kernels on real hardware.
+
+The pytest suite validates kernel logic through the Pallas interpreter on
+CPU; this harness runs the same reference-derived statistical checks on
+whatever backend JAX resolves (TPU through the axon tunnel — the compiled
+Mosaic kernels; the XLA sweep elsewhere) and ASSERTS the reference's own
+tolerances (wgpu-monte-carlo tests/test_integrator.py:196-257,
+tests/test_distributions.py:78-157, tests/test_mcmc.py:88-148,319-344,
+tests/test_importance_sampling.py:23-62).
+
+Writes PARITY_TPU.json next to the repo root with one record per check and
+exits non-zero if any check fails.
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site nohup python benchmarks/tpu_parity.py &
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _setup_jax():
+    import jax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return jax
+
+
+RECORDS = []
+
+
+def check(name, values, expected, tol, note=""):
+    values = [float(v) for v in np.ravel(values)]
+    expected = [float(e) for e in np.ravel(expected)]
+    tol = list(np.broadcast_to(tol, (len(expected),)).astype(float))
+    errs = [abs(v - e) for v, e in zip(values, expected)]
+    ok = all(err < t for err, t in zip(errs, tol))
+    RECORDS.append(
+        {
+            "check": name,
+            "values": values,
+            "expected": expected,
+            "tol": tol,
+            "max_err": max(errs),
+            "pass": bool(ok),
+            "note": note,
+        }
+    )
+    print(json.dumps(RECORDS[-1]), flush=True)
+    return ok
+
+
+def main() -> int:
+    jax = _setup_jax()
+    import tpu_montecarlo as mc
+
+    backend = jax.default_backend()
+    print(f"# backend: {backend}", flush=True)
+    ok = True
+
+    # --- integrate: analytic families (ref test_integrator.py:196-257) ---
+    d = mc.Distribution.normal(0.0, 1.0)
+    r = mc.integrate(
+        [lambda x: x, lambda x: x * x, lambda x: x * x * x,
+         lambda x: x * x * x * x],
+        d, n_samples=10_000_000, seed=42,
+    )
+    ok &= check("normal_moments_1e7", r.values, [0, 1, 0, 3], 0.01,
+                "ref test_integrator.py:230-246")
+
+    u = mc.Distribution.uniform(0.0, 1.0)
+    r = mc.integrate([lambda x: x, lambda x: x * x], u,
+                     n_samples=10_000_000, seed=42)
+    var = r.values[1] - r.values[0] ** 2
+    ok &= check("uniform_mean_var_1e7", [r.values[0], var],
+                [0.5, 1.0 / 12.0], 0.01, "ref test_integrator.py:196-209")
+
+    e = mc.Distribution.exponential(2.0)
+    r = mc.integrate([lambda x: x, lambda x: x * x], e,
+                     n_samples=10_000_000, seed=42)
+    var = r.values[1] - r.values[0] ** 2
+    ok &= check("exponential_mean_var_1e7", [r.values[0], var],
+                [0.5, 0.25], 0.01, "ref test_integrator.py:211-228")
+
+    u2pi = mc.Distribution.uniform(0.0, 2 * math.pi)
+    r = mc.integrate([lambda x: math.sin(x), lambda x: math.cos(x)], u2pi,
+                     n_samples=10_000_000, seed=42)
+    ok &= check("trig_uniform_1e7", r.values, [0, 0], 0.01,
+                "ref test_integrator.py:248-257")
+
+    # --- integrate: table sampling (ref test_distributions.py:78-157) ---
+    a, b = 2.0, 5.0
+    beta = mc.Distribution.beta(a, b, table_size=2048)
+    r = mc.integrate(
+        [lambda x: x, lambda x: x * x, lambda x: x * x * x], beta,
+        n_samples=10_000_000, seed=42,
+    )
+    m1 = a / (a + b)
+    m2 = a * (a + 1) / ((a + b) * (a + b + 1))
+    m3 = a * (a + 1) * (a + 2) / ((a + b) * (a + b + 1) * (a + b + 2))
+    ok &= check("beta_2_5_moments_1e7", r.values, [m1, m2, m3], 0.01,
+                "ref test_distributions.py:78-110")
+
+    a, b = 3.0, 2.0
+    beta32 = mc.Distribution.beta(a, b, table_size=2048)
+    r = mc.integrate([lambda x: x, lambda x: x * x], beta32,
+                     n_samples=5_000_000, seed=123)
+    m1 = a / (a + b)
+    m2 = a * (a + 1) / ((a + b) * (a + b + 1))
+    var = r.values[1] - r.values[0] ** 2
+    ok &= check("beta_3_2_mean_var_5e6", [r.values[0], var],
+                [m1, m2 - m1 * m1], 0.02, "ref test_distributions.py:112-132")
+
+    def unit_pdf(x):
+        return 1.0 if 0 <= x < 1 else 0.0
+
+    tbl = mc.Distribution.from_pdf(unit_pdf, support=(0.0, 1.0))
+    r = mc.integrate([lambda x: x, lambda x: x * x], tbl,
+                     n_samples=1_000_000, seed=42)
+    ok &= check("table_vs_direct_uniform_1e6", r.values, [0.5, 1.0 / 3.0],
+                0.01, "ref test_distributions.py:134-157")
+
+    # --- importance sampling (ref test_importance_sampling.py:23-62) ---
+    p = mc.Distribution.normal(0.0, 1.0)
+    q = mc.Distribution.normal(0.0, 1.0)
+    r = mc.integrate_importance_sampling(
+        [lambda x: x * x], p, q, n_samples=1_000_000, seed=42
+    )
+    ok &= check("is_p_equals_q_1e6", r.values, [1.0], 0.01,
+                "ref test_importance_sampling.py:23-32")
+
+    q = mc.Distribution.normal(0.5, 1.2)
+    r = mc.integrate_importance_sampling(
+        [lambda x: x, lambda x: x * x], p, q, n_samples=5_000_000, seed=42
+    )
+    ok &= check("is_shifted_wider_5e6", r.values, [0.0, 1.0], 0.02,
+                "ref test_importance_sampling.py:34-62")
+
+    q = mc.Distribution.normal(4.0, 1.5)
+    r = mc.integrate_importance_sampling(
+        [lambda x: x > 4.0], p, q, n_samples=100_000_000, seed=42
+    )
+    true_tail = 3.1671e-5  # P(N(0,1) > 4)
+    ok &= check("is_rare_event_1e8", r.values, [true_tail], true_tail * 0.1,
+                "rare-event IS, 10% relative")
+
+    # Non-traceable target PDF -> table-weight route stays on-device.
+    def stepped_pdf(x):
+        # int() defeats tracing (reference: TranspilerError -> table path).
+        return float(int(x >= 0)) * math.exp(-x)
+
+    pt = mc.Distribution.from_pdf(stepped_pdf, support=(0.0, 12.0))
+    q = mc.Distribution.exponential(0.7)
+    r = mc.integrate_importance_sampling(
+        [lambda x: x], pt, q, n_samples=5_000_000, seed=42
+    )
+    ok &= check("is_table_route_exp_5e6", r.values, [1.0], 0.02,
+                "table-PDF weight route; E[x]=1 for Exp(1)")
+
+    # --- MCMC (ref test_mcmc.py:88-148) ---
+    target = mc.Distribution.normal(0.0, 1.0)
+    proposal = mc.Distribution.normal(0.0, 1.0)
+    r = mc.integrate_mcmc([lambda x: x], target, proposal,
+                          n_steps=5000, n_chains=256, n_burnin=500, seed=42)
+    ok &= check("mcmc_normal_mean", r.values, [0.0], 0.15,
+                "ref test_mcmc.py:91-106")
+
+    proposal = mc.Distribution.normal(0.0, 1.5)
+    r = mc.integrate_mcmc([lambda x: x * x], target, proposal,
+                          n_steps=10_000, n_chains=512, n_burnin=1000, seed=42)
+    ok &= check("mcmc_normal_second_moment", r.values, [1.0], 0.15,
+                "ref test_mcmc.py:108-123")
+
+    def bimodal(x):
+        return math.exp(-0.5 * (x - 2.0) ** 2) + math.exp(-0.5 * (x + 2.0) ** 2)
+
+    bi = mc.Distribution.from_pdf(bimodal, support=(-6.0, 6.0))
+    r = mc.integrate_mcmc([lambda x: x * x], bi,
+                          mc.Distribution.uniform(-6.0, 6.0),
+                          n_steps=10_000, n_chains=1024, n_burnin=1000,
+                          seed=42)
+    ok &= check("mcmc_bimodal_table_target", r.values, [5.0], 0.2,
+                "E[X^2] = 4 + 1 for the +-2 mixture; ref test_mcmc.py:349-372")
+
+    beta25 = mc.Distribution.beta(2.0, 5.0)
+    r = mc.integrate_mcmc([lambda x: x], beta25,
+                          mc.Distribution.uniform(0.0, 1.0),
+                          n_steps=5000, n_chains=512, n_burnin=500, seed=42)
+    ok &= check("mcmc_beta_target", r.values, [2.0 / 7.0], 0.05,
+                "ref test_mcmc.py:374-392")
+
+    # Seed reproducibility of the compiled kernels (ref test_mcmc.py:319-344).
+    r1 = mc.integrate([lambda x: x * x], d, n_samples=1_000_000, seed=7)
+    r2 = mc.integrate([lambda x: x * x], d, n_samples=1_000_000, seed=7)
+    same = bool(np.array_equal(r1.values, r2.values))
+    RECORDS.append({"check": "seed_reproducibility_integrate",
+                    "pass": same, "note": "bit-equal same-seed estimates"})
+    print(json.dumps(RECORDS[-1]), flush=True)
+    ok &= same
+
+    ra = mc.integrate_mcmc([lambda x: x], target,
+                           mc.Distribution.normal(0.0, 2.0),
+                           n_steps=2000, n_chains=256, n_burnin=200, seed=11)
+    rb = mc.integrate_mcmc([lambda x: x], target,
+                           mc.Distribution.normal(0.0, 2.0),
+                           n_steps=2000, n_chains=256, n_burnin=200, seed=11)
+    same = bool(np.array_equal(ra.values, rb.values))
+    RECORDS.append({"check": "seed_reproducibility_mcmc",
+                    "pass": same, "note": "ref test_mcmc.py:319-344"})
+    print(json.dumps(RECORDS[-1]), flush=True)
+    ok &= same
+
+    # --- checkpoint/resume on the compiled kernel -------------------------
+    it = mc.MonteCarloIntegrator()
+    q2 = mc.Distribution.normal(0.0, 2.0)
+    rs1 = it.integrate_mcmc([lambda x: x * x], target, q2,
+                            n_steps=3000, n_chains=512, n_burnin=500,
+                            seed=42, return_state=True)
+    rs2 = it.integrate_mcmc([lambda x: x * x], target, q2,
+                            n_steps=3000, n_chains=512, n_burnin=0,
+                            initial_state=rs1.chain_state, seed=42)
+    ok &= check("mcmc_resume_second_moment",
+                [rs1.values[0], rs2.values[0]], [1.0, 1.0], 0.15,
+                "stateful + resumed segments both within tolerance")
+
+    # Cross-backend: resumed segments vs one stateless run of 2x steps
+    # must agree statistically (VERDICT r1 weak #7).
+    combined = 0.5 * (rs1.values[0] + rs2.values[0])
+    r_full = it.integrate_mcmc([lambda x: x * x], target, q2,
+                               n_steps=6000, n_chains=512, n_burnin=500,
+                               seed=43)
+    ok &= check("mcmc_resumed_vs_continuous",
+                [combined - r_full.values[0]], [0.0], 0.1,
+                "mean of 2 resumed segments vs one 2x stateless run")
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PARITY_TPU.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump({"backend": backend, "all_pass": bool(ok),
+                   "checks": RECORDS}, f, indent=2)
+    print(f"# wrote {out_path}; all_pass={ok}", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    except Exception:
+        traceback.print_exc()
+        sys.exit(2)

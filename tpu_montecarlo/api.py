@@ -241,9 +241,11 @@ class MonteCarloIntegrator:
             and _block_traceable(traced)
             and (
                 spec.kind != DistKind.CUSTOM
+                # Zero-density-span (exact_inverse) customs sample through
+                # host-built gap-respecting tables, always stratified-ok.
+                or spec.exact_inverse
                 or (
-                    not spec.exact_inverse
-                    and spec.x_table is not None
+                    spec.x_table is not None
                     and _stratified_ok(spec.x_table.shape[0])
                 )
             )
@@ -251,9 +253,9 @@ class MonteCarloIntegrator:
         if not ok and self._backend == "pallas":
             warnings.warn(
                 "backend='pallas' requested but this workload is not "
-                "Pallas-eligible (table-lookup closure, K>128, or a "
-                "zero-density custom distribution needing the exact "
-                "inverse); running the XLA backend instead",
+                "Pallas-eligible (table-lookup closure, K>128, or an "
+                "incompatible table layout); running the XLA backend "
+                "instead",
                 stacklevel=3,
             )
         return ok
@@ -367,6 +369,7 @@ class MonteCarloIntegrator:
                 plan = make_integrate_plan(
                     n_samples, self._target_threads, n_dev=n_dev
                 )
+                gapped = spec.kind == DistKind.CUSTOM and spec.exact_inverse
                 key = (
                     "integrate_pallas",
                     _fns_key(traced),
@@ -375,14 +378,21 @@ class MonteCarloIntegrator:
                     _table_shapes(spec),
                     _mesh_key(mesh),
                     interpret,
+                    gapped,
                 )
                 run = self._cache.get_or_build(
                     key,
                     lambda: build_integrate_fn_pallas(
                         traced, spec.kind, plan, mesh=mesh,
-                        interpret=interpret,
+                        interpret=interpret, gapped_tables=gapped,
                     ),
                 )
+                if gapped:
+                    params_dev = _device_args_of(distribution, spec)[0]
+                    ts, dts = _device_gapped_tables(
+                        distribution, spec, stratified=True
+                    )
+                    return run, (params_dev, ts, dts)
                 return run, _device_args_of(distribution, spec)
 
         plan = make_integrate_plan(n_samples, self._target_threads, n_dev=n_dev)
@@ -525,6 +535,7 @@ class MonteCarloIntegrator:
                     )
                 return _fn_key(mode[1])
 
+            gapped = spec.kind == DistKind.CUSTOM and spec.exact_inverse
             key = (
                 "is_pallas",
                 _fns_key(traced),
@@ -535,6 +546,7 @@ class MonteCarloIntegrator:
                 mode_key(q_mode_k, proposal_distribution),
                 _mesh_key(mesh),
                 interpret,
+                gapped,
             )
             run = self._cache.get_or_build(
                 key,
@@ -545,9 +557,20 @@ class MonteCarloIntegrator:
                     mesh=mesh,
                     interpret=interpret,
                     is_weight=(mode_arg(p_mode_k), mode_arg(q_mode_k)),
+                    gapped_tables=gapped,
                 ),
             )
-            dev_args = list(_device_args_of(proposal_distribution, spec))
+            if gapped:
+                ts, dts = _device_gapped_tables(
+                    proposal_distribution, spec, stratified=True
+                )
+                dev_args = [
+                    _device_args_of(proposal_distribution, spec)[0], ts, dts,
+                ]
+            else:
+                dev_args = list(
+                    _device_args_of(proposal_distribution, spec)
+                )
             if p_mode_k[0] == "table":
                 dev_args += list(
                     _device_mode_tables(target_distribution, p_mode_k)
@@ -803,11 +826,14 @@ class MonteCarloIntegrator:
         if ok and targ_spec.kind == DistKind.CUSTOM:
             ok = _uniform_log_tables(target_distribution) is not None
         if ok and prop_spec.kind == DistKind.CUSTOM:
-            ok = (
-                _uniform_log_tables(proposal_distribution) is not None
-                and not prop_spec.exact_inverse
-                and prop_spec.x_table is not None
-                and prop_spec.x_table.shape[0] % 128 == 0
+            # exact_inverse proposals sample through host-built
+            # gap-respecting tables (always lane-multiple).
+            ok = _uniform_log_tables(proposal_distribution) is not None and (
+                prop_spec.exact_inverse
+                or (
+                    prop_spec.x_table is not None
+                    and prop_spec.x_table.shape[0] % 128 == 0
+                )
             )
         return ok
 
@@ -862,6 +888,9 @@ class MonteCarloIntegrator:
             from .ops.mcmc_pallas import build_mcmc_fn_pallas
 
             interpret = jax.default_backend() != "tpu"
+            prop_gapped = (
+                prop_spec.kind == DistKind.CUSTOM and prop_spec.exact_inverse
+            )
             key = (
                 "mcmc_pallas",
                 _fns_key(traced),
@@ -873,7 +902,7 @@ class MonteCarloIntegrator:
                 _table_shapes(prop_spec),
                 _mesh_key(mesh),
                 interpret,
-                (with_state, use_init_state),
+                (with_state, use_init_state, prop_gapped),
             )
             run = self._cache.get_or_build(
                 key,
@@ -888,9 +917,22 @@ class MonteCarloIntegrator:
                     interpret=interpret,
                     with_state=with_state,
                     use_init_state=use_init_state,
+                    prop_gapped=prop_gapped,
                 ),
             )
-            prop_dev = _device_args_of(proposal_distribution, prop_spec)
+            if prop_gapped:
+                t, dt = _device_gapped_tables(
+                    proposal_distribution, prop_spec, stratified=False
+                )
+                prop_dev = (
+                    _device_args_of(proposal_distribution, prop_spec)[0],
+                    t,
+                    dt,
+                )
+            else:
+                prop_dev = _device_args_of(
+                    proposal_distribution, prop_spec
+                )
             targ_dev = _device_args_of(target_distribution, targ_spec)
             dummy = _tbl(None)
             targ_log_dev = (
@@ -1064,6 +1106,36 @@ def _device_args_of(distribution, spec):
             _tbl(spec.cdf_table),
         )
         distribution._device_args = cached
+    return cached
+
+
+def _device_gapped_tables(distribution, spec, stratified: bool):
+    """Device-resident gap-respecting inverse tables for zero-density-span
+    (exact_inverse) custom distributions, cached per Distribution.
+
+    ``stratified=True``: (segments, 128) (value, slope) tables for the
+    stratified integrate sampler; ``False``: flat m-knot tables for the
+    MCMC proposal's i.i.d. segment lane-gather lookup.  Both jump each gap
+    exactly at a knot so the device never emits a sample inside a gap
+    (the semantics of the reference's knot-exact binary search,
+    src/distribution.rs:128-158)."""
+    attr = "_device_gapped_strat" if stratified else "_device_gapped_inv"
+    cached = getattr(distribution, attr, None)
+    if cached is None:
+        from .tables import (
+            find_zero_density_gaps,
+            gapped_inverse_tables,
+            gapped_stratified_tables,
+        )
+
+        _, pdf_vals = distribution.get_or_compute_pdf_table()
+        gaps = find_zero_density_gaps(
+            spec.x_table, spec.cdf_table, pdf_vals
+        )
+        build = gapped_stratified_tables if stratified else gapped_inverse_tables
+        t, dt = build(spec.x_table, spec.cdf_table, gaps)
+        cached = (jnp.asarray(t), jnp.asarray(dt))
+        setattr(distribution, attr, cached)
     return cached
 
 

@@ -328,6 +328,7 @@ def build_integrate_fn_pallas(
     axis_name: str = "mc",
     interpret: bool = False,
     is_weight=None,
+    gapped_tables: bool = False,
 ):
     """Build a jitted ``(seed, params, x_table, cdf_table[, p_x, p_pdf]
     [, q_x, q_pdf]) -> (K,) float32`` program running the fused Pallas
@@ -342,7 +343,15 @@ def build_integrate_fn_pallas(
     via the segment lane-gather lookup, with the 0-outside-support
     convention (reference src/distribution.rs:173-281).  The weight
     multiplies every integrand, so all K functions see identical weights on
-    shared samples (reference __init__.py:893-905)."""
+    shared samples (reference __init__.py:893-905).
+
+    ``gapped_tables``: the x_table/cdf_table runtime args are host-built
+    (segments, 128) stratified (value, slope) tables from
+    ``tables.gapped_stratified_tables`` — zero-density-span distributions
+    whose exact inverse is discontinuous; the decoupled slope table jumps
+    each gap exactly at a knot so no sample ever lands inside a gap
+    (reference bar: the knot-exact device binary search,
+    src/distribution.rs:128-158)."""
     k = len(eval_fns)
     if k > LANES:
         raise ValueError(f"at most {LANES} fused functions supported")
@@ -460,10 +469,21 @@ def build_integrate_fn_pallas(
         params_arr = jnp.asarray(params, jnp.float32).reshape(1, 2)
         return seed_arr, params_arr
 
-    def _prep_tables(x_table, weight_tables):
+    def _prep_tables(x_table, cdf_table, weight_tables):
         prepped = []
         if is_custom:
-            prepped += list(prep_inv_table_stratified(x_table, BLOCK_ROWS))
+            if gapped_tables:
+                ts = jnp.asarray(x_table, jnp.float32)
+                dts = jnp.asarray(cdf_table, jnp.float32)
+                rep = BLOCK_ROWS // ts.shape[0]
+                prepped += [
+                    jnp.repeat(ts, rep, axis=0),
+                    jnp.repeat(dts, rep, axis=0),
+                ]
+            else:
+                prepped += list(
+                    prep_inv_table_stratified(x_table, BLOCK_ROWS)
+                )
         wt = list(weight_tables)
         for flag in (p_table, q_table):
             if flag:
@@ -480,7 +500,7 @@ def build_integrate_fn_pallas(
             base = jnp.zeros((1, 1), jnp.int32)
             sums = pallas_sweep(
                 seed_arr, params_arr, base,
-                *_prep_tables(x_table, weight_tables),
+                *_prep_tables(x_table, cdf_table, weight_tables),
             )
             return sums / jnp.float32(actual)
 
@@ -507,7 +527,7 @@ def build_integrate_fn_pallas(
     def run(seed, params, x_table, cdf_table, *weight_tables):
         seed_arr, params_arr = _prep(seed, params)
         return shard_mapped(
-            seed_arr, params_arr, *_prep_tables(x_table, weight_tables)
+            seed_arr, params_arr, *_prep_tables(x_table, cdf_table, weight_tables)
         )
 
     return run

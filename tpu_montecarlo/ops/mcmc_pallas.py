@@ -160,6 +160,7 @@ def build_mcmc_fn_pallas(
     interpret: bool = False,
     with_state: bool = False,
     use_init_state: bool = False,
+    prop_gapped: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -182,6 +183,11 @@ def build_mcmc_fn_pallas(
     the final (x, log_p) blocks are written out.  The incoming state is
     consumed when ``use_init_state=True``; logq at the resume point is
     recomputed from x (it is a deterministic function of x).
+
+    ``prop_gapped=True``: the (prop_inv_cdf_table, prop_cdf_table) runtime
+    args are host-built gap-respecting (value, slope) tables from
+    ``tables.gapped_inverse_tables`` — a zero-density-span proposal then
+    samples in-kernel without ever landing inside a gap.
     """
     k = len(eval_fns)
     if k >= LANES:
@@ -350,10 +356,20 @@ def build_mcmc_fn_pallas(
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
 
     def _prep(seed, prop_params, targ_params, tables):
-        (prop_inv, _unused_cdf, targ_lx, targ_lp, prop_lx, prop_lp) = tables
+        (prop_inv, prop_cdf, targ_lx, targ_lp, prop_lx, prop_lp) = tables
         prepped = []
         if prop_custom:
-            prepped += list(prep_inv_table(prop_inv))
+            if prop_gapped:
+                # (value, slope) pair built host-side with gap jumps
+                # snapped to knots (tables.gapped_inverse_tables); the
+                # second runtime slot carries the slope table.
+                t = jnp.asarray(prop_inv, jnp.float32)
+                dt = jnp.asarray(prop_cdf, jnp.float32)
+                prepped += [
+                    t.reshape(-1, LANES), dt.reshape(-1, LANES)
+                ]
+            else:
+                prepped += list(prep_inv_table(prop_inv))
         if targ_custom:
             prepped += list(
                 _pad_log_table(

@@ -331,6 +331,123 @@ def resample_uniform_table(
     return None
 
 
+def find_zero_density_gaps(
+    x_table: np.ndarray,
+    cdf_table: np.ndarray,
+    pdf_table: np.ndarray,
+    min_run: int = 2,
+) -> list:
+    """Interior zero-density spans as ``[(c, x_left, x_right)]``.
+
+    A run of ``min_run``+ consecutive interior knots with pdf == 0 means
+    the density is exactly zero on [x_left, x_right] (the pdf is piecewise
+    linear between knots) and the CDF is flat at value ``c`` there — the
+    exact inverse CDF jumps from x_left to x_right at u = c.  Same
+    detection as ``needs_exact_inverse``."""
+    cdf = np.asarray(cdf_table, np.float64)
+    x = np.asarray(x_table, np.float64)
+    sl = _effective_support_slice(cdf)
+    p = np.asarray(pdf_table, np.float64)[sl]
+    xs = x[sl]
+    cs = cdf[sl]
+    gaps = []
+    run_start = None
+    zero = p == 0.0
+    # interior only: a leading/trailing zero run is support padding
+    for i in range(1, len(p) - 1):
+        if zero[i]:
+            if run_start is None:
+                run_start = i
+        else:
+            if run_start is not None and i - run_start >= min_run:
+                gaps.append(
+                    (float(cs[run_start]), float(xs[run_start]),
+                     float(xs[i - 1]))
+                )
+            run_start = None
+    if run_start is not None and (len(p) - 1) - run_start >= min_run:
+        gaps.append(
+            (float(cs[run_start]), float(xs[run_start]), float(xs[-2]))
+        )
+    return gaps
+
+
+def _gapped_tables_for_grid(
+    u: np.ndarray, x64: np.ndarray, c64: np.ndarray, gaps: list
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(t, dt) tables over a (rows, L) u-knot grid whose piecewise map
+    ``x(u) = t[row, j] + frac * dt[row, j]`` (j = knot below u, frac the
+    within-interval fraction) NEVER lands inside a zero-density gap.
+
+    The device kernels evaluate exactly that map from two independent
+    tables, so dt need not equal diff(t): each gap's jump is snapped to the
+    nearest u-knot (mass distortion <= half a knot interval, ~1e-4 for the
+    4096-knot grids), t at/above the snapped knot takes the right branch,
+    and the interval just below the jump gets dt = x_left - t so it ends at
+    the gap's left edge instead of crossing it.  Intervals are within-row
+    (row = table segment or stratum); the last column's dt is never read."""
+    u = np.asarray(u, np.float64)
+    t = np.interp(u.reshape(-1), c64, x64).reshape(u.shape)
+    threshes = []
+    for c, xl, xr in gaps:
+        flat = u.reshape(-1)
+        thresh = float(flat[int(np.argmin(np.abs(flat - c)))])
+        threshes.append(thresh)
+        right = u >= thresh
+        # u < c implies exact-inverse <= xl and u > c implies >= xr; the
+        # clamps only rewrite knots between c and the snapped jump knot.
+        t = np.where(right, np.maximum(t, xr), np.minimum(t, xl))
+    dt = np.zeros_like(t)
+    dt[:, :-1] = t[:, 1:] - t[:, :-1]
+    for (c, xl, xr), thresh in zip(gaps, threshes):
+        jump = (u[:, :-1] < thresh) & (u[:, 1:] >= thresh)
+        dt[:, :-1] = np.where(jump, xl - t[:, :-1], dt[:, :-1])
+    return t, dt
+
+
+def gapped_inverse_tables(
+    x_table: np.ndarray,
+    cdf_table: np.ndarray,
+    gaps: list,
+    m: int = INV_CDF_TABLE_SIZE,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Gap-respecting uniform-u inverse tables for the i.i.d. device lookup
+    (segment lane-gather over (m//128, 128) tiles): flat (t, dt) of length
+    m, float32.  The interval structure is the full m-knot sequence (the
+    lookup interpolates across tile boundaries)."""
+    sl = _effective_support_slice(np.asarray(cdf_table))
+    x64 = np.asarray(x_table, np.float64)[sl]
+    c64 = np.asarray(cdf_table, np.float64)[sl]
+    u = np.linspace(0.0, 1.0, m).reshape(1, m)
+    t, dt = _gapped_tables_for_grid(u, x64, c64, gaps)
+    return (
+        t.reshape(m).astype(np.float32),
+        dt.reshape(m).astype(np.float32),
+    )
+
+
+def gapped_stratified_tables(
+    x_table: np.ndarray,
+    cdf_table: np.ndarray,
+    gaps: list,
+    segments: int = INV_CDF_TABLE_SIZE // 128,
+    lanes: int = 128,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Gap-respecting per-stratum inverse tables for the stratified
+    integrate sampler: (ts, dts), both (segments, lanes) float32.  Stratum
+    s covers u in [s/S, (s+1)/S] with ``lanes`` knots; the within-stratum
+    draw never reaches the last knot, so a jump snapped to a stratum
+    boundary splits cleanly across the two strata's rows."""
+    sl = _effective_support_slice(np.asarray(cdf_table))
+    x64 = np.asarray(x_table, np.float64)[sl]
+    c64 = np.asarray(cdf_table, np.float64)[sl]
+    j = np.arange(lanes, dtype=np.float64) / (lanes - 1)
+    s = np.arange(segments, dtype=np.float64).reshape(segments, 1)
+    u = (s + j) / segments
+    t, dt = _gapped_tables_for_grid(u, x64, c64, gaps)
+    return t.astype(np.float32), dt.astype(np.float32)
+
+
 def log_pdf_from_pdf(
     pdf_table: np.ndarray,
     min_log_value: float = LOG_PDF_FLOOR,
