@@ -200,3 +200,60 @@ class TestUniformResampling:
                 n_steps=400, n_chains=512, n_burnin=50,
             )
         assert abs(r.values[0] - 4.0 / 3.0) < 0.05
+
+
+class TestTableDownsampling:
+    """Error-bounded host downsampling of in-kernel lookup tables: the
+    kernel lookup scans one lane-gather per 128-knot segment, so smaller
+    tables are linearly cheaper; accuracy is guarded by interpolation-error
+    bounds checked at every original knot."""
+
+    def test_log_table_smooth_target_shrinks(self):
+        import math
+        from tpu_montecarlo import Distribution
+        from tpu_montecarlo.tables import downsample_log_table
+
+        bi = Distribution.from_pdf(
+            lambda x: math.exp(-0.5 * (x - 2.0) ** 2)
+            + math.exp(-0.5 * (x + 2.0) ** 2),
+            support=(-6.0, 6.0),
+        )
+        lx, lp = bi.get_log_pdf_table()
+        cx, cl = downsample_log_table(lx, lp)
+        assert len(cx) < len(lx)
+        mask = lp > -90
+        err = np.abs(np.interp(lx, cx, cl) - lp)[mask]
+        assert err.max() <= 0.01
+
+    def test_log_table_rough_target_kept(self):
+        from tpu_montecarlo.tables import downsample_log_table
+
+        # A jagged log-pdf no coarse grid can represent: unchanged.
+        rng = np.random.RandomState(0)
+        lx = np.linspace(0.0, 1.0, 2048).astype(np.float32)
+        lp = rng.uniform(-5.0, 0.0, 2048).astype(np.float32)
+        cx, cl = downsample_log_table(lx, lp)
+        assert cx is lx and cl is lp
+
+    def test_pdf_table_bound(self):
+        from tpu_montecarlo.tables import downsample_pdf_table
+
+        x = np.linspace(-5.0, 5.0, 2048).astype(np.float32)
+        v = np.exp(-0.5 * x * x).astype(np.float32)
+        cx, cv = downsample_pdf_table(x, v)
+        assert len(cx) < len(x)
+        err = np.max(np.abs(np.interp(x, cx, cv) - v))
+        assert err <= 1e-3 * v.max()
+
+    def test_mcmc_estimates_unchanged_within_tolerance(self):
+        """Pallas MCMC with downsampled log tables still meets the
+        reference tolerance on a table target."""
+        from tpu_montecarlo import Distribution, MonteCarloIntegrator
+
+        beta = Distribution.beta(2.0, 5.0)
+        it = MonteCarloIntegrator(backend="pallas")
+        r = it.integrate_mcmc(
+            [lambda x: x], beta, Distribution.uniform(0.0, 1.0),
+            n_steps=1500, n_chains=512, n_burnin=150, seed=42,
+        )
+        assert abs(r.values[0] - 2.0 / 7.0) < 0.03

@@ -577,7 +577,9 @@ class MonteCarloIntegrator:
                 )
             if q_mode_k[0] == "table":
                 dev_args += list(
-                    _device_mode_tables(proposal_distribution, q_mode_k)
+                    _device_mode_tables(
+                        proposal_distribution, q_mode_k, "proposal"
+                    )
                 )
             return self._finalize_prog(run, dev_args, seed_batch)
 
@@ -941,7 +943,7 @@ class MonteCarloIntegrator:
                 else (dummy, dummy)
             )
             prop_log_dev = (
-                _device_uniform_log_tables(proposal_distribution)
+                _device_uniform_log_tables(proposal_distribution, "proposal")
                 if prop_spec.kind == DistKind.CUSTOM
                 else (dummy, dummy)
             )
@@ -1188,16 +1190,27 @@ def _uniform_log_tables(distribution):
     return cached
 
 
-def _device_uniform_log_tables(distribution):
-    """Device-resident uniform-grid log tables (resampled if needed)."""
-    lx, lp = _uniform_log_tables(distribution)
-    orig_lx, _ = distribution.get_log_pdf_table()
-    if lx is orig_lx:
-        return _device_log_tables_of(distribution)
-    cached = getattr(distribution, "_device_log_tables_u", None)
+def _device_uniform_log_tables(distribution, role: str = "target"):
+    """Device-resident uniform-grid log tables for the Pallas MCMC kernel
+    (resampled to a uniform grid if needed, then error-bounded DOWNSAMPLED:
+    the in-kernel lookup scans one lane-gather per 128-knot segment, so a
+    512-knot table is 4x cheaper per log-pdf eval than 2048).  Proposal
+    tables downsample under the strict policy — their values must match
+    the sampling density everywhere the sampler emits (see
+    tables.downsample_log_table).  The XLA backend keeps full resolution."""
+    attr = (
+        "_device_log_tables_u"
+        if role == "target"
+        else "_device_log_tables_uq"
+    )
+    cached = getattr(distribution, attr, None)
     if cached is None:
+        from .tables import downsample_log_table
+
+        lx, lp = _uniform_log_tables(distribution)
+        lx, lp = downsample_log_table(lx, lp, strict=role != "target")
         cached = (jnp.asarray(lx, jnp.float32), jnp.asarray(lp, jnp.float32))
-        distribution._device_log_tables_u = cached
+        setattr(distribution, attr, cached)
     return cached
 
 
@@ -1224,17 +1237,27 @@ def _uniform_table_mode(distribution, mode):
     return ("table", cached[0], cached[1])
 
 
-def _device_mode_tables(distribution, mode):
-    """Device-resident (x_grid, pdf_values) for a table mode, cached per
-    Distribution (separately for the original and resampled grids)."""
-    xt, pt = mode[1], mode[2]
-    orig = getattr(distribution, "_pdf_table", None)
-    if orig is not None and pt is orig:
-        return _device_pdf_tables_of(distribution)
-    cached = getattr(distribution, "_device_pdf_tables_u", None)
+def _device_mode_tables(distribution, mode, role: str = "target"):
+    """Device-resident (x_grid, pdf_values) for an in-kernel IS weight
+    table, cached per Distribution.  Error-bounded DOWNSAMPLED first: the
+    kernel's lookup scans one lane-gather per 128-knot segment, so weight
+    evals get cheaper linearly in table size (the XLA closure path keeps
+    the full-resolution tables).  Proposal (denominator) tables use the
+    relative bound — see tables.downsample_pdf_table."""
+    attr = (
+        "_device_pdf_tables_u"
+        if role == "target"
+        else "_device_pdf_tables_uq"
+    )
+    cached = getattr(distribution, attr, None)
     if cached is None:
+        from .tables import downsample_pdf_table
+
+        xt, pt = downsample_pdf_table(
+            mode[1], mode[2], relative=role != "target"
+        )
         cached = (jnp.asarray(xt, jnp.float32), jnp.asarray(pt, jnp.float32))
-        distribution._device_pdf_tables_u = cached
+        setattr(distribution, attr, cached)
     return cached
 
 

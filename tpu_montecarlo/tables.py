@@ -331,6 +331,128 @@ def resample_uniform_table(
     return None
 
 
+def downsample_log_table(
+    lx: np.ndarray,
+    lp: np.ndarray,
+    bound: float = 0.01,
+    max_nats: float = 2.0,
+    floor_margin: float = -90.0,
+    min_knots: int = 256,
+    strict: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shrink a uniform-grid log-pdf table to the smallest knot count whose
+    linear interpolant is statistically indistinguishable from the
+    original — in-kernel lookups scan one lane-gather per 128-knot
+    segment, so a 512-knot table costs 4 gathers where 2048 costs 16.
+
+    Default (``strict=False``, safe for MH TARGET tables, where the
+    algorithm samples the table-defined target exactly, so table
+    distortion maps directly to target distortion): the error allowance is
+    density-weighted — a log-space error of e nats at density p perturbs
+    the target by |e|*p in absolute density, so the per-knot allowance is
+    ``bound * p_max / p`` capped at ``max_nats`` — and coarse intervals
+    touching a -100 floor knot are exempt (no grid represents a cliff
+    mid-interval) provided they jointly carry at most ``bound`` of the
+    total mass.  Net moment distortion: O(bound).
+
+    ``strict=True`` (required for PROPOSAL tables): flat ``bound``-nat
+    allowance at every knot away from the floor, no cliff exemption.  An
+    independence sampler's q-table must match the sampling density
+    everywhere the sampler emits — a state whose log q reads tens of nats
+    low becomes an absorbing trap, and the occupancy inflation e^err is
+    NOT bounded by the mis-modeled region's mass (observed: a smeared
+    hard-gap edge biased a uniform-target mean by 0.09).  Tables with
+    cliffs bordered by appreciable density therefore keep full resolution
+    as proposals.
+
+    Returns the original table when no smaller grid qualifies."""
+    lx = np.asarray(lx)
+    lp = np.asarray(lp)
+    n = len(lx)
+    lp_max = float(np.max(lp))
+    if strict:
+        allowed = np.full(lp.shape, bound)
+    else:
+        allowed = np.minimum(
+            bound * np.exp(np.minimum(lp_max - lp, 50.0)), max_nats
+        )
+    p = np.exp(np.minimum(lp - lp_max, 0.0))  # relative density
+    total_mass = float(np.sum(p))
+    floor_fine = lp <= floor_margin
+    m = min_knots
+    while m < n:
+        cx = np.linspace(lx[0], lx[-1], m)
+        cl = np.interp(cx, lx, lp)
+        back = np.interp(lx, cx, cl)
+        if strict:
+            # every knot the sampler can emit must meet the bound — no
+            # exemption for coarse values that dipped below the floor
+            # (that is exactly the absorbing-trap shape).
+            mask = ~floor_fine
+            ok_mass = True
+        else:
+            # Fine knots inside (or adjacent to) a coarse interval that
+            # contains a floor knot: cliff neighbourhoods, exempt from
+            # the nat bound but capped in mass.
+            iv = np.clip(
+                ((lx - lx[0]) / (cx[1] - cx[0])).astype(np.int64), 0, m - 2
+            )
+            floor_iv = np.zeros(m - 1, bool)
+            np.logical_or.at(floor_iv, iv, floor_fine)
+            pad = np.zeros(m - 1, bool)
+            pad[:-1] |= floor_iv[1:]
+            pad[1:] |= floor_iv[:-1]
+            cliff = (floor_iv | pad)[iv]
+            excluded_mass = float(np.sum(p[cliff & ~floor_fine]))
+            ok_mass = excluded_mass <= bound * max(total_mass, 1e-30)
+            mask = ~cliff
+        if ok_mass and not np.any(np.abs(back - lp)[mask] > allowed[mask]):
+            return cx.astype(np.float32), cl.astype(np.float32)
+        m *= 2
+    return lx, lp
+
+
+def downsample_pdf_table(
+    x: np.ndarray,
+    v: np.ndarray,
+    rtol: float = 1e-3,
+    min_knots: int = 256,
+    relative: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shrink a uniform-grid pdf table to the smallest knot count whose
+    linear interpolant stays within the error bound at every original
+    knot — same lane-gather-per-segment economics as
+    ``downsample_log_table``.
+
+    ``relative=False`` (IS TARGET weight tables): absolute bound
+    ``rtol * max|v|`` — the numerator p enters the weight linearly, so an
+    absolute density error perturbs the estimate by O(rtol).
+
+    ``relative=True`` (IS PROPOSAL weight tables): per-knot bound
+    ``rtol * v`` wherever v > 0 — the denominator q must match the
+    sampling density in RELATIVE terms (samples land at density q, and a
+    q-table reading r times too low inflates every weight there by 1/r
+    regardless of how little mass the region holds).  Knots with v == 0
+    are exempt: the sampler never emits there."""
+    x = np.asarray(x)
+    v = np.asarray(v)
+    n = len(x)
+    scale = float(np.max(np.abs(v)))
+    if scale == 0.0 or not np.isfinite(scale):
+        return x, v
+    allowed = rtol * np.maximum(v, 0.0) if relative else rtol * scale
+    mask = v > 0 if relative else np.ones(n, bool)
+    m = min_knots
+    while m < n:
+        cx = np.linspace(x[0], x[-1], m)
+        cv = np.interp(cx, x, v)
+        back = np.interp(x, cx, cv)
+        if not np.any((np.abs(back - v) > allowed) & mask):
+            return cx.astype(np.float32), cv.astype(np.float32)
+        m *= 2
+    return x, v
+
+
 def find_zero_density_gaps(
     x_table: np.ndarray,
     cdf_table: np.ndarray,
