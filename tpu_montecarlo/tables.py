@@ -132,26 +132,26 @@ def find_support(
     step = 0.1
     while x_min > -max_hard_limit:
         try:
-            val = pdf(x_min - step)
+            val = float(pdf(x_min - step))
             if val <= 0 or val < threshold:
                 x_min -= step
                 break
             x_min -= step
             step *= 2.0
-        except (ValueError, TypeError, OverflowError):
+        except (ValueError, TypeError, OverflowError, ZeroDivisionError):
             break
 
     x_max = peak_x
     step = 0.1
     while x_max < max_hard_limit:
         try:
-            val = pdf(x_max + step)
+            val = float(pdf(x_max + step))
             if val <= 0 or val < threshold:
                 x_max += step
                 break
             x_max += step
             step *= 2.0
-        except (ValueError, TypeError, OverflowError):
+        except (ValueError, TypeError, OverflowError, ZeroDivisionError):
             break
 
     return x_min, x_max
@@ -280,9 +280,13 @@ def needs_exact_inverse(
     return False
 
 
-def is_uniform_grid(x_table: np.ndarray, rtol: float = 1e-4) -> bool:
+def is_uniform_grid(x_table: np.ndarray, rtol: float = 1e-3) -> bool:
     """True if the grid spacing is uniform enough for arithmetic indexing
-    (linspace-built grids always are; user from_pdf_table grids may not be)."""
+    (linspace-built grids always are; user from_pdf_table grids may not
+    be).  The tolerance accommodates float32 grids: rounding each knot to
+    f32 perturbs neighbouring diffs by up to ~2*eps32*|x| — about 5e-4 of
+    a step for a 2048-knot unit-range grid — which shifts a lookup by the
+    same harmless sub-cell fraction."""
     x = np.asarray(x_table, np.float64)
     if len(x) < 2:
         return False
@@ -451,6 +455,39 @@ def downsample_pdf_table(
             return cx.astype(np.float32), cv.astype(np.float32)
         m *= 2
     return x, v
+
+
+def guard_proposal_log_floor(
+    lp: np.ndarray, floor_margin: float = -90.0
+) -> np.ndarray:
+    """Make an MH PROPOSAL log table safe against edge absorption: every
+    -100 floor knot that borders a non-floor knot is raised to its highest
+    non-floor neighbour.
+
+    The sampler emits inside the boundary trapezoid (density falls
+    linearly to zero toward a support edge or gap edge), but interpolating
+    the log table toward the -100 floor knot reads tens of nats BELOW the
+    sampler's true density there — states in that band become absorbing
+    (log alpha to leave ~ log q(state), acceptance collapses as chains
+    accumulate; measured: E[X^2] under a uniform target drifted from 0.343
+    to 0.280 over 5000 steps with a gapped proposal).  Raising the edge
+    knot makes the table OVERestimate q across the boundary interval,
+    which only under-occupies a band holding O(knot) mass.  Floors deeper
+    than one knot (true gap/tail interiors, never emitted) keep -100."""
+    lp = np.asarray(lp, np.float32).copy()
+    floor = lp <= floor_margin
+    neg_inf = np.float32(-np.inf)
+    left = np.concatenate([[neg_inf], lp[:-1]])
+    left_floor = np.concatenate([[True], floor[:-1]])
+    right = np.concatenate([lp[1:], [neg_inf]])
+    right_floor = np.concatenate([floor[1:], [True]])
+    cand = np.maximum(
+        np.where(left_floor, neg_inf, left),
+        np.where(right_floor, neg_inf, right),
+    )
+    lift = floor & np.isfinite(cand)
+    lp[lift] = cand[lift]
+    return lp
 
 
 def find_zero_density_gaps(
