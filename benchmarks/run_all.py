@@ -43,17 +43,24 @@ def _setup_jax():
     return jax
 
 
-def _throughput(prog, work_per_call, repeats, fetch=lambda out: np.asarray(out)):
-    """prog is a seed_batch=repeats handle: one timed dispatch sweeps
-    `repeats` independent jobs; returns (throughput, last job's fetched
-    estimates)."""
+def _throughput(
+    prog, work_per_call, repeats, fetch=lambda out: np.asarray(out), outer=3
+):
+    """prog is a seed_batch=repeats handle: each dispatch sweeps `repeats`
+    independent jobs in one device program.  `outer` dispatches are issued
+    back-to-back before any fetch — the per-dispatch host RPC overlaps the
+    previous dispatch's device execution — then ALL outputs are fetched
+    before the clock stops.  Returns (throughput, last job's estimates)."""
     warm_seeds = [42 + r for r in range(repeats)]
     fetch(prog(warm_seeds))  # warm: compile + upload + first run, fetched
-    seeds = [100 + r for r in range(repeats)]
     t0 = time.perf_counter()
-    out = fetch(prog(seeds))
+    outs = [
+        prog([100 + o * repeats + r for r in range(repeats)])
+        for o in range(outer)
+    ]
+    fetched = [fetch(out) for out in outs]
     dt = time.perf_counter() - t0
-    return work_per_call * repeats / dt, out[-1]
+    return work_per_call * repeats * outer / dt, fetched[-1][-1]
 
 
 def main():
