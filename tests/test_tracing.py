@@ -395,3 +395,59 @@ class TestJitAndVmap:
         traced = trace_function(lambda x: x**3)
         g = jax.grad(lambda x: traced(x))(2.0)
         assert float(g) == pytest.approx(12.0, abs=1e-4)
+
+
+SCALE_NEG_G = -2.5
+SCI_G = 1.5e-3
+import math as _mma_alias  # file-level aliased import (reference :346-362)
+
+
+class TestReferenceParityGaps:
+    """Cases mirroring reference test_transpiler.py entries that the main
+    matrix above did not name explicitly."""
+
+    def test_empty_return_rejected(self):
+        # Reference emits a bare `return;` into an f32-returning WGSL
+        # function (test_transpiler.py:114-123) — invalid at shader
+        # compile; here the equivalent failure surfaces at trace time.
+        def step(x):
+            return
+
+        with pytest.raises(TraceError):
+            trace_function(step)
+
+    def test_local_variable_shadowing(self):
+        def f(x):
+            y = 3.0
+            y = y + x
+            return y
+
+        assert trace_function(f)(2.0) == pytest.approx(5.0)
+
+    def test_file_level_import_as(self):
+        def f(x):
+            return _mma_alias.sqrt(x * x + 1.0)
+
+        assert trace_function(f)(1.0) == pytest.approx(math.sqrt(2.0))
+
+    def test_global_variable_negative(self):
+        assert trace_function(lambda x: x * SCALE_NEG_G)(2.0) == pytest.approx(
+            -5.0
+        )
+
+    def test_global_variable_scientific_notation(self):
+        assert trace_function(lambda x: x + SCI_G)(1.0) == pytest.approx(
+            1.0015
+        )
+
+    def test_unknown_constant_error(self):
+        with pytest.raises(TraceError):
+            trace_function(lambda x: x + math.gibberish)
+
+    def test_global_with_math_functions(self):
+        v = trace_function(lambda x: math.sin(x * SCALE_NEG_G))(0.5)
+        assert v == pytest.approx(math.sin(-1.25), abs=1e-6)
+
+    def test_mixed_constant_and_function(self):
+        v = trace_function(lambda x: np.exp(-x) + np.pi)(0.0)
+        assert v == pytest.approx(1.0 + math.pi, abs=1e-6)
