@@ -75,6 +75,14 @@ def main():
     repeats = args.repeats if args.repeats else (10 if on_tpu else 2)
     scale = 1 if on_tpu else 10  # shrink sample counts off-TPU
 
+    def rbatch(n_samples):
+        """Per-config batch size: aim for ~1e9 samples per dispatch on
+        TPU so device time dominates the per-dispatch link RPC (the Pallas
+        programs batch via a grid dimension — large R costs nothing)."""
+        if not on_tpu:
+            return repeats
+        return max(repeats, min(1024, 1_000_000_000 // max(n_samples, 1)))
+
     integrator = MonteCarloIntegrator()
     results = []
 
@@ -91,13 +99,14 @@ def main():
         print(json.dumps(rec), flush=True)
 
     # Config 1: K=2 simple moments, 1e6 samples (CPU-runnable sanity).
+    r1b = rbatch(1_000_000)
     prog = integrator.compile_integrate(
         [lambda x: x, lambda x: x**2],
         Distribution.normal(0.0, 1.0),
         n_samples=1_000_000,
-        seed_batch=repeats,
+        seed_batch=r1b,
     )
-    sps, est = _throughput(prog, 1_000_000, repeats)
+    sps, est = _throughput(prog, 1_000_000, r1b)
     emit("c1_k2_normal_1e6", "samples_per_sec", sps, "samples/s", est)
 
     # Config 2: K=8 fused incl. indicators, 1e8 samples.
@@ -129,16 +138,17 @@ def main():
     n3 = 10_000_000 // scale
     beta = Distribution.beta(2.0, 5.0, table_size=512)
     tri = Distribution.from_pdf(tri_pdf, support=(0.0, 2.0), table_size=512)
+    r3b = rbatch(n3)
     prog = integrator.compile_integrate(
         [lambda x: x, lambda x: x * x], beta, n_samples=n3,
-        seed_batch=repeats,
+        seed_batch=r3b,
     )
-    sps_b, est_b = _throughput(prog, n3, repeats)
+    sps_b, est_b = _throughput(prog, n3, r3b)
     emit("c3a_beta_table_1e7", "samples_per_sec", sps_b, "samples/s", est_b)
     prog = integrator.compile_integrate(
-        [lambda x: x], tri, n_samples=n3, seed_batch=repeats
+        [lambda x: x], tri, n_samples=n3, seed_batch=r3b
     )
-    sps_t, est_t = _throughput(prog, n3, repeats)
+    sps_t, est_t = _throughput(prog, n3, r3b)
     emit("c3b_triangular_table_1e7", "samples_per_sec", sps_t, "samples/s", est_t)
 
     # Config 4: IS rare event P(X>4), 1e8 samples.

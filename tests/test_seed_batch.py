@@ -75,6 +75,22 @@ class TestSeedBatch:
         np.testing.assert_array_equal(vals[0], np.asarray(v5))
         assert accs[0] == pytest.approx(float(np.asarray(a5)))
 
+    def test_large_grid_batch(self):
+        """The Pallas path batches via a grid dimension (traced once, not
+        unrolled) — a large batch must stay cheap and exact."""
+        integ = MonteCarloIntegrator(backend="pallas")
+        d = Distribution.normal(0.0, 1.0)
+        single = integ.compile_integrate([lambda x: x * x], d, n_samples=50_000)
+        batched = integ.compile_integrate(
+            [lambda x: x * x], d, n_samples=50_000, seed_batch=16
+        )
+        seeds = list(range(21, 37))
+        out = np.asarray(batched(seeds))
+        assert out.shape == (16, 1)
+        np.testing.assert_array_equal(out[0], np.asarray(single(21)))
+        np.testing.assert_array_equal(out[15], np.asarray(single(36)))
+        assert np.all(np.abs(out - 1.0) < 0.05)
+
     def test_wrong_seed_count_rejected(self, integrator):
         d = Distribution.normal(0.0, 1.0)
         batched = integrator.compile_integrate(

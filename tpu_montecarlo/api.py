@@ -299,7 +299,7 @@ class MonteCarloIntegrator:
         """
         traced = self._trace_user_functions(functions)
         run, dev_args = self._get_integrate_program(
-            traced, distribution, n_samples
+            traced, distribution, n_samples, seed_batch=seed_batch
         )
         return self._finalize_prog(run, dev_args, seed_batch)
 
@@ -332,6 +332,19 @@ class MonteCarloIntegrator:
 
     def _finalize_prog(self, run, dev_args, seed_batch: int) -> Callable:
         if seed_batch != 1:
+            if getattr(run, "__native_seed_batch__", 1) == seed_batch:
+                # The program batches R sweeps as a grid dimension itself
+                # (Pallas path) — pass the seed vector straight through.
+                def prog(seeds):
+                    seeds_arr = np.asarray(seeds, np.uint32)
+                    if seeds_arr.shape != (seed_batch,):
+                        raise ValueError(
+                            f"expected {seed_batch} seeds, got shape "
+                            f"{seeds_arr.shape}"
+                        )
+                    return run(seeds_arr, *dev_args)
+
+                return prog
             return self._batched_prog(run, tuple(dev_args), seed_batch)
 
         def prog(seed):
@@ -345,7 +358,9 @@ class MonteCarloIntegrator:
         )
         return run(np.uint32(seed), *dev_args)
 
-    def _get_integrate_program(self, traced, distribution, n_samples):
+    def _get_integrate_program(
+        self, traced, distribution, n_samples, seed_batch: int = 1
+    ):
         spec = dist_spec_of(distribution)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
@@ -373,12 +388,17 @@ class MonteCarloIntegrator:
                     _mesh_key(mesh),
                     interpret,
                     gapped,
+                    seed_batch,
                 )
                 run = self._cache.get_or_build(
                     key,
-                    lambda: build_integrate_fn_pallas(
-                        traced, spec.kind, plan, mesh=mesh,
-                        interpret=interpret, gapped_tables=gapped,
+                    lambda: _tag_native_batch(
+                        build_integrate_fn_pallas(
+                            traced, spec.kind, plan, mesh=mesh,
+                            interpret=interpret, gapped_tables=gapped,
+                            seed_batch=seed_batch,
+                        ),
+                        seed_batch,
                     ),
                 )
                 if gapped:
@@ -470,7 +490,8 @@ class MonteCarloIntegrator:
         if p_mode[0] == "traced" and q_mode[0] == "traced":
             weighted_fns = self._weighted_fns(traced, p_mode[1], q_mode[1])
             run, dev_args = self._get_integrate_program(
-                weighted_fns, proposal_distribution, n_samples
+                weighted_fns, proposal_distribution, n_samples,
+                seed_batch=seed_batch,
             )
             return self._finalize_prog(run, dev_args, seed_batch)
 
@@ -543,17 +564,22 @@ class MonteCarloIntegrator:
                 _mesh_key(mesh),
                 interpret,
                 gapped,
+                seed_batch,
             )
             run = self._cache.get_or_build(
                 key,
-                lambda: build_integrate_fn_pallas(
-                    traced,
-                    spec.kind,
-                    plan,
-                    mesh=mesh,
-                    interpret=interpret,
-                    is_weight=(mode_arg(p_mode_k), mode_arg(q_mode_k)),
-                    gapped_tables=gapped,
+                lambda: _tag_native_batch(
+                    build_integrate_fn_pallas(
+                        traced,
+                        spec.kind,
+                        plan,
+                        mesh=mesh,
+                        interpret=interpret,
+                        is_weight=(mode_arg(p_mode_k), mode_arg(q_mode_k)),
+                        gapped_tables=gapped,
+                        seed_batch=seed_batch,
+                    ),
+                    seed_batch,
                 ),
             )
             if gapped:
@@ -585,7 +611,8 @@ class MonteCarloIntegrator:
             self._mode_evaluator(q_mode),
         )
         run, dev_args = self._get_integrate_program(
-            weighted_fns, proposal_distribution, n_samples
+            weighted_fns, proposal_distribution, n_samples,
+            seed_batch=seed_batch,
         )
         return self._finalize_prog(run, dev_args, seed_batch)
 
@@ -1040,6 +1067,23 @@ class MonteCarloIntegrator:
             self._finalize_prog(run, static_args, seed_batch),
             total_chains,
         )
+
+
+def _tag_native_batch(run, seed_batch: int):
+    """Mark a program whose signature already takes an (R,) seed vector
+    and returns (R, K) — _finalize_prog then skips the unroll wrapper.
+    (jitted callables may not accept attributes; wrap if needed.)"""
+    if seed_batch == 1:
+        return run
+    try:
+        run.__native_seed_batch__ = seed_batch
+        return run
+    except AttributeError:
+        def tagged(*args):
+            return run(*args)
+
+        tagged.__native_seed_batch__ = seed_batch
+        return tagged
 
 
 def _stratified_ok(m: int) -> bool:

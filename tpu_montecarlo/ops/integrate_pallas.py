@@ -329,6 +329,7 @@ def build_integrate_fn_pallas(
     interpret: bool = False,
     is_weight=None,
     gapped_tables: bool = False,
+    seed_batch: int = 1,
 ):
     """Build a jitted ``(seed, params, x_table, cdf_table[, p_x, p_pdf]
     [, q_x, q_pdf]) -> (K,) float32`` program running the fused Pallas
@@ -351,7 +352,14 @@ def build_integrate_fn_pallas(
     whose exact inverse is discontinuous; the decoupled slope table jumps
     each gap exactly at a knot so no sample ever lands inside a gap
     (reference bar: the knot-exact device binary search,
-    src/distribution.rs:128-158)."""
+    src/distribution.rs:128-158).
+
+    ``seed_batch=R``: the seed arg becomes an (R,) vector and the program
+    returns (R, K) — R independent sweeps batched as a leading GRID
+    dimension (traced once, not unrolled), so arbitrarily large serving
+    batches cost one dispatch with no program-size growth.  Each batch
+    element seeds exactly like the unbatched program (same (seed, program)
+    words), so results are bit-equal to R single-seed calls."""
     k = len(eval_fns)
     if k > LANES:
         raise ValueError(f"at most {LANES} fused functions supported")
@@ -381,9 +389,10 @@ def build_integrate_fn_pallas(
             (rest.pop(0), rest.pop(0), rest.pop(0)) if q_table else None
         )
         (out_ref,) = rest
-        pid = pl.program_id(0)
+        rep = pl.program_id(0)
+        pid = pl.program_id(1)
         rng = rng_factory()
-        rng.seed(seed_ref[0, 0], pid_base_ref[0, 0] + pid)
+        rng.seed(seed_ref[0, rep], pid_base_ref[0, 0] + pid)
         p1 = params_ref[0, 0]
         p2 = params_ref[0, 1]
         rows = _acc_rows(kind)
@@ -427,21 +436,25 @@ def build_integrate_fn_pallas(
         row = jnp.zeros((1, LANES), jnp.float32)
         for i, acc in enumerate(accs):
             row = jnp.where(col == i, jnp.sum(acc), row)
-        out_ref[pl.ds(pid, 1), :] = row
+        out_ref[pl.ds(rep * local_programs + pid, 1), :] = row
 
+    smem_seeds = pl.BlockSpec(
+        (1, seed_batch), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+    )
     smem_scalar = pl.BlockSpec(
-        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     smem_params = pl.BlockSpec(
-        (1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (1, 2), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     smem_grid = pl.BlockSpec(
-        (1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_rows = seed_batch * local_programs
 
     def pallas_sweep(seed, params, pid_base, *tables):
-        in_specs = [smem_scalar, smem_params, smem_scalar]
+        in_specs = [smem_seeds, smem_params, smem_scalar]
         if is_custom:
             in_specs += [vmem, vmem]
         for flag in (p_table, q_table):
@@ -449,25 +462,32 @@ def build_integrate_fn_pallas(
                 in_specs += [vmem, vmem, smem_grid]
         out = pl.pallas_call(
             kernel,
-            grid=(local_programs,),
+            grid=(seed_batch, local_programs),
             in_specs=in_specs,
-            # The whole (programs, 128) partial-sum buffer stays resident in
-            # VMEM; each program writes its own disjoint row (race-free by
-            # construction, like the reference's output[idx*K+i] slots).
+            # The whole (R*programs, 128) partial-sum buffer stays resident
+            # in VMEM; each program writes its own disjoint row (race-free
+            # by construction, like the reference's output[idx*K+i] slots).
             out_specs=pl.BlockSpec(
-                (local_programs, LANES),
-                lambda i: (0, 0),
+                (out_rows, LANES),
+                lambda r, i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((local_programs, LANES), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32),
             interpret=interpret,
         )(seed, params, pid_base, *tables)
-        return jnp.sum(out[:, :k], axis=0)
+        # (R, K): per-batch-element sums over that element's program rows.
+        return jnp.sum(
+            out[:, :k].reshape(seed_batch, local_programs, k), axis=1
+        )
 
     def _prep(seed, params):
-        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
         params_arr = jnp.asarray(params, jnp.float32).reshape(1, 2)
         return seed_arr, params_arr
+
+    def _shape_result(sums):
+        # sums: (R, K) f32 means; single-seed programs keep the (K,) shape.
+        return sums[0] if seed_batch == 1 else sums
 
     def _prep_tables(x_table, cdf_table, weight_tables):
         prepped = []
@@ -502,7 +522,7 @@ def build_integrate_fn_pallas(
                 seed_arr, params_arr, base,
                 *_prep_tables(x_table, cdf_table, weight_tables),
             )
-            return sums / jnp.float32(actual)
+            return _shape_result(sums / jnp.float32(actual))
 
         return run
 
@@ -512,7 +532,9 @@ def build_integrate_fn_pallas(
         d = jax.lax.axis_index(axis_name)
         base = (d * local_programs).astype(jnp.int32).reshape(1, 1)
         sums = pallas_sweep(seed_arr, params_arr, base, *tables)
-        return jax.lax.psum(sums, axis_name) / jnp.float32(actual)
+        return _shape_result(
+            jax.lax.psum(sums, axis_name) / jnp.float32(actual)
+        )
 
     n_extra = (2 if is_custom else 0) + 3 * (int(p_table) + int(q_table))
     shard_mapped = jax.shard_map(
