@@ -932,21 +932,27 @@ class MonteCarloIntegrator:
                 _mesh_key(mesh),
                 interpret,
                 (with_state, use_init_state, prop_gapped),
+                seed_batch,
             )
+            native_batch = 1 if with_state else seed_batch
             run = self._cache.get_or_build(
                 key,
-                lambda: build_mcmc_fn_pallas(
-                    traced,
-                    prop_spec.kind,
-                    targ_spec.kind,
-                    n_steps,
-                    n_burnin,
-                    total_chains,
-                    mesh=mesh,
-                    interpret=interpret,
-                    with_state=with_state,
-                    use_init_state=use_init_state,
-                    prop_gapped=prop_gapped,
+                lambda: _tag_native_batch(
+                    build_mcmc_fn_pallas(
+                        traced,
+                        prop_spec.kind,
+                        targ_spec.kind,
+                        n_steps,
+                        n_burnin,
+                        total_chains,
+                        mesh=mesh,
+                        interpret=interpret,
+                        with_state=with_state,
+                        use_init_state=use_init_state,
+                        prop_gapped=prop_gapped,
+                        seed_batch=native_batch,
+                    ),
+                    native_batch,
                 ),
             )
             if prop_gapped:
@@ -1078,7 +1084,7 @@ def _tag_native_batch(run, seed_batch: int):
     try:
         run.__native_seed_batch__ = seed_batch
         return run
-    except AttributeError:
+    except (AttributeError, TypeError):
         def tagged(*args):
             return run(*args)
 

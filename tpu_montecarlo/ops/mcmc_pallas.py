@@ -161,6 +161,7 @@ def build_mcmc_fn_pallas(
     with_state: bool = False,
     use_init_state: bool = False,
     prop_gapped: bool = False,
+    seed_batch: int = 1,
 ):
     """Build a jitted MH program.
 
@@ -188,7 +189,14 @@ def build_mcmc_fn_pallas(
     args are host-built gap-respecting (value, slope) tables from
     ``tables.gapped_inverse_tables`` — a zero-density-span proposal then
     samples in-kernel without ever landing inside a gap.
+
+    ``seed_batch=R`` (stateless only): the seed arg becomes an (R,) vector
+    and the program returns ((R, K), (R,)) — R independent MCMC runs
+    batched as a leading grid dimension (traced once), each seeded exactly
+    like its unbatched call.
     """
+    if seed_batch != 1 and with_state:
+        raise ValueError("seed_batch applies to stateless MCMC programs only")
     k = len(eval_fns)
     if k >= LANES:
         raise ValueError(f"at most {LANES - 1} fused functions supported")
@@ -224,11 +232,12 @@ def build_mcmc_fn_pallas(
         else:
             (out_ref,) = rest
 
-        pid = pl.program_id(0)
+        rep = pl.program_id(0)
+        pid = pl.program_id(1)
         rng = rng_factory()
         # Hardware seeding takes at most two words: distinguish the MCMC
         # stream family from the integrate kernel's via a seed-word XOR.
-        seed_word = seed_ref[0, 0] ^ 0x5BD1E995
+        seed_word = seed_ref[0, rep] ^ 0x5BD1E995
         if with_state:
             # Segment 0 multiplies to 0: a fresh stateful run reproduces
             # the stateless kernel's streams exactly.
@@ -298,23 +307,26 @@ def build_mcmc_fn_pallas(
         for i, acc in enumerate(accs):
             row_out = jnp.where(col == i, jnp.sum(acc), row_out)
         row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
-        out_ref[pl.ds(pid, 1), :] = row_out
+        out_ref[pl.ds(rep * local_programs + pid, 1), :] = row_out
         if with_state:
             x_out_ref[pl.ds(pid * rows, rows), :] = x_f
             logp_out_ref[pl.ds(pid * rows, rows), :] = logp_f
 
-    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    smem_params = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    smem_grid = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem_seeds = pl.BlockSpec(
+        (1, seed_batch), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+    )
+    smem_scalar = pl.BlockSpec((1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM)
+    smem_params = pl.BlockSpec((1, 2), lambda r, i: (0, 0), memory_space=pltpu.SMEM)
+    smem_grid = pl.BlockSpec((1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     state_rows = local_programs * rows
     state_block = pl.BlockSpec(
-        (state_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        (state_rows, LANES), lambda r, i: (0, 0), memory_space=pltpu.VMEM
     )
 
     def pallas_sweep(seed, prop, targ, pid_base, *rest):
-        in_specs = [smem_scalar, smem_params, smem_params, smem_scalar]
+        in_specs = [smem_seeds, smem_params, smem_params, smem_scalar]
         if with_state:
             in_specs += [smem_scalar]  # segment
         if prop_custom:
@@ -325,11 +337,12 @@ def build_mcmc_fn_pallas(
             in_specs += [vmem, vmem, smem_grid]
         if use_init_state:
             in_specs += [state_block, state_block]  # x0, logp0
+        out_rows = seed_batch * local_programs
         sums_spec = pl.BlockSpec(
-            (local_programs, LANES), lambda i: (0, 0),
+            (out_rows, LANES), lambda r, i: (0, 0),
             memory_space=pltpu.VMEM,
         )
-        sums_shape = jax.ShapeDtypeStruct((local_programs, LANES), jnp.float32)
+        sums_shape = jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
         state_shape = jax.ShapeDtypeStruct((state_rows, LANES), jnp.float32)
         if with_state:
             out_specs = (sums_spec, state_block, state_block)
@@ -339,7 +352,7 @@ def build_mcmc_fn_pallas(
             out_shape = sums_shape
         out = pl.pallas_call(
             kernel,
-            grid=(local_programs,),
+            grid=(seed_batch, local_programs),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
@@ -347,13 +360,25 @@ def build_mcmc_fn_pallas(
         )(seed, prop, targ, pid_base, *rest)
         if with_state:
             out, x_f, logp_f = out
-        totals = jnp.sum(out, axis=0)
+        # (R, LANES): per-batch-element sums over that element's programs.
+        totals = jnp.sum(
+            out.reshape(seed_batch, local_programs, LANES), axis=1
+        )
         if with_state:
-            return totals[:k], totals[k], x_f.reshape(-1), logp_f.reshape(-1)
-        return totals[:k], totals[k]
+            return (
+                totals[0, :k], totals[0, k],
+                x_f.reshape(-1), logp_f.reshape(-1),
+            )
+        return totals[:, :k], totals[:, k]
 
     denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
+
+    def _shape_stateless(sums, n_acc):
+        # sums (R, K), n_acc (R,); single-seed programs keep ((K,), scalar).
+        if seed_batch == 1:
+            return sums[0], n_acc[0]
+        return sums, n_acc
 
     def _prep(seed, prop_params, targ_params, tables):
         (prop_inv, prop_cdf, targ_lx, targ_lp, prop_lx, prop_lp) = tables
@@ -385,7 +410,7 @@ def build_mcmc_fn_pallas(
                 )
             )
         return (
-            jnp.asarray(seed, jnp.int32).reshape(1, 1),
+            jnp.asarray(seed, jnp.int32).reshape(1, seed_batch),
             jnp.asarray(prop_params, jnp.float32).reshape(1, 2),
             jnp.asarray(targ_params, jnp.float32).reshape(1, 2),
             tuple(prepped),
@@ -430,7 +455,7 @@ def build_mcmc_fn_pallas(
             )
             base = jnp.zeros((1, 1), jnp.int32)
             sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base, *prepped)
-            return sums / denom_vals, n_acc / denom_acc
+            return _shape_stateless(sums / denom_vals, n_acc / denom_acc)
 
         return run
 
@@ -449,7 +474,11 @@ def build_mcmc_fn_pallas(
         sums, n_acc, *state = pallas_sweep(seed_a, prop_a, targ_a, base, *rest)
         sums = jax.lax.psum(sums, axis_name)
         n_acc = jax.lax.psum(n_acc, axis_name)
-        return (sums / denom_vals, n_acc / denom_acc, *state)
+        sums = sums / denom_vals
+        n_acc = n_acc / denom_acc
+        if not with_state:
+            sums, n_acc = _shape_stateless(sums, n_acc)
+        return (sums, n_acc, *state)
 
     body_in_specs = (replicated,) * (3 + n_extra)
     body_out_specs = (replicated, replicated)
