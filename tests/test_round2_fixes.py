@@ -324,14 +324,56 @@ class TestCodeReviewRound2:
             x <= 1.0, 1.0, 5e-4 * (1.0 + 0.9 * np.sin(40.0 * x))
         )
         d = Distribution.from_pdf_table(x, p)
-        mode = ("table",) + tuple(d.get_or_compute_pdf_table())
+        xt, pt = d.get_or_compute_pdf_table()
+        mode = ("table", xt, pt)
         q_mode = _uniform_table_mode(d, mode, "proposal")
-        p_mode = _uniform_table_mode(d, mode)
         if q_mode is not None:
             # admitted: then the relative bound must genuinely hold
-            back = np.interp(x, np.asarray(q_mode[1]), np.asarray(q_mode[2]))
-            pos = p > 0
-            assert np.all(np.abs(back - p)[pos] <= 2e-3 * p[pos])
+            # against the distribution's own pdf-table grid.
+            xq = np.asarray(xt, np.float64)
+            vq = np.asarray(pt, np.float64)
+            back = np.interp(
+                xq, np.asarray(q_mode[1]), np.asarray(q_mode[2])
+            )
+            pos = vq > 0
+            assert np.all(np.abs(back - vq)[pos] <= 2e-3 * vq[pos])
         else:
-            # rejected for q, while the absolute-bound target mode may pass
-            assert p_mode is None or p_mode is not None  # no constraint
+            # rejected for q: either the resample itself failed (then the
+            # target role rejects too — consistent), or the absolute-bound
+            # resample genuinely violates the relative bound somewhere the
+            # density is positive.
+            p_mode = _uniform_table_mode(d, mode)
+            if p_mode is not None:
+                xq = np.asarray(xt, np.float64)
+                vq = np.asarray(pt, np.float64)
+                back = np.interp(
+                    xq, np.asarray(p_mode[1]), np.asarray(p_mode[2])
+                )
+                pos = vq > 0
+                assert np.any(np.abs(back - vq)[pos] > 1e-3 * vq[pos])
+
+    def test_is_uniform_grid_cumulative_deviation(self):
+        from tpu_montecarlo.tables import is_uniform_grid
+
+        # Per-diff deviation tiny but systematically drifting: total knot
+        # misplacement approaches a whole cell -> must be rejected (the
+        # arithmetic-indexed lookup would read the wrong knot).
+        n = 2048
+        dx = 1.0 + 9e-4 * np.sin(np.linspace(0.0, 3.0, n - 1))
+        x = np.concatenate([[0.0], np.cumsum(dx)])
+        assert not is_uniform_grid(x)
+        # float32 linspace grids (non-accumulating rounding) still pass.
+        assert is_uniform_grid(np.linspace(0.0, 1.0, n).astype(np.float32))
+        assert is_uniform_grid(np.linspace(-6.0, 6.0, n).astype(np.float32))
+
+    def test_mcmc_state_with_seed_batch_rejected(self):
+        from tpu_montecarlo import Distribution, MonteCarloIntegrator
+
+        it = MonteCarloIntegrator()
+        d = Distribution.normal(0.0, 1.0)
+        with pytest.raises(ValueError, match="stateless"):
+            it._get_mcmc_program(
+                it._trace_user_functions([lambda x: x]),
+                d, Distribution.normal(0.0, 2.0),
+                10, 256, 0, with_state=True, seed_batch=2,
+            )

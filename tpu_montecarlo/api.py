@@ -887,6 +887,10 @@ class MonteCarloIntegrator:
         state's chain count, if resuming) steers routing — a state minted
         by the XLA backend keeps routing there when its count doesn't fit
         the Pallas plan."""
+        if with_state and seed_batch != 1:
+            raise ValueError(
+                "seed_batch applies to stateless MCMC programs only"
+            )
         prop_spec = dist_spec_of(proposal_distribution)
         targ_spec = dist_spec_of(target_distribution)
         mesh = self._mesh
@@ -934,7 +938,7 @@ class MonteCarloIntegrator:
                 (with_state, use_init_state, prop_gapped),
                 seed_batch,
             )
-            native_batch = 1 if with_state else seed_batch
+            native_batch = seed_batch
             run = self._cache.get_or_build(
                 key,
                 lambda: _tag_native_batch(
@@ -1332,22 +1336,28 @@ def _uniform_table_mode(distribution, mode, role: str = "target"):
         return mode
     if is_uniform_grid(mode[1]):
         return mode
-    attr = (
-        "_uniform_pdf_tables" if role == "target" else "_uniform_pdf_tables_q"
-    )
-    cached = getattr(distribution, attr, False)
-    if cached is False:
+    # The resample itself is role-independent; cache it once and apply the
+    # per-role validation on top (also cached).
+    resampled = getattr(distribution, "_uniform_pdf_tables", False)
+    if resampled is False:
         from .tables import resample_uniform_table
 
-        cached = resample_uniform_table(mode[1], mode[2])
-        if cached is not None and role != "target":
-            x0 = np.asarray(mode[1], np.float64)
-            v0 = np.asarray(mode[2], np.float64)
-            back = np.interp(x0, cached[0], cached[1])
-            pos = v0 > 0
-            if np.any(np.abs(back - v0)[pos] > 1e-3 * v0[pos]):
-                cached = None
-        setattr(distribution, attr, cached)
+        resampled = resample_uniform_table(mode[1], mode[2])
+        distribution._uniform_pdf_tables = resampled
+    if role == "target":
+        cached = resampled
+    else:
+        cached = getattr(distribution, "_uniform_pdf_tables_q", False)
+        if cached is False:
+            cached = resampled
+            if cached is not None:
+                x0 = np.asarray(mode[1], np.float64)
+                v0 = np.asarray(mode[2], np.float64)
+                back = np.interp(x0, cached[0], cached[1])
+                pos = v0 > 0
+                if np.any(np.abs(back - v0)[pos] > 1e-3 * v0[pos]):
+                    cached = None
+            distribution._uniform_pdf_tables_q = cached
     if cached is None:
         return None
     return ("table", cached[0], cached[1])

@@ -281,20 +281,23 @@ def needs_exact_inverse(
 
 
 def is_uniform_grid(x_table: np.ndarray, rtol: float = 1e-3) -> bool:
-    """True if the grid spacing is uniform enough for arithmetic indexing
+    """True if the grid is uniform enough for arithmetic indexing
     (linspace-built grids always are; user from_pdf_table grids may not
-    be).  The tolerance accommodates float32 grids: rounding each knot to
-    f32 perturbs neighbouring diffs by up to ~2*eps32*|x| — about 5e-4 of
-    a step for a 2048-knot unit-range grid — which shifts a lookup by the
-    same harmless sub-cell fraction."""
+    be).  The check bounds each knot's CUMULATIVE deviation from its ideal
+    position ``x0 + j*step`` — per-diff checks admit systematically
+    drifting grids whose total misplacement grows to whole cells.  The
+    bound is rtol of a cell: an arithmetic-indexed lookup then reads at
+    most rtol of a cell away from the true knot, while float32 grids
+    (per-knot rounding ~eps32*|x|, a few 1e-4 of a step for 2048-knot
+    unit-range grids, non-accumulating) still pass."""
     x = np.asarray(x_table, np.float64)
     if len(x) < 2:
         return False
-    d = np.diff(x)
     step = (x[-1] - x[0]) / (len(x) - 1)
     if step <= 0:
         return False
-    return bool(np.all(np.abs(d - step) <= rtol * abs(step) + 1e-12))
+    ideal = x[0] + step * np.arange(len(x))
+    return bool(np.max(np.abs(x - ideal)) <= rtol * step + 1e-12)
 
 
 def resample_uniform_table(
