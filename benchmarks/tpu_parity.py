@@ -224,6 +224,66 @@ def main() -> int:
     print(json.dumps(RECORDS[-1]), flush=True)
     ok &= same
 
+    # --- gapped (zero-density-span) distributions, compiled kernels ------
+    gx = np.linspace(0.0, 1.0, 2048)
+    gp = np.where((gx > 0.4) & (gx < 0.6), 0.0, 1.0)
+    gapped = mc.Distribution.from_pdf_table(gx, gp)
+    r = mc.integrate(
+        [lambda v: v, lambda v: (v > 0.41) * (v < 0.59)], gapped,
+        n_samples=2_000_000, seed=42,
+    )
+    ok &= check("gapped_integrate_no_gap_samples", r.values, [0.5, 0.0],
+                [0.01, 1e-12],
+                "gap-respecting tables: zero samples inside the gap")
+
+    r = mc.integrate_mcmc(
+        [lambda v: v * v], mc.Distribution.uniform(0.0, 1.0), gapped,
+        n_steps=3000, n_chains=512, n_burnin=300, seed=42,
+    )
+    # Independence sampler == target restricted to the proposal islands:
+    # E[X^2] = 1.25*(0.4^3 + 1 - 0.6^3)/3 = 0.35333.
+    ok &= check("gapped_proposal_mcmc", [r.values[0], r.acceptance_rate],
+                [0.35333, 1.0], [0.01, 0.02],
+                "proposal log-floor guard: no absorbing gap-edge states")
+
+    # --- batched dispatch bit-equality on the compiled kernels -----------
+    it_b = mc.MonteCarloIntegrator()
+    single = it_b.compile_integrate(
+        [lambda v: v * v], d, n_samples=1_000_000
+    )
+    batched = it_b.compile_integrate(
+        [lambda v: v * v], d, n_samples=1_000_000, seed_batch=4
+    )
+    outs = np.asarray(batched([11, 12, 13, 14]))
+    singles = np.asarray(
+        [np.asarray(single(s)) for s in (11, 12, 13, 14)]
+    ).reshape(4, 1)
+    same = bool(np.array_equal(outs, singles))
+    RECORDS.append({"check": "seed_batch_grid_bit_equality",
+                    "pass": same,
+                    "note": "each grid-batched job == its unbatched call"})
+    print(json.dumps(RECORDS[-1]), flush=True)
+    ok &= same
+
+    m_single = it_b.compile_mcmc(
+        [lambda v: v], target, mc.Distribution.normal(0.0, 2.0),
+        n_steps=500, n_chains=512, n_burnin=100,
+    )
+    m_batched = it_b.compile_mcmc(
+        [lambda v: v], target, mc.Distribution.normal(0.0, 2.0),
+        n_steps=500, n_chains=512, n_burnin=100, seed_batch=2,
+    )
+    bv, ba = m_batched([21, 22])
+    sv, sa = m_single(21)
+    same = bool(
+        np.array_equal(np.asarray(bv)[0], np.asarray(sv))
+        and float(np.asarray(ba)[0]) == float(np.asarray(sa))
+    )
+    RECORDS.append({"check": "seed_batch_mcmc_bit_equality", "pass": same,
+                    "note": "grid-batched MCMC == unbatched"})
+    print(json.dumps(RECORDS[-1]), flush=True)
+    ok &= same
+
     # --- checkpoint/resume on the compiled kernel -------------------------
     it = mc.MonteCarloIntegrator()
     q2 = mc.Distribution.normal(0.0, 2.0)
