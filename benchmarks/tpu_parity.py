@@ -224,6 +224,33 @@ def main() -> int:
     print(json.dumps(RECORDS[-1]), flush=True)
     ok &= same
 
+    # --- distributional shape of the table sampler (32-bin histogram) ----
+    # Exercises K=32 fused indicator integrands AND validates the full
+    # sampling distribution, not just low moments: each bin estimate must
+    # match the table-defined bin mass within Monte Carlo noise (the
+    # stratified sampler's variance is at most the i.i.d. sampler's, so
+    # the i.i.d. bound applies).  K=64 CUSTOM kernels exceed the 16 MB
+    # VMEM budget and route to XLA (api._pallas_eligible's vmem gate).
+    beta_h = mc.Distribution.beta(2.0, 5.0, table_size=2048)
+    edges = np.linspace(0.0, 1.0, 33)
+
+    def bin_fn(lo_, hi_):
+        return lambda v: (v >= lo_) * (v < hi_)
+
+    n_hist = 10_000_000
+    r = mc.integrate(
+        [bin_fn(float(lo), float(hi)) for lo, hi in zip(edges[:-1], edges[1:])],
+        beta_h, n_samples=n_hist, seed=42,
+    )
+    cdf_at = np.interp(edges, beta_h._x_table, beta_h._cdf_table)
+    expected_mass = np.diff(cdf_at)
+    sigma = np.sqrt(np.maximum(expected_mass, 1e-12) / n_hist)
+    # 6-sigma MC slack + table-resampling slack (4096-knot inverse).
+    tol_bins = 6.0 * sigma + 5e-4
+    ok &= check("beta_histogram_32bins", r.values, expected_mass,
+                tol_bins.tolist(),
+                "table-sampler distributional shape; K=32 fused indicators")
+
     # --- gapped (zero-density-span) distributions, compiled kernels ------
     gx = np.linspace(0.0, 1.0, 2048)
     gp = np.where((gx > 0.4) & (gx < 0.6), 0.0, 1.0)

@@ -230,11 +230,12 @@ class MonteCarloIntegrator:
         vector cond cannot lower inside the kernel — those take the XLA
         sweep, which vmaps them).  Warns when a forced backend='pallas' has
         to fall back."""
-        from .ops.integrate_pallas import pallas_supports
+        from .ops.integrate_pallas import integrate_vmem_fits, pallas_supports
 
         ok = (
             pallas_supports(spec.kind)
             and len(traced) <= 128
+            and integrate_vmem_fits(len(traced), spec.kind)
             and not any(
                 getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
             )

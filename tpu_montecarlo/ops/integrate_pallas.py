@@ -163,6 +163,29 @@ def _table_lookup(table_ref, dx_ref, i0, frac, rows):
     return x0 + frac * dx
 
 
+def integrate_vmem_fits(
+    k: int,
+    kind: DistKind,
+    n_weight_tables: int = 0,
+    budget_bytes: int = 16 * 1024 * 1024,
+) -> bool:
+    """Conservative VMEM estimate for a fused integrate kernel: K carried
+    accumulator blocks + sample/uniform temporaries + resident tables,
+    doubled for Mosaic's scoped temporaries/double-buffering.  Measured
+    failure point: K=64 CUSTOM (64 accs x (256,128) f32 = 8 MB) exceeded
+    the 16 MB scoped-vmem limit by 68 KB at compile time; workloads over
+    the budget route to the XLA sweep (which handles any K, like the
+    reference's one GPU path)."""
+    rows = _acc_rows(kind)
+    blocks = k + 4  # accumulators + sample/uniform temporaries
+    table_bytes = 0
+    if kind == DistKind.CUSTOM:
+        table_bytes += 2 * BLOCK_ROWS * LANES * 4  # stratified (value, slope)
+    table_bytes += n_weight_tables * 2 * 16 * LANES * 4  # padded weight tables
+    est = 2 * blocks * rows * LANES * 4 + table_bytes
+    return est <= budget_bytes
+
+
 def stratified_table_ok(m: int) -> bool:
     """True when an m-knot inverse-CDF table can use the stratified
     in-kernel sampler: segments must divide BLOCK_ROWS with at least 8
