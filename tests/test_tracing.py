@@ -451,3 +451,30 @@ class TestReferenceParityGaps:
     def test_mixed_constant_and_function(self):
         v = trace_function(lambda x: np.exp(-x) + np.pi)(0.0)
         assert v == pytest.approx(1.0 + math.pi, abs=1e-6)
+
+
+class TestReferenceBuiltinMatrix:
+    """Every builtin in the reference README's transpiler table must trace
+    (reference README.md:207-227); the WGSL-only helpers are covered by
+    the WGSL-string frontend (test_wgsl_frontend.py)."""
+
+    @pytest.mark.parametrize("name,fn", [
+        ("sin", lambda x: math.sin(x)), ("cos", lambda x: math.cos(x)),
+        ("tan", lambda x: math.tan(x)), ("asin", lambda x: math.asin(x * 0.5)),
+        ("acos", lambda x: math.acos(x * 0.5)), ("atan", lambda x: math.atan(x)),
+        ("sinh", lambda x: math.sinh(x)), ("cosh", lambda x: math.cosh(x)),
+        ("tanh", lambda x: math.tanh(x)), ("sqrt", lambda x: math.sqrt(abs(x))),
+        ("exp", lambda x: math.exp(x)), ("exp2", lambda x: np.exp2(x)),
+        ("log", lambda x: math.log(abs(x) + 1)),
+        ("log2", lambda x: np.log2(abs(x) + 1)),
+        ("floor", lambda x: math.floor(x)), ("ceil", lambda x: math.ceil(x)),
+        ("round", lambda x: round(x)), ("trunc", lambda x: math.trunc(x)),
+        ("sign", lambda x: np.sign(x)), ("min", lambda x: min(x, 0.5)),
+        ("max", lambda x: max(x, 0.5)), ("abs", lambda x: abs(x)),
+        ("pow", lambda x: pow(x, 2.0)), ("power", lambda x: np.power(x, 2.0)),
+        ("clip", lambda x: np.clip(x, 0.0, 1.0)), ("mod", lambda x: x % 2.0),
+    ])
+    def test_builtin_traces(self, name, fn):
+        traced = trace_function(fn)
+        v = float(traced(0.7))
+        assert math.isfinite(v)
