@@ -305,18 +305,19 @@ class MonteCarloIntegrator:
         return self._finalize_prog(run, dev_args, seed_batch)
 
     def _batched_prog(self, run, dev_args, seed_batch: int) -> Callable:
-        """One-RPC batched dispatch: R statically-unrolled calls of an
-        already-built program inside a single jit — each keeps its exact
-        single-seed semantics and streams (prog(seeds)[i] equals
-        prog(seeds[i]) of the unbatched handle bit-for-bit)."""
+        """One-RPC batched dispatch for programs without native grid
+        batching (the XLA paths): ``lax.map`` sweeps R seeds through the
+        single-seed program inside one jit — traced once, so program size
+        is independent of R, and each element keeps its exact single-seed
+        semantics and streams (prog(seeds)[i] equals prog(seeds[i]) of the
+        unbatched handle bit-for-bit)."""
         if seed_batch < 1:
             raise ValueError("seed_batch must be >= 1")
         batched = self._cache.get_or_build(
             ("seed_batch", id(run), seed_batch),
             lambda: jax.jit(
-                lambda seeds, *args: jax.tree.map(
-                    lambda *outs: jnp.stack(outs),
-                    *[run(seeds[i], *args) for i in range(seed_batch)],
+                lambda seeds, *args: jax.lax.map(
+                    lambda s: run(s, *args), seeds
                 )
             ),
         )
