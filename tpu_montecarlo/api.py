@@ -254,7 +254,9 @@ class MonteCarloIntegrator:
         if not ok and self._backend == "pallas":
             warnings.warn(
                 "backend='pallas' requested but this workload is not "
-                "Pallas-eligible (table-lookup closure, K>128, or an "
+                "Pallas-eligible (table-lookup closure, a function that "
+                "does not evaluate on a lane block, too many fused "
+                "integrands for the kernel VMEM budget, or an "
                 "incompatible table layout); running the XLA backend "
                 "instead",
                 stacklevel=3,
@@ -522,6 +524,19 @@ class MonteCarloIntegrator:
                     pallas_ok = False
                 elif mode[0] != "table":
                     pallas_ok = _block_traceable((mode[1],))
+            if pallas_ok:
+                # Re-check the kernel VMEM budget with the IS extras: the
+                # resident weight tables plus the p/q/weight value blocks
+                # that live alongside every eval.
+                from .ops.integrate_pallas import integrate_vmem_fits
+
+                n_wt = sum(
+                    1 for m in (p_mode_k, q_mode_k) if m[0] == "table"
+                )
+                pallas_ok = integrate_vmem_fits(
+                    len(traced), spec.kind,
+                    n_weight_tables=n_wt, extra_blocks=3,
+                )
             if was_eligible and not pallas_ok and self._backend == "pallas":
                 warnings.warn(
                     "backend='pallas' requested but an IS weight PDF is not "

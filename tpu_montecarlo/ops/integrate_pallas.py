@@ -42,6 +42,7 @@ from ..utils.dispatch import IntegratePlan
 
 __all__ = [
     "build_integrate_fn_pallas",
+    "integrate_vmem_fits",
     "pallas_supports",
     "plan_pallas_grid",
     "stratified_table_ok",
@@ -167,6 +168,7 @@ def integrate_vmem_fits(
     k: int,
     kind: DistKind,
     n_weight_tables: int = 0,
+    extra_blocks: int = 0,
     budget_bytes: int = 16 * 1024 * 1024,
 ) -> bool:
     """Conservative VMEM estimate for a fused integrate kernel: K carried
@@ -175,9 +177,15 @@ def integrate_vmem_fits(
     failure point: K=64 CUSTOM (64 accs x (256,128) f32 = 8 MB) exceeded
     the 16 MB scoped-vmem limit by 68 KB at compile time; workloads over
     the budget route to the XLA sweep (which handles any K, like the
-    reference's one GPU path)."""
+    reference's one GPU path).  The estimate is deliberately conservative
+    near the boundary (it may route a few K values that would just fit to
+    XLA): a compile-time OOM is a hard failure while the fallback is
+    graceful, and the measured failure shows actual scoped usage within
+    ~10% of this model."""
     rows = _acc_rows(kind)
-    blocks = k + 4  # accumulators + sample/uniform temporaries
+    # accumulators + sample/uniform temporaries (+ IS weight blocks via
+    # extra_blocks: p_val/q_val/weight live alongside every eval)
+    blocks = k + 4 + extra_blocks
     table_bytes = 0
     if kind == DistKind.CUSTOM:
         table_bytes += 2 * BLOCK_ROWS * LANES * 4  # stratified (value, slope)
