@@ -224,15 +224,16 @@ def main() -> int:
     print(json.dumps(RECORDS[-1]), flush=True)
     ok &= same
 
-    # --- distributional shape of the table sampler (32-bin histogram) ----
-    # Exercises K=32 fused indicator integrands AND validates the full
+    # --- distributional shape of the table sampler (64-bin histogram) ----
+    # Exercises K=64 fused indicator integrands AND validates the full
     # sampling distribution, not just low moments: each bin estimate must
     # match the table-defined bin mass within Monte Carlo noise (the
     # stratified sampler's variance is at most the i.i.d. sampler's, so
-    # the i.i.d. bound applies).  K=64 CUSTOM kernels exceed the 16 MB
-    # VMEM budget and route to XLA (api._pallas_eligible's vmem gate).
+    # the i.i.d. bound applies).  K=64 CUSTOM exceeds the VMEM budget at
+    # 256 block rows, so this also pins the adaptive-block-rows path
+    # (pick_block_rows -> 128) on hardware.
     beta_h = mc.Distribution.beta(2.0, 5.0, table_size=2048)
-    edges = np.linspace(0.0, 1.0, 33)
+    edges = np.linspace(0.0, 1.0, 65)
 
     def bin_fn(lo_, hi_):
         return lambda v: (v >= lo_) * (v < hi_)
@@ -247,9 +248,10 @@ def main() -> int:
     sigma = np.sqrt(np.maximum(expected_mass, 1e-12) / n_hist)
     # 6-sigma MC slack + table-resampling slack (4096-knot inverse).
     tol_bins = 6.0 * sigma + 5e-4
-    ok &= check("beta_histogram_32bins", r.values, expected_mass,
+    ok &= check("beta_histogram_64bins", r.values, expected_mass,
                 tol_bins.tolist(),
-                "table-sampler distributional shape; K=32 fused indicators")
+                "table-sampler distributional shape; K=64 fused indicators "
+                "via adaptive block rows")
 
     # --- gapped (zero-density-span) distributions, compiled kernels ------
     gx = np.linspace(0.0, 1.0, 2048)

@@ -156,7 +156,27 @@ class TestInterpretedIntegrate:
             # 8192 -> 64 segments -> 4 rows each (< 8): falls back to XLA.
             assert not stratified_table_ok(m)
 
-    def test_custom_table_must_be_lane_multiple(self):
+    def test_custom_table_any_size(self):
+        """Stratified prep resamples ANY m-knot inverse table onto its
+        per-stratum grids (segments are chosen independently of m), so
+        non-lane-multiple tables run in-kernel too.  A 100-knot inverse
+        for U(0,1) (identity inverse CDF) must integrate correctly."""
+        plan = make_integrate_plan(200_000, target_threads=1024)
+        run = build_integrate_fn_pallas(
+            _fns(), DistKind.CUSTOM, plan, interpret=True
+        )
+        vals = np.asarray(
+            run(
+                np.uint32(42),
+                jnp.zeros(2, jnp.float32),
+                jnp.linspace(0.0, 1.0, 100).astype(jnp.float32),
+                jnp.zeros(1, jnp.float32),
+            )
+        )
+        assert abs(vals[0] - 0.5) < 0.01
+        assert abs(vals[1] - 1.0 / 3.0) < 0.01
+
+    def test_custom_table_too_small_rejected(self):
         plan = make_integrate_plan(1000)
         run = build_integrate_fn_pallas(
             _fns(), DistKind.CUSTOM, plan, interpret=True
@@ -165,9 +185,52 @@ class TestInterpretedIntegrate:
             run(
                 np.uint32(42),
                 jnp.zeros(2, jnp.float32),
-                jnp.zeros(100, jnp.float32),
+                jnp.zeros(1, jnp.float32),
                 jnp.zeros(1, jnp.float32),
             )
+
+    def test_high_k_custom_shrinks_block_rows(self):
+        """K=64 custom kernels exceed VMEM at 256 block rows; the builder
+        shrinks the block (and stratum count) instead of falling off the
+        ~100x XLA table-sampling cliff."""
+        from tpu_montecarlo import Distribution
+        from tpu_montecarlo.ops.integrate_pallas import pick_block_rows
+        from tpu_montecarlo.sampling import dist_spec_of
+
+        assert pick_block_rows(8, DistKind.CUSTOM) == 256
+        assert pick_block_rows(64, DistKind.CUSTOM) == 128
+        assert pick_block_rows(128, DistKind.CUSTOM) == 64
+        # gapped tables are host-built at the 32-stratum layout: full rows
+        assert pick_block_rows(64, DistKind.CUSTOM, gapped=True) is None
+
+        edges = np.linspace(0.0, 1.0, 65)
+
+        def bin_fn(lo, hi):
+            return lambda v: (v >= lo) * (v < hi)
+
+        fns = tuple(
+            trace_function(bin_fn(float(a), float(b)))
+            for a, b in zip(edges[:-1], edges[1:])
+        )
+        beta = Distribution.beta(2.0, 5.0)
+        spec = dist_spec_of(beta)
+        plan = make_integrate_plan(200_000, target_threads=1024)
+        run = build_integrate_fn_pallas(
+            fns, DistKind.CUSTOM, plan, interpret=True
+        )
+        vals = np.asarray(
+            run(
+                np.uint32(42),
+                jnp.asarray(spec.params),
+                jnp.asarray(spec.x_table),
+                jnp.asarray(spec.cdf_table),
+            )
+        )
+        assert abs(np.sum(vals) - 1.0) < 1e-5  # bins partition [0, 1]
+        # bin masses match the table CDF
+        cdf_at = np.interp(edges, np.linspace(0, 1, len(spec.cdf_table)),
+                           spec.cdf_table)
+        np.testing.assert_allclose(vals, np.diff(cdf_at), atol=0.01)
 
 
 class TestInterpretedMCMC:

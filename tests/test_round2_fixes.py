@@ -378,26 +378,34 @@ class TestCodeReviewRound2:
                 10, 256, 0, with_state=True, seed_batch=2,
             )
 
-    def test_vmem_gate_routes_high_k_custom_to_xla(self):
-        """K=64 custom-table kernels exceed the 16MB VMEM budget (measured
-        compile-time OOM on v5e: 64 accumulator blocks = 8MB doubled by
-        scoped temporaries); the eligibility gate must route them to the
-        XLA sweep instead of failing at compile."""
-        from tpu_montecarlo.ops.integrate_pallas import integrate_vmem_fits
+    def test_vmem_gate_and_adaptive_rows(self):
+        """K=64 custom-table kernels exceed the 16MB VMEM budget at the
+        default 256 block rows (measured compile-time OOM on v5e: 64
+        accumulator blocks = 8MB doubled by scoped temporaries); the
+        builder shrinks the block instead, keeping the workload in-kernel
+        (the XLA table-sampling fallback is ~100x slower)."""
+        from tpu_montecarlo.ops.integrate_pallas import (
+            integrate_vmem_fits,
+            pick_block_rows,
+        )
         from tpu_montecarlo.sampling import DistKind
 
         assert integrate_vmem_fits(8, DistKind.CUSTOM)
         assert integrate_vmem_fits(32, DistKind.CUSTOM)
-        assert not integrate_vmem_fits(64, DistKind.CUSTOM)
+        assert not integrate_vmem_fits(64, DistKind.CUSTOM)  # at 256 rows
+        assert integrate_vmem_fits(64, DistKind.CUSTOM, rows=128)
+        assert pick_block_rows(64, DistKind.CUSTOM) == 128
         assert integrate_vmem_fits(64, DistKind.NORMAL)
 
-        # End-to-end: forced pallas degrades with a warning, estimates ok.
+        # End-to-end: forced pallas stays in-kernel (no warning) with
+        # correct bin masses.
         edges = np.linspace(0.0, 1.0, 65)
         def bin_fn(lo, hi):
             return lambda v: (v >= lo) * (v < hi)
         fns = [bin_fn(float(a), float(b)) for a, b in zip(edges[:-1], edges[1:])]
         beta = Distribution.beta(2.0, 5.0)
-        with pytest.warns(UserWarning, match="Pallas-eligible"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
             r = MonteCarloIntegrator(backend="pallas").integrate(
                 fns, beta, n_samples=200_000
             )

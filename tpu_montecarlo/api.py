@@ -230,12 +230,16 @@ class MonteCarloIntegrator:
         vector cond cannot lower inside the kernel — those take the XLA
         sweep, which vmaps them).  Warns when a forced backend='pallas' has
         to fall back."""
-        from .ops.integrate_pallas import integrate_vmem_fits, pallas_supports
+        from .ops.integrate_pallas import pallas_supports, pick_block_rows
 
+        gapped = spec.kind == DistKind.CUSTOM and spec.exact_inverse
         ok = (
             pallas_supports(spec.kind)
             and len(traced) <= 128
-            and integrate_vmem_fits(len(traced), spec.kind)
+            # a block row count fitting the VMEM budget must exist (high-K
+            # kernels shrink the block instead of routing to XLA)
+            and pick_block_rows(len(traced), spec.kind, gapped=gapped)
+            is not None
             and not any(
                 getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
             )
@@ -243,11 +247,11 @@ class MonteCarloIntegrator:
             and (
                 spec.kind != DistKind.CUSTOM
                 # Zero-density-span (exact_inverse) customs sample through
-                # host-built gap-respecting tables, always stratified-ok.
+                # host-built gap-respecting tables.
                 or spec.exact_inverse
                 or (
                     spec.x_table is not None
-                    and _stratified_ok(spec.x_table.shape[0])
+                    and spec.x_table.shape[0] >= 2
                 )
             )
         )
@@ -528,14 +532,19 @@ class MonteCarloIntegrator:
                 # Re-check the kernel VMEM budget with the IS extras: the
                 # resident weight tables plus the p/q/weight value blocks
                 # that live alongside every eval.
-                from .ops.integrate_pallas import integrate_vmem_fits
+                from .ops.integrate_pallas import pick_block_rows
 
                 n_wt = sum(
                     1 for m in (p_mode_k, q_mode_k) if m[0] == "table"
                 )
-                pallas_ok = integrate_vmem_fits(
-                    len(traced), spec.kind,
-                    n_weight_tables=n_wt, extra_blocks=3,
+                pallas_ok = (
+                    pick_block_rows(
+                        len(traced), spec.kind,
+                        n_weight_tables=n_wt, extra_blocks=3,
+                        gapped=spec.kind == DistKind.CUSTOM
+                        and spec.exact_inverse,
+                    )
+                    is not None
                 )
             if was_eligible and not pallas_ok and self._backend == "pallas":
                 warnings.warn(
@@ -1111,12 +1120,6 @@ def _tag_native_batch(run, seed_batch: int):
 
         tagged.__native_seed_batch__ = seed_batch
         return tagged
-
-
-def _stratified_ok(m: int) -> bool:
-    from .ops.integrate_pallas import stratified_table_ok
-
-    return stratified_table_ok(m)
 
 
 def _block_traceable(fns) -> bool:

@@ -43,6 +43,7 @@ from ..utils.dispatch import IntegratePlan
 __all__ = [
     "build_integrate_fn_pallas",
     "integrate_vmem_fits",
+    "pick_block_rows",
     "pallas_supports",
     "plan_pallas_grid",
     "stratified_table_ok",
@@ -66,14 +67,17 @@ def pallas_supports(kind: DistKind) -> bool:
     )
 
 
-def plan_pallas_grid(n_samples: int):
+def plan_pallas_grid(n_samples: int, rows: int = BLOCK_ROWS):
     """(num_programs, loops_per_program, actual_samples) with
     actual >= n_samples — the rounded-up equal-weight semantics of the
-    reference dispatch planner (src/engine.rs:157-181)."""
-    total_blocks = -(-n_samples // BLOCK_ELEMS)
+    reference dispatch planner (src/engine.rs:157-181).  ``rows`` is the
+    kernel's block row count (shrunk below BLOCK_ROWS for high fused-K
+    workloads; see pick_block_rows)."""
+    block_elems = rows * LANES
+    total_blocks = -(-n_samples // block_elems)
     loops = min(total_blocks, MAX_LOOPS_PER_PROGRAM)
     programs = -(-total_blocks // loops)
-    actual = programs * loops * BLOCK_ELEMS
+    actual = programs * loops * block_elems
     return programs, loops, actual
 
 
@@ -169,6 +173,7 @@ def integrate_vmem_fits(
     kind: DistKind,
     n_weight_tables: int = 0,
     extra_blocks: int = 0,
+    rows: int = BLOCK_ROWS,
     budget_bytes: int = 16 * 1024 * 1024,
 ) -> bool:
     """Conservative VMEM estimate for a fused integrate kernel: K carried
@@ -182,16 +187,40 @@ def integrate_vmem_fits(
     XLA): a compile-time OOM is a hard failure while the fallback is
     graceful, and the measured failure shows actual scoped usage within
     ~10% of this model."""
-    rows = _acc_rows(kind)
+    acc_rows = _acc_rows(kind, rows)
     # accumulators + sample/uniform temporaries (+ IS weight blocks via
     # extra_blocks: p_val/q_val/weight live alongside every eval)
     blocks = k + 4 + extra_blocks
     table_bytes = 0
     if kind == DistKind.CUSTOM:
-        table_bytes += 2 * BLOCK_ROWS * LANES * 4  # stratified (value, slope)
+        table_bytes += 2 * rows * LANES * 4  # stratified (value, slope)
     table_bytes += n_weight_tables * 2 * 16 * LANES * 4  # padded weight tables
-    est = 2 * blocks * rows * LANES * 4 + table_bytes
+    est = 2 * blocks * acc_rows * LANES * 4 + table_bytes
     return est <= budget_bytes
+
+
+def pick_block_rows(
+    k: int,
+    kind: DistKind,
+    n_weight_tables: int = 0,
+    extra_blocks: int = 0,
+    gapped: bool = False,
+) -> Optional[int]:
+    """Largest block row count whose kernel fits the VMEM budget, or None.
+
+    High fused-K workloads shrink the block (and, for CUSTOM, the stratum
+    count — see prep_inv_table_stratified) instead of falling off the
+    ~100x XLA table-sampling cliff (measured: K=64 custom 5.8e7 samples/s
+    on the XLA sweep vs 7.3e9 in-kernel at K=32).  Gap-respecting tables
+    are host-built at a fixed 32-stratum layout, so gapped distributions
+    require the full BLOCK_ROWS block."""
+    candidates = (BLOCK_ROWS,) if gapped else (256, 128, 64, 32, 16, 8)
+    for rows in candidates:
+        if integrate_vmem_fits(
+            k, kind, n_weight_tables, extra_blocks, rows
+        ):
+            return rows
+    return None
 
 
 def stratified_table_ok(m: int) -> bool:
@@ -207,7 +236,7 @@ def stratified_table_ok(m: int) -> bool:
     )
 
 
-def prep_inv_table_stratified(x_table, rows: int):
+def prep_inv_table_stratified(x_table, rows: int, segments=None):
     """Row-stratified inverse-CDF tables for the integrate kernel.
 
     u-space splits into S equal-mass strata (S = table segments); block row
@@ -226,13 +255,15 @@ def prep_inv_table_stratified(x_table, rows: int):
     """
     t = jnp.asarray(x_table, jnp.float32)
     m = t.shape[0]
-    if not stratified_table_ok(m):
+    if m < 2:
+        raise ValueError("inverse-CDF table needs at least 2 knots")
+    if segments is None:
+        segments = max(1, min(m // LANES, rows // 8))
+    if rows % segments != 0 or (rows // segments) < 8:
         raise ValueError(
-            f"inverse-CDF table size must be a multiple of {LANES} with "
-            f"segments dividing {rows} block rows in groups of 8+ "
-            f"(got {m})"
+            f"segments ({segments}) must divide {rows} block rows in "
+            "groups of 8+"
         )
-    segments = m // LANES
     # Stratum s, knot j: u = (s + j/(LANES-1)) / S, evaluated against the
     # m-knot inverse table by pure index arithmetic (uniform u-grid).
     j = jnp.arange(LANES, dtype=jnp.float32) / jnp.float32(LANES - 1)
@@ -254,11 +285,11 @@ def prep_inv_table_stratified(x_table, rows: int):
     )
 
 
-def _stratified_sample(ts_ref, dts_ref, rng, counter):
+def _stratified_sample(ts_ref, dts_ref, rng, counter, rows):
     """One stratified inverse-CDF draw per (row, lane): the row's stratum
     is baked into the pre-tiled tables, so the lookup is a single
     equal-shape lane-gather."""
-    w = _uniform_halfopen01(rng, (BLOCK_ROWS, LANES), counter, 0)
+    w = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
     pos = w * jnp.float32(LANES - 1)
     j = pos.astype(jnp.int32)
     frac = pos - j.astype(jnp.float32)
@@ -267,36 +298,38 @@ def _stratified_sample(ts_ref, dts_ref, rng, counter):
     return x0 + frac * dx
 
 
-def _sample_subblocks(kind: DistKind, p1, p2, rng, counter, tables=None):
-    """Sample BLOCK_ROWS*128 values as a list of equal-shape sub-blocks
+def _sample_subblocks(
+    kind: DistKind, p1, p2, rng, counter, tables=None, rows=BLOCK_ROWS
+):
+    """Sample rows*128 values as a list of equal-shape sub-blocks
     (Box-Muller yields its cos/sin pair as two separate sub-blocks so no
     concatenate/copy is needed; integrands just run once per sub-block)."""
     if kind == DistKind.UNIFORM:
         from ..sampling import next_below_f32
 
-        u = _uniform_halfopen01(rng, (BLOCK_ROWS, LANES), counter, 0)
+        u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
         x = p1 + u * (p2 - p1)
         # Clamp below max: f32 rounding may land on the half-open boundary
         # (Mosaic bitcast is vector-only, so decrement the offending lanes).
         return [jnp.where(x >= p2, next_below_f32(jnp.full_like(x, p2)), x)]
     if kind == DistKind.NORMAL:
-        half = BLOCK_ROWS // 2
+        half = rows // 2
         u1 = _uniform_open01(rng, (half, LANES), counter, 0)
         u2 = _uniform_halfopen01(rng, (half, LANES), counter, 1)
         r = jnp.sqrt(-2.0 * jnp.log(u1))
         theta = _TWO_PI * u2
         return [p1 + p2 * (r * jnp.cos(theta)), p1 + p2 * (r * jnp.sin(theta))]
     if kind == DistKind.EXPONENTIAL:
-        u = _uniform_open01(rng, (BLOCK_ROWS, LANES), counter, 0)
+        u = _uniform_open01(rng, (rows, LANES), counter, 0)
         return [-jnp.log(jnp.maximum(u, 1e-7)) / p1]
     if kind == DistKind.CUSTOM:
         ts_ref, dts_ref = tables
-        return [_stratified_sample(ts_ref, dts_ref, rng, counter)]
+        return [_stratified_sample(ts_ref, dts_ref, rng, counter, rows)]
     raise ValueError(f"Pallas kernel does not support {kind}")
 
 
-def _acc_rows(kind: DistKind) -> int:
-    return BLOCK_ROWS // 2 if kind == DistKind.NORMAL else BLOCK_ROWS
+def _acc_rows(kind: DistKind, rows: int = BLOCK_ROWS) -> int:
+    return rows // 2 if kind == DistKind.NORMAL else rows
 
 
 def prep_inv_table(x_table):
@@ -401,11 +434,25 @@ def build_integrate_fn_pallas(
     p_table = p_mode == "table"
     q_table = q_mode == "table"
 
+    # Block row count fitted to the VMEM budget (shrinks for high K so
+    # fine-histogram-style workloads stay on the kernel path).
+    block_rows = pick_block_rows(
+        k, kind,
+        n_weight_tables=int(p_table) + int(q_table),
+        extra_blocks=3 if is_weight is not None else 0,
+        gapped=gapped_tables,
+    )
+    if block_rows is None:
+        raise ValueError(
+            "fused workload exceeds the kernel VMEM budget; use the XLA "
+            "backend"
+        )
+
     n_dev = 1 if mesh is None else mesh.size
-    programs, loops, actual = plan_pallas_grid(plan.actual_samples)
+    programs, loops, actual = plan_pallas_grid(plan.actual_samples, block_rows)
     # Shape the grid to divide evenly over devices.
     programs = -(-programs // n_dev) * n_dev
-    actual = programs * loops * BLOCK_ELEMS
+    actual = programs * loops * block_rows * LANES
     local_programs = programs // n_dev
 
     rng_factory = CounterRng if interpret else HardwareRng
@@ -426,7 +473,7 @@ def build_integrate_fn_pallas(
         rng.seed(seed_ref[0, rep], pid_base_ref[0, 0] + pid)
         p1 = params_ref[0, 0]
         p2 = params_ref[0, 1]
-        rows = _acc_rows(kind)
+        rows = _acc_rows(kind, block_rows)
 
         def weight(x):
             if is_weight is None:
@@ -448,7 +495,9 @@ def build_integrate_fn_pallas(
             return jnp.where(q_val > 0, p_val / safe_q, 0.0)
 
         def body(i, accs):
-            for x in _sample_subblocks(kind, p1, p2, rng, i, tables):
+            for x in _sample_subblocks(
+                kind, p1, p2, rng, i, tables, block_rows
+            ):
                 w = weight(x)
                 for j, f in enumerate(eval_fns):
                     v = f(x).astype(jnp.float32)
@@ -458,7 +507,7 @@ def build_integrate_fn_pallas(
             return accs
 
         init = tuple(
-            jnp.zeros((_acc_rows(kind), LANES), jnp.float32)
+            jnp.zeros((_acc_rows(kind, block_rows), LANES), jnp.float32)
             for _ in range(k)
         )
         accs = jax.lax.fori_loop(0, loops, body, init)
@@ -526,14 +575,14 @@ def build_integrate_fn_pallas(
             if gapped_tables:
                 ts = jnp.asarray(x_table, jnp.float32)
                 dts = jnp.asarray(cdf_table, jnp.float32)
-                rep = BLOCK_ROWS // ts.shape[0]
+                rep = block_rows // ts.shape[0]
                 prepped += [
                     jnp.repeat(ts, rep, axis=0),
                     jnp.repeat(dts, rep, axis=0),
                 ]
             else:
                 prepped += list(
-                    prep_inv_table_stratified(x_table, BLOCK_ROWS)
+                    prep_inv_table_stratified(x_table, block_rows)
                 )
         wt = list(weight_tables)
         for flag in (p_table, q_table):
