@@ -58,12 +58,10 @@ def main() -> None:
     if on_tpu:
         # Fused Pallas kernel — the TPU hot path (hardware PRNG, VMEM
         # accumulators); measured faster than the XLA sweep on v5e.
-        from tpu_montecarlo.ops.integrate_pallas import plan_pallas_grid
-
         run = build_integrate_fn_pallas(traced, DistKind.NORMAL, plan)
-        # The Pallas grid rounds the sample count up again; count what the
-        # device actually executes.
-        _, _, samples_per_dispatch = plan_pallas_grid(plan.actual_samples)
+        # The Pallas grid rounds the sample count up again (at whatever
+        # block size the builder picked); count what the device executes.
+        samples_per_dispatch = run.actual_samples
     else:
         run = build_integrate_fn(traced, DistKind.NORMAL, plan)
 

@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Serving-stability soak: hammer one compiled seed-batched handle with
-back-to-back dispatches and report throughput stability, estimate drift,
-and same-seed bit-stability.
+back-to-back dispatches (pipelined in windows of 5, fetched per window)
+and report throughput stability, estimate drift, and same-seed
+bit-stability.
 
-Measured v5e (50 dispatches, K=2 @ 1e8 samples/job, R=10):
-median 2.24e10 samples/s, p10 within 2% of median, E[X^2] spread 4e-5
-(pure Monte Carlo noise), same-seed outputs bit-identical before/after.
+Measured v5e (50 dispatches in windows of 5, K=2 @ 1e8 samples/job,
+R=10): median 3.18e10 samples/s, p10 within 1.5% of median, E[X^2]
+spread 4e-5 (pure Monte Carlo noise), same-seed outputs bit-identical
+before/after.
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/soak.py
 """
@@ -56,20 +58,31 @@ def main() -> int:
     np.asarray(prog(list(range(R))))  # warm: compile + first run
 
     fixed = np.asarray(prog([999 + r for r in range(R)]))
+    # Time in pipelined windows: W dispatches issued back-to-back, then
+    # every output fetched (CLAUDE.md rule — through the tunnel only the
+    # D2H copy truly syncs, and pipelining keeps the per-dispatch RPC
+    # latency overlapped instead of counted W times).
+    W = max(1, min(5, args.dispatches))
+    windows = args.dispatches // W
     times, means = [], []
-    for i in range(args.dispatches):
+    for w in range(windows):
         t0 = time.perf_counter()
-        out = np.asarray(prog([1000 * i + r for r in range(R)]))
+        outs = [
+            prog([1000 * (w * W + i) + r for r in range(R)])
+            for i in range(W)
+        ]
+        vals = [np.asarray(o) for o in outs]
         times.append(time.perf_counter() - t0)
-        means.append(float(out[:, 1].mean()))
+        means.extend(float(v[:, 1].mean()) for v in vals)
     fixed2 = np.asarray(prog([999 + r for r in range(R)]))
 
     rec = {
-        "dispatches": args.dispatches,
+        "dispatches": windows * W,
         "jobs_per_dispatch": R,
+        "dispatches_per_window": W,
         "n_samples_per_job": args.n_samples,
-        "sps_median": R * args.n_samples / float(np.median(times)),
-        "sps_p10": R * args.n_samples / float(np.percentile(times, 90)),
+        "sps_median": W * R * args.n_samples / float(np.median(times)),
+        "sps_p10": W * R * args.n_samples / float(np.percentile(times, 90)),
         "ex2_mean": float(np.mean(means)),
         "ex2_spread": float(np.std(means)),
         "bit_stable": bool(np.array_equal(fixed, fixed2)),

@@ -147,19 +147,28 @@ class TestInterpretedIntegrate:
             assert abs(vals[0] - 2.0 / 7.0) < 0.02
             assert abs(vals[1] - 6.0 / 56.0) < 0.02
 
-    def test_stratified_table_ok(self):
-        from tpu_montecarlo.ops.integrate_pallas import stratified_table_ok
+    def test_stratified_segments_divide_rows(self):
+        """The auto-picked stratum count is a power of two capped by both
+        the knot count and rows//8, so it divides every block row count —
+        ANY m-knot table preps without error (the m=384 / m=3000 cases
+        used to raise: min(m//128, 32) need not divide 256)."""
+        from tpu_montecarlo.ops.integrate_pallas import (
+            prep_inv_table_stratified,
+        )
 
-        for m in (128, 256, 1024, 2048, 4096):
-            assert stratified_table_ok(m)
-        for m in (100, 1000, 192, 8192):
-            # 8192 -> 64 segments -> 4 rows each (< 8): falls back to XLA.
-            assert not stratified_table_ok(m)
+        for m in (2, 100, 192, 384, 1000, 3000, 4096, 8192):
+            for rows in (8, 64, 256):
+                ts, dts = prep_inv_table_stratified(
+                    np.linspace(0.0, 1.0, m).astype(np.float32), rows
+                )
+                assert ts.shape == (rows, 128)
+                assert dts.shape == (rows, 128)
 
-    def test_custom_table_any_size(self):
+    @pytest.mark.parametrize("m", [100, 384, 3000])
+    def test_custom_table_any_size(self, m):
         """Stratified prep resamples ANY m-knot inverse table onto its
         per-stratum grids (segments are chosen independently of m), so
-        non-lane-multiple tables run in-kernel too.  A 100-knot inverse
+        non-lane-multiple tables run in-kernel too.  An m-knot inverse
         for U(0,1) (identity inverse CDF) must integrate correctly."""
         plan = make_integrate_plan(200_000, target_threads=1024)
         run = build_integrate_fn_pallas(
@@ -169,7 +178,7 @@ class TestInterpretedIntegrate:
             run(
                 np.uint32(42),
                 jnp.zeros(2, jnp.float32),
-                jnp.linspace(0.0, 1.0, 100).astype(jnp.float32),
+                jnp.linspace(0.0, 1.0, m).astype(jnp.float32),
                 jnp.zeros(1, jnp.float32),
             )
         )

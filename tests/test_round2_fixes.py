@@ -410,3 +410,52 @@ class TestCodeReviewRound2:
                 fns, beta, n_samples=200_000
             )
         assert abs(sum(r.values) - 1.0) < 1e-3
+
+    def test_vmem_gate_counts_seed_batch_output_buffer(self):
+        """The kernel keeps the whole (seed_batch x programs, 128)
+        partial-sum buffer resident in VMEM; huge serving batches must be
+        counted by the gate and routed to XLA instead of compile-OOMing."""
+        from tpu_montecarlo.ops.integrate_pallas import (
+            integrate_vmem_fits,
+            pick_block_rows,
+        )
+        from tpu_montecarlo.sampling import DistKind
+
+        # 40k output rows alone are ~20MB > the 16MB budget.
+        assert not integrate_vmem_fits(2, DistKind.NORMAL, out_rows=40_000)
+        assert (
+            pick_block_rows(
+                2, DistKind.NORMAL,
+                plan_samples=100_000, seed_batch=40_000,
+            )
+            is None
+        )
+        # Modest batches still fit at full block size.
+        assert (
+            pick_block_rows(
+                8, DistKind.NORMAL, plan_samples=10**8, seed_batch=10
+            )
+            == 256
+        )
+
+        # End-to-end: the forced-pallas gate warns and falls back to the
+        # XLA sweep instead of building an OOM-bound kernel.
+        d = Distribution.normal(0.0, 1.0)
+        it = MonteCarloIntegrator(backend="pallas")
+        with pytest.warns(UserWarning, match="not\\s+Pallas-eligible"):
+            prog = it.compile_integrate(
+                [lambda x: x], d, n_samples=50_000, seed_batch=40_000
+            )
+        assert prog is not None
+
+        # Same story for the MCMC kernel's resident sums buffer.
+        from tpu_montecarlo.ops.mcmc_pallas import mcmc_vmem_fits
+
+        assert mcmc_vmem_fits(2, 32, 1, seed_batch=10)
+        assert not mcmc_vmem_fits(2, 32, 1, seed_batch=40_000)
+        with pytest.warns(UserWarning, match="not\\s+Pallas-eligible"):
+            prog = it.compile_mcmc(
+                [lambda x: x], d, Distribution.normal(0.0, 2.0),
+                n_steps=10, n_chains=256, n_burnin=0, seed_batch=40_000,
+            )
+        assert prog is not None

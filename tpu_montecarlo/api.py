@@ -220,7 +220,9 @@ class MonteCarloIntegrator:
             return True
         return jax.default_backend() == "tpu"
 
-    def _pallas_eligible(self, spec, traced) -> bool:
+    def _pallas_eligible(
+        self, spec, traced, plan_samples=None, seed_batch: int = 1
+    ) -> bool:
         """Shared Pallas-kernel eligibility gate for the sampling side:
         kernel-supported family, lane-multiple inverse table (and no
         exact-inverse requirement — in-kernel searchsorted is not a thing),
@@ -237,8 +239,14 @@ class MonteCarloIntegrator:
             pallas_supports(spec.kind)
             and len(traced) <= 128
             # a block row count fitting the VMEM budget must exist (high-K
-            # kernels shrink the block instead of routing to XLA)
-            and pick_block_rows(len(traced), spec.kind, gapped=gapped)
+            # kernels shrink the block instead of routing to XLA; the
+            # budget includes the seed_batch x programs output buffer)
+            and pick_block_rows(
+                len(traced), spec.kind, gapped=gapped,
+                plan_samples=plan_samples,
+                n_dev=1 if self._mesh is None else self._mesh.size,
+                seed_batch=seed_batch,
+            )
             is not None
             and not any(
                 getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
@@ -379,13 +387,16 @@ class MonteCarloIntegrator:
                 pallas_supports,
             )
 
-            if self._pallas_eligible(spec, traced):
+            plan = make_integrate_plan(
+                n_samples, self._target_threads, n_dev=n_dev
+            )
+            if self._pallas_eligible(
+                spec, traced,
+                plan_samples=plan.actual_samples, seed_batch=seed_batch,
+            ):
                 # Off-TPU a forced pallas backend runs in the interpreter
                 # (kernel-logic validation; the compiled path needs Mosaic).
                 interpret = jax.default_backend() != "tpu"
-                plan = make_integrate_plan(
-                    n_samples, self._target_threads, n_dev=n_dev
-                )
                 gapped = spec.kind == DistKind.CUSTOM and spec.exact_inverse
                 key = (
                     "integrate_pallas",
@@ -511,7 +522,13 @@ class MonteCarloIntegrator:
         if self._use_pallas(spec.kind):
             from .ops.integrate_pallas import build_integrate_fn_pallas
 
-            pallas_ok = self._pallas_eligible(spec, traced)
+            plan = make_integrate_plan(
+                n_samples, self._target_threads, n_dev=n_dev
+            )
+            pallas_ok = self._pallas_eligible(
+                spec, traced,
+                plan_samples=plan.actual_samples, seed_batch=seed_batch,
+            )
             was_eligible = pallas_ok
             # Table PDFs need uniform x-grids for in-kernel lookup —
             # irregular user grids are resampled host-side (error-bounded)
@@ -543,6 +560,9 @@ class MonteCarloIntegrator:
                         n_weight_tables=n_wt, extra_blocks=3,
                         gapped=spec.kind == DistKind.CUSTOM
                         and spec.exact_inverse,
+                        plan_samples=plan.actual_samples,
+                        n_dev=n_dev,
+                        seed_batch=seed_batch,
                     )
                     is not None
                 )
@@ -558,9 +578,6 @@ class MonteCarloIntegrator:
 
         if pallas_ok:
             interpret = jax.default_backend() != "tpu"
-            plan = make_integrate_plan(
-                n_samples, self._target_threads, n_dev=n_dev
-            )
 
             def mode_arg(mode):
                 return "table" if mode[0] == "table" else mode[1]
@@ -927,6 +944,19 @@ class MonteCarloIntegrator:
             traced, prop_spec, targ_spec,
             target_distribution, proposal_distribution,
         )
+        if pallas_ok:
+            # The kernel keeps the (seed_batch x programs, 128) sums
+            # buffer (and, stateful, the whole chain-state blocks)
+            # resident in VMEM; workloads over the budget take the XLA
+            # backend instead of compile-OOMing.
+            from .ops.mcmc_pallas import mcmc_vmem_fits, plan_mcmc_grid
+
+            programs, rows, _ = plan_mcmc_grid(total_chains)
+            programs = -(-programs // n_dev) * n_dev
+            pallas_ok = mcmc_vmem_fits(
+                len(traced), rows, programs // n_dev,
+                seed_batch=seed_batch, with_state=with_state,
+            )
         if pallas_ok and with_state:
             from .ops.mcmc_pallas import plan_state_chains
 

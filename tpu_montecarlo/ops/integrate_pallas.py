@@ -46,7 +46,6 @@ __all__ = [
     "pick_block_rows",
     "pallas_supports",
     "plan_pallas_grid",
-    "stratified_table_ok",
 ]
 
 BLOCK_ROWS = 256
@@ -168,6 +167,17 @@ def _table_lookup(table_ref, dx_ref, i0, frac, rows):
     return x0 + frac * dx
 
 
+def _local_out_rows(
+    plan_samples: int, rows: int, n_dev: int = 1, seed_batch: int = 1
+) -> int:
+    """Rows of the per-device (out_rows, 128) partial-sum output buffer the
+    kernel keeps resident in VMEM: seed_batch x the device-local program
+    count for this block size."""
+    programs, _, _ = plan_pallas_grid(plan_samples, rows)
+    programs = -(-programs // n_dev) * n_dev
+    return seed_batch * (programs // n_dev)
+
+
 def integrate_vmem_fits(
     k: int,
     kind: DistKind,
@@ -175,6 +185,7 @@ def integrate_vmem_fits(
     extra_blocks: int = 0,
     rows: int = BLOCK_ROWS,
     budget_bytes: int = 16 * 1024 * 1024,
+    out_rows: int = 1,
 ) -> bool:
     """Conservative VMEM estimate for a fused integrate kernel: K carried
     accumulator blocks + sample/uniform temporaries + resident tables,
@@ -195,7 +206,11 @@ def integrate_vmem_fits(
     if kind == DistKind.CUSTOM:
         table_bytes += 2 * rows * LANES * 4  # stratified (value, slope)
     table_bytes += n_weight_tables * 2 * 16 * LANES * 4  # padded weight tables
-    est = 2 * blocks * acc_rows * LANES * 4 + table_bytes
+    # The whole (out_rows, 128) partial-sum output buffer also stays
+    # resident (constant index map, one row written per program) — large
+    # seed batches make it a first-order term.
+    out_bytes = out_rows * LANES * 4
+    est = 2 * blocks * acc_rows * LANES * 4 + table_bytes + out_bytes
     return est <= budget_bytes
 
 
@@ -205,6 +220,9 @@ def pick_block_rows(
     n_weight_tables: int = 0,
     extra_blocks: int = 0,
     gapped: bool = False,
+    plan_samples: Optional[int] = None,
+    n_dev: int = 1,
+    seed_batch: int = 1,
 ) -> Optional[int]:
     """Largest block row count whose kernel fits the VMEM budget, or None.
 
@@ -213,27 +231,29 @@ def pick_block_rows(
     ~100x XLA table-sampling cliff (measured: K=64 custom 5.8e7 samples/s
     on the XLA sweep vs 7.3e9 in-kernel at K=32).  Gap-respecting tables
     are host-built at a fixed 32-stratum layout, so gapped distributions
-    require the full BLOCK_ROWS block."""
-    candidates = (BLOCK_ROWS,) if gapped else (256, 128, 64, 32, 16, 8)
+    require the full BLOCK_ROWS block.
+
+    ``plan_samples``/``n_dev``/``seed_batch`` size the VMEM-resident
+    output buffer (seed_batch x device-local programs rows); without
+    ``plan_samples`` the minimum one-program buffer is assumed."""
+    if gapped:
+        candidates = (BLOCK_ROWS,)
+    else:
+        candidates, rows = [], BLOCK_ROWS
+        while rows >= 8:
+            candidates.append(rows)
+            rows //= 2
     for rows in candidates:
+        out_rows = (
+            _local_out_rows(plan_samples, rows, n_dev, seed_batch)
+            if plan_samples is not None
+            else seed_batch
+        )
         if integrate_vmem_fits(
-            k, kind, n_weight_tables, extra_blocks, rows
+            k, kind, n_weight_tables, extra_blocks, rows, out_rows=out_rows
         ):
             return rows
     return None
-
-
-def stratified_table_ok(m: int) -> bool:
-    """True when an m-knot inverse-CDF table can use the stratified
-    in-kernel sampler: segments must divide BLOCK_ROWS with at least 8
-    rows each (so every (8, 128) VMEM tile of the row-tiled table holds
-    identical rows — the lane-gather pattern Mosaic supports)."""
-    if m % LANES != 0:
-        return False
-    segments = m // LANES
-    return (
-        BLOCK_ROWS % segments == 0 and (BLOCK_ROWS // segments) % 8 == 0
-    )
 
 
 def prep_inv_table_stratified(x_table, rows: int, segments=None):
@@ -258,7 +278,11 @@ def prep_inv_table_stratified(x_table, rows: int, segments=None):
     if m < 2:
         raise ValueError("inverse-CDF table needs at least 2 knots")
     if segments is None:
-        segments = max(1, min(m // LANES, rows // 8))
+        # Largest power of two <= min(m // LANES, rows // 8): rows is a
+        # power of two, so this always divides it in groups of 8+ (any
+        # knot count m >= 2 gets an in-kernel stratification).
+        cap = max(1, min(m // LANES, rows // 8))
+        segments = 1 << (cap.bit_length() - 1)
     if rows % segments != 0 or (rows // segments) < 8:
         raise ValueError(
             f"segments ({segments}) must divide {rows} block rows in "
@@ -434,13 +458,18 @@ def build_integrate_fn_pallas(
     p_table = p_mode == "table"
     q_table = q_mode == "table"
 
+    n_dev = 1 if mesh is None else mesh.size
     # Block row count fitted to the VMEM budget (shrinks for high K so
-    # fine-histogram-style workloads stay on the kernel path).
+    # fine-histogram-style workloads stay on the kernel path); the budget
+    # includes the seed_batch x programs output buffer.
     block_rows = pick_block_rows(
         k, kind,
         n_weight_tables=int(p_table) + int(q_table),
         extra_blocks=3 if is_weight is not None else 0,
         gapped=gapped_tables,
+        plan_samples=plan.actual_samples,
+        n_dev=n_dev,
+        seed_batch=seed_batch,
     )
     if block_rows is None:
         raise ValueError(
@@ -448,7 +477,6 @@ def build_integrate_fn_pallas(
             "backend"
         )
 
-    n_dev = 1 if mesh is None else mesh.size
     programs, loops, actual = plan_pallas_grid(plan.actual_samples, block_rows)
     # Shape the grid to divide evenly over devices.
     programs = -(-programs // n_dev) * n_dev
@@ -604,6 +632,10 @@ def build_integrate_fn_pallas(
             )
             return _shape_result(sums / jnp.float32(actual))
 
+        # The device executes this many samples per batch element (the
+        # grid re-rounds plan.actual_samples); callers measuring
+        # throughput must divide by this, not re-derive it.
+        run.actual_samples = actual
         return run
 
     replicated = P()
@@ -632,4 +664,5 @@ def build_integrate_fn_pallas(
             seed_arr, params_arr, *_prep_tables(x_table, cdf_table, weight_tables)
         )
 
+    run.actual_samples = actual
     return run

@@ -51,6 +51,7 @@ from .integrate_pallas import (
 __all__ = [
     "build_mcmc_fn_pallas",
     "mcmc_pallas_supports",
+    "mcmc_vmem_fits",
     "plan_mcmc_grid",
     "plan_state_chains",
 ]
@@ -80,6 +81,30 @@ def plan_mcmc_grid(total_chains: int):
     block = rows * LANES
     programs = -(-total_chains // block)
     return programs, rows, programs * block
+
+
+def mcmc_vmem_fits(
+    k: int,
+    rows: int,
+    local_programs: int,
+    seed_batch: int = 1,
+    with_state: bool = False,
+    budget_bytes: int = 16 * 1024 * 1024,
+) -> bool:
+    """Conservative VMEM estimate for the MH kernel (same model as
+    integrate_vmem_fits): carried chain state (x, log_p, log_q, accept
+    count) + proposal temporaries + K accumulators, doubled for Mosaic's
+    scoped temporaries, plus the VMEM-resident (seed_batch x programs,
+    128) sums buffer and, when stateful, the four whole-state blocks
+    (x0/logp0 in, x/logp out) the kernel keeps resident.  Chain blocks
+    are small (rows <= 64); huge seed batches or multi-million-chain
+    resume states are what this gate routes to the XLA backend."""
+    blocks = k + 8  # x/logp/logq/n_acc carried + xp/logp'/logq'/u temps
+    est = 2 * blocks * rows * LANES * 4
+    est += seed_batch * local_programs * LANES * 4
+    if with_state:
+        est += 4 * local_programs * rows * LANES * 4
+    return est <= budget_bytes
 
 
 def plan_state_chains(total_chains: int, n_dev: int = 1) -> int:
