@@ -167,3 +167,35 @@ class TestGappedPallas:
             fns, d, n_samples=400_000, seed=3
         )
         np.testing.assert_allclose(rp.values, rx.values, atol=0.02)
+
+    def test_high_k_gapped_shrinks_block_in_kernel(self):
+        """K=64 fused integrands over a gapped custom stay in-kernel: the
+        block shrinks to 128 rows and the gap-respecting tables are built
+        at 16 strata to match.  Bin masses over the gap must be zero and
+        the histogram must sum to 1 (forced pallas, no fallback warning)."""
+        edges = np.linspace(0.0, 1.0, 65)
+
+        def bin_fn(lo, hi):
+            return lambda v: (v >= lo) * (v < hi)
+
+        fns = [
+            bin_fn(float(a), float(b))
+            for a, b in zip(edges[:-1], edges[1:])
+        ]
+        d = _gapped()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            r = MonteCarloIntegrator(backend="pallas").integrate(
+                fns, d, n_samples=400_000, seed=5
+            )
+        masses = np.asarray(r.values)
+        assert abs(masses.sum() - 1.0) < 1e-3
+        # Bins fully inside the (0.4, 0.6) gap carry zero mass.
+        inside = (edges[:-1] >= 0.4 + 1e-6) & (edges[1:] <= 0.6 - 1e-6)
+        assert inside.sum() >= 10
+        assert np.all(masses[inside] == 0.0)
+        # Island bins carry ~uniform density 1.25 each (width 1/64).
+        outside = (edges[1:] <= 0.4) | (edges[:-1] >= 0.6)
+        np.testing.assert_allclose(
+            masses[outside], 1.25 / 64.0, atol=0.01
+        )

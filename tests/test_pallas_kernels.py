@@ -209,8 +209,10 @@ class TestInterpretedIntegrate:
         assert pick_block_rows(8, DistKind.CUSTOM) == 256
         assert pick_block_rows(64, DistKind.CUSTOM) == 128
         assert pick_block_rows(128, DistKind.CUSTOM) == 64
-        # gapped tables are host-built at the 32-stratum layout: full rows
-        assert pick_block_rows(64, DistKind.CUSTOM, gapped=True) is None
+        # gapped tables are host-built at rows//8 strata, so the block
+        # shrinks for them too (floor 64 rows = 1024 u-knots).
+        assert pick_block_rows(64, DistKind.CUSTOM, gapped=True) == 128
+        assert pick_block_rows(128, DistKind.CUSTOM, gapped=True) == 64
 
         edges = np.linspace(0.0, 1.0, 65)
 

@@ -423,7 +423,8 @@ class MonteCarloIntegrator:
                 if gapped:
                     params_dev = _device_args_of(distribution, spec)[0]
                     ts, dts = _device_gapped_tables(
-                        distribution, spec, stratified=True
+                        distribution, spec, stratified=True,
+                        segments=run.block_rows // 8,
                     )
                     return run, (params_dev, ts, dts)
                 return run, _device_args_of(distribution, spec)
@@ -627,7 +628,8 @@ class MonteCarloIntegrator:
             )
             if gapped:
                 ts, dts = _device_gapped_tables(
-                    proposal_distribution, spec, stratified=True
+                    proposal_distribution, spec, stratified=True,
+                    segments=run.block_rows // 8,
                 )
                 dev_args = [
                     _device_args_of(proposal_distribution, spec)[0], ts, dts,
@@ -1149,6 +1151,9 @@ def _tag_native_batch(run, seed_batch: int):
             return run(*args)
 
         tagged.__native_seed_batch__ = seed_batch
+        for attr in ("actual_samples", "block_rows"):
+            if hasattr(run, attr):
+                setattr(tagged, attr, getattr(run, attr))
         return tagged
 
 
@@ -1215,18 +1220,25 @@ def _device_args_of(distribution, spec):
     return cached
 
 
-def _device_gapped_tables(distribution, spec, stratified: bool):
+def _device_gapped_tables(
+    distribution, spec, stratified: bool, segments: Optional[int] = None
+):
     """Device-resident gap-respecting inverse tables for zero-density-span
     (exact_inverse) custom distributions, cached per Distribution.
 
     ``stratified=True``: (segments, 128) (value, slope) tables for the
-    stratified integrate sampler; ``False``: flat m-knot tables for the
-    MCMC proposal's i.i.d. segment lane-gather lookup.  Both jump each gap
+    stratified integrate sampler (``segments`` matches the kernel's
+    block_rows // 8); ``False``: flat m-knot tables for the MCMC
+    proposal's i.i.d. segment lane-gather lookup.  Both jump each gap
     exactly at a knot so the device never emits a sample inside a gap
     (the semantics of the reference's knot-exact binary search,
     src/distribution.rs:128-158)."""
-    attr = "_device_gapped_strat" if stratified else "_device_gapped_inv"
-    cached = getattr(distribution, attr, None)
+    key = ("strat", segments) if stratified else ("inv",)
+    cache = getattr(distribution, "_device_gapped_cache", None)
+    if cache is None:
+        cache = {}
+        distribution._device_gapped_cache = cache
+    cached = cache.get(key)
     if cached is None:
         from .tables import (
             find_zero_density_gaps,
@@ -1238,10 +1250,15 @@ def _device_gapped_tables(distribution, spec, stratified: bool):
         gaps = find_zero_density_gaps(
             spec.x_table, spec.cdf_table, pdf_vals
         )
-        build = gapped_stratified_tables if stratified else gapped_inverse_tables
-        t, dt = build(spec.x_table, spec.cdf_table, gaps)
+        if stratified:
+            kwargs = {} if segments is None else {"segments": segments}
+            t, dt = gapped_stratified_tables(
+                spec.x_table, spec.cdf_table, gaps, **kwargs
+            )
+        else:
+            t, dt = gapped_inverse_tables(spec.x_table, spec.cdf_table, gaps)
         cached = (jnp.asarray(t), jnp.asarray(dt))
-        setattr(distribution, attr, cached)
+        cache[key] = cached
     return cached
 
 

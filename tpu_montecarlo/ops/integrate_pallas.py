@@ -230,19 +230,18 @@ def pick_block_rows(
     count — see prep_inv_table_stratified) instead of falling off the
     ~100x XLA table-sampling cliff (measured: K=64 custom 5.8e7 samples/s
     on the XLA sweep vs 7.3e9 in-kernel at K=32).  Gap-respecting tables
-    are host-built at a fixed 32-stratum layout, so gapped distributions
-    require the full BLOCK_ROWS block.
+    are host-built at ``rows // 8`` strata (tables.gapped_stratified_tables
+    takes a segments arg), so gapped blocks shrink too — but stop at 64
+    rows (8 strata x 128 = 1024 u-knots) to keep the gap-snap mass
+    distortion well under the test tolerances.
 
     ``plan_samples``/``n_dev``/``seed_batch`` size the VMEM-resident
     output buffer (seed_batch x device-local programs rows); without
     ``plan_samples`` the minimum one-program buffer is assumed."""
-    if gapped:
-        candidates = (BLOCK_ROWS,)
-    else:
-        candidates, rows = [], BLOCK_ROWS
-        while rows >= 8:
-            candidates.append(rows)
-            rows //= 2
+    candidates, rows = [], BLOCK_ROWS
+    while rows >= (64 if gapped else 8):
+        candidates.append(rows)
+        rows //= 2
     for rows in candidates:
         out_rows = (
             _local_out_rows(plan_samples, rows, n_dev, seed_batch)
@@ -636,6 +635,8 @@ def build_integrate_fn_pallas(
         # grid re-rounds plan.actual_samples); callers measuring
         # throughput must divide by this, not re-derive it.
         run.actual_samples = actual
+        # Gapped-table callers build host tables at block_rows // 8 strata.
+        run.block_rows = block_rows
         return run
 
     replicated = P()
@@ -665,4 +666,5 @@ def build_integrate_fn_pallas(
         )
 
     run.actual_samples = actual
+    run.block_rows = block_rows
     return run
