@@ -285,10 +285,18 @@ class MonteCarloIntegrator:
         distribution: Distribution,
         n_samples: int = 1_000_000,
         seed: int = 42,
+        method: str = "mc",
     ) -> IntegrationResult:
-        """Compute E[f_i(X)] for all functions on shared samples."""
+        """Compute E[f_i(X)] for all functions on shared samples.
+
+        ``method="qmc"`` draws a seed-rotated low-discrepancy point set
+        instead of pseudo-random samples (ops/qmc.py): identical sampling
+        semantics per family, ~O(log N / N) convergence on smooth
+        integrands — a capability beyond the plain-MC reference."""
         traced = self._trace_user_functions(functions)
-        values = self._run_integrate(traced, distribution, n_samples, seed)
+        values = self._run_integrate(
+            traced, distribution, n_samples, seed, method=method
+        )
         return IntegrationResult(
             values=values, n_samples=n_samples, n_functions=len(functions)
         )
@@ -299,6 +307,7 @@ class MonteCarloIntegrator:
         distribution: Distribution,
         n_samples: int = 1_000_000,
         seed_batch: int = 1,
+        method: str = "mc",
     ) -> Callable:
         """Ahead-of-time handle for serving: returns ``prog(seed) ->
         jax.Array (K,)`` with tracing, compilation, and device uploads done
@@ -314,7 +323,8 @@ class MonteCarloIntegrator:
         """
         traced = self._trace_user_functions(functions)
         run, dev_args = self._get_integrate_program(
-            traced, distribution, n_samples, seed_batch=seed_batch
+            traced, distribution, n_samples, seed_batch=seed_batch,
+            method=method,
         )
         return self._finalize_prog(run, dev_args, seed_batch)
 
@@ -368,15 +378,20 @@ class MonteCarloIntegrator:
 
         return prog
 
-    def _run_integrate(self, traced, distribution, n_samples, seed):
+    def _run_integrate(
+        self, traced, distribution, n_samples, seed, method: str = "mc"
+    ):
         run, dev_args = self._get_integrate_program(
-            traced, distribution, n_samples
+            traced, distribution, n_samples, method=method
         )
         return run(np.uint32(seed), *dev_args)
 
     def _get_integrate_program(
-        self, traced, distribution, n_samples, seed_batch: int = 1
+        self, traced, distribution, n_samples, seed_batch: int = 1,
+        method: str = "mc",
     ):
+        if method not in ("mc", "qmc"):
+            raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
         spec = dist_spec_of(distribution)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
@@ -408,6 +423,7 @@ class MonteCarloIntegrator:
                     interpret,
                     gapped,
                     seed_batch,
+                    method,
                 )
                 run = self._cache.get_or_build(
                     key,
@@ -415,7 +431,7 @@ class MonteCarloIntegrator:
                         build_integrate_fn_pallas(
                             traced, spec.kind, plan, mesh=mesh,
                             interpret=interpret, gapped_tables=gapped,
-                            seed_batch=seed_batch,
+                            seed_batch=seed_batch, method=method,
                         ),
                         seed_batch,
                     ),
@@ -437,12 +453,13 @@ class MonteCarloIntegrator:
             plan,
             _table_shapes(spec),
             _mesh_key(mesh),
+            method,
         )
         run = self._cache.get_or_build(
             key,
             lambda: build_integrate_fn(
                 traced, spec.kind, plan, mesh=mesh,
-                exact_inverse=spec.exact_inverse,
+                exact_inverse=spec.exact_inverse, method=method,
             ),
         )
         return run, _device_args_of(distribution, spec)
@@ -458,6 +475,7 @@ class MonteCarloIntegrator:
         proposal_distribution: Distribution,
         n_samples: int = 1_000_000,
         seed: int = 42,
+        method: str = "mc",
     ) -> IntegrationResult:
         """Compute E_p[f(X)] sampling from q with weights p(x)/q(x).
 
@@ -467,7 +485,8 @@ class MonteCarloIntegrator:
         0-outside-support convention (reference distribution.rs:186-190).
         """
         prog = self._get_is_program(
-            functions, target_distribution, proposal_distribution, n_samples
+            functions, target_distribution, proposal_distribution, n_samples,
+            method=method,
         )
         values = prog(seed)
         return IntegrationResult(
@@ -481,18 +500,19 @@ class MonteCarloIntegrator:
         proposal_distribution: Distribution,
         n_samples: int = 1_000_000,
         seed_batch: int = 1,
+        method: str = "mc",
     ) -> Callable:
         """Ahead-of-time IS handle: ``prog(seed) -> jax.Array (K,)``; with
         ``seed_batch=R``, ``prog(seeds) -> (R, K)`` in one dispatch (see
         compile_integrate)."""
         return self._get_is_program(
             functions, target_distribution, proposal_distribution, n_samples,
-            seed_batch=seed_batch,
+            seed_batch=seed_batch, method=method,
         )
 
     def _get_is_program(
         self, functions, target_distribution, proposal_distribution,
-        n_samples, seed_batch: int = 1,
+        n_samples, seed_batch: int = 1, method: str = "mc",
     ) -> Callable:
         """IS program: ``prog(seed) -> (K,) jax.Array``.
 
@@ -511,7 +531,7 @@ class MonteCarloIntegrator:
             weighted_fns = self._weighted_fns(traced, p_mode[1], q_mode[1])
             run, dev_args = self._get_integrate_program(
                 weighted_fns, proposal_distribution, n_samples,
-                seed_batch=seed_batch,
+                seed_batch=seed_batch, method=method,
             )
             return self._finalize_prog(run, dev_args, seed_batch)
 
@@ -609,6 +629,7 @@ class MonteCarloIntegrator:
                 interpret,
                 gapped,
                 seed_batch,
+                method,
             )
             run = self._cache.get_or_build(
                 key,
@@ -622,6 +643,7 @@ class MonteCarloIntegrator:
                         is_weight=(mode_arg(p_mode_k), mode_arg(q_mode_k)),
                         gapped_tables=gapped,
                         seed_batch=seed_batch,
+                        method=method,
                     ),
                     seed_batch,
                 ),
@@ -657,7 +679,7 @@ class MonteCarloIntegrator:
         )
         run, dev_args = self._get_integrate_program(
             weighted_fns, proposal_distribution, n_samples,
-            seed_batch=seed_batch,
+            seed_batch=seed_batch, method=method,
         )
         return self._finalize_prog(run, dev_args, seed_batch)
 
@@ -1475,13 +1497,16 @@ def integrate(
     target_threads: Optional[int] = None,
     backend: str = "auto",
     mesh=None,
+    method: str = "mc",
 ) -> IntegrationResult:
     """One-shot Monte Carlo integration (fresh integrator; compiled programs
     are still cached process-wide)."""
     integrator = MonteCarloIntegrator(
         target_threads=target_threads, backend=backend, mesh=mesh
     )
-    return integrator.integrate(functions, distribution, n_samples, seed)
+    return integrator.integrate(
+        functions, distribution, n_samples, seed, method=method
+    )
 
 
 def integrate_importance_sampling(
@@ -1493,13 +1518,15 @@ def integrate_importance_sampling(
     target_threads: Optional[int] = None,
     backend: str = "auto",
     mesh=None,
+    method: str = "mc",
 ) -> IntegrationResult:
     """One-shot importance-sampling integration."""
     integrator = MonteCarloIntegrator(
         target_threads=target_threads, backend=backend, mesh=mesh
     )
     return integrator.integrate_importance_sampling(
-        functions, target_distribution, proposal_distribution, n_samples, seed
+        functions, target_distribution, proposal_distribution, n_samples,
+        seed, method=method,
     )
 
 

@@ -308,17 +308,84 @@ def prep_inv_table_stratified(x_table, rows: int, segments=None):
     )
 
 
-def _stratified_sample(ts_ref, dts_ref, rng, counter, rows):
-    """One stratified inverse-CDF draw per (row, lane): the row's stratum
-    is baked into the pre-tiled tables, so the lookup is a single
-    equal-shape lane-gather."""
-    w = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+def _stratified_sample_from_w(ts_ref, dts_ref, w):
+    """Stratified inverse-CDF draw from within-stratum uniforms ``w``:
+    the row's stratum is baked into the pre-tiled tables, so the lookup
+    is a single equal-shape lane-gather."""
     pos = w * jnp.float32(LANES - 1)
     j = pos.astype(jnp.int32)
     frac = pos - j.astype(jnp.float32)
     x0 = jnp.take_along_axis(ts_ref[...], j, axis=1)
     dx = jnp.take_along_axis(dts_ref[...], j, axis=1)
     return x0 + frac * dx
+
+
+def _stratified_sample(ts_ref, dts_ref, rng, counter, rows):
+    """One stratified inverse-CDF draw per (row, lane)."""
+    w = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+    return _stratified_sample_from_w(ts_ref, dts_ref, w)
+
+
+def _qmc_pos(rows):
+    """Row-major (rows, 128) within-block offsets, int32."""
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+        * jnp.int32(LANES)
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    )
+
+
+def _sample_subblocks_qmc(
+    kind: DistKind, p1, p2, block_num, shifts, pair_stride,
+    tables=None, rows=BLOCK_ROWS,
+):
+    """QMC counterpart of _sample_subblocks: uniforms come from the
+    rotated radical inverse of the global sample index (ops/qmc.py)
+    instead of the PRNG; every transform is identical.  ``block_num`` is
+    the global (program, loop) block counter; NORMAL consumes 2-D
+    Hammersley-style pairs (vdc(j), frac(j * pair_stride / 2^32)) per
+    Box-Muller draw — the second coordinate is a fixed-point rank-1
+    lattice (stride ~= 2^32 / n_pairs), pure uint32 vector math with the
+    rotation folded in before the float conversion (Mosaic's bitcast is
+    vector-only, so no scalar conversions appear anywhere)."""
+    from .qmc import qmc_u01_halfopen, qmc_u01_open, _mantissa24
+
+    s1, s2 = shifts
+    if kind == DistKind.NORMAL:
+        half = rows // 2
+        j = (
+            (block_num * jnp.int32(half * LANES) + _qmc_pos(half))
+            .astype(jnp.uint32)
+        )  # global pair index; < 2^31 by the builder's QMC size guard
+        u1 = qmc_u01_open(j, s1)
+        u2 = (
+            _mantissa24(j * pair_stride + s2).astype(jnp.float32)
+            * np.float32(1.0 / (1 << 24))
+        )
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = _TWO_PI * u2
+        return [p1 + p2 * (r * jnp.cos(theta)), p1 + p2 * (r * jnp.sin(theta))]
+
+    # int32 wraps modulo 2^32 like uint32, so the scalar index math stays
+    # int32 (Mosaic scalar casts are limited) and only the final VECTOR
+    # converts to uint32 — a modular, bit-preserving conversion.
+    g = (
+        block_num * jnp.int32(rows * LANES) + _qmc_pos(rows)
+    ).astype(jnp.uint32)
+    if kind == DistKind.UNIFORM:
+        from ..sampling import next_below_f32
+
+        u = qmc_u01_halfopen(g, s1)
+        x = p1 + u * (p2 - p1)
+        return [jnp.where(x >= p2, next_below_f32(jnp.full_like(x, p2)), x)]
+    if kind == DistKind.EXPONENTIAL:
+        u = qmc_u01_open(g, s1)
+        return [-jnp.log(jnp.maximum(u, 1e-7)) / p1]
+    if kind == DistKind.CUSTOM:
+        ts_ref, dts_ref = tables
+        w = qmc_u01_halfopen(g, s1)
+        return [_stratified_sample_from_w(ts_ref, dts_ref, w)]
+    raise ValueError(f"Pallas QMC does not support {kind}")
 
 
 def _sample_subblocks(
@@ -417,6 +484,7 @@ def build_integrate_fn_pallas(
     is_weight=None,
     gapped_tables: bool = False,
     seed_batch: int = 1,
+    method: str = "mc",
 ):
     """Build a jitted ``(seed, params, x_table, cdf_table[, p_x, p_pdf]
     [, q_x, q_pdf]) -> (K,) float32`` program running the fused Pallas
@@ -446,7 +514,14 @@ def build_integrate_fn_pallas(
     dimension (traced once, not unrolled), so arbitrarily large serving
     batches cost one dispatch with no program-size growth.  Each batch
     element seeds exactly like the unbatched program (same (seed, program)
-    words), so results are bit-equal to R single-seed calls."""
+    words), so results are bit-equal to R single-seed calls.
+
+    ``method="qmc"``: uniforms come from the seed-rotated radical inverse
+    of the global sample index (ops/qmc.py) instead of the PRNG — same
+    transforms, ~O(log N / N) convergence on smooth integrands.  Batch
+    elements become independent rotations of one low-discrepancy set."""
+    if method not in ("mc", "qmc"):
+        raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
     k = len(eval_fns)
     if k > LANES:
         raise ValueError(f"at most {LANES} fused functions supported")
@@ -482,6 +557,18 @@ def build_integrate_fn_pallas(
     actual = programs * loops * block_rows * LANES
     local_programs = programs // n_dev
 
+    if method == "qmc":
+        from .qmc import QMC_MAX_SAMPLES
+
+        if actual >= QMC_MAX_SAMPLES:
+            raise ValueError(
+                "QMC uses a uint32 global sample counter; split "
+                f"{actual} samples across calls (< {QMC_MAX_SAMPLES})"
+            )
+    pair_stride = np.uint32(
+        min(round((1 << 32) / max(actual // 2, 1)), (1 << 32) - 1)
+    )
+
     rng_factory = CounterRng if interpret else HardwareRng
 
     def kernel(seed_ref, params_ref, pid_base_ref, *rest):
@@ -496,8 +583,15 @@ def build_integrate_fn_pallas(
         (out_ref,) = rest
         rep = pl.program_id(0)
         pid = pl.program_id(1)
-        rng = rng_factory()
-        rng.seed(seed_ref[0, rep], pid_base_ref[0, 0] + pid)
+        if method == "qmc":
+            from .qmc import derive_shift
+
+            seed_w = seed_ref[0, rep]
+            shifts = (derive_shift(seed_w, 1), derive_shift(seed_w, 2))
+            rng = None
+        else:
+            rng = rng_factory()
+            rng.seed(seed_ref[0, rep], pid_base_ref[0, 0] + pid)
         p1 = params_ref[0, 0]
         p2 = params_ref[0, 1]
         rows = _acc_rows(kind, block_rows)
@@ -522,9 +616,19 @@ def build_integrate_fn_pallas(
             return jnp.where(q_val > 0, p_val / safe_q, 0.0)
 
         def body(i, accs):
-            for x in _sample_subblocks(
-                kind, p1, p2, rng, i, tables, block_rows
-            ):
+            if method == "qmc":
+                b = (
+                    pid_base_ref[0, 0] + pid
+                ) * jnp.int32(loops) + i
+                subs = _sample_subblocks_qmc(
+                    kind, p1, p2, b, shifts, pair_stride,
+                    tables, block_rows,
+                )
+            else:
+                subs = _sample_subblocks(
+                    kind, p1, p2, rng, i, tables, block_rows
+                )
+            for x in subs:
                 w = weight(x)
                 for j, f in enumerate(eval_fns):
                     v = f(x).astype(jnp.float32)

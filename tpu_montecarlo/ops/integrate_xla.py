@@ -37,6 +37,58 @@ def _kahan_add(sums, comps, vals):
     return t, comps
 
 
+def _qmc_sample_chunk(
+    chunk_idx, chunk_elems, kind, params, x_table, cdf_table,
+    exact_inverse, shifts, pair_stride,
+):
+    """Sample one chunk from the rotated radical-inverse stream
+    (ops/qmc.py) — the XLA-backend counterpart of the Pallas kernel's
+    _sample_subblocks_qmc, with identical transforms (NORMAL pairs
+    (vdc(j), fixed-point rank-1 lattice) per Box-Muller draw)."""
+    from .qmc import _mantissa24, qmc_u01_halfopen, qmc_u01_open
+
+    from ..sampling import next_below_f32
+
+    s1, s2 = shifts
+    if kind == DistKind.NORMAL:
+        half = chunk_elems // 2
+        j = (
+            chunk_idx * half + jnp.arange(half, dtype=jnp.int32)
+        ).astype(jnp.uint32)
+        u1 = qmc_u01_open(j, s1)
+        u2 = _mantissa24(j * pair_stride + s2).astype(jnp.float32) * (
+            jnp.float32(1.0 / (1 << 24))
+        )
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = jnp.float32(2.0 * jnp.pi) * u2
+        z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)])
+        return params[0] + params[1] * z
+
+    g = (
+        chunk_idx.astype(jnp.uint32) * jnp.uint32(chunk_elems)
+        + jnp.arange(chunk_elems, dtype=jnp.int32).astype(jnp.uint32)
+    )
+    if kind == DistKind.UNIFORM:
+        u = qmc_u01_halfopen(g, s1)
+        x = params[0] + u * (params[1] - params[0])
+        return jnp.minimum(x, next_below_f32(params[1]))
+    if kind == DistKind.EXPONENTIAL:
+        u = qmc_u01_open(g, s1)
+        return -jnp.log(jnp.maximum(u, 1e-7)) / params[0]
+    if kind == DistKind.CUSTOM:
+        u = qmc_u01_halfopen(g, s1)
+        if exact_inverse:
+            return jnp.interp(u, cdf_table, x_table).astype(jnp.float32)
+        m = x_table.shape[0]
+        pos = u * jnp.float32(m - 1)
+        i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
+        frac = pos - i0.astype(jnp.float32)
+        x0 = jnp.take(x_table, i0)
+        x1 = jnp.take(x_table, i0 + 1)
+        return (x0 + frac * (x1 - x0)).astype(jnp.float32)
+    raise ValueError(f"Unknown DistKind: {kind}")
+
+
 def build_integrate_fn(
     eval_fns: Sequence[Callable],
     kind: DistKind,
@@ -44,6 +96,7 @@ def build_integrate_fn(
     mesh: Optional[jax.sharding.Mesh] = None,
     axis_name: str = "mc",
     exact_inverse: bool = False,
+    method: str = "mc",
 ):
     """Build a jitted ``(seed, params, x_table, cdf_table) -> (K,) float32``
     integration program.  ``eval_fns`` are traced scalar functions; they are
@@ -54,6 +107,8 @@ def build_integrate_fn(
     ``psum`` — the multi-chip axis the single-device reference lacks
     (SURVEY.md §2.4).
     """
+    if method not in ("mc", "qmc"):
+        raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
     k = len(eval_fns)
     vfns = [jax.vmap(f) for f in eval_fns]
     n_dev = 1 if mesh is None else mesh.size
@@ -64,17 +119,41 @@ def build_integrate_fn(
             f"{n_dev} devices; pad the plan first"
         )
     local_chunks = plan.n_chunks // n_dev
+    if method == "qmc":
+        from .qmc import QMC_MAX_SAMPLES
+
+        if plan.actual_samples >= QMC_MAX_SAMPLES:
+            raise ValueError(
+                "QMC uses a uint32 global sample counter; split "
+                f"{plan.actual_samples} samples across calls"
+            )
+    import numpy as _np
+
+    pair_stride = _np.uint32(
+        min(round((1 << 32) / max(plan.actual_samples // 2, 1)), (1 << 32) - 1)
+    )
 
     def _sweep(seed, params, x_table, cdf_table, chunk_start):
-        key = jax.random.PRNGKey(seed)
+        if method == "qmc":
+            from .qmc import derive_shift
+
+            shifts = (derive_shift(seed, 1), derive_shift(seed, 2))
+        else:
+            key = jax.random.PRNGKey(seed)
 
         def body(carry, i):
             sums, comps = carry
-            ck = jax.random.fold_in(key, chunk_start + i)
-            x = sample_block(
-                ck, (plan.chunk_elems,), kind, params, x_table, cdf_table,
-                exact_inverse=exact_inverse,
-            )
+            if method == "qmc":
+                x = _qmc_sample_chunk(
+                    chunk_start + i, plan.chunk_elems, kind, params,
+                    x_table, cdf_table, exact_inverse, shifts, pair_stride,
+                )
+            else:
+                ck = jax.random.fold_in(key, chunk_start + i)
+                x = sample_block(
+                    ck, (plan.chunk_elems,), kind, params, x_table,
+                    cdf_table, exact_inverse=exact_inverse,
+                )
             vals = jnp.stack([jnp.sum(vf(x)) for vf in vfns])
             return _kahan_add(sums, comps, vals), None
 

@@ -1,0 +1,104 @@
+"""Quasi-Monte Carlo point generation (shared by the Pallas kernel and
+the XLA sweep).
+
+A capability beyond the reference (which is plain MC throughout,
+src/distribution.rs:62-73): ``method="qmc"`` replaces the pseudo-random
+uniforms with the base-2 van der Corput radical inverse of the GLOBAL
+sample index, randomised by a seed-derived Cranley-Patterson rotation —
+u(g) = frac(bitrev32(g) * 2^-32 + shift).  The transform pipeline
+(affine / Box-Muller / inverse-CDF tables) is unchanged, so every
+distribution family keeps its sampling semantics while smooth integrands
+converge at ~O(log N / N) instead of O(N^-1/2).
+
+Design notes, TPU-first:
+  * bit reversal is five masked shift/or steps on uint32 lanes — pure VPU
+    work, no tables, no gathers; measured at full sampler throughput.
+  * the rotation is a uint32 wraparound add BEFORE the float conversion:
+    an exact torus rotation at 2^-32 resolution (then truncated to the
+    f32-safe 24-bit mantissa, like the PRNG path).
+  * per-seed rotations make distinct seeds independent unbiased
+    estimates (seed batches = batched rotations of one point set), and
+    keep the fixed-seed reproducibility contract.
+  * NORMAL consumes a 2-D Hammersley pair per Box-Muller draw:
+    (j/n_pairs, vdc(j)) rotated per-dimension — 1-D vdc alone would
+    correlate radius and angle.
+
+The index stream g is the plan's global sample counter (program, loop,
+row, lane), so estimates are bit-reproducible for a fixed (seed, plan)
+and the union over all programs covers 0..actual-1 exactly once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = [
+    "bitrev32",
+    "derive_shift",
+    "qmc_u01_halfopen",
+    "qmc_u01_open",
+    "QMC_MAX_SAMPLES",
+]
+
+# g must fit a uint32 counter.
+QMC_MAX_SAMPLES = 1 << 32
+
+_INV_2POW24 = np.float32(1.0 / (1 << 24))
+
+
+def bitrev32(x):
+    """Bit-reverse each uint32 lane (5 masked swap steps)."""
+    x = x.astype(jnp.uint32)
+    x = ((x & jnp.uint32(0x55555555)) << 1) | (
+        (x & jnp.uint32(0xAAAAAAAA)) >> 1
+    )
+    x = ((x & jnp.uint32(0x33333333)) << 2) | (
+        (x & jnp.uint32(0xCCCCCCCC)) >> 2
+    )
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | (
+        (x & jnp.uint32(0xF0F0F0F0)) >> 4
+    )
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | (
+        (x & jnp.uint32(0xFF00FF00)) >> 8
+    )
+    return (x << 16) | (x >> 16)
+
+
+def _pcg_mix(x):
+    """PCG output mix (same as the interpreter-tier CounterRng): scalar
+    uint32 in, well-mixed uint32 out."""
+    x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    word = (
+        (x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x
+    ) * jnp.uint32(277803737)
+    return (word >> jnp.uint32(22)) ^ word
+
+
+def derive_shift(seed, tag: int):
+    """Seed-derived uint32 rotation for QMC dimension ``tag``."""
+    s = jnp.asarray(seed).astype(jnp.uint32)
+    return _pcg_mix(
+        s ^ jnp.uint32(0x9E3779B9) ^ jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
+    )
+
+
+def _mantissa24(bits):
+    """Top 24 bits as int32 (uint32->f32 casts are unsupported on Mosaic;
+    after the >>8 the value fits int32 exactly)."""
+    import jax
+
+    return jax.lax.bitcast_convert_type(bits >> 8, jnp.int32)
+
+
+def qmc_u01_halfopen(idx, shift):
+    """[0, 1) rotated radical-inverse uniforms for a uint32 index block."""
+    bits = bitrev32(idx) + shift
+    return _mantissa24(bits).astype(jnp.float32) * _INV_2POW24
+
+
+def qmc_u01_open(idx, shift):
+    """(0, 1] variant (for log-consuming transforms)."""
+    bits = bitrev32(idx) + shift
+    return (_mantissa24(bits) + 1).astype(jnp.float32) * _INV_2POW24
