@@ -196,6 +196,19 @@ def main():
     )
     emit("c5b_mcmc_4096x10k_analytic", "chain_steps_per_sec", csps, "steps/s", est)
 
+    # Config 6 (addition over BASELINE): QMC at the config-2 shape — same
+    # K=8 fused kernel drawing the rotated radical-inverse point set.
+    # Throughput should be within a few % of config 2; the estimates
+    # recorded alongside show the 1-2 orders-of-magnitude accuracy gain.
+    n6 = 100_000_000 // scale
+    r6b = rbatch(n6)
+    prog = integrator.compile_integrate(
+        k8, Distribution.normal(0.0, 1.0), n_samples=n6,
+        seed_batch=r6b, method="qmc",
+    )
+    sps, est = _throughput(prog, n6, r6b)
+    emit("c6_qmc_k8_normal_1e8", "samples_per_sec", sps, "samples/s", est)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)

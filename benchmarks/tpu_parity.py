@@ -336,6 +336,31 @@ def main() -> int:
                 [combined - r_full.values[0]], [0.0], 0.1,
                 "mean of 2 resumed segments vs one 2x stateless run")
 
+    # --- quasi-Monte Carlo on the compiled kernels ------------------------
+    # Tolerances ~10x tighter than plain MC at the same N: they fail if
+    # the compiled QMC path silently degrades to MC-rate convergence.
+    r = mc.integrate(
+        [lambda x: x, lambda x: x * x, lambda x: x * x * x * x],
+        d, n_samples=10_000_000, seed=42, method="qmc",
+    )
+    ok &= check("qmc_normal_moments_1e7", r.values, [0, 1, 3],
+                [1e-3, 1e-3, 2e-3],
+                "QMC addition: rotated radical-inverse point set")
+
+    r = mc.integrate(
+        [lambda x: x, lambda x: x * x], u,
+        n_samples=10_000_000, seed=42, method="qmc",
+    )
+    ok &= check("qmc_uniform_1e7", r.values, [0.5, 1.0 / 3.0], 1e-5,
+                "QMC addition: vdc stream through the affine transform")
+
+    r = mc.integrate_importance_sampling(
+        [lambda x: x * x], p, mc.Distribution.normal(0.0, 1.5),
+        n_samples=5_000_000, seed=42, method="qmc",
+    )
+    ok &= check("qmc_is_5e6", r.values, [1.0], 1e-3,
+                "QMC addition through the IS weight fold")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",

@@ -76,6 +76,21 @@ class TestQmcAccuracy:
         assert abs(r.values[1] - 1.0) < 1e-3
         assert abs(r.values[2] - 3.0) < 5e-3
 
+    def test_normal_mean_no_angular_gap(self):
+        """Regression for the rank-1 lattice coverage bug: a
+        round(2^32/n_pairs) stride left an angular gap whose E[X] bias
+        grew with N (9.7e-4 measured at 1e8); the golden-ratio stride
+        equidistributes for any pair count, keeping E[X] at the
+        f32-noise floor for every sample-count shape."""
+        d = Distribution.normal(0.0, 1.0)
+        for n in (400_000, 4_000_000):
+            r = integrate(
+                [lambda x: x, lambda x: np.sin(x)], d,
+                n_samples=n, seed=2, method="qmc",
+            )
+            assert abs(r.values[0]) < 5e-5
+            assert abs(r.values[1]) < 5e-5
+
     def test_exponential(self):
         d = Distribution.exponential(2.0)
         r = integrate(

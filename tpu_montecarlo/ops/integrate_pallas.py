@@ -336,19 +336,22 @@ def _qmc_pos(rows):
 
 
 def _sample_subblocks_qmc(
-    kind: DistKind, p1, p2, block_num, shifts, pair_stride,
+    kind: DistKind, p1, p2, block_num, shifts,
     tables=None, rows=BLOCK_ROWS,
 ):
     """QMC counterpart of _sample_subblocks: uniforms come from the
     rotated radical inverse of the global sample index (ops/qmc.py)
     instead of the PRNG; every transform is identical.  ``block_num`` is
-    the global (program, loop) block counter; NORMAL consumes 2-D
-    Hammersley-style pairs (vdc(j), frac(j * pair_stride / 2^32)) per
-    Box-Muller draw — the second coordinate is a fixed-point rank-1
-    lattice (stride ~= 2^32 / n_pairs), pure uint32 vector math with the
-    rotation folded in before the float conversion (Mosaic's bitcast is
-    vector-only, so no scalar conversions appear anywhere)."""
-    from .qmc import qmc_u01_halfopen, qmc_u01_open, _mantissa24
+    the global (program, loop) block counter; NORMAL consumes 2-D pairs
+    (vdc(j), frac(j * phi)) per Box-Muller draw — the second coordinate
+    is the golden-ratio Kronecker lattice in uint32 fixed point, which
+    equidistributes for ANY pair count (a round(2^32/n_pairs) stride
+    left an O(1/stride) angular coverage gap — measured 9.7e-4 E[X] bias
+    at 1e8 samples — because n_pairs * stride need not reach 2^32).
+    Pure uint32 vector math with the rotation folded in before the float
+    conversion (Mosaic's bitcast is vector-only, so no scalar
+    conversions appear anywhere)."""
+    from .qmc import GOLDEN_STRIDE, qmc_u01_halfopen, qmc_u01_open, _mantissa24
 
     s1, s2 = shifts
     if kind == DistKind.NORMAL:
@@ -359,7 +362,7 @@ def _sample_subblocks_qmc(
         )  # global pair index; < 2^31 by the builder's QMC size guard
         u1 = qmc_u01_open(j, s1)
         u2 = (
-            _mantissa24(j * pair_stride + s2).astype(jnp.float32)
+            _mantissa24(j * GOLDEN_STRIDE + s2).astype(jnp.float32)
             * np.float32(1.0 / (1 << 24))
         )
         r = jnp.sqrt(-2.0 * jnp.log(u1))
@@ -565,9 +568,6 @@ def build_integrate_fn_pallas(
                 "QMC uses a uint32 global sample counter; split "
                 f"{actual} samples across calls (< {QMC_MAX_SAMPLES})"
             )
-    pair_stride = np.uint32(
-        min(round((1 << 32) / max(actual // 2, 1)), (1 << 32) - 1)
-    )
 
     rng_factory = CounterRng if interpret else HardwareRng
 
@@ -621,8 +621,7 @@ def build_integrate_fn_pallas(
                     pid_base_ref[0, 0] + pid
                 ) * jnp.int32(loops) + i
                 subs = _sample_subblocks_qmc(
-                    kind, p1, p2, b, shifts, pair_stride,
-                    tables, block_rows,
+                    kind, p1, p2, b, shifts, tables, block_rows,
                 )
             else:
                 subs = _sample_subblocks(

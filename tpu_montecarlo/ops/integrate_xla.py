@@ -39,13 +39,13 @@ def _kahan_add(sums, comps, vals):
 
 def _qmc_sample_chunk(
     chunk_idx, chunk_elems, kind, params, x_table, cdf_table,
-    exact_inverse, shifts, pair_stride,
+    exact_inverse, shifts,
 ):
     """Sample one chunk from the rotated radical-inverse stream
     (ops/qmc.py) — the XLA-backend counterpart of the Pallas kernel's
     _sample_subblocks_qmc, with identical transforms (NORMAL pairs
-    (vdc(j), fixed-point rank-1 lattice) per Box-Muller draw)."""
-    from .qmc import _mantissa24, qmc_u01_halfopen, qmc_u01_open
+    (vdc(j), golden-ratio Kronecker lattice) per Box-Muller draw)."""
+    from .qmc import GOLDEN_STRIDE, _mantissa24, qmc_u01_halfopen, qmc_u01_open
 
     from ..sampling import next_below_f32
 
@@ -56,7 +56,7 @@ def _qmc_sample_chunk(
             chunk_idx * half + jnp.arange(half, dtype=jnp.int32)
         ).astype(jnp.uint32)
         u1 = qmc_u01_open(j, s1)
-        u2 = _mantissa24(j * pair_stride + s2).astype(jnp.float32) * (
+        u2 = _mantissa24(j * GOLDEN_STRIDE + s2).astype(jnp.float32) * (
             jnp.float32(1.0 / (1 << 24))
         )
         r = jnp.sqrt(-2.0 * jnp.log(u1))
@@ -127,11 +127,6 @@ def build_integrate_fn(
                 "QMC uses a uint32 global sample counter; split "
                 f"{plan.actual_samples} samples across calls"
             )
-    import numpy as _np
-
-    pair_stride = _np.uint32(
-        min(round((1 << 32) / max(plan.actual_samples // 2, 1)), (1 << 32) - 1)
-    )
 
     def _sweep(seed, params, x_table, cdf_table, chunk_start):
         if method == "qmc":
@@ -146,7 +141,7 @@ def build_integrate_fn(
             if method == "qmc":
                 x = _qmc_sample_chunk(
                     chunk_start + i, plan.chunk_elems, kind, params,
-                    x_table, cdf_table, exact_inverse, shifts, pair_stride,
+                    x_table, cdf_table, exact_inverse, shifts,
                 )
             else:
                 ck = jax.random.fold_in(key, chunk_start + i)

@@ -39,11 +39,18 @@ __all__ = [
     "derive_shift",
     "qmc_u01_halfopen",
     "qmc_u01_open",
+    "GOLDEN_STRIDE",
     "QMC_MAX_SAMPLES",
 ]
 
 # g must fit a uint32 counter.
 QMC_MAX_SAMPLES = 1 << 32
+
+# round(2^32 / phi): the golden-ratio Kronecker stride for the second
+# Box-Muller coordinate — frac(j * phi) equidistributes for ANY sequence
+# length (unlike a round(2^32/n) stride, whose rounding leaves an
+# angular coverage gap of up to ~1/stride).
+GOLDEN_STRIDE = np.uint32(2654435769)
 
 _INV_2POW24 = np.float32(1.0 / (1 << 24))
 
