@@ -39,6 +39,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..sampling import DistKind
 from ..utils.dispatch import IntegratePlan
+from .qmc import _pcg_mix
 
 __all__ = [
     "build_integrate_fn_pallas",
@@ -104,11 +105,8 @@ class CounterRng:
             s = self._pcg(s ^ jnp.asarray(w).astype(jnp.uint32))
         self._state = s
 
-    @staticmethod
-    def _pcg(x):
-        x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
-        word = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) * jnp.uint32(277803737)
-        return (word >> jnp.uint32(22)) ^ word
+    # Shared PCG output mix (single source of truth in ops/qmc.py).
+    _pcg = staticmethod(_pcg_mix)
 
     def bits(self, shape, counter, tag):
         rows, lanes = shape
@@ -566,7 +564,10 @@ def build_integrate_fn_pallas(
         if actual >= QMC_MAX_SAMPLES:
             raise ValueError(
                 "QMC uses a uint32 global sample counter; split "
-                f"{actual} samples across calls (< {QMC_MAX_SAMPLES})"
+                f"{actual} samples across calls of < {QMC_MAX_SAMPLES} "
+                "samples, giving each call a DISTINCT seed (each seed "
+                "is an independent rotation of the same point set — "
+                "same-seed calls would redraw identical points)"
             )
 
     rng_factory = CounterRng if interpret else HardwareRng

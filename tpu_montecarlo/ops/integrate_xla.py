@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..sampling import DistKind, sample_block
+from ..sampling import DistKind, sample_block, transform_from_u
 from ..utils.dispatch import IntegratePlan
 
 __all__ = ["build_integrate_fn"]
@@ -47,8 +47,6 @@ def _qmc_sample_chunk(
     (vdc(j), golden-ratio Kronecker lattice) per Box-Muller draw)."""
     from .qmc import GOLDEN_STRIDE, _mantissa24, qmc_u01_halfopen, qmc_u01_open
 
-    from ..sampling import next_below_f32
-
     s1, s2 = shifts
     if kind == DistKind.NORMAL:
         half = chunk_elems // 2
@@ -68,25 +66,15 @@ def _qmc_sample_chunk(
         chunk_idx.astype(jnp.uint32) * jnp.uint32(chunk_elems)
         + jnp.arange(chunk_elems, dtype=jnp.int32).astype(jnp.uint32)
     )
-    if kind == DistKind.UNIFORM:
-        u = qmc_u01_halfopen(g, s1)
-        x = params[0] + u * (params[1] - params[0])
-        return jnp.minimum(x, next_below_f32(params[1]))
-    if kind == DistKind.EXPONENTIAL:
-        u = qmc_u01_open(g, s1)
-        return -jnp.log(jnp.maximum(u, 1e-7)) / params[0]
-    if kind == DistKind.CUSTOM:
-        u = qmc_u01_halfopen(g, s1)
-        if exact_inverse:
-            return jnp.interp(u, cdf_table, x_table).astype(jnp.float32)
-        m = x_table.shape[0]
-        pos = u * jnp.float32(m - 1)
-        i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
-        frac = pos - i0.astype(jnp.float32)
-        x0 = jnp.take(x_table, i0)
-        x1 = jnp.take(x_table, i0 + 1)
-        return (x0 + frac * (x1 - x0)).astype(jnp.float32)
-    raise ValueError(f"Unknown DistKind: {kind}")
+    # (0, 1] for the log-consuming transform, [0, 1) otherwise; the
+    # u -> x tail is shared with sample_block so MC and QMC sampling
+    # semantics stay identical by construction.
+    u = (
+        qmc_u01_open(g, s1)
+        if kind == DistKind.EXPONENTIAL
+        else qmc_u01_halfopen(g, s1)
+    )
+    return transform_from_u(u, kind, params, x_table, cdf_table, exact_inverse)
 
 
 def build_integrate_fn(
@@ -125,7 +113,10 @@ def build_integrate_fn(
         if plan.actual_samples >= QMC_MAX_SAMPLES:
             raise ValueError(
                 "QMC uses a uint32 global sample counter; split "
-                f"{plan.actual_samples} samples across calls"
+                f"{plan.actual_samples} samples across calls of < "
+                f"{QMC_MAX_SAMPLES} samples, giving each call a DISTINCT "
+                "seed (each seed is an independent rotation of the same "
+                "point set — same-seed calls would redraw identical points)"
             )
 
     def _sweep(seed, params, x_table, cdf_table, chunk_start):

@@ -19,9 +19,11 @@ Design notes, TPU-first:
   * per-seed rotations make distinct seeds independent unbiased
     estimates (seed batches = batched rotations of one point set), and
     keep the fixed-seed reproducibility contract.
-  * NORMAL consumes a 2-D Hammersley pair per Box-Muller draw:
-    (j/n_pairs, vdc(j)) rotated per-dimension — 1-D vdc alone would
-    correlate radius and angle.
+  * NORMAL consumes a 2-D low-discrepancy pair per Box-Muller draw:
+    radius from the rotated radical inverse vdc(j), angle from the
+    golden-ratio Kronecker lattice frac(j * GOLDEN_STRIDE * 2^-32),
+    each rotated per-dimension — 1-D vdc alone would correlate radius
+    and angle.
 
 The index stream g is the plan's global sample counter (program, loop,
 row, lane), so estimates are bit-reproducible for a fixed (seed, plan)
@@ -74,8 +76,9 @@ def bitrev32(x):
 
 
 def _pcg_mix(x):
-    """PCG output mix (same as the interpreter-tier CounterRng): scalar
-    uint32 in, well-mixed uint32 out."""
+    """PCG output mix — uint32 lanes in, well-mixed uint32 out.  The
+    single source of truth: the interpreter-tier CounterRng delegates
+    here (ops/integrate_pallas.py)."""
     x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
     word = (
         (x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x

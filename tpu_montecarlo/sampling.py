@@ -147,21 +147,37 @@ def sample_block(
       * custom: inverse-CDF lookup with linear interpolation between table
         knots (distribution.rs:128-158)
     """
+    if kind == DistKind.NORMAL:
+        z = jax.random.normal(key, shape, jnp.float32)
+        return params[0] + params[1] * z
+    u = jax.random.uniform(key, shape, jnp.float32)
+    return transform_from_u(
+        u, kind, params, x_table, cdf_table, exact_inverse
+    )
+
+
+def transform_from_u(
+    u: jax.Array,
+    kind: DistKind,
+    params: jax.Array,
+    x_table: Optional[jax.Array] = None,
+    cdf_table: Optional[jax.Array] = None,
+    exact_inverse: bool = False,
+) -> jax.Array:
+    """Map uniform draws ``u`` to samples — the shared non-NORMAL
+    transform tail used by both the pseudo-random path (sample_block) and
+    the QMC path (ops/integrate_xla._qmc_sample_chunk), so the two
+    sampling semantics cannot drift apart.  ``u`` may come from a [0, 1)
+    or a (0, 1] generator; the EXPONENTIAL clamp handles either."""
     if kind == DistKind.UNIFORM:
-        u = jax.random.uniform(key, shape, jnp.float32)
         x = params[0] + u * (params[1] - params[0])
         # u < 1 guarantees x < max mathematically; float32 rounding can
         # still land exactly on max, where the half-open pdf is zero (an
         # IS weight would then divide by q=0) — clamp just below.
         return jnp.minimum(x, next_below_f32(params[1]))
-    if kind == DistKind.NORMAL:
-        z = jax.random.normal(key, shape, jnp.float32)
-        return params[0] + params[1] * z
     if kind == DistKind.EXPONENTIAL:
-        u = jax.random.uniform(key, shape, jnp.float32)
         return -jnp.log(jnp.maximum(u, 1e-7)) / params[0]
     if kind == DistKind.CUSTOM:
-        u = jax.random.uniform(key, shape, jnp.float32)
         if exact_inverse:
             # CDF with flat runs: the exact (discontinuous) inverse keeps
             # samples out of zero-density spans (reference bsearch
