@@ -76,12 +76,13 @@ class TestQmcAccuracy:
         assert abs(r.values[1] - 1.0) < 1e-3
         assert abs(r.values[2] - 3.0) < 5e-3
 
-    def test_normal_mean_no_angular_gap(self):
-        """Regression for the rank-1 lattice coverage bug: a
-        round(2^32/n_pairs) stride left an angular gap whose E[X] bias
-        grew with N (9.7e-4 measured at 1e8); the golden-ratio stride
-        equidistributes for any pair count, keeping E[X] at the
-        f32-noise floor for every sample-count shape."""
+    def test_normal_mean_no_shape_bias(self):
+        """E[X] must sit at the f32-noise floor for EVERY sample-count
+        shape.  Historical regression: a Box-Muller pair construction
+        with a round(2^32/n_pairs) angular stride left a coverage gap
+        whose E[X] bias grew with N (9.7e-4 measured at 1e8).  The
+        current 1-D inverse-CDF construction (sampling.normal_from_u01)
+        is shape-independent by design; this locks that in."""
         d = Distribution.normal(0.0, 1.0)
         for n in (400_000, 4_000_000):
             r = integrate(

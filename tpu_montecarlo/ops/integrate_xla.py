@@ -39,33 +39,26 @@ def _kahan_add(sums, comps, vals):
 
 def _qmc_sample_chunk(
     chunk_idx, chunk_elems, kind, params, x_table, cdf_table,
-    exact_inverse, shifts,
+    exact_inverse, shift,
 ):
     """Sample one chunk from the rotated radical-inverse stream
     (ops/qmc.py) — the XLA-backend counterpart of the Pallas kernel's
-    _sample_subblocks_qmc, with identical transforms (NORMAL pairs
-    (vdc(j), golden-ratio Kronecker lattice) per Box-Muller draw)."""
-    from .qmc import GOLDEN_STRIDE, _mantissa24, qmc_u01_halfopen, qmc_u01_open
+    _sample_subblocks_qmc, with identical transforms (NORMAL inverts the
+    CDF of the 1-D stream via sampling.normal_from_u01 — monotone, so
+    the low-discrepancy structure carries to the normals exactly)."""
+    from .qmc import qmc_u01_halfopen, qmc_u01_open
 
-    s1, s2 = shifts
-    if kind == DistKind.NORMAL:
-        half = chunk_elems // 2
-        j = (
-            chunk_idx * half + jnp.arange(half, dtype=jnp.int32)
-        ).astype(jnp.uint32)
-        u1 = qmc_u01_open(j, s1)
-        u2 = _mantissa24(j * GOLDEN_STRIDE + s2).astype(jnp.float32) * (
-            jnp.float32(1.0 / (1 << 24))
-        )
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = jnp.float32(2.0 * jnp.pi) * u2
-        z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)])
-        return params[0] + params[1] * z
-
+    s1 = shift
     g = (
         chunk_idx.astype(jnp.uint32) * jnp.uint32(chunk_elems)
         + jnp.arange(chunk_elems, dtype=jnp.int32).astype(jnp.uint32)
     )
+    if kind == DistKind.NORMAL:
+        from ..sampling import normal_from_u01
+
+        return params[0] + params[1] * normal_from_u01(
+            qmc_u01_halfopen(g, s1)
+        )
     # (0, 1] for the log-consuming transform, [0, 1) otherwise; the
     # u -> x tail is shared with sample_block so MC and QMC sampling
     # semantics stay identical by construction.
@@ -123,7 +116,7 @@ def build_integrate_fn(
         if method == "qmc":
             from .qmc import derive_shift
 
-            shifts = (derive_shift(seed, 1), derive_shift(seed, 2))
+            shift = derive_shift(seed, 1)
         else:
             key = jax.random.PRNGKey(seed)
 
@@ -132,7 +125,7 @@ def build_integrate_fn(
             if method == "qmc":
                 x = _qmc_sample_chunk(
                     chunk_start + i, plan.chunk_elems, kind, params,
-                    x_table, cdf_table, exact_inverse, shifts,
+                    x_table, cdf_table, exact_inverse, shift,
                 )
             else:
                 ck = jax.random.fold_in(key, chunk_start + i)

@@ -19,11 +19,12 @@ Design notes, TPU-first:
   * per-seed rotations make distinct seeds independent unbiased
     estimates (seed batches = batched rotations of one point set), and
     keep the fixed-seed reproducibility contract.
-  * NORMAL consumes a 2-D low-discrepancy pair per Box-Muller draw:
-    radius from the rotated radical inverse vdc(j), angle from the
-    golden-ratio Kronecker lattice frac(j * GOLDEN_STRIDE * 2^-32),
-    each rotated per-dimension — 1-D vdc alone would correlate radius
-    and angle.
+  * NORMAL inverts the normal CDF of the 1-D stream directly
+    (sampling.normal_from_u01): the inverse CDF is monotone, so the
+    low-discrepancy structure of vdc(g) carries to the normal samples
+    exactly — strictly better equidistribution than routing the stream
+    through Box-Muller pairs (which scrambles 1-D structure across a
+    2-D radius/angle map), and cheaper on the VPU.
 
 The index stream g is the plan's global sample counter (program, loop,
 row, lane), so estimates are bit-reproducible for a fixed (seed, plan)
@@ -41,18 +42,11 @@ __all__ = [
     "derive_shift",
     "qmc_u01_halfopen",
     "qmc_u01_open",
-    "GOLDEN_STRIDE",
     "QMC_MAX_SAMPLES",
 ]
 
 # g must fit a uint32 counter.
 QMC_MAX_SAMPLES = 1 << 32
-
-# round(2^32 / phi): the golden-ratio Kronecker stride for the second
-# Box-Muller coordinate — frac(j * phi) equidistributes for ANY sequence
-# length (unlike a round(2^32/n) stride, whose rounding leaves an
-# angular coverage gap of up to ~1/stride).
-GOLDEN_STRIDE = np.uint32(2654435769)
 
 _INV_2POW24 = np.float32(1.0 / (1 << 24))
 

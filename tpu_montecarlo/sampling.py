@@ -115,6 +115,27 @@ def _build_spec(dist, DistributionType, compute_inverse_cdf_table) -> DistSpec:
     raise ValueError(f"Unknown distribution type: {t}")
 
 
+_SQRT2 = np.float32(np.sqrt(2.0))
+
+
+def normal_from_u01(u):
+    """Standard normal via inverse-CDF: ``sqrt(2) * erfinv(2u - 1)``.
+
+    The TPU-fast normal transform (measured ~4% over Box-Muller at K=8 on
+    v5e: one erf_inv polynomial per sample vs the amortised
+    log+sqrt+sin+cos pair), and the canonical choice for the QMC path —
+    the inverse CDF is monotone, so a 1-D low-discrepancy stream maps to
+    a perfectly stratified normal stream (Box-Muller pairs scramble that
+    structure across 2-D).  ``u`` from a [0, 1) generator; the lower
+    clamp keeps erfinv off its -1 pole (u=0), truncating the sampled
+    tails at ~5.2 sigma — the 24-bit-mantissa Box-Muller radius it
+    replaces truncated at 5.77 sigma, both statistically invisible at the
+    framework's tolerances (P(|Z| > 5.2) ~ 2e-7).
+    """
+    u = jnp.maximum(u, 1e-7)
+    return _SQRT2 * jax.lax.erf_inv(2.0 * u - 1.0)
+
+
 def next_below_f32(hi):
     """Largest float32 strictly below ``hi`` (finite hi), via bit
     arithmetic (portable to Pallas/Mosaic, unlike lax.nextafter)."""
