@@ -80,8 +80,9 @@ inline float sample_one(int32_t kind, const float* params, uint64_t seed,
       return static_cast<float>(params[0] + u * (params[1] - params[0]));
     }
     case kNormal: {
-      // Box-Muller, matching the device transform family
-      // (reference src/distribution.rs:87-114).
+      // Box-Muller (the reference's transform, src/distribution.rs:87-114).
+      // The device kernels use inverse-CDF erf_inv instead; the oracle
+      // matches the DISTRIBUTION, not the stream or tail cutoff.
       double u1 = u01_open(seed, idx, stream * 2 + 1);
       double u2 = u01(seed, idx, stream * 2 + 2);
       double z = std::sqrt(-2.0 * std::log(u1)) * std::cos(kTwoPi * u2);

@@ -392,8 +392,9 @@ def _sample_subblocks(
     kind: DistKind, p1, p2, rng, counter, tables=None, rows=BLOCK_ROWS
 ):
     """Sample rows*128 values as a list of equal-shape sub-blocks
-    (Box-Muller yields its cos/sin pair as two separate sub-blocks so no
-    concatenate/copy is needed; integrands just run once per sub-block)."""
+    (NORMAL returns two half-blocks, keeping the accumulator shapes of
+    the Box-Muller pair construction it replaced, so no concatenate/copy
+    is needed; integrands just run once per sub-block)."""
     if kind == DistKind.UNIFORM:
         from ..sampling import next_below_f32
 

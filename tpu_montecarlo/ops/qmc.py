@@ -5,9 +5,9 @@ A capability beyond the reference (which is plain MC throughout,
 src/distribution.rs:62-73): ``method="qmc"`` replaces the pseudo-random
 uniforms with the base-2 van der Corput radical inverse of the GLOBAL
 sample index, randomised by a seed-derived Cranley-Patterson rotation —
-u(g) = frac(bitrev32(g) * 2^-32 + shift).  The transform pipeline
-(affine / Box-Muller / inverse-CDF tables) is unchanged, so every
-distribution family keeps its sampling semantics while smooth integrands
+u(g) = frac(bitrev32(g) * 2^-32 + shift).  The u -> x transform
+pipeline (affine / inverse-CDF normal / inverse-CDF tables) is unchanged,
+so every distribution family keeps its sampling semantics while smooth integrands
 converge at ~O(log N / N) instead of O(N^-1/2).
 
 Design notes, TPU-first:
