@@ -126,13 +126,14 @@ def normal_from_u01(u):
     log+sqrt+sin+cos pair), and the canonical choice for the QMC path —
     the inverse CDF is monotone, so a 1-D low-discrepancy stream maps to
     a perfectly stratified normal stream (Box-Muller pairs scramble that
-    structure across 2-D).  ``u`` from a [0, 1) generator; the lower
-    clamp keeps erfinv off its -1 pole (u=0), truncating the sampled
-    tails at ~5.2 sigma — the 24-bit-mantissa Box-Muller radius it
-    replaces truncated at 5.77 sigma, both statistically invisible at the
-    framework's tolerances (P(|Z| > 5.2) ~ 2e-7).
+    structure across 2-D).  ``u`` may come from a [0, 1) or (0, 1]
+    generator (both conventions exist in this codebase); the symmetric
+    clamp keeps erfinv off its poles at u=0 and u=1, truncating the
+    sampled tails at ~5.2 sigma — the 24-bit-mantissa Box-Muller radius
+    it replaces truncated at 5.77 sigma, both statistically invisible at
+    the framework's tolerances (P(|Z| > 5.2) ~ 2e-7).
     """
-    u = jnp.maximum(u, 1e-7)
+    u = jnp.clip(u, 1e-7, np.float32(1.0 - 1e-7))
     return _SQRT2 * jax.lax.erf_inv(2.0 * u - 1.0)
 
 
