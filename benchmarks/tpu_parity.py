@@ -361,6 +361,25 @@ def main() -> int:
     ok &= check("qmc_is_5e6", r.values, [1.0], 1e-3,
                 "QMC addition through the IS weight fold")
 
+    # --- param-batched dispatch on the compiled kernel --------------------
+    # One program, a (seed, params) sweep per dispatch; each element must
+    # be BIT-equal to its unbatched call (params route per grid rep).
+    sweep_dists = [mc.Distribution.normal(0.0, 1.0),
+                   mc.Distribution.normal(2.0, 3.0)]
+    sweep = it.compile_integrate(
+        [lambda x: x, lambda x: x * x], sweep_dists[0],
+        n_samples=1_000_000, seed_batch=2, param_batch=True,
+    )
+    sweep_out = np.asarray(sweep([7, 42], mc.pack_param_batch(sweep_dists)))
+    singles = np.stack([
+        np.asarray(it.compile_integrate(
+            [lambda x: x, lambda x: x * x], dd, n_samples=1_000_000)(s))
+        for s, dd in zip([7, 42], sweep_dists)
+    ])
+    ok &= check("param_batch_bit_equal",
+                list((sweep_out - singles).ravel()), [0.0] * 4, 1e-12,
+                "param-batched sweep bit-equal to unbatched calls")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",

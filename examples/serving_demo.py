@@ -26,6 +26,21 @@ def main() -> None:
     print(" ", np.round(estimates.ravel(), 4))
     print("  spread:", float(estimates.std()))
 
+    # Parameter sweep: the SAME compiled program prices a whole sigma
+    # grid per dispatch — parameters are a runtime (R, 2) batch input.
+    sigmas = [0.5, 1.0, 1.5, 2.0]
+    sweep = integrator.compile_integrate(
+        [lambda x: x * x], normal, n_samples=1_000_000,
+        seed_batch=len(sigmas), param_batch=True,
+    )
+    params = mc.pack_param_batch(
+        [mc.Distribution.normal(0.0, s) for s in sigmas]
+    )
+    var = np.asarray(sweep(range(len(sigmas)), params))
+    print("sigma sweep, one dispatch; E[X^2] vs sigma^2:")
+    for s, v in zip(sigmas, var.ravel()):
+        print(f"  sigma={s}: {v:.4f} (expect {s * s})")
+
     # Batched MCMC: 4 independent chains-of-chains runs per dispatch.
     mcmc = integrator.compile_mcmc(
         [lambda x: x * x],

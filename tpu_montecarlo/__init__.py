@@ -24,6 +24,7 @@ from .api import (
     integrate,
     integrate_importance_sampling,
     integrate_mcmc,
+    pack_param_batch,
 )
 from .distributions import Distribution, DistributionType
 from .tracing import TraceError, is_traceable, trace_function
@@ -46,6 +47,7 @@ __all__ = [
     "integrate",
     "integrate_importance_sampling",
     "integrate_mcmc",
+    "pack_param_batch",
     "trace_function",
     "trace_wgsl_function",
     "is_traceable",

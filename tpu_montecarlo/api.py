@@ -308,6 +308,7 @@ class MonteCarloIntegrator:
         n_samples: int = 1_000_000,
         seed_batch: int = 1,
         method: str = "mc",
+        param_batch: bool = False,
     ) -> Callable:
         """Ahead-of-time handle for serving: returns ``prog(seed) ->
         jax.Array (K,)`` with tracing, compilation, and device uploads done
@@ -320,13 +321,34 @@ class MonteCarloIntegrator:
         instead: R independent n_samples-integrations (one per seed) run
         back-to-back inside ONE device program, so per-dispatch host/link
         latency amortises over the batch — the serving-throughput mode.
+
+        ``param_batch=True`` additionally makes the distribution's
+        parameters a runtime batch input: ``prog(seeds, params) ->
+        jax.Array (R, K)`` with ``params`` an (R, 2) float32 array of
+        family parameter pairs (build it with :func:`pack_param_batch`;
+        R = ``seed_batch``).  One compiled program then serves an entire
+        parameter sweep — e.g. a volatility surface — in a single
+        dispatch, with each batch element exactly equal to an unbatched
+        call with that (seed, distribution).  Analytic families only
+        (uniform / normal / exponential); ``distribution`` supplies the
+        family and the compile-time shape.
         """
         traced = self._trace_user_functions(functions)
+        if param_batch:
+            spec = dist_spec_of(distribution)
+            if spec.kind == DistKind.CUSTOM:
+                raise ValueError(
+                    "param_batch applies to analytic families only "
+                    "(uniform/normal/exponential): custom distributions "
+                    "sample from host-built per-distribution tables"
+                )
         run, dev_args = self._get_integrate_program(
             traced, distribution, n_samples, seed_batch=seed_batch,
-            method=method,
+            method=method, param_batch=param_batch,
         )
-        return self._finalize_prog(run, dev_args, seed_batch)
+        return self._finalize_prog(
+            run, dev_args, seed_batch, param_batch=param_batch
+        )
 
     def _batched_prog(self, run, dev_args, seed_batch: int) -> Callable:
         """One-RPC batched dispatch for programs without native grid
@@ -356,7 +378,46 @@ class MonteCarloIntegrator:
 
         return prog
 
-    def _finalize_prog(self, run, dev_args, seed_batch: int) -> Callable:
+    def _param_batched_prog(self, run, dev_args, seed_batch: int) -> Callable:
+        """(seed, params)-pair batching for programs without native grid
+        batching (the XLA paths): ``lax.map`` sweeps the R pairs through
+        the single-job program inside one jit — traced once, each element
+        bit-equal to the corresponding unbatched call."""
+        batched = self._cache.get_or_build(
+            ("param_batch", id(run), seed_batch),
+            lambda: jax.jit(
+                lambda seeds, params, *args: jax.lax.map(
+                    lambda sp: run(sp[0], sp[1], *args), (seeds, params)
+                )
+            ),
+        )
+        rest = tuple(dev_args[1:])
+
+        def prog(seeds, params):
+            seeds_arr, params_arr = _check_param_batch_args(
+                seeds, params, seed_batch
+            )
+            return batched(seeds_arr, params_arr, *rest)
+
+        return prog
+
+    def _finalize_prog(
+        self, run, dev_args, seed_batch: int, param_batch: bool = False
+    ) -> Callable:
+        if param_batch:
+            if getattr(run, "__native_param_batch__", 0) == seed_batch:
+                # Pallas path: params ride the kernel's batch grid
+                # dimension (one SMEM row per rep).
+                rest = tuple(dev_args[1:])
+
+                def prog(seeds, params):
+                    seeds_arr, params_arr = _check_param_batch_args(
+                        seeds, params, seed_batch
+                    )
+                    return run(seeds_arr, params_arr, *rest)
+
+                return prog
+            return self._param_batched_prog(run, tuple(dev_args), seed_batch)
         if seed_batch != 1:
             if getattr(run, "__native_seed_batch__", 1) == seed_batch:
                 # The program batches R sweeps as a grid dimension itself
@@ -388,7 +449,7 @@ class MonteCarloIntegrator:
 
     def _get_integrate_program(
         self, traced, distribution, n_samples, seed_batch: int = 1,
-        method: str = "mc",
+        method: str = "mc", param_batch: bool = False,
     ):
         if method not in ("mc", "qmc"):
             raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
@@ -424,6 +485,7 @@ class MonteCarloIntegrator:
                     gapped,
                     seed_batch,
                     method,
+                    param_batch,
                 )
                 run = self._cache.get_or_build(
                     key,
@@ -432,8 +494,10 @@ class MonteCarloIntegrator:
                             traced, spec.kind, plan, mesh=mesh,
                             interpret=interpret, gapped_tables=gapped,
                             seed_batch=seed_batch, method=method,
+                            param_batch=param_batch,
                         ),
                         seed_batch,
+                        param_batch=param_batch,
                     ),
                 )
                 if gapped:
@@ -1159,24 +1223,74 @@ class MonteCarloIntegrator:
         )
 
 
-def _tag_native_batch(run, seed_batch: int):
+def _tag_native_batch(run, seed_batch: int, param_batch: bool = False):
     """Mark a program whose signature already takes an (R,) seed vector
-    and returns (R, K) — _finalize_prog then skips the unroll wrapper.
+    (and, with ``param_batch``, an (R, 2) params array) and returns
+    (R, K) — _finalize_prog then skips the unroll wrapper.
     (jitted callables may not accept attributes; wrap if needed.)"""
-    if seed_batch == 1:
+    if seed_batch == 1 and not param_batch:
         return run
+
+    def _set_tags(obj):
+        if seed_batch != 1:
+            obj.__native_seed_batch__ = seed_batch
+        if param_batch:
+            obj.__native_param_batch__ = seed_batch
+
     try:
-        run.__native_seed_batch__ = seed_batch
+        _set_tags(run)
         return run
     except (AttributeError, TypeError):
         def tagged(*args):
             return run(*args)
 
-        tagged.__native_seed_batch__ = seed_batch
+        _set_tags(tagged)
         for attr in ("actual_samples", "block_rows"):
             if hasattr(run, attr):
                 setattr(tagged, attr, getattr(run, attr))
         return tagged
+
+
+def _check_param_batch_args(seeds, params, r: int):
+    """Validate and device-stage the (seeds, params) pair of a
+    param-batched program: (R,) uint32 seeds, (R, 2) float32 family
+    parameter pairs (see pack_param_batch)."""
+    seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
+    if seeds_arr.shape != (r,):
+        raise ValueError(
+            f"expected {r} seeds, got shape {seeds_arr.shape}"
+        )
+    params_arr = jnp.asarray(np.asarray(params, np.float32))
+    if params_arr.shape != (r, 2):
+        raise ValueError(
+            f"expected a ({r}, 2) params array, got shape "
+            f"{params_arr.shape}"
+        )
+    return seeds_arr, params_arr
+
+
+def pack_param_batch(distributions) -> np.ndarray:
+    """Stack the device parameter words of same-family analytic
+    distributions into the (R, 2) float32 array a ``param_batch``
+    program takes: uniform -> (min, max), normal -> (mean, std),
+    exponential -> (lambda, 0) — the packing of
+    ``sampling.dist_spec_of`` (reference parse_dist_params,
+    src/lib.rs:436-502)."""
+    specs = [dist_spec_of(d) for d in distributions]
+    if not specs:
+        raise ValueError("param batch needs at least one distribution")
+    kinds = {s.kind for s in specs}
+    if len(kinds) != 1:
+        raise ValueError(
+            "param batch must share one family, got "
+            f"{sorted(k.name for k in kinds)}"
+        )
+    if specs[0].kind == DistKind.CUSTOM:
+        raise ValueError(
+            "param batching applies to analytic families only "
+            "(uniform/normal/exponential)"
+        )
+    return np.stack([s.params for s in specs])
 
 
 def _block_traceable(fns) -> bool:

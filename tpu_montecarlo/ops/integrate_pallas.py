@@ -490,6 +490,7 @@ def build_integrate_fn_pallas(
     gapped_tables: bool = False,
     seed_batch: int = 1,
     method: str = "mc",
+    param_batch: bool = False,
 ):
     """Build a jitted ``(seed, params, x_table, cdf_table[, p_x, p_pdf]
     [, q_x, q_pdf]) -> (K,) float32`` program running the fused Pallas
@@ -524,9 +525,28 @@ def build_integrate_fn_pallas(
     ``method="qmc"``: uniforms come from the seed-rotated radical inverse
     of the global sample index (ops/qmc.py) instead of the PRNG — same
     transforms, ~O(log N / N) convergence on smooth integrands.  Batch
-    elements become independent rotations of one low-discrepancy set."""
+    elements become independent rotations of one low-discrepancy set.
+
+    ``param_batch=True``: the params arg becomes (seed_batch, 2) — each
+    batch element samples its OWN family parameters (one SMEM row per
+    grid rep), so a single compiled program serves a whole parameter
+    sweep (e.g. one dispatch across a volatility surface).  Analytic
+    families only: CUSTOM distributions sample from host-built tables,
+    which are per-distribution artifacts, and IS weight closures bake
+    distribution parameters at trace time."""
     if method not in ("mc", "qmc"):
         raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
+    if param_batch:
+        if kind == DistKind.CUSTOM:
+            raise ValueError(
+                "param_batch applies to analytic families only (custom "
+                "distributions sample from host-built tables)"
+            )
+        if is_weight is not None:
+            raise ValueError(
+                "param_batch is not supported with importance-sampling "
+                "weights (weight closures bake distribution parameters)"
+            )
     k = len(eval_fns)
     if k > LANES:
         raise ValueError(f"at most {LANES} fused functions supported")
@@ -597,8 +617,9 @@ def build_integrate_fn_pallas(
         else:
             rng = rng_factory()
             rng.seed(seed_ref[0, rep], pid_base_ref[0, 0] + pid)
-        p1 = params_ref[0, 0]
-        p2 = params_ref[0, 1]
+        prow = rep if param_batch else 0
+        p1 = params_ref[prow, 0]
+        p2 = params_ref[prow, 1]
         rows = _acc_rows(kind, block_rows)
 
         def weight(x):
@@ -659,8 +680,13 @@ def build_integrate_fn_pallas(
     smem_scalar = pl.BlockSpec(
         (1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
+    # Param-batched programs keep the WHOLE (R, 2) array resident in SMEM
+    # and index it by rep inside the kernel (Mosaic requires SMEM blocks
+    # to span the array, like the seed vector above).
     smem_params = pl.BlockSpec(
-        (1, 2), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+        (seed_batch if param_batch else 1, 2),
+        lambda r, i: (0, 0),
+        memory_space=pltpu.SMEM,
     )
     smem_grid = pl.BlockSpec(
         (1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM
@@ -697,11 +723,17 @@ def build_integrate_fn_pallas(
 
     def _prep(seed, params):
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
-        params_arr = jnp.asarray(params, jnp.float32).reshape(1, 2)
+        params_arr = jnp.asarray(params, jnp.float32).reshape(
+            (seed_batch, 2) if param_batch else (1, 2)
+        )
         return seed_arr, params_arr
 
     def _shape_result(sums):
-        # sums: (R, K) f32 means; single-seed programs keep the (K,) shape.
+        # sums: (R, K) f32 means; single-seed programs keep the (K,) shape
+        # (param-batched programs always return the (R, K) batch, even at
+        # R=1, so callers see one stable contract).
+        if param_batch:
+            return sums
         return sums[0] if seed_batch == 1 else sums
 
     def _prep_tables(x_table, cdf_table, weight_tables):
