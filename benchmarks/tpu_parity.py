@@ -380,6 +380,28 @@ def main() -> int:
                 list((sweep_out - singles).ravel()), [0.0] * 4, 1e-12,
                 "param-batched sweep bit-equal to unbatched calls")
 
+    mc_targets = [mc.Distribution.normal(0.0, 1.0),
+                  mc.Distribution.normal(1.0, 0.5)]
+    mc_props = [mc.Distribution.normal(0.0, 2.0),
+                mc.Distribution.normal(1.0, 1.5)]
+    mcmc_sweep = it.compile_mcmc(
+        [lambda x: x * x], mc_targets[0], mc_props[0],
+        n_steps=2000, n_chains=1024, n_burnin=200,
+        seed_batch=2, param_batch=True,
+    )
+    sv, sa = mcmc_sweep([7, 42], mc.pack_param_batch(mc_targets),
+                        mc.pack_param_batch(mc_props))
+    sv, sa = np.asarray(sv), np.asarray(sa)
+    singles_v = np.stack([
+        np.asarray(it.compile_mcmc(
+            [lambda x: x * x], t, q,
+            n_steps=2000, n_chains=1024, n_burnin=200)(s)[0])
+        for s, t, q in zip([7, 42], mc_targets, mc_props)
+    ])
+    ok &= check("mcmc_param_batch_bit_equal",
+                list((sv - singles_v).ravel()), [0.0] * 2, 1e-12,
+                "param-batched MCMC sweep bit-equal to unbatched calls")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",

@@ -148,6 +148,61 @@ class TestParamBatch:
             prog([1, 2], np.zeros((3, 2), np.float32))
 
 
+class TestMcmcParamBatch:
+    def test_sweep_matches_single(self, integrator):
+        targets = [
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(1.0, 0.5),
+        ]
+        proposals = [
+            Distribution.normal(0.0, 2.0),
+            Distribution.normal(1.0, 1.5),
+        ]
+        fns = [lambda x: x, lambda x: x * x]
+        prog = integrator.compile_mcmc(
+            fns, targets[0], proposals[0], n_steps=400, n_chains=512,
+            n_burnin=100, seed_batch=2, param_batch=True,
+        )
+        vals, accs = prog(
+            SEEDS[:2],
+            pack_param_batch(targets),
+            pack_param_batch(proposals),
+        )
+        vals, accs = np.asarray(vals), np.asarray(accs)
+        assert vals.shape == (2, 2) and accs.shape == (2,)
+        for i, (s, t, q) in enumerate(zip(SEEDS, targets, proposals)):
+            single = integrator.compile_mcmc(
+                fns, t, q, n_steps=400, n_chains=512, n_burnin=100
+            )
+            sv, sa = single(s)
+            np.testing.assert_array_equal(vals[i], np.asarray(sv))
+            np.testing.assert_array_equal(accs[i], np.asarray(sa))
+
+    def test_estimates_track_parameters(self, integrator):
+        # Each element's E[X] lands on ITS target's mean.
+        means = [0.0, 4.0]
+        targets = [Distribution.normal(m, 1.0) for m in means]
+        proposals = [Distribution.normal(m, 2.0) for m in means]
+        prog = integrator.compile_mcmc(
+            [lambda x: x], targets[0], proposals[0], n_steps=1500,
+            n_chains=1024, n_burnin=200, seed_batch=2, param_batch=True,
+        )
+        vals, _ = prog(
+            SEEDS[:2], pack_param_batch(targets), pack_param_batch(proposals)
+        )
+        vals = np.asarray(vals)
+        for row, m in zip(vals, means):
+            assert abs(row[0] - m) < 0.1
+
+    def test_custom_rejected(self, integrator):
+        with pytest.raises(ValueError, match="analytic"):
+            integrator.compile_mcmc(
+                [lambda x: x], Distribution.beta(2.0, 5.0),
+                Distribution.normal(0.0, 2.0), n_steps=100, n_chains=256,
+                n_burnin=10, param_batch=True,
+            )
+
+
 class TestParamBatchSharded:
     def test_sharded_sweep_tracks_parameters(self):
         # The sweep through an 8-device mesh program (psum over ICI) must

@@ -378,46 +378,53 @@ class MonteCarloIntegrator:
 
         return prog
 
-    def _param_batched_prog(self, run, dev_args, seed_batch: int) -> Callable:
-        """(seed, params)-pair batching for programs without native grid
-        batching (the XLA paths): ``lax.map`` sweeps the R pairs through
-        the single-job program inside one jit — traced once, each element
-        bit-equal to the corresponding unbatched call."""
+    def _param_batched_prog(
+        self, run, dev_args, seed_batch: int, n_param_args: int = 1
+    ) -> Callable:
+        """(seed, params...)-tuple batching for programs without native
+        grid batching (the XLA paths): ``lax.map`` sweeps the R tuples
+        through the single-job program inside one jit — traced once, each
+        element bit-equal to the corresponding unbatched call.
+        ``n_param_args``: leading param arrays batched alongside the seed
+        (1 for integrate, 2 for MCMC's proposal+target pair)."""
         batched = self._cache.get_or_build(
-            ("param_batch", id(run), seed_batch),
+            ("param_batch", id(run), seed_batch, n_param_args),
             lambda: jax.jit(
                 lambda seeds, params, *args: jax.lax.map(
-                    lambda sp: run(sp[0], sp[1], *args), (seeds, params)
+                    lambda sp: run(sp[0], *sp[1], *args), (seeds, params)
                 )
             ),
         )
-        rest = tuple(dev_args[1:])
+        rest = tuple(dev_args[n_param_args:])
 
-        def prog(seeds, params):
-            seeds_arr, params_arr = _check_param_batch_args(
-                seeds, params, seed_batch
+        def prog(seeds, *params):
+            seeds_arr, params_arrs = _check_param_batch_args(
+                seeds, params, seed_batch, n_param_args
             )
-            return batched(seeds_arr, params_arr, *rest)
+            return batched(seeds_arr, params_arrs, *rest)
 
         return prog
 
     def _finalize_prog(
-        self, run, dev_args, seed_batch: int, param_batch: bool = False
+        self, run, dev_args, seed_batch: int, param_batch: bool = False,
+        n_param_args: int = 1,
     ) -> Callable:
         if param_batch:
             if getattr(run, "__native_param_batch__", 0) == seed_batch:
                 # Pallas path: params ride the kernel's batch grid
                 # dimension (one SMEM row per rep).
-                rest = tuple(dev_args[1:])
+                rest = tuple(dev_args[n_param_args:])
 
-                def prog(seeds, params):
-                    seeds_arr, params_arr = _check_param_batch_args(
-                        seeds, params, seed_batch
+                def prog(seeds, *params):
+                    seeds_arr, params_arrs = _check_param_batch_args(
+                        seeds, params, seed_batch, n_param_args
                     )
-                    return run(seeds_arr, params_arr, *rest)
+                    return run(seeds_arr, *params_arrs, *rest)
 
                 return prog
-            return self._param_batched_prog(run, tuple(dev_args), seed_batch)
+            return self._param_batched_prog(
+                run, tuple(dev_args), seed_batch, n_param_args
+            )
         if seed_batch != 1:
             if getattr(run, "__native_seed_batch__", 1) == seed_batch:
                 # The program batches R sweeps as a grid dimension itself
@@ -935,12 +942,20 @@ class MonteCarloIntegrator:
         n_chains: int = 1024,
         n_burnin: int = 1_000,
         seed_batch: int = 1,
+        param_batch: bool = False,
     ) -> Callable:
         """Ahead-of-time MCMC handle for serving: ``prog(seed) ->
         ((K,) jax.Array, acceptance jax scalar)`` — tracing, compilation and
         uploads done once; each call is one device dispatch.  With
         ``seed_batch=R``: ``prog(seeds) -> ((R, K), (R,))`` in one dispatch
-        (see compile_integrate)."""
+        (see compile_integrate).
+
+        ``param_batch=True`` additionally makes both distributions'
+        parameters runtime batch inputs: ``prog(seeds, target_params,
+        proposal_params) -> ((R, K), (R,))`` with each params arg an
+        (R, 2) float32 array (:func:`pack_param_batch`; R =
+        ``seed_batch``) — one compiled program serves a whole
+        posterior/proposal sweep per dispatch.  Analytic families only."""
         if len(functions) == 0:
             raise ValueError("At least one function is required")
         if n_steps <= 0:
@@ -949,6 +964,18 @@ class MonteCarloIntegrator:
             raise ValueError("n_chains must be positive")
         if n_burnin < 0:
             raise ValueError("n_burnin must be non-negative")
+        if param_batch:
+            for role, d in (
+                ("target", target_distribution),
+                ("proposal", proposal_distribution),
+            ):
+                if dist_spec_of(d).kind == DistKind.CUSTOM:
+                    raise ValueError(
+                        "param_batch applies to analytic families only "
+                        f"(uniform/normal/exponential): the {role} "
+                        "distribution samples/evaluates through "
+                        "host-built per-distribution tables"
+                    )
         traced = self._trace_user_functions(functions)
         prog, _ = self._get_mcmc_program(
             traced,
@@ -958,6 +985,7 @@ class MonteCarloIntegrator:
             n_chains,
             n_burnin,
             seed_batch=seed_batch,
+            param_batch=param_batch,
         )
         return prog
 
@@ -1009,6 +1037,7 @@ class MonteCarloIntegrator:
         use_init_state: bool = False,
         initial_chains: Optional[int] = None,
         seed_batch: int = 1,
+        param_batch: bool = False,
     ):
         """MCMC program + the chain count its state carries.
 
@@ -1021,6 +1050,10 @@ class MonteCarloIntegrator:
         if with_state and seed_batch != 1:
             raise ValueError(
                 "seed_batch applies to stateless MCMC programs only"
+            )
+        if with_state and param_batch:
+            raise ValueError(
+                "param_batch applies to stateless MCMC programs only"
             )
         prop_spec = dist_spec_of(proposal_distribution)
         targ_spec = dist_spec_of(target_distribution)
@@ -1081,6 +1114,7 @@ class MonteCarloIntegrator:
                 interpret,
                 (with_state, use_init_state, prop_gapped),
                 seed_batch,
+                param_batch,
             )
             native_batch = seed_batch
             run = self._cache.get_or_build(
@@ -1099,8 +1133,10 @@ class MonteCarloIntegrator:
                         use_init_state=use_init_state,
                         prop_gapped=prop_gapped,
                         seed_batch=native_batch,
+                        param_batch=param_batch,
                     ),
                     native_batch,
+                    param_batch=param_batch,
                 ),
             )
             if prop_gapped:
@@ -1145,7 +1181,9 @@ class MonteCarloIntegrator:
                 return prog, pallas_state_chains
 
             return (
-                self._finalize_prog(run, static_args, seed_batch),
+                self._finalize_mcmc_prog(
+                    run, static_args, seed_batch, param_batch
+                ),
                 total_chains,
             )
 
@@ -1218,9 +1256,29 @@ class MonteCarloIntegrator:
             return prog, total_chains
 
         return (
-            self._finalize_prog(run, static_args, seed_batch),
+            self._finalize_mcmc_prog(
+                run, static_args, seed_batch, param_batch
+            ),
             total_chains,
         )
+
+    def _finalize_mcmc_prog(
+        self, run, static_args, seed_batch: int, param_batch: bool
+    ) -> Callable:
+        """Finalize a stateless MCMC program.  The internal run signature
+        leads with (proposal_params, target_params); the param-batched
+        user handle mirrors compile_mcmc's (target, proposal) arg order."""
+        inner = self._finalize_prog(
+            run, static_args, seed_batch, param_batch=param_batch,
+            n_param_args=2,
+        )
+        if not param_batch:
+            return inner
+
+        def prog(seeds, target_params, proposal_params):
+            return inner(seeds, proposal_params, target_params)
+
+        return prog
 
 
 def _tag_native_batch(run, seed_batch: int, param_batch: bool = False):
@@ -1251,22 +1309,29 @@ def _tag_native_batch(run, seed_batch: int, param_batch: bool = False):
         return tagged
 
 
-def _check_param_batch_args(seeds, params, r: int):
-    """Validate and device-stage the (seeds, params) pair of a
-    param-batched program: (R,) uint32 seeds, (R, 2) float32 family
-    parameter pairs (see pack_param_batch)."""
+def _check_param_batch_args(seeds, params, r: int, n_param_args: int = 1):
+    """Validate and device-stage the (seeds, params...) args of a
+    param-batched program: (R,) uint32 seeds plus ``n_param_args``
+    (R, 2) float32 family parameter arrays (see pack_param_batch)."""
     seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
     if seeds_arr.shape != (r,):
         raise ValueError(
             f"expected {r} seeds, got shape {seeds_arr.shape}"
         )
-    params_arr = jnp.asarray(np.asarray(params, np.float32))
-    if params_arr.shape != (r, 2):
+    if len(params) != n_param_args:
         raise ValueError(
-            f"expected a ({r}, 2) params array, got shape "
-            f"{params_arr.shape}"
+            f"expected {n_param_args} params array(s), got {len(params)}"
         )
-    return seeds_arr, params_arr
+    params_arrs = []
+    for p in params:
+        p_arr = jnp.asarray(np.asarray(p, np.float32))
+        if p_arr.shape != (r, 2):
+            raise ValueError(
+                f"expected a ({r}, 2) params array, got shape "
+                f"{p_arr.shape}"
+            )
+        params_arrs.append(p_arr)
+    return seeds_arr, tuple(params_arrs)
 
 
 def pack_param_batch(distributions) -> np.ndarray:

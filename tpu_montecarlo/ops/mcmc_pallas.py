@@ -193,6 +193,7 @@ def build_mcmc_fn_pallas(
     use_init_state: bool = False,
     prop_gapped: bool = False,
     seed_batch: int = 1,
+    param_batch: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -225,9 +226,26 @@ def build_mcmc_fn_pallas(
     and the program returns ((R, K), (R,)) — R independent MCMC runs
     batched as a leading grid dimension (traced once), each seeded exactly
     like its unbatched call.
+
+    ``param_batch=True`` (stateless, analytic proposal AND target): the
+    proposal/target params args become (seed_batch, 2) — each batch
+    element runs its OWN (proposal, target) parameter pair, so one
+    compiled program serves a whole posterior/tempering sweep per
+    dispatch.  The whole param arrays stay resident in SMEM; each grid
+    rep reads its row.
     """
     if seed_batch != 1 and with_state:
         raise ValueError("seed_batch applies to stateless MCMC programs only")
+    if param_batch:
+        if with_state:
+            raise ValueError(
+                "param_batch applies to stateless MCMC programs only"
+            )
+        if proposal_kind == DistKind.CUSTOM or target_kind == DistKind.CUSTOM:
+            raise ValueError(
+                "param_batch applies to analytic families only (custom "
+                "distributions sample/evaluate through host-built tables)"
+            )
     k = len(eval_fns)
     if k >= LANES:
         raise ValueError(f"at most {LANES - 1} fused functions supported")
@@ -274,10 +292,11 @@ def build_mcmc_fn_pallas(
             # the stateless kernel's streams exactly.
             seed_word = seed_word ^ (seg_ref[0, 0] * _SEGMENT_MIX)
         rng.seed(seed_word, pid_base_ref[0, 0] + pid)
-        q1 = prop_ref[0, 0]
-        q2 = prop_ref[0, 1]
-        t1 = targ_ref[0, 0]
-        t2 = targ_ref[0, 1]
+        prow = rep if param_batch else 0
+        q1 = prop_ref[prow, 0]
+        q2 = prop_ref[prow, 1]
+        t1 = targ_ref[prow, 0]
+        t2 = targ_ref[prow, 1]
 
         def sample(counter):
             return _sample_chain_block(
@@ -347,7 +366,14 @@ def build_mcmc_fn_pallas(
         (1, seed_batch), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     smem_scalar = pl.BlockSpec((1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM)
-    smem_params = pl.BlockSpec((1, 2), lambda r, i: (0, 0), memory_space=pltpu.SMEM)
+    # Param-batched programs keep the WHOLE (R, 2) arrays resident in SMEM
+    # and index by rep inside the kernel (Mosaic requires SMEM blocks to
+    # span the array, like the seed vector).
+    smem_params = pl.BlockSpec(
+        (seed_batch if param_batch else 1, 2),
+        lambda r, i: (0, 0),
+        memory_space=pltpu.SMEM,
+    )
     smem_grid = pl.BlockSpec((1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -406,8 +432,9 @@ def build_mcmc_fn_pallas(
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
 
     def _shape_stateless(sums, n_acc):
-        # sums (R, K), n_acc (R,); single-seed programs keep ((K,), scalar).
-        if seed_batch == 1:
+        # sums (R, K), n_acc (R,); single-seed programs keep ((K,), scalar)
+        # (param-batched programs always keep the batch axis, even at R=1).
+        if seed_batch == 1 and not param_batch:
             return sums[0], n_acc[0]
         return sums, n_acc
 
@@ -440,10 +467,11 @@ def build_mcmc_fn_pallas(
                     jnp.asarray(prop_lp, jnp.float32),
                 )
             )
+        pshape = (seed_batch, 2) if param_batch else (1, 2)
         return (
             jnp.asarray(seed, jnp.int32).reshape(1, seed_batch),
-            jnp.asarray(prop_params, jnp.float32).reshape(1, 2),
-            jnp.asarray(targ_params, jnp.float32).reshape(1, 2),
+            jnp.asarray(prop_params, jnp.float32).reshape(pshape),
+            jnp.asarray(targ_params, jnp.float32).reshape(pshape),
             tuple(prepped),
         )
 
