@@ -392,15 +392,19 @@ def main() -> int:
     sv, sa = mcmc_sweep([7, 42], mc.pack_param_batch(mc_targets),
                         mc.pack_param_batch(mc_props))
     sv, sa = np.asarray(sv), np.asarray(sa)
-    singles_v = np.stack([
-        np.asarray(it.compile_mcmc(
+    singles = [
+        it.compile_mcmc(
             [lambda x: x * x], t, q,
-            n_steps=2000, n_chains=1024, n_burnin=200)(s)[0])
+            n_steps=2000, n_chains=1024, n_burnin=200)(s)
         for s, t, q in zip([7, 42], mc_targets, mc_props)
-    ])
+    ]
+    singles_v = np.stack([np.asarray(v) for v, _ in singles])
+    singles_a = np.asarray([float(np.asarray(a)) for _, a in singles])
     ok &= check("mcmc_param_batch_bit_equal",
-                list((sv - singles_v).ravel()), [0.0] * 2, 1e-12,
-                "param-batched MCMC sweep bit-equal to unbatched calls")
+                list((sv - singles_v).ravel()) + list(sa - singles_a),
+                [0.0] * 4, 1e-12,
+                "param-batched MCMC sweep (values AND acceptance) "
+                "bit-equal to unbatched calls")
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -136,6 +136,37 @@ class TestParamBatch:
                 n_samples=100_000, param_batch=True,
             )
 
+    def test_family_mismatch_rejected(self, integrator):
+        # A pack built for another family must not be silently
+        # reinterpreted (e.g. (min, max) rows read as (mean, std)).
+        prog = integrator.compile_integrate(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            n_samples=100_000, seed_batch=2, param_batch=True,
+        )
+        wrong = pack_param_batch(
+            [Distribution.uniform(0.0, 1.0), Distribution.uniform(0.0, 2.0)]
+        )
+        with pytest.raises(ValueError, match="packed for UNIFORM"):
+            prog([1, 2], wrong)
+        # Plain arrays are the documented escape hatch — no family check.
+        out = np.asarray(prog([1, 2], np.asarray(wrong)))
+        assert out.shape == (2, 1)
+
+    def test_mcmc_family_mismatch_rejected(self, integrator):
+        prog = integrator.compile_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0), n_steps=100, n_chains=256,
+            n_burnin=10, seed_batch=2, param_batch=True,
+        )
+        normal = pack_param_batch(
+            [Distribution.normal(0.0, 1.0), Distribution.normal(1.0, 1.0)]
+        )
+        wrong = pack_param_batch(
+            [Distribution.exponential(1.0), Distribution.exponential(2.0)]
+        )
+        with pytest.raises(ValueError, match="packed for EXPONENTIAL"):
+            prog([1, 2], normal, wrong)
+
     def test_shape_validation(self, integrator):
         d = Distribution.normal(0.0, 1.0)
         prog = integrator.compile_integrate(

@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from .distributions import Distribution
 from .ops.integrate_xla import build_integrate_fn
 from .ops.mcmc_xla import build_mcmc_fn, plan_chains
-from .sampling import DistKind, dist_spec_of, pdf_from_table
+from .sampling import (
+    DistKind,
+    dist_spec_of,
+    ensure_param_batch_family,
+    pdf_from_table,
+)
 from .tables import is_uniform_grid
 from .tracing import TraceError, trace_function
 from .utils.dispatch import make_integrate_plan
@@ -334,59 +339,40 @@ class MonteCarloIntegrator:
         family and the compile-time shape.
         """
         traced = self._trace_user_functions(functions)
+        spec = dist_spec_of(distribution)
         if param_batch:
-            spec = dist_spec_of(distribution)
-            if spec.kind == DistKind.CUSTOM:
-                raise ValueError(
-                    "param_batch applies to analytic families only "
-                    "(uniform/normal/exponential): custom distributions "
-                    "sample from host-built per-distribution tables"
-                )
+            ensure_param_batch_family(spec.kind)
         run, dev_args = self._get_integrate_program(
             traced, distribution, n_samples, seed_batch=seed_batch,
             method=method, param_batch=param_batch,
         )
         return self._finalize_prog(
-            run, dev_args, seed_batch, param_batch=param_batch
+            run, dev_args, seed_batch, param_batch=param_batch,
+            param_kinds=(spec.kind,),
         )
 
     def _batched_prog(self, run, dev_args, seed_batch: int) -> Callable:
-        """One-RPC batched dispatch for programs without native grid
-        batching (the XLA paths): ``lax.map`` sweeps R seeds through the
-        single-seed program inside one jit — traced once, so program size
-        is independent of R, and each element keeps its exact single-seed
-        semantics and streams (prog(seeds)[i] equals prog(seeds[i]) of the
-        unbatched handle bit-for-bit)."""
-        if seed_batch < 1:
-            raise ValueError("seed_batch must be >= 1")
-        batched = self._cache.get_or_build(
-            ("seed_batch", id(run), seed_batch),
-            lambda: jax.jit(
-                lambda seeds, *args: jax.lax.map(
-                    lambda s: run(s, *args), seeds
-                )
-            ),
+        """One-RPC seed-batched dispatch for programs without native grid
+        batching (the XLA paths) — the zero-param-args case of
+        _param_batched_prog: prog(seeds)[i] equals prog(seeds[i]) of the
+        unbatched handle bit-for-bit."""
+        return self._param_batched_prog(
+            run, dev_args, seed_batch, n_param_args=0
         )
 
-        def prog(seeds):
-            seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
-            if seeds_arr.shape != (seed_batch,):
-                raise ValueError(
-                    f"expected {seed_batch} seeds, got shape {seeds_arr.shape}"
-                )
-            return batched(seeds_arr, *dev_args)
-
-        return prog
-
     def _param_batched_prog(
-        self, run, dev_args, seed_batch: int, n_param_args: int = 1
+        self, run, dev_args, seed_batch: int, n_param_args: int = 1,
+        param_kinds=(),
     ) -> Callable:
         """(seed, params...)-tuple batching for programs without native
         grid batching (the XLA paths): ``lax.map`` sweeps the R tuples
-        through the single-job program inside one jit — traced once, each
-        element bit-equal to the corresponding unbatched call.
-        ``n_param_args``: leading param arrays batched alongside the seed
-        (1 for integrate, 2 for MCMC's proposal+target pair)."""
+        through the single-job program inside one jit — traced once, so
+        program size is independent of R, and each element keeps its exact
+        single-job semantics and streams.  ``n_param_args``: leading param
+        arrays batched alongside the seed (0 = seed-only batching, 1 for
+        integrate, 2 for MCMC's proposal+target pair)."""
+        if seed_batch < 1:
+            raise ValueError("seed_batch must be >= 1")
         batched = self._cache.get_or_build(
             ("param_batch", id(run), seed_batch, n_param_args),
             lambda: jax.jit(
@@ -399,7 +385,7 @@ class MonteCarloIntegrator:
 
         def prog(seeds, *params):
             seeds_arr, params_arrs = _check_param_batch_args(
-                seeds, params, seed_batch, n_param_args
+                seeds, params, seed_batch, n_param_args, param_kinds
             )
             return batched(seeds_arr, params_arrs, *rest)
 
@@ -407,9 +393,11 @@ class MonteCarloIntegrator:
 
     def _finalize_prog(
         self, run, dev_args, seed_batch: int, param_batch: bool = False,
-        n_param_args: int = 1,
+        n_param_args: int = 1, param_kinds=(),
     ) -> Callable:
         if param_batch:
+            if seed_batch < 1:
+                raise ValueError("seed_batch must be >= 1")
             if getattr(run, "__native_param_batch__", 0) == seed_batch:
                 # Pallas path: params ride the kernel's batch grid
                 # dimension (one SMEM row per rep).
@@ -417,13 +405,13 @@ class MonteCarloIntegrator:
 
                 def prog(seeds, *params):
                     seeds_arr, params_arrs = _check_param_batch_args(
-                        seeds, params, seed_batch, n_param_args
+                        seeds, params, seed_batch, n_param_args, param_kinds
                     )
                     return run(seeds_arr, *params_arrs, *rest)
 
                 return prog
             return self._param_batched_prog(
-                run, tuple(dev_args), seed_batch, n_param_args
+                run, tuple(dev_args), seed_batch, n_param_args, param_kinds
             )
         if seed_batch != 1:
             if getattr(run, "__native_seed_batch__", 1) == seed_batch:
@@ -969,13 +957,7 @@ class MonteCarloIntegrator:
                 ("target", target_distribution),
                 ("proposal", proposal_distribution),
             ):
-                if dist_spec_of(d).kind == DistKind.CUSTOM:
-                    raise ValueError(
-                        "param_batch applies to analytic families only "
-                        f"(uniform/normal/exponential): the {role} "
-                        "distribution samples/evaluates through "
-                        "host-built per-distribution tables"
-                    )
+                ensure_param_batch_family(dist_spec_of(d).kind, role)
         traced = self._trace_user_functions(functions)
         prog, _ = self._get_mcmc_program(
             traced,
@@ -1182,7 +1164,8 @@ class MonteCarloIntegrator:
 
             return (
                 self._finalize_mcmc_prog(
-                    run, static_args, seed_batch, param_batch
+                    run, static_args, seed_batch, param_batch,
+                    (prop_spec.kind, targ_spec.kind),
                 ),
                 total_chains,
             )
@@ -1257,20 +1240,22 @@ class MonteCarloIntegrator:
 
         return (
             self._finalize_mcmc_prog(
-                run, static_args, seed_batch, param_batch
+                run, static_args, seed_batch, param_batch,
+                (prop_spec.kind, targ_spec.kind),
             ),
             total_chains,
         )
 
     def _finalize_mcmc_prog(
-        self, run, static_args, seed_batch: int, param_batch: bool
+        self, run, static_args, seed_batch: int, param_batch: bool,
+        param_kinds=(),
     ) -> Callable:
         """Finalize a stateless MCMC program.  The internal run signature
         leads with (proposal_params, target_params); the param-batched
         user handle mirrors compile_mcmc's (target, proposal) arg order."""
         inner = self._finalize_prog(
             run, static_args, seed_batch, param_batch=param_batch,
-            n_param_args=2,
+            n_param_args=2, param_kinds=param_kinds,
         )
         if not param_batch:
             return inner
@@ -1309,10 +1294,16 @@ def _tag_native_batch(run, seed_batch: int, param_batch: bool = False):
         return tagged
 
 
-def _check_param_batch_args(seeds, params, r: int, n_param_args: int = 1):
+def _check_param_batch_args(
+    seeds, params, r: int, n_param_args: int = 1, param_kinds=()
+):
     """Validate and device-stage the (seeds, params...) args of a
     param-batched program: (R,) uint32 seeds plus ``n_param_args``
-    (R, 2) float32 family parameter arrays (see pack_param_batch)."""
+    (R, 2) float32 family parameter arrays (see pack_param_batch).
+    ``param_kinds``: the families the program was compiled for — a
+    ``ParamBatch`` array packed for a different family is rejected
+    (its rows would silently be reinterpreted, e.g. (min, max) read
+    as (mean, std)); plain arrays skip the family check."""
     seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
     if seeds_arr.shape != (r,):
         raise ValueError(
@@ -1323,7 +1314,14 @@ def _check_param_batch_args(seeds, params, r: int, n_param_args: int = 1):
             f"expected {n_param_args} params array(s), got {len(params)}"
         )
     params_arrs = []
-    for p in params:
+    for i, p in enumerate(params):
+        fam = getattr(p, "family", None)
+        if fam is not None and i < len(param_kinds) and fam != param_kinds[i]:
+            raise ValueError(
+                f"params array {i} was packed for "
+                f"{DistKind(fam).name} distributions but this program "
+                f"was compiled for {DistKind(param_kinds[i]).name}"
+            )
         p_arr = jnp.asarray(np.asarray(p, np.float32))
         if p_arr.shape != (r, 2):
             raise ValueError(
@@ -1334,13 +1332,29 @@ def _check_param_batch_args(seeds, params, r: int, n_param_args: int = 1):
     return seeds_arr, tuple(params_arrs)
 
 
-def pack_param_batch(distributions) -> np.ndarray:
+class ParamBatch(np.ndarray):
+    """(R, 2) float32 family-parameter rows tagged with the ``family``
+    (DistKind) they parameterize, so a param-batched handle can reject a
+    pack built for a different family at dispatch time."""
+
+    def __new__(cls, arr, family):
+        obj = np.asarray(arr, np.float32).view(cls)
+        obj.family = DistKind(family)
+        return obj
+
+    def __array_finalize__(self, obj):
+        if obj is not None and not hasattr(self, "family"):
+            self.family = getattr(obj, "family", None)
+
+
+def pack_param_batch(distributions) -> ParamBatch:
     """Stack the device parameter words of same-family analytic
     distributions into the (R, 2) float32 array a ``param_batch``
     program takes: uniform -> (min, max), normal -> (mean, std),
     exponential -> (lambda, 0) — the packing of
     ``sampling.dist_spec_of`` (reference parse_dist_params,
-    src/lib.rs:436-502)."""
+    src/lib.rs:436-502).  The result carries its family so a
+    mismatched program rejects it at dispatch."""
     specs = [dist_spec_of(d) for d in distributions]
     if not specs:
         raise ValueError("param batch needs at least one distribution")
@@ -1350,12 +1364,8 @@ def pack_param_batch(distributions) -> np.ndarray:
             "param batch must share one family, got "
             f"{sorted(k.name for k in kinds)}"
         )
-    if specs[0].kind == DistKind.CUSTOM:
-        raise ValueError(
-            "param batching applies to analytic families only "
-            "(uniform/normal/exponential)"
-        )
-    return np.stack([s.params for s in specs])
+    ensure_param_batch_family(specs[0].kind)
+    return ParamBatch(np.stack([s.params for s in specs]), specs[0].kind)
 
 
 def _block_traceable(fns) -> bool:

@@ -537,11 +537,9 @@ def build_integrate_fn_pallas(
     if method not in ("mc", "qmc"):
         raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
     if param_batch:
-        if kind == DistKind.CUSTOM:
-            raise ValueError(
-                "param_batch applies to analytic families only (custom "
-                "distributions sample from host-built tables)"
-            )
+        from ..sampling import ensure_param_batch_family
+
+        ensure_param_batch_family(kind)
         if is_weight is not None:
             raise ValueError(
                 "param_batch is not supported with importance-sampling "

@@ -237,15 +237,14 @@ def build_mcmc_fn_pallas(
     if seed_batch != 1 and with_state:
         raise ValueError("seed_batch applies to stateless MCMC programs only")
     if param_batch:
+        from ..sampling import ensure_param_batch_family
+
         if with_state:
             raise ValueError(
                 "param_batch applies to stateless MCMC programs only"
             )
-        if proposal_kind == DistKind.CUSTOM or target_kind == DistKind.CUSTOM:
-            raise ValueError(
-                "param_batch applies to analytic families only (custom "
-                "distributions sample/evaluate through host-built tables)"
-            )
+        ensure_param_batch_family(proposal_kind, "proposal")
+        ensure_param_batch_family(target_kind, "target")
     k = len(eval_fns)
     if k >= LANES:
         raise ValueError(f"at most {LANES - 1} fused functions supported")

@@ -115,6 +115,25 @@ def _build_spec(dist, DistributionType, compute_inverse_cdf_table) -> DistSpec:
     raise ValueError(f"Unknown distribution type: {t}")
 
 
+def ensure_param_batch_family(kind, role: str = "") -> None:
+    """Single source of the param-batch family rule: CUSTOM distributions
+    sample/evaluate through host-built per-distribution tables, so only
+    analytic families can take runtime parameter rows.  Raised identically
+    by the API entry points, pack_param_batch, and (defensively) the
+    kernel builders."""
+    if kind == DistKind.CUSTOM:
+        subject = (
+            f"the {role} distribution samples/evaluates"
+            if role
+            else "custom distributions sample/evaluate"
+        )
+        raise ValueError(
+            "param_batch applies to analytic families only "
+            f"(uniform/normal/exponential): {subject} through "
+            "host-built per-distribution tables"
+        )
+
+
 _SQRT2 = np.float32(np.sqrt(2.0))
 
 
