@@ -21,6 +21,7 @@ from .api import (
     IntegrationResult,
     McmcState,
     MonteCarloIntegrator,
+    expectation_fn,
     integrate,
     integrate_importance_sampling,
     integrate_mcmc,
@@ -44,6 +45,7 @@ __all__ = [
     "DistributionType",
     "IntegrationResult",
     "McmcState",
+    "expectation_fn",
     "integrate",
     "integrate_importance_sampling",
     "integrate_mcmc",

@@ -351,6 +351,71 @@ class MonteCarloIntegrator:
             param_kinds=(spec.kind,),
         )
 
+    def expectation_fn(
+        self,
+        functions: List[Union[Callable, str]],
+        distribution: Distribution,
+        n_samples: int = 1_000_000,
+        method: str = "mc",
+    ) -> Callable:
+        """Differentiable expectation estimator — a capability outside the
+        reference's codegen design: returns ``est(params, seed=42) ->
+        (K,) jnp.float32`` computing E[f_i(X_params)] with exactly the
+        ``integrate`` XLA-path sampling semantics, as a pure jittable JAX
+        function of the family parameters.
+
+        Gradients are pathwise (reparameterization): the underlying
+        uniform/normal draws are parameter-independent and every analytic
+        transform is differentiable in its parameters, so ``jax.grad(est)``
+        is an unbiased gradient estimator for a.e.-differentiable
+        integrands (indicator integrands get zero pathwise gradient —
+        use a smooth surrogate).  ``jax.jit``, ``jax.vmap`` (parameter
+        sweeps), and higher-order ``jax.grad`` all compose; with
+        ``mesh=...`` the gradient rides the same psum as the value.
+
+        ``params`` packs as in :func:`pack_param_batch`: uniform ->
+        (min, max), normal -> (mean, std), exponential -> (lambda,
+        ignored).  Analytic families only: CUSTOM distributions sample
+        through host-built tables whose construction is not traced.
+        ``distribution`` supplies the family and default packing shape.
+        """
+        spec = dist_spec_of(distribution)
+        ensure_param_batch_family(spec.kind, feature="expectation_fn")
+        traced = self._trace_user_functions(functions)
+        mesh = self._mesh
+        n_dev = 1 if mesh is None else mesh.size
+        plan = make_integrate_plan(
+            n_samples, self._target_threads, n_dev=n_dev
+        )
+        # Always the XLA sweep (shared program cache with backend="xla"):
+        # it is pure JAX end-to-end, so AD traverses it; the Pallas
+        # kernels (hardware PRNG, Mosaic) have no gradient path.
+        key = (
+            "integrate_xla",
+            _fns_key(traced),
+            spec.kind,
+            plan,
+            _table_shapes(spec),
+            _mesh_key(mesh),
+            method,
+        )
+        run = self._cache.get_or_build(
+            key,
+            lambda: build_integrate_fn(
+                traced, spec.kind, plan, mesh=mesh,
+                exact_inverse=spec.exact_inverse, method=method,
+            ),
+        )
+        dummy = _tbl(None)
+
+        def est(params, seed: int = 42):
+            return run(
+                jnp.uint32(seed), jnp.asarray(params, jnp.float32),
+                dummy, dummy,
+            )
+
+        return est
+
     def _batched_prog(self, run, dev_args, seed_batch: int) -> Callable:
         """One-RPC seed-batched dispatch for programs without native grid
         batching (the XLA paths) — the zero-param-args case of
@@ -1695,6 +1760,25 @@ def integrate(
     )
     return integrator.integrate(
         functions, distribution, n_samples, seed, method=method
+    )
+
+
+def expectation_fn(
+    functions: List[Union[Callable, str]],
+    distribution: Distribution,
+    n_samples: int = 1_000_000,
+    method: str = "mc",
+    target_threads: Optional[int] = None,
+    mesh=None,
+) -> Callable:
+    """Module-level shorthand for
+    :meth:`MonteCarloIntegrator.expectation_fn` (fresh integrator;
+    compiled programs are still cached process-wide)."""
+    integrator = MonteCarloIntegrator(
+        target_threads=target_threads, mesh=mesh
+    )
+    return integrator.expectation_fn(
+        functions, distribution, n_samples, method=method
     )
 
 

@@ -115,12 +115,15 @@ def _build_spec(dist, DistributionType, compute_inverse_cdf_table) -> DistSpec:
     raise ValueError(f"Unknown distribution type: {t}")
 
 
-def ensure_param_batch_family(kind, role: str = "") -> None:
-    """Single source of the param-batch family rule: CUSTOM distributions
-    sample/evaluate through host-built per-distribution tables, so only
-    analytic families can take runtime parameter rows.  Raised identically
-    by the API entry points, pack_param_batch, and (defensively) the
-    kernel builders."""
+def ensure_param_batch_family(
+    kind, role: str = "", feature: str = "param_batch"
+) -> None:
+    """Single source of the runtime-parameter family rule: CUSTOM
+    distributions sample/evaluate through host-built per-distribution
+    tables, so only analytic families can take runtime parameter rows.
+    Raised identically by the API entry points (param_batch,
+    expectation_fn), pack_param_batch, and (defensively) the kernel
+    builders."""
     if kind == DistKind.CUSTOM:
         subject = (
             f"the {role} distribution samples/evaluates"
@@ -128,7 +131,7 @@ def ensure_param_batch_family(kind, role: str = "") -> None:
             else "custom distributions sample/evaluate"
         )
         raise ValueError(
-            "param_batch applies to analytic families only "
+            f"{feature} applies to analytic families only "
             f"(uniform/normal/exponential): {subject} through "
             "host-built per-distribution tables"
         )
@@ -214,8 +217,13 @@ def transform_from_u(
         x = params[0] + u * (params[1] - params[0])
         # u < 1 guarantees x < max mathematically; float32 rounding can
         # still land exactly on max, where the half-open pdf is zero (an
-        # IS weight would then divide by q=0) — clamp just below.
-        return jnp.minimum(x, next_below_f32(params[1]))
+        # IS weight would then divide by q=0) — clamp just below.  The
+        # clamp is a measure-zero correction and its bit arithmetic has
+        # no AD rule, so it is excluded from the gradient path
+        # (expectation_fn differentiates this transform in params).
+        return jnp.minimum(
+            x, jax.lax.stop_gradient(next_below_f32(params[1]))
+        )
     if kind == DistKind.EXPONENTIAL:
         return -jnp.log(jnp.maximum(u, 1e-7)) / params[0]
     if kind == DistKind.CUSTOM:
