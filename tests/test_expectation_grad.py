@@ -126,3 +126,20 @@ class TestValidation:
     def test_custom_rejected(self):
         with pytest.raises(ValueError, match="expectation_fn applies"):
             expectation_fn([lambda x: x], Distribution.beta(2.0, 5.0))
+
+    def test_params_shape_checked(self):
+        # A wrong-shaped params array must error, not be silently
+        # misread through JAX's clamped gather semantics.
+        est = expectation_fn(
+            [lambda x: x], Distribution.normal(0.0, 1.0), n_samples=N
+        )
+        with pytest.raises(ValueError, match=r"\(2,\) params"):
+            est(jnp.asarray([2.0]))
+        with pytest.raises(ValueError, match=r"\(2,\) params"):
+            est(jnp.zeros((3, 2)))
+
+    def test_forced_pallas_warns(self):
+        with pytest.warns(UserWarning, match="XLA sweep"):
+            MonteCarloIntegrator(backend="pallas").expectation_fn(
+                [lambda x: x], Distribution.normal(0.0, 1.0), n_samples=N
+            )

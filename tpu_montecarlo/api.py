@@ -381,6 +381,16 @@ class MonteCarloIntegrator:
         """
         spec = dist_spec_of(distribution)
         ensure_param_batch_family(spec.kind, feature="expectation_fn")
+        if self._backend == "pallas":
+            # The forced-backend no-silent-degrade convention: AD needs
+            # the pure-JAX sweep — the Pallas kernels (hardware PRNG,
+            # Mosaic) have no gradient path.
+            warnings.warn(
+                "backend='pallas' requested but expectation_fn always "
+                "runs the XLA sweep (the differentiable path); the "
+                "Pallas kernels cannot be differentiated",
+                stacklevel=2,
+            )
         traced = self._trace_user_functions(functions)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
@@ -388,8 +398,30 @@ class MonteCarloIntegrator:
             n_samples, self._target_threads, n_dev=n_dev
         )
         # Always the XLA sweep (shared program cache with backend="xla"):
-        # it is pure JAX end-to-end, so AD traverses it; the Pallas
-        # kernels (hardware PRNG, Mosaic) have no gradient path.
+        # it is pure JAX end-to-end, so AD traverses it.
+        run = self._xla_integrate_program(traced, spec, plan, method)
+        dummy = _tbl(None)
+
+        def est(params, seed: int = 42):
+            params_arr = jnp.asarray(params, jnp.float32)
+            if params_arr.shape != (2,):
+                # JAX's clamped gather would silently misread a
+                # wrong-shaped array (e.g. params[1] of a (1,) array
+                # clamps to params[0]).
+                raise ValueError(
+                    f"expected a (2,) params array (pack as "
+                    f"pack_param_batch does), got shape {params_arr.shape}"
+                )
+            return run(jnp.uint32(seed), params_arr, dummy, dummy)
+
+        return est
+
+    def _xla_integrate_program(self, traced, spec, plan, method: str):
+        """The cached XLA integrate program for (fns, spec, plan, method) —
+        the single builder behind both the backend='xla' integrate path
+        and expectation_fn, so the shared cache key can never go out of
+        sync with the build arguments."""
+        mesh = self._mesh
         key = (
             "integrate_xla",
             _fns_key(traced),
@@ -399,22 +431,13 @@ class MonteCarloIntegrator:
             _mesh_key(mesh),
             method,
         )
-        run = self._cache.get_or_build(
+        return self._cache.get_or_build(
             key,
             lambda: build_integrate_fn(
                 traced, spec.kind, plan, mesh=mesh,
                 exact_inverse=spec.exact_inverse, method=method,
             ),
         )
-        dummy = _tbl(None)
-
-        def est(params, seed: int = 42):
-            return run(
-                jnp.uint32(seed), jnp.asarray(params, jnp.float32),
-                dummy, dummy,
-            )
-
-        return est
 
     def _batched_prog(self, run, dev_args, seed_batch: int) -> Callable:
         """One-RPC seed-batched dispatch for programs without native grid
@@ -570,22 +593,7 @@ class MonteCarloIntegrator:
                 return run, _device_args_of(distribution, spec)
 
         plan = make_integrate_plan(n_samples, self._target_threads, n_dev=n_dev)
-        key = (
-            "integrate_xla",
-            _fns_key(traced),
-            spec.kind,
-            plan,
-            _table_shapes(spec),
-            _mesh_key(mesh),
-            method,
-        )
-        run = self._cache.get_or_build(
-            key,
-            lambda: build_integrate_fn(
-                traced, spec.kind, plan, mesh=mesh,
-                exact_inverse=spec.exact_inverse, method=method,
-            ),
-        )
+        run = self._xla_integrate_program(traced, spec, plan, method)
         return run, _device_args_of(distribution, spec)
 
     # ------------------------------------------------------------------
