@@ -1,0 +1,163 @@
+"""Monte Carlo standard errors (``return_stderr=True``).
+
+An addition over the reference (point estimates only): ``result.stderr``
+estimates sqrt(Var[f(X)] / N) per function from Kahan-accumulated sums of
+squares in the same sweep that produces the estimates.  Error-bar runs
+execute on the XLA path by design.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_montecarlo import (
+    Distribution,
+    MonteCarloIntegrator,
+    integrate,
+    integrate_importance_sampling,
+)
+
+
+class TestStderrValues:
+    def test_normal_mean_stderr(self):
+        # Var[X] = 1 under N(0,1): stderr of E[X] at N samples is
+        # ~ 1/sqrt(N_actual); the plan rounds N up, so allow 15%.
+        n = 1_000_000
+        r = integrate(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            n_samples=n, return_stderr=True,
+        )
+        assert r.stderr is not None and r.stderr.shape == (1,)
+        assert abs(r.stderr[0] - 1.0 / np.sqrt(n)) < 0.15 / np.sqrt(n)
+        assert abs(r.values[0]) < 4 * r.stderr[0]
+
+    def test_indicator_stderr(self):
+        # f = 1{X > 1}: Var = p(1-p) with p = P(X > 1) ~ 0.1587.
+        n = 1_000_000
+        p = 0.15865525
+        r = integrate(
+            [lambda x: x > 1.0], Distribution.normal(0.0, 1.0),
+            n_samples=n, return_stderr=True,
+        )
+        expected = np.sqrt(p * (1 - p) / n)
+        assert abs(r.stderr[0] - expected) < 0.1 * expected
+        assert abs(r.values[0] - p) < 4 * r.stderr[0]
+
+    def test_stderr_scales_with_n(self):
+        # Quadrupling N halves the standard error.
+        d = Distribution.exponential(1.0)
+        r1 = integrate([lambda x: x], d, n_samples=250_000,
+                       return_stderr=True)
+        r2 = integrate([lambda x: x], d, n_samples=1_000_000,
+                       return_stderr=True)
+        ratio = r1.stderr[0] / r2.stderr[0]
+        assert abs(ratio - 2.0) < 0.3
+
+    def test_multiple_functions_and_default_none(self):
+        d = Distribution.uniform(0.0, 1.0)
+        r = integrate(
+            [lambda x: x, lambda x: x * x], d, n_samples=200_000,
+            return_stderr=True,
+        )
+        assert r.stderr.shape == (2,)
+        # Var[U] = 1/12, Var[U^2] = 1/5 - 1/9 = 4/45.
+        n = 200_000
+        assert abs(r.stderr[0] - np.sqrt(1 / 12 / n)) < 0.2 * r.stderr[0]
+        assert abs(r.stderr[1] - np.sqrt(4 / 45 / n)) < 0.2 * r.stderr[1]
+        plain = integrate([lambda x: x], d, n_samples=100_000)
+        assert plain.stderr is None
+
+    def test_custom_table_distribution(self):
+        r = integrate(
+            [lambda x: x], Distribution.beta(2.0, 5.0),
+            n_samples=500_000, return_stderr=True,
+        )
+        # mean 2/7, Var = ab/((a+b)^2 (a+b+1)) = 10/(49*8).
+        assert abs(r.values[0] - 2 / 7) < 4 * r.stderr[0] + 1e-3
+        assert r.stderr[0] > 0
+
+
+class TestStderrIS:
+    def test_rare_event_stderr(self):
+        # The IS estimator's stderr must bracket the truth and be far
+        # smaller than the naive-MC stderr sqrt(p/N) for p ~ 3.2e-5.
+        n = 10_000_000
+        truth = 3.1671e-05
+        r = integrate_importance_sampling(
+            [lambda x: x > 4.0],
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(4.0, 1.0),
+            n_samples=n, return_stderr=True,
+        )
+        assert abs(r.values[0] - truth) < 4 * r.stderr[0]
+        naive = np.sqrt(truth / n)
+        assert r.stderr[0] < 0.5 * naive
+
+    def test_p_equals_q_matches_plain(self):
+        # With p == q the weight is 1: the IS stderr equals the plain
+        # estimator's stderr for the same workload.
+        d = Distribution.normal(0.0, 1.0)
+        r_is = integrate_importance_sampling(
+            [lambda x: x * x], d, Distribution.normal(0.0, 1.0),
+            n_samples=200_000, return_stderr=True,
+        )
+        assert abs(r_is.values[0] - 1.0) < 4 * r_is.stderr[0]
+        assert r_is.stderr[0] > 0
+
+    def test_table_pdf_fallback_path(self):
+        # Non-traceable PDF -> table closure path; stderr still flows.
+        def weird_pdf(x):
+            return float(int(abs(x) < 1.0)) * 0.5
+
+        tri = Distribution.from_pdf(weird_pdf, support=(-1.0, 1.0))
+        r = integrate_importance_sampling(
+            [lambda x: x * x],
+            tri,
+            Distribution.uniform(-1.5, 1.5),
+            n_samples=400_000, return_stderr=True,
+        )
+        assert abs(r.values[0] - 1 / 3) < 4 * r.stderr[0] + 2e-3
+        assert r.stderr[0] > 0
+
+
+class TestStderrRouting:
+    def test_forced_pallas_warns(self):
+        with pytest.warns(UserWarning, match="XLA sweep"):
+            MonteCarloIntegrator(backend="pallas").integrate(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                n_samples=100_000, return_stderr=True,
+            )
+
+    def test_values_match_xla_backend(self):
+        # The stderr program's estimates must equal the plain XLA
+        # program's bit-for-bit (same streams, same accumulation of the
+        # value sums).
+        d = Distribution.normal(0.0, 1.0)
+        r = integrate(
+            [lambda x: x, lambda x: x * x], d, n_samples=300_000,
+            seed=9, return_stderr=True,
+        )
+        plain = integrate(
+            [lambda x: x, lambda x: x * x], d, n_samples=300_000,
+            seed=9, backend="xla",
+        )
+        np.testing.assert_array_equal(
+            np.float32(r.values), np.float32(plain.values)
+        )
+
+    def test_qmc_stderr_is_conservative(self):
+        # Under QMC the iid formula is only a bound; the actual error is
+        # far smaller.  Check it is finite, positive, and brackets truth.
+        r = integrate(
+            [lambda x: x * x], Distribution.normal(0.0, 1.0),
+            n_samples=1_000_000, method="qmc", return_stderr=True,
+        )
+        assert r.stderr[0] > 0
+        assert abs(r.values[0] - 1.0) < 4 * r.stderr[0]
+
+    def test_sharded_stderr(self):
+        r = MonteCarloIntegrator(mesh="auto").integrate(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            n_samples=800_000, return_stderr=True,
+        )
+        n = 800_000
+        assert abs(r.stderr[0] - 1.0 / np.sqrt(n)) < 0.2 / np.sqrt(n)

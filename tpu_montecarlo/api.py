@@ -92,6 +92,10 @@ class IntegrationResult:
             the reference).
         chain_state: MCMC only — final ``McmcState`` when requested with
             ``return_state=True``, else None.
+        stderr: float64 array of Monte Carlo standard errors, one per
+            function, when requested with ``return_stderr=True``; else
+            None (an addition over the reference, which returns point
+            estimates only).
     """
 
     def __init__(
@@ -101,12 +105,16 @@ class IntegrationResult:
         n_functions: int,
         acceptance_rate: Optional[float] = None,
         chain_state: Optional[McmcState] = None,
+        stderr=None,
     ):
         self.values = np.array(values, dtype=np.float64)
         self.n_samples = n_samples
         self.n_functions = n_functions
         self.acceptance_rate = acceptance_rate
         self.chain_state = chain_state
+        self.stderr = (
+            None if stderr is None else np.array(stderr, dtype=np.float64)
+        )
 
     def __repr__(self):
         return (
@@ -291,14 +299,32 @@ class MonteCarloIntegrator:
         n_samples: int = 1_000_000,
         seed: int = 42,
         method: str = "mc",
+        return_stderr: bool = False,
     ) -> IntegrationResult:
         """Compute E[f_i(X)] for all functions on shared samples.
 
         ``method="qmc"`` draws a seed-rotated low-discrepancy point set
         instead of pseudo-random samples (ops/qmc.py): identical sampling
         semantics per family, ~O(log N / N) convergence on smooth
-        integrands — a capability beyond the plain-MC reference."""
+        integrands — a capability beyond the plain-MC reference.
+
+        ``return_stderr=True`` additionally estimates the Monte Carlo
+        standard error per function (``result.stderr``, an addition over
+        the point-estimates-only reference): stderr_i =
+        sqrt(Var[f_i(X)] / N).  Error-bar runs execute on the XLA sweep
+        (the extra sum-of-squares accumulators are a diagnostics surface,
+        not the serving hot path); under QMC the same formula is a
+        conservative bound, not the QMC convergence rate."""
         traced = self._trace_user_functions(functions)
+        if return_stderr:
+            values, stderr = self._run_integrate(
+                traced, distribution, n_samples, seed, method=method,
+                with_stderr=True,
+            )
+            return IntegrationResult(
+                values=values, n_samples=n_samples,
+                n_functions=len(functions), stderr=stderr,
+            )
         values = self._run_integrate(
             traced, distribution, n_samples, seed, method=method
         )
@@ -416,11 +442,14 @@ class MonteCarloIntegrator:
 
         return est
 
-    def _xla_integrate_program(self, traced, spec, plan, method: str):
-        """The cached XLA integrate program for (fns, spec, plan, method) —
-        the single builder behind both the backend='xla' integrate path
-        and expectation_fn, so the shared cache key can never go out of
-        sync with the build arguments."""
+    def _xla_integrate_program(
+        self, traced, spec, plan, method: str, with_stderr: bool = False
+    ):
+        """The cached XLA integrate program for (fns, spec, plan, method,
+        with_stderr) — the single builder behind the backend='xla'
+        integrate path, expectation_fn, and return_stderr runs, so the
+        shared cache key can never go out of sync with the build
+        arguments."""
         mesh = self._mesh
         key = (
             "integrate_xla",
@@ -430,12 +459,14 @@ class MonteCarloIntegrator:
             _table_shapes(spec),
             _mesh_key(mesh),
             method,
+            with_stderr,
         )
         return self._cache.get_or_build(
             key,
             lambda: build_integrate_fn(
                 traced, spec.kind, plan, mesh=mesh,
                 exact_inverse=spec.exact_inverse, method=method,
+                with_stderr=with_stderr,
             ),
         )
 
@@ -523,22 +554,43 @@ class MonteCarloIntegrator:
         return prog
 
     def _run_integrate(
-        self, traced, distribution, n_samples, seed, method: str = "mc"
+        self, traced, distribution, n_samples, seed, method: str = "mc",
+        with_stderr: bool = False,
     ):
         run, dev_args = self._get_integrate_program(
-            traced, distribution, n_samples, method=method
+            traced, distribution, n_samples, method=method,
+            with_stderr=with_stderr,
         )
         return run(np.uint32(seed), *dev_args)
 
     def _get_integrate_program(
         self, traced, distribution, n_samples, seed_batch: int = 1,
         method: str = "mc", param_batch: bool = False,
+        with_stderr: bool = False,
     ):
         if method not in ("mc", "qmc"):
             raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
         spec = dist_spec_of(distribution)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
+
+        if with_stderr:
+            # Error-bar runs take the XLA sweep: the kernels' VMEM-blocked
+            # accumulators don't carry sums of squares.
+            if self._backend == "pallas":
+                warnings.warn(
+                    "backend='pallas' requested but return_stderr runs "
+                    "the XLA sweep (the kernels do not accumulate sums "
+                    "of squares)",
+                    stacklevel=3,
+                )
+            plan = make_integrate_plan(
+                n_samples, self._target_threads, n_dev=n_dev
+            )
+            run = self._xla_integrate_program(
+                traced, spec, plan, method, with_stderr=True
+            )
+            return run, _device_args_of(distribution, spec)
 
         if self._use_pallas(spec.kind):
             from .ops.integrate_pallas import (
@@ -608,6 +660,7 @@ class MonteCarloIntegrator:
         n_samples: int = 1_000_000,
         seed: int = 42,
         method: str = "mc",
+        return_stderr: bool = False,
     ) -> IntegrationResult:
         """Compute E_p[f(X)] sampling from q with weights p(x)/q(x).
 
@@ -615,11 +668,21 @@ class MonteCarloIntegrator:
         is folded into each integrand, reference __init__.py:893-905).  PDFs
         that fail tracing fall back to interpolated table lookups with the
         0-outside-support convention (reference distribution.rs:186-190).
-        """
+
+        ``return_stderr=True``: ``result.stderr`` estimates the standard
+        error of each weighted estimator f_i(X) p(X)/q(X) — the quantity
+        that tells you whether the proposal is any good (see integrate).
+        Runs on the XLA sweep."""
         prog = self._get_is_program(
             functions, target_distribution, proposal_distribution, n_samples,
-            method=method,
+            method=method, with_stderr=return_stderr,
         )
+        if return_stderr:
+            values, stderr = prog(seed)
+            return IntegrationResult(
+                values=values, n_samples=n_samples,
+                n_functions=len(functions), stderr=stderr,
+            )
         values = prog(seed)
         return IntegrationResult(
             values=values, n_samples=n_samples, n_functions=len(functions)
@@ -645,6 +708,7 @@ class MonteCarloIntegrator:
     def _get_is_program(
         self, functions, target_distribution, proposal_distribution,
         n_samples, seed_batch: int = 1, method: str = "mc",
+        with_stderr: bool = False,
     ) -> Callable:
         """IS program: ``prog(seed) -> (K,) jax.Array``.
 
@@ -664,6 +728,7 @@ class MonteCarloIntegrator:
             run, dev_args = self._get_integrate_program(
                 weighted_fns, proposal_distribution, n_samples,
                 seed_batch=seed_batch, method=method,
+                with_stderr=with_stderr,
             )
             return self._finalize_prog(run, dev_args, seed_batch)
 
@@ -672,7 +737,10 @@ class MonteCarloIntegrator:
         n_dev = 1 if mesh is None else mesh.size
 
         pallas_ok = False
-        if self._use_pallas(spec.kind):
+        # Error-bar runs take the XLA closure path (see
+        # _get_integrate_program); the in-kernel table-weight route has
+        # no sum-of-squares accumulators.
+        if not with_stderr and self._use_pallas(spec.kind):
             from .ops.integrate_pallas import build_integrate_fn_pallas
 
             plan = make_integrate_plan(
@@ -811,7 +879,7 @@ class MonteCarloIntegrator:
         )
         run, dev_args = self._get_integrate_program(
             weighted_fns, proposal_distribution, n_samples,
-            seed_batch=seed_batch, method=method,
+            seed_batch=seed_batch, method=method, with_stderr=with_stderr,
         )
         return self._finalize_prog(run, dev_args, seed_batch)
 
@@ -1760,6 +1828,7 @@ def integrate(
     backend: str = "auto",
     mesh=None,
     method: str = "mc",
+    return_stderr: bool = False,
 ) -> IntegrationResult:
     """One-shot Monte Carlo integration (fresh integrator; compiled programs
     are still cached process-wide)."""
@@ -1767,7 +1836,8 @@ def integrate(
         target_threads=target_threads, backend=backend, mesh=mesh
     )
     return integrator.integrate(
-        functions, distribution, n_samples, seed, method=method
+        functions, distribution, n_samples, seed, method=method,
+        return_stderr=return_stderr,
     )
 
 
@@ -1800,6 +1870,7 @@ def integrate_importance_sampling(
     backend: str = "auto",
     mesh=None,
     method: str = "mc",
+    return_stderr: bool = False,
 ) -> IntegrationResult:
     """One-shot importance-sampling integration."""
     integrator = MonteCarloIntegrator(
@@ -1807,7 +1878,7 @@ def integrate_importance_sampling(
     )
     return integrator.integrate_importance_sampling(
         functions, target_distribution, proposal_distribution, n_samples,
-        seed, method=method,
+        seed, method=method, return_stderr=return_stderr,
     )
 
 

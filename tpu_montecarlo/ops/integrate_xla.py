@@ -78,6 +78,7 @@ def build_integrate_fn(
     axis_name: str = "mc",
     exact_inverse: bool = False,
     method: str = "mc",
+    with_stderr: bool = False,
 ):
     """Build a jitted ``(seed, params, x_table, cdf_table) -> (K,) float32``
     integration program.  ``eval_fns`` are traced scalar functions; they are
@@ -87,6 +88,14 @@ def build_integrate_fn(
     parallelism over the sample axis) and partial sums are combined with
     ``psum`` — the multi-chip axis the single-device reference lacks
     (SURVEY.md §2.4).
+
+    ``with_stderr=True``: the program additionally Kahan-accumulates
+    per-function sums of squares and returns ``(means, stderrs)`` with
+    ``stderr_i = sqrt(max(E[f_i^2] - E[f_i]^2, 0) / N)`` — the standard
+    Monte Carlo error estimate (an addition over the reference, which
+    returns point estimates only).  For QMC the same formula is a
+    conservative bound, not the QMC error rate (low-discrepancy points
+    are not independent); it is still reported for parity of surface.
     """
     if method not in ("mc", "qmc"):
         raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
@@ -121,7 +130,6 @@ def build_integrate_fn(
             key = jax.random.PRNGKey(seed)
 
         def body(carry, i):
-            sums, comps = carry
             if method == "qmc":
                 x = _qmc_sample_chunk(
                     chunk_start + i, plan.chunk_elems, kind, params,
@@ -133,14 +141,36 @@ def build_integrate_fn(
                     ck, (plan.chunk_elems,), kind, params, x_table,
                     cdf_table, exact_inverse=exact_inverse,
                 )
+            if with_stderr:
+                sums, comps, sq_sums, sq_comps = carry
+                ys = [vf(x).astype(jnp.float32) for vf in vfns]
+                vals = jnp.stack([jnp.sum(y) for y in ys])
+                sq_vals = jnp.stack([jnp.sum(y * y) for y in ys])
+                return (
+                    _kahan_add(sums, comps, vals)
+                    + _kahan_add(sq_sums, sq_comps, sq_vals)
+                ), None
+            sums, comps = carry
             vals = jnp.stack([jnp.sum(vf(x)) for vf in vfns])
             return _kahan_add(sums, comps, vals), None
 
-        init = (jnp.zeros(k, jnp.float32), jnp.zeros(k, jnp.float32))
-        (sums, _), _ = jax.lax.scan(
+        n_acc = 4 if with_stderr else 2
+        init = tuple(jnp.zeros(k, jnp.float32) for _ in range(n_acc))
+        carry, _ = jax.lax.scan(
             body, init, jnp.arange(local_chunks, dtype=jnp.int32)
         )
-        return sums
+        if with_stderr:
+            return carry[0], carry[2]
+        return carry[0]
+
+    n_f32 = jnp.float32(plan.actual_samples)
+
+    def _finish(sums, sq_sums=None):
+        mean = sums / n_f32
+        if sq_sums is None:
+            return mean
+        var = jnp.maximum(sq_sums / n_f32 - mean * mean, 0.0)
+        return mean, jnp.sqrt(var / n_f32)
 
     # Tables are always passed as arrays; analytic families get 1-element
     # dummies (the reference does the same with dummy GPU buffers,
@@ -149,8 +179,10 @@ def build_integrate_fn(
 
         @jax.jit
         def run(seed, params, x_table, cdf_table):
-            sums = _sweep(seed, params, x_table, cdf_table, 0)
-            return sums / jnp.float32(plan.actual_samples)
+            out = _sweep(seed, params, x_table, cdf_table, 0)
+            if with_stderr:
+                return _finish(*out)
+            return _finish(out)
 
         return run
 
@@ -158,15 +190,20 @@ def build_integrate_fn(
 
     def sharded_body(seed, params, x_table, cdf_table):
         d = jax.lax.axis_index(axis_name)
-        sums = _sweep(seed, params, x_table, cdf_table, d * local_chunks)
-        total = jax.lax.psum(sums, axis_name)
-        return total / jnp.float32(plan.actual_samples)
+        out = _sweep(seed, params, x_table, cdf_table, d * local_chunks)
+        if with_stderr:
+            sums, sq_sums = out
+            return _finish(
+                jax.lax.psum(sums, axis_name),
+                jax.lax.psum(sq_sums, axis_name),
+            )
+        return _finish(jax.lax.psum(out, axis_name))
 
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
         in_specs=(replicated, replicated, replicated, replicated),
-        out_specs=replicated,
+        out_specs=(replicated, replicated) if with_stderr else replicated,
         check_vma=False,
     )
 
