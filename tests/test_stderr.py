@@ -66,6 +66,22 @@ class TestStderrValues:
         plain = integrate([lambda x: x], d, n_samples=100_000)
         assert plain.stderr is None
 
+    def test_large_mean_no_cancellation(self):
+        # Regression: the one-pass E[f^2] - mean^2 formula collapses in
+        # float32 when |mean| >> std (measured stderr=0.0 at N(1e4, 1)
+        # and 22x inflated at N(5e4, 1)); the pilot-shifted accumulation
+        # must keep the error bar accurate at any offset.
+        n = 1_000_000
+        for mean in (10_000.0, 50_000.0):
+            r = integrate(
+                [lambda x: x], Distribution.normal(mean, 1.0),
+                n_samples=n, return_stderr=True,
+            )
+            expected = 1.0 / np.sqrt(n)
+            assert abs(r.stderr[0] - expected) < 0.2 * expected, (
+                mean, r.stderr[0]
+            )
+
     def test_custom_table_distribution(self):
         r = integrate(
             [lambda x: x], Distribution.beta(2.0, 5.0),
@@ -93,15 +109,26 @@ class TestStderrIS:
         assert r.stderr[0] < 0.5 * naive
 
     def test_p_equals_q_matches_plain(self):
-        # With p == q the weight is 1: the IS stderr equals the plain
-        # estimator's stderr for the same workload.
+        # With p == q the weight is exactly 1 (identical traced pdf
+        # expressions), so the IS estimator IS the plain estimator: both
+        # the values and the stderrs must match.  A regression that drops
+        # the weight from the squared term (estimating Var[f] instead of
+        # Var[f w]) survives a positivity check but not this one.
         d = Distribution.normal(0.0, 1.0)
         r_is = integrate_importance_sampling(
             [lambda x: x * x], d, Distribution.normal(0.0, 1.0),
             n_samples=200_000, return_stderr=True,
         )
+        plain = integrate(
+            [lambda x: x * x], d, n_samples=200_000, return_stderr=True,
+        )
+        np.testing.assert_allclose(
+            r_is.values, plain.values, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            r_is.stderr, plain.stderr, rtol=1e-5
+        )
         assert abs(r_is.values[0] - 1.0) < 4 * r_is.stderr[0]
-        assert r_is.stderr[0] > 0
 
     def test_table_pdf_fallback_path(self):
         # Non-traceable PDF -> table closure path; stderr still flows.

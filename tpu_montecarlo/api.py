@@ -575,8 +575,12 @@ class MonteCarloIntegrator:
         n_dev = 1 if mesh is None else mesh.size
 
         if with_stderr:
-            # Error-bar runs take the XLA sweep: the kernels' VMEM-blocked
-            # accumulators don't carry sums of squares.
+            # Error-bar runs take the XLA sweep below: the kernels'
+            # VMEM-blocked accumulators don't carry sums of squares.
+            if seed_batch != 1 or param_batch:
+                raise ValueError(
+                    "with_stderr is not supported on batched programs"
+                )
             if self._backend == "pallas":
                 warnings.warn(
                     "backend='pallas' requested but return_stderr runs "
@@ -584,15 +588,8 @@ class MonteCarloIntegrator:
                     "of squares)",
                     stacklevel=3,
                 )
-            plan = make_integrate_plan(
-                n_samples, self._target_threads, n_dev=n_dev
-            )
-            run = self._xla_integrate_program(
-                traced, spec, plan, method, with_stderr=True
-            )
-            return run, _device_args_of(distribution, spec)
 
-        if self._use_pallas(spec.kind):
+        if not with_stderr and self._use_pallas(spec.kind):
             from .ops.integrate_pallas import (
                 build_integrate_fn_pallas,
                 pallas_supports,
@@ -645,7 +642,9 @@ class MonteCarloIntegrator:
                 return run, _device_args_of(distribution, spec)
 
         plan = make_integrate_plan(n_samples, self._target_threads, n_dev=n_dev)
-        run = self._xla_integrate_program(traced, spec, plan, method)
+        run = self._xla_integrate_program(
+            traced, spec, plan, method, with_stderr=with_stderr
+        )
         return run, _device_args_of(distribution, spec)
 
     # ------------------------------------------------------------------
@@ -710,7 +709,9 @@ class MonteCarloIntegrator:
         n_samples, seed_batch: int = 1, method: str = "mc",
         with_stderr: bool = False,
     ) -> Callable:
-        """IS program: ``prog(seed) -> (K,) jax.Array``.
+        """IS program: ``prog(seed) -> (K,) jax.Array`` — or, with
+        ``with_stderr=True``, ``prog(seed) -> ((K,) values, (K,) stderrs)``
+        on the XLA sweep.
 
         Both PDFs traceable -> closed-form weight folded into each integrand
         (the weighted closures lower into the Pallas kernel as-is).  Any

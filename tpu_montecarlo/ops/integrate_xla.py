@@ -129,23 +129,43 @@ def build_integrate_fn(
         else:
             key = jax.random.PRNGKey(seed)
 
-        def body(carry, i):
+        def draw(i):
             if method == "qmc":
-                x = _qmc_sample_chunk(
-                    chunk_start + i, plan.chunk_elems, kind, params,
+                return _qmc_sample_chunk(
+                    i, plan.chunk_elems, kind, params,
                     x_table, cdf_table, exact_inverse, shift,
                 )
-            else:
-                ck = jax.random.fold_in(key, chunk_start + i)
-                x = sample_block(
-                    ck, (plan.chunk_elems,), kind, params, x_table,
-                    cdf_table, exact_inverse=exact_inverse,
-                )
+            ck = jax.random.fold_in(key, i)
+            return sample_block(
+                ck, (plan.chunk_elems,), kind, params, x_table,
+                cdf_table, exact_inverse=exact_inverse,
+            )
+
+        if with_stderr:
+            # Variance pilot: every device re-evaluates GLOBAL chunk 0 and
+            # centers the square accumulation on its per-function means —
+            # the one-pass E[f^2] - mean^2 formula cancels catastrophically
+            # in float32 when |mean| >> std (measured stderr=0 at
+            # N(1e4, 1)).  The pilot is identical on all devices (same
+            # stream), so the shifted partials psum consistently; the raw
+            # VALUE sums stay unshifted, bit-equal to the plain program.
+            x0 = draw(jnp.int32(0))
+            pilot = jnp.stack(
+                [jnp.mean(vf(x0).astype(jnp.float32)) for vf in vfns]
+            )
+
+        def body(carry, i):
+            x = draw(chunk_start + i)
             if with_stderr:
                 sums, comps, sq_sums, sq_comps = carry
                 ys = [vf(x).astype(jnp.float32) for vf in vfns]
                 vals = jnp.stack([jnp.sum(y) for y in ys])
-                sq_vals = jnp.stack([jnp.sum(y * y) for y in ys])
+                sq_vals = jnp.stack(
+                    [
+                        jnp.sum((y - c) * (y - c))
+                        for y, c in zip(ys, pilot)
+                    ]
+                )
                 return (
                     _kahan_add(sums, comps, vals)
                     + _kahan_add(sq_sums, sq_comps, sq_vals)
@@ -160,16 +180,19 @@ def build_integrate_fn(
             body, init, jnp.arange(local_chunks, dtype=jnp.int32)
         )
         if with_stderr:
-            return carry[0], carry[2]
+            return carry[0], carry[2], pilot
         return carry[0]
 
     n_f32 = jnp.float32(plan.actual_samples)
 
-    def _finish(sums, sq_sums=None):
+    def _finish(sums, sq_sums=None, pilot=None):
         mean = sums / n_f32
         if sq_sums is None:
             return mean
-        var = jnp.maximum(sq_sums / n_f32 - mean * mean, 0.0)
+        # Var[f] = E[(f - c)^2] - (mean - c)^2 for any shift c; with the
+        # pilot c ~ mean both terms are O(std^2), so no cancellation.
+        d = mean - pilot
+        var = jnp.maximum(sq_sums / n_f32 - d * d, 0.0)
         return mean, jnp.sqrt(var / n_f32)
 
     # Tables are always passed as arrays; analytic families get 1-element
@@ -192,10 +215,11 @@ def build_integrate_fn(
         d = jax.lax.axis_index(axis_name)
         out = _sweep(seed, params, x_table, cdf_table, d * local_chunks)
         if with_stderr:
-            sums, sq_sums = out
+            sums, sq_sums, pilot = out
             return _finish(
                 jax.lax.psum(sums, axis_name),
                 jax.lax.psum(sq_sums, axis_name),
+                pilot,
             )
         return _finish(jax.lax.psum(out, axis_name))
 
