@@ -14,6 +14,7 @@ from tpu_montecarlo import (
     MonteCarloIntegrator,
     integrate,
     integrate_importance_sampling,
+    integrate_mcmc,
 )
 
 
@@ -144,6 +145,66 @@ class TestStderrIS:
         )
         assert abs(r.values[0] - 1 / 3) < 4 * r.stderr[0] + 2e-3
         assert r.stderr[0] > 0
+
+
+class TestStderrMcmc:
+    def test_between_chain_stderr(self):
+        # stderr from between-chain variance of per-chain means: the
+        # truth must sit inside the error bars, and the bars must be at
+        # least the iid floor sqrt(Var[f]/(n_steps*n_chains)) — the
+        # chain's autocorrelation makes them somewhat wider — without
+        # being uselessly wide.
+        n_steps, n_chains = 2000, 1024
+        r = integrate_mcmc(
+            [lambda x: x, lambda x: x * x],
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+            n_steps=n_steps, n_chains=n_chains, n_burnin=200,
+            return_stderr=True,
+        )
+        assert r.stderr is not None and r.stderr.shape == (2,)
+        iid_floor = np.sqrt(1.0 / (n_steps * n_chains))
+        for v, truth, se in zip(r.values, (0.0, 1.0), r.stderr):
+            assert abs(v - truth) < 4 * se
+            assert se > 0.5 * iid_floor
+            assert se < 20 * iid_floor
+
+    def test_stderr_shrinks_with_chains(self):
+        kw = dict(n_steps=500, n_burnin=100, return_stderr=True)
+        t = Distribution.normal(0.0, 1.0)
+        q = Distribution.normal(0.0, 2.0)
+        r1 = integrate_mcmc([lambda x: x], t, q, n_chains=1024, **kw)
+        r2 = integrate_mcmc([lambda x: x], t, q, n_chains=4096, **kw)
+        ratio = r1.stderr[0] / r2.stderr[0]
+        assert abs(ratio - 2.0) < 0.5
+
+    def test_rejected_with_state(self):
+        with pytest.raises(ValueError, match="stateless"):
+            integrate_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0), n_steps=100, n_chains=256,
+                n_burnin=10, return_stderr=True, return_state=True,
+            )
+
+    def test_forced_pallas_warns(self):
+        with pytest.warns(UserWarning, match="XLA MCMC"):
+            MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0), n_steps=200, n_chains=256,
+                n_burnin=10, return_stderr=True,
+            )
+
+    def test_sharded_between_chain_stderr(self):
+        n_steps, n_chains = 1000, 2048
+        r = MonteCarloIntegrator(mesh="auto").integrate_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+            n_steps=n_steps, n_chains=n_chains, n_burnin=100,
+            return_stderr=True,
+        )
+        iid_floor = np.sqrt(1.0 / (n_steps * n_chains))
+        assert abs(r.values[0]) < 4 * r.stderr[0]
+        assert 0.5 * iid_floor < r.stderr[0] < 20 * iid_floor
 
 
 class TestStderrRouting:

@@ -968,6 +968,7 @@ class MonteCarloIntegrator:
         seed: int = 42,
         initial_state: Optional[McmcState] = None,
         return_state: bool = False,
+        return_stderr: bool = False,
     ) -> IntegrationResult:
         """Compute E_p[f(X)] with parallel independence-sampler
         Metropolis-Hastings chains (one chain per lane).
@@ -976,6 +977,13 @@ class MonteCarloIntegrator:
         result; passing it back as ``initial_state`` resumes those chains
         (skipping the fresh proposal-draw initialisation; burn-in still
         runs as requested).
+
+        ``return_stderr=True`` (stateless runs only): ``result.stderr``
+        estimates the standard error of each value from the BETWEEN-CHAIN
+        variance of the per-chain means — chains are independent, so this
+        is a valid MCMC error bar that automatically accounts for
+        within-chain autocorrelation (an addition over the reference).
+        Error-bar runs execute on the XLA backend.
         """
         if len(functions) == 0:
             raise ValueError("At least one function is required")
@@ -985,6 +993,12 @@ class MonteCarloIntegrator:
             raise ValueError("n_chains must be positive")
         if n_burnin < 0:
             raise ValueError("n_burnin must be non-negative")
+        if return_stderr and (return_state or initial_state is not None):
+            raise ValueError(
+                "return_stderr applies to stateless MCMC runs only "
+                "(resumed segments' between-chain variance reflects the "
+                "segment, not the combined run)"
+            )
 
         traced = self._trace_user_functions(functions)
 
@@ -1005,13 +1019,19 @@ class MonteCarloIntegrator:
                 n_steps,
                 n_chains,
                 n_burnin,
+                with_stderr=return_stderr,
             )
-            values, acc_rate = stateless(seed)
+            if return_stderr:
+                values, acc_rate, stderr = stateless(seed)
+            else:
+                values, acc_rate = stateless(seed)
+                stderr = None
             return IntegrationResult(
                 values=values,
                 n_samples=n_chains * n_steps,
                 n_functions=len(functions),
                 acceptance_rate=float(acc_rate),
+                stderr=stderr,
             )
 
         # Checkpoint/resume: both backends surface chain state (the Pallas
@@ -1162,6 +1182,7 @@ class MonteCarloIntegrator:
         initial_chains: Optional[int] = None,
         seed_batch: int = 1,
         param_batch: bool = False,
+        with_stderr: bool = False,
     ):
         """MCMC program + the chain count its state carries.
 
@@ -1179,13 +1200,31 @@ class MonteCarloIntegrator:
             raise ValueError(
                 "param_batch applies to stateless MCMC programs only"
             )
+        if with_stderr:
+            if with_state:
+                raise ValueError(
+                    "with_stderr applies to stateless MCMC programs only"
+                )
+            if seed_batch != 1 or param_batch:
+                raise ValueError(
+                    "with_stderr is not supported on batched programs"
+                )
         prop_spec = dist_spec_of(proposal_distribution)
         targ_spec = dist_spec_of(target_distribution)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
-        pallas_ok = self._mcmc_pallas_ok(
+        # Error-bar runs take the XLA backend: the kernel reduces chains
+        # to program sums in VMEM and has no square accumulators.
+        if with_stderr and self._backend == "pallas":
+            warnings.warn(
+                "backend='pallas' requested but return_stderr runs the "
+                "XLA MCMC backend (the kernel does not accumulate "
+                "between-chain squares)",
+                stacklevel=3,
+            )
+        pallas_ok = not with_stderr and self._mcmc_pallas_ok(
             traced, prop_spec, targ_spec,
             target_distribution, proposal_distribution,
         )
@@ -1331,6 +1370,7 @@ class MonteCarloIntegrator:
             (targ_lx.shape, prop_lx.shape),
             _mesh_key(mesh),
             (with_state, use_init_state, targ_uniform, prop_uniform),
+            with_stderr,
         )
         run = self._cache.get_or_build(
             key,
@@ -1347,6 +1387,7 @@ class MonteCarloIntegrator:
                 targ_table_uniform=targ_uniform,
                 prop_table_uniform=prop_uniform,
                 prop_exact_inverse=prop_spec.exact_inverse,
+                with_stderr=with_stderr,
             ),
         )
         use_targ_table = targ_spec.kind == DistKind.CUSTOM
@@ -1896,6 +1937,7 @@ def integrate_mcmc(
     mesh=None,
     initial_state: Optional[McmcState] = None,
     return_state: bool = False,
+    return_stderr: bool = False,
 ) -> IntegrationResult:
     """One-shot MCMC integration."""
     integrator = MonteCarloIntegrator(
@@ -1911,4 +1953,5 @@ def integrate_mcmc(
         seed,
         initial_state=initial_state,
         return_state=return_state,
+        return_stderr=return_stderr,
     )

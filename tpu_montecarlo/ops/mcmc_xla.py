@@ -70,6 +70,7 @@ def build_mcmc_fn(
     targ_table_uniform: bool = False,
     prop_table_uniform: bool = False,
     prop_exact_inverse: bool = False,
+    with_stderr: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -92,7 +93,18 @@ def build_mcmc_fn(
     is consumed only when ``use_init_state=True`` (otherwise a fresh
     proposal draw initialises the chains and the state args are ignored —
     pass zeros).
+
+    ``with_stderr=True`` (stateless only): the program returns a third
+    ``(K,)`` array of standard errors estimated from the BETWEEN-CHAIN
+    variance of the per-chain means — chains draw independent streams, so
+    ``stderr_i = sqrt(Var[chain_means_i] / n_chains)`` is a valid Monte
+    Carlo error bar that automatically accounts for within-chain
+    autocorrelation (an addition over the reference).  Squares are
+    accumulated around per-device chain-mean centroids and recombined
+    with the global mean, so no float32 cancellation at any offset.
     """
+    if with_stderr and with_state:
+        raise ValueError("with_stderr applies to stateless MCMC programs only")
     k = len(eval_fns)
     vfns = [jax.vmap(f) for f in eval_fns]
     n_dev = 1 if mesh is None else mesh.size
@@ -202,10 +214,23 @@ def build_mcmc_fn(
         )
         # Per-chain means, summed over local chains (global divide later).
         chain_means = acc / jnp.float32(n_steps)
+        if with_stderr:
+            # Center squares on the local chain-mean centroid (no f32
+            # cancellation); the run wrapper recombines device partials
+            # around the global mean (Chan's formula).
+            mb = jnp.mean(chain_means, axis=1)
+            ss = jnp.sum((chain_means - mb[:, None]) ** 2, axis=1)
+            return jnp.sum(chain_means, axis=1), n_accept, x_f, logp_f, ss, mb
         return jnp.sum(chain_means, axis=1), n_accept, x_f, logp_f
 
     denom_vals = jnp.float32(total_chains)
     denom_acc = jnp.float32(total_chains) * jnp.float32(max(n_steps, 1))
+
+    def _stderr_of(ss_total):
+        # Standard error of the mean of total_chains independent chains
+        # (ddof=1; a single chain yields stderr 0 rather than div-0).
+        var = ss_total / jnp.maximum(denom_vals - 1.0, 1.0)
+        return jnp.sqrt(var / denom_vals)
 
     if mesh is None:
         if with_state:
@@ -222,6 +247,22 @@ def build_mcmc_fn(
                 )
                 return (
                     sums / denom_vals, n_accept / denom_acc, x_f, logp_f
+                )
+
+            return run
+
+        if with_stderr:
+
+            @jax.jit
+            def run(seed, prop_params, targ_params, *tables):
+                sums, n_accept, _, _, ss, _ = _chain_sweep(
+                    seed, prop_params, targ_params, *tables, jnp.int32(0)
+                )
+                # Single device: the local centroid IS the global mean.
+                return (
+                    sums / denom_vals,
+                    n_accept / denom_acc,
+                    _stderr_of(ss),
                 )
 
             return run
@@ -249,6 +290,10 @@ def build_mcmc_fn(
                 init_logp=logp0 if use_init_state else None,
                 segment=segment,
             )
+        elif with_stderr:
+            sums, n_accept, x_f, logp_f, ss, mb = _chain_sweep(
+                seed, prop_params, targ_params, *tables_and_state, d
+            )
         else:
             sums, n_accept, x_f, logp_f = _chain_sweep(
                 seed, prop_params, targ_params, *tables_and_state, d
@@ -256,6 +301,13 @@ def build_mcmc_fn(
         sums = jax.lax.psum(sums, axis_name)
         n_accept = jax.lax.psum(n_accept, axis_name)
         out = (sums / denom_vals, n_accept / denom_acc)
+        if with_stderr:
+            # Chan's recombination: total SS around the global mean M is
+            # sum_d [SS_d + n_d (centroid_d - M)^2].
+            m_global = sums / denom_vals
+            corr = jnp.float32(local_chains) * (mb - m_global) ** 2
+            ss_total = jax.lax.psum(ss + corr, axis_name)
+            out = out + (_stderr_of(ss_total),)
         if with_state:
             out = out + (x_f, logp_f)
         return out
@@ -263,6 +315,8 @@ def build_mcmc_fn(
     n_table_args = 9
     in_specs = (replicated,) * n_table_args
     out_specs = (replicated, replicated)
+    if with_stderr:
+        out_specs = out_specs + (replicated,)
     if with_state:
         in_specs = in_specs + (sharded, sharded, replicated)
         out_specs = out_specs + (sharded, sharded)
