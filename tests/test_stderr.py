@@ -178,6 +178,24 @@ class TestStderrMcmc:
         ratio = r1.stderr[0] / r2.stderr[0]
         assert abs(ratio - 2.0) < 0.5
 
+    def test_large_offset_no_swamping(self):
+        # Regression: an unshifted per-chain f32 accumulator swamps the
+        # between-chain signal when |E[f]| >> std (measured 33x-inflated
+        # stderr at N(1e5, 1) and ~20% anti-conservative bars at
+        # N(1e4, 1)); the pilot-shifted accumulation must keep the error
+        # bar in the honest band at any offset.
+        n_steps, n_chains = 2000, 1024
+        mu = 100_000.0
+        r = integrate_mcmc(
+            [lambda x: x], Distribution.normal(mu, 1.0),
+            Distribution.normal(mu, 2.0),
+            n_steps=n_steps, n_chains=n_chains, n_burnin=200,
+            return_stderr=True,
+        )
+        iid_floor = np.sqrt(1.0 / (n_steps * n_chains))
+        assert abs(r.values[0] - mu) < 4 * r.stderr[0] + 1e-3
+        assert 0.5 * iid_floor < r.stderr[0] < 20 * iid_floor
+
     def test_rejected_with_state(self):
         with pytest.raises(ValueError, match="stateless"):
             integrate_mcmc(

@@ -1251,7 +1251,9 @@ class MonteCarloIntegrator:
                 and initial_chains == total_chains
             ):
                 pallas_ok = False  # state minted by the XLA backend
-        if not pallas_ok and self._backend == "pallas":
+        if not pallas_ok and not with_stderr and self._backend == "pallas":
+            # (with_stderr already warned above — the workload may well be
+            # kernel-eligible; the error-bar request is what forced XLA.)
             warnings.warn(
                 "backend='pallas' requested but this MCMC workload is "
                 "not Pallas-eligible; running the XLA backend instead",

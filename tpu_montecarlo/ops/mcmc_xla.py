@@ -170,6 +170,16 @@ def build_mcmc_fn(
             logp0 = target_log_pdf(x0)
         logq0 = proposal_log_pdf(x0)
 
+        if with_stderr:
+            # Accumulation pilot: without a shift the per-chain f32
+            # accumulator swamps the between-chain signal when
+            # |E[f]| >> std (acc ~ n_steps*E[f], ulp >> chain spread).
+            # f evaluated at the init draw is on the right scale; the
+            # shift is added back exactly once per chain at the end.
+            pilot = jnp.stack(
+                [jnp.mean(vf(x0).astype(jnp.float32)) for vf in vfns]
+            )
+
         def step(carry, i):
             # The chain's own proposal log-density is carried, not
             # recomputed (it only changes on acceptance).
@@ -196,6 +206,8 @@ def build_mcmc_fn(
 
             collect = i >= n_burnin
             vals = jnp.stack([vf(x) for vf in vfns])  # (K, chains)
+            if with_stderr:
+                vals = vals.astype(jnp.float32) - pilot[:, None]
             acc = acc + jnp.where(collect, vals, 0.0)
             n_accept = n_accept + jnp.where(
                 collect, jnp.sum(accept.astype(jnp.float32)), 0.0
@@ -215,12 +227,18 @@ def build_mcmc_fn(
         # Per-chain means, summed over local chains (global divide later).
         chain_means = acc / jnp.float32(n_steps)
         if with_stderr:
-            # Center squares on the local chain-mean centroid (no f32
-            # cancellation); the run wrapper recombines device partials
-            # around the global mean (Chan's formula).
-            mb = jnp.mean(chain_means, axis=1)
-            ss = jnp.sum((chain_means - mb[:, None]) ** 2, axis=1)
-            return jnp.sum(chain_means, axis=1), n_accept, x_f, logp_f, ss, mb
+            # chain_means here are pilot-SHIFTED: squares center on the
+            # shifted local centroid (the shift cancels inside the
+            # differences), and the shift is restored exactly once per
+            # chain in the sums/centroid the wrapper recombines with
+            # (Chan's formula around the global mean).
+            mb_s = jnp.mean(chain_means, axis=1)
+            ss = jnp.sum((chain_means - mb_s[:, None]) ** 2, axis=1)
+            sums = (
+                jnp.sum(chain_means, axis=1)
+                + jnp.float32(local_chains) * pilot
+            )
+            return sums, n_accept, x_f, logp_f, ss, mb_s + pilot
         return jnp.sum(chain_means, axis=1), n_accept, x_f, logp_f
 
     denom_vals = jnp.float32(total_chains)
