@@ -406,6 +406,29 @@ def main() -> int:
                 "param-batched MCMC sweep (values AND acceptance) "
                 "bit-equal to unbatched calls")
 
+    # --- error bars on hardware -------------------------------------------
+    # stderr of E[X] under N(0,1) at N samples is 1/sqrt(N_actual) (the
+    # plan rounds N up slightly); assert within 15%.
+    n_se = 10_000_000
+    r = mc.integrate([lambda x: x], d, n_samples=n_se, seed=42,
+                     return_stderr=True)
+    se_expected = 1.0 / math.sqrt(n_se)
+    ok &= check("stderr_normal_mean_1e7",
+                [r.stderr[0] / se_expected, r.values[0] / r.stderr[0]],
+                [1.0, 0.0], [0.15, 4.0],
+                "integrate error bar ~1/sqrt(N); truth within 4 sigma")
+
+    rm = mc.integrate_mcmc([lambda x: x], d, q2,
+                           n_steps=2000, n_chains=4096, n_burnin=200,
+                           seed=42, return_stderr=True)
+    iid_floor = 1.0 / math.sqrt(2000 * 4096)
+    ok &= check("stderr_mcmc_between_chain",
+                [rm.values[0] / rm.stderr[0],
+                 min(max(rm.stderr[0] / iid_floor, 0.0), 20.0)],
+                [0.0, 10.0], [4.0, 9.75],
+                "MCMC between-chain error bar: truth within 4 sigma, "
+                "stderr in (0.25x, 19.75x) of the iid floor")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",
