@@ -500,15 +500,12 @@ class MonteCarloIntegrator:
                 )
             ),
         )
-        rest = tuple(dev_args[n_param_args:])
-
-        def prog(seeds, *params):
-            seeds_arr, params_arrs = _check_param_batch_args(
-                seeds, params, seed_batch, n_param_args, param_kinds
-            )
-            return batched(seeds_arr, params_arrs, *rest)
-
-        return prog
+        return _checked_batch_prog(
+            lambda seeds_arr, params_arrs, rest: batched(
+                seeds_arr, params_arrs, *rest
+            ),
+            dev_args, seed_batch, n_param_args, param_kinds,
+        )
 
     def _finalize_prog(
         self, run, dev_args, seed_batch: int, param_batch: bool = False,
@@ -520,15 +517,12 @@ class MonteCarloIntegrator:
             if getattr(run, "__native_param_batch__", 0) == seed_batch:
                 # Pallas path: params ride the kernel's batch grid
                 # dimension (one SMEM row per rep).
-                rest = tuple(dev_args[n_param_args:])
-
-                def prog(seeds, *params):
-                    seeds_arr, params_arrs = _check_param_batch_args(
-                        seeds, params, seed_batch, n_param_args, param_kinds
-                    )
-                    return run(seeds_arr, *params_arrs, *rest)
-
-                return prog
+                return _checked_batch_prog(
+                    lambda seeds_arr, params_arrs, rest: run(
+                        seeds_arr, *params_arrs, *rest
+                    ),
+                    dev_args, seed_batch, n_param_args, param_kinds,
+                )
             return self._param_batched_prog(
                 run, tuple(dev_args), seed_batch, n_param_args, param_kinds
             )
@@ -1477,6 +1471,21 @@ def _tag_native_batch(run, seed_batch: int, param_batch: bool = False):
             if hasattr(run, attr):
                 setattr(tagged, attr, getattr(run, attr))
         return tagged
+
+
+def _checked_batch_prog(dispatch, dev_args, seed_batch, n_param_args, param_kinds):
+    """The shared (seeds, *params) handle shape of every param-batched
+    program: validate/stage the batch args, then hand (seeds_arr,
+    params_arrs, trailing dev args) to the path-specific ``dispatch``."""
+    rest = tuple(dev_args[n_param_args:])
+
+    def prog(seeds, *params):
+        seeds_arr, params_arrs = _check_param_batch_args(
+            seeds, params, seed_batch, n_param_args, param_kinds
+        )
+        return dispatch(seeds_arr, params_arrs, rest)
+
+    return prog
 
 
 def _check_param_batch_args(

@@ -96,9 +96,11 @@ class Distribution:
 
     @staticmethod
     def normal(mean: float = 0.0, std: float = 1.0) -> "Distribution":
-        """Normal distribution N(mean, std); device sampling inverts
-        the CDF (sampling.normal_from_u01, tails clamped at ~5.2 sigma).
-        Recorded support is mean ± 7 std."""
+        """Normal distribution N(mean, std).  The TPU Pallas kernels
+        sample by inverting the CDF (sampling.normal_from_u01, tails
+        clamped at ~5.2 sigma); the XLA path (CPU, backend="xla",
+        error-bar and gradient runs) draws untruncated jax.random
+        normals.  Recorded support is mean ± 7 std."""
         sigma = std
         sqrt_2pi = np.sqrt(2 * np.pi)
 
