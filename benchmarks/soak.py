@@ -5,9 +5,10 @@ and report throughput stability, estimate drift, and same-seed
 bit-stability.
 
 Measured v5e (50 dispatches in windows of 5, K=2 @ 1e8 samples/job,
-R=10): median 3.18e10 samples/s, p10 within 1.5% of median, E[X^2]
-spread 4e-5 (pure Monte Carlo noise), same-seed outputs bit-identical
-before/after.
+R=10): median 3.56e10 samples/s with the inverse-CDF normal sampler
+(3.18e10 on the earlier Box-Muller run), p10 within ~2-9% of median
+(tunnel variance), E[X^2] spread 4e-5 (pure Monte Carlo noise),
+same-seed outputs bit-identical before/after.
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/soak.py
 """
