@@ -95,6 +95,35 @@ class TestFromPdfTableValidation:
                 [0.0, 1.0], [1.0, 1.0], cdf_table=[0.0, 0.5, 1.0]
             )
 
+    def test_rejects_nonfinite_pdf(self):
+        # An inf pdf knot would reach the device log-pdf tables and turn
+        # MH acceptance ratios into NaN.
+        with pytest.raises(ValueError, match="finite"):
+            Distribution.from_pdf_table([0.0, 1.0], [1.0, float("inf")])
+
+    def test_rejects_all_zero_pdf(self):
+        # Previously constructed silently with an all-zero CDF and routed
+        # degenerate exact-inverse sampling.
+        with pytest.raises(ValueError, match="integral is zero"):
+            Distribution.from_pdf_table(np.linspace(0, 1, 50), np.zeros(50))
+
+    def test_rejects_nonmonotone_user_cdf(self):
+        with pytest.raises(ValueError, match="non-decreasing"):
+            Distribution.from_pdf_table(
+                [0.0, 0.5, 1.0], [1.0, 1.0, 1.0],
+                cdf_table=[0.0, 0.8, 0.5],
+            )
+
+    def test_unnormalised_user_cdf_is_normalised(self):
+        # A user CDF ending at 0.95 would otherwise put a silent 5%
+        # probability atom at x_max (every u above 0.95 clamps there).
+        n = 64
+        x = np.linspace(0.0, 1.0, n)
+        d = Distribution.from_pdf_table(
+            x, np.ones(n), cdf_table=np.linspace(0.0, 0.95, n)
+        )
+        assert d._cdf_table[-1] == pytest.approx(1.0)
+
 
 class TestSupportDetection:
     def test_normal_like_pdf(self):
@@ -119,6 +148,31 @@ class TestSupportDetection:
             lambda x: math.exp(-0.5 * (x - 16.0) ** 2)
         )
         assert x_min < 16.0 < x_max
+
+    def test_nan_outside_domain_stops_expansion(self):
+        # Numpy-style PDFs return NaN outside their domain instead of
+        # raising; NaN must count as zero density, not balloon the
+        # doubling walk to the hard limit (regression: returned
+        # (-13107, 13107) for a semicircle on [-1, 1]).
+        def pdf(t):
+            with np.errstate(invalid="ignore"):
+                return float(np.sqrt(1 - t * t) * 2 / np.pi)
+
+        x_min, x_max = find_support(pdf)
+        assert -4.0 < x_min <= -0.9
+        assert 0.9 <= x_max < 4.0
+
+    def test_inf_pole_does_not_collapse_support(self):
+        # An integrable pole evaluating to inf must not be adopted as the
+        # hill-climb peak (threshold would become inf and the expansion
+        # would collapse the support to the pole's neighbourhood).
+        def pdf(t):
+            if t == 0.0:
+                return float("inf")
+            return max(0.0, 1.0 - t * t) / math.sqrt(abs(t))
+
+        x_min, x_max = find_support(pdf)
+        assert x_max - x_min > 1.0
 
 
 class TestTableSizes:

@@ -78,6 +78,41 @@ class TestGappedHostTables:
         # And both branches are actually reachable.
         assert np.any(x < xl) and np.any(x > xr)
 
+    def test_two_gaps_snapping_to_one_knot(self):
+        """Regression: two gaps separated by a sliver carrying less mass
+        than one u-knot snap to the SAME knot; applied independently, the
+        second gap's jump rewrite overwrote the first's and the jump
+        interval interpolated across gap 1's interior (measured 279/2e6
+        emulated lookups inside the gap).  Colliding gaps must merge into
+        one combined jump."""
+        from tpu_montecarlo.sampling import dist_spec_of
+        from tpu_montecarlo.tables import (
+            find_zero_density_gaps,
+            gapped_inverse_tables,
+        )
+
+        x = np.linspace(0.0, 1.0, 8192)
+        p = np.ones_like(x)
+        p[(x > 0.40) & (x < 0.45)] = 0.0          # gap 1
+        p[(x > 0.4502) & (x < 0.60)] = 0.0        # gap 2
+        # sliver [0.45, 0.4502]: mass ~2e-4/0.8 < one 4096-grid knot
+        d = Distribution.from_pdf_table(x, p)
+        spec = dist_spec_of(d)
+        assert spec.exact_inverse
+        _, pdf_vals = d.get_or_compute_pdf_table()
+        gaps = find_zero_density_gaps(spec.x_table, spec.cdf_table, pdf_vals)
+        assert len(gaps) == 2
+        t, dt = gapped_inverse_tables(spec.x_table, spec.cdf_table, gaps)
+        u = np.linspace(0.0, 1.0, 2_000_001, endpoint=False)
+        pos = u * (len(t) - 1)
+        i0 = np.clip(pos.astype(np.int32), 0, len(t) - 2)
+        frac = pos - i0
+        xs = t[i0] + frac * dt[i0]
+        for _, xl, xr in gaps:
+            inside = (xs > xl + 1e-4) & (xs < xr - 1e-4)
+            assert not np.any(inside), (xl, xr, xs[inside][:5])
+        assert np.any(xs < gaps[0][1]) and np.any(xs > gaps[1][2])
+
 
 class TestGappedPallas:
     @pytest.fixture()

@@ -218,14 +218,33 @@ class Distribution:
             raise ValueError("x_table must be sorted in ascending order")
         if np.any(pdf_arr < 0):
             raise ValueError("pdf_table must contain non-negative values")
+        if not np.all(np.isfinite(x_arr)) or not np.all(np.isfinite(pdf_arr)):
+            # An inf pdf knot would reach the device log-pdf tables and
+            # turn MH acceptance ratios into NaN.
+            raise ValueError("x_table and pdf_table must be finite")
 
         table_size = len(x_arr)
         x_min, x_max = float(x_arr[0]), float(x_arr[-1])
 
         if cdf_table is not None:
-            cdf_arr = np.asarray(cdf_table, dtype=np.float32)
-            if len(cdf_arr) != table_size:
+            cdf64 = np.asarray(cdf_table, dtype=np.float64)
+            if cdf64.ndim != 1 or len(cdf64) != table_size:
                 raise ValueError("cdf_table must have same length as x_table")
+            # Beyond-reference validation (the reference shipped any user
+            # CDF to its device binary search): a non-monotone CDF feeds
+            # the inverse-table interpolation garbage, and one that does
+            # not reach ~1 puts a silent probability atom at x_max (every
+            # u above cdf[-1] clamps there).
+            if np.any(np.diff(cdf64) < 0):
+                raise ValueError("cdf_table must be non-decreasing")
+            if not cdf64[-1] > 0:
+                raise ValueError(
+                    "cdf_table's final value must be positive — the "
+                    "PDF's integral is zero over this table"
+                )
+            if abs(cdf64[-1] - 1.0) > 1e-3:
+                cdf64 = cdf64 / cdf64[-1]
+            cdf_arr = cdf64.astype(np.float32)
         else:
             x64 = x_arr.astype(np.float64)
             p64 = pdf_arr.astype(np.float64)
@@ -233,8 +252,12 @@ class Distribution:
             cdf64[1:] = np.cumsum(
                 0.5 * (p64[1:] + p64[:-1]) * np.diff(x64)
             )
-            if cdf64[-1] > 0:
-                cdf64 = cdf64 / cdf64[-1]
+            if not cdf64[-1] > 0:
+                raise ValueError(
+                    "The PDF's integral is zero over this table — there "
+                    "is no probability mass to sample"
+                )
+            cdf64 = cdf64 / cdf64[-1]
             cdf_arr = cdf64.astype(np.float32)
 
         pdf_copy = pdf_arr.copy()
@@ -298,10 +321,8 @@ class Distribution:
         if min_log_value in cache:
             return cache[min_log_value]
         x_table, pdf_table = self.get_or_compute_pdf_table()
-        log_pdf_table = np.where(
-            pdf_table > 0,
-            np.log(np.maximum(pdf_table, 1e-16)),
-            min_log_value,
+        log_pdf_table = _tables.log_pdf_from_pdf(
+            pdf_table, min_log_value
         ).astype(np.float32)
 
         if self.dist_type == DistributionType.UNIFORM:

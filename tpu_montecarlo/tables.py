@@ -101,7 +101,10 @@ def find_support(
             "  Distribution.from_pdf(your_pdf, support=(x_min, x_max))"
         )
 
-    # Phase 2: hill climb.
+    # Phase 2: hill climb.  Non-finite probe values (an integrable pole
+    # evaluating to inf, NaN at a domain edge) are skipped, like phase
+    # 1's scan: adopting an inf peak would make the expansion threshold
+    # inf and collapse the detected support to the pole's neighbourhood.
     peak_x, peak_val = first_x, first_val
     step = 1.0
     for _ in range(100):
@@ -111,6 +114,10 @@ def find_support(
         right = (
             _try_pdf(pdf, peak_x + step) if peak_x + step < max_hard_limit else 0.0
         )
+        if not math.isfinite(left):
+            left = 0.0
+        if not math.isfinite(right):
+            right = 0.0
         if left > peak_val:
             peak_x, peak_val = peak_x - step, left
         elif right > peak_val:
@@ -128,12 +135,17 @@ def find_support(
     # final step before stopping (reference: __init__.py:182-204; the
     # distinction changes detected supports for PDFs that raise at their
     # domain edges).
+    # NaN probes (numpy-style PDFs returning NaN outside their domain
+    # instead of raising) count as zero density — both threshold
+    # comparisons are False for NaN, so without this the doubling walk
+    # would balloon to (and past) the hard limit.  +inf keeps walking:
+    # it IS above-threshold density (an interior pole).
     x_min = peak_x
     step = 0.1
     while x_min > -max_hard_limit:
         try:
             val = float(pdf(x_min - step))
-            if val <= 0 or val < threshold:
+            if math.isnan(val) or val <= 0 or val < threshold:
                 x_min -= step
                 break
             x_min -= step
@@ -146,7 +158,7 @@ def find_support(
     while x_max < max_hard_limit:
         try:
             val = float(pdf(x_max + step))
-            if val <= 0 or val < threshold:
+            if math.isnan(val) or val <= 0 or val < threshold:
                 x_max += step
                 break
             x_max += step
@@ -211,10 +223,15 @@ def compute_pdf_table(
     pdf: Callable[[float], float],
     x_table: np.ndarray,
 ) -> np.ndarray:
-    """Evaluate a PDF on an existing x-grid, returning float32 values."""
-    return _eval_pdf_grid(pdf, np.asarray(x_table, dtype=np.float64)).astype(
-        np.float32
-    )
+    """Evaluate a PDF on an existing x-grid, returning float32 values.
+
+    NaN/Inf/negative values sanitise to zero, like compute_cdf_table: an
+    inf knot (a pole landing exactly on the grid) would otherwise reach
+    the device log-pdf tables, turn MH acceptance ratios into NaN, and
+    poison the log-table downsampling allowance math."""
+    vals = _eval_pdf_grid(pdf, np.asarray(x_table, dtype=np.float64))
+    vals = np.nan_to_num(vals, nan=0.0, posinf=0.0, neginf=0.0)
+    return np.clip(vals, 0.0, None).astype(np.float32)
 
 
 def compute_inverse_cdf_table(
@@ -324,7 +341,11 @@ def resample_uniform_table(
     if scale == 0.0 or not np.isfinite(scale):
         return None
     tol = rtol * scale
-    n = max(1024, len(x))
+    # Cap the starting size at max_points so tables LONGER than the cap
+    # still get one attempt at the largest uniform grid (a 70k-knot
+    # slightly-irregular table may well fit a 65k uniform grid) instead
+    # of skipping the loop entirely.
+    n = max(1024, min(len(x), max_points))
     while n <= max_points:
         xu = np.linspace(x[0], x[-1], n)
         vu = np.interp(xu, x, v)
@@ -549,19 +570,32 @@ def _gapped_tables_for_grid(
     the gap's left edge instead of crossing it.  Intervals are within-row
     (row = table segment or stratum); the last column's dt is never read."""
     u = np.asarray(u, np.float64)
-    t = np.interp(u.reshape(-1), c64, x64).reshape(u.shape)
-    threshes = []
+    flat = u.reshape(-1)
+    t = np.interp(flat, c64, x64).reshape(u.shape)
+    # Gaps whose flat-CDF values snap to the SAME u-knot merge into one
+    # combined jump (left edge of the first, right edge of the last):
+    # applied separately, the later gap's dt rewrite would overwrite the
+    # earlier's and the jump interval would interpolate ACROSS the first
+    # gap's interior.  The sliver between such gaps carries less mass
+    # than one knot interval, so snapping it away stays within the
+    # documented half-knot distortion bound.  (Gaps arrive in ascending
+    # CDF order from find_zero_density_gaps.)
+    merged = []
     for c, xl, xr in gaps:
-        flat = u.reshape(-1)
         thresh = float(flat[int(np.argmin(np.abs(flat - c)))])
-        threshes.append(thresh)
+        if merged and merged[-1][0] == thresh:
+            _, (mc, mxl, mxr) = merged[-1]
+            merged[-1] = (thresh, (mc, mxl, max(mxr, xr)))
+        else:
+            merged.append((thresh, (c, xl, xr)))
+    for thresh, (c, xl, xr) in merged:
         right = u >= thresh
         # u < c implies exact-inverse <= xl and u > c implies >= xr; the
         # clamps only rewrite knots between c and the snapped jump knot.
         t = np.where(right, np.maximum(t, xr), np.minimum(t, xl))
     dt = np.zeros_like(t)
     dt[:, :-1] = t[:, 1:] - t[:, :-1]
-    for (c, xl, xr), thresh in zip(gaps, threshes):
+    for thresh, (c, xl, xr) in merged:
         jump = (u[:, :-1] < thresh) & (u[:, 1:] >= thresh)
         dt[:, :-1] = np.where(jump, xl - t[:, :-1], dt[:, :-1])
     return t, dt
