@@ -410,3 +410,47 @@ class TestInterpretedISWeights:
             [lambda x: x * x], target, proposal, n_samples=400_000
         )
         assert abs(r_pallas.values[0] - r_xla.values[0]) < 0.02
+
+
+class TestMcmcVmemGate:
+    def test_gate_counts_table_bytes(self):
+        """Regression: the MCMC VMEM gate ignored resident custom-table
+        bytes, so an incompressible giant user table passed routing and
+        the kernel compile-OOMed instead of falling back to XLA."""
+        from tpu_montecarlo.ops.mcmc_pallas import mcmc_vmem_fits
+
+        assert mcmc_vmem_fits(2, 32, 4)
+        assert not mcmc_vmem_fits(
+            2, 32, 4, table_bytes=17 * 1024 * 1024
+        )
+
+    def test_table_bytes_estimate(self):
+        from tpu_montecarlo.api import _mcmc_table_bytes
+        from tpu_montecarlo.sampling import dist_spec_of
+
+        from tpu_montecarlo import Distribution
+
+        beta = Distribution.beta(2.0, 5.0)
+        norm = Distribution.normal(0.0, 1.0)
+        b = _mcmc_table_bytes(
+            dist_spec_of(norm), dist_spec_of(beta), beta, norm
+        )
+        # Target-only CUSTOM: one padded (values, dx) log-table pair.
+        assert b > 0
+        assert (
+            _mcmc_table_bytes(
+                dist_spec_of(norm), dist_spec_of(norm), norm, norm
+            )
+            == 0
+        )
+
+    def test_use_init_state_requires_with_state(self):
+        from tpu_montecarlo.ops.mcmc_pallas import build_mcmc_fn_pallas
+        from tpu_montecarlo.sampling import DistKind
+
+        with pytest.raises(ValueError, match="use_init_state"):
+            build_mcmc_fn_pallas(
+                (lambda x: x,), DistKind.NORMAL, DistKind.NORMAL,
+                n_steps=10, n_burnin=0, total_chains=256,
+                interpret=True, with_state=False, use_init_state=True,
+            )

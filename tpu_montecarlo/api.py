@@ -1234,6 +1234,10 @@ class MonteCarloIntegrator:
             pallas_ok = mcmc_vmem_fits(
                 len(traced), rows, programs // n_dev,
                 seed_batch=seed_batch, with_state=with_state,
+                table_bytes=_mcmc_table_bytes(
+                    prop_spec, targ_spec,
+                    target_distribution, proposal_distribution,
+                ),
             )
         if pallas_ok and with_state:
             from .ops.mcmc_pallas import plan_state_chains
@@ -1443,6 +1447,36 @@ class MonteCarloIntegrator:
             return inner(seeds, proposal_params, target_params)
 
         return prog
+
+
+def _mcmc_table_bytes(
+    prop_spec, targ_spec, target_distribution, proposal_distribution
+) -> int:
+    """Bytes of VMEM-resident custom tables the MCMC kernel would keep:
+    the proposal inverse-CDF (value, slope) pair plus the 128-padded
+    (values, dx) log-pdf tables for each CUSTOM role.  Feeds the
+    mcmc_vmem_fits routing gate so an incompressible giant user table
+    falls back to XLA instead of compile-OOMing the kernel."""
+
+    def _padded(n: int) -> int:
+        return -(-int(n) // 128) * 128
+
+    total = 0
+    if prop_spec.kind == DistKind.CUSTOM:
+        if prop_spec.exact_inverse:
+            from .tables import INV_CDF_TABLE_SIZE
+
+            total += 2 * INV_CDF_TABLE_SIZE * 4
+        elif prop_spec.x_table is not None:
+            total += 2 * int(prop_spec.x_table.shape[0]) * 4
+        t = _proposal_kernel_log_tables(proposal_distribution)
+        if t is not None:
+            total += 2 * _padded(len(t[0])) * 4
+    if targ_spec.kind == DistKind.CUSTOM:
+        t = _uniform_log_tables(target_distribution)
+        if t is not None:
+            total += 2 * _padded(len(t[0])) * 4
+    return total
 
 
 def _tag_native_batch(run, seed_batch: int, param_batch: bool = False):

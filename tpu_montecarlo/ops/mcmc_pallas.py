@@ -56,8 +56,6 @@ __all__ = [
     "plan_state_chains",
 ]
 
-_SQRT_2PI = np.float32(2.50662827463)
-
 
 def mcmc_pallas_supports(proposal_kind: DistKind, target_kind: DistKind) -> bool:
     """All four families run in-kernel (CUSTOM via table lookups); callers
@@ -89,19 +87,23 @@ def mcmc_vmem_fits(
     local_programs: int,
     seed_batch: int = 1,
     with_state: bool = False,
+    table_bytes: int = 0,
     budget_bytes: int = 16 * 1024 * 1024,
 ) -> bool:
     """Conservative VMEM estimate for the MH kernel (same model as
     integrate_vmem_fits): carried chain state (x, log_p, log_q, accept
     count) + proposal temporaries + K accumulators, doubled for Mosaic's
     scoped temporaries, plus the VMEM-resident (seed_batch x programs,
-    128) sums buffer and, when stateful, the four whole-state blocks
-    (x0/logp0 in, x/logp out) the kernel keeps resident.  Chain blocks
-    are small (rows <= 64); huge seed batches or multi-million-chain
-    resume states are what this gate routes to the XLA backend."""
+    128) sums buffer, the resident custom tables (``table_bytes`` —
+    inverse-CDF + padded log-pdf tables, sized by the caller), and, when
+    stateful, the four whole-state blocks (x0/logp0 in, x/logp out) the
+    kernel keeps resident.  Chain blocks are small (rows <= 64); huge
+    seed batches, incompressible giant user tables, or multi-million-
+    chain resume states are what this gate routes to the XLA backend."""
     blocks = k + 8  # x/logp/logq/n_acc carried + xp/logp'/logq'/u temps
     est = 2 * blocks * rows * LANES * 4
     est += seed_batch * local_programs * LANES * 4
+    est += table_bytes
     if with_state:
         est += 4 * local_programs * rows * LANES * 4
     return est <= budget_bytes
@@ -157,20 +159,16 @@ def _sample_chain_block(kind: DistKind, p1, p2, rows, rng, counter, inv=None):
 
 
 def _log_pdf(kind: DistKind, p1, p2, x, rows, log_tab=None):
-    """Closed-form log densities for analytic families; uniform-x-grid table
-    lookup with the -100 floor for CUSTOM (reference conventions:
+    """Log densities in-kernel: the shared closed forms for analytic
+    families (sampling.analytic_log_pdf — same expressions as the XLA
+    backend, so acceptance conventions cannot drift); uniform-x-grid
+    table lookup with the -100 floor for CUSTOM (reference conventions:
     src/shader_gen.rs:543-571, src/distribution.rs:367-475)."""
-    if kind == DistKind.UNIFORM:
-        inside = jnp.logical_and(p1 <= x, x < p2)
-        return jnp.where(inside, -jnp.log(p2 - p1), LOG_PDF_FLOOR)
-    if kind == DistKind.NORMAL:
-        z = (x - p1) / p2
-        return -0.5 * z * z - jnp.log(p2 * _SQRT_2PI)
-    if kind == DistKind.EXPONENTIAL:
-        return jnp.where(x >= 0.0, jnp.log(p1) - p1 * x, LOG_PDF_FLOOR)
     if kind == DistKind.CUSTOM:
         return uniform_table_value(x, log_tab, rows, LOG_PDF_FLOOR)
-    raise ValueError(f"Pallas MCMC does not support {kind}")
+    from ..sampling import analytic_log_pdf
+
+    return analytic_log_pdf(kind, p1, p2, x)
 
 
 def _pad_log_table(lx, lp):
@@ -200,7 +198,8 @@ def build_mcmc_fn_pallas(
     Signature of the returned function (matches the XLA backend)::
 
         (seed, proposal_params, target_params,
-         prop_inv_cdf_table, prop_cdf_table(unused),
+         prop_inv_cdf_table, prop_cdf_table(gapped slope table when
+         prop_gapped=True, unused otherwise),
          targ_logpdf_x, targ_logpdf, prop_logpdf_x, prop_logpdf)
         -> ((K,) float32 estimates, () float32 acceptance_rate)
 
@@ -236,6 +235,11 @@ def build_mcmc_fn_pallas(
     """
     if seed_batch != 1 and with_state:
         raise ValueError("seed_batch applies to stateless MCMC programs only")
+    if use_init_state and not with_state:
+        raise ValueError(
+            "use_init_state requires with_state=True (the stateless "
+            "program has no state inputs)"
+        )
     if param_batch:
         from ..sampling import ensure_param_batch_family
 

@@ -245,6 +245,26 @@ def transform_from_u(
     raise ValueError(f"Unknown DistKind: {kind}")
 
 
+_SQRT_2PI = np.float32(2.50662827463)
+
+
+def analytic_log_pdf(kind: DistKind, p1, p2, x):
+    """Closed-form log densities for the analytic families from scalar
+    params — the SINGLE source of the MCMC acceptance-ratio conventions
+    (reference src/shader_gen.rs:543-571: half-open uniform [p1, p2),
+    -100 floor out of support), shared by the XLA backend (log_pdf) and
+    the Pallas MCMC kernel so the two cannot drift apart."""
+    if kind == DistKind.UNIFORM:
+        inside = jnp.logical_and(p1 <= x, x < p2)
+        return jnp.where(inside, -jnp.log(p2 - p1), LOG_PDF_FLOOR)
+    if kind == DistKind.NORMAL:
+        z = (x - p1) / p2
+        return -0.5 * z * z - jnp.log(p2 * _SQRT_2PI)
+    if kind == DistKind.EXPONENTIAL:
+        return jnp.where(x >= 0.0, jnp.log(p1) - p1 * x, LOG_PDF_FLOOR)
+    raise ValueError(f"No analytic log-pdf for {kind}")
+
+
 def log_pdf(
     kind: DistKind,
     params: jax.Array,
@@ -257,21 +277,9 @@ def log_pdf(
     CUSTOM; out-of-support values map to the -100 floor.  Matches the MCMC
     acceptance-ratio conventions (reference: src/shader_gen.rs:543-571)."""
     x = jnp.asarray(x, jnp.float32)
-    if kind == DistKind.UNIFORM:
-        inside = jnp.logical_and(params[0] <= x, x < params[1])
-        return jnp.where(
-            inside, -jnp.log(params[1] - params[0]), LOG_PDF_FLOOR
-        )
-    if kind == DistKind.NORMAL:
-        z = (x - params[0]) / params[1]
-        return -0.5 * z * z - jnp.log(params[1] * 2.50662827463)
-    if kind == DistKind.EXPONENTIAL:
-        return jnp.where(
-            x >= 0.0, jnp.log(params[0]) - params[0] * x, LOG_PDF_FLOOR
-        )
     if kind == DistKind.CUSTOM:
         return log_pdf_from_table(x, x_table, log_pdf_table, uniform=uniform)
-    raise ValueError(f"Unknown DistKind: {kind}")
+    return analytic_log_pdf(kind, params[0], params[1], x)
 
 
 def _uniform_grid_interp(x, x_table, values):
