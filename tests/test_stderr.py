@@ -1,9 +1,11 @@
 """Monte Carlo standard errors (``return_stderr=True``).
 
 An addition over the reference (point estimates only): ``result.stderr``
-estimates sqrt(Var[f(X)] / N) per function from Kahan-accumulated sums of
-squares in the same sweep that produces the estimates.  Error-bar runs
-execute on the XLA path by design.
+estimates sqrt(Var[f(X)] / N) per function from sums of squares carried
+in the same sweep that produces the estimates — pilot-shifted Kahan
+accumulators on the XLA path, and pilot-shifted in-kernel accumulator
+blocks on the fused Pallas path (error bars no longer price the run off
+the kernel).
 """
 
 import numpy as np
@@ -225,13 +227,125 @@ class TestStderrMcmc:
         assert 0.5 * iid_floor < r.stderr[0] < 20 * iid_floor
 
 
-class TestStderrRouting:
-    def test_forced_pallas_warns(self):
-        with pytest.warns(UserWarning, match="XLA sweep"):
-            MonteCarloIntegrator(backend="pallas").integrate(
-                [lambda x: x], Distribution.normal(0.0, 1.0),
-                n_samples=100_000, return_stderr=True,
+class TestStderrInKernel:
+    """return_stderr on the fused Pallas kernel (interpreter tier on
+    CPU): error bars must stay on the kernel path and agree with the
+    XLA implementation."""
+
+    def test_no_fallback_warning_and_matches_xla(self):
+        import warnings as _warnings
+
+        fns = [lambda x: x, lambda x: x * x]
+        d = Distribution.normal(0.0, 1.0)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            r_p = MonteCarloIntegrator(backend="pallas").integrate(
+                fns, d, n_samples=200_000, return_stderr=True
             )
+        r_x = MonteCarloIntegrator(backend="xla").integrate(
+            fns, d, n_samples=200_000, return_stderr=True
+        )
+        np.testing.assert_allclose(r_p.stderr, r_x.stderr, rtol=0.05)
+        np.testing.assert_allclose(r_p.values, r_x.values, atol=0.02)
+
+    def test_values_bit_equal_to_plain_kernel(self):
+        # The stderr kernel's VALUE accumulators are untouched: means
+        # must equal the plain kernel run bit-for-bit.
+        fns = [lambda x: x, lambda x: x * x, lambda x: x > 0.5]
+        d = Distribution.exponential(1.3)
+        it = MonteCarloIntegrator(backend="pallas")
+        r = it.integrate(fns, d, n_samples=300_000, seed=11,
+                         return_stderr=True)
+        plain = it.integrate(fns, d, n_samples=300_000, seed=11)
+        np.testing.assert_array_equal(r.values, plain.values)
+
+    def test_large_mean_pilot_shift(self):
+        # N(1e4, 1): the naive one-pass formula collapses in f32; the
+        # in-kernel pilot shift must keep stderr ~ 1/sqrt(N_actual).
+        n = 500_000
+        r = MonteCarloIntegrator(backend="pallas").integrate(
+            [lambda x: x], Distribution.normal(10_000.0, 1.0),
+            n_samples=n, return_stderr=True,
+        )
+        expected = 1.0 / np.sqrt(n)
+        assert abs(r.stderr[0] - expected) < 0.35 * expected
+
+    def test_custom_table_kernel_stderr(self):
+        r_p = MonteCarloIntegrator(backend="pallas").integrate(
+            [lambda x: x], Distribution.beta(2.0, 5.0),
+            n_samples=400_000, return_stderr=True,
+        )
+        r_x = MonteCarloIntegrator(backend="xla").integrate(
+            [lambda x: x], Distribution.beta(2.0, 5.0),
+            n_samples=400_000, return_stderr=True,
+        )
+        assert abs(r_p.values[0] - 2 / 7) < 4 * r_p.stderr[0] + 1e-3
+        np.testing.assert_allclose(r_p.stderr, r_x.stderr, rtol=0.15)
+
+    def test_is_traced_weights_on_kernel(self):
+        r_p = MonteCarloIntegrator(
+            backend="pallas"
+        ).integrate_importance_sampling(
+            [lambda x: x > 4.0],
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(4.0, 1.0),
+            n_samples=1_000_000, return_stderr=True,
+        )
+        truth = 3.1671e-05
+        assert abs(r_p.values[0] - truth) < 4 * r_p.stderr[0]
+        assert r_p.stderr[0] < 0.5 * np.sqrt(truth / 1_000_000)
+
+    def test_sharded_kernel_stderr(self, mesh8):
+        # The mesh grid rounds the sample count up (programs pad to a
+        # device multiple); stderr must be 1/sqrt of the PROCESSED count,
+        # which the builder reports as run.actual_samples.
+        from tpu_montecarlo.ops.integrate_pallas import (
+            build_integrate_fn_pallas,
+        )
+        from tpu_montecarlo.sampling import DistKind
+        from tpu_montecarlo.utils.dispatch import make_integrate_plan
+
+        n = 800_000
+        r = MonteCarloIntegrator(backend="pallas", mesh=mesh8).integrate(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            n_samples=n, return_stderr=True,
+        )
+        plan = make_integrate_plan(n, None, n_dev=8)
+        probe = build_integrate_fn_pallas(
+            (lambda x: x,), DistKind.NORMAL, plan, mesh=mesh8,
+            interpret=True, with_stderr=True,
+        )
+        actual = probe.actual_samples
+        assert actual >= n
+        assert abs(r.stderr[0] - 1.0 / np.sqrt(actual)) < 0.2 / np.sqrt(actual)
+        assert abs(r.values[0]) < 4 * r.stderr[0]
+
+    def test_qmc_kernel_stderr(self):
+        r = MonteCarloIntegrator(backend="pallas").integrate(
+            [lambda x: x * x], Distribution.normal(0.0, 1.0),
+            n_samples=300_000, method="qmc", return_stderr=True,
+        )
+        assert r.stderr[0] > 0
+        assert abs(r.values[0] - 1.0) < 4 * r.stderr[0]
+
+    def test_batched_stderr_rejected(self):
+        it = MonteCarloIntegrator(backend="pallas")
+        from tpu_montecarlo.ops.integrate_pallas import (
+            build_integrate_fn_pallas,
+        )
+        from tpu_montecarlo.sampling import DistKind
+        from tpu_montecarlo.utils.dispatch import make_integrate_plan
+
+        plan = make_integrate_plan(100_000)
+        with pytest.raises(ValueError, match="batched"):
+            build_integrate_fn_pallas(
+                (lambda x: x,), DistKind.NORMAL, plan,
+                interpret=True, seed_batch=4, with_stderr=True,
+            )
+        del it
+
+
+class TestStderrRouting:
 
     def test_values_match_xla_backend(self):
         # The stderr program's estimates must equal the plain XLA

@@ -234,7 +234,8 @@ class MonteCarloIntegrator:
         return jax.default_backend() == "tpu"
 
     def _pallas_eligible(
-        self, spec, traced, plan_samples=None, seed_batch: int = 1
+        self, spec, traced, plan_samples=None, seed_batch: int = 1,
+        with_stderr: bool = False,
     ) -> bool:
         """Shared Pallas-kernel eligibility gate for the sampling side:
         kernel-supported family, lane-multiple inverse table (and no
@@ -259,6 +260,7 @@ class MonteCarloIntegrator:
                 plan_samples=plan_samples,
                 n_dev=1 if self._mesh is None else self._mesh.size,
                 seed_batch=seed_batch,
+                with_stderr=with_stderr,
             )
             is not None
             and not any(
@@ -311,10 +313,19 @@ class MonteCarloIntegrator:
         ``return_stderr=True`` additionally estimates the Monte Carlo
         standard error per function (``result.stderr``, an addition over
         the point-estimates-only reference): stderr_i =
-        sqrt(Var[f_i(X)] / N).  Error-bar runs execute on the XLA sweep
-        (the extra sum-of-squares accumulators are a diagnostics surface,
-        not the serving hot path); under QMC the same formula is a
-        conservative bound, not the QMC convergence rate."""
+        sqrt(Var[f_i(X)] / N).  Error bars ride the fused Pallas kernel
+        whenever the plain run would (pilot-shifted sum-of-squares
+        accumulators); under QMC the formula is an MC-scale reference
+        only, not a QMC error estimate — for a real QMC error bar run
+        several independent seed rotations and take their spread.
+
+        Tail note: the kernel normal sampler inverts the CDF from a
+        24-bit uniform, truncating at ~5.2 sigma; ``backend="xla"``
+        draws untruncated normals.  Integrands concentrated beyond
+        ~5 sigma should force ``backend="xla"`` (or use importance
+        sampling with a shifted proposal, which is also how the
+        reference's ~5.77-sigma Box-Muller truncation was worked
+        around)."""
         traced = self._trace_user_functions(functions)
         if return_stderr:
             values, stderr = self._run_integrate(
@@ -492,14 +503,27 @@ class MonteCarloIntegrator:
         integrate, 2 for MCMC's proposal+target pair)."""
         if seed_batch < 1:
             raise ValueError("seed_batch must be >= 1")
-        batched = self._cache.get_or_build(
-            ("param_batch", id(run), seed_batch, n_param_args),
-            lambda: jax.jit(
+        # The batched wrapper is cached ON the run object itself (not in
+        # the global LRU keyed by id(run): after an LRU eviction CPython
+        # may reuse the id for a different program, and the stale lookup
+        # would silently dispatch the wrong workload).  The wrapper's
+        # lifetime is then exactly its program's.
+        wrappers = getattr(run, "__batched_wrappers__", None)
+        if wrappers is None:
+            wrappers = {}
+            try:
+                run.__batched_wrappers__ = wrappers
+            except (AttributeError, TypeError):
+                pass  # unattachable run: build fresh below (correct, slower)
+        wkey = (seed_batch, n_param_args)
+        batched = wrappers.get(wkey)
+        if batched is None:
+            batched = jax.jit(
                 lambda seeds, params, *args: jax.lax.map(
                     lambda sp: run(sp[0], *sp[1], *args), (seeds, params)
                 )
-            ),
-        )
+            )
+            wrappers[wkey] = batched
         return _checked_batch_prog(
             lambda seeds_arr, params_arrs, rest: batched(
                 seeds_arr, params_arrs, *rest
@@ -568,22 +592,12 @@ class MonteCarloIntegrator:
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
 
-        if with_stderr:
-            # Error-bar runs take the XLA sweep below: the kernels'
-            # VMEM-blocked accumulators don't carry sums of squares.
-            if seed_batch != 1 or param_batch:
-                raise ValueError(
-                    "with_stderr is not supported on batched programs"
-                )
-            if self._backend == "pallas":
-                warnings.warn(
-                    "backend='pallas' requested but return_stderr runs "
-                    "the XLA sweep (the kernels do not accumulate sums "
-                    "of squares)",
-                    stacklevel=3,
-                )
+        if with_stderr and (seed_batch != 1 or param_batch):
+            raise ValueError(
+                "with_stderr is not supported on batched programs"
+            )
 
-        if not with_stderr and self._use_pallas(spec.kind):
+        if self._use_pallas(spec.kind):
             from .ops.integrate_pallas import (
                 build_integrate_fn_pallas,
                 pallas_supports,
@@ -592,9 +606,13 @@ class MonteCarloIntegrator:
             plan = make_integrate_plan(
                 n_samples, self._target_threads, n_dev=n_dev
             )
+            # Error-bar runs stay on the kernel path too: the kernel
+            # carries pilot-shifted sum-of-squares accumulators (the
+            # VMEM gate accounts for the doubled blocks).
             if self._pallas_eligible(
                 spec, traced,
                 plan_samples=plan.actual_samples, seed_batch=seed_batch,
+                with_stderr=with_stderr,
             ):
                 # Off-TPU a forced pallas backend runs in the interpreter
                 # (kernel-logic validation; the compiled path needs Mosaic).
@@ -612,6 +630,7 @@ class MonteCarloIntegrator:
                     seed_batch,
                     method,
                     param_batch,
+                    with_stderr,
                 )
                 run = self._cache.get_or_build(
                     key,
@@ -621,6 +640,7 @@ class MonteCarloIntegrator:
                             interpret=interpret, gapped_tables=gapped,
                             seed_batch=seed_batch, method=method,
                             param_batch=param_batch,
+                            with_stderr=with_stderr,
                         ),
                         seed_batch,
                         param_batch=param_batch,
@@ -665,7 +685,9 @@ class MonteCarloIntegrator:
         ``return_stderr=True``: ``result.stderr`` estimates the standard
         error of each weighted estimator f_i(X) p(X)/q(X) — the quantity
         that tells you whether the proposal is any good (see integrate).
-        Runs on the XLA sweep."""
+        When both PDFs trace, the weighted integrands ride the fused
+        Pallas kernel with its in-kernel squares accumulators; the
+        table-weight route runs the XLA sweep."""
         prog = self._get_is_program(
             functions, target_distribution, proposal_distribution, n_samples,
             method=method, with_stderr=return_stderr,

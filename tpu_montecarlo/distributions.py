@@ -242,8 +242,14 @@ class Distribution:
                     "cdf_table's final value must be positive — the "
                     "PDF's integral is zero over this table"
                 )
-            if abs(cdf64[-1] - 1.0) > 1e-3:
-                cdf64 = cdf64 / cdf64[-1]
+            # Normalize unconditionally: a final value even slightly under
+            # 1 leaves the residual mass as a silent atom at x_max (every
+            # u above cdf[-1] clamps there), and the pdf table is rescaled
+            # by the same factor so pdf and cdf stay mutually consistent
+            # (table-based IS weights / log-pdf tables see one scale).
+            scale = cdf64[-1]
+            cdf64 = cdf64 / scale
+            pdf_arr = (pdf_arr.astype(np.float64) / scale).astype(np.float32)
             cdf_arr = cdf64.astype(np.float32)
         else:
             x64 = x_arr.astype(np.float64)

@@ -185,6 +185,7 @@ def integrate_vmem_fits(
     rows: int = BLOCK_ROWS,
     budget_bytes: int = 16 * 1024 * 1024,
     out_rows: int = 1,
+    with_stderr: bool = False,
 ) -> bool:
     """Conservative VMEM estimate for a fused integrate kernel: K carried
     accumulator blocks + sample/uniform temporaries + resident tables,
@@ -199,8 +200,10 @@ def integrate_vmem_fits(
     ~10% of this model."""
     acc_rows = _acc_rows(kind, rows)
     # accumulators + sample/uniform temporaries (+ IS weight blocks via
-    # extra_blocks: p_val/q_val/weight live alongside every eval)
-    blocks = k + 4 + extra_blocks
+    # extra_blocks: p_val/q_val/weight live alongside every eval).
+    # Error-bar kernels carry a second (pilot-shifted sum-of-squares)
+    # accumulator block per function.
+    blocks = (2 * k if with_stderr else k) + 4 + extra_blocks
     table_bytes = 0
     if kind == DistKind.CUSTOM:
         table_bytes += 2 * rows * LANES * 4  # stratified (value, slope)
@@ -222,6 +225,7 @@ def pick_block_rows(
     plan_samples: Optional[int] = None,
     n_dev: int = 1,
     seed_batch: int = 1,
+    with_stderr: bool = False,
 ) -> Optional[int]:
     """Largest block row count whose kernel fits the VMEM budget, or None.
 
@@ -247,8 +251,11 @@ def pick_block_rows(
             if plan_samples is not None
             else seed_batch
         )
+        if with_stderr:
+            out_rows *= 2  # a sum-of-squares row per partial-sum row
         if integrate_vmem_fits(
-            k, kind, n_weight_tables, extra_blocks, rows, out_rows=out_rows
+            k, kind, n_weight_tables, extra_blocks, rows,
+            out_rows=out_rows, with_stderr=with_stderr,
         ):
             return rows
     return None
@@ -491,6 +498,7 @@ def build_integrate_fn_pallas(
     seed_batch: int = 1,
     method: str = "mc",
     param_batch: bool = False,
+    with_stderr: bool = False,
 ):
     """Build a jitted ``(seed, params, x_table, cdf_table[, p_x, p_pdf]
     [, q_x, q_pdf]) -> (K,) float32`` program running the fused Pallas
@@ -533,9 +541,31 @@ def build_integrate_fn_pallas(
     sweep (e.g. one dispatch across a volatility surface).  Analytic
     families only: CUSTOM distributions sample from host-built tables,
     which are per-distribution artifacts, and IS weight closures bake
-    distribution parameters at trace time."""
+    distribution parameters at trace time.
+
+    ``with_stderr=True`` (single-seed, no in-kernel IS weight tables):
+    the kernel carries a second accumulator block per function summing
+    pilot-shifted squares ``(f(x) - pilot)^2`` and the program returns
+    ``(means, stderrs)`` with the standard MC error formula — error
+    bars stay on the fused-kernel fast path instead of pricing the run
+    onto the XLA sweep.  The pilot is a per-function mean over a
+    deterministic quantile grid of the sampling distribution, computed
+    identically on every device OUTSIDE the kernel (so partial squares
+    psum consistently); any fixed shift c keeps
+    ``Var[f] = E[(f-c)^2] - (mean-c)^2`` exact, and a pilot ~ mean
+    removes the float32 cancellation of the naive one-pass formula
+    (same design as the XLA sweep's chunk-0 pilot).  The VALUE
+    accumulators are untouched, so means stay bit-equal to the plain
+    kernel's."""
     if method not in ("mc", "qmc"):
         raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
+    if with_stderr and (seed_batch != 1 or param_batch):
+        raise ValueError("with_stderr is not supported on batched programs")
+    if with_stderr and is_weight is not None:
+        raise ValueError(
+            "with_stderr is not supported with in-kernel IS weight "
+            "descriptors (weighted integrands fold the weight instead)"
+        )
     if param_batch:
         from ..sampling import ensure_param_batch_family
 
@@ -567,6 +597,7 @@ def build_integrate_fn_pallas(
         plan_samples=plan.actual_samples,
         n_dev=n_dev,
         seed_batch=seed_batch,
+        with_stderr=with_stderr,
     )
     if block_rows is None:
         raise ValueError(
@@ -596,6 +627,7 @@ def build_integrate_fn_pallas(
 
     def kernel(seed_ref, params_ref, pid_base_ref, *rest):
         rest = list(rest)
+        pilot_ref = rest.pop(0) if with_stderr else None
         tables = (rest.pop(0), rest.pop(0)) if is_custom else None
         p_tab = (
             (rest.pop(0), rest.pop(0), rest.pop(0)) if p_table else None
@@ -639,7 +671,7 @@ def build_integrate_fn_pallas(
             safe_q = jnp.where(q_val > 0, q_val, 1.0)
             return jnp.where(q_val > 0, p_val / safe_q, 0.0)
 
-        def body(i, accs):
+        def body(i, carry):
             if method == "qmc":
                 b = (
                     pid_base_ref[0, 0] + pid
@@ -651,26 +683,40 @@ def build_integrate_fn_pallas(
                 subs = _sample_subblocks(
                     kind, p1, p2, rng, i, tables, block_rows
                 )
+            accs = list(carry[:k])
+            sqs = list(carry[k:])
             for x in subs:
                 w = weight(x)
                 for j, f in enumerate(eval_fns):
                     v = f(x).astype(jnp.float32)
                     if w is not None:
                         v = v * w
-                    accs = accs[:j] + (accs[j] + v,) + accs[j + 1 :]
-            return accs
+                    accs[j] = accs[j] + v
+                    if with_stderr:
+                        d = v - pilot_ref[0, j]
+                        sqs[j] = sqs[j] + d * d
+            return tuple(accs) + tuple(sqs)
 
+        n_blocks = 2 * k if with_stderr else k
         init = tuple(
             jnp.zeros((_acc_rows(kind, block_rows), LANES), jnp.float32)
-            for _ in range(k)
+            for _ in range(n_blocks)
         )
-        accs = jax.lax.fori_loop(0, loops, body, init)
+        carry = jax.lax.fori_loop(0, loops, body, init)
+        accs = carry[:k]
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         row = jnp.zeros((1, LANES), jnp.float32)
         for i, acc in enumerate(accs):
             row = jnp.where(col == i, jnp.sum(acc), row)
         out_ref[pl.ds(rep * local_programs + pid, 1), :] = row
+        if with_stderr:
+            # Squares rows live in the second half of the output buffer,
+            # mirroring the sums-row layout (seed_batch is 1 here).
+            rowq = jnp.zeros((1, LANES), jnp.float32)
+            for i, sq in enumerate(carry[k:]):
+                rowq = jnp.where(col == i, jnp.sum(sq), rowq)
+            out_ref[pl.ds(local_programs + pid, 1), :] = rowq
 
     smem_seeds = pl.BlockSpec(
         (1, seed_batch), lambda r, i: (0, 0), memory_space=pltpu.SMEM
@@ -689,11 +735,18 @@ def build_integrate_fn_pallas(
     smem_grid = pl.BlockSpec(
         (1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
+    smem_pilot = pl.BlockSpec(
+        (1, LANES), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+    )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_rows = seed_batch * local_programs
+    total_out_rows = 2 * out_rows if with_stderr else out_rows
 
     def pallas_sweep(seed, params, pid_base, *tables):
+        # With stderr, tables[0] is the (1, 128) pilot row.
         in_specs = [smem_seeds, smem_params, smem_scalar]
+        if with_stderr:
+            in_specs.append(smem_pilot)
         if is_custom:
             in_specs += [vmem, vmem]
         for flag in (p_table, q_table):
@@ -707,13 +760,20 @@ def build_integrate_fn_pallas(
             # in VMEM; each program writes its own disjoint row (race-free
             # by construction, like the reference's output[idx*K+i] slots).
             out_specs=pl.BlockSpec(
-                (out_rows, LANES),
+                (total_out_rows, LANES),
                 lambda r, i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (total_out_rows, LANES), jnp.float32
+            ),
             interpret=interpret,
         )(seed, params, pid_base, *tables)
+        if with_stderr:
+            return (
+                jnp.sum(out[:out_rows, :k], axis=0),
+                jnp.sum(out[out_rows:, :k], axis=0),
+            )
         # (R, K): per-batch-element sums over that element's program rows.
         return jnp.sum(
             out[:, :k].reshape(seed_batch, local_programs, k), axis=1
@@ -733,6 +793,45 @@ def build_integrate_fn_pallas(
         if param_batch:
             return sums
         return sums[0] if seed_batch == 1 else sums
+
+    def _pilot_of(params_arr, prepped):
+        """(1, 128) pilot row: per-function means over a deterministic
+        quantile grid of the sampling distribution — identical on every
+        device (pure function of replicated inputs), so shifted squares
+        psum consistently.  For CUSTOM families the stratified inverse
+        table itself IS an equal-mass quantile grid, so it doubles as
+        the pilot sample block."""
+        p1 = params_arr[0, 0]
+        p2 = params_arr[0, 1]
+        if is_custom:
+            x = prepped[0]
+        else:
+            n_p = 8 * LANES
+            u = (
+                jnp.arange(n_p, dtype=jnp.float32) + jnp.float32(0.5)
+            ) / jnp.float32(n_p)
+            u = u.reshape(8, LANES)
+            if kind == DistKind.UNIFORM:
+                x = p1 + u * (p2 - p1)
+            elif kind == DistKind.NORMAL:
+                from ..sampling import normal_from_u01
+
+                x = p1 + p2 * normal_from_u01(u)
+            else:
+                x = -jnp.log(jnp.maximum(u, 1e-7)) / p1
+        vals = jnp.stack(
+            [jnp.mean(f(x).astype(jnp.float32)) for f in eval_fns]
+        )
+        return jnp.zeros((1, LANES), jnp.float32).at[0, :k].set(vals)
+
+    def _finish_stderr(sums, sqs, pilot):
+        n = jnp.float32(actual)
+        mean = sums / n
+        # Var[f] = E[(f-c)^2] - (mean-c)^2 for any shift c; c ~ mean
+        # keeps both terms O(std^2) (no f32 cancellation).
+        d = mean - pilot[0, :k]
+        var = jnp.maximum(sqs / n - d * d, 0.0)
+        return mean, jnp.sqrt(var / n)
 
     def _prep_tables(x_table, cdf_table, weight_tables):
         prepped = []
@@ -763,10 +862,14 @@ def build_integrate_fn_pallas(
         def run(seed, params, x_table, cdf_table, *weight_tables):
             seed_arr, params_arr = _prep(seed, params)
             base = jnp.zeros((1, 1), jnp.int32)
-            sums = pallas_sweep(
-                seed_arr, params_arr, base,
-                *_prep_tables(x_table, cdf_table, weight_tables),
-            )
+            prepped = _prep_tables(x_table, cdf_table, weight_tables)
+            if with_stderr:
+                pilot = _pilot_of(params_arr, prepped)
+                sums, sqs = pallas_sweep(
+                    seed_arr, params_arr, base, pilot, *prepped
+                )
+                return _finish_stderr(sums, sqs, pilot)
+            sums = pallas_sweep(seed_arr, params_arr, base, *prepped)
             return _shape_result(sums / jnp.float32(actual))
 
         # The device executes this many samples per batch element (the
@@ -782,26 +885,40 @@ def build_integrate_fn_pallas(
     def sharded_body(seed_arr, params_arr, *tables):
         d = jax.lax.axis_index(axis_name)
         base = (d * local_programs).astype(jnp.int32).reshape(1, 1)
+        if with_stderr:
+            pilot, tables = tables[0], tables[1:]
+            sums, sqs = pallas_sweep(
+                seed_arr, params_arr, base, pilot, *tables
+            )
+            return _finish_stderr(
+                jax.lax.psum(sums, axis_name),
+                jax.lax.psum(sqs, axis_name),
+                pilot,
+            )
         sums = pallas_sweep(seed_arr, params_arr, base, *tables)
         return _shape_result(
             jax.lax.psum(sums, axis_name) / jnp.float32(actual)
         )
 
     n_extra = (2 if is_custom else 0) + 3 * (int(p_table) + int(q_table))
+    if with_stderr:
+        n_extra += 1  # replicated pilot row
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
         in_specs=(replicated, replicated) + (replicated,) * n_extra,
-        out_specs=replicated,
+        out_specs=(replicated, replicated) if with_stderr else replicated,
         check_vma=False,
     )
 
     @jax.jit
     def run(seed, params, x_table, cdf_table, *weight_tables):
         seed_arr, params_arr = _prep(seed, params)
-        return shard_mapped(
-            seed_arr, params_arr, *_prep_tables(x_table, cdf_table, weight_tables)
-        )
+        prepped = _prep_tables(x_table, cdf_table, weight_tables)
+        if with_stderr:
+            pilot = _pilot_of(params_arr, prepped)
+            return shard_mapped(seed_arr, params_arr, pilot, *prepped)
+        return shard_mapped(seed_arr, params_arr, *prepped)
 
     run.actual_samples = actual
     run.block_rows = block_rows

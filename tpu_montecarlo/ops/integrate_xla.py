@@ -93,9 +93,12 @@ def build_integrate_fn(
     per-function sums of squares and returns ``(means, stderrs)`` with
     ``stderr_i = sqrt(max(E[f_i^2] - E[f_i]^2, 0) / N)`` — the standard
     Monte Carlo error estimate (an addition over the reference, which
-    returns point estimates only).  For QMC the same formula is a
-    conservative bound, not the QMC error rate (low-discrepancy points
-    are not independent); it is still reported for parity of surface.
+    returns point estimates only).  For QMC the same formula is an
+    MC-SCALE REFERENCE ONLY, not an estimate of the QMC integration
+    error: a fixed rotation is deterministic, so the iid variance
+    formula neither tracks nor bounds its error.  For a real QMC error
+    bar, run R independent seed rotations (seed-batched handles) and
+    take the spread of the R estimates.
     """
     if method not in ("mc", "qmc"):
         raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
