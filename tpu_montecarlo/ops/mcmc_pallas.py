@@ -320,12 +320,11 @@ def build_mcmc_fn_pallas(
             logp0 = lp_t(x0)
         logq0 = lp_q(x0)
 
-        def body(i, carry):
+        def mh_move(i, x, logp, logq):
             # The chain's own log-densities are carried, not recomputed
-            # (they only change on acceptance).
-            x, logp, logq, accs, n_acc = carry
-            # Distinct counters per draw purpose — the reference's stream
-            # separation via +1000000/+999999 offsets (shader_gen.rs:477-536).
+            # (they only change on acceptance).  Distinct counters per
+            # draw purpose — the reference's stream separation via
+            # +1000000/+999999 offsets (shader_gen.rs:477-536).
             xp = sample(3 * i + 1)
             logp_prop = lp_t(xp)
             logq_prop = lp_q(xp)
@@ -335,13 +334,31 @@ def build_mcmc_fn_pallas(
             x = jnp.where(accept, xp, x)
             logp = jnp.where(accept, logp_prop, logp)
             logq = jnp.where(accept, logq_prop, logq)
+            return x, logp, logq, accept
 
-            collect = (i >= n_burnin).astype(jnp.float32)
+        # Burn-in advances the chains WITHOUT evaluating the K integrands
+        # or the accept counter (the reference's burn-in loop runs only
+        # mcmc_step, shader_gen.rs:409-411); the iteration index keeps
+        # running through both phases, and each phase draws the same two
+        # blocks per iteration, so the RNG streams — and therefore the
+        # estimates — are bit-identical to the fused single-loop form.
+        def burn_body(i, carry):
+            x, logp, logq = carry
+            x, logp, logq, _ = mh_move(i, x, logp, logq)
+            return (x, logp, logq)
+
+        x0, logp0, logq0 = jax.lax.fori_loop(
+            0, n_burnin, burn_body, (x0, logp0, logq0)
+        )
+
+        def body(i, carry):
+            x, logp, logq, accs, n_acc = carry
+            x, logp, logq, accept = mh_move(i, x, logp, logq)
             accs = tuple(
-                acc + collect * f(x).astype(jnp.float32)
+                acc + f(x).astype(jnp.float32)
                 for acc, f in zip(accs, eval_fns)
             )
-            n_acc = n_acc + collect * accept.astype(jnp.float32)
+            n_acc = n_acc + accept.astype(jnp.float32)
             return (x, logp, logq, accs, n_acc)
 
         init = (
@@ -352,7 +369,7 @@ def build_mcmc_fn_pallas(
             jnp.zeros((rows, LANES), jnp.float32),
         )
         x_f, logp_f, _, accs, n_acc = jax.lax.fori_loop(
-            0, n_iters, body, init
+            n_burnin, n_iters, body, init
         )
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
