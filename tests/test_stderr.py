@@ -206,13 +206,77 @@ class TestStderrMcmc:
                 n_burnin=10, return_stderr=True, return_state=True,
             )
 
-    def test_forced_pallas_warns(self):
-        with pytest.warns(UserWarning, match="XLA MCMC"):
-            MonteCarloIntegrator(backend="pallas").integrate_mcmc(
-                [lambda x: x], Distribution.normal(0.0, 1.0),
-                Distribution.normal(0.0, 2.0), n_steps=200, n_chains=256,
-                n_burnin=10, return_stderr=True,
+    def test_kernel_path_matches_xla(self):
+        # Error-bar MCMC stays on the kernel (no fallback warning) and
+        # its stderr agrees with the XLA implementation's convention.
+        import warnings as _warnings
+
+        kw = dict(n_steps=600, n_chains=1024, n_burnin=100,
+                  return_stderr=True)
+        t = Distribution.normal(0.0, 1.0)
+        q = Distribution.normal(0.0, 2.0)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            r_p = MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+                [lambda x: x, lambda x: x * x], t, q, **kw
             )
+        r_x = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            [lambda x: x, lambda x: x * x], t, q, **kw
+        )
+        iid_floor = np.sqrt(1.0 / (600 * 1024))
+        for r in (r_p, r_x):
+            for v, truth, se in zip(r.values, (0.0, 1.0), r.stderr):
+                assert abs(v - truth) < 4 * se
+                assert 0.5 * iid_floor < se < 20 * iid_floor
+        # Different streams, same estimator: same order of magnitude.
+        ratio = r_p.stderr / r_x.stderr
+        assert np.all(ratio > 0.4) and np.all(ratio < 2.5)
+
+    def test_kernel_stderr_large_offset(self):
+        # The in-kernel pilot shift must hold the error bar honest when
+        # |E[f]| >> std (the naive accumulator swamps the signal).
+        n_steps, n_chains = 1000, 1024
+        mu = 50_000.0
+        r = MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+            [lambda x: x], Distribution.normal(mu, 1.0),
+            Distribution.normal(mu, 2.0),
+            n_steps=n_steps, n_chains=n_chains, n_burnin=100,
+            return_stderr=True,
+        )
+        iid_floor = np.sqrt(1.0 / (n_steps * n_chains))
+        assert abs(r.values[0] - mu) < 4 * r.stderr[0] + 1e-3
+        assert 0.5 * iid_floor < r.stderr[0] < 20 * iid_floor
+
+    def test_kernel_stderr_sharded(self, mesh8):
+        # The mesh pads programs to a device multiple and ALL rounded-up
+        # chains run (reference round-up semantics), so the error-bar
+        # floor uses the actual chain count.
+        from tpu_montecarlo.ops.mcmc_pallas import plan_state_chains
+
+        n_steps, n_chains = 600, 2048
+        r = MonteCarloIntegrator(
+            backend="pallas", mesh=mesh8
+        ).integrate_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+            n_steps=n_steps, n_chains=n_chains, n_burnin=100,
+            return_stderr=True,
+        )
+        chains_actual = plan_state_chains(n_chains, 8)
+        iid_floor = np.sqrt(1.0 / (n_steps * chains_actual))
+        assert abs(r.values[0]) < 4 * r.stderr[0]
+        assert 0.5 * iid_floor < r.stderr[0] < 20 * iid_floor
+
+    def test_kernel_stderr_custom_target(self):
+        r = MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+            [lambda x: x * x], Distribution.beta(2.0, 2.0),
+            Distribution.uniform(0.0, 1.0),
+            n_steps=800, n_chains=1024, n_burnin=100,
+            return_stderr=True,
+        )
+        # E[X^2] for Beta(2,2) = Var + mean^2 = 1/20 + 1/4 = 0.3.
+        assert abs(r.values[0] - 0.3) < 4 * r.stderr[0] + 2e-3
+        assert r.stderr[0] > 0
 
     def test_sharded_between_chain_stderr(self):
         n_steps, n_chains = 1000, 2048

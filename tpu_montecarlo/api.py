@@ -999,7 +999,8 @@ class MonteCarloIntegrator:
         variance of the per-chain means — chains are independent, so this
         is a valid MCMC error bar that automatically accounts for
         within-chain autocorrelation (an addition over the reference).
-        Error-bar runs execute on the XLA backend.
+        Error bars ride the Pallas kernel whenever the plain run would
+        (pilot-shifted per-program squares, Chan-recombined).
         """
         if len(functions) == 0:
             raise ValueError("At least one function is required")
@@ -1231,24 +1232,16 @@ class MonteCarloIntegrator:
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
-        # Error-bar runs take the XLA backend: the kernel reduces chains
-        # to program sums in VMEM and has no square accumulators.
-        if with_stderr and self._backend == "pallas":
-            warnings.warn(
-                "backend='pallas' requested but return_stderr runs the "
-                "XLA MCMC backend (the kernel does not accumulate "
-                "between-chain squares)",
-                stacklevel=3,
-            )
-        pallas_ok = not with_stderr and self._mcmc_pallas_ok(
+        pallas_ok = self._mcmc_pallas_ok(
             traced, prop_spec, targ_spec,
             target_distribution, proposal_distribution,
         )
         if pallas_ok:
             # The kernel keeps the (seed_batch x programs, 128) sums
-            # buffer (and, stateful, the whole chain-state blocks)
-            # resident in VMEM; workloads over the budget take the XLA
-            # backend instead of compile-OOMing.
+            # buffer (tripled for error-bar runs: sums / SS / centroid
+            # rows) and, stateful, the whole chain-state blocks resident
+            # in VMEM; workloads over the budget take the XLA backend
+            # instead of compile-OOMing.
             from .ops.mcmc_pallas import mcmc_vmem_fits, plan_mcmc_grid
 
             programs, rows, _ = plan_mcmc_grid(total_chains)
@@ -1260,6 +1253,7 @@ class MonteCarloIntegrator:
                     prop_spec, targ_spec,
                     target_distribution, proposal_distribution,
                 ),
+                with_stderr=with_stderr,
             )
         if pallas_ok and with_state:
             from .ops.mcmc_pallas import plan_state_chains
@@ -1271,9 +1265,7 @@ class MonteCarloIntegrator:
                 and initial_chains == total_chains
             ):
                 pallas_ok = False  # state minted by the XLA backend
-        if not pallas_ok and not with_stderr and self._backend == "pallas":
-            # (with_stderr already warned above — the workload may well be
-            # kernel-eligible; the error-bar request is what forced XLA.)
+        if not pallas_ok and self._backend == "pallas":
             warnings.warn(
                 "backend='pallas' requested but this MCMC workload is "
                 "not Pallas-eligible; running the XLA backend instead",
@@ -1300,6 +1292,7 @@ class MonteCarloIntegrator:
                 (with_state, use_init_state, prop_gapped),
                 seed_batch,
                 param_batch,
+                with_stderr,
             )
             native_batch = seed_batch
             run = self._cache.get_or_build(
@@ -1319,6 +1312,7 @@ class MonteCarloIntegrator:
                         prop_gapped=prop_gapped,
                         seed_batch=native_batch,
                         param_batch=param_batch,
+                        with_stderr=with_stderr,
                     ),
                     native_batch,
                     param_batch=param_batch,

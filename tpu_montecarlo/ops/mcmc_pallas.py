@@ -89,6 +89,7 @@ def mcmc_vmem_fits(
     with_state: bool = False,
     table_bytes: int = 0,
     budget_bytes: int = 16 * 1024 * 1024,
+    with_stderr: bool = False,
 ) -> bool:
     """Conservative VMEM estimate for the MH kernel (same model as
     integrate_vmem_fits): carried chain state (x, log_p, log_q, accept
@@ -101,8 +102,11 @@ def mcmc_vmem_fits(
     seed batches, incompressible giant user tables, or multi-million-
     chain resume states are what this gate routes to the XLA backend."""
     blocks = k + 8  # x/logp/logq/n_acc carried + xp/logp'/logq'/u temps
+    if with_stderr:
+        blocks += 1  # end-of-kernel chain-means temporary
     est = 2 * blocks * rows * LANES * 4
-    est += seed_batch * local_programs * LANES * 4
+    # with_stderr triples the output buffer (sums / SS / centroid rows).
+    est += (3 if with_stderr else 1) * seed_batch * local_programs * LANES * 4
     est += table_bytes
     if with_state:
         est += 4 * local_programs * rows * LANES * 4
@@ -192,6 +196,7 @@ def build_mcmc_fn_pallas(
     prop_gapped: bool = False,
     seed_batch: int = 1,
     param_batch: bool = False,
+    with_stderr: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -232,9 +237,22 @@ def build_mcmc_fn_pallas(
     compiled program serves a whole posterior/tempering sweep per
     dispatch.  The whole param arrays stay resident in SMEM; each grid
     rep reads its row.
+
+    ``with_stderr=True`` (stateless, unbatched): the program returns
+    ``(values, acceptance, stderrs)`` with stderr from the BETWEEN-CHAIN
+    variance of per-chain means.  Accumulators are pilot-shifted (pilot =
+    per-program mean of f over the init draw, as on the XLA backend) so
+    the between-chain signal survives float32 at any |E[f]|; each
+    program reports (chain-mean sum, sum of squared deviations from its
+    own centroid, centroid), and programs/devices recombine exactly via
+    Chan's parallel-variance formula around the global mean.
     """
     if seed_batch != 1 and with_state:
         raise ValueError("seed_batch applies to stateless MCMC programs only")
+    if with_stderr and (with_state or seed_batch != 1 or param_batch):
+        raise ValueError(
+            "with_stderr applies to stateless, unbatched MCMC programs only"
+        )
     if use_init_state and not with_state:
         raise ValueError(
             "use_init_state requires with_state=True (the stateless "
@@ -320,6 +338,19 @@ def build_mcmc_fn_pallas(
             logp0 = lp_t(x0)
         logq0 = lp_q(x0)
 
+        n_block = jnp.float32(rows * LANES)
+        if with_stderr:
+            # Accumulation pilot per program: f evaluated at the init
+            # draw is on the right scale, and shifting the accumulators
+            # by it keeps the between-chain signal out of the f32 ulp of
+            # a large |E[f]| (same design as the XLA backend's pilot).
+            # Per-program pilots recombine exactly via Chan's formula in
+            # the wrapper (each program also reports its centroid).
+            pilots = [
+                jnp.sum(f(x0).astype(jnp.float32)) / n_block
+                for f in eval_fns
+            ]
+
         def mh_move(i, x, logp, logq):
             # The chain's own log-densities are carried, not recomputed
             # (they only change on acceptance).  Distinct counters per
@@ -354,10 +385,16 @@ def build_mcmc_fn_pallas(
         def body(i, carry):
             x, logp, logq, accs, n_acc = carry
             x, logp, logq, accept = mh_move(i, x, logp, logq)
-            accs = tuple(
-                acc + f(x).astype(jnp.float32)
-                for acc, f in zip(accs, eval_fns)
-            )
+            if with_stderr:
+                accs = tuple(
+                    acc + (f(x).astype(jnp.float32) - p)
+                    for acc, f, p in zip(accs, eval_fns, pilots)
+                )
+            else:
+                accs = tuple(
+                    acc + f(x).astype(jnp.float32)
+                    for acc, f in zip(accs, eval_fns)
+                )
             n_acc = n_acc + accept.astype(jnp.float32)
             return (x, logp, logq, accs, n_acc)
 
@@ -374,10 +411,35 @@ def build_mcmc_fn_pallas(
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         row_out = jnp.zeros((1, LANES), jnp.float32)
-        for i, acc in enumerate(accs):
-            row_out = jnp.where(col == i, jnp.sum(acc), row_out)
-        row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
-        out_ref[pl.ds(rep * local_programs + pid, 1), :] = row_out
+        if with_stderr:
+            # Per-program between-chain statistics from the pilot-shifted
+            # accumulators: chain means, program centroid, sum of squared
+            # deviations.  The shift cancels inside the deviations and is
+            # restored exactly once in the centroid; the sums row carries
+            # CHAIN-MEAN sums (n_block * centroid), the second row block
+            # the SS values, the third the centroids — the wrapper
+            # recombines programs with Chan's formula around the global
+            # mean.
+            inv_steps = jnp.float32(1.0) / jnp.float32(max(n_steps, 1))
+            row_ss = jnp.zeros((1, LANES), jnp.float32)
+            row_mb = jnp.zeros((1, LANES), jnp.float32)
+            for i, acc in enumerate(accs):
+                cm = acc * inv_steps
+                mbs = jnp.sum(cm) / n_block
+                ss = jnp.sum((cm - mbs) * (cm - mbs))
+                mb = mbs + pilots[i]
+                row_out = jnp.where(col == i, n_block * mb, row_out)
+                row_ss = jnp.where(col == i, ss, row_ss)
+                row_mb = jnp.where(col == i, mb, row_mb)
+            row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
+            out_ref[pl.ds(pid, 1), :] = row_out
+            out_ref[pl.ds(local_programs + pid, 1), :] = row_ss
+            out_ref[pl.ds(2 * local_programs + pid, 1), :] = row_mb
+        else:
+            for i, acc in enumerate(accs):
+                row_out = jnp.where(col == i, jnp.sum(acc), row_out)
+            row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
+            out_ref[pl.ds(rep * local_programs + pid, 1), :] = row_out
         if with_state:
             x_out_ref[pl.ds(pid * rows, rows), :] = x_f
             logp_out_ref[pl.ds(pid * rows, rows), :] = logp_f
@@ -415,11 +477,12 @@ def build_mcmc_fn_pallas(
         if use_init_state:
             in_specs += [state_block, state_block]  # x0, logp0
         out_rows = seed_batch * local_programs
+        total_rows = 3 * out_rows if with_stderr else out_rows
         sums_spec = pl.BlockSpec(
-            (out_rows, LANES), lambda r, i: (0, 0),
+            (total_rows, LANES), lambda r, i: (0, 0),
             memory_space=pltpu.VMEM,
         )
-        sums_shape = jax.ShapeDtypeStruct((out_rows, LANES), jnp.float32)
+        sums_shape = jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32)
         state_shape = jax.ShapeDtypeStruct((state_rows, LANES), jnp.float32)
         if with_state:
             out_specs = (sums_spec, state_block, state_block)
@@ -437,6 +500,16 @@ def build_mcmc_fn_pallas(
         )(seed, prop, targ, pid_base, *rest)
         if with_state:
             out, x_f, logp_f = out
+        if with_stderr:
+            # Row blocks: [0, P) chain-mean sums (+ accept col k),
+            # [P, 2P) per-program SS, [2P, 3P) per-program centroids.
+            sums = jnp.sum(out[:local_programs, :], axis=0)
+            return (
+                sums[:k],
+                sums[k],
+                out[local_programs : 2 * local_programs, :k],
+                out[2 * local_programs :, :k],
+            )
         # (R, LANES): per-batch-element sums over that element's programs.
         totals = jnp.sum(
             out.reshape(seed_batch, local_programs, LANES), axis=1
@@ -450,6 +523,20 @@ def build_mcmc_fn_pallas(
 
     denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
+    chains_f = jnp.float32(chains_actual)
+    block_f = jnp.float32(rows * LANES)  # chains per program
+
+    def _stderr_of(ss_total):
+        # Standard error of the mean of chains_actual independent chains
+        # (ddof=1; matches the XLA backend's convention).
+        var = ss_total / jnp.maximum(chains_f - 1.0, 1.0)
+        return jnp.sqrt(var / chains_f)
+
+    def _chan_combine(values, ss, mb):
+        # Total SS around the global mean M: sum_p [SS_p + n_p (mb_p - M)^2]
+        # over this device's programs (cross-device psum happens outside).
+        corr = block_f * (mb - values[None, :]) ** 2
+        return jnp.sum(ss + corr, axis=0)
 
     def _shape_stateless(sums, n_acc):
         # sums (R, K), n_acc (R,); single-seed programs keep ((K,), scalar)
@@ -527,6 +614,23 @@ def build_mcmc_fn_pallas(
 
             return run
 
+        if with_stderr:
+
+            @jax.jit
+            def run(seed, prop_params, targ_params, *tables):
+                seed_a, prop_a, targ_a, prepped = _prep(
+                    seed, prop_params, targ_params, tables
+                )
+                base = jnp.zeros((1, 1), jnp.int32)
+                sums, n_acc, ss, mb = pallas_sweep(
+                    seed_a, prop_a, targ_a, base, *prepped
+                )
+                values = sums / chains_f  # sums are chain-MEAN sums here
+                ss_total = _chan_combine(values, ss, mb)
+                return values, n_acc / denom_acc, _stderr_of(ss_total)
+
+            return run
+
         @jax.jit
         def run(seed, prop_params, targ_params, *tables):
             seed_a, prop_a, targ_a, prepped = _prep(
@@ -550,6 +654,18 @@ def build_mcmc_fn_pallas(
             rest = rest[:-2] + tuple(
                 a.reshape(-1, LANES) for a in rest[-2:]
             )
+        if with_stderr:
+            sums, n_acc, ss, mb = pallas_sweep(
+                seed_a, prop_a, targ_a, base, *rest
+            )
+            values = jax.lax.psum(sums, axis_name) / chains_f
+            n_acc = jax.lax.psum(n_acc, axis_name) / denom_acc
+            # Chan recombination around the GLOBAL mean, then psum the
+            # per-device totals (each device contributes its programs).
+            ss_total = jax.lax.psum(
+                _chan_combine(values, ss, mb), axis_name
+            )
+            return values, n_acc, _stderr_of(ss_total)
         sums, n_acc, *state = pallas_sweep(seed_a, prop_a, targ_a, base, *rest)
         sums = jax.lax.psum(sums, axis_name)
         n_acc = jax.lax.psum(n_acc, axis_name)
@@ -561,6 +677,8 @@ def build_mcmc_fn_pallas(
 
     body_in_specs = (replicated,) * (3 + n_extra)
     body_out_specs = (replicated, replicated)
+    if with_stderr:
+        body_out_specs = body_out_specs + (replicated,)
     if with_state:
         # segment scalar (replicated, right after params) + per-chain state
         # blocks (sharded over the chain axis, trailing).
