@@ -92,10 +92,83 @@ class TestControlFlow:
         assert _ev(src, 5.0) == 1.0
         assert _ev(src, -5.0) == 0.0
 
-    def test_for_rejected(self):
+    def test_for_loop_counted(self):
+        # for desugars to init + while(cond){body; update} — the last
+        # string-surface gap vs the reference's compile-anything WGSL
+        # acceptance (__init__.py:738-747).
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            for (var i: f32 = 0.0; i < 4.0; i = i + 1.0) {
+                s = s + x;
+            }
+            return s;
+        }
+        """
+        assert _ev(src, 2.5) == 10.0
+
+    def test_for_loop_increment_update(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 1.0;
+            for (var i: f32 = 0.0; i < 3.0; i++) { s = s * x; }
+            return s;
+        }
+        """
+        assert _ev(src, 2.0) == 8.0
+
+    def test_for_loop_compound_update_and_body_decrement(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var n: f32 = 4.0;
+            var s: f32 = 0.0;
+            for (var i: f32 = 0.0; i < n; i += 1.0) {
+                s += x;
+                n--;
+            }
+            return s + n;
+        }
+        """
+        # iterations: i=0 (n 4->3), i=1 (n 3->2): loop exits at i=2 >= n=2.
+        assert _ev(src, 1.0) == 4.0
+
+    def test_for_loop_empty_init_and_update(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var i: f32 = 0.0;
+            var s: f32 = 0.0;
+            for (; i < 3.0;) { s = s + x; i = i + 1.0; }
+            return s;
+        }
+        """
+        assert _ev(src, 1.5) == 4.5
+
+    def test_for_geometric_series_taylor_exp(self):
+        # A hand-written WGSL function of the kind a reference user might
+        # ship: bounded-for Taylor expansion of exp(x).
+        src = """
+        fn f(x: f32) -> f32 {
+            var term: f32 = 1.0;
+            var s: f32 = 1.0;
+            for (var i: f32 = 1.0; i < 12.0; i = i + 1.0) {
+                term = term * x / i;
+                s = s + term;
+            }
+            return s;
+        }
+        """
+        assert _ev(src, 1.0) == pytest.approx(np.e, rel=1e-6)
+
+    def test_for_without_condition_rejected(self):
         with pytest.raises(WgslError):
             trace_wgsl_function(
                 "fn f(x: f32) -> f32 { for (;;) {} return x; }"
+            )
+
+    def test_loop_still_rejected(self):
+        with pytest.raises(WgslError):
+            trace_wgsl_function(
+                "fn f(x: f32) -> f32 { loop { break; } return x; }"
             )
 
 

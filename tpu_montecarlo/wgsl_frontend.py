@@ -5,7 +5,8 @@ Python callables (reference: python/wgpu_montecarlo/__init__.py:734-747,
 tests/test_integrator.py:48-68).  To keep that surface working on TPU —
 where there is no WGSL compiler — this module parses the WGSL *function*
 subset the reference emits and consumes (scalar ``fn name(x: f32) -> f32``
-definitions with let/var, if/else, while, arithmetic, comparisons,
+definitions with let/var, if/else, while, ``for`` — desugared to while,
+including ``i++``/``i--`` updates — arithmetic, comparisons,
 ``&&``/``||``/``!``, ``select`` and the WGSL math builtins) into Python AST
 nodes, then evaluates them with the same symbolic interpreter the Python
 tracer uses (tracing.py).  A string may contain several functions that call
@@ -56,7 +57,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
   | (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?[fhui]?)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>->|&&|\|\||==|!=|<=|>=|\+=|-=|\*=|/=|%=|[-+*/%<>=!(){},;:.&|@\[\]])
+  | (?P<op>->|&&|\|\||==|!=|<=|>=|\+\+|--|\+=|-=|\*=|/=|%=|[-+*/%<>=!(){},;:.&|@\[\]])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -155,68 +156,118 @@ class _Parser:
         self.expect("{")
         stmts: List[ast.stmt] = []
         while not self.accept("}"):
-            stmts.append(self.parse_stmt())
+            stmts.extend(self.parse_stmt())
         return stmts
 
-    def parse_stmt(self) -> ast.stmt:
+    def parse_stmt(self) -> List[ast.stmt]:
         kind, val = self.peek()
 
         if val in ("let", "var", "const"):
-            self.next()
-            _, name = self.next()
-            if self.accept(":"):
-                self._parse_type()
-            if self.accept("="):
-                value = self.parse_expr()
-            else:
-                value = ast.Constant(value=0.0)
+            stmt = self.parse_decl()
             self.expect(";")
-            return self._assign(name, value)
+            return [stmt]
 
         if val == "return":
             self.next()
             value = self.parse_expr()
             self.expect(";")
-            return _loc(ast.Return(value=value))
+            return [_loc(ast.Return(value=value))]
 
         if val == "if":
-            return self.parse_if()
+            return [self.parse_if()]
 
         if val == "while":
             self.next()
             test = self.parse_paren_or_bare_expr()
             body = self.parse_block()
-            return _loc(ast.While(test=test, body=body, orelse=[]))
+            return [_loc(ast.While(test=test, body=body, orelse=[]))]
 
-        if val in ("for", "loop", "break", "continue", "discard"):
+        if val == "for":
+            return self.parse_for()
+
+        if val in ("loop", "break", "continue", "discard"):
             raise WgslError(f"WGSL '{val}' statements are not supported")
 
         if kind == "name":
-            _, name = self.next()
-            _, op = self.next()
-            if op == "=":
-                value = self.parse_expr()
-                self.expect(";")
-                return self._assign(name, value)
-            if op in ("+=", "-=", "*=", "/=", "%="):
-                value = self.parse_expr()
-                self.expect(";")
-                lhs = _loc(ast.Name(id=name, ctx=ast.Load()))
-                if op == "%=":
-                    return self._assign(name, _wgsl_mod_call(lhs, value))
-                binop = {
-                    "+=": ast.Add,
-                    "-=": ast.Sub,
-                    "*=": ast.Mult,
-                    "/=": ast.Div,
-                }[op]
-                return self._assign(
-                    name,
-                    _loc(ast.BinOp(left=lhs, op=binop(), right=value)),
-                )
-            raise WgslError(f"Unexpected token after identifier: {op!r}")
+            stmt = self.parse_assign_stmt()
+            self.expect(";")
+            return [stmt]
 
         raise WgslError(f"Unsupported WGSL statement starting at {val!r}")
+
+    def parse_decl(self) -> ast.stmt:
+        """``let/var/const name (: type)? (= expr)?`` without the ';'."""
+        self.next()
+        _, name = self.next()
+        if self.accept(":"):
+            self._parse_type()
+        if self.accept("="):
+            value = self.parse_expr()
+        else:
+            value = ast.Constant(value=0.0)
+        return self._assign(name, value)
+
+    def parse_assign_stmt(self) -> ast.stmt:
+        """``name = expr`` / ``name op= expr`` / ``name++`` / ``name--``
+        without the trailing ';'."""
+        _, name = self.next()
+        _, op = self.next()
+        lhs = _loc(ast.Name(id=name, ctx=ast.Load()))
+        if op == "=":
+            return self._assign(name, self.parse_expr())
+        if op in ("++", "--"):
+            delta = _loc(ast.Constant(value=1.0))
+            node_op = ast.Add() if op == "++" else ast.Sub()
+            return self._assign(
+                name, _loc(ast.BinOp(left=lhs, op=node_op, right=delta))
+            )
+        if op in ("+=", "-=", "*=", "/=", "%="):
+            value = self.parse_expr()
+            if op == "%=":
+                return self._assign(name, _wgsl_mod_call(lhs, value))
+            binop = {
+                "+=": ast.Add,
+                "-=": ast.Sub,
+                "*=": ast.Mult,
+                "/=": ast.Div,
+            }[op]
+            return self._assign(
+                name,
+                _loc(ast.BinOp(left=lhs, op=binop(), right=value)),
+            )
+        raise WgslError(f"Unexpected token after identifier: {op!r}")
+
+    def parse_for(self) -> List[ast.stmt]:
+        """Desugar ``for (init; cond; update) { body }`` into
+        ``init; while (cond) { body; update }`` — the tracing
+        interpreter already lowers ``while`` (closing the last
+        string-surface gap vs the reference's compile-anything WGSL
+        acceptance, reference __init__.py:738-747)."""
+        self.expect("for")
+        self.expect("(")
+        init: List[ast.stmt] = []
+        if not self.accept(";"):
+            kind, val = self.peek()
+            init = [
+                self.parse_decl()
+                if val in ("let", "var", "const")
+                else self.parse_assign_stmt()
+            ]
+            self.expect(";")
+        if self.peek()[1] == ";":
+            raise WgslError(
+                "WGSL 'for' without a condition cannot terminate"
+            )
+        cond = self.parse_expr()
+        self.expect(";")
+        update: List[ast.stmt] = []
+        if self.peek()[1] != ")":
+            update = [self.parse_assign_stmt()]
+        self.expect(")")
+        body = self.parse_block()
+        return init + [
+            _loc(ast.While(test=cond, body=body + update, orelse=[]))
+        ]
 
     def parse_if(self) -> ast.stmt:
         self.expect("if")
