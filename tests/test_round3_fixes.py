@@ -112,3 +112,61 @@ class TestNormalTailTruncation:
             n_samples=500_000, backend="pallas",
         )
         assert r.values[0] == 0.0
+
+
+class TestMultiPassHighK:
+    """K > 128 fused workloads chain multiple kernel passes over
+    identical sample streams instead of falling off the ~500x XLA
+    table-sampling cliff (reference any-K accumulators,
+    src/shader_gen.rs:264-282)."""
+
+    def test_k256_custom_table_matches_xla(self):
+        import math
+
+        d = Distribution.from_pdf(
+            lambda x: math.exp(-0.5 * x * x), support=(-5.0, 5.0)
+        )
+        edges = np.linspace(-3.0, 3.0, 257)
+
+        def make_bin(lo, hi):
+            return lambda x: (x >= lo) & (x < hi)
+
+        fns = [make_bin(edges[i], edges[i + 1]) for i in range(256)]
+        r_p = MonteCarloIntegrator(backend="pallas").integrate(
+            fns, d, n_samples=100_000, seed=3
+        )
+        r_x = MonteCarloIntegrator(backend="xla").integrate(
+            fns, d, n_samples=100_000, seed=3
+        )
+        assert r_p.values.shape == (256,)
+        assert abs(r_p.values.sum() - 1.0) < 0.02
+        np.testing.assert_allclose(r_p.values, r_x.values, atol=5e-3)
+
+    def test_passes_share_identical_samples(self):
+        # The same integrand placed in BOTH passes must produce
+        # bit-equal estimates: every pass re-generates the identical
+        # counter-keyed sample stream.
+        def f(x):
+            return x * x
+
+        fns = [f] * 129  # two passes: 65 + 64 functions
+        r = MonteCarloIntegrator(backend="pallas").integrate(
+            fns, Distribution.normal(0.0, 1.0), n_samples=100_000
+        )
+        assert r.values.shape == (129,)
+        assert np.all(r.values == r.values[0])
+
+    def test_multi_pass_qmc(self):
+        def make_pow(j):
+            return lambda x: x ** (j % 3)
+
+        fns = [make_pow(j) for j in range(130)]
+        r = MonteCarloIntegrator(backend="pallas").integrate(
+            fns, Distribution.uniform(0.0, 1.0), n_samples=100_000,
+            method="qmc",
+        )
+        # E[U^0]=1, E[U]=1/2, E[U^2]=1/3 cycling.
+        np.testing.assert_allclose(
+            r.values[:3], [1.0, 0.5, 1 / 3], atol=1e-3
+        )
+        np.testing.assert_allclose(r.values[0], r.values[129 // 3 * 3], atol=1e-6)

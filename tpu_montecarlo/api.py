@@ -597,6 +597,19 @@ class MonteCarloIntegrator:
                 "with_stderr is not supported on batched programs"
             )
 
+        if (
+            len(traced) > 128
+            and seed_batch == 1
+            and not param_batch
+            and not with_stderr
+            and self._use_pallas(spec.kind)
+        ):
+            multi = self._multi_pass_integrate_program(
+                traced, distribution, spec, n_samples, method
+            )
+            if multi is not None:
+                return multi
+
         if self._use_pallas(spec.kind):
             from .ops.integrate_pallas import (
                 build_integrate_fn_pallas,
@@ -660,6 +673,91 @@ class MonteCarloIntegrator:
             traced, spec, plan, method, with_stderr=with_stderr
         )
         return run, _device_args_of(distribution, spec)
+
+    def _multi_pass_integrate_program(
+        self, traced, distribution, spec, n_samples, method
+    ):
+        """K > 128 fused workloads: chain ceil(K/128) kernel passes over
+        IDENTICAL sample streams — each pass re-generates the same
+        counter-keyed stream (same seed words, same grid, same pinned
+        block rows), so all K integrands still share samples.  This is
+        the reference's any-K accumulator semantics
+        (src/shader_gen.rs:264-282) without the ~500x XLA table-sampling
+        cliff beyond the kernel's 128-lane output row.  Regenerating
+        samples costs ~1 sampler eval per pass — a few percent of a
+        128-integrand pass's work.  Returns (run, dev_args), or None
+        when the passes cannot ride the kernel (callers fall to XLA)."""
+        from .ops.integrate_pallas import (
+            build_integrate_fn_pallas,
+            pick_block_rows,
+        )
+
+        mesh = self._mesh
+        n_dev = 1 if mesh is None else mesh.size
+        plan = make_integrate_plan(
+            n_samples, self._target_threads, n_dev=n_dev
+        )
+        n_groups = -(-len(traced) // 128)
+        gsize = -(-len(traced) // n_groups)
+        groups = [
+            tuple(traced[i : i + gsize])
+            for i in range(0, len(traced), gsize)
+        ]
+        gapped = spec.kind == DistKind.CUSTOM and spec.exact_inverse
+        rows = pick_block_rows(
+            gsize, spec.kind, gapped=gapped,
+            plan_samples=plan.actual_samples, n_dev=n_dev,
+        )
+        if rows is None:
+            return None
+        for g in groups:
+            if not self._pallas_eligible(
+                spec, g, plan_samples=plan.actual_samples
+            ):
+                return None
+        interpret = jax.default_backend() != "tpu"
+        runs = []
+        for g in groups:
+            key = (
+                "integrate_pallas",
+                _fns_key(g),
+                spec.kind,
+                plan,
+                _table_shapes(spec),
+                _mesh_key(mesh),
+                interpret,
+                gapped,
+                1,
+                method,
+                False,
+                False,
+                ("rows", rows),
+            )
+            runs.append(
+                self._cache.get_or_build(
+                    key,
+                    lambda g=g: build_integrate_fn_pallas(
+                        g, spec.kind, plan, mesh=mesh,
+                        interpret=interpret, gapped_tables=gapped,
+                        method=method, block_rows=rows,
+                    ),
+                )
+            )
+        if gapped:
+            params_dev = _device_args_of(distribution, spec)[0]
+            ts, dts = _device_gapped_tables(
+                distribution, spec, stratified=True, segments=rows // 8
+            )
+            dev_args = (params_dev, ts, dts)
+        else:
+            dev_args = _device_args_of(distribution, spec)
+
+        def run_multi(seed, *args):
+            return jnp.concatenate([r(seed, *args) for r in runs])
+
+        run_multi.actual_samples = runs[0].actual_samples
+        run_multi.block_rows = rows
+        return run_multi, dev_args
 
     # ------------------------------------------------------------------
     # importance sampling

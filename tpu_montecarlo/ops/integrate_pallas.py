@@ -499,6 +499,7 @@ def build_integrate_fn_pallas(
     method: str = "mc",
     param_batch: bool = False,
     with_stderr: bool = False,
+    block_rows: Optional[int] = None,
 ):
     """Build a jitted ``(seed, params, x_table, cdf_table[, p_x, p_pdf]
     [, q_x, q_pdf]) -> (K,) float32`` program running the fused Pallas
@@ -588,17 +589,20 @@ def build_integrate_fn_pallas(
     n_dev = 1 if mesh is None else mesh.size
     # Block row count fitted to the VMEM budget (shrinks for high K so
     # fine-histogram-style workloads stay on the kernel path); the budget
-    # includes the seed_batch x programs output buffer.
-    block_rows = pick_block_rows(
-        k, kind,
-        n_weight_tables=int(p_table) + int(q_table),
-        extra_blocks=3 if is_weight is not None else 0,
-        gapped=gapped_tables,
-        plan_samples=plan.actual_samples,
-        n_dev=n_dev,
-        seed_batch=seed_batch,
-        with_stderr=with_stderr,
-    )
+    # includes the seed_batch x programs output buffer.  An explicit
+    # ``block_rows`` pins the choice — the K>128 multi-pass driver uses
+    # it so every pass shares one grid and therefore one sample stream.
+    if block_rows is None:
+        block_rows = pick_block_rows(
+            k, kind,
+            n_weight_tables=int(p_table) + int(q_table),
+            extra_blocks=3 if is_weight is not None else 0,
+            gapped=gapped_tables,
+            plan_samples=plan.actual_samples,
+            n_dev=n_dev,
+            seed_batch=seed_batch,
+            with_stderr=with_stderr,
+        )
     if block_rows is None:
         raise ValueError(
             "fused workload exceeds the kernel VMEM budget; use the XLA "
