@@ -615,16 +615,27 @@ def build_integrate_fn_pallas(
     actual = programs * loops * block_rows * LANES
     local_programs = programs // n_dev
 
+    qmc_seg_bits = None
     if method == "qmc":
-        from .qmc import QMC_MAX_SAMPLES
+        from . import qmc as _qmc
 
-        if actual >= QMC_MAX_SAMPLES:
+        total_blocks = programs * loops
+        if total_blocks >= 1 << 31:
             raise ValueError(
-                "QMC uses a uint32 global sample counter; split "
-                f"{actual} samples across calls of < {QMC_MAX_SAMPLES} "
-                "samples, giving each call a DISTINCT seed (each seed "
-                "is an independent rotation of the same point set — "
-                "same-seed calls would redraw identical points)"
+                "QMC block counter exceeds int32; reduce n_samples "
+                f"(requested {actual} samples in {total_blocks} blocks)"
+            )
+        block_elems = block_rows * LANES
+        assert block_elems & (block_elems - 1) == 0
+        if actual >= _qmc.QMC_MAX_SAMPLES:
+            # Auto-split into full 2^32-point vdc cycles, each under its
+            # own seed-derived rotation (qmc.derive_segment_shift):
+            # block b maps to segment b >> qmc_seg_bits and local block
+            # b & (2^bits - 1) by pure power-of-two index arithmetic,
+            # so one call scales past the uint32 counter with no user
+            # seed management.
+            qmc_seg_bits = max(
+                0, (_qmc.QMC_MAX_SAMPLES // block_elems).bit_length() - 1
             )
 
     rng_factory = CounterRng if interpret else HardwareRng
@@ -680,8 +691,16 @@ def build_integrate_fn_pallas(
                 b = (
                     pid_base_ref[0, 0] + pid
                 ) * jnp.int32(loops) + i
+                if qmc_seg_bits is not None:
+                    from .qmc import derive_segment_shift
+
+                    seg = b >> qmc_seg_bits
+                    b = b & ((1 << qmc_seg_bits) - 1)
+                    shift_b = derive_segment_shift(shift, seg)
+                else:
+                    shift_b = shift
                 subs = _sample_subblocks_qmc(
-                    kind, p1, p2, b, shift, tables, block_rows,
+                    kind, p1, p2, b, shift_b, tables, block_rows,
                 )
             else:
                 subs = _sample_subblocks(

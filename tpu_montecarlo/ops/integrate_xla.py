@@ -112,16 +112,18 @@ def build_integrate_fn(
             f"{n_dev} devices; pad the plan first"
         )
     local_chunks = plan.n_chunks // n_dev
+    qmc_chunks_per_seg = None
     if method == "qmc":
-        from .qmc import QMC_MAX_SAMPLES
+        from . import qmc as _qmc
 
-        if plan.actual_samples >= QMC_MAX_SAMPLES:
-            raise ValueError(
-                "QMC uses a uint32 global sample counter; split "
-                f"{plan.actual_samples} samples across calls of < "
-                f"{QMC_MAX_SAMPLES} samples, giving each call a DISTINCT "
-                "seed (each seed is an independent rotation of the same "
-                "point set — same-seed calls would redraw identical points)"
+        if plan.actual_samples >= _qmc.QMC_MAX_SAMPLES:
+            # Auto-split past one 2^32-point vdc cycle: chunks are
+            # grouped into segments of <= 2^32 samples, each under its
+            # own seed-derived rotation (qmc.derive_segment_shift), so
+            # a single call scales to any sample count with no user
+            # seed management.
+            qmc_chunks_per_seg = max(
+                1, _qmc.QMC_MAX_SAMPLES // plan.chunk_elems
             )
 
     def _sweep(seed, params, x_table, cdf_table, chunk_start):
@@ -134,9 +136,18 @@ def build_integrate_fn(
 
         def draw(i):
             if method == "qmc":
+                if qmc_chunks_per_seg is not None:
+                    from .qmc import derive_segment_shift
+
+                    cps = jnp.int32(qmc_chunks_per_seg)
+                    seg = i // cps
+                    i = i - seg * cps
+                    shift_i = derive_segment_shift(shift, seg)
+                else:
+                    shift_i = shift
                 return _qmc_sample_chunk(
                     i, plan.chunk_elems, kind, params,
-                    x_table, cdf_table, exact_inverse, shift,
+                    x_table, cdf_table, exact_inverse, shift_i,
                 )
             ck = jax.random.fold_in(key, i)
             return sample_block(

@@ -39,13 +39,19 @@ import jax.numpy as jnp
 
 __all__ = [
     "bitrev32",
+    "derive_segment_shift",
     "derive_shift",
     "qmc_u01_halfopen",
     "qmc_u01_open",
     "QMC_MAX_SAMPLES",
 ]
 
-# g must fit a uint32 counter.
+# g must fit a uint32 counter; one SEGMENT is one full 2^32-point van der
+# Corput cycle.  Runs past this size split the index space into segments
+# automatically, each under its own seed-derived rotation
+# (derive_segment_shift) — partial sums over independently-rotated full
+# cycles are unbiased and keep the low-discrepancy rate per segment, so
+# a single call scales to arbitrarily many samples.
 QMC_MAX_SAMPLES = 1 << 32
 
 _INV_2POW24 = np.float32(1.0 / (1 << 24))
@@ -86,6 +92,19 @@ def derive_shift(seed, tag: int):
     return _pcg_mix(
         s ^ jnp.uint32(0x9E3779B9) ^ jnp.uint32((tag * 0x85EBCA6B) & 0xFFFFFFFF)
     )
+
+
+def derive_segment_shift(base_shift, seg):
+    """Per-segment rotation for auto-split runs past one vdc cycle.
+
+    Segment 0 keeps ``base_shift`` unchanged, so sub-2^32 runs are
+    bit-identical to the unsegmented path; higher segments re-mix the
+    base rotation with the segment index (scalar uint32 PCG — compiles
+    on Mosaic, which already runs derive_shift in-kernel), making each
+    cycle an independent Cranley-Patterson rotation of the point set."""
+    seg_u = jnp.asarray(seg).astype(jnp.uint32)
+    mixed = _pcg_mix(base_shift ^ (seg_u * jnp.uint32(0x9E3779B9)))
+    return jnp.where(seg_u == jnp.uint32(0), base_shift, mixed)
 
 
 def _mantissa24(bits):
