@@ -1,0 +1,111 @@
+"""MCMC convergence diagnostics (``return_diagnostics=True``).
+
+Split-R-hat (Gelman-Rubin potential scale reduction over 2*n_chains
+half-chain sequences) — a capability push beyond the reference, built
+from the per-chain means the stderr machinery computes
+(ops/mcmc_xla.py).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_montecarlo import (
+    Distribution,
+    MonteCarloIntegrator,
+    integrate_mcmc,
+)
+
+
+class TestSplitRhat:
+    def test_well_mixed_near_one(self):
+        r = integrate_mcmc(
+            [lambda x: x, lambda x: x * x],
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+            n_steps=2000, n_chains=512, n_burnin=200,
+            return_diagnostics=True,
+        )
+        r_hat = r.diagnostics["r_hat"]
+        assert r_hat.shape == (2,)
+        assert np.all(r_hat > 0.99)
+        assert np.all(r_hat < 1.02)
+
+    def test_slow_mixing_flagged(self):
+        # A badly mismatched independence proposal (mass at 4, target at
+        # 0) with a short run: chains crawl toward the target at very
+        # different rates, so the two halves of each chain disagree and
+        # split-R-hat must rise well above 1 — exactly the failure the
+        # user needs flagged, since the VALUES look plausible otherwise.
+        r = integrate_mcmc(
+            [lambda x: x],
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(4.0, 0.3),
+            n_steps=60, n_chains=512, n_burnin=0,
+            return_diagnostics=True,
+        )
+        assert r.diagnostics["r_hat"][0] > 1.1
+
+    def test_diagnostics_none_by_default(self):
+        r = integrate_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+            n_steps=200, n_chains=256, n_burnin=10,
+        )
+        assert r.diagnostics is None
+
+    def test_combined_with_stderr(self):
+        r = integrate_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+            n_steps=1000, n_chains=512, n_burnin=100,
+            return_stderr=True, return_diagnostics=True,
+        )
+        assert r.stderr is not None and r.stderr[0] > 0
+        assert 0.99 < r.diagnostics["r_hat"][0] < 1.05
+        assert abs(r.values[0]) < 4 * r.stderr[0]
+
+    def test_sharded(self, mesh8):
+        r = MonteCarloIntegrator(mesh=mesh8).integrate_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+            n_steps=800, n_chains=2048, n_burnin=100,
+            return_diagnostics=True,
+        )
+        assert 0.99 < r.diagnostics["r_hat"][0] < 1.02
+
+    def test_custom_target_table_path(self):
+        r = integrate_mcmc(
+            [lambda x: x], Distribution.beta(2.0, 2.0),
+            Distribution.uniform(0.0, 1.0),
+            n_steps=1500, n_chains=512, n_burnin=150,
+            return_diagnostics=True,
+        )
+        assert abs(r.values[0] - 0.5) < 0.01
+        assert r.diagnostics["r_hat"][0] < 1.02
+
+    def test_rejected_with_state(self):
+        with pytest.raises(ValueError, match="stateless"):
+            integrate_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0),
+                n_steps=100, n_chains=256, n_burnin=10,
+                return_diagnostics=True, return_state=True,
+            )
+
+    def test_rejected_single_step(self):
+        with pytest.raises(ValueError, match="n_steps"):
+            integrate_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0),
+                n_steps=1, n_chains=256, n_burnin=0,
+                return_diagnostics=True,
+            )
+
+    def test_forced_pallas_warns(self):
+        with pytest.warns(UserWarning, match="XLA MCMC"):
+            MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0),
+                n_steps=200, n_chains=256, n_burnin=10,
+                return_diagnostics=True,
+            )

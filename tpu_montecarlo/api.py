@@ -96,6 +96,10 @@ class IntegrationResult:
             function, when requested with ``return_stderr=True``; else
             None (an addition over the reference, which returns point
             estimates only).
+        diagnostics: MCMC only — dict of convergence diagnostics when
+            requested with ``return_diagnostics=True`` (currently
+            ``{"r_hat": (K,) float64}``, the split-R-hat
+            potential-scale-reduction statistic); else None.
     """
 
     def __init__(
@@ -106,6 +110,7 @@ class IntegrationResult:
         acceptance_rate: Optional[float] = None,
         chain_state: Optional[McmcState] = None,
         stderr=None,
+        diagnostics: Optional[dict] = None,
     ):
         self.values = np.array(values, dtype=np.float64)
         self.n_samples = n_samples
@@ -115,6 +120,7 @@ class IntegrationResult:
         self.stderr = (
             None if stderr is None else np.array(stderr, dtype=np.float64)
         )
+        self.diagnostics = diagnostics
 
     def __repr__(self):
         return (
@@ -1083,6 +1089,7 @@ class MonteCarloIntegrator:
         initial_state: Optional[McmcState] = None,
         return_state: bool = False,
         return_stderr: bool = False,
+        return_diagnostics: bool = False,
     ) -> IntegrationResult:
         """Compute E_p[f(X)] with parallel independence-sampler
         Metropolis-Hastings chains (one chain per lane).
@@ -1099,6 +1106,15 @@ class MonteCarloIntegrator:
         within-chain autocorrelation (an addition over the reference).
         Error bars ride the Pallas kernel whenever the plain run would
         (pilot-shifted per-program squares, Chan-recombined).
+
+        ``return_diagnostics=True`` (stateless runs, ``n_steps >= 2``):
+        ``result.diagnostics["r_hat"]`` is the split-R-hat
+        potential-scale-reduction statistic per function — each chain's
+        sampling phase is split into two halves and the between- vs
+        within-sequence variances compared; values near 1 indicate
+        mixing, values well above 1 flag a proposal that explores the
+        target too slowly.  Diagnostics runs execute on the XLA
+        backend.
         """
         if len(functions) == 0:
             raise ValueError("At least one function is required")
@@ -1113,6 +1129,12 @@ class MonteCarloIntegrator:
                 "return_stderr applies to stateless MCMC runs only "
                 "(resumed segments' between-chain variance reflects the "
                 "segment, not the combined run)"
+            )
+        if return_diagnostics and (
+            return_state or initial_state is not None
+        ):
+            raise ValueError(
+                "return_diagnostics applies to stateless MCMC runs only"
             )
 
         traced = self._trace_user_functions(functions)
@@ -1135,18 +1157,27 @@ class MonteCarloIntegrator:
                 n_chains,
                 n_burnin,
                 with_stderr=return_stderr,
+                with_diagnostics=return_diagnostics,
             )
+            outs = stateless(seed)
+            values, acc_rate = outs[0], outs[1]
+            idx = 2
+            stderr = None
+            diagnostics = None
             if return_stderr:
-                values, acc_rate, stderr = stateless(seed)
-            else:
-                values, acc_rate = stateless(seed)
-                stderr = None
+                stderr = outs[idx]
+                idx += 1
+            if return_diagnostics:
+                diagnostics = {
+                    "r_hat": np.array(outs[idx], dtype=np.float64)
+                }
             return IntegrationResult(
                 values=values,
                 n_samples=n_chains * n_steps,
                 n_functions=len(functions),
                 acceptance_rate=float(acc_rate),
                 stderr=stderr,
+                diagnostics=diagnostics,
             )
 
         # Checkpoint/resume: both backends surface chain state (the Pallas
@@ -1298,6 +1329,7 @@ class MonteCarloIntegrator:
         seed_batch: int = 1,
         param_batch: bool = False,
         with_stderr: bool = False,
+        with_diagnostics: bool = False,
     ):
         """MCMC program + the chain count its state carries.
 
@@ -1324,13 +1356,32 @@ class MonteCarloIntegrator:
                 raise ValueError(
                     "with_stderr is not supported on batched programs"
                 )
+        if with_diagnostics:
+            if with_state:
+                raise ValueError(
+                    "with_diagnostics applies to stateless MCMC programs "
+                    "only"
+                )
+            if seed_batch != 1 or param_batch:
+                raise ValueError(
+                    "with_diagnostics is not supported on batched programs"
+                )
         prop_spec = dist_spec_of(proposal_distribution)
         targ_spec = dist_spec_of(target_distribution)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
-        pallas_ok = self._mcmc_pallas_ok(
+        # Diagnostics runs take the XLA backend (a diagnostics surface,
+        # not the serving hot path; the kernel reduces chains to program
+        # sums and has no split-half accumulators).
+        if with_diagnostics and self._backend == "pallas":
+            warnings.warn(
+                "backend='pallas' requested but return_diagnostics runs "
+                "the XLA MCMC backend",
+                stacklevel=3,
+            )
+        pallas_ok = not with_diagnostics and self._mcmc_pallas_ok(
             traced, prop_spec, targ_spec,
             target_distribution, proposal_distribution,
         )
@@ -1363,7 +1414,8 @@ class MonteCarloIntegrator:
                 and initial_chains == total_chains
             ):
                 pallas_ok = False  # state minted by the XLA backend
-        if not pallas_ok and self._backend == "pallas":
+        if not pallas_ok and not with_diagnostics and self._backend == "pallas":
+            # (with_diagnostics already warned above.)
             warnings.warn(
                 "backend='pallas' requested but this MCMC workload is "
                 "not Pallas-eligible; running the XLA backend instead",
@@ -1485,6 +1537,7 @@ class MonteCarloIntegrator:
             _mesh_key(mesh),
             (with_state, use_init_state, targ_uniform, prop_uniform),
             with_stderr,
+            with_diagnostics,
         )
         run = self._cache.get_or_build(
             key,
@@ -1502,6 +1555,7 @@ class MonteCarloIntegrator:
                 prop_table_uniform=prop_uniform,
                 prop_exact_inverse=prop_spec.exact_inverse,
                 with_stderr=with_stderr,
+                with_diagnostics=with_diagnostics,
             ),
         )
         use_targ_table = targ_spec.kind == DistKind.CUSTOM
@@ -2097,6 +2151,7 @@ def integrate_mcmc(
     initial_state: Optional[McmcState] = None,
     return_state: bool = False,
     return_stderr: bool = False,
+    return_diagnostics: bool = False,
 ) -> IntegrationResult:
     """One-shot MCMC integration."""
     integrator = MonteCarloIntegrator(
@@ -2113,4 +2168,5 @@ def integrate_mcmc(
         initial_state=initial_state,
         return_state=return_state,
         return_stderr=return_stderr,
+        return_diagnostics=return_diagnostics,
     )

@@ -71,6 +71,7 @@ def build_mcmc_fn(
     prop_table_uniform: bool = False,
     prop_exact_inverse: bool = False,
     with_stderr: bool = False,
+    with_diagnostics: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -102,9 +103,25 @@ def build_mcmc_fn(
     autocorrelation (an addition over the reference).  Squares are
     accumulated around per-device chain-mean centroids and recombined
     with the global mean, so no float32 cancellation at any offset.
+
+    ``with_diagnostics=True`` (stateless only, ``n_steps >= 2``): the
+    program additionally returns a ``(K,)`` split-R-hat array — the
+    Gelman-Rubin potential-scale-reduction statistic computed by
+    splitting every chain's sampling phase into two equal halves
+    (2 * n_chains sequences of n_steps // 2 draws; an odd final step is
+    excluded from the diagnostic only).  R-hat near 1 indicates the
+    chains mixed; values well above 1 flag a slow-mixing
+    proposal/target pairing.  Accumulation is pilot-shifted like the
+    stderr path; cross-device recombination uses Chan's formula.
     """
     if with_stderr and with_state:
         raise ValueError("with_stderr applies to stateless MCMC programs only")
+    if with_diagnostics and with_state:
+        raise ValueError(
+            "with_diagnostics applies to stateless MCMC programs only"
+        )
+    if with_diagnostics and n_steps < 2:
+        raise ValueError("with_diagnostics needs n_steps >= 2")
     k = len(eval_fns)
     vfns = [jax.vmap(f) for f in eval_fns]
     n_dev = 1 if mesh is None else mesh.size
@@ -170,7 +187,8 @@ def build_mcmc_fn(
             logp0 = target_log_pdf(x0)
         logq0 = proposal_log_pdf(x0)
 
-        if with_stderr:
+        shift_needed = with_stderr or with_diagnostics
+        if shift_needed:
             # Accumulation pilot: without a shift the per-chain f32
             # accumulator swamps the between-chain signal when
             # |E[f]| >> std (acc ~ n_steps*E[f], ulp >> chain spread).
@@ -180,10 +198,15 @@ def build_mcmc_fn(
                 [jnp.mean(vf(x0).astype(jnp.float32)) for vf in vfns]
             )
 
+        n1 = n_steps // 2  # split-half length (odd last step excluded)
+
         def step(carry, i):
             # The chain's own proposal log-density is carried, not
             # recomputed (it only changes on acceptance).
-            x, logp, logq, acc, n_accept = carry
+            if with_diagnostics:
+                x, logp, logq, acc, n_accept, halves = carry
+            else:
+                x, logp, logq, acc, n_accept = carry
             xp = sample_block(
                 jax.random.fold_in(key_prop, i),
                 (local_chains,),
@@ -205,25 +228,63 @@ def build_mcmc_fn(
             logq = jnp.where(accept, logq_prop, logq)
 
             collect = i >= n_burnin
-            vals = jnp.stack([vf(x) for vf in vfns])  # (K, chains)
-            if with_stderr:
-                vals = vals.astype(jnp.float32) - pilot[:, None]
+            ys = jnp.stack(
+                [vf(x) for vf in vfns]
+            ).astype(jnp.float32)  # (K, chains)
+            if shift_needed:
+                sv = ys - pilot[:, None]
+            vals = sv if with_stderr else ys
             acc = acc + jnp.where(collect, vals, 0.0)
             n_accept = n_accept + jnp.where(
                 collect, jnp.sum(accept.astype(jnp.float32)), 0.0
             )
+            if with_diagnostics:
+                acc1, sq1, acc2, sq2 = halves
+                h1 = jnp.logical_and(i >= n_burnin, i < n_burnin + n1)
+                h2 = jnp.logical_and(
+                    i >= n_burnin + n1, i < n_burnin + 2 * n1
+                )
+                acc1 = acc1 + jnp.where(h1, sv, 0.0)
+                sq1 = sq1 + jnp.where(h1, sv * sv, 0.0)
+                acc2 = acc2 + jnp.where(h2, sv, 0.0)
+                sq2 = sq2 + jnp.where(h2, sv * sv, 0.0)
+                return (
+                    x, logp, logq, acc, n_accept, (acc1, sq1, acc2, sq2)
+                ), None
             return (x, logp, logq, acc, n_accept), None
 
-        init = (
-            x0,
-            logp0,
-            logq0,
-            jnp.zeros((k, local_chains), jnp.float32),
-            jnp.float32(0.0),
-        )
-        (x_f, logp_f, _, acc, n_accept), _ = jax.lax.scan(
+        zk = lambda: jnp.zeros((k, local_chains), jnp.float32)  # noqa: E731
+        init = (x0, logp0, logq0, zk(), jnp.float32(0.0))
+        if with_diagnostics:
+            init = init + ((zk(), zk(), zk(), zk()),)
+        carry, _ = jax.lax.scan(
             step, init, jnp.arange(n_iters, dtype=jnp.int32)
         )
+        if with_diagnostics:
+            x_f, logp_f, _, acc, n_accept, halves = carry
+        else:
+            x_f, logp_f, _, acc, n_accept = carry
+
+        diag = ()
+        if with_diagnostics:
+            # Split-R-hat ingredients: per-sequence (= half-chain) means
+            # and within-sequence variances, reduced locally to (k,)
+            # sums + (centroid, SS) pairs for Chan recombination.  All
+            # in pilot-shifted space (variances are shift-invariant; the
+            # centroid is restored for the cross-device mean).
+            acc1, sq1, acc2, sq2 = halves
+            n1f = jnp.float32(max(n1, 1))
+            mh = [acc1 / n1f, acc2 / n1f]
+            within = [
+                (sq - n1f * m * m) / jnp.float32(max(n1 - 1, 1))
+                for sq, m in zip((sq1, sq2), mh)
+            ]
+            w_sum = jnp.sum(within[0] + within[1], axis=1)
+            seq = jnp.concatenate(mh, axis=1)  # (k, 2*local_chains)
+            mb_d = jnp.mean(seq, axis=1)
+            ss_d = jnp.sum((seq - mb_d[:, None]) ** 2, axis=1)
+            diag = ((w_sum, mb_d + pilot, ss_d),)
+
         # Per-chain means, summed over local chains (global divide later).
         chain_means = acc / jnp.float32(n_steps)
         if with_stderr:
@@ -238,8 +299,8 @@ def build_mcmc_fn(
                 jnp.sum(chain_means, axis=1)
                 + jnp.float32(local_chains) * pilot
             )
-            return sums, n_accept, x_f, logp_f, ss, mb_s + pilot
-        return jnp.sum(chain_means, axis=1), n_accept, x_f, logp_f
+            return (sums, n_accept, x_f, logp_f, ss, mb_s + pilot) + diag
+        return (jnp.sum(chain_means, axis=1), n_accept, x_f, logp_f) + diag
 
     denom_vals = jnp.float32(total_chains)
     denom_acc = jnp.float32(total_chains) * jnp.float32(max(n_steps, 1))
@@ -249,6 +310,19 @@ def build_mcmc_fn(
         # (ddof=1; a single chain yields stderr 0 rather than div-0).
         var = ss_total / jnp.maximum(denom_vals - 1.0, 1.0)
         return jnp.sqrt(var / denom_vals)
+
+    m_total = jnp.float32(2 * total_chains)  # split-half sequence count
+
+    def _rhat_of(w_tot, ss_tot):
+        # Split-R-hat: W = mean within-sequence variance, B/n =
+        # var(sequence means); var+ = (n-1)/n W + B/n; R = sqrt(var+/W).
+        w = w_tot / m_total
+        var_means = ss_tot / jnp.maximum(m_total - 1.0, 1.0)
+        n1f = jnp.float32(max(n_steps // 2, 1))
+        var_plus = (n1f - 1.0) / n1f * w + var_means
+        r = jnp.sqrt(var_plus / jnp.maximum(w, 1e-30))
+        # Degenerate all-constant chains read as converged, not 0/0.
+        return jnp.where(w > 0, r, jnp.float32(1.0))
 
     if mesh is None:
         if with_state:
@@ -269,19 +343,22 @@ def build_mcmc_fn(
 
             return run
 
-        if with_stderr:
+        if with_stderr or with_diagnostics:
 
             @jax.jit
             def run(seed, prop_params, targ_params, *tables):
-                sums, n_accept, _, _, ss, _ = _chain_sweep(
+                out = _chain_sweep(
                     seed, prop_params, targ_params, *tables, jnp.int32(0)
                 )
-                # Single device: the local centroid IS the global mean.
-                return (
-                    sums / denom_vals,
-                    n_accept / denom_acc,
-                    _stderr_of(ss),
-                )
+                sums, n_accept = out[0], out[1]
+                res = (sums / denom_vals, n_accept / denom_acc)
+                if with_stderr:
+                    # Single device: the local centroid IS the global mean.
+                    res = res + (_stderr_of(out[4]),)
+                if with_diagnostics:
+                    w_sum, _, ss_d = out[-1]
+                    res = res + (_rhat_of(w_sum, ss_d),)
+                return res
 
             return run
 
@@ -308,14 +385,14 @@ def build_mcmc_fn(
                 init_logp=logp0 if use_init_state else None,
                 segment=segment,
             )
-        elif with_stderr:
-            sums, n_accept, x_f, logp_f, ss, mb = _chain_sweep(
-                seed, prop_params, targ_params, *tables_and_state, d
-            )
         else:
-            sums, n_accept, x_f, logp_f = _chain_sweep(
+            sweep_out = _chain_sweep(
                 seed, prop_params, targ_params, *tables_and_state, d
             )
+            if with_stderr:
+                sums, n_accept, x_f, logp_f, ss, mb = sweep_out[:6]
+            else:
+                sums, n_accept, x_f, logp_f = sweep_out[:4]
         sums = jax.lax.psum(sums, axis_name)
         n_accept = jax.lax.psum(n_accept, axis_name)
         out = (sums / denom_vals, n_accept / denom_acc)
@@ -326,6 +403,16 @@ def build_mcmc_fn(
             corr = jnp.float32(local_chains) * (mb - m_global) ** 2
             ss_total = jax.lax.psum(ss + corr, axis_name)
             out = out + (_stderr_of(ss_total),)
+        if with_diagnostics:
+            # Same Chan pattern over the 2x split-half sequences.
+            w_sum, mb_d, ss_d = sweep_out[-1]
+            n_loc = jnp.float32(2 * local_chains)
+            m_seq = jax.lax.psum(n_loc * mb_d, axis_name) / m_total
+            ss_tot = jax.lax.psum(
+                ss_d + n_loc * (mb_d - m_seq) ** 2, axis_name
+            )
+            w_tot = jax.lax.psum(w_sum, axis_name)
+            out = out + (_rhat_of(w_tot, ss_tot),)
         if with_state:
             out = out + (x_f, logp_f)
         return out
@@ -334,6 +421,8 @@ def build_mcmc_fn(
     in_specs = (replicated,) * n_table_args
     out_specs = (replicated, replicated)
     if with_stderr:
+        out_specs = out_specs + (replicated,)
+    if with_diagnostics:
         out_specs = out_specs + (replicated,)
     if with_state:
         in_specs = in_specs + (sharded, sharded, replicated)
