@@ -1,89 +1,77 @@
 #!/usr/bin/env python3
-"""Benchmark: TPU-fused integrate vs pure-Python loop vs NumPy.
+"""Throughput sweep: fused device kernel vs NumPy vs a Python loop.
 
-Capability parity with reference examples/benchmark.py (same integrand,
-same sample-size sweep, same three-way comparison and log-log plot; the
-plot is saved to a file rather than shown since TPU hosts are headless).
+Integrates a smooth two-term test function under N(0, 1) across a
+logarithmic sweep of sample counts and reports samples/second for each
+engine.  Device numbers are measured by fetching the result to host
+(``np.asarray``) — through a tunnelled TPU backend that is the only
+true synchronisation point.  The Python loop is capped at a small N and
+extrapolated, so the sweep finishes in seconds.
 """
 
 import time
 
 import numpy as np
-from numpy import cos, exp, sin
 
-import tpu_montecarlo as tmc
-
-
-def f1(x):
-    b = exp(sin(x)) + cos(exp(x))
-    return x / b
+from tpu_montecarlo import Distribution, MonteCarloIntegrator
 
 
-SAMPLE_SIZES = [1000, 5000, 10000, 50000, 100000, 500000, 1000000, 5000000, 10000000]
+def smooth_probe(x):
+    return np.cos(3.0 * x) * np.exp(0.25 * x) + 0.1 * x * x
 
-functions = [f1]
 
-tpu_times = []
-manual_times = []
-numpy_times = []
+SWEEP = [10_000, 100_000, 1_000_000, 10_000_000, 100_000_000]
+LOOP_CAP = 50_000  # pure-Python is extrapolated past this
 
-integrator = tmc.MonteCarloIntegrator()
+mc = MonteCarloIntegrator()
+dist = Distribution.normal(0.0, 1.0)
+mc.integrate([smooth_probe], dist, n_samples=1_000)  # compile once
 
-# Warm up / compile
-integrator.integrate(functions, tmc.Distribution.normal(0.0, 1.0), n_samples=1000)
+rows = []
+for n in SWEEP:
+    t0 = time.perf_counter()
+    est = np.asarray(mc.integrate([smooth_probe], dist, n_samples=n).values)
+    dev_s = time.perf_counter() - t0
 
-for N_SAMPLES in SAMPLE_SIZES:
-    print(f"\n{'=' * 60}")
-    print(f"Testing with {N_SAMPLES:,} samples")
-    print(f"{'=' * 60}")
+    rng = np.random.default_rng(7)
+    t0 = time.perf_counter()
+    xs = rng.standard_normal(n, dtype=np.float32)
+    np_est = float(np.mean(smooth_probe(xs)))
+    np_s = time.perf_counter() - t0
 
-    start = time.time()
-    result = integrator.integrate(
-        functions, tmc.Distribution.normal(0.0, 1.0), n_samples=N_SAMPLES
+    n_loop = min(n, LOOP_CAP)
+    t0 = time.perf_counter()
+    acc = 0.0
+    for x in rng.standard_normal(n_loop):
+        acc += float(smooth_probe(x))
+    loop_s = (time.perf_counter() - t0) * (n / n_loop)
+
+    rows.append((n, dev_s, np_s, loop_s))
+    print(
+        f"N={n:>11,}  device {n / dev_s:>12,.0f}/s   "
+        f"numpy {n / np_s:>12,.0f}/s   loop(est) {n / loop_s:>10,.0f}/s   "
+        f"estimates agree to {abs(est[0] - np_est):.1e}"
     )
-    tpu_time = time.time() - start
-    tpu_times.append(tpu_time)
-    print(f"TPU Monte Carlo results: {result.values}")
-    print(f"TPU execution time: {tpu_time:.6f} seconds")
 
-    start = time.time()
-    manual_sums = [0.0 for _ in functions]
-    for _ in range(N_SAMPLES):
-        x = np.random.normal(0.0, 1.0)
-        for j, func in enumerate(functions):
-            manual_sums[j] += func(x)
-    manual_means = [s / N_SAMPLES for s in manual_sums]
-    manual_time = time.time() - start
-    manual_times.append(manual_time)
-    print(f"Manual Monte Carlo results: {manual_means}")
-    print(f"Manual execution time: {manual_time:.6f} seconds")
-
-    start = time.time()
-    x_samples = np.random.normal(0.0, 1.0, N_SAMPLES)
-    numpy_means = [float(np.mean(func(x_samples))) for func in functions]
-    numpy_time = time.time() - start
-    numpy_times.append(numpy_time)
-    print(f"NumPy Monte Carlo results: {numpy_means}")
-    print(f"NumPy execution time: {numpy_time:.6f} seconds")
-
-    print(f"\nSpeedup (TPU vs Manual): {manual_time / tpu_time:.2f}x")
-    print(f"Speedup (TPU vs NumPy): {numpy_time / tpu_time:.2f}x")
+best_n, best_dev, best_np, _ = rows[-1]
+print(
+    f"\nAt N={best_n:,}: device is {best_np / best_dev:.1f}x numpy "
+    f"and {rows[-1][3] / best_dev:,.0f}x the Python loop."
+)
 
 try:
     from matplotlib import pyplot as plt
 
-    plt.figure(figsize=(8, 6), dpi=100, layout="constrained")
-    plt.loglog(SAMPLE_SIZES, tpu_times, "o-", label="TPU", linewidth=2, markersize=8)
-    plt.loglog(
-        SAMPLE_SIZES, manual_times, "s-",
-        label="Manual (for loop)", linewidth=2, markersize=8,
-    )
-    plt.loglog(SAMPLE_SIZES, numpy_times, "^-", label="NumPy", linewidth=2, markersize=8)
-    plt.xlabel("Number of Samples", fontsize=12)
-    plt.ylabel("Execution Time (seconds)", fontsize=12)
-    plt.title("Monte Carlo Integration Performance Comparison", fontsize=14)
-    plt.legend(fontsize=11)
-    plt.savefig("benchmark.png")
-    print("\nSaved plot to benchmark.png")
+    ns = [r[0] for r in rows]
+    fig, ax = plt.subplots(figsize=(7, 5), layout="constrained")
+    ax.loglog(ns, [r[0] / r[1] for r in rows], "o-", label="device kernel")
+    ax.loglog(ns, [r[0] / r[2] for r in rows], "s--", label="numpy")
+    ax.loglog(ns, [r[0] / r[3] for r in rows], "v:", label="python loop (extrapolated)")
+    ax.set_xlabel("samples per call")
+    ax.set_ylabel("throughput (samples/s)")
+    ax.set_title("Monte Carlo integrate throughput")
+    ax.legend()
+    fig.savefig("benchmark.png")
+    print("Wrote benchmark.png")
 except ImportError:
-    print("\nmatplotlib not available; skipping plot")
+    pass

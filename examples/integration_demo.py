@@ -1,30 +1,64 @@
 #!/usr/bin/env python3
-"""Monte Carlo integration demo: variance of a standard normal.
+"""Fused multi-integrand integration: pricing a European call by Monte Carlo.
 
-Variance = E[X^2] - E[X]^2, estimated with three fused integrands over
-shared samples (capability parity with reference
-examples/integration_demo.py; runs on TPU when available, CPU otherwise).
+One compiled pass estimates the option price, its second moment, and the
+in-the-money probability on SHARED normal samples, with error bars from the
+in-kernel sum-of-squares accumulators (``return_stderr=True``).  The
+Black-Scholes closed form provides the ground truth.
 """
+
+import math
 
 from tpu_montecarlo import Distribution, MonteCarloIntegrator
 
-coeff_a = 1.0
-coeff_b = 0.0
+S0, STRIKE, RATE, VOL, T = 100.0, 105.0, 0.03, 0.2, 1.0
 
-integrator = MonteCarloIntegrator()
-dist = Distribution.normal(mean=0.0, std=1.0)
+DRIFT = (RATE - 0.5 * VOL * VOL) * T
+SIGT = VOL * math.sqrt(T)
+DISCOUNT = math.exp(-RATE * T)
 
-funcs = [
-    lambda x: x,
-    lambda x: x**2,
-    lambda x: coeff_a * x**2 + coeff_b * x,
-]
-result = integrator.integrate(funcs, dist, n_samples=100_000_000)
 
-mean = result.values[0]
-variance = result.values[1] - mean**2
+def terminal_price(z):
+    return S0 * 2.718281828459045 ** (DRIFT + SIGT * z)
 
-print(f"E[X]       = {result.values[0]:.6f}     (expected: 0.0)")
-print(f"E[X^2]     = {result.values[1]:.6f}  (expected: 1.0)")
-print(f"Variance   = {variance:.6f}  (expected: 1.0)")
-print(f"E[aX^2+bX] = {result.values[2]:.6f}  (expected: 1.0, a={coeff_a}, b={coeff_b})")
+
+def discounted_payoff(z):
+    s = terminal_price(z)
+    return DISCOUNT * (s - STRIKE) * (s > STRIKE)
+
+
+def payoff_sq(z):
+    p = discounted_payoff(z)
+    return p * p
+
+
+def in_the_money(z):
+    return terminal_price(z) > STRIKE
+
+
+def black_scholes_call():
+    d1 = (math.log(S0 / STRIKE) + (RATE + 0.5 * VOL**2) * T) / SIGT
+    d2 = d1 - SIGT
+    phi = lambda v: 0.5 * (1.0 + math.erf(v / math.sqrt(2.0)))  # noqa: E731
+    return S0 * phi(d1) - STRIKE * DISCOUNT * phi(d2), phi(d2)
+
+
+mc = MonteCarloIntegrator()
+result = mc.integrate(
+    [discounted_payoff, payoff_sq, in_the_money],
+    Distribution.normal(0.0, 1.0),
+    n_samples=50_000_000,
+    return_stderr=True,
+)
+
+price, second_moment, p_itm = result.values
+bs_price, bs_p_itm = black_scholes_call()
+payoff_std = math.sqrt(max(second_moment - price**2, 0.0))
+
+print("European call, S0=100 K=105 r=3% vol=20% T=1y, 5e7 paths")
+print(f"  MC price        {price:9.4f} +/- {result.stderr[0]:.4f}")
+print(f"  Black-Scholes   {bs_price:9.4f}")
+print(f"  payoff stdev    {payoff_std:9.4f}")
+print(f"  P(in the money) {p_itm:9.4f} +/- {result.stderr[2]:.4f}"
+      f"   (closed form {bs_p_itm:.4f})")
+assert abs(price - bs_price) < 4 * result.stderr[0] + 1e-3
