@@ -196,6 +196,67 @@ def main():
     )
     emit("c5b_mcmc_4096x10k_analytic", "chain_steps_per_sec", csps, "steps/s", est)
 
+    # Config 5c (round 3): K=8 MCMC with 1k burn-in — the split kernel
+    # loop runs NO integrand evals during burn-in.  c5c_fused_shape runs
+    # the same iteration count with every iteration evaluating (burnin=0,
+    # steps=11k): the old fused-loop behavior's workload.  The c5c /
+    # c5c_fused_shape ratio is the measured burn-in-split gain.
+    prog = integrator.compile_mcmc(
+        k8,
+        Distribution.normal(0.0, 1.0),
+        Distribution.normal(0.0, 2.0),
+        n_steps=steps5, n_chains=4096, n_burnin=burn5, seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c5c_mcmc_k8_burnin_split", "chain_steps_per_sec", csps,
+         "steps/s", est)
+    prog = integrator.compile_mcmc(
+        k8,
+        Distribution.normal(0.0, 1.0),
+        Distribution.normal(0.0, 2.0),
+        n_steps=steps5 + burn5, n_chains=4096, n_burnin=0,
+        seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c5c_fused_shape_all_evals", "chain_steps_per_sec", csps,
+         "steps/s", est)
+
+    # Config 7 (round 3): 128- vs 256-bin custom-table histograms.  K=256
+    # chains two kernel passes over identical streams (the former >128
+    # cliff); its per-FUNCTION eval throughput should be within ~2x of
+    # the single-pass K=128 kernel.
+    n7 = 1_000_000_000 // (scale * scale)
+    beta_hist = Distribution.beta(2.0, 5.0, table_size=2048)
+
+    def hist_fns(k):
+        edges = np.linspace(0.0, 1.0, k + 1)
+
+        def mk(lo, hi):
+            return lambda v: (v >= lo) * (v < hi)
+
+        return [
+            mk(float(lo), float(hi))
+            for lo, hi in zip(edges[:-1], edges[1:])
+        ]
+
+    for kk in (128, 256):
+        prog = integrator.compile_integrate(
+            hist_fns(kk), beta_hist, n_samples=n7
+        )
+        np.asarray(prog(42))  # warm
+        t0 = time.perf_counter()
+        outs = [prog(100 + i) for i in range(3)]
+        last = [np.asarray(o) for o in outs][-1]
+        dt = time.perf_counter() - t0
+        emit(
+            f"c7_k{kk}_custom_hist", "samples_per_sec", n7 * 3 / dt,
+            "samples/s", last[:4],
+        )
+
     # Config 6 (addition over BASELINE): QMC at the config-2 shape — same
     # K=8 fused kernel drawing the rotated radical-inverse point set.
     # Throughput should be within a few % of config 2; the estimates

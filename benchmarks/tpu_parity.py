@@ -429,6 +429,114 @@ def main() -> int:
                 "MCMC between-chain error bar: truth within 4 sigma, "
                 "stderr in (0.25x, 19.75x) of the iid floor")
 
+    # In-kernel stderr (round 3): the error-bar kernel's VALUE
+    # accumulators are untouched, so means are bit-equal to the plain
+    # kernel; stderr agrees with the forced-XLA implementation.
+    r_se = mc.integrate([lambda x: x, lambda x: x * x], d,
+                        n_samples=1_000_000, seed=9, return_stderr=True)
+    r_plain = mc.integrate([lambda x: x, lambda x: x * x], d,
+                           n_samples=1_000_000, seed=9)
+    same = bool(np.array_equal(r_se.values, r_plain.values))
+    RECORDS.append({"check": "stderr_values_bit_equal_plain",
+                    "pass": same,
+                    "note": "stderr kernel means == plain kernel means"})
+    print(json.dumps(RECORDS[-1]), flush=True)
+    ok &= same
+    r_xla = mc.integrate([lambda x: x, lambda x: x * x], d,
+                         n_samples=1_000_000, seed=9, backend="xla",
+                         return_stderr=True)
+    ok &= check("stderr_kernel_vs_xla",
+                list(np.asarray(r_se.stderr) / np.asarray(r_xla.stderr)),
+                [1.0, 1.0], 0.1,
+                "in-kernel pilot-shifted squares vs XLA sweep, 10%")
+
+    r_cse = mc.integrate([lambda x: x], beta25, n_samples=2_000_000,
+                         seed=9, return_stderr=True)
+    beta_sd = math.sqrt(2 * 5 / ((2 + 5) ** 2 * 8))
+    ok &= check("stderr_custom_table_kernel",
+                [r_cse.stderr[0] * math.sqrt(2_000_000) / beta_sd],
+                [1.0], 0.15,
+                "custom-table stderr ~ sd(Beta(2,5))/sqrt(N_actual)")
+
+    rm_x = mc.integrate_mcmc([lambda x: x], d, q2,
+                             n_steps=2000, n_chains=4096, n_burnin=200,
+                             seed=42, backend="xla", return_stderr=True)
+    ratio = float(rm.stderr[0] / rm_x.stderr[0])
+    ok &= check("mcmc_stderr_kernel_vs_xla", [min(max(ratio, 0.0), 3.0)],
+                [1.0], 0.6,
+                "kernel between-chain stderr within (0.4x, 1.6x) of XLA "
+                "(different streams, same estimator)")
+
+    # K>128 multi-pass fusion (round 3): 256 fused indicators on a
+    # custom-table distribution, chained kernel passes over identical
+    # sample streams — plus the stream-identity proof (same integrand in
+    # different passes -> bit-equal estimates).
+    edges256 = np.linspace(0.0, 1.0, 257)
+    n_hist = 10_000_000
+    r = mc.integrate(
+        [bin_fn(float(lo), float(hi))
+         for lo, hi in zip(edges256[:-1], edges256[1:])],
+        beta_h, n_samples=n_hist, seed=42,
+    )
+    cdf_at = np.interp(edges256, beta_h._x_table, beta_h._cdf_table)
+    expected_mass = np.diff(cdf_at)
+    sigma = np.sqrt(np.maximum(expected_mass, 1e-12) / n_hist)
+    ok &= check("multi_pass_k256_histogram", r.values, expected_mass,
+                (6.0 * sigma + 5e-4).tolist(),
+                "K=256 multi-pass kernel chaining, 256-bin Beta histogram")
+
+    def _sq(v):
+        return v * v
+
+    r_dup = mc.integrate([_sq] * 129, d, n_samples=1_000_000, seed=5)
+    same = bool(np.all(r_dup.values == r_dup.values[0]))
+    RECORDS.append({"check": "multi_pass_stream_identity", "pass": same,
+                    "note": "same integrand in both passes -> bit-equal"})
+    print(json.dumps(RECORDS[-1]), flush=True)
+    ok &= same
+
+    # QMC auto-segmentation (round 3): one call past the 2^32-point vdc
+    # cycle.  8.6e9 samples, tolerance far below the MC rate at that N.
+    r = mc.integrate(
+        [lambda x: x, lambda x: x * x], d,
+        n_samples=8_600_000_000, seed=42, method="qmc",
+    )
+    ok &= check("qmc_segmented_8p6e9", r.values, [0.0, 1.0], 2e-4,
+                "auto-split rotations past the uint32 counter, one call")
+
+    # Split-R-hat diagnostics (round 3): near 1 when mixed, well above 1
+    # for a deliberately mismatched proposal on a short run.
+    r_good = mc.integrate_mcmc([lambda x: x], d, q2,
+                               n_steps=2000, n_chains=512, n_burnin=200,
+                               seed=42, return_diagnostics=True)
+    r_bad = mc.integrate_mcmc([lambda x: x], d,
+                              mc.Distribution.normal(4.0, 0.3),
+                              n_steps=60, n_chains=512, n_burnin=0,
+                              seed=42, return_diagnostics=True)
+    ok &= check("split_rhat_mixed_vs_stuck",
+                [r_good.diagnostics["r_hat"][0],
+                 min(float(r_bad.diagnostics["r_hat"][0]), 3.0)],
+                [1.0, 2.0], [0.05, 1.0],
+                "R-hat ~1 when mixed; >1.1 for the mismatched proposal")
+
+    # WGSL for-loop surface (round 3): a hand-written bounded-for WGSL
+    # function runs end-to-end (desugared to while; XLA route).
+    wgsl_src = """
+    fn taylor_exp(x: f32) -> f32 {
+        var term: f32 = 1.0;
+        var s: f32 = 1.0;
+        for (var i: f32 = 1.0; i < 12.0; i++) {
+            term = term * x / i;
+            s = s + term;
+        }
+        return s;
+    }
+    """
+    r = mc.integrate([wgsl_src], mc.Distribution.uniform(0.0, 1.0),
+                     n_samples=2_000_000, seed=42)
+    ok &= check("wgsl_for_loop_integral", r.values, [math.e - 1.0], 0.01,
+                "bounded-for WGSL string: E[exp(U)] on [0,1)")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",
