@@ -45,6 +45,29 @@ class TestSplitRhat:
         )
         assert r.diagnostics["r_hat"][0] > 1.1
 
+    def test_ess_tracks_mixing(self):
+        # ESS near the draw count when mixing, collapsed when stuck; a
+        # well-mixed independence sampler at ~60% acceptance still loses
+        # some draws to rejection stretches, so just require the right
+        # order of magnitude and the right ordering.
+        kw = dict(n_chains=512, return_diagnostics=True)
+        t = Distribution.normal(0.0, 1.0)
+        good = integrate_mcmc(
+            [lambda x: x], t, Distribution.normal(0.0, 2.0),
+            n_steps=1000, n_burnin=100, **kw
+        )
+        stuck = integrate_mcmc(
+            [lambda x: x], t, Distribution.normal(4.0, 0.3),
+            n_steps=60, n_burnin=0, **kw
+        )
+        draws_good = 2 * 512 * (1000 // 2)
+        draws_stuck = 2 * 512 * (60 // 2)
+        ess_good = good.diagnostics["ess"][0]
+        ess_stuck = stuck.diagnostics["ess"][0]
+        assert 0.1 * draws_good < ess_good <= draws_good
+        assert ess_stuck < 0.2 * draws_stuck
+        assert ess_good / draws_good > 5 * ess_stuck / draws_stuck
+
     def test_diagnostics_none_by_default(self):
         r = integrate_mcmc(
             [lambda x: x], Distribution.normal(0.0, 1.0),

@@ -97,9 +97,9 @@ class IntegrationResult:
             None (an addition over the reference, which returns point
             estimates only).
         diagnostics: MCMC only — dict of convergence diagnostics when
-            requested with ``return_diagnostics=True`` (currently
-            ``{"r_hat": (K,) float64}``, the split-R-hat
-            potential-scale-reduction statistic); else None.
+            requested with ``return_diagnostics=True``: ``"r_hat"``
+            ((K,) float64 split-R-hat potential scale reduction) and
+            ``"ess"`` ((K,) float64 effective sample size); else None.
     """
 
     def __init__(
@@ -1113,8 +1113,11 @@ class MonteCarloIntegrator:
         sampling phase is split into two halves and the between- vs
         within-sequence variances compared; values near 1 indicate
         mixing, values well above 1 flag a proposal that explores the
-        target too slowly.  Diagnostics runs execute on the XLA
-        backend.
+        target too slowly.  ``result.diagnostics["ess"]`` is the
+        matching effective sample size (m*n*var+/B, capped at the
+        diagnostic draw count): how many INDEPENDENT draws the
+        correlated chains are worth.  Diagnostics runs execute on the
+        XLA backend.
         """
         if len(functions) == 0:
             raise ValueError("At least one function is required")
@@ -1169,7 +1172,8 @@ class MonteCarloIntegrator:
                 idx += 1
             if return_diagnostics:
                 diagnostics = {
-                    "r_hat": np.array(outs[idx], dtype=np.float64)
+                    "r_hat": np.array(outs[idx], dtype=np.float64),
+                    "ess": np.array(outs[idx + 1], dtype=np.float64),
                 }
             return IntegrationResult(
                 values=values,

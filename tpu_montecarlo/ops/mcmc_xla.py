@@ -105,14 +105,16 @@ def build_mcmc_fn(
     with the global mean, so no float32 cancellation at any offset.
 
     ``with_diagnostics=True`` (stateless only, ``n_steps >= 2``): the
-    program additionally returns a ``(K,)`` split-R-hat array — the
-    Gelman-Rubin potential-scale-reduction statistic computed by
-    splitting every chain's sampling phase into two equal halves
-    (2 * n_chains sequences of n_steps // 2 draws; an odd final step is
-    excluded from the diagnostic only).  R-hat near 1 indicates the
-    chains mixed; values well above 1 flag a slow-mixing
-    proposal/target pairing.  Accumulation is pilot-shifted like the
-    stderr path; cross-device recombination uses Chan's formula.
+    program additionally returns two ``(K,)`` arrays — split-R-hat and
+    ESS.  R-hat is the Gelman-Rubin potential-scale-reduction statistic
+    computed by splitting every chain's sampling phase into two equal
+    halves (2 * n_chains sequences of n_steps // 2 draws; an odd final
+    step is excluded from the diagnostic only): near 1 indicates the
+    chains mixed; well above 1 flags a slow-mixing proposal/target
+    pairing.  ESS is the classic ``m*n*var+ / B`` effective sample size
+    (capped at the diagnostic draw count).  Accumulation is
+    pilot-shifted like the stderr path; cross-device recombination uses
+    Chan's formula.
     """
     if with_stderr and with_state:
         raise ValueError("with_stderr applies to stateless MCMC programs only")
@@ -316,13 +318,21 @@ def build_mcmc_fn(
     def _rhat_of(w_tot, ss_tot):
         # Split-R-hat: W = mean within-sequence variance, B/n =
         # var(sequence means); var+ = (n-1)/n W + B/n; R = sqrt(var+/W).
+        # ESS (classic m*n*var+/B form): how many independent draws the
+        # m*n correlated ones are worth, capped at the draw count.
         w = w_tot / m_total
         var_means = ss_tot / jnp.maximum(m_total - 1.0, 1.0)
         n1f = jnp.float32(max(n_steps // 2, 1))
         var_plus = (n1f - 1.0) / n1f * w + var_means
         r = jnp.sqrt(var_plus / jnp.maximum(w, 1e-30))
         # Degenerate all-constant chains read as converged, not 0/0.
-        return jnp.where(w > 0, r, jnp.float32(1.0))
+        r = jnp.where(w > 0, r, jnp.float32(1.0))
+        total_draws = m_total * n1f
+        ess = m_total * var_plus / jnp.maximum(var_means, 1e-30)
+        ess = jnp.where(
+            var_means > 0, jnp.minimum(ess, total_draws), total_draws
+        )
+        return r, ess
 
     if mesh is None:
         if with_state:
@@ -357,7 +367,7 @@ def build_mcmc_fn(
                     res = res + (_stderr_of(out[4]),)
                 if with_diagnostics:
                     w_sum, _, ss_d = out[-1]
-                    res = res + (_rhat_of(w_sum, ss_d),)
+                    res = res + _rhat_of(w_sum, ss_d)  # (r_hat, ess)
                 return res
 
             return run
@@ -412,7 +422,7 @@ def build_mcmc_fn(
                 ss_d + n_loc * (mb_d - m_seq) ** 2, axis_name
             )
             w_tot = jax.lax.psum(w_sum, axis_name)
-            out = out + (_rhat_of(w_tot, ss_tot),)
+            out = out + _rhat_of(w_tot, ss_tot)  # (r_hat, ess)
         if with_state:
             out = out + (x_f, logp_f)
         return out
@@ -423,7 +433,7 @@ def build_mcmc_fn(
     if with_stderr:
         out_specs = out_specs + (replicated,)
     if with_diagnostics:
-        out_specs = out_specs + (replicated,)
+        out_specs = out_specs + (replicated, replicated)
     if with_state:
         in_specs = in_specs + (sharded, sharded, replicated)
         out_specs = out_specs + (sharded, sharded)
