@@ -19,7 +19,7 @@ DISCOUNT = math.exp(-RATE * T)
 
 
 def terminal_price(z):
-    return S0 * 2.718281828459045 ** (DRIFT + SIGT * z)
+    return S0 * math.exp(DRIFT + SIGT * z)
 
 
 def discounted_payoff(z):

@@ -132,3 +132,47 @@ class TestSplitRhat:
                 n_steps=200, n_chains=256, n_burnin=10,
                 return_diagnostics=True,
             )
+
+
+class TestRhatFormula:
+    """Direct checks of the reduced-statistics formula, incl. degenerate
+    branches an end-to-end run cannot easily reach."""
+
+    def _call(self, w_tot, ss_tot, m=8, n1=10):
+        import jax.numpy as jnp
+
+        from tpu_montecarlo.ops.mcmc_xla import split_rhat_ess
+
+        r, ess = split_rhat_ess(
+            jnp.float32(w_tot), jnp.float32(ss_tot), m, n1
+        )
+        return float(r), float(ess)
+
+    def test_frozen_at_different_values_is_inf(self):
+        # W == 0 but sequence means differ: the worst divergence must
+        # NOT read as converged.
+        r, ess = self._call(0.0, 5.0)
+        assert np.isinf(r)
+        assert ess == 8.0  # m distinct frozen values ~ m draws
+
+    def test_all_constant_is_one(self):
+        r, ess = self._call(0.0, 0.0)
+        assert r == 1.0
+        assert ess == 80.0  # capped at the draw count
+
+    def test_well_mixed_near_one(self):
+        # iid sequences: var(seq means) ~ W/n1 -> var+ ~ W, R ~ 1.
+        m, n1, w = 8, 10, 2.0
+        r, ess = self._call(m * w, (m - 1) * (w / n1), m, n1)
+        assert abs(r - 1.0) < 0.01
+        assert abs(ess - m * n1) < 1.0
+
+    def test_diagnostics_needs_four_steps(self):
+        for bad in (2, 3):
+            with pytest.raises(ValueError, match="n_steps >= 4"):
+                integrate_mcmc(
+                    [lambda x: x], Distribution.normal(0.0, 1.0),
+                    Distribution.normal(0.0, 2.0),
+                    n_steps=bad, n_chains=256, n_burnin=0,
+                    return_diagnostics=True,
+                )

@@ -146,6 +146,13 @@ class TestGappedPallas:
         assert r.values[2] == 0.0  # hole stays empty
 
     def test_is_gapped_proposal(self, pallas_integrator):
+        # The proposal's weight table is now the TRUE sampling density
+        # (from_pdf_table rescales the pdf with the cdf normalization:
+        # 1/0.8 = 1.25 on the islands).  A proposal that cannot reach
+        # the gap (0.4, 0.6) therefore yields the support-restricted
+        # integral ∫_islands x·p(x) dx = 0.4, NOT the full E[X] = 0.5 —
+        # the previous 0.5 was an unnormalized-weight bias (x1/0.8)
+        # coincidentally standing in for the unreachable gap mass.
         proposal = _gapped()
         target = Distribution.uniform(0.0, 1.0)
         with warnings.catch_warnings():
@@ -154,7 +161,13 @@ class TestGappedPallas:
                 [lambda x: x], target, proposal, n_samples=400_000
             )
         assert np.isfinite(r.values[0])
-        assert abs(r.values[0] - 0.5) < 0.02
+        assert abs(r.values[0] - 0.4) < 0.02
+        # A normalized proposal COVERING the support recovers E[X]=0.5.
+        full = Distribution.uniform(0.0, 1.0)
+        r2 = pallas_integrator.integrate_importance_sampling(
+            [lambda x: x], target, full, n_samples=400_000
+        )
+        assert abs(r2.values[0] - 0.5) < 0.02
 
     def test_mcmc_gapped_proposal_not_absorbed(self, pallas_integrator):
         proposal = _gapped()

@@ -268,3 +268,43 @@ class TestVectorised:
         )
         out = jax.vmap(f)(jnp.asarray([-1.0, 2.0, 3.0], jnp.float32))
         np.testing.assert_allclose(np.asarray(out), [0.0, 2.0, 3.0])
+
+
+class TestForLoopScoping:
+    def test_header_var_shadows_without_clobbering(self):
+        # WGSL scopes a for-header declaration to the loop: the body sees
+        # the loop variable, code after the loop sees the outer one.
+        src = """
+        fn f(x: f32) -> f32 {
+            var i: f32 = 100.0;
+            var s: f32 = 0.0;
+            for (var i: f32 = 0.0; i < 3.0; i++) { s = s + i; }
+            return s + i;
+        }
+        """
+        # s = 0+1+2 = 3; i after the loop is the OUTER i = 100.
+        assert _ev(src, 0.0) == 103.0
+
+    def test_nested_for_loops_independent_vars(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            for (var i: f32 = 0.0; i < 3.0; i++) {
+                for (var j: f32 = 0.0; j < 2.0; j++) { s = s + x; }
+            }
+            return s;
+        }
+        """
+        assert _ev(src, 1.0) == 6.0
+
+    def test_assignment_init_updates_outer(self):
+        # A plain-assignment init (no declaration) writes the OUTER
+        # variable, per WGSL semantics.
+        src = """
+        fn f(x: f32) -> f32 {
+            var i: f32 = 100.0;
+            for (i = 0.0; i < 4.0; i++) { }
+            return i;
+        }
+        """
+        assert _ev(src, 0.0) == 4.0

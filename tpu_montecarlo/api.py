@@ -1107,7 +1107,7 @@ class MonteCarloIntegrator:
         Error bars ride the Pallas kernel whenever the plain run would
         (pilot-shifted per-program squares, Chan-recombined).
 
-        ``return_diagnostics=True`` (stateless runs, ``n_steps >= 2``):
+        ``return_diagnostics=True`` (stateless runs, ``n_steps >= 4``):
         ``result.diagnostics["r_hat"]`` is the split-R-hat
         potential-scale-reduction statistic per function — each chain's
         sampling phase is split into two halves and the between- vs

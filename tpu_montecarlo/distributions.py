@@ -263,7 +263,13 @@ class Distribution:
                     "The PDF's integral is zero over this table — there "
                     "is no probability mass to sample"
                 )
-            cdf64 = cdf64 / cdf64[-1]
+            # Rescale the pdf by the same normalization factor as the
+            # cdf (one-scale invariant, as in the user-supplied-cdf
+            # branch above): table-based IS weights and log-pdf tables
+            # must see a true density, not the unnormalized input.
+            scale = cdf64[-1]
+            cdf64 = cdf64 / scale
+            pdf_arr = (pdf_arr.astype(np.float64) / scale).astype(np.float32)
             cdf_arr = cdf64.astype(np.float32)
 
         pdf_copy = pdf_arr.copy()

@@ -34,12 +34,46 @@ from jax.sharding import PartitionSpec as P
 from ..sampling import DistKind, log_pdf, sample_block
 from ..utils.dispatch import round_up
 
-__all__ = ["build_mcmc_fn", "plan_chains"]
+__all__ = ["build_mcmc_fn", "plan_chains", "split_rhat_ess"]
 
 # fold_in stream tags
 _STREAM_INIT = 0
 _STREAM_PROPOSAL = 1
 _STREAM_ACCEPT = 2
+
+
+def split_rhat_ess(w_tot, ss_tot, m_total, n1):
+    """Split-R-hat + ESS from reduced split-half statistics.
+
+    ``w_tot`` = sum over the m_total sequences of within-sequence
+    variances; ``ss_tot`` = total SS of sequence means around the global
+    mean; ``n1`` = draws per sequence.  R-hat = sqrt(var+/W) with
+    var+ = (n1-1)/n1 W + var(seq_means).  ESS is the classic
+    m*n*var+/B form, capped at the diagnostic draw count.
+
+    Degenerate W == 0 splits two ways: sequences frozen at DIFFERENT
+    values (var_means > 0) is the worst divergence — R-hat = +inf, not
+    1; everything frozen at ONE value is the constant case — R-hat = 1.
+    """
+    m_total = jnp.float32(m_total)
+    w = w_tot / m_total
+    var_means = ss_tot / jnp.maximum(m_total - 1.0, 1.0)
+    n1f = jnp.float32(max(int(n1), 1))
+    var_plus = (n1f - 1.0) / n1f * w + var_means
+    r = jnp.sqrt(var_plus / jnp.maximum(w, 1e-30))
+    r = jnp.where(
+        w > 0,
+        r,
+        jnp.where(
+            var_means > 0, jnp.float32(float("inf")), jnp.float32(1.0)
+        ),
+    )
+    total_draws = m_total * n1f
+    ess = m_total * var_plus / jnp.maximum(var_means, 1e-30)
+    ess = jnp.where(
+        var_means > 0, jnp.minimum(ess, total_draws), total_draws
+    )
+    return r, ess
 
 
 def plan_chains(
@@ -104,7 +138,7 @@ def build_mcmc_fn(
     accumulated around per-device chain-mean centroids and recombined
     with the global mean, so no float32 cancellation at any offset.
 
-    ``with_diagnostics=True`` (stateless only, ``n_steps >= 2``): the
+    ``with_diagnostics=True`` (stateless only, ``n_steps >= 4``): the
     program additionally returns two ``(K,)`` arrays — split-R-hat and
     ESS.  R-hat is the Gelman-Rubin potential-scale-reduction statistic
     computed by splitting every chain's sampling phase into two equal
@@ -122,8 +156,10 @@ def build_mcmc_fn(
         raise ValueError(
             "with_diagnostics applies to stateless MCMC programs only"
         )
-    if with_diagnostics and n_steps < 2:
-        raise ValueError("with_diagnostics needs n_steps >= 2")
+    if with_diagnostics and n_steps < 4:
+        # Each half-sequence needs >= 2 draws: at n1 = 1 the within-half
+        # variance is identically zero and R-hat would be meaningless.
+        raise ValueError("with_diagnostics needs n_steps >= 4")
     k = len(eval_fns)
     vfns = [jax.vmap(f) for f in eval_fns]
     n_dev = 1 if mesh is None else mesh.size
@@ -316,23 +352,7 @@ def build_mcmc_fn(
     m_total = jnp.float32(2 * total_chains)  # split-half sequence count
 
     def _rhat_of(w_tot, ss_tot):
-        # Split-R-hat: W = mean within-sequence variance, B/n =
-        # var(sequence means); var+ = (n-1)/n W + B/n; R = sqrt(var+/W).
-        # ESS (classic m*n*var+/B form): how many independent draws the
-        # m*n correlated ones are worth, capped at the draw count.
-        w = w_tot / m_total
-        var_means = ss_tot / jnp.maximum(m_total - 1.0, 1.0)
-        n1f = jnp.float32(max(n_steps // 2, 1))
-        var_plus = (n1f - 1.0) / n1f * w + var_means
-        r = jnp.sqrt(var_plus / jnp.maximum(w, 1e-30))
-        # Degenerate all-constant chains read as converged, not 0/0.
-        r = jnp.where(w > 0, r, jnp.float32(1.0))
-        total_draws = m_total * n1f
-        ess = m_total * var_plus / jnp.maximum(var_means, 1e-30)
-        ess = jnp.where(
-            var_means > 0, jnp.minimum(ess, total_draws), total_draws
-        )
-        return r, ess
+        return split_rhat_ess(w_tot, ss_tot, m_total, n_steps // 2)
 
     if mesh is None:
         if with_state:

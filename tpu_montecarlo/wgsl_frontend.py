@@ -242,17 +242,26 @@ class _Parser:
         ``init; while (cond) { body; update }`` — the tracing
         interpreter already lowers ``while`` (closing the last
         string-surface gap vs the reference's compile-anything WGSL
-        acceptance, reference __init__.py:738-747)."""
+        acceptance, reference __init__.py:738-747).
+
+        WGSL scopes a ``var``/``let`` declared in the for-header to the
+        loop; the flat desugared scope would let it clobber a same-named
+        outer variable, so header-declared loop variables are renamed to
+        a unique internal name throughout the header and body (shadow
+        semantics preserved: body references resolve to the loop
+        variable, post-loop references to the outer one)."""
         self.expect("for")
         self.expect("(")
         init: List[ast.stmt] = []
+        decl_name = None
         if not self.accept(";"):
             kind, val = self.peek()
-            init = [
-                self.parse_decl()
-                if val in ("let", "var", "const")
-                else self.parse_assign_stmt()
-            ]
+            if val in ("let", "var", "const"):
+                decl = self.parse_decl()
+                decl_name = decl.targets[0].id
+                init = [decl]
+            else:
+                init = [self.parse_assign_stmt()]
             self.expect(";")
         if self.peek()[1] == ";":
             raise WgslError(
@@ -265,9 +274,16 @@ class _Parser:
             update = [self.parse_assign_stmt()]
         self.expect(")")
         body = self.parse_block()
-        return init + [
+        stmts = init + [
             _loc(ast.While(test=cond, body=body + update, orelse=[]))
         ]
+        if decl_name is not None:
+            self._loop_seq = getattr(self, "_loop_seq", 0) + 1
+            renamer = _RenameVar(
+                decl_name, f"__wgsl_for_{decl_name}_{self._loop_seq}"
+            )
+            stmts = [renamer.visit(s) for s in stmts]
+        return stmts
 
     def parse_if(self) -> ast.stmt:
         self.expect("if")
@@ -414,6 +430,21 @@ class _Parser:
                 )
             return _loc(ast.Name(id=val, ctx=ast.Load()))
         raise WgslError(f"Unexpected token in expression: {val!r}")
+
+
+class _RenameVar(ast.NodeTransformer):
+    """Rename every ``Name`` occurrence of one identifier (loop-variable
+    scoping for desugared for-headers; WGSL has no nested function
+    scopes, so a subtree-wide rename is exact shadow semantics)."""
+
+    def __init__(self, old: str, new: str):
+        self.old = old
+        self.new = new
+
+    def visit_Name(self, node):
+        if node.id == self.old:
+            node.id = self.new
+        return node
 
 
 def _loc(node):
