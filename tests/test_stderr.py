@@ -392,8 +392,7 @@ class TestStderrInKernel:
         assert r.stderr[0] > 0
         assert abs(r.values[0] - 1.0) < 4 * r.stderr[0]
 
-    def test_batched_stderr_rejected(self):
-        it = MonteCarloIntegrator(backend="pallas")
+    def test_param_batched_stderr_rejected(self):
         from tpu_montecarlo.ops.integrate_pallas import (
             build_integrate_fn_pallas,
         )
@@ -401,12 +400,46 @@ class TestStderrInKernel:
         from tpu_montecarlo.utils.dispatch import make_integrate_plan
 
         plan = make_integrate_plan(100_000)
-        with pytest.raises(ValueError, match="batched"):
+        with pytest.raises(ValueError, match="param-batched"):
             build_integrate_fn_pallas(
                 (lambda x: x,), DistKind.NORMAL, plan,
-                interpret=True, seed_batch=4, with_stderr=True,
+                interpret=True, seed_batch=4, param_batch=True,
+                with_stderr=True,
             )
-        del it
+
+    @pytest.mark.parametrize("backend", ["pallas", "xla"])
+    def test_seed_batched_stderr_bit_equal(self, backend):
+        # Serving handles return per-job error bars: each batch element
+        # must be BIT-equal to its unbatched error-bar call (same
+        # streams, same pilot — the distribution is shared).
+        fns = [lambda x: x, lambda x: x * x]
+        d = Distribution.exponential(0.8)
+        it = MonteCarloIntegrator(backend=backend)
+        prog = it.compile_integrate(
+            fns, d, n_samples=150_000, seed_batch=3, return_stderr=True
+        )
+        v, s = prog(np.array([5, 6, 7], np.uint32))
+        v, s = np.asarray(v), np.asarray(s)
+        assert v.shape == (3, 2) and s.shape == (3, 2)
+        for row, seed in enumerate((5, 6, 7)):
+            r = it.integrate(
+                fns, d, n_samples=150_000, seed=seed, return_stderr=True
+            )
+            np.testing.assert_array_equal(v[row], np.float32(r.values))
+            np.testing.assert_array_equal(s[row], np.float32(r.stderr))
+
+    def test_seed_batched_is_stderr(self):
+        it = MonteCarloIntegrator(backend="pallas")
+        prog = it.compile_importance_sampling(
+            [lambda x: x > 4.0], Distribution.normal(0.0, 1.0),
+            Distribution.normal(4.0, 1.0),
+            n_samples=300_000, seed_batch=2, return_stderr=True,
+        )
+        v, s = prog([1, 2])
+        v, s = np.asarray(v), np.asarray(s)
+        truth = 3.1671e-05
+        for row in range(2):
+            assert abs(v[row, 0] - truth) < 4 * s[row, 0]
 
 
 class TestStderrRouting:

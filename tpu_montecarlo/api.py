@@ -357,6 +357,7 @@ class MonteCarloIntegrator:
         seed_batch: int = 1,
         method: str = "mc",
         param_batch: bool = False,
+        return_stderr: bool = False,
     ) -> Callable:
         """Ahead-of-time handle for serving: returns ``prog(seed) ->
         jax.Array (K,)`` with tracing, compilation, and device uploads done
@@ -380,6 +381,12 @@ class MonteCarloIntegrator:
         call with that (seed, distribution).  Analytic families only
         (uniform / normal / exponential); ``distribution`` supplies the
         family and the compile-time shape.
+
+        ``return_stderr=True`` (not with ``param_batch``): the handle
+        returns ``(values, stderrs)`` — with a seed batch, two (R, K)
+        arrays, each element bit-equal to its unbatched error-bar call
+        (the in-kernel pilot-shifted squares ride the same batched
+        grid).  Serving with per-job error bars costs one dispatch.
         """
         traced = self._trace_user_functions(functions)
         spec = dist_spec_of(distribution)
@@ -388,6 +395,7 @@ class MonteCarloIntegrator:
         run, dev_args = self._get_integrate_program(
             traced, distribution, n_samples, seed_batch=seed_batch,
             method=method, param_batch=param_batch,
+            with_stderr=return_stderr,
         )
         return self._finalize_prog(
             run, dev_args, seed_batch, param_batch=param_batch,
@@ -598,9 +606,9 @@ class MonteCarloIntegrator:
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
 
-        if with_stderr and (seed_batch != 1 or param_batch):
+        if with_stderr and param_batch:
             raise ValueError(
-                "with_stderr is not supported on batched programs"
+                "with_stderr is not supported on param-batched programs"
             )
 
         if (
@@ -815,13 +823,17 @@ class MonteCarloIntegrator:
         n_samples: int = 1_000_000,
         seed_batch: int = 1,
         method: str = "mc",
+        return_stderr: bool = False,
     ) -> Callable:
         """Ahead-of-time IS handle: ``prog(seed) -> jax.Array (K,)``; with
         ``seed_batch=R``, ``prog(seeds) -> (R, K)`` in one dispatch (see
-        compile_integrate)."""
+        compile_integrate).  ``return_stderr=True``: the handle returns
+        ``(values, stderrs)`` pairs (per batch element with a seed
+        batch)."""
         return self._get_is_program(
             functions, target_distribution, proposal_distribution, n_samples,
             seed_batch=seed_batch, method=method,
+            with_stderr=return_stderr,
         )
 
     def _get_is_program(

@@ -544,7 +544,10 @@ def build_integrate_fn_pallas(
     which are per-distribution artifacts, and IS weight closures bake
     distribution parameters at trace time.
 
-    ``with_stderr=True`` (single-seed, no in-kernel IS weight tables):
+    ``with_stderr=True`` (no param batching, no in-kernel IS weight
+    tables; seed batches work — every rep shares one distribution, so
+    one pilot row serves the whole batch and each element gets its own
+    (values, stderrs) pair):
     the kernel carries a second accumulator block per function summing
     pilot-shifted squares ``(f(x) - pilot)^2`` and the program returns
     ``(means, stderrs)`` with the standard MC error formula — error
@@ -560,8 +563,12 @@ def build_integrate_fn_pallas(
     kernel's."""
     if method not in ("mc", "qmc"):
         raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
-    if with_stderr and (seed_batch != 1 or param_batch):
-        raise ValueError("with_stderr is not supported on batched programs")
+    if with_stderr and param_batch:
+        # (seed batches share one distribution, so one pilot row serves
+        # every rep; param batches would need a per-rep pilot table.)
+        raise ValueError(
+            "with_stderr is not supported on param-batched programs"
+        )
     if with_stderr and is_weight is not None:
         raise ValueError(
             "with_stderr is not supported with in-kernel IS weight "
@@ -735,11 +742,19 @@ def build_integrate_fn_pallas(
         out_ref[pl.ds(rep * local_programs + pid, 1), :] = row
         if with_stderr:
             # Squares rows live in the second half of the output buffer,
-            # mirroring the sums-row layout (seed_batch is 1 here).
+            # mirroring the sums-row layout.
             rowq = jnp.zeros((1, LANES), jnp.float32)
             for i, sq in enumerate(carry[k:]):
                 rowq = jnp.where(col == i, jnp.sum(sq), rowq)
-            out_ref[pl.ds(local_programs + pid, 1), :] = rowq
+            out_ref[
+                pl.ds(
+                    seed_batch * local_programs
+                    + rep * local_programs
+                    + pid,
+                    1,
+                ),
+                :,
+            ] = rowq
 
     smem_seeds = pl.BlockSpec(
         (1, seed_batch), lambda r, i: (0, 0), memory_space=pltpu.SMEM
@@ -793,9 +808,20 @@ def build_integrate_fn_pallas(
             interpret=interpret,
         )(seed, params, pid_base, *tables)
         if with_stderr:
+            # (R, K) per-batch-element sums and shifted-square sums.
             return (
-                jnp.sum(out[:out_rows, :k], axis=0),
-                jnp.sum(out[out_rows:, :k], axis=0),
+                jnp.sum(
+                    out[:out_rows, :k].reshape(
+                        seed_batch, local_programs, k
+                    ),
+                    axis=1,
+                ),
+                jnp.sum(
+                    out[out_rows:, :k].reshape(
+                        seed_batch, local_programs, k
+                    ),
+                    axis=1,
+                ),
             )
         # (R, K): per-batch-element sums over that element's program rows.
         return jnp.sum(
@@ -848,13 +874,17 @@ def build_integrate_fn_pallas(
         return jnp.zeros((1, LANES), jnp.float32).at[0, :k].set(vals)
 
     def _finish_stderr(sums, sqs, pilot):
+        # sums/sqs are (R, K); single-seed programs keep (K,) results.
         n = jnp.float32(actual)
         mean = sums / n
         # Var[f] = E[(f-c)^2] - (mean-c)^2 for any shift c; c ~ mean
         # keeps both terms O(std^2) (no f32 cancellation).
-        d = mean - pilot[0, :k]
+        d = mean - pilot[0, :k][None, :]
         var = jnp.maximum(sqs / n - d * d, 0.0)
-        return mean, jnp.sqrt(var / n)
+        se = jnp.sqrt(var / n)
+        if seed_batch == 1:
+            return mean[0], se[0]
+        return mean, se
 
     def _prep_tables(x_table, cdf_table, weight_tables):
         prepped = []
