@@ -478,3 +478,38 @@ class TestStderrRouting:
         )
         n = 800_000
         assert abs(r.stderr[0] - 1.0 / np.sqrt(n)) < 0.2 / np.sqrt(n)
+
+
+class TestSeedBatchedMcmcStderr:
+    @pytest.mark.parametrize("backend", ["pallas", "xla"])
+    def test_bit_equal_to_unbatched(self, backend):
+        t = Distribution.normal(0.0, 1.0)
+        q = Distribution.normal(0.0, 2.0)
+        it = MonteCarloIntegrator(backend=backend)
+        prog = it.compile_mcmc(
+            [lambda x: x, lambda x: x * x], t, q,
+            n_steps=300, n_chains=512, n_burnin=50,
+            seed_batch=2, return_stderr=True,
+        )
+        v, a, s = prog(np.array([3, 4], np.uint32))
+        v, a, s = np.asarray(v), np.asarray(a), np.asarray(s)
+        assert v.shape == (2, 2) and a.shape == (2,) and s.shape == (2, 2)
+        for row, seed in enumerate((3, 4)):
+            r = it.integrate_mcmc(
+                [lambda x: x, lambda x: x * x], t, q,
+                n_steps=300, n_chains=512, n_burnin=50,
+                seed=seed, return_stderr=True,
+            )
+            np.testing.assert_array_equal(v[row], np.float32(r.values))
+            np.testing.assert_array_equal(s[row], np.float32(r.stderr))
+            assert float(a[row]) == float(r.acceptance_rate)
+
+    def test_param_batched_stderr_rejected(self):
+        it = MonteCarloIntegrator()
+        with pytest.raises(ValueError, match="param-batched"):
+            it.compile_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0),
+                n_steps=100, n_chains=256, n_burnin=10,
+                seed_batch=2, param_batch=True, return_stderr=True,
+            )

@@ -1255,12 +1255,18 @@ class MonteCarloIntegrator:
         n_burnin: int = 1_000,
         seed_batch: int = 1,
         param_batch: bool = False,
+        return_stderr: bool = False,
     ) -> Callable:
         """Ahead-of-time MCMC handle for serving: ``prog(seed) ->
         ((K,) jax.Array, acceptance jax scalar)`` — tracing, compilation and
         uploads done once; each call is one device dispatch.  With
         ``seed_batch=R``: ``prog(seeds) -> ((R, K), (R,))`` in one dispatch
         (see compile_integrate).
+
+        ``return_stderr=True`` (not with ``param_batch``): the handle
+        returns ``(values, acceptance, stderrs)`` — with a seed batch,
+        per-element between-chain error bars ride the same batched
+        kernel grid.
 
         ``param_batch=True`` additionally makes both distributions'
         parameters runtime batch inputs: ``prog(seeds, target_params,
@@ -1292,6 +1298,7 @@ class MonteCarloIntegrator:
             n_burnin,
             seed_batch=seed_batch,
             param_batch=param_batch,
+            with_stderr=return_stderr,
         )
         return prog
 
@@ -1368,9 +1375,10 @@ class MonteCarloIntegrator:
                 raise ValueError(
                     "with_stderr applies to stateless MCMC programs only"
                 )
-            if seed_batch != 1 or param_batch:
+            if param_batch:
                 raise ValueError(
-                    "with_stderr is not supported on batched programs"
+                    "with_stderr is not supported on param-batched "
+                    "programs"
                 )
         if with_diagnostics:
             if with_state:

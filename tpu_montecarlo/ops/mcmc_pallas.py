@@ -249,9 +249,12 @@ def build_mcmc_fn_pallas(
     """
     if seed_batch != 1 and with_state:
         raise ValueError("seed_batch applies to stateless MCMC programs only")
-    if with_stderr and (with_state or seed_batch != 1 or param_batch):
+    if with_stderr and (with_state or param_batch):
+        # (seed batches work: each rep gets its own rows/pilots; param
+        # batches would need per-rep pilot plumbing.)
         raise ValueError(
-            "with_stderr applies to stateless, unbatched MCMC programs only"
+            "with_stderr applies to stateless, non-param-batched MCMC "
+            "programs only"
         )
     if use_init_state and not with_state:
         raise ValueError(
@@ -432,9 +435,11 @@ def build_mcmc_fn_pallas(
                 row_ss = jnp.where(col == i, ss, row_ss)
                 row_mb = jnp.where(col == i, mb, row_mb)
             row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
-            out_ref[pl.ds(pid, 1), :] = row_out
-            out_ref[pl.ds(local_programs + pid, 1), :] = row_ss
-            out_ref[pl.ds(2 * local_programs + pid, 1), :] = row_mb
+            slot = rep * local_programs + pid
+            stride = seed_batch * local_programs
+            out_ref[pl.ds(slot, 1), :] = row_out
+            out_ref[pl.ds(stride + slot, 1), :] = row_ss
+            out_ref[pl.ds(2 * stride + slot, 1), :] = row_mb
         else:
             for i, acc in enumerate(accs):
                 row_out = jnp.where(col == i, jnp.sum(acc), row_out)
@@ -501,14 +506,16 @@ def build_mcmc_fn_pallas(
         if with_state:
             out, x_f, logp_f = out
         if with_stderr:
-            # Row blocks: [0, P) chain-mean sums (+ accept col k),
-            # [P, 2P) per-program SS, [2P, 3P) per-program centroids.
-            sums = jnp.sum(out[:local_programs, :], axis=0)
+            # Row blocks: [0, R*P) chain-mean sums (+ accept col k),
+            # [R*P, 2R*P) per-program SS, [2R*P, 3R*P) centroids — each
+            # block laid out rep-major (slot = rep*P + pid).
+            grouped = out.reshape(3, seed_batch, local_programs, LANES)
+            sums = jnp.sum(grouped[0], axis=1)  # (R, LANES)
             return (
-                sums[:k],
-                sums[k],
-                out[local_programs : 2 * local_programs, :k],
-                out[2 * local_programs :, :k],
+                sums[:, :k],
+                sums[:, k],
+                grouped[1][:, :, :k],  # (R, P, K)
+                grouped[2][:, :, :k],
             )
         # (R, LANES): per-batch-element sums over that element's programs.
         totals = jnp.sum(
@@ -535,8 +542,14 @@ def build_mcmc_fn_pallas(
     def _chan_combine(values, ss, mb):
         # Total SS around the global mean M: sum_p [SS_p + n_p (mb_p - M)^2]
         # over this device's programs (cross-device psum happens outside).
-        corr = block_f * (mb - values[None, :]) ** 2
-        return jnp.sum(ss + corr, axis=0)
+        # Batched shapes: values (R, K), ss/mb (R, P, K).
+        corr = block_f * (mb - values[:, None, :]) ** 2
+        return jnp.sum(ss + corr, axis=1)
+
+    def _shape_stderr(values, acc, se):
+        if seed_batch == 1:
+            return values[0], acc[0], se[0]
+        return values, acc, se
 
     def _shape_stateless(sums, n_acc):
         # sums (R, K), n_acc (R,); single-seed programs keep ((K,), scalar)
@@ -627,7 +640,9 @@ def build_mcmc_fn_pallas(
                 )
                 values = sums / chains_f  # sums are chain-MEAN sums here
                 ss_total = _chan_combine(values, ss, mb)
-                return values, n_acc / denom_acc, _stderr_of(ss_total)
+                return _shape_stderr(
+                    values, n_acc / denom_acc, _stderr_of(ss_total)
+                )
 
             return run
 
@@ -665,7 +680,7 @@ def build_mcmc_fn_pallas(
             ss_total = jax.lax.psum(
                 _chan_combine(values, ss, mb), axis_name
             )
-            return values, n_acc, _stderr_of(ss_total)
+            return _shape_stderr(values, n_acc, _stderr_of(ss_total))
         sums, n_acc, *state = pallas_sweep(seed_a, prop_a, targ_a, base, *rest)
         sums = jax.lax.psum(sums, axis_name)
         n_acc = jax.lax.psum(n_acc, axis_name)
