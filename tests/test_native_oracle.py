@@ -156,3 +156,83 @@ class TestOracleVsDevice:
         assert abs(want[0]) < 0.1
         assert abs(want[1] - 1.0) < 0.15
         assert 0.0 < acc < 1.0
+
+
+class TestOracleStderr:
+    def test_integrate_stderr_vs_framework(self, oracle):
+        # Independent double-precision Welford error bars vs the f32
+        # pilot-shifted framework accumulators — different streams, so
+        # compare magnitudes.
+        from tpu_montecarlo import Distribution, integrate
+
+        means, ses = oracle.integrate_stderr(
+            DistKind.NORMAL, [0.0, 1.0], seed=3, n=400_000, k=2
+        )
+        r = integrate(
+            [lambda x: x, lambda x: x * x],
+            Distribution.normal(0.0, 1.0),
+            n_samples=400_000, return_stderr=True,
+        )
+        # Oracle stderr for E[X] ~ 1/sqrt(n); framework divides by its
+        # rounded-up actual count — both near the analytic value.
+        np.testing.assert_allclose(
+            ses, np.asarray(r.stderr), rtol=0.15
+        )
+        assert abs(means[0]) < 4 * ses[0]
+        assert abs(means[1] - 1.0) < 4 * ses[1]
+
+    def test_stderr_large_mean_stability(self, oracle):
+        # The double Welford oracle is cancellation-proof by
+        # construction; the framework's pilot shift must track it at a
+        # large offset.
+        from tpu_montecarlo import Distribution, integrate
+
+        _, ses = oracle.integrate_stderr(
+            DistKind.NORMAL, [10_000.0, 1.0], seed=5, n=300_000, k=1
+        )
+        r = integrate(
+            [lambda x: x], Distribution.normal(10_000.0, 1.0),
+            n_samples=300_000, return_stderr=True,
+        )
+        np.testing.assert_allclose(ses, np.asarray(r.stderr), rtol=0.2)
+
+
+class TestOracleRhat:
+    def _jax_rhat(self, seq_means, within_vars, n1):
+        import jax.numpy as jnp
+
+        from tpu_montecarlo.ops.mcmc_xla import split_rhat_ess
+
+        sm = np.asarray(seq_means, np.float64)
+        wv = np.asarray(within_vars, np.float64)
+        m = len(sm)
+        mean = sm.mean()
+        r, e = split_rhat_ess(
+            jnp.float32(wv.sum()),
+            jnp.float32(((sm - mean) ** 2).sum()),
+            m, n1,
+        )
+        return float(r), float(e)
+
+    def test_matches_framework_formula(self, oracle):
+        rng = np.random.default_rng(11)
+        seq_means = rng.normal(3.0, 0.2, size=64)
+        within = rng.uniform(0.5, 1.5, size=64)
+        r_o, e_o = oracle.split_rhat_ess(seq_means, within, n1=50)
+        r_j, e_j = self._jax_rhat(seq_means, within, 50)
+        assert abs(r_o - r_j) < 1e-3
+        assert abs(e_o - e_j) / e_o < 1e-3
+
+    def test_degenerate_branches_match(self, oracle):
+        # Frozen at distinct values -> +inf both sides.
+        r_o, e_o = oracle.split_rhat_ess(
+            [1.0, 2.0, 3.0, 4.0], [0.0] * 4, n1=10
+        )
+        r_j, e_j = self._jax_rhat([1.0, 2.0, 3.0, 4.0], [0.0] * 4, 10)
+        assert np.isinf(r_o) and np.isinf(r_j)
+        assert e_o == e_j == 4.0
+        # All-constant -> 1 both sides.
+        r_o, e_o = oracle.split_rhat_ess([2.0] * 4, [0.0] * 4, n1=10)
+        r_j, e_j = self._jax_rhat([2.0] * 4, [0.0] * 4, 10)
+        assert r_o == r_j == 1.0
+        assert e_o == e_j == 40.0

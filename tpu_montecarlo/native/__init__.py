@@ -83,6 +83,13 @@ class NativeOracle:
         lib.mc_mean_reduce.argtypes = [
             _F32P, ctypes.c_int64, ctypes.c_int32, _F64P,
         ]
+        lib.mc_integrate_stderr.argtypes = [
+            ctypes.c_int32, _F32P, ctypes.c_uint64, ctypes.c_int64,
+            _F32P, _F32P, ctypes.c_int64, ctypes.c_int32, _F64P, _F64P,
+        ]
+        lib.mc_split_rhat_ess.argtypes = [
+            _F64P, _F64P, ctypes.c_int64, ctypes.c_int64, _F64P, _F64P,
+        ]
 
     @staticmethod
     def _tbl(arr) -> np.ndarray:
@@ -165,6 +172,36 @@ class NativeOracle:
             k, out,
         )
         return out, float(acc)
+
+    def integrate_stderr(
+        self, kind: int, params, seed: int, n: int, k: int,
+        x_table=None, cdf_table=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Welford-in-double (means, stderrs) of the k monomial moments —
+        the independent reference for the kernels' f32 pilot-shifted
+        error bars."""
+        means = np.empty(k, np.float64)
+        ses = np.empty(k, np.float64)
+        xt = self._tbl(x_table)
+        ct = self._tbl(cdf_table)
+        table_n = len(xt) if x_table is not None else 0
+        self._lib.mc_integrate_stderr(
+            kind, np.asarray(params, np.float32), seed, n, xt, ct,
+            table_n, k, means, ses,
+        )
+        return means, ses
+
+    def split_rhat_ess(
+        self, seq_means, within_vars, n1: int
+    ) -> Tuple[float, float]:
+        """Double-precision split-R-hat + ESS from reduced split-half
+        stats — the independent reference for mcmc_xla.split_rhat_ess."""
+        sm = np.ascontiguousarray(seq_means, np.float64)
+        wv = np.ascontiguousarray(within_vars, np.float64)
+        r = np.empty(1, np.float64)
+        e = np.empty(1, np.float64)
+        self._lib.mc_split_rhat_ess(sm, wv, len(sm), n1, r, e)
+        return float(r[0]), float(e[0])
 
     def mean_reduce(self, partials: np.ndarray) -> np.ndarray:
         partials = np.ascontiguousarray(partials, np.float32)

@@ -272,6 +272,64 @@ double mc_mcmc_moments(int32_t prop_kind, const float* prop_params,
          (static_cast<double>(n_chains) * static_cast<double>(n_steps));
 }
 
+// Welford-accumulated moments + standard errors, all double — the
+// independent oracle for the kernels' pilot-shifted f32 sum-of-squares
+// stderr accumulators (streams differ, so tests compare magnitudes).
+void mc_integrate_stderr(int32_t kind, const float* params, uint64_t seed,
+                         int64_t n, const float* x_table,
+                         const float* cdf_table, int64_t table_n, int32_t k,
+                         double* out_mean, double* out_se) {
+  double mean[16] = {0.0};
+  double m2[16] = {0.0};
+  for (int64_t i = 0; i < n; ++i) {
+    float x = sample_one(kind, params, seed, static_cast<uint64_t>(i), 0,
+                         x_table, cdf_table, table_n);
+    double p = 1.0;
+    for (int32_t j = 0; j < k && j < 16; ++j) {
+      p *= static_cast<double>(x);
+      double d = p - mean[j];
+      mean[j] += d / static_cast<double>(i + 1);
+      m2[j] += d * (p - mean[j]);
+    }
+  }
+  for (int32_t j = 0; j < k && j < 16; ++j) {
+    out_mean[j] = mean[j];
+    double var = n > 0 ? m2[j] / static_cast<double>(n) : 0.0;
+    out_se[j] = std::sqrt(var / static_cast<double>(n));
+  }
+}
+
+// Split-R-hat + ESS from reduced split-half statistics, all double — the
+// independent oracle for ops/mcmc_xla.split_rhat_ess, including the
+// degenerate W == 0 branches (frozen-distinct -> +inf, constant -> 1).
+void mc_split_rhat_ess(const double* seq_means, const double* within_vars,
+                       int64_t m, int64_t n1, double* out_rhat,
+                       double* out_ess) {
+  double mean = 0.0;
+  for (int64_t i = 0; i < m; ++i) mean += seq_means[i];
+  mean /= static_cast<double>(m);
+  double ss = 0.0;
+  double w_sum = 0.0;
+  for (int64_t i = 0; i < m; ++i) {
+    ss += (seq_means[i] - mean) * (seq_means[i] - mean);
+    w_sum += within_vars[i];
+  }
+  double w = w_sum / static_cast<double>(m);
+  double var_means = m > 1 ? ss / static_cast<double>(m - 1) : 0.0;
+  double n1f = n1 > 0 ? static_cast<double>(n1) : 1.0;
+  double var_plus = (n1f - 1.0) / n1f * w + var_means;
+  double total = static_cast<double>(m) * n1f;
+  if (w > 0.0) {
+    *out_rhat = std::sqrt(var_plus / w);
+  } else {
+    *out_rhat = var_means > 0.0 ? HUGE_VAL : 1.0;
+  }
+  double ess =
+      var_means > 0.0 ? static_cast<double>(m) * var_plus / var_means
+                      : total;
+  *out_ess = ess < total ? ess : total;
+}
+
 // Host mean-reduction parity: mean over `threads` partials per function
 // (reference src/lib.rs:129-140 summed f32 partials in f64).
 void mc_mean_reduce(const float* partials, int64_t threads, int32_t k,
