@@ -392,20 +392,31 @@ class TestStderrInKernel:
         assert r.stderr[0] > 0
         assert abs(r.values[0] - 1.0) < 4 * r.stderr[0]
 
-    def test_param_batched_stderr_rejected(self):
-        from tpu_montecarlo.ops.integrate_pallas import (
-            build_integrate_fn_pallas,
-        )
-        from tpu_montecarlo.sampling import DistKind
-        from tpu_montecarlo.utils.dispatch import make_integrate_plan
+    @pytest.mark.parametrize("backend", ["pallas", "xla"])
+    def test_param_batched_stderr_bit_equal(self, backend):
+        # Parameter sweeps with per-rep error bars: each rep's pilot row
+        # comes from its own distribution, and every element is
+        # bit-equal to its unbatched error-bar call.
+        from tpu_montecarlo import pack_param_batch
 
-        plan = make_integrate_plan(100_000)
-        with pytest.raises(ValueError, match="param-batched"):
-            build_integrate_fn_pallas(
-                (lambda x: x,), DistKind.NORMAL, plan,
-                interpret=True, seed_batch=4, param_batch=True,
-                with_stderr=True,
+        dists = [
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(5.0, 3.0),
+        ]
+        fns = [lambda x: x, lambda x: x * x]
+        it = MonteCarloIntegrator(backend=backend)
+        prog = it.compile_integrate(
+            fns, dists[0], n_samples=150_000, seed_batch=2,
+            param_batch=True, return_stderr=True,
+        )
+        v, s = prog(np.array([7, 9], np.uint32), pack_param_batch(dists))
+        v, s = np.asarray(v), np.asarray(s)
+        for row, (seed, dd) in enumerate(zip((7, 9), dists)):
+            r = it.integrate(
+                fns, dd, n_samples=150_000, seed=seed, return_stderr=True
             )
+            np.testing.assert_array_equal(v[row], np.float32(r.values))
+            np.testing.assert_array_equal(s[row], np.float32(r.stderr))
 
     @pytest.mark.parametrize("backend", ["pallas", "xla"])
     def test_seed_batched_stderr_bit_equal(self, backend):
@@ -504,12 +515,31 @@ class TestSeedBatchedMcmcStderr:
             np.testing.assert_array_equal(s[row], np.float32(r.stderr))
             assert float(a[row]) == float(r.acceptance_rate)
 
-    def test_param_batched_stderr_rejected(self):
-        it = MonteCarloIntegrator()
-        with pytest.raises(ValueError, match="param-batched"):
-            it.compile_mcmc(
-                [lambda x: x], Distribution.normal(0.0, 1.0),
-                Distribution.normal(0.0, 2.0),
-                n_steps=100, n_chains=256, n_burnin=10,
-                seed_batch=2, param_batch=True, return_stderr=True,
-            )
+    def test_param_batched_mcmc_stderr(self):
+        # A posterior sweep with per-element error bars in one program:
+        # each rep's in-kernel pilot comes from its own init draw.
+        from tpu_montecarlo import pack_param_batch
+
+        targets = [
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(2.0, 0.5),
+        ]
+        proposals = [
+            Distribution.normal(0.0, 2.0),
+            Distribution.normal(2.0, 1.0),
+        ]
+        it = MonteCarloIntegrator(backend="pallas")
+        prog = it.compile_mcmc(
+            [lambda x: x], targets[0], proposals[0],
+            n_steps=300, n_chains=512, n_burnin=50,
+            seed_batch=2, param_batch=True, return_stderr=True,
+        )
+        v, a, s = prog(
+            np.array([3, 4], np.uint32),
+            pack_param_batch(targets),
+            pack_param_batch(proposals),
+        )
+        v, a, s = np.asarray(v), np.asarray(a), np.asarray(s)
+        assert v.shape == (2, 1) and s.shape == (2, 1)
+        assert abs(v[0, 0]) < 5 * s[0, 0]
+        assert abs(v[1, 0] - 2.0) < 5 * s[1, 0]

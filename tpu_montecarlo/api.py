@@ -382,11 +382,12 @@ class MonteCarloIntegrator:
         (uniform / normal / exponential); ``distribution`` supplies the
         family and the compile-time shape.
 
-        ``return_stderr=True`` (not with ``param_batch``): the handle
-        returns ``(values, stderrs)`` — with a seed batch, two (R, K)
-        arrays, each element bit-equal to its unbatched error-bar call
-        (the in-kernel pilot-shifted squares ride the same batched
-        grid).  Serving with per-job error bars costs one dispatch.
+        ``return_stderr=True``: the handle returns ``(values, stderrs)``
+        — with a seed batch, two (R, K) arrays, each element bit-equal
+        to its unbatched error-bar call (the in-kernel pilot-shifted
+        squares ride the same batched grid; param batches get one pilot
+        row per rep).  Serving a whole parameter sweep WITH per-job
+        error bars costs one dispatch.
         """
         traced = self._trace_user_functions(functions)
         spec = dist_spec_of(distribution)
@@ -605,11 +606,6 @@ class MonteCarloIntegrator:
         spec = dist_spec_of(distribution)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
-
-        if with_stderr and param_batch:
-            raise ValueError(
-                "with_stderr is not supported on param-batched programs"
-            )
 
         if (
             len(traced) > 128
@@ -1263,10 +1259,11 @@ class MonteCarloIntegrator:
         ``seed_batch=R``: ``prog(seeds) -> ((R, K), (R,))`` in one dispatch
         (see compile_integrate).
 
-        ``return_stderr=True`` (not with ``param_batch``): the handle
-        returns ``(values, acceptance, stderrs)`` — with a seed batch,
+        ``return_stderr=True``: the handle returns ``(values,
+        acceptance, stderrs)`` — with a seed or param batch,
         per-element between-chain error bars ride the same batched
-        kernel grid.
+        kernel grid (each rep's in-kernel pilot comes from its own
+        init draw).
 
         ``param_batch=True`` additionally makes both distributions'
         parameters runtime batch inputs: ``prog(seeds, target_params,
@@ -1370,16 +1367,10 @@ class MonteCarloIntegrator:
             raise ValueError(
                 "param_batch applies to stateless MCMC programs only"
             )
-        if with_stderr:
-            if with_state:
-                raise ValueError(
-                    "with_stderr applies to stateless MCMC programs only"
-                )
-            if param_batch:
-                raise ValueError(
-                    "with_stderr is not supported on param-batched "
-                    "programs"
-                )
+        if with_stderr and with_state:
+            raise ValueError(
+                "with_stderr applies to stateless MCMC programs only"
+            )
         if with_diagnostics:
             if with_state:
                 raise ValueError(

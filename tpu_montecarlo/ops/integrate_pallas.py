@@ -252,7 +252,9 @@ def pick_block_rows(
             else seed_batch
         )
         if with_stderr:
-            out_rows *= 2  # a sum-of-squares row per partial-sum row
+            # A sum-of-squares row per partial-sum row, plus the
+            # VMEM-resident pilot table (one row per rep).
+            out_rows = 2 * out_rows + seed_batch
         if integrate_vmem_fits(
             k, kind, n_weight_tables, extra_blocks, rows,
             out_rows=out_rows, with_stderr=with_stderr,
@@ -544,10 +546,10 @@ def build_integrate_fn_pallas(
     which are per-distribution artifacts, and IS weight closures bake
     distribution parameters at trace time.
 
-    ``with_stderr=True`` (no param batching, no in-kernel IS weight
-    tables; seed batches work — every rep shares one distribution, so
-    one pilot row serves the whole batch and each element gets its own
-    (values, stderrs) pair):
+    ``with_stderr=True`` (no in-kernel IS weight tables; seed and param
+    batches both work — the VMEM pilot table carries one row per
+    param-batch rep, a single shared row otherwise, and each element
+    gets its own (values, stderrs) pair):
     the kernel carries a second accumulator block per function summing
     pilot-shifted squares ``(f(x) - pilot)^2`` and the program returns
     ``(means, stderrs)`` with the standard MC error formula — error
@@ -563,12 +565,6 @@ def build_integrate_fn_pallas(
     kernel's."""
     if method not in ("mc", "qmc"):
         raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
-    if with_stderr and param_batch:
-        # (seed batches share one distribution, so one pilot row serves
-        # every rep; param batches would need a per-rep pilot table.)
-        raise ValueError(
-            "with_stderr is not supported on param-batched programs"
-        )
     if with_stderr and is_weight is not None:
         raise ValueError(
             "with_stderr is not supported with in-kernel IS weight "
@@ -660,6 +656,18 @@ def build_integrate_fn_pallas(
         (out_ref,) = rest
         rep = pl.program_id(0)
         pid = pl.program_id(1)
+        if with_stderr:
+            # Per-function pilot scalars for this rep, extracted once
+            # before the loop (the pilot table is a VMEM (rows, 128)
+            # array — one row per param-batch rep, a single shared row
+            # otherwise).
+            prow_p = rep if param_batch else 0
+            pilot_row = pilot_ref[pl.ds(prow_p, 1), :]
+            colk = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            pilots = [
+                jnp.sum(jnp.where(colk == j, pilot_row, 0.0))
+                for j in range(k)
+            ]
         if method == "qmc":
             from .qmc import derive_shift
 
@@ -723,7 +731,7 @@ def build_integrate_fn_pallas(
                         v = v * w
                     accs[j] = accs[j] + v
                     if with_stderr:
-                        d = v - pilot_ref[0, j]
+                        d = v - pilots[j]
                         sqs[j] = sqs[j] + d * d
             return tuple(accs) + tuple(sqs)
 
@@ -773,18 +781,15 @@ def build_integrate_fn_pallas(
     smem_grid = pl.BlockSpec(
         (1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
-    smem_pilot = pl.BlockSpec(
-        (1, LANES), lambda r, i: (0, 0), memory_space=pltpu.SMEM
-    )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_rows = seed_batch * local_programs
     total_out_rows = 2 * out_rows if with_stderr else out_rows
 
     def pallas_sweep(seed, params, pid_base, *tables):
-        # With stderr, tables[0] is the (1, 128) pilot row.
+        # With stderr, tables[0] is the (rows, 128) VMEM pilot table.
         in_specs = [smem_seeds, smem_params, smem_scalar]
         if with_stderr:
-            in_specs.append(smem_pilot)
+            in_specs.append(vmem)
         if is_custom:
             in_specs += [vmem, vmem]
         for flag in (p_table, q_table):
@@ -843,15 +848,11 @@ def build_integrate_fn_pallas(
             return sums
         return sums[0] if seed_batch == 1 else sums
 
-    def _pilot_of(params_arr, prepped):
-        """(1, 128) pilot row: per-function means over a deterministic
-        quantile grid of the sampling distribution — identical on every
-        device (pure function of replicated inputs), so shifted squares
-        psum consistently.  For CUSTOM families the stratified inverse
-        table itself IS an equal-mass quantile grid, so it doubles as
-        the pilot sample block."""
-        p1 = params_arr[0, 0]
-        p2 = params_arr[0, 1]
+    def _pilot_vals(p1, p2, prepped):
+        """(K,) per-function means over a deterministic quantile grid of
+        the sampling distribution.  For CUSTOM families the stratified
+        inverse table itself IS an equal-mass quantile grid, so it
+        doubles as the pilot sample block."""
         if is_custom:
             x = prepped[0]
         else:
@@ -868,21 +869,36 @@ def build_integrate_fn_pallas(
                 x = p1 + p2 * normal_from_u01(u)
             else:
                 x = -jnp.log(jnp.maximum(u, 1e-7)) / p1
-        vals = jnp.stack(
+        return jnp.stack(
             [jnp.mean(f(x).astype(jnp.float32)) for f in eval_fns]
         )
+
+    def _pilot_of(params_arr, prepped):
+        """Pilot table: one (128,) row per param-batch rep (each rep has
+        its own distribution), a single shared row otherwise — identical
+        on every device (pure function of replicated inputs), so shifted
+        squares psum consistently."""
+        if param_batch:
+            vals = jax.vmap(
+                lambda p: _pilot_vals(p[0], p[1], prepped)
+            )(params_arr)  # (R, K)
+            rows = jnp.zeros((seed_batch, LANES), jnp.float32)
+            return rows.at[:, :k].set(vals)
+        vals = _pilot_vals(params_arr[0, 0], params_arr[0, 1], prepped)
         return jnp.zeros((1, LANES), jnp.float32).at[0, :k].set(vals)
 
     def _finish_stderr(sums, sqs, pilot):
-        # sums/sqs are (R, K); single-seed programs keep (K,) results.
+        # sums/sqs are (R, K); single-seed programs keep (K,) results
+        # (param-batched programs always keep the batch axis).
         n = jnp.float32(actual)
         mean = sums / n
         # Var[f] = E[(f-c)^2] - (mean-c)^2 for any shift c; c ~ mean
-        # keeps both terms O(std^2) (no f32 cancellation).
-        d = mean - pilot[0, :k][None, :]
+        # keeps both terms O(std^2) (no f32 cancellation).  pilot rows
+        # broadcast (R or 1, K) against the (R, K) means.
+        d = mean - pilot[:, :k]
         var = jnp.maximum(sqs / n - d * d, 0.0)
         se = jnp.sqrt(var / n)
-        if seed_batch == 1:
+        if seed_batch == 1 and not param_batch:
             return mean[0], se[0]
         return mean, se
 

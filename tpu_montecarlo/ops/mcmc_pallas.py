@@ -249,12 +249,12 @@ def build_mcmc_fn_pallas(
     """
     if seed_batch != 1 and with_state:
         raise ValueError("seed_batch applies to stateless MCMC programs only")
-    if with_stderr and (with_state or param_batch):
-        # (seed batches work: each rep gets its own rows/pilots; param
-        # batches would need per-rep pilot plumbing.)
+    if with_stderr and with_state:
+        # (Seed AND param batches work: each rep gets its own output
+        # rows, and the in-kernel pilots are computed from the rep's own
+        # init draw/params.)
         raise ValueError(
-            "with_stderr applies to stateless, non-param-batched MCMC "
-            "programs only"
+            "with_stderr applies to stateless MCMC programs only"
         )
     if use_init_state and not with_state:
         raise ValueError(
@@ -547,7 +547,7 @@ def build_mcmc_fn_pallas(
         return jnp.sum(ss + corr, axis=1)
 
     def _shape_stderr(values, acc, se):
-        if seed_batch == 1:
+        if seed_batch == 1 and not param_batch:
             return values[0], acc[0], se[0]
         return values, acc, se
 
