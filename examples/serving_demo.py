@@ -41,6 +41,18 @@ def main() -> None:
     for s, v in zip(sigmas, var.ravel()):
         print(f"  sigma={s}: {v:.4f} (expect {s * s})")
 
+    # The same sweep WITH per-element error bars (in-kernel
+    # pilot-shifted squares; one pilot row per rep): still one dispatch.
+    sweep_se = integrator.compile_integrate(
+        [lambda x: x * x], normal, n_samples=1_000_000,
+        seed_batch=len(sigmas), param_batch=True, return_stderr=True,
+    )
+    v, se = sweep_se(range(len(sigmas)), params)
+    v, se = np.asarray(v).ravel(), np.asarray(se).ravel()
+    print("sigma sweep with error bars:")
+    for s, vi, si in zip(sigmas, v, se):
+        print(f"  sigma={s}: {vi:.4f} +/- {si:.4f}")
+
     # Batched MCMC: 4 independent chains-of-chains runs per dispatch.
     mcmc = integrator.compile_mcmc(
         [lambda x: x * x],
