@@ -170,3 +170,27 @@ class TestMultiPassHighK:
             r.values[:3], [1.0, 0.5, 1 / 3], atol=1e-3
         )
         np.testing.assert_allclose(r.values[0], r.values[129 // 3 * 3], atol=1e-6)
+
+    def test_multi_pass_seed_batch_and_stderr(self):
+        # K>128 multi-pass composes with seed batching and error bars:
+        # (R, K) results, identical estimates for the same integrand in
+        # different passes, and batched rows bit-equal to unbatched
+        # error-bar runs.
+        def f(x):
+            return x * x
+
+        fns = [f] * 130
+        d = Distribution.normal(0.0, 1.0)
+        it = MonteCarloIntegrator(backend="pallas")
+        prog = it.compile_integrate(
+            fns, d, n_samples=80_000, seed_batch=2, return_stderr=True
+        )
+        v, s = prog(np.array([4, 5], np.uint32))
+        v, s = np.asarray(v), np.asarray(s)
+        assert v.shape == (2, 130) and s.shape == (2, 130)
+        assert np.all(v[0] == v[0, 0]) and np.all(s[1] == s[1, 0])
+        r = it.integrate(
+            fns, d, n_samples=80_000, seed=4, return_stderr=True
+        )
+        np.testing.assert_array_equal(v[0], np.float32(r.values))
+        np.testing.assert_array_equal(s[0], np.float32(r.stderr))

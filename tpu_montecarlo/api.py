@@ -609,13 +609,12 @@ class MonteCarloIntegrator:
 
         if (
             len(traced) > 128
-            and seed_batch == 1
             and not param_batch
-            and not with_stderr
             and self._use_pallas(spec.kind)
         ):
             multi = self._multi_pass_integrate_program(
-                traced, distribution, spec, n_samples, method
+                traced, distribution, spec, n_samples, method,
+                seed_batch=seed_batch, with_stderr=with_stderr,
             )
             if multi is not None:
                 return multi
@@ -685,7 +684,8 @@ class MonteCarloIntegrator:
         return run, _device_args_of(distribution, spec)
 
     def _multi_pass_integrate_program(
-        self, traced, distribution, spec, n_samples, method
+        self, traced, distribution, spec, n_samples, method,
+        seed_batch: int = 1, with_stderr: bool = False,
     ):
         """K > 128 fused workloads: chain ceil(K/128) kernel passes over
         IDENTICAL sample streams — each pass re-generates the same
@@ -717,12 +717,14 @@ class MonteCarloIntegrator:
         rows = pick_block_rows(
             gsize, spec.kind, gapped=gapped,
             plan_samples=plan.actual_samples, n_dev=n_dev,
+            seed_batch=seed_batch, with_stderr=with_stderr,
         )
         if rows is None:
             return None
         for g in groups:
             if not self._pallas_eligible(
-                spec, g, plan_samples=plan.actual_samples
+                spec, g, plan_samples=plan.actual_samples,
+                seed_batch=seed_batch, with_stderr=with_stderr,
             ):
                 return None
         interpret = jax.default_backend() != "tpu"
@@ -737,10 +739,10 @@ class MonteCarloIntegrator:
                 _mesh_key(mesh),
                 interpret,
                 gapped,
-                1,
+                seed_batch,
                 method,
                 False,
-                False,
+                with_stderr,
                 ("rows", rows),
             )
             runs.append(
@@ -750,6 +752,7 @@ class MonteCarloIntegrator:
                         g, spec.kind, plan, mesh=mesh,
                         interpret=interpret, gapped_tables=gapped,
                         method=method, block_rows=rows,
+                        seed_batch=seed_batch, with_stderr=with_stderr,
                     ),
                 )
             )
@@ -762,11 +765,22 @@ class MonteCarloIntegrator:
         else:
             dev_args = _device_args_of(distribution, spec)
 
+        # Batched results are (R, K_g) per pass (concat on the function
+        # axis); unbatched are (K_g,).
+        cat_axis = 1 if seed_batch != 1 else 0
+
         def run_multi(seed, *args):
-            return jnp.concatenate([r(seed, *args) for r in runs])
+            outs = [r(seed, *args) for r in runs]
+            if with_stderr:
+                return (
+                    jnp.concatenate([o[0] for o in outs], axis=cat_axis),
+                    jnp.concatenate([o[1] for o in outs], axis=cat_axis),
+                )
+            return jnp.concatenate(outs, axis=cat_axis)
 
         run_multi.actual_samples = runs[0].actual_samples
         run_multi.block_rows = rows
+        run_multi = _tag_native_batch(run_multi, seed_batch)
         return run_multi, dev_args
 
     # ------------------------------------------------------------------
