@@ -236,3 +236,15 @@ class TestOracleRhat:
         r_j, e_j = self._jax_rhat([2.0] * 4, [0.0] * 4, 10)
         assert r_o == r_j == 1.0
         assert e_o == e_j == 40.0
+
+    def test_stderr_any_k(self, oracle):
+        # Regression: k > 16 must be fully computed, not silently capped
+        # at a fixed scratch size (uninitialized tails).
+        means, ses = oracle.integrate_stderr(
+            DistKind.UNIFORM, [0.0, 1.0], seed=2, n=100_000, k=20
+        )
+        assert np.all(np.isfinite(means)) and np.all(np.isfinite(ses))
+        # E[U^j] = 1/(j+1); check the tail entries specifically.
+        for j in (16, 19):
+            assert abs(means[j] - 1.0 / (j + 2)) < 0.01
+            assert 0 < ses[j] < 0.01

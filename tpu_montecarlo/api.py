@@ -241,7 +241,7 @@ class MonteCarloIntegrator:
 
     def _pallas_eligible(
         self, spec, traced, plan_samples=None, seed_batch: int = 1,
-        with_stderr: bool = False,
+        with_stderr: bool = False, param_batch: bool = False,
     ) -> bool:
         """Shared Pallas-kernel eligibility gate for the sampling side:
         kernel-supported family, lane-multiple inverse table (and no
@@ -267,6 +267,7 @@ class MonteCarloIntegrator:
                 n_dev=1 if self._mesh is None else self._mesh.size,
                 seed_batch=seed_batch,
                 with_stderr=with_stderr,
+                param_batch=param_batch,
             )
             is not None
             and not any(
@@ -634,7 +635,7 @@ class MonteCarloIntegrator:
             if self._pallas_eligible(
                 spec, traced,
                 plan_samples=plan.actual_samples, seed_batch=seed_batch,
-                with_stderr=with_stderr,
+                with_stderr=with_stderr, param_batch=param_batch,
             ):
                 # Off-TPU a forced pallas backend runs in the interpreter
                 # (kernel-logic validation; the compiled path needs Mosaic).

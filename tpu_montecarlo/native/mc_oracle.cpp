@@ -279,22 +279,27 @@ void mc_integrate_stderr(int32_t kind, const float* params, uint64_t seed,
                          int64_t n, const float* x_table,
                          const float* cdf_table, int64_t table_n, int32_t k,
                          double* out_mean, double* out_se) {
-  double mean[16] = {0.0};
-  double m2[16] = {0.0};
+  // Accumulate the running means in out_mean and the Welford M2 sums in
+  // out_se directly — any k, no fixed-size scratch (a 16-slot cap here
+  // would silently hand back uninitialized memory for the K>16 fused
+  // workloads this oracle exists to cross-check).
+  for (int32_t j = 0; j < k; ++j) {
+    out_mean[j] = 0.0;
+    out_se[j] = 0.0;
+  }
   for (int64_t i = 0; i < n; ++i) {
     float x = sample_one(kind, params, seed, static_cast<uint64_t>(i), 0,
                          x_table, cdf_table, table_n);
     double p = 1.0;
-    for (int32_t j = 0; j < k && j < 16; ++j) {
+    for (int32_t j = 0; j < k; ++j) {
       p *= static_cast<double>(x);
-      double d = p - mean[j];
-      mean[j] += d / static_cast<double>(i + 1);
-      m2[j] += d * (p - mean[j]);
+      double d = p - out_mean[j];
+      out_mean[j] += d / static_cast<double>(i + 1);
+      out_se[j] += d * (p - out_mean[j]);
     }
   }
-  for (int32_t j = 0; j < k && j < 16; ++j) {
-    out_mean[j] = mean[j];
-    double var = n > 0 ? m2[j] / static_cast<double>(n) : 0.0;
+  for (int32_t j = 0; j < k; ++j) {
+    double var = n > 0 ? out_se[j] / static_cast<double>(n) : 0.0;
     out_se[j] = std::sqrt(var / static_cast<double>(n));
   }
 }

@@ -226,6 +226,7 @@ def pick_block_rows(
     n_dev: int = 1,
     seed_batch: int = 1,
     with_stderr: bool = False,
+    param_batch: bool = False,
 ) -> Optional[int]:
     """Largest block row count whose kernel fits the VMEM budget, or None.
 
@@ -253,8 +254,9 @@ def pick_block_rows(
         )
         if with_stderr:
             # A sum-of-squares row per partial-sum row, plus the
-            # VMEM-resident pilot table (one row per rep).
-            out_rows = 2 * out_rows + seed_batch
+            # VMEM-resident pilot table (one row per param-batch rep; a
+            # single shared row for seed-only batches).
+            out_rows = 2 * out_rows + (seed_batch if param_batch else 1)
         if integrate_vmem_fits(
             k, kind, n_weight_tables, extra_blocks, rows,
             out_rows=out_rows, with_stderr=with_stderr,
@@ -605,6 +607,7 @@ def build_integrate_fn_pallas(
             n_dev=n_dev,
             seed_batch=seed_batch,
             with_stderr=with_stderr,
+            param_batch=param_batch,
         )
     if block_rows is None:
         raise ValueError(
