@@ -257,6 +257,33 @@ def main():
             "samples/s", last[:4],
         )
 
+    # Config 8 (round 3): the error-bar cost on the kernel path — the
+    # same K=8 / MCMC workloads with in-kernel pilot-shifted squares.
+    # Compare against c2 / c5b: before round 3 return_stderr forced the
+    # XLA sweep (~5x on analytic K=8, up to ~500x on custom tables).
+    def fetch_all(out):
+        arrs = [np.asarray(o) for o in out]
+        return arrs[0]
+
+    prog = integrator.compile_integrate(
+        k8, Distribution.normal(0.0, 1.0), n_samples=n2,
+        seed_batch=repeats, return_stderr=True,
+    )
+    sps, est = _throughput(prog, n2, repeats, fetch=fetch_all)
+    emit("c8_k8_stderr_kernel", "samples_per_sec", sps, "samples/s", est)
+    prog = integrator.compile_mcmc(
+        [lambda x: x * x],
+        Distribution.normal(0.0, 1.0),
+        Distribution.normal(0.0, 2.0),
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+        seed_batch=repeats, return_stderr=True,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_all
+    )
+    emit("c8b_mcmc_stderr_kernel", "chain_steps_per_sec", csps,
+         "steps/s", est)
+
     # Config 6 (addition over BASELINE): QMC at the config-2 shape — same
     # K=8 fused kernel drawing the rotated radical-inverse point set.
     # Throughput should be within a few % of config 2; the estimates
