@@ -261,15 +261,19 @@ def main():
     # same K=8 / MCMC workloads with in-kernel pilot-shifted squares.
     # Compare against c2 / c5b: before round 3 return_stderr forced the
     # XLA sweep (~5x on analytic K=8, up to ~500x on custom tables).
-    def fetch_all(out):
-        arrs = [np.asarray(o) for o in out]
-        return arrs[0]
+    # Fetch ONE output only: all outputs come from the same device
+    # program, so one fetch synchronises the full execution — fetching
+    # each of the 3-4 outputs separately adds ~25 ms tunnel RPCs apiece
+    # and masquerades as kernel cost (measured: a bitwise-identical
+    # kernel "slowed" 2.7x under per-output fetching).
+    def fetch_first(out):
+        return np.asarray(out[0])
 
     prog = integrator.compile_integrate(
         k8, Distribution.normal(0.0, 1.0), n_samples=n2,
         seed_batch=repeats, return_stderr=True,
     )
-    sps, est = _throughput(prog, n2, repeats, fetch=fetch_all)
+    sps, est = _throughput(prog, n2, repeats, fetch=fetch_first)
     emit("c8_k8_stderr_kernel", "samples_per_sec", sps, "samples/s", est)
     prog = integrator.compile_mcmc(
         [lambda x: x * x],
@@ -279,7 +283,7 @@ def main():
         seed_batch=repeats, return_stderr=True,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_all
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_first
     )
     emit("c8b_mcmc_stderr_kernel", "chain_steps_per_sec", csps,
          "steps/s", est)

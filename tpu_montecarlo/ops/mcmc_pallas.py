@@ -105,8 +105,12 @@ def mcmc_vmem_fits(
     if with_stderr:
         blocks += 1  # end-of-kernel chain-means temporary
     est = 2 * blocks * rows * LANES * 4
-    # with_stderr triples the output buffer (sums / SS / centroid rows).
-    est += (3 if with_stderr else 1) * seed_batch * local_programs * LANES * 4
+    if with_stderr:
+        # stderr stats leave through per-grid-step index-mapped (8,
+        # LANES) blocks (double-buffered), not a whole resident buffer.
+        est += 2 * 8 * LANES * 4
+    else:
+        est += seed_batch * local_programs * LANES * 4
     est += table_bytes
     if with_state:
         est += 4 * local_programs * rows * LANES * 4
@@ -428,18 +432,28 @@ def build_mcmc_fn_pallas(
             row_mb = jnp.zeros((1, LANES), jnp.float32)
             for i, acc in enumerate(accs):
                 cm = acc * inv_steps
-                mbs = jnp.sum(cm) / n_block
-                ss = jnp.sum((cm - mbs) * (cm - mbs))
+                s1 = jnp.sum(cm)
+                s2 = jnp.sum(cm * cm)
+                mbs = s1 / n_block
+                # Shifted-data SS (safe: cm is pilot-shifted, so mbs is
+                # near zero and the subtraction loses no precision).
+                ss = jnp.maximum(s2 - n_block * mbs * mbs, 0.0)
                 mb = mbs + pilots[i]
                 row_out = jnp.where(col == i, n_block * mb, row_out)
                 row_ss = jnp.where(col == i, ss, row_ss)
                 row_mb = jnp.where(col == i, mb, row_mb)
             row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
-            slot = rep * local_programs + pid
-            stride = seed_batch * local_programs
-            out_ref[pl.ds(slot, 1), :] = row_out
-            out_ref[pl.ds(stride + slot, 1), :] = row_ss
-            out_ref[pl.ds(2 * stride + slot, 1), :] = row_mb
+            # Static full-block store into this grid step's own
+            # index-mapped (8, 128) block: 3 stat rows + 5 padding
+            # (Mosaic requires sublane block sizes divisible by 8).
+            # Per-step output blocks let Mosaic stream each program's
+            # stats out by DMA instead of keeping a whole (8*R*P, 128)
+            # buffer resident for the full sweep.
+            out_ref[:, :] = jnp.concatenate(
+                [row_out, row_ss, row_mb,
+                 jnp.zeros((5, LANES), jnp.float32)],
+                axis=0,
+            )
         else:
             for i, acc in enumerate(accs):
                 row_out = jnp.where(col == i, jnp.sum(acc), row_out)
@@ -482,11 +496,22 @@ def build_mcmc_fn_pallas(
         if use_init_state:
             in_specs += [state_block, state_block]  # x0, logp0
         out_rows = seed_batch * local_programs
-        total_rows = 3 * out_rows if with_stderr else out_rows
-        sums_spec = pl.BlockSpec(
-            (total_rows, LANES), lambda r, i: (0, 0),
-            memory_space=pltpu.VMEM,
-        )
+        total_rows = 8 * out_rows if with_stderr else out_rows
+        if with_stderr:
+            # Each grid step owns its own (8, LANES) output block
+            # (block index r*P + i → rows [8*(r*P+i), 8*(r*P+i)+8)):
+            # the kernel stores the whole block statically and Mosaic
+            # DMAs it out per step.
+            sums_spec = pl.BlockSpec(
+                (8, LANES),
+                lambda r, i: (r * local_programs + i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            sums_spec = pl.BlockSpec(
+                (total_rows, LANES), lambda r, i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
         sums_shape = jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32)
         state_shape = jax.ShapeDtypeStruct((state_rows, LANES), jnp.float32)
         if with_state:
@@ -506,16 +531,16 @@ def build_mcmc_fn_pallas(
         if with_state:
             out, x_f, logp_f = out
         if with_stderr:
-            # Row blocks: [0, R*P) chain-mean sums (+ accept col k),
-            # [R*P, 2R*P) per-program SS, [2R*P, 3R*P) centroids — each
-            # block laid out rep-major (slot = rep*P + pid).
-            grouped = out.reshape(3, seed_batch, local_programs, LANES)
-            sums = jnp.sum(grouped[0], axis=1)  # (R, LANES)
+            # Program-major layout: program slot = rep*P + pid owns rows
+            # [8*slot, 8*slot + 8) = (chain-mean sums + accept col k,
+            # per-program SS, per-program centroids, 5 padding rows).
+            grouped = out.reshape(seed_batch, local_programs, 8, LANES)
+            sums = jnp.sum(grouped[:, :, 0, :], axis=1)  # (R, LANES)
             return (
                 sums[:, :k],
                 sums[:, k],
-                grouped[1][:, :, :k],  # (R, P, K)
-                grouped[2][:, :, :k],
+                grouped[:, :, 1, :k],  # (R, P, K)
+                grouped[:, :, 2, :k],
             )
         # (R, LANES): per-batch-element sums over that element's programs.
         totals = jnp.sum(
