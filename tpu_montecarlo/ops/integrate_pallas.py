@@ -586,6 +586,14 @@ def build_integrate_fn_pallas(
         raise ValueError(f"at most {LANES} fused functions supported")
     if not pallas_supports(kind):
         raise ValueError(f"Pallas backend does not support {kind}")
+    # Traced trig inside these integrands resolves to the polynomial
+    # kernels (fast_math): ~6x cheaper than Mosaic's intrinsics at equal
+    # f32 accuracy over MC sample ranges.  Applies to the kernel body
+    # AND the stderr pilot evaluation below, so pilots shift by exactly
+    # the in-kernel f.
+    from .fast_math import kernelize
+
+    eval_fns = tuple(kernelize(f) for f in eval_fns)
     is_custom = kind == DistKind.CUSTOM
     p_mode, q_mode = is_weight if is_weight is not None else (None, None)
     p_table = p_mode == "table"

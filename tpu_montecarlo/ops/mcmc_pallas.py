@@ -279,6 +279,12 @@ def build_mcmc_fn_pallas(
         raise ValueError(f"at most {LANES - 1} fused functions supported")
     if not mcmc_pallas_supports(proposal_kind, target_kind):
         raise ValueError("Unsupported distribution family for Pallas MCMC")
+    # In-kernel trig -> polynomial kernels (see integrate_pallas /
+    # fast_math): covers the K integrand evaluations and the stderr
+    # pilots, which both trace inside the kernel.
+    from .fast_math import kernelize
+
+    eval_fns = tuple(kernelize(f) for f in eval_fns)
     prop_custom = proposal_kind == DistKind.CUSTOM
     targ_custom = target_kind == DistKind.CUSTOM
 

@@ -122,14 +122,32 @@ def _minmax(op):
     return impl
 
 
+def _trig_dispatch(name: str, slow: Callable) -> Callable:
+    """sin/cos/tan resolve per call site: the stock jnp intrinsic
+    everywhere, the polynomial kernel (ops/fast_math.py) while a Pallas
+    builder traces a kernelize()-wrapped integrand — Mosaic's trig
+    intrinsics cost ~6x the polynomial at equal f32 accuracy over the
+    argument ranges MC integrands produce (see fast_math docstring)."""
+
+    def impl(x):
+        from .ops import fast_math
+
+        if fast_math.in_kernel():
+            return getattr(fast_math, f"fast_{name}")(x)
+        return slow(x)
+
+    impl.__name__ = impl.__qualname__ = f"dispatch_{name}"
+    return impl
+
+
 # Python math-subset name -> JAX implementation.  Mirrors (and modestly
 # extends) the reference transpiler's FUNC_MAP (transpiler.py:82-112).
 _FUNC_MAP: Dict[str, Callable] = {
     "abs": jnp.abs,
     "fabs": jnp.abs,
-    "sin": jnp.sin,
-    "cos": jnp.cos,
-    "tan": jnp.tan,
+    "sin": _trig_dispatch("sin", jnp.sin),
+    "cos": _trig_dispatch("cos", jnp.cos),
+    "tan": _trig_dispatch("tan", jnp.tan),
     "asin": jnp.arcsin,
     "acos": jnp.arccos,
     "atan": jnp.arctan,
