@@ -1,19 +1,35 @@
-"""Polynomial trig kernels for the Pallas TPU hot path.
+"""Kernel-grade math for the Pallas TPU hot path.
 
-Mosaic's ``sin``/``cos``/``tan`` intrinsics are f32-accurate for ANY
-argument (full large-argument range reduction) — and that generality is
-startlingly expensive on the VPU: measured on v5e in the K=1 integrate
-kernel, a ``sin`` integrand runs 2.12e10 samples/s against 4.22e10 for
-an arithmetic one, i.e. one ``sin`` costs as much as the entire
-sample+accumulate chain (``cos`` 2.49e10, ``tan`` 2.29e10; ``exp`` /
-``log`` / ``sqrt`` / ``tanh`` are all ~free at 4.0-4.3e10).  Monte
-Carlo integrands do not need huge-argument trig: sample values are
-bounded by the distribution's support or truncation, and MC estimates
-carry ~1/sqrt(N) noise floors many orders above f32 rounding.
+Two reasons a traced math call cannot just use the jnp intrinsic
+inside a Pallas kernel:
 
-So inside the Pallas kernels (and ONLY there — the XLA backend keeps
-the stock intrinsics) traced ``sin``/``cos``/``tan`` calls resolve to a
-single-split Cody-Waite reduction plus minimax polynomials:
+1. **Cost.**  Mosaic's ``sin``/``cos``/``tan`` intrinsics are
+   f32-accurate for ANY argument (full large-argument range reduction)
+   — and that generality is startlingly expensive on the VPU: measured
+   on v5e in the K=1 integrate kernel, a ``sin`` integrand runs
+   2.12e10 samples/s against 4.22e10 for an arithmetic one, i.e. one
+   ``sin`` costs as much as the entire sample+accumulate chain
+   (``cos`` 2.49e10, ``tan`` 2.29e10; ``exp`` / ``log`` / ``sqrt`` /
+   ``tanh`` are all ~free at 4.0-4.3e10).  Monte Carlo integrands do
+   not need huge-argument trig: sample values are bounded by the
+   distribution's support or truncation, and MC estimates carry
+   ~1/sqrt(N) noise floors many orders above f32 rounding.
+
+2. **Lowerability.**  Mosaic (jax 0.9.0) has NO lowering at all for
+   ``asin``/``acos``/``atan``/``atan2``/``sinh``/``cosh``/``asinh``/
+   ``acosh``/``atanh``/``expm1``/``cbrt`` (NotImplementedError), and
+   ``copysign`` trips a Mosaic verifier bug — a traced integrand using
+   any of them would crash the kernel backend on real TPUs even though
+   every one is a WGSL builtin the reference compiles fine
+   (reference transpiler FUNC_MAP, python/wgpu_montecarlo/
+   transpiler.py:82-112).  This module implements each from primitives
+   Mosaic does have (arithmetic, exp/log/log1p/sqrt, vector bitcasts),
+   which makes the ENTIRE traceable math surface kernel-lowerable —
+   asserted by tests/test_fast_math.py's cross-platform lowering sweep.
+
+Inside the Pallas kernels (and ONLY there — the XLA backend keeps the
+stock intrinsics) traced trig calls resolve to a single-split
+Cody-Waite reduction plus minimax polynomials:
 
   * reduce: ``k = round(x/pi)``, ``r = (x - k*PI_HI) - k*PI_LO`` with
     ``PI_HI = 3.140625`` (8 significand bits, so ``k*PI_HI`` is exact
@@ -48,12 +64,25 @@ import functools
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
     "fast_sin",
     "fast_cos",
     "fast_tan",
+    "fast_asin",
+    "fast_acos",
+    "fast_atan",
+    "fast_atan2",
+    "fast_sinh",
+    "fast_cosh",
+    "fast_asinh",
+    "fast_acosh",
+    "fast_atanh",
+    "fast_expm1",
+    "fast_cbrt",
+    "fast_copysign",
     "in_kernel",
     "kernelize",
 ]
@@ -122,6 +151,160 @@ def fast_tan(x):
     # intrinsic does (WGSL gives tan no accuracy guarantee at all).
     r, _ = _reduce_pi(x)
     return _sin_poly(r) / _cos_poly(r)
+
+
+# atan(t) = t + t^3 q(t^2) on [-1, 1]: deg-7 minimax q (poly degree 17),
+# f32-rounded max abs err 1.2e-8; |t| > 1 reflects through
+# atan(t) = sign(t)*pi/2 - atan(1/t).
+_ATAN_C = tuple(
+    np.float32(c)
+    for c in (
+        2.6214723e-03, -1.5129199e-02, 4.111591e-02, -7.3661424e-02,
+        1.0573628e-01, -1.4185883e-01, 1.9990382e-01, -3.3332986e-01,
+    )
+)
+_PI_2 = np.float32(np.pi / 2)
+_PI_F = np.float32(np.pi)
+
+
+def _atan_unit(t):
+    """atan on |t| <= 1 (callers guarantee the range)."""
+    s = t * t
+    p = _ATAN_C[0]
+    for c in _ATAN_C[1:]:
+        p = p * s + c
+    return t + t * s * p
+
+
+def fast_atan(x):
+    inv = jnp.abs(x) > np.float32(1.0)
+    # Evaluate the poly on the reduced argument only: where() computes
+    # both branches, so feed it the safe reciprocal.
+    t = jnp.where(inv, np.float32(1.0) / x, x)
+    a = _atan_unit(t)
+    folded = jnp.where(x > 0, _PI_2, -_PI_2) - a
+    return jnp.where(inv, folded, a)
+
+
+def fast_copysign(x, y):
+    """|x| with y's sign BIT (correct for signed zeros/inf/nan payloads;
+    Mosaic's copysign lowering trips a verifier error, and sign-compare
+    tricks lose -0.0).  Vector int32 bitcasts are available in-kernel."""
+    # Broadcast first: Mosaic's bitcast is vector-only, and y is often
+    # a scalar constant (copysign(expr, -1.0)).
+    x, y = jnp.broadcast_arrays(
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+    )
+    xb = jax.lax.bitcast_convert_type(x, jnp.int32)
+    yb = jax.lax.bitcast_convert_type(y, jnp.int32)
+    out = jnp.bitwise_or(
+        jnp.bitwise_and(xb, np.int32(0x7FFFFFFF)),
+        jnp.bitwise_and(yb, np.int32(-0x80000000)),
+    )
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
+
+
+def fast_atan2(y, x):
+    """Quadrant-correct atan(y/x) with numpy's signed-zero and infinity
+    conventions (atan2(+-0, -0) = +-pi, atan2(+-inf, -inf) = +-3pi/4...),
+    assembled from |y|/|x| in the first quadrant + sign-bit transfers."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    r = _atan_unit(
+        jnp.where(ay > ax, ax, ay) / jnp.maximum(jnp.where(ay > ax, ay, ax),
+                                                 np.float32(1e-45))
+    )
+    r = jnp.where(ay > ax, _PI_2 - r, r)
+    # 0/0 and inf/inf resolve by convention, not division.
+    both_zero = jnp.logical_and(ax == 0.0, ay == 0.0)
+    both_inf = jnp.logical_and(jnp.isinf(ax), jnp.isinf(ay))
+    r = jnp.where(both_zero, np.float32(0.0), r)
+    r = jnp.where(both_inf, np.float32(np.pi / 4), r)
+    # x's sign BIT (not x < 0: -0.0 must flip too) selects pi - r.
+    xb = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32), jnp.int32)
+    neg_x = xb < 0
+    base = jnp.where(neg_x, _PI_F - r, r)
+    return fast_copysign(base, y)
+
+
+def fast_asin(x):
+    # No cancellation anywhere: |x| <= 2^-? small -> atan2(x, ~1) ~ x.
+    return fast_atan2(x, jnp.sqrt((np.float32(1.0) - x) * (np.float32(1.0) + x)))
+
+
+def fast_acos(x):
+    # Direct quadrant form (pi/2 - asin would cancel near x = 1).
+    return fast_atan2(
+        jnp.sqrt((np.float32(1.0) - x) * (np.float32(1.0) + x)), x
+    )
+
+
+# expm1 poly for |x| < 0.5: x * (1 + x/2 + ... + x^6/5040), relative
+# error ~2e-7 at the switch point; exp(x) - 1 beyond.
+_EXPM1_C = tuple(
+    np.float32(1.0 / fact) for fact in (5040.0, 720.0, 120.0, 24.0, 6.0, 2.0)
+)
+
+
+def fast_expm1(x):
+    p = _EXPM1_C[0]
+    for c in _EXPM1_C[1:]:
+        p = p * x + c
+    small = x + x * x * p
+    return jnp.where(jnp.abs(x) < np.float32(0.5), small,
+                     jnp.exp(x) - np.float32(1.0))
+
+
+def fast_sinh(x):
+    # u = e^|x| - 1; sinh = (u + u/(u+1))/2 keeps full precision near 0
+    # (the naive (e^x - e^-x)/2 loses ~half the bits below |x| ~ 1e-3),
+    # and evaluating on |x| avoids the u+1 -> e^-|x| cancellation of the
+    # negative branch; odd symmetry restored through the sign bit.
+    u = fast_expm1(jnp.abs(x))
+    mag = np.float32(0.5) * (u + u / (u + np.float32(1.0)))
+    return fast_copysign(mag, x)
+
+
+def fast_cosh(x):
+    e = jnp.exp(x)
+    return np.float32(0.5) * (e + np.float32(1.0) / e)
+
+
+def fast_asinh(x):
+    # log1p form stays accurate through the |x| -> 0 cancellation zone;
+    # odd symmetry via the sign bit (asinh(-0.0) = -0.0).
+    ax = jnp.abs(x)
+    t = ax * ax / (np.float32(1.0) + jnp.sqrt(ax * ax + np.float32(1.0)))
+    return fast_copysign(jnp.log1p(ax + t), x)
+
+
+def fast_acosh(x):
+    # log1p((x-1) + sqrt((x-1)(x+1))): exact through x -> 1+ (the naive
+    # log(x + sqrt(x^2-1)) loses half the bits there); x < 1 -> nan via
+    # sqrt, matching the intrinsic.
+    t = x - np.float32(1.0)
+    return jnp.log1p(t + jnp.sqrt(t * (x + np.float32(1.0))))
+
+
+def fast_atanh(x):
+    # 0.5 log1p(2|x| / (1-|x|)) with the sign restored by bit transfer:
+    # the positive branch is cancellation-free (1-|x| is exact by
+    # Sterbenz, the big ratio feeds log1p in its flat region), while
+    # evaluating the odd form directly at x -> -1 amplifies the ratio's
+    # rounding through log1p(u -> -1).  |x| = 1 -> inf, |x| > 1 -> nan
+    # (negative 1-|x| flips the ratio below -1), zeros keep their sign.
+    ax = jnp.abs(x)
+    mag = np.float32(0.5) * jnp.log1p(
+        np.float32(2.0) * ax / (np.float32(1.0) - ax)
+    )
+    return fast_copysign(mag, x)
+
+
+def fast_cbrt(x):
+    # exp(log|x|/3) with the sign carried by bit transfer; 0 -> 0 falls
+    # out of exp(-inf/3) = 0, inf -> inf likewise.
+    mag = jnp.exp(jnp.log(jnp.abs(x)) * np.float32(1.0 / 3.0))
+    return fast_copysign(mag, x)
 
 
 _IN_KERNEL: contextvars.ContextVar[bool] = contextvars.ContextVar(

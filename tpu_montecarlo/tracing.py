@@ -122,19 +122,22 @@ def _minmax(op):
     return impl
 
 
-def _trig_dispatch(name: str, slow: Callable) -> Callable:
-    """sin/cos/tan resolve per call site: the stock jnp intrinsic
-    everywhere, the polynomial kernel (ops/fast_math.py) while a Pallas
-    builder traces a kernelize()-wrapped integrand — Mosaic's trig
-    intrinsics cost ~6x the polynomial at equal f32 accuracy over the
-    argument ranges MC integrands produce (see fast_math docstring)."""
+def _kernel_dispatch(name: str, slow: Callable) -> Callable:
+    """Math calls resolve per call site: the stock jnp intrinsic
+    everywhere, the ops/fast_math.py implementation while a Pallas
+    builder traces a kernelize()-wrapped integrand.  Two reasons
+    (fast_math docstring): Mosaic's trig intrinsics cost ~6x the
+    polynomial at equal f32 accuracy over MC sample ranges, and
+    asin/acos/atan/atan2/sinh/cosh/asinh/acosh/atanh/expm1/cbrt/
+    copysign have NO Mosaic lowering at all — the dispatch is what
+    makes the whole traceable surface kernel-lowerable."""
 
-    def impl(x):
+    def impl(*args):
         from .ops import fast_math
 
         if fast_math.in_kernel():
-            return getattr(fast_math, f"fast_{name}")(x)
-        return slow(x)
+            return getattr(fast_math, f"fast_{name}")(*args)
+        return slow(*args)
 
     impl.__name__ = impl.__qualname__ = f"dispatch_{name}"
     return impl
@@ -145,28 +148,31 @@ def _trig_dispatch(name: str, slow: Callable) -> Callable:
 _FUNC_MAP: Dict[str, Callable] = {
     "abs": jnp.abs,
     "fabs": jnp.abs,
-    "sin": _trig_dispatch("sin", jnp.sin),
-    "cos": _trig_dispatch("cos", jnp.cos),
-    "tan": _trig_dispatch("tan", jnp.tan),
-    "asin": jnp.arcsin,
-    "acos": jnp.arccos,
-    "atan": jnp.arctan,
-    "atan2": jnp.arctan2,
-    "arcsin": jnp.arcsin,
-    "arccos": jnp.arccos,
-    "arctan": jnp.arctan,
-    "arctan2": jnp.arctan2,
-    "sinh": jnp.sinh,
-    "cosh": jnp.cosh,
+    "sin": _kernel_dispatch("sin", jnp.sin),
+    "cos": _kernel_dispatch("cos", jnp.cos),
+    "tan": _kernel_dispatch("tan", jnp.tan),
+    "asin": _kernel_dispatch("asin", jnp.arcsin),
+    "acos": _kernel_dispatch("acos", jnp.arccos),
+    "atan": _kernel_dispatch("atan", jnp.arctan),
+    "atan2": _kernel_dispatch("atan2", jnp.arctan2),
+    "arcsin": _kernel_dispatch("asin", jnp.arcsin),
+    "arccos": _kernel_dispatch("acos", jnp.arccos),
+    "arctan": _kernel_dispatch("atan", jnp.arctan),
+    "arctan2": _kernel_dispatch("atan2", jnp.arctan2),
+    "sinh": _kernel_dispatch("sinh", jnp.sinh),
+    "cosh": _kernel_dispatch("cosh", jnp.cosh),
     "tanh": jnp.tanh,
-    "asinh": jnp.arcsinh,
-    "acosh": jnp.arccosh,
-    "atanh": jnp.arctanh,
+    "asinh": _kernel_dispatch("asinh", jnp.arcsinh),
+    "acosh": _kernel_dispatch("acosh", jnp.arccosh),
+    "atanh": _kernel_dispatch("atanh", jnp.arctanh),
+    "arcsinh": _kernel_dispatch("asinh", jnp.arcsinh),
+    "arccosh": _kernel_dispatch("acosh", jnp.arccosh),
+    "arctanh": _kernel_dispatch("atanh", jnp.arctanh),
     "sqrt": jnp.sqrt,
-    "cbrt": jnp.cbrt,
+    "cbrt": _kernel_dispatch("cbrt", jnp.cbrt),
     "exp": jnp.exp,
     "exp2": jnp.exp2,
-    "expm1": jnp.expm1,
+    "expm1": _kernel_dispatch("expm1", jnp.expm1),
     "log": jnp.log,
     "log2": jnp.log2,
     "log10": jnp.log10,
@@ -177,7 +183,7 @@ _FUNC_MAP: Dict[str, Callable] = {
     "trunc": jnp.trunc,
     "fract": _fract,
     "sign": jnp.sign,
-    "copysign": jnp.copysign,
+    "copysign": _kernel_dispatch("copysign", jnp.copysign),
     "fmod": jnp.fmod,
     "hypot": jnp.hypot,
     "degrees": jnp.degrees,
