@@ -102,6 +102,56 @@ def main() -> int:
     ok &= check("trig_uniform_1e7", r.values, [0, 0], 0.01,
                 "ref test_integrator.py:248-257")
 
+    # --- kernel math surface (ops/fast_math.py) asserted on-chip ---
+    # sin^2 + cos^2 = 1 holds POINTWISE, so the estimate carries no MC
+    # noise: the tolerance tests the polynomial kernels' accuracy
+    # directly (wide-sigma samples exercise the range reduction).
+    r = mc.integrate(
+        [lambda x: math.sin(x) ** 2 + math.cos(x) ** 2],
+        mc.Distribution.normal(0.0, 3.0), n_samples=1_000_000, seed=42,
+    )
+    ok &= check("fastmath_pythagorean_pointwise", r.values, [1.0], 1e-5,
+                "polynomial sin/cos identity, no MC noise at this tol")
+    # Closed-form expectations over U(0,1) for every function Mosaic
+    # cannot lower (fast_math provides the in-kernel implementations;
+    # these CRASHED on the kernel path before round 3).
+    u01 = mc.Distribution.uniform(0.0, 1.0)
+    r = mc.integrate(
+        [
+            lambda x: math.atan(x),
+            lambda x: math.asin(x),
+            lambda x: math.asinh(x),
+            lambda x: math.acosh(1.0 + x),
+            lambda x: math.atanh(x),
+            lambda x: math.tan(x),
+            lambda x: math.copysign(1.0, x - 0.5),
+        ],
+        u01, n_samples=10_000_000, seed=42,
+    )
+    expect_u = [
+        math.pi / 4 - math.log(2.0) / 2,      # int_0^1 atan
+        math.pi / 2 - 1.0,                    # int_0^1 asin
+        math.asinh(1.0) - math.sqrt(2.0) + 1.0,
+        2.0 * math.acosh(2.0) - math.sqrt(3.0),
+        math.log(2.0),                        # int_0^1 atanh (log sing.)
+        -math.log(math.cos(1.0)),             # int_0^1 tan
+        0.0,                                  # symmetric sign flip
+    ]
+    ok &= check("fastmath_inverse_trig_u01_1e7", r.values, expect_u, 0.01,
+                "closed forms; all Mosaic-unlowerable without fast_math")
+    r = mc.integrate(
+        [
+            lambda x: math.cosh(x),
+            lambda x: math.sinh(x),
+            lambda x: math.expm1(x),
+            lambda x: math.cbrt(x),
+        ],
+        mc.Distribution.normal(0.0, 1.0), n_samples=10_000_000, seed=42,
+    )
+    expect_n = [math.exp(0.5), 0.0, math.exp(0.5) - 1.0, 0.0]
+    ok &= check("fastmath_hyperbolic_n01_1e7", r.values, expect_n, 0.02,
+                "E[cosh]=E[expm1]+1=sqrt(e); odd fns vanish")
+
     # --- integrate: table sampling (ref test_distributions.py:78-157) ---
     a, b = 2.0, 5.0
     beta = mc.Distribution.beta(a, b, table_size=2048)
