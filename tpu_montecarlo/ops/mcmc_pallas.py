@@ -131,6 +131,36 @@ def plan_state_chains(total_chains: int, n_dev: int = 1) -> int:
 # a fresh stateful run reproduces the stateless kernel bit-for-bit.
 _SEGMENT_MIX = np.int32(0x9E3779B1 - (1 << 32))  # 0x9E3779B1 as int32
 
+# MH steps per fori_loop iteration.  As in the integrate kernel
+# (integrate_pallas.UNROLL_BLOCKS), the dominant compiled-loop cost is
+# per-iteration carry store/reload — here the (x, log_p, log_q, K accs,
+# accept) blocks — not the step math; evaluating several SERIAL steps
+# per iteration keeps the chain state in registers across them and
+# divides that overhead.  Streams are unchanged: the step index i passed
+# to the counters is the same global value, and the hardware PRNG draws
+# in the same order, so estimates are bit-identical to the 1-step loop.
+UNROLL_STEPS = 8
+
+
+def _unrolled_fori(lo: int, hi: int, step_fn, carry, unroll: int):
+    """fori_loop running ``step_fn(i, carry)`` for i in [lo, hi) with
+    ``unroll`` steps inlined per iteration, plus a short remainder loop —
+    bit-identical to the plain fori_loop at any (lo, hi)."""
+    n = hi - lo
+    if n <= 0:
+        return carry
+    unroll = max(1, min(unroll, n))
+    main = n // unroll
+
+    def body(j, c):
+        base = jnp.int32(lo) + j * jnp.int32(unroll)
+        for u in range(unroll):
+            c = step_fn(base + jnp.int32(u), c)
+        return c
+
+    carry = jax.lax.fori_loop(0, main, body, carry)
+    return jax.lax.fori_loop(lo + main * unroll, hi, step_fn, carry)
+
 
 def _sample_chain_block(kind: DistKind, p1, p2, rows, rng, counter, inv=None):
     if kind == DistKind.UNIFORM:
@@ -391,8 +421,8 @@ def build_mcmc_fn_pallas(
             x, logp, logq, _ = mh_move(i, x, logp, logq)
             return (x, logp, logq)
 
-        x0, logp0, logq0 = jax.lax.fori_loop(
-            0, n_burnin, burn_body, (x0, logp0, logq0)
+        x0, logp0, logq0 = _unrolled_fori(
+            0, n_burnin, burn_body, (x0, logp0, logq0), UNROLL_STEPS
         )
 
         def body(i, carry):
@@ -418,8 +448,8 @@ def build_mcmc_fn_pallas(
             tuple(jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)),
             jnp.zeros((rows, LANES), jnp.float32),
         )
-        x_f, logp_f, _, accs, n_acc = jax.lax.fori_loop(
-            n_burnin, n_iters, body, init
+        x_f, logp_f, _, accs, n_acc = _unrolled_fori(
+            n_burnin, n_iters, body, init, UNROLL_STEPS
         )
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
