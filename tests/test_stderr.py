@@ -543,3 +543,62 @@ class TestSeedBatchedMcmcStderr:
         assert v.shape == (2, 1) and s.shape == (2, 1)
         assert abs(v[0, 0]) < 5 * s[0, 0]
         assert abs(v[1, 0] - 2.0) < 5 * s[1, 0]
+
+
+class TestRandomizedQmcStderr:
+    """method="qmc" + return_stderr: randomized-QMC error bars from
+    independent rotations (one seed-batched dispatch), replacing the
+    iid variance formula that neither tracks nor bounds a deterministic
+    rotation's error."""
+
+    def test_values_and_error_within_bars(self):
+        # Smooth integrand: E[X^2] = 1 under N(0,1).  The rQMC composite
+        # keeps QMC-rate accuracy and the spread must cover the error.
+        r = integrate(
+            [lambda x: x * x], Distribution.normal(0.0, 1.0),
+            n_samples=1_000_000, seed=11, method="qmc",
+            return_stderr=True,
+        )
+        assert r.stderr is not None and r.stderr.shape == (1,)
+        assert r.stderr[0] > 0.0
+        assert abs(r.values[0] - 1.0) < 6 * r.stderr[0]
+
+    def test_qmc_bars_beat_mc_bars_on_smooth_integrand(self):
+        # The whole point of QMC: at equal N the rotation spread is far
+        # below the MC standard error for a smooth integrand.
+        d = Distribution.uniform(0.0, 1.0)
+        fn = [lambda x: np.exp(x)]
+        n = 1_000_000
+        rq = integrate(fn, d, n_samples=n, seed=3, method="qmc",
+                       return_stderr=True)
+        rm = integrate(fn, d, n_samples=n, seed=3, return_stderr=True)
+        assert rq.stderr[0] < 0.2 * rm.stderr[0]
+        assert abs(rq.values[0] - (np.e - 1.0)) < 1e-4
+
+    def test_rotation_count_validation(self):
+        with pytest.raises(ValueError, match="qmc_rotations"):
+            integrate(
+                [lambda x: x], Distribution.uniform(0.0, 1.0),
+                method="qmc", return_stderr=True, qmc_rotations=1,
+            )
+
+    def test_importance_sampling_rqmc_bars(self):
+        # Rare event P(X > 4) ~ 3.167e-5 via a shifted proposal.
+        r = integrate_importance_sampling(
+            [lambda x: x > 4.0],
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(4.0, 1.5),
+            n_samples=400_000, seed=5, method="qmc", return_stderr=True,
+        )
+        p = 3.16712e-5
+        assert abs(r.values[0] - p) < 6 * max(r.stderr[0], 1e-9)
+        assert r.stderr[0] < 0.05 * p
+
+    def test_custom_rotation_count(self):
+        r = integrate(
+            [lambda x: x], Distribution.uniform(0.0, 1.0),
+            n_samples=200_000, seed=9, method="qmc",
+            return_stderr=True, qmc_rotations=4,
+        )
+        assert abs(r.values[0] - 0.5) < 1e-3
+        assert r.stderr[0] > 0.0
