@@ -587,6 +587,23 @@ def main() -> int:
     ok &= check("wgsl_for_loop_integral", r.values, [math.e - 1.0], 0.01,
                 "bounded-for WGSL string: E[exp(U)] on [0,1)")
 
+    # Randomized-QMC error bars (round 3): the rotation spread must
+    # cover the composite estimate's error AND sit far below the MC
+    # stderr at equal N on a smooth integrand.
+    rq = mc.integrate([lambda x: np.exp(x)],
+                      mc.Distribution.uniform(0.0, 1.0),
+                      n_samples=4_000_000, seed=11, method="qmc",
+                      return_stderr=True)
+    rm = mc.integrate([lambda x: np.exp(x)],
+                      mc.Distribution.uniform(0.0, 1.0),
+                      n_samples=4_000_000, seed=11, return_stderr=True)
+    err = abs(float(rq.values[0]) - (math.e - 1.0))
+    ok &= check("rqmc_stderr_covers_error",
+                [min(err / max(float(rq.stderr[0]), 1e-12), 10.0),
+                 min(float(rq.stderr[0]) / float(rm.stderr[0]), 1.0)],
+                [0.0, 0.0], [6.0, 0.2],
+                "rotation-spread bars: |err|<=6*stderr and <0.2x MC bars")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",
