@@ -159,17 +159,286 @@ class TestControlFlow:
         """
         assert _ev(src, 1.0) == pytest.approx(np.e, rel=1e-6)
 
-    def test_for_without_condition_rejected(self):
+    def test_for_without_condition_or_break_rejected(self):
         with pytest.raises(WgslError):
             trace_wgsl_function(
                 "fn f(x: f32) -> f32 { for (;;) {} return x; }"
             )
 
-    def test_loop_still_rejected(self):
+
+class TestStructuredJumps:
+    """break/continue in every loop form, WGSL ``loop``/``continuing``/
+    ``break if``, and ``switch`` — all desugared to flag-guarded dataflow
+    (no early exit under lax.while_loop).  The reference fed user WGSL to a
+    real compiler, so all of these are live surface there
+    (__init__.py:738-747)."""
+
+    def test_while_break(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            var i: f32 = 0.0;
+            while (i < 100.0) {
+                i = i + 1.0;
+                if (i > 6.0) { break; }
+                s = s + i;
+            }
+            return s + x;
+        }
+        """
+        # adds i = 1..6 = 21
+        assert _ev(src, 0.5) == 21.5
+
+    def test_while_continue(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            var i: f32 = 0.0;
+            while (i < 6.0) {
+                i = i + 1.0;
+                if (i == 3.0) { continue; }
+                s = s + i;
+            }
+            return s;
+        }
+        """
+        # adds 1+2+4+5+6 = 18
+        assert _ev(src, 0.0) == 18.0
+
+    def test_for_continue_still_runs_update(self):
+        # C/WGSL semantics: continue jumps TO the for-update, so the loop
+        # variable still advances — the desugaring guards the update on the
+        # break flag only.
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            for (var i: f32 = 0.0; i < 5.0; i++) {
+                if (i == 2.0) { continue; }
+                s = s + x;
+            }
+            return s;
+        }
+        """
+        assert _ev(src, 1.0) == 4.0
+
+    def test_for_break_skips_update(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var i: f32 = 0.0;
+            for (; i < 10.0; i++) {
+                if (i == 3.0) { break; }
+            }
+            return i + x;
+        }
+        """
+        # i stays 3.0: the update must not run after the break.
+        assert _ev(src, 0.25) == 3.25
+
+    def test_for_infinite_header_with_break(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            for (;;) {
+                s = s + x;
+                if (s > 5.0) { break; }
+            }
+            return s;
+        }
+        """
+        assert _ev(src, 2.0) == 6.0
+
+    def test_loop_with_break(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            var i: f32 = 0.0;
+            loop {
+                if (i >= 4.0) { break; }
+                s = s + x;
+                i = i + 1.0;
+            }
+            return s;
+        }
+        """
+        assert _ev(src, 2.0) == 8.0
+
+    def test_loop_continuing_break_if(self):
+        # continue jumps to the continuing block, which still advances the
+        # counter; break-if terminates from inside continuing.
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            var i: f32 = 0.0;
+            loop {
+                if (i == 2.0) { continue; }
+                s = s + x;
+                continuing {
+                    i = i + 1.0;
+                    break if i >= 5.0;
+                }
+            }
+            return s;
+        }
+        """
+        # i = 0,1,3,4 accumulate; i == 2 skipped
+        assert _ev(src, 1.0) == 4.0
+
+    def test_nested_loops_break_binds_inner(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            for (var i: f32 = 0.0; i < 3.0; i++) {
+                for (var j: f32 = 0.0; j < 10.0; j++) {
+                    if (j == 2.0) { break; }
+                    s = s + x;
+                }
+            }
+            return s;
+        }
+        """
+        # inner contributes 2 per outer iteration
+        assert _ev(src, 1.0) == 6.0
+
+    def test_statement_after_conditional_break_is_guarded(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            var i: f32 = 0.0;
+            while (i < 10.0) {
+                i = i + 1.0;
+                if (i > 3.0) { break; }
+                s = s + 100.0;
+                s = s + x;
+            }
+            return s + i;
+        }
+        """
+        # 3 full iterations, exits with i = 4 (post-break adds skipped)
+        assert _ev(src, 1.0) == 303.0 + 4.0
+
+    def test_loop_without_break_rejected(self):
         with pytest.raises(WgslError):
             trace_wgsl_function(
-                "fn f(x: f32) -> f32 { loop { break; } return x; }"
+                "fn f(x: f32) -> f32 { loop { x = x + 1.0; } return x; }"
             )
+
+    def test_jumps_outside_loops_rejected(self):
+        with pytest.raises(WgslError):
+            trace_wgsl_function("fn f(x: f32) -> f32 { break; return x; }")
+        with pytest.raises(WgslError):
+            trace_wgsl_function("fn f(x: f32) -> f32 { continue; return x; }")
+
+    def test_bare_break_in_continuing_rejected(self):
+        with pytest.raises(WgslError):
+            trace_wgsl_function(
+                "fn f(x: f32) -> f32 { var i: f32 = 0.0;"
+                " loop { continuing { break; } } return x; }"
+            )
+
+    def test_discard_rejected(self):
+        with pytest.raises(WgslError):
+            trace_wgsl_function(
+                "fn f(x: f32) -> f32 { discard; return x; }"
+            )
+
+
+class TestSwitch:
+    def test_switch_value_dispatch(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var r: f32 = 0.0;
+            switch (x) {
+                case 1.0: { r = 10.0; }
+                case 2.0, 3.0: { r = 20.0; }
+                default: { r = -1.0; }
+            }
+            return r;
+        }
+        """
+        assert _ev(src, 1.0) == 10.0
+        assert _ev(src, 3.0) == 20.0
+        assert _ev(src, 9.0) == -1.0
+
+    def test_switch_returns_from_cases(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            switch (x) {
+                case 1.0: { return 11.0; }
+                default: { return -3.0; }
+            }
+        }
+        """
+        assert _ev(src, 1.0) == 11.0
+        assert _ev(src, 4.0) == -3.0
+
+    def test_break_inside_case_exits_the_switch(self):
+        # WGSL binding rules: break inside switch ends the switch (cases
+        # never fall through), so the trailing assignment must not run.
+        src = """
+        fn f(x: f32) -> f32 {
+            var r: f32 = 0.0;
+            switch (x) {
+                case 1.0: { r = 5.0; if (r > 0.0) { break; } r = 99.0; }
+                default: { r = 7.0; }
+            }
+            return r;
+        }
+        """
+        assert _ev(src, 1.0) == 5.0
+        assert _ev(src, 2.0) == 7.0
+
+    def test_continue_inside_switch_binds_to_loop(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var s: f32 = 0.0;
+            for (var i: f32 = 0.0; i < 5.0; i++) {
+                switch (i) {
+                    case 2.0: { continue; }
+                    default: { }
+                }
+                s = s + x;
+            }
+            return s;
+        }
+        """
+        assert _ev(src, 1.0) == 4.0
+
+    def test_switch_requires_exactly_one_default(self):
+        with pytest.raises(WgslError):
+            trace_wgsl_function(
+                "fn f(x: f32) -> f32 {"
+                " switch (x) { case 1.0: { return 1.0; } } }"
+            )
+
+
+class TestJumpsEndToEnd:
+    def test_integrate_wgsl_loop_with_break(self):
+        # A convergence-controlled WGSL integrand (Taylor exp with an
+        # error-threshold break) straight through integrate(): the
+        # sample-dependent trip count routes to the vmapped XLA backend
+        # via the block-traceability gate.  E[exp(X)] over U(0,1) = e - 1.
+        from tpu_montecarlo import Distribution, integrate
+
+        src = """
+        fn taylor_exp(x: f32) -> f32 {
+            var term: f32 = 1.0;
+            var s: f32 = 1.0;
+            var i: f32 = 1.0;
+            loop {
+                term = term * x / i;
+                s = s + term;
+                if (abs(term) < 1.0e-6) { break; }
+                continuing {
+                    i = i + 1.0;
+                    break if i > 30.0;
+                }
+            }
+            return s;
+        }
+        """
+        dist = Distribution.uniform(0.0, 1.0)
+        result = integrate([src], dist, n_samples=200_000, seed=42)
+        assert abs(result.values[0] - (np.e - 1.0)) < 0.01
 
 
 class TestBuiltinsAndOps:

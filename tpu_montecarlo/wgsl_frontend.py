@@ -5,14 +5,27 @@ Python callables (reference: python/wgpu_montecarlo/__init__.py:734-747,
 tests/test_integrator.py:48-68).  To keep that surface working on TPU —
 where there is no WGSL compiler — this module parses the WGSL *function*
 subset the reference emits and consumes (scalar ``fn name(x: f32) -> f32``
-definitions with let/var, if/else, while, ``for`` — desugared to while,
-including ``i++``/``i--`` updates — arithmetic, comparisons,
-``&&``/``||``/``!``, ``select`` and the WGSL math builtins) into Python AST
-nodes, then evaluates them with the same symbolic interpreter the Python
-tracer uses (tracing.py).  A string may contain several functions that call
-each other (the reference's importance-sampling wrappers are shaped that
-way, __init__.py:893-905); the FIRST function is the entry point, matching
-``_rename_wgsl_function``'s first-match rename (__init__.py:1123-1135).
+definitions with let/var, if/else, while, ``for``, ``loop`` with an
+optional ``continuing { ... break if cond; }`` block, ``break`` /
+``continue`` in every loop form, ``switch``, ``i++``/``i--`` updates,
+arithmetic, comparisons, ``&&``/``||``/``!``, ``select`` and the WGSL math
+builtins) into Python AST nodes, then evaluates them with the same symbolic
+interpreter the Python tracer uses (tracing.py).  A string may contain
+several functions that call each other (the reference's importance-sampling
+wrappers are shaped that way, __init__.py:893-905); the FIRST function is
+the entry point, matching ``_rename_wgsl_function``'s first-match rename
+(__init__.py:1123-1135).
+
+Structured jumps lower to flag-guarded dataflow because the interpreter's
+loops become ``lax.while_loop`` (no early exit on TPU): each loop with
+jumps gets a break flag (conjoined into the loop condition) and a continue
+flag (reset every iteration); statements following a conditional jump are
+wrapped in ``if (flags == 0)`` guards.  ``break`` inside ``switch`` binds
+to the switch and ``continue`` inside ``switch`` binds to the enclosing
+loop, both per the WGSL spec — the binding falls out of desugaring
+constructs inside-out as they finish parsing.  ``discard`` stays rejected:
+it is a fragment-shader statement, invalid in the compute entry points the
+reference compiles (naga validates the same way).
 """
 
 from __future__ import annotations
@@ -50,6 +63,127 @@ def _wgsl_mod_call(left: ast.expr, right: ast.expr) -> ast.expr:
             keywords=[],
         )
     )
+
+
+# -- structured-jump desugaring helpers ---------------------------------------
+#
+# ``break``/``continue`` parse into marker statements (a bare Name inside an
+# Expr); the construct they bind to consumes them when IT finishes parsing —
+# inner constructs finish first, so a break inside ``switch`` is consumed by
+# the switch and a continue inside the same switch survives to the enclosing
+# loop, exactly the WGSL binding rules.
+
+_BREAK_MARKER = "__wgsl_break__"
+_CONTINUE_MARKER = "__wgsl_continue__"
+
+
+def _marker(name: str) -> ast.stmt:
+    return _loc(ast.Expr(value=_loc(ast.Name(id=name, ctx=ast.Load()))))
+
+
+def _is_marker(stmt: ast.stmt, name: str) -> bool:
+    return (
+        isinstance(stmt, ast.Expr)
+        and isinstance(stmt.value, ast.Name)
+        and stmt.value.id == name
+    )
+
+
+def _has_marker(stmts: List[ast.stmt], names: Tuple[str, ...]) -> bool:
+    """True if any statement subtree still holds an unconsumed jump marker
+    from ``names``.  Inner loops/switches consumed their own markers at
+    parse time, so whatever ``ast.walk`` finds binds to the asking
+    construct (or, for continues under a switch, to an enclosing loop)."""
+    for stmt in stmts:
+        for node in ast.walk(stmt):
+            if isinstance(node, ast.Name) and node.id in names:
+                return True
+    return False
+
+
+def _assign_const(name: str, value: float) -> ast.stmt:
+    return _loc(
+        ast.Assign(
+            targets=[_loc(ast.Name(id=name, ctx=ast.Store()))],
+            value=_loc(ast.Constant(value=value)),
+        )
+    )
+
+
+def _flag_clear(name: str) -> ast.expr:
+    """``name == 0.0`` — the flag-not-set test."""
+    return _loc(
+        ast.Compare(
+            left=_loc(ast.Name(id=name, ctx=ast.Load())),
+            ops=[ast.Eq()],
+            comparators=[_loc(ast.Constant(value=0.0))],
+        )
+    )
+
+
+def _flags_clear(flags: List[str]) -> ast.expr:
+    tests = [_flag_clear(f) for f in flags]
+    if len(tests) == 1:
+        return tests[0]
+    return _loc(ast.BoolOp(op=ast.And(), values=tests))
+
+
+def _guard_if(flags: List[str], body: List[ast.stmt]) -> ast.stmt:
+    return _loc(
+        ast.If(
+            test=_flags_clear(flags),
+            body=body if body else [_loc(ast.Pass())],
+            orelse=[],
+        )
+    )
+
+
+def _flag_guard(
+    stmts: List[ast.stmt],
+    brk: Optional[str],
+    cont: Optional[str],
+) -> List[ast.stmt]:
+    """Consume this construct's jump markers from a statement list.
+
+    An unconditional jump replaces the (unreachable) rest of the list with
+    a flag set; a jump nested in an ``if`` sets the flag in that branch and
+    the rest of the list re-wraps in ``if (flags == 0)``, so execution
+    "falls through" without running anything — the dataflow rendering of a
+    structured early exit.  ``brk``/``cont`` are the flag variable names;
+    pass ``None`` to leave that marker kind for an enclosing construct
+    (switch consumes breaks only; continues bind to the enclosing loop)."""
+    consumed = tuple(
+        m
+        for m, f in ((_BREAK_MARKER, brk), (_CONTINUE_MARKER, cont))
+        if f is not None
+    )
+    flags = [f for f in (brk, cont) if f is not None]
+    out: List[ast.stmt] = []
+    for idx, stmt in enumerate(stmts):
+        if brk is not None and _is_marker(stmt, _BREAK_MARKER):
+            out.append(_assign_const(brk, 1.0))
+            return out
+        if cont is not None and _is_marker(stmt, _CONTINUE_MARKER):
+            out.append(_assign_const(cont, 1.0))
+            return out
+        if isinstance(stmt, ast.If) and _has_marker([stmt], consumed):
+            body = _flag_guard(stmt.body, brk, cont)
+            orelse = _flag_guard(stmt.orelse, brk, cont)
+            out.append(
+                _loc(
+                    ast.If(
+                        test=stmt.test,
+                        body=body if body else [_loc(ast.Pass())],
+                        orelse=orelse,
+                    )
+                )
+            )
+            rest = stmts[idx + 1 :]
+            if rest:
+                out.append(_guard_if(flags, _flag_guard(rest, brk, cont)))
+            return out
+        out.append(stmt)
+    return out
 
 
 _TOKEN_RE = re.compile(
@@ -90,6 +224,10 @@ class _Parser:
     def __init__(self, tokens: List[Tuple[str, str]]):
         self.toks = tokens
         self.i = 0
+        self._loop_depth = 0  # break/continue validity (WGSL binding rules)
+        self._switch_depth = 0  # break (but not continue) also binds here
+        self._in_continuing = False  # only 'break if' may jump in there
+        self._flag_seq = 0  # unique ids for desugared flag/temp variables
 
     # -- token helpers -------------------------------------------------------
 
@@ -179,14 +317,50 @@ class _Parser:
         if val == "while":
             self.next()
             test = self.parse_paren_or_bare_expr()
-            body = self.parse_block()
-            return [_loc(ast.While(test=test, body=body, orelse=[]))]
+            body = self._parse_loop_body_block()
+            return self._build_loop(init=[], cond=test, body=body, update=[])
 
         if val == "for":
             return self.parse_for()
 
-        if val in ("loop", "break", "continue", "discard"):
-            raise WgslError(f"WGSL '{val}' statements are not supported")
+        if val == "loop":
+            return self.parse_loop()
+
+        if val == "switch":
+            return self.parse_switch()
+
+        if val == "break":
+            self.next()
+            if self.peek()[1] == "if":
+                raise WgslError(
+                    "'break if' is only valid as the last statement of a "
+                    "loop's continuing block"
+                )
+            self.expect(";")
+            if self._in_continuing:
+                raise WgslError(
+                    "only 'break if' may jump inside a continuing block"
+                )
+            if self._loop_depth == 0 and self._switch_depth == 0:
+                raise WgslError("'break' outside a loop or switch")
+            return [_marker(_BREAK_MARKER)]
+
+        if val == "continue":
+            self.next()
+            self.expect(";")
+            if self._in_continuing:
+                raise WgslError(
+                    "only 'break if' may jump inside a continuing block"
+                )
+            if self._loop_depth == 0:
+                raise WgslError("'continue' outside a loop")
+            return [_marker(_CONTINUE_MARKER)]
+
+        if val == "discard":
+            raise WgslError(
+                "'discard' is a fragment-shader statement and is invalid in "
+                "the compute functions this API compiles"
+            )
 
         if kind == "name":
             stmt = self.parse_assign_stmt()
@@ -263,20 +437,16 @@ class _Parser:
             else:
                 init = [self.parse_assign_stmt()]
             self.expect(";")
-        if self.peek()[1] == ";":
-            raise WgslError(
-                "WGSL 'for' without a condition cannot terminate"
-            )
-        cond = self.parse_expr()
-        self.expect(";")
+        cond: Optional[ast.expr] = None
+        if not self.accept(";"):
+            cond = self.parse_expr()
+            self.expect(";")
         update: List[ast.stmt] = []
         if self.peek()[1] != ")":
             update = [self.parse_assign_stmt()]
         self.expect(")")
-        body = self.parse_block()
-        stmts = init + [
-            _loc(ast.While(test=cond, body=body + update, orelse=[]))
-        ]
+        body = self._parse_loop_body_block()
+        stmts = self._build_loop(init=init, cond=cond, body=body, update=update)
         if decl_name is not None:
             self._loop_seq = getattr(self, "_loop_seq", 0) + 1
             renamer = _RenameVar(
@@ -284,6 +454,253 @@ class _Parser:
             )
             stmts = [renamer.visit(s) for s in stmts]
         return stmts
+
+    def _parse_loop_body_block(self) -> List[ast.stmt]:
+        """Parse a while/for/loop body: break/continue become valid, and a
+        nested body is NOT a continuing block even if the loop is."""
+        self._loop_depth += 1
+        saved = self._in_continuing
+        self._in_continuing = False
+        try:
+            return self.parse_block()
+        finally:
+            self._in_continuing = saved
+            self._loop_depth -= 1
+
+    def _fresh_flags(self) -> Tuple[str, str]:
+        self._flag_seq += 1
+        return (
+            f"__wgsl_brk_{self._flag_seq}",
+            f"__wgsl_cont_{self._flag_seq}",
+        )
+
+    def _build_loop(
+        self,
+        init: List[ast.stmt],
+        cond: Optional[ast.expr],
+        body: List[ast.stmt],
+        update: List[ast.stmt],
+    ) -> List[ast.stmt]:
+        """``init; while (cond) { body; update }`` with structured jumps.
+
+        Jump-free bodies keep the flat round-2 desugaring.  With jumps, a
+        break flag joins the loop condition and a continue flag (reset each
+        iteration) guards the statements a ``continue`` skips; the update
+        still runs after a continue (C/WGSL for-semantics: continue jumps
+        TO the update) but not after a break.  ``cond=None`` (a ``for``
+        with an empty condition) is always-true and requires a break."""
+        has_break = _has_marker(body, (_BREAK_MARKER,))
+        if cond is None and not has_break:
+            raise WgslError(
+                "WGSL 'for' without a condition or a break cannot terminate"
+            )
+        if not has_break and not _has_marker(body, (_CONTINUE_MARKER,)):
+            return init + [
+                _loc(ast.While(test=cond, body=body + update, orelse=[]))
+            ]
+        brk, cont = self._fresh_flags()
+        guarded = _flag_guard(body, brk=brk, cont=cont)
+        new_body = [_assign_const(cont, 0.0)] + guarded
+        if update:
+            new_body.append(_guard_if([brk], list(update)))
+        if cond is None:
+            test: ast.expr = _flag_clear(brk)
+        else:
+            test = _loc(
+                ast.BoolOp(op=ast.And(), values=[_flag_clear(brk), cond])
+            )
+        return (
+            init
+            + [_assign_const(brk, 0.0)]
+            + [_loc(ast.While(test=test, body=new_body, orelse=[]))]
+        )
+
+    def parse_loop(self) -> List[ast.stmt]:
+        """``loop { body (continuing { cstmts (break if cond;)? })? }``.
+
+        The continuing block runs at the end of every iteration — including
+        after a ``continue``, which jumps to it — but not after a break;
+        ``break if`` is its (only legal) final jump.  Desugars to a
+        break-flag-driven while: the loop variable updates a reference user
+        would put in ``continuing`` keep their run-even-after-continue
+        semantics by sitting outside the continue guard."""
+        self.expect("loop")
+        self.expect("{")
+        self._loop_depth += 1
+        saved = self._in_continuing
+        self._in_continuing = False
+        body: List[ast.stmt] = []
+        cstmts: List[ast.stmt] = []
+        break_if: Optional[ast.expr] = None
+        has_continuing = False
+        try:
+            while not self.accept("}"):
+                if self.peek()[1] == "continuing":
+                    self.next()
+                    has_continuing = True
+                    cstmts, break_if = self.parse_continuing()
+                    if self.peek()[1] != "}":
+                        raise WgslError(
+                            "'continuing' must be the last statement in a "
+                            "loop body"
+                        )
+                    continue
+                body.extend(self.parse_stmt())
+        finally:
+            self._in_continuing = saved
+            self._loop_depth -= 1
+        if not _has_marker(body, (_BREAK_MARKER,)) and break_if is None:
+            raise WgslError("WGSL 'loop' without a break cannot terminate")
+        brk, cont = self._fresh_flags()
+        guarded = _flag_guard(body, brk=brk, cont=cont)
+        new_body = [_assign_const(cont, 0.0)] + guarded
+        if has_continuing or break_if is not None:
+            cbody = list(cstmts)
+            if break_if is not None:
+                cbody.append(
+                    _loc(
+                        ast.If(
+                            test=break_if,
+                            body=[_assign_const(brk, 1.0)],
+                            orelse=[],
+                        )
+                    )
+                )
+            new_body.append(_guard_if([brk], cbody))
+        return [
+            _assign_const(brk, 0.0),
+            _loc(ast.While(test=_flag_clear(brk), body=new_body, orelse=[])),
+        ]
+
+    def parse_continuing(self) -> Tuple[List[ast.stmt], Optional[ast.expr]]:
+        self.expect("{")
+        saved = self._in_continuing
+        self._in_continuing = True
+        stmts: List[ast.stmt] = []
+        break_if: Optional[ast.expr] = None
+        try:
+            while not self.accept("}"):
+                if self.peek()[1] == "break":
+                    self.next()
+                    if self.peek()[1] != "if":
+                        raise WgslError(
+                            "only 'break if' may jump inside a continuing "
+                            "block"
+                        )
+                    self.expect("if")
+                    break_if = self.parse_expr()
+                    self.expect(";")
+                    if self.peek()[1] != "}":
+                        raise WgslError(
+                            "'break if' must be the last statement of a "
+                            "continuing block"
+                        )
+                    continue
+                stmts.extend(self.parse_stmt())
+        finally:
+            self._in_continuing = saved
+        return stmts, break_if
+
+    def parse_switch(self) -> List[ast.stmt]:
+        """``switch sel { case v1, v2: { ... } default: { ... } }`` as an
+        equality if/else chain over a selector temporary.
+
+        WGSL cases never fall through, so ``break`` inside a case is an
+        early exit from that case alone — consumed here with a case-local
+        flag; ``continue`` markers pass through to the enclosing loop (the
+        spec's binding rules).  A clause listing both values and
+        ``default`` serves as both (body duplicated into the chain and the
+        fallback).  Exactly one default clause is required, as in WGSL."""
+        self.expect("switch")
+        sel_expr = self.parse_paren_or_bare_expr()
+        self.expect("{")
+        clauses: List[Tuple[List[ast.expr], bool, List[ast.stmt]]] = []
+        while not self.accept("}"):
+            kind, val = self.next()
+            if val == "case":
+                values: List[ast.expr] = []
+                is_default = False
+                while True:
+                    if self.peek()[1] == "default":
+                        self.next()
+                        is_default = True
+                    else:
+                        values.append(self.parse_expr())
+                    if not self.accept(","):
+                        break
+                    if self.peek()[1] in (":", "{"):
+                        break  # trailing comma
+                self.accept(":")
+                clauses.append((values, is_default, self._parse_case_block()))
+            elif val == "default":
+                self.accept(":")
+                clauses.append(([], True, self._parse_case_block()))
+            else:
+                raise WgslError(
+                    f"Expected 'case' or 'default' in switch, got {val!r}"
+                )
+        if sum(1 for _, d, _ in clauses if d) != 1:
+            raise WgslError("switch must have exactly one 'default' clause")
+
+        self._flag_seq += 1
+        sel_name = f"__wgsl_sel_{self._flag_seq}"
+        out: List[ast.stmt] = [
+            _loc(
+                ast.Assign(
+                    targets=[_loc(ast.Name(id=sel_name, ctx=ast.Store()))],
+                    value=sel_expr,
+                )
+            )
+        ]
+
+        def prep_body(body: List[ast.stmt]) -> List[ast.stmt]:
+            if not _has_marker(body, (_BREAK_MARKER,)):
+                return list(body)
+            self._flag_seq += 1
+            flag = f"__wgsl_swbrk_{self._flag_seq}"
+            return [_assign_const(flag, 0.0)] + _flag_guard(
+                body, brk=flag, cont=None
+            )
+
+        default_body = next(b for _, d, b in clauses if d)
+        chain: List[ast.stmt] = prep_body(default_body)
+        for values, _, body in reversed([c for c in clauses if c[0]]):
+            tests = [
+                _loc(
+                    ast.Compare(
+                        left=_loc(ast.Name(id=sel_name, ctx=ast.Load())),
+                        ops=[ast.Eq()],
+                        comparators=[v],
+                    )
+                )
+                for v in values
+            ]
+            test = (
+                tests[0]
+                if len(tests) == 1
+                else _loc(ast.BoolOp(op=ast.Or(), values=tests))
+            )
+            prepped = prep_body(body)
+            chain = [
+                _loc(
+                    ast.If(
+                        test=test,
+                        body=prepped if prepped else [_loc(ast.Pass())],
+                        orelse=chain,
+                    )
+                )
+            ]
+        return out + chain
+
+    def _parse_case_block(self) -> List[ast.stmt]:
+        self._switch_depth += 1
+        saved = self._in_continuing
+        self._in_continuing = False
+        try:
+            return self.parse_block()
+        finally:
+            self._in_continuing = saved
+            self._switch_depth -= 1
 
     def parse_if(self) -> ast.stmt:
         self.expect("if")
