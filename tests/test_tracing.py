@@ -274,6 +274,112 @@ class TestStatements:
         assert_traced_matches(f, [1.0])
 
 
+class TestReturnInLoops:
+    """``return`` inside while bodies — the reference transpiler emits a
+    WGSL ``return`` there (transpiler.py:561-567 via _visit_while:626-637),
+    so it is live user surface; here it lowers to a first-return-wins mask
+    carried through ``lax.while_loop``."""
+
+    def test_return_from_while(self):
+        def f(x):
+            while x < 10.0:
+                if x > 5.0:
+                    return x
+                x = x * 2.0
+            return x
+
+        assert_traced_matches(f, [1.0, 3.0, 6.0, 20.0])
+
+    def test_loop_return_vs_trailing_return(self):
+        def f(x):
+            i = 0.0
+            while i < 100.0:
+                i = i + 1.0
+                if i * i > x:
+                    return i
+            return -1.0
+
+        assert_traced_matches(f, [0.5, 10.0, 90.0, 1.0e6])
+
+    def test_statements_after_loop_return_are_skipped(self):
+        def f(x):
+            s = 0.0
+            i = 0.0
+            while i < 5.0:
+                i = i + 1.0
+                if i > x:
+                    return s
+                s = s + 100.0
+            return s + 1.0
+
+        assert_traced_matches(f, [0.0, 2.5, 99.0])
+
+    def test_loop_return_inside_if_branch(self):
+        def f(x):
+            if x > 0.0:
+                while x < 8.0:
+                    if x > 3.0:
+                        return x * 10.0
+                    x = x + 1.0
+            return -x
+
+        assert_traced_matches(f, [1.0, 5.0, -2.0, 9.0])
+
+    def test_nested_loops_inner_return_exits_function(self):
+        def f(x):
+            i = 0.0
+            while i < 3.0:
+                j = 0.0
+                while j < 3.0:
+                    if i + j > x:
+                        return i * 10.0 + j
+                    j = j + 1.0
+                i = i + 1.0
+            return -1.0
+
+        assert_traced_matches(f, [0.5, 2.5, 3.5, 99.0])
+
+    def test_sequential_loops_first_return_wins(self):
+        def f(x):
+            i = 0.0
+            while i < 3.0:
+                if x < 1.0:
+                    return 111.0
+                i = i + 1.0
+            j = 0.0
+            while j < 3.0:
+                if x < 2.0:
+                    return 222.0
+                j = j + 1.0
+            return 333.0
+
+        assert_traced_matches(f, [0.5, 1.5, 2.5])
+
+    def test_loop_return_vectorizes(self):
+        def f(x):
+            i = 0.0
+            while i < 100.0:
+                i = i + 1.0
+                if i * i > x:
+                    return i
+            return -1.0
+
+        traced = trace_function(f)
+        xs = jnp.array([0.5, 10.0, 90.0, 1.0e6], jnp.float32)
+        out = jax.vmap(traced)(xs)
+        np.testing.assert_allclose(np.asarray(out), [1.0, 4.0, 10.0, -1.0])
+
+    def test_missing_static_return_still_rejected(self):
+        # Only loop-internal returns: no statically-guaranteed return, which
+        # the reference's WGSL compiler also rejects (missing return).
+        def f(x):
+            while x < 10.0:
+                return x
+
+        with pytest.raises(TraceError):
+            trace_function(f)(np.float32(1.0))
+
+
 class TestMultipleLambdas:
     def test_two_lambdas_one_line(self):
         fs = [lambda x: x, lambda x: x**2]

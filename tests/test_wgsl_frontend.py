@@ -411,6 +411,35 @@ class TestSwitch:
             )
 
 
+class TestReturnInLoop:
+    def test_wgsl_return_inside_while(self):
+        src = """
+        fn first_square_above(x: f32) -> f32 {
+            var i: f32 = 0.0;
+            while (i < 100.0) {
+                i = i + 1.0;
+                if (i * i > x) { return i; }
+            }
+            return -1.0;
+        }
+        """
+        assert _ev(src, 0.5) == 1.0
+        assert _ev(src, 10.0) == 4.0
+        assert _ev(src, 90.0) == 10.0
+
+    def test_wgsl_return_inside_for(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            for (var i: f32 = 0.0; i < 10.0; i++) {
+                if (i >= x) { return i * 2.0; }
+            }
+            return -1.0;
+        }
+        """
+        assert _ev(src, 2.5) == 6.0
+        assert _ev(src, 50.0) == -1.0
+
+
 class TestJumpsEndToEnd:
     def test_integrate_wgsl_loop_with_break(self):
         # A convergence-controlled WGSL integrand (Taylor exp with an

@@ -14,7 +14,10 @@ function's AST on JAX tracers:
   * ternary expressions and ``if`` statements become ``jnp.where`` merges
     (both branches evaluated, like WGSL ``select``),
   * ``while`` loops become ``jax.lax.while_loop`` (vectorising via ``vmap``
-    batching, i.e. per-sample loop termination like per-thread WGSL loops),
+    batching, i.e. per-sample loop termination like per-thread WGSL loops);
+    ``return`` inside a loop lowers to a first-return-wins mask carried
+    through the loop (the reference emits WGSL ``return`` statements there,
+    transpiler.py:561-567 via _visit_while:626-637),
   * ``math.*`` / ``numpy.*`` calls and constants are resolved to their
     ``jax.numpy`` equivalents,
   * captured closure/global ``int``/``float``/``bool`` values are baked in
@@ -397,6 +400,118 @@ def _contains_return(stmts: Sequence[ast.stmt]) -> bool:
     )
 
 
+# -- return-inside-loop lowering ----------------------------------------------
+#
+# The reference transpiler emits WGSL ``return`` wherever the Python function
+# had one — including inside ``while`` bodies (transpiler.py:561-567 reached
+# from _visit_while:626-637), and raw WGSL strings can do the same.  Under
+# ``lax.while_loop`` there is no early exit, so a loop return lowers to masked
+# dataflow: ``return e`` becomes ``__ret_val = e; __ret_mask = 1`` with the
+# rest of the block guarded on the mask, every loop condition in the region
+# gets ``mask == 0`` conjoined (stopping returned lanes and propagating
+# through outer loops via the shared carried names), and every subsequent
+# concrete ``return`` folds ``where(mask, __ret_val, value)`` — first return
+# wins, which is exactly early-return semantics.
+
+_RET_MASK = "__tmc_ret_mask__"
+_RET_VAL = "__tmc_ret_val__"
+
+
+def _synth(node: ast.AST, like: ast.AST) -> ast.AST:
+    ast.copy_location(node, like)
+    ast.fix_missing_locations(node)
+    return node
+
+
+def _assign_name(name: str, value: ast.expr, like: ast.AST) -> ast.stmt:
+    return _synth(
+        ast.Assign(
+            targets=[ast.Name(id=name, ctx=ast.Store())], value=value
+        ),
+        like,
+    )
+
+
+def _mask_clear_test(like: ast.AST) -> ast.expr:
+    return _synth(
+        ast.Compare(
+            left=ast.Name(id=_RET_MASK, ctx=ast.Load()),
+            ops=[ast.Eq()],
+            comparators=[ast.Constant(value=0.0)],
+        ),
+        like,
+    )
+
+
+def _mask_returns(stmts: Sequence[ast.stmt]) -> List[ast.stmt]:
+    """Rewrite every ``return`` in a loop-body statement list into mask/value
+    assignments, guarding statements a conditional return would skip."""
+    out: List[ast.stmt] = []
+    for idx, stmt in enumerate(stmts):
+        if isinstance(stmt, ast.Return):
+            if stmt.value is None:
+                raise TraceError("Functions must return a value")
+            out.append(_assign_name(_RET_VAL, stmt.value, stmt))
+            out.append(
+                _assign_name(_RET_MASK, ast.Constant(value=1.0), stmt)
+            )
+            return out  # statements after an unconditional return are dead
+        if isinstance(stmt, (ast.If, ast.While)) and _contains_return([stmt]):
+            if isinstance(stmt, ast.If):
+                body = _mask_returns(stmt.body) or [_synth(ast.Pass(), stmt)]
+                out.append(
+                    _synth(
+                        ast.If(
+                            test=stmt.test,
+                            body=body,
+                            orelse=_mask_returns(stmt.orelse),
+                        ),
+                        stmt,
+                    )
+                )
+            else:
+                out.append(_mask_while(stmt))
+            rest = stmts[idx + 1 :]
+            if rest:
+                out.append(
+                    _synth(
+                        ast.If(
+                            test=_mask_clear_test(stmt),
+                            body=_mask_returns(rest)
+                            or [_synth(ast.Pass(), stmt)],
+                            orelse=[],
+                        ),
+                        stmt,
+                    )
+                )
+            return out
+        out.append(stmt)
+    return out
+
+
+def _mask_while(stmt: ast.While) -> ast.While:
+    """A while whose body may return: conjoin ``mask == 0`` into the test
+    (returned lanes stop iterating — outer masked loops stop too, since the
+    mask is a shared carried variable) and mask the body's returns."""
+    if stmt.orelse:
+        raise TraceError("while/else is not supported")
+    test = _synth(
+        ast.BoolOp(op=ast.And(), values=[_mask_clear_test(stmt), stmt.test]),
+        stmt,
+    )
+    return _synth(
+        ast.While(test=test, body=_mask_returns(stmt.body), orelse=[]), stmt
+    )
+
+
+def _needs_return_mask(stmts: Sequence[ast.stmt]) -> bool:
+    return any(
+        isinstance(sub, ast.While) and _contains_return(sub.body)
+        for node in stmts
+        for sub in ast.walk(node)
+    )
+
+
 class _Interpreter:
     """Symbolically evaluates a restricted-Python function body on JAX
     values.  One instance per traced call; cheap (runs only at trace time —
@@ -663,7 +778,14 @@ class _Interpreter:
             if kind == "Return":
                 if stmt.value is None:
                     raise TraceError("Functions must return a value")
-                return env, self.eval(stmt.value, env)
+                val = self.eval(stmt.value, env)
+                if _RET_MASK in env:
+                    # Fold any pending loop-return: lanes whose mask is set
+                    # already returned earlier — first return wins.
+                    val = jnp.where(
+                        _truthy(env[_RET_MASK]), env[_RET_VAL], val
+                    )
+                return env, val
 
             if kind == "Assign":
                 if len(stmt.targets) != 1 or not isinstance(
@@ -703,6 +825,12 @@ class _Interpreter:
                 return self._exec_if(stmt, rest, env)
 
             if kind == "While":
+                if _contains_return([stmt]):
+                    # Loop returns lower to masked dataflow; the rest of the
+                    # block keeps executing (its effects are dead on returned
+                    # lanes) and later Return statements fold the mask.
+                    env = self._exec_while(_mask_while(stmt), env)
+                    continue
                 env = self._exec_while(stmt, env)
                 continue
 
@@ -760,7 +888,9 @@ class _Interpreter:
         if stmt.orelse:
             raise TraceError("while/else is not supported")
         if _contains_return([stmt]):
-            raise TraceError("return inside while loops is not supported")
+            # exec_block rewrites loop returns via _mask_while before
+            # reaching here; a raw Return at this point is a bug upstream.
+            raise TraceError("internal: unmasked return reached _exec_while")
 
         carry_names = [n for n in _collect_assigned(stmt.body) if n in env]
         if not carry_names:
@@ -810,8 +940,16 @@ class _Interpreter:
                     f"Function takes {len(params)} arguments, got {len(args)}"
                 )
             env = dict(zip(params, args))
+            if _needs_return_mask(node.body):
+                # Pre-declare the loop-return mask/value so if-branch merges
+                # propagate them (one-sided new variables are dropped).
+                env[_RET_MASK] = jnp.float32(0.0)
+                env[_RET_VAL] = jnp.float32(0.0)
             _, ret = self.exec_block(node.body, env)
             if ret is None:
+                # A function whose only returns sit inside loops has no
+                # statically-guaranteed return — the reference's WGSL
+                # compiler rejects the missing trailing return the same way.
                 raise TraceError("Function must return a value")
             return ret
         raise TraceError(f"Cannot trace node of type {type(node).__name__}")
