@@ -587,6 +587,64 @@ def main() -> int:
     ok &= check("wgsl_for_loop_integral", r.values, [math.e - 1.0], 0.01,
                 "bounded-for WGSL string: E[exp(U)] on [0,1)")
 
+    # WGSL structured jumps (round 3): loop/continuing/break if with a
+    # convergence-controlled break, plus switch with WGSL case binding —
+    # through the full dispatch path on hardware.
+    wgsl_jump_src = """
+    fn taylor_exp_adaptive(x: f32) -> f32 {
+        var term: f32 = 1.0;
+        var s: f32 = 1.0;
+        var i: f32 = 1.0;
+        loop {
+            term = term * x / i;
+            s = s + term;
+            if (abs(term) < 1.0e-6) { break; }
+            continuing {
+                i = i + 1.0;
+                break if i > 30.0;
+            }
+        }
+        return s;
+    }
+    """
+    r = mc.integrate([wgsl_jump_src], mc.Distribution.uniform(0.0, 1.0),
+                     n_samples=2_000_000, seed=42)
+    ok &= check("wgsl_loop_break_if_integral", r.values, [math.e - 1.0],
+                0.01, "loop/continuing/break-if WGSL: E[exp(U)] on [0,1)")
+
+    wgsl_switch_src = """
+    fn inside_unit(x: f32) -> f32 {
+        var region: f32 = 0.0;
+        if (x < -1.0) { region = 0.0; }
+        else { if (x < 1.0) { region = 1.0; } else { region = 2.0; } }
+        switch (region) {
+            case 0.0, 2.0: { return 0.0; }
+            default: { return 1.0; }
+        }
+    }
+    """
+    r = mc.integrate([wgsl_switch_src], d, n_samples=10_000_000, seed=42)
+    p_unit = math.erf(1.0 / math.sqrt(2.0))
+    ok &= check("wgsl_switch_indicator", r.values, [p_unit], 0.01,
+                "switch-dispatched indicator: P(|X|<1) under N(0,1)")
+
+    # Return inside a loop (round 3): the reference transpiles Python
+    # loop returns to WGSL 'return' (transpiler.py:561-567); here they
+    # lower to a first-return-wins mask through lax.while_loop.
+    def first_sq(x):
+        i = 0.0
+        while i < 100.0:
+            i = i + 1.0
+            if i * i > x:
+                return i
+        return -1.0
+
+    u16 = mc.Distribution.uniform(0.0, 16.0)
+    r = mc.integrate([first_sq], u16, n_samples=4_000_000, seed=42)
+    exact_first_sq = sum(i * (2 * i - 1) for i in range(1, 5)) / 16.0
+    ok &= check("return_in_loop_integral", r.values, [exact_first_sq], 0.02,
+                "python integrand returning from inside a while loop")
+
     # Randomized-QMC error bars (round 3): the rotation spread must
     # cover the composite estimate's error AND sit far below the MC
     # stderr at equal N on a smooth integrand.
