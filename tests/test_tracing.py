@@ -369,6 +369,27 @@ class TestReturnInLoops:
         out = jax.vmap(traced)(xs)
         np.testing.assert_allclose(np.asarray(out), [1.0, 4.0, 10.0, -1.0])
 
+    def test_return_free_loop_after_returning_loop_terminates(self):
+        # Regression: a return-free loop AFTER a maybe-returning loop must
+        # also stop on returned lanes — its condition can depend on
+        # variables the returned lanes froze (here n stays 0.0, so the
+        # second loop would spin forever without the mask conjunction).
+        def f(x):
+            n = 0.0
+            while n < 3.0:
+                if x > 0.0:
+                    return 7.0
+                n = n + 1.0
+            m = 0.0
+            while m < 9.0:
+                m = m + n
+            return m
+
+        assert_traced_matches(f, [1.0, -1.0])
+        traced = trace_function(f)
+        out = jax.vmap(traced)(jnp.array([1.0, -1.0], jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), [7.0, 9.0])
+
     def test_missing_static_return_still_rejected(self):
         # Only loop-internal returns: no statically-guaranteed return, which
         # the reference's WGSL compiler also rejects (missing return).

@@ -335,6 +335,63 @@ class TestStructuredJumps:
                 " loop { continuing { break; } } return x; }"
             )
 
+    def test_continue_in_switch_in_continuing_rejected(self):
+        # continue binds to the loop even through a switch — from inside
+        # the continuing block it would re-enter the continuing, which
+        # WGSL forbids (previously a silently-dropped no-op).
+        src = """
+        fn f(x: f32) -> f32 {
+            var i: f32 = 0.0;
+            loop {
+                i = i + 1.0;
+                continuing {
+                    switch (i) { default: { continue; } }
+                    break if i >= 5.0;
+                }
+            }
+            return i;
+        }
+        """
+        with pytest.raises(WgslError):
+            trace_wgsl_function(src)
+
+    def test_return_in_continuing_rejected(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            var i: f32 = 0.0;
+            loop {
+                i = i + 1.0;
+                if (i > 10.0) { break; }
+                continuing { return 42.0; }
+            }
+            return i;
+        }
+        """
+        with pytest.raises(WgslError):
+            trace_wgsl_function(src)
+
+    def test_break_bound_to_switch_inside_continuing_allowed(self):
+        # A break that binds to a switch opened WITHIN the continuing
+        # cannot exit the continuing block, so WGSL allows it.
+        src = """
+        fn f(x: f32) -> f32 {
+            var i: f32 = 0.0;
+            var t: f32 = 0.0;
+            loop {
+                i = i + 1.0;
+                continuing {
+                    switch (i) {
+                        case 2.0: { t = t + 10.0; break; }
+                        default: { t = t + 1.0; }
+                    }
+                    break if i >= 4.0;
+                }
+            }
+            return t;
+        }
+        """
+        assert _ev(src, 0.0) == 13.0
+
     def test_discard_rejected(self):
         with pytest.raises(WgslError):
             trace_wgsl_function(
@@ -438,6 +495,33 @@ class TestReturnInLoop:
         """
         assert _ev(src, 2.5) == 6.0
         assert _ev(src, 50.0) == -1.0
+
+    def test_loop_terminated_only_by_return(self):
+        # Valid WGSL: control cannot fall out of a break-less loop, so no
+        # trailing return is required (naga accepts this shape).
+        src = """
+        fn f(x: f32) -> f32 {
+            var i: f32 = 0.0;
+            loop {
+                i = i + 1.0;
+                if (i * i > x) { return i; }
+            }
+        }
+        """
+        assert _ev(src, 10.0) == 4.0
+        assert _ev(src, 0.5) == 1.0
+
+    def test_infinite_for_terminated_only_by_return(self):
+        src = """
+        fn f(x: f32) -> f32 {
+            for (;;) {
+                if (x > 1.0) { return x; }
+                x = x + 1.0;
+            }
+        }
+        """
+        assert _ev(src, 0.25) == 1.25
+        assert _ev(src, 5.0) == 5.0
 
 
 class TestJumpsEndToEnd:

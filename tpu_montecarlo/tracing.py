@@ -407,11 +407,12 @@ def _contains_return(stmts: Sequence[ast.stmt]) -> bool:
 # from _visit_while:626-637), and raw WGSL strings can do the same.  Under
 # ``lax.while_loop`` there is no early exit, so a loop return lowers to masked
 # dataflow: ``return e`` becomes ``__ret_val = e; __ret_mask = 1`` with the
-# rest of the block guarded on the mask, every loop condition in the region
-# gets ``mask == 0`` conjoined (stopping returned lanes and propagating
-# through outer loops via the shared carried names), and every subsequent
-# concrete ``return`` folds ``where(mask, __ret_val, value)`` — first return
-# wins, which is exactly early-return semantics.
+# rest of the block guarded on the mask, EVERY loop condition in the function
+# gets ``mask == 0`` conjoined — loops containing returns (via _mask_while)
+# AND return-free loops executed after the mask exists (exec_block), whose
+# conditions can depend on variables the returned lanes froze — and every
+# subsequent concrete ``return`` folds ``where(mask, __ret_val, value)`` —
+# first return wins, which is exactly early-return semantics.
 
 _RET_MASK = "__tmc_ret_mask__"
 _RET_VAL = "__tmc_ret_val__"
@@ -831,6 +832,23 @@ class _Interpreter:
                     # lanes) and later Return statements fold the mask.
                     env = self._exec_while(_mask_while(stmt), env)
                     continue
+                if _RET_MASK in env:
+                    # A return-free loop in a function that may have already
+                    # returned: its condition can depend on variables frozen
+                    # by the mask (e.g. a counter the returned lanes never
+                    # advanced), so it too must stop on returned lanes or it
+                    # spins forever.
+                    stmt = _synth(
+                        ast.While(
+                            test=ast.BoolOp(
+                                op=ast.And(),
+                                values=[_mask_clear_test(stmt), stmt.test],
+                            ),
+                            body=stmt.body,
+                            orelse=stmt.orelse,
+                        ),
+                        stmt,
+                    )
                 env = self._exec_while(stmt, env)
                 continue
 

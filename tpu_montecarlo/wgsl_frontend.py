@@ -37,7 +37,14 @@ from typing import Callable, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .tracing import TraceError, _FUNC_MAP, _Interpreter, _as_scalar_f32
+from .tracing import (
+    TraceError,
+    _FUNC_MAP,
+    _Interpreter,
+    _as_scalar_f32,
+    _contains_return,
+    _RET_VAL,
+)
 
 __all__ = ["WgslError", "trace_wgsl_function"]
 
@@ -126,6 +133,16 @@ def _flags_clear(flags: List[str]) -> ast.expr:
     if len(tests) == 1:
         return tests[0]
     return _loc(ast.BoolOp(op=ast.And(), values=tests))
+
+
+def _masked_value_return() -> ast.stmt:
+    """``return __tmc_ret_val__`` — placed after an infinite loop whose only
+    exit is a ``return`` in its body (valid WGSL: control cannot fall
+    through, so naga does not demand a trailing return).  The loop's
+    return-mask lowering (tracing.py) stops iterating exactly when the mask
+    is set, so at this point the masked value IS the function's result; the
+    fold at the Return site is a no-op ``where(mask, v, v)``."""
+    return _loc(ast.Return(value=_loc(ast.Name(id=_RET_VAL, ctx=ast.Load()))))
 
 
 def _guard_if(flags: List[str], body: List[ast.stmt]) -> ast.stmt:
@@ -227,6 +244,10 @@ class _Parser:
         self._loop_depth = 0  # break/continue validity (WGSL binding rules)
         self._switch_depth = 0  # break (but not continue) also binds here
         self._in_continuing = False  # only 'break if' may jump in there
+        # switch nesting depth at continuing entry: a 'break' inside a
+        # continuing block is legal only when it binds to a switch opened
+        # WITHIN the continuing (it then cannot exit the continuing).
+        self._continuing_switch_base = 0
         self._flag_seq = 0  # unique ids for desugared flag/temp variables
 
     # -- token helpers -------------------------------------------------------
@@ -307,6 +328,12 @@ class _Parser:
 
         if val == "return":
             self.next()
+            if self._in_continuing:
+                # WGSL forbids returning out of a continuing block (naga
+                # rejects it the same way).
+                raise WgslError(
+                    "'return' is not allowed in a continuing block"
+                )
             value = self.parse_expr()
             self.expect(";")
             return [_loc(ast.Return(value=value))]
@@ -337,9 +364,15 @@ class _Parser:
                     "loop's continuing block"
                 )
             self.expect(";")
-            if self._in_continuing:
+            if (
+                self._in_continuing
+                and self._switch_depth <= self._continuing_switch_base
+            ):
+                # A break here would exit the continuing block itself;
+                # only a break bound to a switch opened inside the
+                # continuing stays contained (WGSL behavior rules).
                 raise WgslError(
-                    "only 'break if' may jump inside a continuing block"
+                    "only 'break if' may exit a continuing block"
                 )
             if self._loop_depth == 0 and self._switch_depth == 0:
                 raise WgslError("'break' outside a loop or switch")
@@ -349,8 +382,10 @@ class _Parser:
             self.next()
             self.expect(";")
             if self._in_continuing:
+                # continue always binds to the loop (even through a
+                # switch), which would re-enter the continuing block.
                 raise WgslError(
-                    "only 'break if' may jump inside a continuing block"
+                    "'continue' is not allowed in a continuing block"
                 )
             if self._loop_depth == 0:
                 raise WgslError("'continue' outside a loop")
@@ -488,16 +523,26 @@ class _Parser:
         iteration) guards the statements a ``continue`` skips; the update
         still runs after a continue (C/WGSL for-semantics: continue jumps
         TO the update) but not after a break.  ``cond=None`` (a ``for``
-        with an empty condition) is always-true and requires a break."""
+        with an empty condition) is always-true and requires a break or a
+        ``return`` in the body (the return-mask lowering in tracing.py
+        stops returned lanes)."""
         has_break = _has_marker(body, (_BREAK_MARKER,))
-        if cond is None and not has_break:
+        if cond is None and not has_break and not _contains_return(body):
             raise WgslError(
-                "WGSL 'for' without a condition or a break cannot terminate"
+                "WGSL 'for' without a condition, break, or return cannot "
+                "terminate"
             )
+        # An infinite header with no break exits only via return-in-body:
+        # control cannot fall through, so the function's value after the
+        # loop is the masked return value.
+        infinite = cond is None and not has_break
         if not has_break and not _has_marker(body, (_CONTINUE_MARKER,)):
-            return init + [
+            if cond is None:
+                cond = _loc(ast.Constant(value=True))
+            stmts = init + [
                 _loc(ast.While(test=cond, body=body + update, orelse=[]))
             ]
+            return stmts + [_masked_value_return()] if infinite else stmts
         brk, cont = self._fresh_flags()
         guarded = _flag_guard(body, brk=brk, cont=cont)
         new_body = [_assign_const(cont, 0.0)] + guarded
@@ -509,11 +554,12 @@ class _Parser:
             test = _loc(
                 ast.BoolOp(op=ast.And(), values=[_flag_clear(brk), cond])
             )
-        return (
+        stmts = (
             init
             + [_assign_const(brk, 0.0)]
             + [_loc(ast.While(test=test, body=new_body, orelse=[]))]
         )
+        return stmts + [_masked_value_return()] if infinite else stmts
 
     def parse_loop(self) -> List[ast.stmt]:
         """``loop { body (continuing { cstmts (break if cond;)? })? }``.
@@ -549,8 +595,17 @@ class _Parser:
         finally:
             self._in_continuing = saved
             self._loop_depth -= 1
-        if not _has_marker(body, (_BREAK_MARKER,)) and break_if is None:
-            raise WgslError("WGSL 'loop' without a break cannot terminate")
+        has_break = _has_marker(body, (_BREAK_MARKER,))
+        if has_break is False and break_if is None and not _contains_return(
+            body
+        ):
+            raise WgslError(
+                "WGSL 'loop' without a break or return cannot terminate"
+            )
+        # Exits only via return-in-body: no fall-through, the value after
+        # the loop is the masked return value (valid WGSL; naga accepts
+        # a return-terminated loop without a trailing function return).
+        return_only_exit = not has_break and break_if is None
         brk, cont = self._fresh_flags()
         guarded = _flag_guard(body, brk=brk, cont=cont)
         new_body = [_assign_const(cont, 0.0)] + guarded
@@ -567,15 +622,18 @@ class _Parser:
                     )
                 )
             new_body.append(_guard_if([brk], cbody))
-        return [
+        stmts = [
             _assign_const(brk, 0.0),
             _loc(ast.While(test=_flag_clear(brk), body=new_body, orelse=[])),
         ]
+        return stmts + [_masked_value_return()] if return_only_exit else stmts
 
     def parse_continuing(self) -> Tuple[List[ast.stmt], Optional[ast.expr]]:
         self.expect("{")
         saved = self._in_continuing
+        saved_base = self._continuing_switch_base
         self._in_continuing = True
+        self._continuing_switch_base = self._switch_depth
         stmts: List[ast.stmt] = []
         break_if: Optional[ast.expr] = None
         try:
@@ -599,6 +657,7 @@ class _Parser:
                 stmts.extend(self.parse_stmt())
         finally:
             self._in_continuing = saved
+            self._continuing_switch_base = saved_base
         return stmts, break_if
 
     def parse_switch(self) -> List[ast.stmt]:
@@ -693,13 +752,14 @@ class _Parser:
         return out + chain
 
     def _parse_case_block(self) -> List[ast.stmt]:
+        # NOTE: _in_continuing stays set — a switch does not leave the
+        # continuing block, so continue/return remain illegal inside it;
+        # break becomes legal because it binds to this switch (tracked via
+        # _continuing_switch_base).
         self._switch_depth += 1
-        saved = self._in_continuing
-        self._in_continuing = False
         try:
             return self.parse_block()
         finally:
-            self._in_continuing = saved
             self._switch_depth -= 1
 
     def parse_if(self) -> ast.stmt:
@@ -880,6 +940,16 @@ def trace_wgsl_function(code: str) -> Callable:
         WgslError: on unsupported syntax or constructs.
     """
     fns = _Parser(_tokenize(code)).parse_program()
+
+    # Safety net: every jump marker must have been consumed by the loop or
+    # switch it binds to during parsing.  A leftover marker would execute as
+    # a silent no-op (the interpreter ignores bare expressions), turning a
+    # front-end bug into wrong semantics instead of an error.
+    for _name, _params, _body in fns:
+        if _has_marker(_body, (_BREAK_MARKER, _CONTINUE_MARKER)):
+            raise WgslError(
+                "internal: unconsumed break/continue marker after parsing"
+            )
 
     # Late-bound registry so functions can call each other regardless of
     # definition order (the reference IS wrappers call later-defined fns).
