@@ -390,6 +390,33 @@ class TestReturnInLoops:
         out = jax.vmap(traced)(jnp.array([1.0, -1.0], jnp.float32))
         np.testing.assert_allclose(np.asarray(out), [7.0, 9.0])
 
+    def test_partial_return_in_nested_if_branch(self):
+        # `if c: return a` as the LAST statement of an if-branch, with the
+        # function returning later: the direct evaluation cannot express a
+        # maybe-return, so the body re-lowers through the return mask
+        # (reference emits this WGSL shape verbatim, transpiler.py:601-620).
+        def f(x):
+            if x > 0.0:
+                if x > 2.0:
+                    return 100.0
+            s = x * 3.0
+            return s
+
+        assert_traced_matches(f, [-1.0, 1.0, 5.0])
+
+    def test_partial_return_with_else_and_loop(self):
+        def f(x):
+            if x > 0.0:
+                while x < 4.0:
+                    x = x + 1.0
+                if x > 5.0:
+                    return x * 10.0
+            else:
+                return -x
+            return x
+
+        assert_traced_matches(f, [-3.0, 1.0, 7.0])
+
     def test_missing_static_return_still_rejected(self):
         # Only loop-internal returns: no statically-guaranteed return, which
         # the reference's WGSL compiler also rejects (missing return).

@@ -61,6 +61,13 @@ class TraceError(Exception):
     """Raised when a user function cannot be traced to a JAX computation."""
 
 
+class _PartialReturnError(TraceError):
+    """Internal: a block returned on one control path but its local
+    continuation has no return — the direct (env, ret) evaluation cannot
+    express a maybe-return, so the function is re-lowered through the
+    return-mask transform (see run())."""
+
+
 # ---------------------------------------------------------------------------
 # Function / constant tables
 # ---------------------------------------------------------------------------
@@ -513,6 +520,36 @@ def _needs_return_mask(stmts: Sequence[ast.stmt]) -> bool:
     )
 
 
+def _definitely_returns(stmts: Sequence[ast.stmt]) -> bool:
+    """Static guarantee that every control path through the list returns
+    (while bodies never count — a loop may run zero iterations)."""
+    for stmt in stmts:
+        if isinstance(stmt, ast.Return):
+            return True
+        if isinstance(stmt, ast.If) and stmt.orelse:
+            if _definitely_returns(stmt.body) and _definitely_returns(
+                stmt.orelse
+            ):
+                return True
+    return False
+
+
+def _mask_lowered_body(body: Sequence[ast.stmt]) -> List[ast.stmt]:
+    """Whole-function masked-return lowering: every return becomes a
+    mask/value assignment (with rest-of-block guards), and a synthetic
+    trailing ``return __tmc_ret_val__`` delivers the result — its fold is
+    ``where(mask, v, v)``, an identity because _definitely_returns
+    guaranteed the mask is set on every path."""
+    like = body[0]
+    out = _mask_returns(list(body))
+    out.append(
+        _synth(
+            ast.Return(value=ast.Name(id=_RET_VAL, ctx=ast.Load())), like
+        )
+    )
+    return out
+
+
 class _Interpreter:
     """Symbolically evaluates a restricted-Python function body on JAX
     values.  One instance per traced call; cheap (runs only at trace time —
@@ -891,15 +928,17 @@ class _Interpreter:
             return self.exec_block(rest, merged)
 
         # Exactly one branch returned: the continuation only runs on the
-        # non-returning side.
+        # non-returning side.  A continuation without a return is not
+        # necessarily an error — an ENCLOSING block may return after us —
+        # so signal the caller to re-lower through the return mask.
         if ret_t is not None:
             env_c, ret_c = self.exec_block(rest, env_f)
             if ret_c is None:
-                raise TraceError("All code paths must return a value")
+                raise _PartialReturnError()
             return env, jnp.where(test, ret_t, ret_c)
         env_c, ret_c = self.exec_block(rest, env_t)
         if ret_c is None:
-            raise TraceError("All code paths must return a value")
+            raise _PartialReturnError()
         return env, jnp.where(test, ret_c, ret_f)
 
     def _exec_while(self, stmt: ast.While, env):
@@ -963,7 +1002,21 @@ class _Interpreter:
                 # propagate them (one-sided new variables are dropped).
                 env[_RET_MASK] = jnp.float32(0.0)
                 env[_RET_VAL] = jnp.float32(0.0)
-            _, ret = self.exec_block(node.body, env)
+            try:
+                _, ret = self.exec_block(node.body, env)
+            except _PartialReturnError:
+                # A branch returns but its local continuation does not
+                # (e.g. `if c: return a` as the last statement of an outer
+                # if-branch, with the function returning later) — valid in
+                # the reference's WGSL output.  Re-lower the whole body
+                # through the return mask, where every return is an
+                # assignment and control flow is pure dataflow.
+                if not _definitely_returns(node.body):
+                    raise TraceError("Function must return a value")
+                env = dict(zip(params, args))
+                env[_RET_MASK] = jnp.float32(0.0)
+                env[_RET_VAL] = jnp.float32(0.0)
+                _, ret = self.exec_block(_mask_lowered_body(node.body), env)
             if ret is None:
                 # A function whose only returns sit inside loops has no
                 # statically-guaranteed return — the reference's WGSL
