@@ -1,0 +1,299 @@
+"""Multi-dimensional integration (capability extension beyond the 1-D-only
+reference, whose device layer binds exactly one distribution per program —
+src/engine.rs:250-264).  E[f(X_1..X_d)] over independent per-dimension
+distributions: moments, indicator geometry, mixed families (incl. a
+table-sampled dim), WGSL d-ary functions, error bars, Sobol QMC, nd
+importance sampling, and mesh sharding."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+
+import tpu_montecarlo as mc
+from tpu_montecarlo import Distribution
+
+
+@pytest.fixture(scope="module")
+def integrator():
+    return mc.MonteCarloIntegrator()
+
+
+class TestIntegrateNd:
+    def test_product_moments_independent_normals(self, integrator):
+        nx = Distribution.normal(0.0, 1.0)
+        ny = Distribution.normal(2.0, 3.0)
+        r = integrator.integrate(
+            [lambda x, y: x * y, lambda x, y: x * x * y],
+            [nx, ny], n_samples=2_000_000, seed=42,
+        )
+        assert abs(r.values[0]) < 0.02
+        assert abs(r.values[1] - 2.0) < 0.04
+
+    def test_quarter_disc_indicator(self, integrator):
+        u = Distribution.uniform(0.0, 1.0)
+        r = integrator.integrate(
+            [lambda x, y: (x * x + y * y) < 1.0], [u, u],
+            n_samples=2_000_000, seed=1,
+        )
+        assert abs(r.values[0] - math.pi / 4) < 0.003
+
+    def test_mixed_families_with_table_dim(self, integrator):
+        u = Distribution.uniform(0.0, 1.0)
+        ex = Distribution.exponential(2.0)
+        b = Distribution.beta(2.0, 5.0)  # table-sampled
+        r = integrator.integrate(
+            [lambda x, y, z: x * y * z], [u, ex, b],
+            n_samples=2_000_000, seed=7,
+        )
+        expect = 0.5 * 0.5 * (2.0 / 7.0)
+        assert abs(r.values[0] - expect) < 0.005
+
+    def test_wgsl_two_argument_function(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        src = "fn f(x: f32, y: f32) -> f32 { return x * x + y * y; }"
+        r = integrator.integrate([src], [n, n], n_samples=1_000_000, seed=3)
+        assert abs(r.values[0] - 2.0) < 0.03
+
+    def test_single_element_sequence_is_scalar_path(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        r1 = integrator.integrate([lambda x: x * x], n,
+                                  n_samples=100_000, seed=9)
+        r2 = integrator.integrate([lambda x: x * x], [n],
+                                  n_samples=100_000, seed=9)
+        assert r1.values[0] == r2.values[0]
+
+    def test_seed_reproducibility(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        u = Distribution.uniform(0.0, 1.0)
+        a = integrator.integrate([lambda x, y: x * y], [n, u],
+                                 n_samples=200_000, seed=5)
+        b = integrator.integrate([lambda x, y: x * y], [n, u],
+                                 n_samples=200_000, seed=5)
+        c = integrator.integrate([lambda x, y: x * y], [n, u],
+                                 n_samples=200_000, seed=6)
+        assert a.values[0] == b.values[0]
+        assert a.values[0] != c.values[0]
+
+    def test_arity_mismatch_raises(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        with pytest.raises(Exception):
+            integrator.integrate([lambda x: x], [n, n], n_samples=1000)
+        with pytest.raises(ValueError):
+            integrator.integrate(
+                ["fn f(x: f32) -> f32 { return x; }"], [n, n],
+                n_samples=1000,
+            )
+
+    def test_invalid_sequence_elements_raise(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        with pytest.raises(TypeError):
+            integrator.integrate([lambda x, y: x], [n, 3.0], n_samples=1000)
+        with pytest.raises(TypeError):
+            integrator.integrate([lambda x: x], [], n_samples=1000)
+
+
+class TestNdStderr:
+    def test_stderr_scale_and_zero_variance(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        r = integrator.integrate(
+            [lambda x, y: x + y, lambda x, y: 1.0 + 0.0 * x],
+            [n, n], n_samples=1_000_000, seed=4, return_stderr=True,
+        )
+        # Var[X+Y] = 2 -> stderr = sqrt(2/N); constants have zero bars.
+        assert abs(r.stderr[0] - math.sqrt(2 / 1e6)) < 3e-4
+        assert r.stderr[1] < 1e-6
+        assert abs(r.values[0]) < 6 * max(r.stderr[0], 1e-9)
+
+
+class TestNdQmc:
+    def test_sobol_beats_mc_on_smooth_integrand(self, integrator):
+        u = Distribution.uniform(0.0, 1.0)
+        f = lambda x, y: np.exp(x) * np.exp(y)  # noqa: E731
+        exact = (math.e - 1.0) ** 2
+        rq = integrator.integrate([f], [u, u], n_samples=1_000_000,
+                                  seed=5, method="qmc")
+        rm = integrator.integrate([f], [u, u], n_samples=1_000_000, seed=5)
+        eq = abs(rq.values[0] - exact)
+        em = abs(rm.values[0] - exact)
+        assert eq < em / 3 or eq < 1e-5
+
+    def test_rqmc_stderr_covers_error(self, integrator):
+        u = Distribution.uniform(0.0, 1.0)
+        f = lambda x, y: np.exp(x) * np.exp(y)  # noqa: E731
+        exact = (math.e - 1.0) ** 2
+        r = integrator.integrate([f], [u, u], n_samples=1_000_000,
+                                 seed=5, method="qmc", return_stderr=True)
+        assert abs(r.values[0] - exact) <= 6 * max(r.stderr[0], 1e-9)
+
+    def test_qmc_normal_dims(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        r = integrator.integrate(
+            [lambda x, y: x * y, lambda x, y: x * x * y * y],
+            [n, n], n_samples=1_000_000, seed=11, method="qmc",
+        )
+        assert abs(r.values[0]) < 1e-3
+        assert abs(r.values[1] - 1.0) < 1e-2
+
+    def test_qmc_dimension_cap(self, integrator):
+        from tpu_montecarlo.ops.qmc import SOBOL_MAX_DIMS
+
+        u = Distribution.uniform(0.0, 1.0)
+        dists = [u] * (SOBOL_MAX_DIMS + 1)
+
+        def f(*xs):
+            return xs[0]
+
+        with pytest.raises(ValueError):
+            integrator.integrate([f], dists, n_samples=1000, method="qmc")
+
+
+class TestSobolPoints:
+    def test_dim0_is_radical_inverse(self):
+        import jax.numpy as jnp
+        from tpu_montecarlo.ops.qmc import (
+            bitrev32, sobol_bits, sobol_direction_numbers)
+
+        idx = jnp.arange(4096, dtype=jnp.uint32)
+        v0 = sobol_direction_numbers(0)
+        assert np.array_equal(
+            np.asarray(sobol_bits(idx, v0)), np.asarray(bitrev32(idx))
+        )
+
+    def test_dyadic_equidistribution_every_dim(self):
+        import jax.numpy as jnp
+        from tpu_montecarlo.ops.qmc import (
+            SOBOL_MAX_DIMS, sobol_bits, sobol_direction_numbers)
+
+        n = 1 << 12
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        for dim in range(SOBOL_MAX_DIMS):
+            bits = np.asarray(sobol_bits(idx, sobol_direction_numbers(dim)))
+            for b in (1, 4, 8, 12):
+                counts = np.bincount(bits >> (32 - b), minlength=1 << b)
+                assert counts.min() == counts.max() == n >> b, (dim, b)
+
+    def test_pairwise_cells_balanced(self):
+        import jax.numpy as jnp
+        from tpu_montecarlo.ops.qmc import (
+            SOBOL_MAX_DIMS, sobol_bits, sobol_direction_numbers)
+
+        n = 1 << 12
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        cols = [
+            np.asarray(sobol_bits(idx, sobol_direction_numbers(d))) >> 29
+            for d in range(SOBOL_MAX_DIMS)
+        ]
+        for d1 in range(SOBOL_MAX_DIMS):
+            for d2 in range(d1 + 1, SOBOL_MAX_DIMS):
+                counts = np.bincount(cols[d1] * 8 + cols[d2], minlength=64)
+                # true Sobol pairs are exactly balanced on this 8x8 grid
+                assert counts.min() == counts.max() == n // 64, (d1, d2)
+
+
+class TestImportanceSamplingNd:
+    def test_corner_tail_event(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(3.5, 1.0)
+        p_tail = (0.5 * math.erfc(3 / math.sqrt(2))) ** 2
+        r = integrator.integrate_importance_sampling(
+            [lambda x, y: ((x > 3.0) & (y > 3.0)) * 1.0],
+            [n, n], [prop, prop], n_samples=4_000_000, seed=6,
+        )
+        assert abs(r.values[0] - p_tail) < 0.3 * p_tail
+
+    def test_p_equals_q_recovers_plain_expectation(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        r = integrator.integrate_importance_sampling(
+            [lambda x, y: x * x + y * y], [n, n], [n, n],
+            n_samples=1_000_000, seed=2,
+        )
+        assert abs(r.values[0] - 2.0) < 0.03
+
+    def test_table_pdf_dim_routes_and_integrates(self, integrator):
+        # One dim with a table-backed (untraceable closed-form) pdf.
+        b = Distribution.beta(2.0, 2.0)
+        u = Distribution.uniform(0.0, 1.0)
+        r = integrator.integrate_importance_sampling(
+            [lambda x, y: x * y], [b, u], [u, u],
+            n_samples=2_000_000, seed=8,
+        )
+        assert abs(r.values[0] - 0.25) < 0.01
+
+    def test_mismatched_sequences_raise(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        with pytest.raises(TypeError):
+            integrator.integrate_importance_sampling(
+                [lambda x, y: x], [n, n], n, n_samples=1000,
+            )
+        with pytest.raises(TypeError):
+            integrator.integrate_importance_sampling(
+                [lambda x, y: x], [n, n], [n], n_samples=1000,
+            )
+
+    def test_stderr_nd_is(self, integrator):
+        n = Distribution.normal(0.0, 1.0)
+        r = integrator.integrate_importance_sampling(
+            [lambda x, y: x + y], [n, n], [n, n],
+            n_samples=1_000_000, seed=3, return_stderr=True,
+        )
+        assert abs(r.values[0]) <= 6 * max(r.stderr[0], 1e-9)
+        assert abs(r.stderr[0] - math.sqrt(2 / 1e6)) < 3e-4
+
+
+class TestNdSharding:
+    def test_mesh_matches_single_device_same_plan(self):
+        """Same plan, streams keyed by (dim, global chunk) => the sharded
+        program must reproduce the single-device one up to f32 reduction
+        order (the 1-D sharding tier's bit-equality check, in nd form)."""
+        import jax.numpy as jnp
+        from tpu_montecarlo.ops.integrate_nd import build_integrate_nd_fn
+        from tpu_montecarlo.sampling import DistKind
+        from tpu_montecarlo.utils.dispatch import make_integrate_plan
+
+        mesh = jax.make_mesh((8,), ("mc",))
+        traced = mc.MonteCarloIntegrator()._trace_user_functions(
+            [lambda x, y: x * y, lambda x, y: x * x + y], n_args=2
+        )
+        plan = make_integrate_plan(
+            800_000, target_threads=1024, max_chunk_elems=100 * 1024,
+            n_dev=8,
+        )
+        kinds = (DistKind.NORMAL, DistKind.UNIFORM)
+        dummy = (jnp.zeros(1, jnp.float32),) * 2
+        params = (
+            jnp.asarray([0.0, 1.0], jnp.float32),
+            jnp.asarray([0.0, 1.0], jnp.float32),
+        )
+        single = build_integrate_nd_fn(traced, kinds, plan)
+        sharded = build_integrate_nd_fn(traced, kinds, plan, mesh=mesh)
+        v1 = np.asarray(single(np.uint32(42), params, dummy, dummy))
+        v8 = np.asarray(sharded(np.uint32(42), params, dummy, dummy))
+        np.testing.assert_allclose(v1, v8, rtol=1e-6)
+
+    def test_mesh_statistics(self):
+        n = Distribution.normal(0.0, 1.0)
+        u = Distribution.uniform(0.0, 1.0)
+        meshed = mc.MonteCarloIntegrator(mesh="auto")
+        r = meshed.integrate(
+            [lambda x, y: x * y, lambda x, y: x * x + y], [n, u],
+            n_samples=1_000_000, seed=13,
+        )
+        assert abs(r.values[0]) < 0.01
+        assert abs(r.values[1] - 1.5) < 0.01
+
+    def test_mesh_qmc_and_stderr(self):
+        u = Distribution.uniform(0.0, 1.0)
+        meshed = mc.MonteCarloIntegrator(mesh="auto")
+        r = meshed.integrate(
+            [lambda x, y: np.exp(x) * np.exp(y)], [u, u],
+            n_samples=1_000_000, seed=5, method="qmc",
+        )
+        assert abs(r.values[0] - (math.e - 1.0) ** 2) < 1e-4
+        r2 = meshed.integrate(
+            [lambda x, y: x + y], [u, u],
+            n_samples=1_000_000, seed=5, return_stderr=True,
+        )
+        assert abs(r2.values[0] - 1.0) <= 6 * max(r2.stderr[0], 1e-9)

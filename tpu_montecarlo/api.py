@@ -209,15 +209,23 @@ class MonteCarloIntegrator:
     # helpers
     # ------------------------------------------------------------------
 
-    def _trace_user_functions(self, functions) -> tuple:
+    def _trace_user_functions(self, functions, n_args: int = 1) -> tuple:
         if len(functions) == 0:
             raise ValueError("At least one function is required")
         traced = []
         for func in functions:
             if isinstance(func, str):
-                traced.append(trace_wgsl_function(func))
+                tf = trace_wgsl_function(func)
+                arity = getattr(tf, "__tpu_mc_arity__", n_args)
+                if arity != n_args:
+                    raise ValueError(
+                        f"WGSL function {tf.__name__!r} takes {arity} "
+                        f"argument(s) but the integration is "
+                        f"{n_args}-dimensional"
+                    )
+                traced.append(tf)
             elif callable(func):
-                traced.append(trace_function(func))
+                traced.append(trace_function(func, n_args))
             else:
                 raise TypeError(
                     f"Function must be callable or WGSL string, got {type(func)}"
@@ -343,6 +351,21 @@ class MonteCarloIntegrator:
         sampling with a shifted proposal, which is also how the
         reference's ~5.77-sigma Box-Muller truncation was worked
         around)."""
+        if isinstance(distribution, (list, tuple)):
+            dists = list(distribution)
+            if not dists or not all(
+                isinstance(dd, Distribution) for dd in dists
+            ):
+                raise TypeError(
+                    "a distribution sequence must be a non-empty list of "
+                    "Distribution objects (one per integrand argument)"
+                )
+            if len(dists) > 1:
+                return self._integrate_nd(
+                    functions, dists, n_samples, seed, method,
+                    return_stderr, qmc_rotations,
+                )
+            distribution = dists[0]  # 1-element sequence == scalar path
         traced = self._trace_user_functions(functions)
         if return_stderr and method == "qmc":
             if qmc_rotations < 2:
@@ -631,6 +654,101 @@ class MonteCarloIntegrator:
         )
         return run(np.uint32(seed), *dev_args)
 
+    # ------------------------------------------------------------------
+    # multi-dimensional integrate (capability extension: the reference's
+    # device layer binds exactly one distribution per program,
+    # src/engine.rs:250-264 — here E[f(X_1..X_d)] runs over independent
+    # per-dimension distributions on the XLA backend)
+    # ------------------------------------------------------------------
+
+    def _integrate_nd(
+        self, functions, dists, n_samples, seed, method,
+        return_stderr, qmc_rotations,
+    ) -> IntegrationResult:
+        d = len(dists)
+        traced = self._trace_user_functions(functions, n_args=d)
+        if return_stderr and method == "qmc":
+            # Randomized QMC, as in 1-D: independent seed-derived
+            # rotations of the d-dimensional digital net; here the
+            # rotations run as R program calls (the nd path has no grid
+            # batching yet — R is small).
+            if qmc_rotations < 2:
+                raise ValueError(
+                    "qmc_rotations must be >= 2 to estimate an rQMC "
+                    f"error bar (got {qmc_rotations})"
+                )
+            r = qmc_rotations
+            run, dev_args = self._nd_program(
+                traced, dists, -(-n_samples // r), method
+            )
+            seeds = np.uint32(seed) + np.uint32(0x9E3779B9) * np.arange(
+                r, dtype=np.uint32
+            )
+            vals = np.stack(
+                [np.asarray(run(np.uint32(s), *dev_args)) for s in seeds]
+            ).astype(np.float64)
+            return IntegrationResult(
+                values=vals.mean(axis=0),
+                n_samples=n_samples,
+                n_functions=len(functions),
+                stderr=vals.std(axis=0, ddof=1) / np.sqrt(r),
+            )
+        run, dev_args = self._nd_program(
+            traced, dists, n_samples, method, with_stderr=return_stderr
+        )
+        out = run(np.uint32(seed), *dev_args)
+        if return_stderr:
+            values, stderr = out
+            return IntegrationResult(
+                values=values, n_samples=n_samples,
+                n_functions=len(functions), stderr=stderr,
+            )
+        return IntegrationResult(
+            values=out, n_samples=n_samples, n_functions=len(functions)
+        )
+
+    def _nd_program(
+        self, traced, dists, n_samples, method, with_stderr: bool = False
+    ):
+        from .ops.integrate_nd import build_integrate_nd_fn
+
+        specs = [dist_spec_of(dd) for dd in dists]
+        mesh = self._mesh
+        n_dev = 1 if mesh is None else mesh.size
+        plan = make_integrate_plan(
+            n_samples, self._target_threads, n_dev=n_dev
+        )
+        kinds = tuple(s.kind for s in specs)
+        exact_inverses = tuple(s.exact_inverse for s in specs)
+        key = (
+            "integrate_nd",
+            _fns_key(traced),
+            kinds,
+            exact_inverses,
+            plan,
+            tuple(_table_shapes(s) for s in specs),
+            _mesh_key(mesh),
+            method,
+            with_stderr,
+        )
+        run = self._cache.get_or_build(
+            key,
+            lambda: build_integrate_nd_fn(
+                traced, kinds, plan, mesh=mesh,
+                exact_inverses=exact_inverses, method=method,
+                with_stderr=with_stderr,
+            ),
+        )
+        per = [
+            _device_args_of(dd, s) for dd, s in zip(dists, specs)
+        ]
+        dev_args = (
+            tuple(p[0] for p in per),
+            tuple(p[1] for p in per),
+            tuple(p[2] for p in per),
+        )
+        return run, dev_args
+
     def _get_integrate_program(
         self, traced, distribution, n_samples, seed_batch: int = 1,
         method: str = "mc", param_batch: bool = False,
@@ -849,6 +967,35 @@ class MonteCarloIntegrator:
         error bars come from ``qmc_rotations`` independent rotations in
         one seed-batched dispatch (randomized QMC — see
         :meth:`integrate`)."""
+        t_seq = isinstance(target_distribution, (list, tuple))
+        q_seq = isinstance(proposal_distribution, (list, tuple))
+        if t_seq or q_seq:
+            if not (t_seq and q_seq):
+                raise TypeError(
+                    "multi-dimensional importance sampling needs BOTH "
+                    "target and proposal as sequences of Distributions"
+                )
+            targets = list(target_distribution)
+            proposals = list(proposal_distribution)
+            if (
+                not targets
+                or len(targets) != len(proposals)
+                or not all(
+                    isinstance(dd, Distribution)
+                    for dd in targets + proposals
+                )
+            ):
+                raise TypeError(
+                    "target/proposal sequences must be equal-length "
+                    "non-empty lists of Distribution objects"
+                )
+            if len(targets) > 1:
+                return self._integrate_is_nd(
+                    functions, targets, proposals, n_samples, seed,
+                    method, return_stderr, qmc_rotations,
+                )
+            target_distribution = targets[0]
+            proposal_distribution = proposals[0]
         if return_stderr and method == "qmc":
             if qmc_rotations < 2:
                 raise ValueError(
@@ -1154,6 +1301,64 @@ class MonteCarloIntegrator:
         — the traceability probe that mirrors the reference's
         try-transpile/except routing (__init__.py:826-838)."""
         return self._mode_evaluator(self._pdf_mode(dist))
+
+    def _weighted_fns_nd(self, traced, p_evals, q_evals) -> tuple:
+        """d-dimensional IS weight folding: w(x_1..x_d) = prod_j
+        p_j(x_j)/q_j(x_j) under independence, with the same
+        zero-proposal-density guard as the 1-D wrapper applied to every
+        dimension (one zero q_j carries zero probability mass, so the
+        whole weight is exactly 0)."""
+
+        def weighted(f):
+            def wf(*xs):
+                qs = [qe(x) for qe, x in zip(q_evals, xs)]
+                ps = [pe(x) for pe, x in zip(p_evals, xs)]
+                ok = qs[0] > 0
+                for q in qs[1:]:
+                    ok = jnp.logical_and(ok, q > 0)
+                q_prod = qs[0]
+                for q in qs[1:]:
+                    q_prod = q_prod * q
+                p_prod = ps[0]
+                for p in ps[1:]:
+                    p_prod = p_prod * p
+                safe_q = jnp.where(ok, q_prod, 1.0)
+                return jnp.where(ok, f(*xs) * p_prod / safe_q, 0.0)
+
+            wf.__tpu_mc_no_pallas__ = any(
+                getattr(g, "__tpu_mc_no_pallas__", False)
+                for g in (f, *p_evals, *q_evals)
+            )
+            wf.__tpu_mc_traced__ = True
+            wf.__tpu_mc_key__ = (
+                "is_weight_nd",
+                _fn_key(f),
+                tuple(_fn_key(p) for p in p_evals),
+                tuple(_fn_key(q) for q in q_evals),
+            )
+            return wf
+
+        return tuple(weighted(f) for f in traced)
+
+    def _integrate_is_nd(
+        self, functions, targets, proposals, n_samples, seed, method,
+        return_stderr, qmc_rotations,
+    ) -> IntegrationResult:
+        """Multi-dimensional importance sampling: sample each dimension
+        from its proposal, fold the product weight into every integrand,
+        and run the nd sweep (an extension beyond the strictly 1-D
+        reference)."""
+        d = len(targets)
+        traced = self._trace_user_functions(functions, n_args=d)
+        p_evals = [self._pdf_evaluator(t) for t in targets]
+        q_evals = [self._pdf_evaluator(q) for q in proposals]
+        weighted = self._weighted_fns_nd(traced, p_evals, q_evals)
+        out = self._integrate_nd(
+            weighted, proposals, n_samples, seed, method,
+            return_stderr, qmc_rotations,
+        )
+        # _integrate_nd counted the weighted tuple; same length as input.
+        return out
 
     # ------------------------------------------------------------------
     # MCMC

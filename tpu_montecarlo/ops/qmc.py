@@ -43,7 +43,12 @@ __all__ = [
     "derive_shift",
     "qmc_u01_halfopen",
     "qmc_u01_open",
+    "sobol_bits",
+    "sobol_direction_numbers",
+    "sobol_u01_halfopen",
+    "sobol_u01_open",
     "QMC_MAX_SAMPLES",
+    "SOBOL_MAX_DIMS",
 ]
 
 # g must fit a uint32 counter; one SEGMENT is one full 2^32-point van der
@@ -124,4 +129,93 @@ def qmc_u01_halfopen(idx, shift):
 def qmc_u01_open(idx, shift):
     """(0, 1] variant (for log-consuming transforms)."""
     bits = bitrev32(idx) + shift
+    return (_mantissa24(bits) + 1).astype(jnp.float32) * _INV_2POW24
+
+
+# ---------------------------------------------------------------------------
+# Sobol dimensions (multi-dimensional QMC)
+#
+# The 1-D stream above IS Sobol dimension 0 (the base-2 radical inverse);
+# higher dimensions come from direction numbers generated by primitive
+# polynomials over GF(2) with the Joe-Kuo initial values, the standard
+# construction for multi-dimensional digital nets.  Point j of dimension d
+# is the XOR of the direction numbers selected by the set bits of j — pure
+# uint32 shift/and/xor lane math (Mosaic-compatible: no scalar casts, no
+# gathers), with the same Cranley-Patterson rotation + 24-bit mantissa
+# pipeline as the 1-D stream.
+# ---------------------------------------------------------------------------
+
+SOBOL_MAX_DIMS = 16
+
+# (degree s, polynomial a, m_1..m_s) for dimensions 2..16 (1-indexed à la
+# Joe & Kuo's new-joe-kuo-6 table; dimension 1 is the radical inverse).
+# Any odd m_k < 2^k yields a valid base-2 digital sequence; these initial
+# values are the standard choices optimising low-dimensional projections.
+_JOE_KUO = (
+    (1, 0, (1,)),
+    (2, 1, (1, 3)),
+    (3, 1, (1, 3, 1)),
+    (3, 2, (1, 1, 1)),
+    (4, 1, (1, 1, 3, 3)),
+    (4, 4, (1, 3, 5, 13)),
+    (5, 2, (1, 1, 5, 5, 17)),
+    (5, 4, (1, 1, 5, 5, 5)),
+    (5, 7, (1, 1, 7, 11, 19)),
+    (5, 11, (1, 1, 5, 1, 1)),
+    (5, 13, (1, 1, 1, 3, 11)),
+    (5, 14, (1, 3, 5, 5, 31)),
+    (6, 1, (1, 1, 3, 3, 9, 7)),
+    (6, 13, (1, 1, 5, 13, 3, 15)),
+    (6, 16, (1, 3, 3, 9, 25, 25)),
+)
+
+
+def sobol_direction_numbers(dim: int) -> np.ndarray:
+    """(32,) uint32 direction numbers for Sobol dimension ``dim``
+    (0-based).  Dimension 0 is the radical inverse (v_k = 2^(31-k));
+    higher dimensions run the GF(2) recurrence
+    m_k = (XOR_i 2^i a_i m_{k-i}) ^ 2^s m_{k-s} ^ m_{k-s}."""
+    if not 0 <= dim < SOBOL_MAX_DIMS:
+        raise ValueError(
+            f"QMC supports up to {SOBOL_MAX_DIMS} dimensions, got dim {dim}"
+        )
+    if dim == 0:
+        return (np.uint32(1) << np.arange(31, -1, -1, dtype=np.uint32)).astype(
+            np.uint32
+        )
+    s, a, m_init = _JOE_KUO[dim - 1]
+    m = list(m_init)
+    for k in range(s, 32):
+        value = m[k - s] ^ (m[k - s] << s)
+        for i in range(1, s):
+            if (a >> (s - 1 - i)) & 1:
+                value ^= m[k - i] << i
+        m.append(value)
+    v = np.zeros(32, np.uint32)
+    for k in range(32):
+        v[k] = np.uint32(m[k]) << np.uint32(31 - k)
+    return v
+
+
+def sobol_bits(idx, v32):
+    """uint32 Sobol integer for each lane of a uint32 index block:
+    XOR of ``v32``'s entries selected by the set bits of the index.
+    32 shift/and/multiply/xor steps, all lane-wise (in-kernel safe)."""
+    idx = idx.astype(jnp.uint32)
+    x = jnp.zeros_like(idx)
+    for b in range(32):
+        bit = (idx >> jnp.uint32(b)) & jnp.uint32(1)
+        x = x ^ (jnp.uint32(int(v32[b])) * bit)
+    return x
+
+
+def sobol_u01_halfopen(idx, shift, v32):
+    """[0, 1) rotated Sobol uniforms for one dimension."""
+    bits = sobol_bits(idx, v32) + shift
+    return _mantissa24(bits).astype(jnp.float32) * _INV_2POW24
+
+
+def sobol_u01_open(idx, shift, v32):
+    """(0, 1] variant (for log-consuming transforms)."""
+    bits = sobol_bits(idx, v32) + shift
     return (_mantissa24(bits) + 1).astype(jnp.float32) * _INV_2POW24

@@ -1005,5 +1005,6 @@ def trace_wgsl_function(code: str) -> Callable:
 
     traced.__tpu_mc_traced__ = True
     traced.__tpu_mc_key__ = ("wgsl", code)
+    traced.__tpu_mc_arity__ = len(entry_params)
     traced.__name__ = entry_name
     return traced
