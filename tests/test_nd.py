@@ -243,6 +243,126 @@ class TestImportanceSamplingNd:
         assert abs(r.stderr[0] - math.sqrt(2 / 1e6)) < 3e-4
 
 
+class TestMcmcNd:
+    def test_product_target_moments(self, integrator):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        r = integrator.integrate_mcmc(
+            [lambda x, y: x * x + y * y, lambda x, y: x * y],
+            [n01, n01], [prop, prop],
+            n_steps=2000, n_chains=1024, n_burnin=200, seed=42,
+        )
+        assert abs(r.values[0] - 2.0) < 0.1
+        assert abs(r.values[1]) < 0.05
+        assert 0.2 < r.acceptance_rate < 0.7
+
+    def test_joint_correlated_gaussian_target(self, integrator):
+        # The capability the 1-D reference cannot express: an arbitrary
+        # JOINT log-density.  rho = 0.8 bivariate normal: E[XY] = 0.8.
+        rho = 0.8
+        c = 1.0 / (2 * (1 - rho * rho))
+
+        def logp(x, y):
+            return -c * (x * x - 2 * rho * x * y + y * y)
+
+        prop = Distribution.normal(0.0, 2.0)
+        r = integrator.integrate_mcmc(
+            [lambda x, y: x * y, lambda x, y: x * x],
+            logp, [prop, prop],
+            n_steps=4000, n_chains=2048, n_burnin=500, seed=1,
+        )
+        assert abs(r.values[0] - rho) < 0.05
+        assert abs(r.values[1] - 1.0) < 0.06
+
+    def test_wgsl_joint_target(self, integrator):
+        src = "fn lp(x: f32, y: f32) -> f32 { return -0.5 * (x*x + y*y); }"
+        prop = Distribution.normal(0.0, 2.0)
+        r = integrator.integrate_mcmc(
+            [lambda x, y: x * x + y * y], src, [prop, prop],
+            n_steps=1500, n_chains=1024, n_burnin=200, seed=5,
+        )
+        assert abs(r.values[0] - 2.0) < 0.1
+
+    def test_1d_callable_log_density_target(self, integrator):
+        # d = 1 with a custom log-density: same machinery, scalar state.
+        prop = Distribution.normal(0.0, 2.0)
+        r = integrator.integrate_mcmc(
+            [lambda x: x * x], lambda x: -0.5 * x * x, prop,
+            n_steps=2000, n_chains=1024, n_burnin=200, seed=7,
+        )
+        assert abs(r.values[0] - 1.0) < 0.06
+
+    def test_single_element_sequences_take_scalar_path(self, integrator):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        r1 = integrator.integrate_mcmc(
+            [lambda x: x * x], n01, prop,
+            n_steps=500, n_chains=512, n_burnin=100, seed=9,
+        )
+        r2 = integrator.integrate_mcmc(
+            [lambda x: x * x], [n01], [prop],
+            n_steps=500, n_chains=512, n_burnin=100, seed=9,
+        )
+        assert r1.values[0] == r2.values[0]
+
+    def test_table_dims_in_target_and_proposal(self, integrator):
+        b = Distribution.beta(2.0, 5.0)
+        n01 = Distribution.normal(0.0, 1.0)
+        u = Distribution.uniform(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        r = integrator.integrate_mcmc(
+            [lambda x, y: x * y], [b, n01], [u, prop],
+            n_steps=3000, n_chains=1024, n_burnin=300, seed=11,
+        )
+        assert abs(r.values[0]) < 0.03
+
+    def test_stderr_between_chain(self, integrator):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        r = integrator.integrate_mcmc(
+            [lambda x, y: x + y], [n01, n01], [prop, prop],
+            n_steps=1000, n_chains=1024, n_burnin=100, seed=3,
+            return_stderr=True,
+        )
+        assert r.stderr is not None
+        assert abs(r.values[0]) <= 6 * max(r.stderr[0], 1e-9)
+
+    def test_mesh_statistics(self):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        meshed = mc.MonteCarloIntegrator(mesh="auto")
+        r = meshed.integrate_mcmc(
+            [lambda x, y: x * x + y * y], [n01, n01], [prop, prop],
+            n_steps=1000, n_chains=2048, n_burnin=100, seed=13,
+            return_stderr=True,
+        )
+        assert abs(r.values[0] - 2.0) <= max(8 * r.stderr[0], 0.1)
+
+    def test_unsupported_features_raise(self, integrator):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        with pytest.raises(ValueError):
+            integrator.integrate_mcmc(
+                [lambda x, y: x], [n01, n01], [prop, prop],
+                n_steps=100, n_chains=256, return_state=True,
+            )
+        with pytest.raises(ValueError):
+            integrator.integrate_mcmc(
+                [lambda x, y: x], [n01, n01], [prop, prop],
+                n_steps=100, n_chains=256, return_diagnostics=True,
+            )
+        with pytest.raises(TypeError):
+            integrator.integrate_mcmc(
+                [lambda x, y: x], n01, [prop, prop],
+                n_steps=100, n_chains=256,
+            )
+        with pytest.raises(TypeError):
+            integrator.integrate_mcmc(
+                [lambda x, y: x], [n01], [prop, prop],
+                n_steps=100, n_chains=256,
+            )
+
+
 class TestNdSharding:
     def test_mesh_matches_single_device_same_plan(self):
         """Same plan, streams keyed by (dim, global chunk) => the sharded

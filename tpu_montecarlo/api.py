@@ -1360,6 +1360,188 @@ class MonteCarloIntegrator:
         # _integrate_nd counted the weighted tuple; same length as input.
         return out
 
+    def _integrate_mcmc_nd(
+        self, functions, target, proposal, n_steps, n_chains, n_burnin,
+        seed, initial_state, return_state, return_stderr,
+        return_diagnostics,
+    ) -> IntegrationResult:
+        """Multi-dimensional MH: per-dimension proposal distributions with
+        either a product-of-Distributions target or a user JOINT
+        log-density callable/WGSL string of d arguments — the latter is a
+        capability the strictly 1-D reference cannot express
+        (src/shader_gen.rs:496-509 binds one target per program)."""
+        if return_state or initial_state is not None:
+            raise ValueError(
+                "chain checkpoint/resume is not supported for "
+                "multi-dimensional MCMC"
+            )
+        if return_diagnostics:
+            raise ValueError(
+                "return_diagnostics is not supported for "
+                "multi-dimensional MCMC"
+            )
+        if isinstance(proposal, Distribution):
+            proposals = [proposal]
+        elif isinstance(proposal, (list, tuple)):
+            proposals = list(proposal)
+        else:
+            raise TypeError(
+                "proposal must be a Distribution or a sequence of "
+                f"Distributions, got {type(proposal)}"
+            )
+        if not proposals or not all(
+            isinstance(p, Distribution) for p in proposals
+        ):
+            raise TypeError(
+                "proposal sequence must be a non-empty list of "
+                "Distribution objects"
+            )
+        d = len(proposals)
+
+        target_fn = None
+        targets = None
+        if isinstance(target, (list, tuple)):
+            targets = list(target)
+            if len(targets) != d or not all(
+                isinstance(t, Distribution) for t in targets
+            ):
+                raise TypeError(
+                    "target sequence must be a list of Distribution "
+                    f"objects matching the {d} proposal dimension(s)"
+                )
+        elif isinstance(target, Distribution):
+            if d != 1:
+                raise TypeError(
+                    "multi-dimensional MCMC needs the target as a "
+                    f"sequence of {d} Distributions or a {d}-ary "
+                    "log-density function"
+                )
+            targets = [target]
+        elif callable(target) or isinstance(target, str):
+            # Joint log-density (up to an additive constant).
+            target_fn = self._trace_user_functions([target], n_args=d)[0]
+        else:
+            raise TypeError(
+                f"Unsupported target type for MCMC: {type(target)}"
+            )
+
+        if d == 1 and target_fn is None:
+            # Pure 1-D in disguise: take the scalar path (full feature
+            # surface incl. resume/diagnostics/Pallas kernel).
+            return self.integrate_mcmc(
+                functions, targets[0], proposals[0], n_steps=n_steps,
+                n_chains=n_chains, n_burnin=n_burnin, seed=seed,
+                return_stderr=return_stderr,
+            )
+
+        from .ops.mcmc_nd import build_mcmc_nd_fn
+
+        traced = self._trace_user_functions(functions, n_args=d)
+        prop_specs = [dist_spec_of(p) for p in proposals]
+        mesh = self._mesh
+        n_dev = 1 if mesh is None else mesh.size
+        total_chains = plan_chains(n_chains, self._target_threads, n_dev)
+        dummy = _tbl(None)
+
+        prop_kinds = tuple(s.kind for s in prop_specs)
+        prop_exact = tuple(s.exact_inverse for s in prop_specs)
+        prop_dev = [
+            _device_args_of(p, s) for p, s in zip(proposals, prop_specs)
+        ]
+        prop_log_dev = []
+        prop_uniform = []
+        for p, s in zip(proposals, prop_specs):
+            if s.kind == DistKind.CUSTOM:
+                lx, lp = _device_log_tables_of(p, "proposal")
+                prop_log_dev.append((lx, lp))
+                prop_uniform.append(bool(is_uniform_grid(np.asarray(lx))))
+            else:
+                prop_log_dev.append((dummy, dummy))
+                prop_uniform.append(False)
+
+        if target_fn is not None:
+            targ_kinds = None
+            targ_uniform = ()
+            targ_params_t = ()
+            targ_lx_t = ()
+            targ_lp_t = ()
+            targ_key = ("fn", _fn_key(target_fn))
+            targ_shapes = ()
+        else:
+            targ_specs = [dist_spec_of(t) for t in targets]
+            targ_kinds = tuple(s.kind for s in targ_specs)
+            targ_params_t = tuple(
+                _device_args_of(t, s)[0]
+                for t, s in zip(targets, targ_specs)
+            )
+            targ_log_dev = []
+            targ_uniform = []
+            for t, s in zip(targets, targ_specs):
+                if s.kind == DistKind.CUSTOM:
+                    lx, lp = _device_log_tables_of(t)
+                    targ_log_dev.append((lx, lp))
+                    targ_uniform.append(
+                        bool(is_uniform_grid(np.asarray(lx)))
+                    )
+                else:
+                    targ_log_dev.append((dummy, dummy))
+                    targ_uniform.append(False)
+            targ_uniform = tuple(targ_uniform)
+            targ_lx_t = tuple(t[0] for t in targ_log_dev)
+            targ_lp_t = tuple(t[1] for t in targ_log_dev)
+            targ_key = (
+                "kinds", targ_kinds, targ_uniform,
+                tuple(a.shape for a in targ_lx_t),
+            )
+            targ_shapes = tuple(_table_shapes(s) for s in targ_specs)
+
+        key = (
+            "mcmc_nd",
+            _fns_key(traced),
+            prop_kinds,
+            prop_exact,
+            tuple(prop_uniform),
+            targ_key,
+            n_steps,
+            n_burnin,
+            total_chains,
+            tuple(_table_shapes(s) for s in prop_specs),
+            targ_shapes,
+            tuple(t[0].shape for t in prop_log_dev),
+            _mesh_key(mesh),
+            return_stderr,
+        )
+        run = self._cache.get_or_build(
+            key,
+            lambda: build_mcmc_nd_fn(
+                traced, prop_kinds, n_steps, n_burnin, total_chains,
+                targ_kinds=targ_kinds, target_logpdf_fn=target_fn,
+                targ_uniform=targ_uniform,
+                prop_uniform=tuple(prop_uniform),
+                prop_exact_inverses=prop_exact,
+                mesh=mesh, with_stderr=return_stderr,
+            ),
+        )
+        out = run(
+            np.uint32(seed),
+            tuple(p[0] for p in prop_dev),
+            targ_params_t,
+            tuple(p[1] for p in prop_dev),
+            tuple(p[2] for p in prop_dev),
+            targ_lx_t,
+            targ_lp_t,
+            tuple(t[0] for t in prop_log_dev),
+            tuple(t[1] for t in prop_log_dev),
+        )
+        values, acc_rate = out[0], out[1]
+        return IntegrationResult(
+            values=values,
+            n_samples=n_chains * n_steps,
+            n_functions=len(functions),
+            acceptance_rate=float(acc_rate),
+            stderr=out[2] if return_stderr else None,
+        )
+
     # ------------------------------------------------------------------
     # MCMC
     # ------------------------------------------------------------------
@@ -1425,6 +1607,24 @@ class MonteCarloIntegrator:
         ):
             raise ValueError(
                 "return_diagnostics applies to stateless MCMC runs only"
+            )
+
+        p_seq = isinstance(proposal_distribution, (list, tuple))
+        t_dist = isinstance(target_distribution, Distribution)
+        if p_seq or isinstance(target_distribution, (list, tuple)) or (
+            not t_dist and (
+                callable(target_distribution)
+                or isinstance(target_distribution, str)
+            )
+        ):
+            # Multi-dimensional MCMC (and 1-D custom joint log-density
+            # targets, the d=1 case of the same machinery).
+            return self._integrate_mcmc_nd(
+                functions, target_distribution, proposal_distribution,
+                n_steps, n_chains, n_burnin, seed,
+                initial_state=initial_state, return_state=return_state,
+                return_stderr=return_stderr,
+                return_diagnostics=return_diagnostics,
             )
 
         traced = self._trace_user_functions(functions)

@@ -1,0 +1,249 @@
+"""Multi-dimensional independence-sampler Metropolis-Hastings (XLA).
+
+The d-dimensional member of the nd family (ops/integrate_nd.py): one
+chain per lane with a d-vector state, proposals drawn independently per
+dimension from per-dim proposal distributions, and a target that is
+either a PRODUCT of per-dimension distributions or — the genuinely new
+capability — an arbitrary user JOINT log-density f(x_1..x_d) (traced
+Python or WGSL), which the strictly 1-D reference cannot express at all
+(its MCMC binds one target Distribution per program,
+src/shader_gen.rs:496-509).
+
+MH semantics are the 1-D builder's, dimension-summed:
+
+  * acceptance  ``log u < logp(x') + logq(x) - logp(x) - logq(x')`` with
+    ``logq = sum_j log q_j(x_j)`` (independent proposal dims),
+  * distinct streams for per-dim init, per-dim proposals, accepts,
+  * burn-in advances but does not accumulate; f(current x) accumulates
+    every sampling step; per-chain ``/ n_steps``; unweighted chain mean,
+  * closed-form log-pdfs per family, -100-floored tables for CUSTOM.
+
+``with_stderr``: between-chain variance of per-chain means with the
+pilot shift + Chan recombination of the 1-D builder.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..sampling import DistKind, log_pdf, sample_block
+
+__all__ = ["build_mcmc_nd_fn"]
+
+_STREAM_INIT = 0
+_STREAM_PROPOSAL = 1
+_STREAM_ACCEPT = 2
+
+
+def build_mcmc_nd_fn(
+    eval_fns: Sequence[Callable],
+    prop_kinds: Sequence[DistKind],
+    n_steps: int,
+    n_burnin: int,
+    total_chains: int,
+    targ_kinds: Optional[Sequence[DistKind]] = None,
+    target_logpdf_fn: Optional[Callable] = None,
+    targ_uniform: Sequence[bool] = (),
+    prop_uniform: Sequence[bool] = (),
+    prop_exact_inverses: Sequence[bool] = (),
+    mesh: Optional[jax.sharding.Mesh] = None,
+    axis_name: str = "mc",
+    with_stderr: bool = False,
+):
+    """Build a jitted d-dimensional MH program.
+
+    Returned signature::
+
+        (seed,
+         prop_params_t, targ_params_t,      # d-tuples ((), for fn targets)
+         prop_x_t, prop_cdf_t,              # proposal sampling tables
+         targ_lx_t, targ_lp_t,              # target log-pdf tables
+         prop_lx_t, prop_lp_t)              # proposal log-pdf tables
+        -> ((K,) estimates, () acceptance_rate [, (K,) stderr])
+    """
+    if (targ_kinds is None) == (target_logpdf_fn is None):
+        raise ValueError(
+            "exactly one of targ_kinds (product target) or "
+            "target_logpdf_fn (joint target) must be given"
+        )
+    prop_kinds = tuple(prop_kinds)
+    d = len(prop_kinds)
+    exact_inverses = tuple(prop_exact_inverses) or (False,) * d
+    prop_uniform = tuple(prop_uniform) or (False,) * d
+    targ_uniform = tuple(targ_uniform) or (False,) * d
+    k = len(eval_fns)
+    vfns = [jax.vmap(f) for f in eval_fns]
+    n_dev = 1 if mesh is None else mesh.size
+    if total_chains % n_dev != 0:
+        raise ValueError("total_chains must divide evenly over devices")
+    local_chains = total_chains // n_dev
+    n_iters = n_burnin + n_steps
+    if target_logpdf_fn is not None:
+        v_target = jax.vmap(target_logpdf_fn)
+
+    def _chain_sweep(
+        seed, prop_params_t, targ_params_t, prop_x_t, prop_cdf_t,
+        targ_lx_t, targ_lp_t, prop_lx_t, prop_lp_t, device_idx,
+    ):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), device_idx)
+        key_init = jax.random.fold_in(key, _STREAM_INIT)
+        key_prop = jax.random.fold_in(key, _STREAM_PROPOSAL)
+        key_acc = jax.random.fold_in(key, _STREAM_ACCEPT)
+
+        def target_log(xs):
+            if target_logpdf_fn is not None:
+                return v_target(*xs).astype(jnp.float32)
+            tot = None
+            for j in range(d):
+                lp = log_pdf(
+                    targ_kinds[j], targ_params_t[j], xs[j],
+                    targ_lx_t[j], targ_lp_t[j], uniform=targ_uniform[j],
+                )
+                tot = lp if tot is None else tot + lp
+            return tot
+
+        def proposal_log(xs):
+            tot = None
+            for j in range(d):
+                lq = log_pdf(
+                    prop_kinds[j], prop_params_t[j], xs[j],
+                    prop_lx_t[j], prop_lp_t[j], uniform=prop_uniform[j],
+                )
+                tot = lq if tot is None else tot + lq
+            return tot
+
+        def draw_proposals(base_key):
+            return tuple(
+                sample_block(
+                    jax.random.fold_in(base_key, j),
+                    (local_chains,),
+                    prop_kinds[j],
+                    prop_params_t[j],
+                    prop_x_t[j],
+                    prop_cdf_t[j],
+                    exact_inverse=exact_inverses[j],
+                )
+                for j in range(d)
+            )
+
+        x0 = draw_proposals(key_init)
+        logp0 = target_log(x0)
+        logq0 = proposal_log(x0)
+
+        if with_stderr:
+            pilot = jnp.stack(
+                [jnp.mean(vf(*x0).astype(jnp.float32)) for vf in vfns]
+            )
+
+        def step(carry, i):
+            xs, logp, logq, acc, n_accept = carry
+            xp = draw_proposals(jax.random.fold_in(key_prop, i))
+            logp_prop = target_log(xp)
+            logq_prop = proposal_log(xp)
+            log_alpha = logp_prop + logq - logp - logq_prop
+            u = jax.random.uniform(
+                jax.random.fold_in(key_acc, i), (local_chains,), jnp.float32
+            )
+            accept = jnp.log(jnp.maximum(u, 1e-38)) < log_alpha
+            xs = tuple(
+                jnp.where(accept, xp_j, x_j) for xp_j, x_j in zip(xp, xs)
+            )
+            logp = jnp.where(accept, logp_prop, logp)
+            logq = jnp.where(accept, logq_prop, logq)
+
+            collect = i >= n_burnin
+            ys = jnp.stack([vf(*xs) for vf in vfns]).astype(jnp.float32)
+            vals = ys - pilot[:, None] if with_stderr else ys
+            acc = acc + jnp.where(collect, vals, 0.0)
+            n_accept = n_accept + jnp.where(
+                collect, jnp.sum(accept.astype(jnp.float32)), 0.0
+            )
+            return (xs, logp, logq, acc, n_accept), None
+
+        init = (
+            x0, logp0, logq0,
+            jnp.zeros((k, local_chains), jnp.float32),
+            jnp.float32(0.0),
+        )
+        carry, _ = jax.lax.scan(
+            step, init, jnp.arange(n_iters, dtype=jnp.int32)
+        )
+        _, _, _, acc, n_accept = carry
+
+        chain_means = acc / jnp.float32(n_steps)
+        if with_stderr:
+            mb_s = jnp.mean(chain_means, axis=1)
+            ss = jnp.sum((chain_means - mb_s[:, None]) ** 2, axis=1)
+            sums = (
+                jnp.sum(chain_means, axis=1)
+                + jnp.float32(local_chains) * pilot
+            )
+            return sums, n_accept, ss, mb_s + pilot
+        return jnp.sum(chain_means, axis=1), n_accept
+
+    denom_vals = jnp.float32(total_chains)
+    denom_acc = jnp.float32(total_chains) * jnp.float32(max(n_steps, 1))
+
+    def _stderr_of(ss_total):
+        var = ss_total / jnp.maximum(denom_vals - 1.0, 1.0)
+        return jnp.sqrt(var / denom_vals)
+
+    if mesh is None:
+
+        @jax.jit
+        def run(seed, *args):
+            out = _chain_sweep(seed, *args, jnp.int32(0))
+            res = (out[0] / denom_vals, out[1] / denom_acc)
+            if with_stderr:
+                res = res + (_stderr_of(out[2]),)
+            return res
+
+        return run
+
+    replicated = P()
+    dim_rep = (replicated,) * d
+
+    def sharded_body(seed, *args):
+        dev = jax.lax.axis_index(axis_name)
+        out = _chain_sweep(seed, *args, dev)
+        sums = jax.lax.psum(out[0], axis_name)
+        n_accept = jax.lax.psum(out[1], axis_name)
+        res = (sums / denom_vals, n_accept / denom_acc)
+        if with_stderr:
+            ss, mb = out[2], out[3]
+            m_global = sums / denom_vals
+            corr = jnp.float32(local_chains) * (mb - m_global) ** 2
+            ss_total = jax.lax.psum(ss + corr, axis_name)
+            res = res + (_stderr_of(ss_total),)
+        return res
+
+    td = len(targ_kinds) if targ_kinds is not None else 0
+    targ_rep = (replicated,) * td
+    in_specs = (
+        replicated,  # seed
+        dim_rep, targ_rep,  # params
+        dim_rep, dim_rep,  # proposal sampling tables
+        targ_rep, targ_rep,  # target log tables
+        dim_rep, dim_rep,  # proposal log tables
+    )
+    out_specs = (replicated, replicated)
+    if with_stderr:
+        out_specs = out_specs + (replicated,)
+
+    shard_mapped = jax.shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(seed, *args):
+        return shard_mapped(seed, *args)
+
+    return run
