@@ -363,6 +363,49 @@ class TestMcmcNd:
             )
 
 
+class TestExpectationFnNd:
+    def test_value_and_pathwise_gradients(self, integrator):
+        import jax.numpy as jnp
+
+        nx = Distribution.normal(0.0, 1.0)
+        est = integrator.expectation_fn(
+            [lambda x, y: x * y], [nx, nx], n_samples=400_000
+        )
+        p = jnp.asarray([[1.0, 1.0], [3.0, 2.0]], jnp.float32)
+        assert abs(float(est(p)[0]) - 3.0) < 0.05
+        g = jax.grad(lambda q: est(q)[0])(p)
+        # E[XY] = m1*m2: d/dm1 = m2 = 3, d/dm2 = m1 = 1, d/dstd = 0
+        assert abs(float(g[0, 0]) - 3.0) < 0.05
+        assert abs(float(g[1, 0]) - 1.0) < 0.05
+        assert abs(float(g[0, 1])) < 0.05
+
+    def test_jit_vmap_compose_and_shape_check(self, integrator):
+        import jax.numpy as jnp
+
+        nx = Distribution.normal(0.0, 1.0)
+        est = integrator.expectation_fn(
+            [lambda x, y: x + y], [nx, nx], n_samples=100_000
+        )
+        p = jnp.asarray([[0.0, 1.0], [0.0, 1.0]], jnp.float32)
+        out = jax.jit(jax.vmap(est))(jnp.stack([p, p + 1.0]))
+        assert out.shape == (2, 1)
+        with pytest.raises(ValueError):
+            est(jnp.zeros((2,)))
+
+    def test_single_element_sequence_matches_scalar(self, integrator):
+        import jax.numpy as jnp
+
+        nx = Distribution.normal(0.0, 1.0)
+        e1 = integrator.expectation_fn(
+            [lambda x: x * x], [nx], n_samples=100_000
+        )
+        e2 = integrator.expectation_fn(
+            [lambda x: x * x], nx, n_samples=100_000
+        )
+        p = jnp.asarray([0.0, 1.0], jnp.float32)
+        assert float(e1(p)[0]) == float(e2(p)[0])
+
+
 class TestNdSharding:
     def test_mesh_matches_single_device_same_plan(self):
         """Same plan, streams keyed by (dim, global chunk) => the sharded

@@ -489,8 +489,6 @@ class MonteCarloIntegrator:
         through host-built tables whose construction is not traced.
         ``distribution`` supplies the family and default packing shape.
         """
-        spec = dist_spec_of(distribution)
-        ensure_param_batch_family(spec.kind, feature="expectation_fn")
         if self._backend == "pallas":
             # The forced-backend no-silent-degrade convention: AD needs
             # the pure-JAX sweep — the Pallas kernels (hardware PRNG,
@@ -501,6 +499,47 @@ class MonteCarloIntegrator:
                 "Pallas kernels cannot be differentiated",
                 stacklevel=2,
             )
+        if isinstance(distribution, (list, tuple)):
+            dists = list(distribution)
+            if not dists or not all(
+                isinstance(dd, Distribution) for dd in dists
+            ):
+                raise TypeError(
+                    "a distribution sequence must be a non-empty list of "
+                    "Distribution objects"
+                )
+            if len(dists) > 1:
+                # Multi-dimensional differentiable expectation:
+                # est(params) takes a (d, 2) array of per-dimension
+                # family parameter rows.
+                d = len(dists)
+                for dd in dists:
+                    ensure_param_batch_family(
+                        dist_spec_of(dd).kind, feature="expectation_fn"
+                    )
+                traced_nd = self._trace_user_functions(
+                    functions, n_args=d
+                )
+                run_nd, dev_args_nd = self._nd_program(
+                    traced_nd, dists, n_samples, method
+                )
+                _, xt_t, ct_t = dev_args_nd
+
+                def est_nd(params, seed: int = 42):
+                    arr = jnp.asarray(params, jnp.float32)
+                    if arr.shape != (d, 2):
+                        raise ValueError(
+                            f"expected a ({d}, 2) params array (one "
+                            "pack_param_batch row per dimension), got "
+                            f"shape {arr.shape}"
+                        )
+                    params_t = tuple(arr[j] for j in range(d))
+                    return run_nd(jnp.uint32(seed), params_t, xt_t, ct_t)
+
+                return est_nd
+            distribution = dists[0]
+        spec = dist_spec_of(distribution)
+        ensure_param_batch_family(spec.kind, feature="expectation_fn")
         traced = self._trace_user_functions(functions)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
