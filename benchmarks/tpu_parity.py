@@ -645,6 +645,56 @@ def main() -> int:
     ok &= check("return_in_loop_integral", r.values, [exact_first_sq], 0.02,
                 "python integrand returning from inside a while loop")
 
+    # Multi-dimensional family (round 3, capability beyond the 1-D
+    # reference): the nd fused kernel compiled on hardware (mixed
+    # analytic dims), in-kernel Sobol QMC, nd error bars, nd importance
+    # sampling, and a joint-log-density MCMC target.
+    u01 = mc.Distribution.uniform(0.0, 1.0)
+    ex2 = mc.Distribution.exponential(2.0)
+    r = mc.integrate(
+        [lambda x, y, z: x * y * z, lambda x, y, z: x * x + y + z],
+        [d, u01, ex2], n_samples=10_000_000, seed=42,
+    )
+    ok &= check("nd_kernel_mixed_dims", r.values, [0.0, 2.0], 0.01,
+                "3-dim fused kernel: E[XYZ], E[X^2+Y+Z] over N x U x Exp")
+
+    r = mc.integrate(
+        [lambda x, y: np.exp(x) * np.exp(y)], [u01, u01],
+        n_samples=10_000_000, seed=5, method="qmc",
+    )
+    ok &= check("nd_kernel_sobol_qmc", r.values, [(math.e - 1.0) ** 2],
+                5e-4, "in-kernel 2-dim Sobol net: E[e^X e^Y] on U(0,1)^2")
+
+    r = mc.integrate(
+        [lambda x, y: x + y], [d, d], n_samples=10_000_000, seed=4,
+        return_stderr=True,
+    )
+    ok &= check("nd_kernel_stderr",
+                [float(r.values[0]) / max(float(r.stderr[0]), 1e-12),
+                 float(r.stderr[0]) * math.sqrt(5e6)],
+                [0.0, 1.0], [6.0, 0.4],
+                "nd in-kernel error bars: |mean| <= 6 se, se ~ sqrt(2/N)")
+
+    p_tail = (0.5 * math.erfc(3.0 / math.sqrt(2.0))) ** 2
+    prop35 = mc.Distribution.normal(3.5, 1.0)
+    r = mc.integrate_importance_sampling(
+        [lambda x, y: ((x > 3.0) & (y > 3.0)) * 1.0],
+        [d, d], [prop35, prop35], n_samples=10_000_000, seed=6,
+    )
+    ok &= check("nd_is_corner_tail", r.values, [p_tail], p_tail * 0.2,
+                "nd IS: P(X>3, Y>3) with shifted product proposal")
+
+    rho = 0.8
+    cc = 1.0 / (2.0 * (1.0 - rho * rho))
+    r = mc.integrate_mcmc(
+        [lambda x, y: x * y],
+        lambda x, y: -cc * (x * x - 2.0 * rho * x * y + y * y),
+        [q2, q2], n_steps=4000, n_chains=2048, n_burnin=500, seed=1,
+    )
+    ok &= check("nd_mcmc_joint_density", r.values, [rho], 0.05,
+                "nd MCMC: E[XY] of a rho=0.8 bivariate Gaussian from its "
+                "joint log-density")
+
     # Randomized-QMC error bars (round 3): the rotation spread must
     # cover the composite estimate's error AND sit far below the MC
     # stderr at equal N on a smooth integrand.

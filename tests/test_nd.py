@@ -406,6 +406,96 @@ class TestExpectationFnNd:
         assert float(e1(p)[0]) == float(e2(p)[0])
 
 
+class TestNdPallasKernel:
+    """Interpreter-tier validation of the nd fused kernel (compiled
+    Mosaic runs are asserted on hardware by benchmarks/tpu_parity.py)."""
+
+    @pytest.fixture(scope="class")
+    def kern(self):
+        return mc.MonteCarloIntegrator(backend="pallas")
+
+    def test_matches_xla_statistics(self, kern):
+        nx = Distribution.normal(0.0, 1.0)
+        u = Distribution.uniform(0.0, 1.0)
+        ex = Distribution.exponential(2.0)
+        fns = [lambda x, y, z: x * y * z, lambda x, y, z: x * x + y + z]
+        xla = mc.MonteCarloIntegrator(backend="xla")
+        rp = kern.integrate(fns, [nx, u, ex], n_samples=500_000, seed=42)
+        rx = xla.integrate(fns, [nx, u, ex], n_samples=500_000, seed=42)
+        assert abs(rp.values[0]) < 0.02
+        assert abs(rp.values[1] - 2.0) < 0.02
+        assert abs(rx.values[1] - rp.values[1]) < 0.02
+
+    def test_seed_reproducibility(self, kern):
+        nx = Distribution.normal(0.0, 1.0)
+        u = Distribution.uniform(0.0, 1.0)
+        fns = [lambda x, y: x * y]
+        a = kern.integrate(fns, [nx, u], n_samples=200_000, seed=5)
+        b = kern.integrate(fns, [nx, u], n_samples=200_000, seed=5)
+        c = kern.integrate(fns, [nx, u], n_samples=200_000, seed=6)
+        assert a.values[0] == b.values[0]
+        assert a.values[0] != c.values[0]
+
+    def test_stderr_in_kernel(self, kern):
+        import math
+
+        nx = Distribution.normal(0.0, 1.0)
+        r = kern.integrate(
+            [lambda x, y: x + y, lambda x, y: 1.0 + 0.0 * x],
+            [nx, nx], n_samples=500_000, seed=4, return_stderr=True,
+        )
+        assert abs(r.values[0]) <= 6 * max(r.stderr[0], 1e-9)
+        # stderr ~ sqrt(2/N) with N = the kernel's rounded-up actual
+        assert 0.5 * math.sqrt(2 / 5e5) < r.stderr[0] < 2 * math.sqrt(2 / 5e5)
+        assert r.stderr[1] < 1e-6
+
+    def test_in_kernel_sobol_qmc(self, kern):
+        import math
+
+        u = Distribution.uniform(0.0, 1.0)
+        f = lambda x, y: np.exp(x) * np.exp(y)  # noqa: E731
+        exact = (math.e - 1.0) ** 2
+        rq = kern.integrate([f], [u, u], n_samples=1_000_000,
+                            seed=5, method="qmc")
+        rm = kern.integrate([f], [u, u], n_samples=1_000_000, seed=5)
+        eq = abs(rq.values[0] - exact)
+        em = abs(rm.values[0] - exact)
+        assert eq < em / 3 or eq < 1e-5
+
+    def test_mesh_kernel(self):
+        nx = Distribution.normal(0.0, 1.0)
+        ex = Distribution.exponential(2.0)
+        im = mc.MonteCarloIntegrator(backend="pallas", mesh="auto")
+        r = im.integrate(
+            [lambda x, y: x * x + y], [nx, ex],
+            n_samples=500_000, seed=42,
+        )
+        assert abs(r.values[0] - 1.5) < 0.02
+
+    def test_table_dim_falls_back_with_warning(self, kern):
+        import warnings as _w
+
+        b = Distribution.beta(2.0, 5.0)
+        u = Distribution.uniform(0.0, 1.0)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            r = kern.integrate(
+                [lambda x, y: x * y], [b, u], n_samples=200_000, seed=6
+            )
+            assert any("XLA" in str(x.message) for x in rec)
+        assert abs(r.values[0] - (2.0 / 7.0) * 0.5) < 0.01
+
+    def test_is_weights_ride_the_kernel(self, kern):
+        # Traceable pdfs fold into d-ary weighted closures, which pass
+        # the nd kernel gate like any integrand.
+        nx = Distribution.normal(0.0, 1.0)
+        r = kern.integrate_importance_sampling(
+            [lambda x, y: x * x + y * y], [nx, nx], [nx, nx],
+            n_samples=500_000, seed=2,
+        )
+        assert abs(r.values[0] - 2.0) < 0.04
+
+
 class TestNdSharding:
     def test_mesh_matches_single_device_same_plan(self):
         """Same plan, streams keyed by (dim, global chunk) => the sharded

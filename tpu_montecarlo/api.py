@@ -520,8 +520,10 @@ class MonteCarloIntegrator:
                 traced_nd = self._trace_user_functions(
                     functions, n_args=d
                 )
+                # Always the XLA nd sweep: AD traverses it; the nd
+                # kernel (hardware PRNG, Mosaic) has no gradient path.
                 run_nd, dev_args_nd = self._nd_program(
-                    traced_nd, dists, n_samples, method
+                    traced_nd, dists, n_samples, method, force_xla=True
                 )
                 _, xt_t, ct_t = dev_args_nd
 
@@ -746,8 +748,45 @@ class MonteCarloIntegrator:
             values=out, n_samples=n_samples, n_functions=len(functions)
         )
 
+    def _nd_pallas_eligible(
+        self, kinds, traced, plan_samples, with_stderr
+    ) -> bool:
+        """nd kernel gate: analytic dims only, <=128 fused d-ary
+        integrands that evaluate on lane blocks, and a block row count
+        fitting the VMEM budget with d sample blocks in flight."""
+        from .ops.integrate_nd_pallas import (
+            nd_pallas_supports,
+            pick_nd_rows,
+        )
+
+        d = len(kinds)
+        ok = (
+            nd_pallas_supports(kinds)
+            and len(traced) <= 128
+            and pick_nd_rows(
+                len(traced), d, plan_samples,
+                n_dev=1 if self._mesh is None else self._mesh.size,
+                with_stderr=with_stderr,
+            )
+            is not None
+            and not any(
+                getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
+            )
+            and _block_traceable(traced, n_args=d)
+        )
+        if not ok and self._backend == "pallas":
+            warnings.warn(
+                "backend='pallas' requested but this nd workload is not "
+                "kernel-eligible (table-sampled dimension, a function "
+                "that does not evaluate on lane blocks, or over the "
+                "VMEM budget); running the XLA backend instead",
+                stacklevel=3,
+            )
+        return ok
+
     def _nd_program(
-        self, traced, dists, n_samples, method, with_stderr: bool = False
+        self, traced, dists, n_samples, method, with_stderr: bool = False,
+        force_xla: bool = False,
     ):
         from .ops.integrate_nd import build_integrate_nd_fn
 
@@ -759,6 +798,50 @@ class MonteCarloIntegrator:
         )
         kinds = tuple(s.kind for s in specs)
         exact_inverses = tuple(s.exact_inverse for s in specs)
+
+        if (
+            not force_xla
+            and self._use_pallas(kinds[0])
+            and self._nd_pallas_eligible(
+                kinds, traced, plan.actual_samples, with_stderr
+            )
+        ):
+            from .ops.integrate_nd_pallas import build_integrate_nd_pallas
+
+            interpret = jax.default_backend() != "tpu"
+            key = (
+                "integrate_nd_pallas",
+                _fns_key(traced),
+                kinds,
+                plan,
+                _mesh_key(mesh),
+                interpret,
+                method,
+                with_stderr,
+            )
+            kern = self._cache.get_or_build(
+                key,
+                lambda: build_integrate_nd_pallas(
+                    traced, kinds, plan, mesh=mesh, interpret=interpret,
+                    method=method, with_stderr=with_stderr,
+                ),
+            )
+
+            def run_kernel(seed, params_t, xt_t, ct_t):
+                # Same call convention as the XLA nd program; analytic
+                # dims ignore the (dummy) tables.
+                del xt_t, ct_t
+                return kern(seed, jnp.stack(params_t))
+
+            per = [
+                _device_args_of(dd, s) for dd, s in zip(dists, specs)
+            ]
+            dev_args = (
+                tuple(p[0] for p in per),
+                tuple(p[1] for p in per),
+                tuple(p[2] for p in per),
+            )
+            return run_kernel, dev_args
         key = (
             "integrate_nd",
             _fns_key(traced),
@@ -2297,26 +2380,32 @@ def pack_param_batch(distributions) -> ParamBatch:
     return ParamBatch(np.stack([s.params for s in specs]), specs[0].kind)
 
 
-def _block_traceable(fns) -> bool:
-    """True when every function evaluates on a (8, 128) float32 lane block
-    with a block-broadcastable result — the shape the Pallas kernels feed
-    integrands.  A scalar trace alone does not guarantee this: a
-    sample-dependent ``while`` becomes a ``lax.while_loop`` whose cond is a
-    bool block, which cannot lower inside a kernel (the XLA backend vmaps
-    such functions instead, keeping the reference's run-anything-on-device
-    guarantee, src/shader_gen.rs:272-282).  Cached on the function object."""
-    probe = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+def _block_traceable(fns, n_args: int = 1) -> bool:
+    """True when every function evaluates on (8, 128) float32 lane blocks
+    (one per argument) with a block-broadcastable result — the shape the
+    Pallas kernels feed integrands.  A scalar trace alone does not
+    guarantee this: a sample-dependent ``while`` becomes a
+    ``lax.while_loop`` whose cond is a bool block, which cannot lower
+    inside a kernel (the XLA backend vmaps such functions instead, keeping
+    the reference's run-anything-on-device guarantee,
+    src/shader_gen.rs:272-282).  Cached on the function object."""
+    probe = [jax.ShapeDtypeStruct((8, 128), jnp.float32)] * n_args
+    attr = (
+        "__tpu_mc_block_ok__"
+        if n_args == 1
+        else f"__tpu_mc_block_ok_{n_args}__"
+    )
     for f in fns:
-        ok = getattr(f, "__tpu_mc_block_ok__", None)
+        ok = getattr(f, attr, None)
         if ok is None:
             try:
-                out = jax.eval_shape(f, probe)
+                out = jax.eval_shape(f, *probe)
                 shape = getattr(out, "shape", ())
                 ok = np.broadcast_shapes(shape, (8, 128)) == (8, 128)
             except Exception:
                 ok = False
             try:
-                f.__tpu_mc_block_ok__ = ok
+                setattr(f, attr, ok)
             except Exception:
                 pass
         if not ok:

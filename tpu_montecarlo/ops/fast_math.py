@@ -324,10 +324,10 @@ def kernelize(f):
     context flag costs nothing at run time)."""
 
     @functools.wraps(f)
-    def wrapped(x):
+    def wrapped(*args):
         token = _IN_KERNEL.set(True)
         try:
-            return f(x)
+            return f(*args)
         finally:
             _IN_KERNEL.reset(token)
 
