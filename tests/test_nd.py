@@ -550,3 +550,113 @@ class TestNdSharding:
             n_samples=1_000_000, seed=5, return_stderr=True,
         )
         assert abs(r2.values[0] - 1.0) <= 6 * max(r2.stderr[0], 1e-9)
+
+
+class TestNdMcmcPallasKernel:
+    """Interpreter-tier validation of the nd MH kernel (compiled Mosaic
+    runs are asserted on hardware by benchmarks/tpu_parity.py)."""
+
+    @pytest.fixture(scope="class")
+    def kern(self):
+        return mc.MonteCarloIntegrator(backend="pallas")
+
+    def test_product_target_matches_xla_statistics(self, kern):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        fns = [lambda x, y: x * x + y * y, lambda x, y: x * y]
+        rp = kern.integrate_mcmc(
+            fns, [n01, n01], [prop, prop],
+            n_steps=1500, n_chains=1024, n_burnin=200, seed=42,
+        )
+        xla = mc.MonteCarloIntegrator(backend="xla")
+        rx = xla.integrate_mcmc(
+            fns, [n01, n01], [prop, prop],
+            n_steps=1500, n_chains=1024, n_burnin=200, seed=42,
+        )
+        assert abs(rp.values[0] - 2.0) < 0.12
+        assert abs(rp.values[1]) < 0.06
+        assert abs(rx.values[0] - rp.values[0]) < 0.15
+        assert 0.2 < rp.acceptance_rate < 0.7
+
+    def test_joint_fn_target_correlated_gaussian(self, kern):
+        rho = 0.8
+        c = 1.0 / (2 * (1 - rho * rho))
+
+        def logp(x, y):
+            return -c * (x * x - 2 * rho * x * y + y * y)
+
+        prop = Distribution.normal(0.0, 2.0)
+        r = kern.integrate_mcmc(
+            [lambda x, y: x * y, lambda x, y: x * x],
+            logp, [prop, prop],
+            n_steps=3000, n_chains=2048, n_burnin=400, seed=1,
+        )
+        assert abs(r.values[0] - rho) < 0.06
+        assert abs(r.values[1] - 1.0) < 0.07
+
+    def test_seed_reproducibility(self, kern):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        fns = [lambda x, y: x + y]
+        a = kern.integrate_mcmc(
+            fns, [n01, n01], [prop, prop],
+            n_steps=300, n_chains=512, n_burnin=50, seed=5,
+        )
+        b = kern.integrate_mcmc(
+            fns, [n01, n01], [prop, prop],
+            n_steps=300, n_chains=512, n_burnin=50, seed=5,
+        )
+        c = kern.integrate_mcmc(
+            fns, [n01, n01], [prop, prop],
+            n_steps=300, n_chains=512, n_burnin=50, seed=6,
+        )
+        assert a.values[0] == b.values[0]
+        assert a.values[0] != c.values[0]
+
+    def test_stderr_in_kernel(self, kern):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        r = kern.integrate_mcmc(
+            [lambda x, y: x + y, lambda x, y: 1.0 + 0.0 * x],
+            [n01, n01], [prop, prop],
+            n_steps=800, n_chains=1024, n_burnin=100, seed=3,
+            return_stderr=True,
+        )
+        assert r.stderr is not None
+        assert abs(r.values[0]) <= 6 * max(r.stderr[0], 1e-9)
+        assert r.stderr[0] > 0
+        assert r.stderr[1] < 1e-6
+
+    def test_table_dim_falls_back_with_warning(self, kern):
+        import warnings as _w
+
+        b = Distribution.beta(2.0, 5.0)
+        n01 = Distribution.normal(0.0, 1.0)
+        u = Distribution.uniform(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            r = kern.integrate_mcmc(
+                [lambda x, y: x * y], [b, n01], [u, prop],
+                n_steps=1500, n_chains=1024, n_burnin=200, seed=11,
+            )
+            assert any("XLA" in str(x.message) for x in rec)
+        assert abs(r.values[0]) < 0.05
+
+    def test_mesh_kernel(self):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        im = mc.MonteCarloIntegrator(backend="pallas", mesh="auto")
+        r = im.integrate_mcmc(
+            [lambda x, y: x * x + y * y], [n01, n01], [prop, prop],
+            n_steps=800, n_chains=2048, n_burnin=100, seed=13,
+        )
+        assert abs(r.values[0] - 2.0) < 0.12
+
+    def test_d1_joint_fn_rides_kernel(self, kern):
+        prop = Distribution.normal(0.0, 2.0)
+        r = kern.integrate_mcmc(
+            [lambda x: x * x], lambda x: -0.5 * x * x, prop,
+            n_steps=1500, n_chains=1024, n_burnin=200, seed=7,
+        )
+        assert abs(r.values[0] - 1.0) < 0.08

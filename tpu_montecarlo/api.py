@@ -1482,6 +1482,109 @@ class MonteCarloIntegrator:
         # _integrate_nd counted the weighted tuple; same length as input.
         return out
 
+    def _nd_mcmc_pallas_eligible(
+        self, prop_kinds, targ_kinds, target_fn, traced, total_chains,
+        d, return_stderr,
+    ) -> bool:
+        """nd MCMC kernel gate: analytic proposal dims, analytic-product
+        or block-traceable joint-fn target, <=127 fused d-ary integrands
+        evaluating on lane blocks, and d state blocks fitting VMEM."""
+        from .ops.mcmc_nd_pallas import (
+            mcmc_nd_pallas_supports,
+            mcmc_nd_vmem_fits,
+        )
+        from .ops.mcmc_pallas import plan_mcmc_grid
+
+        n_dev = 1 if self._mesh is None else self._mesh.size
+        programs, rows, _ = plan_mcmc_grid(total_chains)
+        programs = -(-programs // n_dev) * n_dev
+        ok = (
+            mcmc_nd_pallas_supports(prop_kinds, targ_kinds)
+            and len(traced) < 128
+            and not any(
+                getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
+            )
+            and _block_traceable(traced, n_args=d)
+            and (
+                target_fn is None
+                or (
+                    not getattr(target_fn, "__tpu_mc_no_pallas__", False)
+                    and _block_traceable((target_fn,), n_args=d)
+                )
+            )
+            and mcmc_nd_vmem_fits(
+                len(traced), d, rows, programs // n_dev,
+                with_stderr=return_stderr,
+            )
+        )
+        if not ok and self._backend == "pallas":
+            warnings.warn(
+                "backend='pallas' requested but this nd MCMC workload is "
+                "not kernel-eligible (table-sampled dimension, a function "
+                "that does not evaluate on lane blocks, or over the VMEM "
+                "budget); running the XLA backend instead",
+                stacklevel=4,
+            )
+        return ok
+
+    def _run_mcmc_nd_pallas(
+        self, functions, traced, proposals, prop_specs, targets,
+        target_fn, n_steps, n_chains, n_burnin, seed, total_chains,
+        return_stderr,
+    ) -> IntegrationResult:
+        """Dispatch one nd MCMC run on the fused Pallas kernel (analytic
+        dims; product or joint-fn target)."""
+        from .ops.mcmc_nd_pallas import build_mcmc_nd_pallas
+
+        mesh = self._mesh
+        prop_kinds = tuple(s.kind for s in prop_specs)
+        prop_params_t = tuple(
+            _device_args_of(p, s)[0]
+            for p, s in zip(proposals, prop_specs)
+        )
+        if target_fn is not None:
+            targ_kinds = None
+            targ_params_t = ()
+            targ_key = ("fn", _fn_key(target_fn))
+        else:
+            targ_specs = [dist_spec_of(t) for t in targets]
+            targ_kinds = tuple(s.kind for s in targ_specs)
+            targ_params_t = tuple(
+                _device_args_of(t, s)[0]
+                for t, s in zip(targets, targ_specs)
+            )
+            targ_key = ("kinds", targ_kinds)
+        interpret = jax.default_backend() != "tpu"
+        key = (
+            "mcmc_nd_pallas",
+            _fns_key(traced),
+            prop_kinds,
+            targ_key,
+            n_steps,
+            n_burnin,
+            total_chains,
+            _mesh_key(mesh),
+            interpret,
+            return_stderr,
+        )
+        run = self._cache.get_or_build(
+            key,
+            lambda: build_mcmc_nd_pallas(
+                traced, prop_kinds, n_steps, n_burnin, total_chains,
+                targ_kinds=targ_kinds, target_logpdf_fn=target_fn,
+                mesh=mesh, interpret=interpret,
+                with_stderr=return_stderr,
+            ),
+        )
+        out = run(np.uint32(seed), prop_params_t, targ_params_t)
+        return IntegrationResult(
+            values=out[0],
+            n_samples=n_chains * n_steps,
+            n_functions=len(functions),
+            acceptance_rate=float(out[1]),
+            stderr=out[2] if return_stderr else None,
+        )
+
     def _integrate_mcmc_nd(
         self, functions, target, proposal, n_steps, n_chains, n_burnin,
         seed, initial_state, return_state, return_stderr,
@@ -1564,6 +1667,24 @@ class MonteCarloIntegrator:
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
         dummy = _tbl(None)
+
+        prop_kinds_early = tuple(s.kind for s in prop_specs)
+        targ_kinds_early = (
+            None
+            if target_fn is not None
+            else tuple(dist_spec_of(t).kind for t in targets)
+        )
+        if self._use_pallas(prop_kinds_early[0]) and (
+            self._nd_mcmc_pallas_eligible(
+                prop_kinds_early, targ_kinds_early, target_fn, traced,
+                total_chains, d, return_stderr,
+            )
+        ):
+            return self._run_mcmc_nd_pallas(
+                functions, traced, proposals, prop_specs, targets,
+                target_fn, n_steps, n_chains, n_burnin, seed,
+                total_chains, return_stderr,
+            )
 
         prop_kinds = tuple(s.kind for s in prop_specs)
         prop_exact = tuple(s.exact_inverse for s in prop_specs)

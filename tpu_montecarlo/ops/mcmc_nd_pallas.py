@@ -1,0 +1,443 @@
+"""Multi-dimensional independence-sampler MH kernel (Pallas/Mosaic).
+
+The kernel-speed tier of the nd MCMC family (ops/mcmc_nd.py is the
+portable XLA sweep): chains live one-per-lane with a d-vector state —
+d carried (rows, 128) VMEM blocks plus the cached (log_p, log_q) pair —
+and a burn-in/sampling split ``fori_loop`` advances all of them with the
+exact MH semantics of the 1-D kernel (ops/mcmc_pallas.py): acceptance
+``log u < log_p(x') + log_q(x) - log_p(x) - log_q(x')`` with
+``log_q = sum_j log q_j(x_j)`` over independent proposal dimensions,
+burn-in advanced but not accumulated, f(current x) added every sampling
+step, per-chain mean ``/ n_steps``, unweighted chain average.
+
+Targets: a PRODUCT of analytic per-dimension families (log-densities
+summed in-kernel via the shared closed forms) or an arbitrary traced
+JOINT log-density f(x_1..x_d) evaluated directly on the lane blocks —
+the capability the strictly 1-D reference cannot express at any speed
+(its MCMC binds one target Distribution per program,
+src/shader_gen.rs:496-509).  Analytic proposal dimensions only;
+table-sampled dimensions route to the XLA sweep.
+
+``with_stderr``: between-chain variance exactly as the 1-D kernel —
+pilot-shifted accumulators (pilot = per-program mean of f over the init
+draw), per-program (chain-mean sums, SS, centroid) stat rows written to
+per-grid-step (8, 128) blocks, Chan-recombined across programs/devices.
+
+RNG: one hardware-PRNG stream per program (CounterRng in the interpreter
+tier); dimension j draws under tag j, so counter streams stay distinct
+per (step purpose, dimension) — the nd form of the reference's
++1000000/+999999 stream separation (src/shader_gen.rs:477-536).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from ..sampling import DistKind
+from .integrate_pallas import (
+    LANES,
+    CounterRng,
+    HardwareRng,
+    _uniform_open01,
+)
+from .mcmc_pallas import (
+    UNROLL_STEPS,
+    _log_pdf,
+    _sample_chain_block,
+    _unrolled_fori,
+    plan_mcmc_grid,
+)
+
+__all__ = [
+    "build_mcmc_nd_pallas",
+    "mcmc_nd_pallas_supports",
+    "mcmc_nd_vmem_fits",
+]
+
+_ANALYTIC = (DistKind.UNIFORM, DistKind.NORMAL, DistKind.EXPONENTIAL)
+
+# Seed-word mix distinguishing the nd MCMC stream family from both the
+# integrate kernels' and the 1-D MCMC kernel's (0x5BD1E995) families.
+_ND_STREAM_MIX = 0x27D4EB2F
+
+
+def mcmc_nd_pallas_supports(
+    prop_kinds: Sequence[DistKind],
+    targ_kinds: Optional[Sequence[DistKind]],
+) -> bool:
+    """Analytic proposal dims; target either analytic-product (kinds
+    given) or a joint traced fn (kinds None — fn checks happen at the
+    call site)."""
+    if not all(k in _ANALYTIC for k in prop_kinds):
+        return False
+    if targ_kinds is not None and not all(
+        k in _ANALYTIC for k in targ_kinds
+    ):
+        return False
+    return True
+
+
+def mcmc_nd_vmem_fits(
+    k: int,
+    d: int,
+    rows: int,
+    local_programs: int,
+    budget_bytes: int = 16 * 1024 * 1024,
+    with_stderr: bool = False,
+) -> bool:
+    """Conservative VMEM estimate, same model as the 1-D gate
+    (mcmc_pallas.mcmc_vmem_fits): d carried state blocks + (log_p,
+    log_q) + K accumulators + accept count, d proposal temporaries +
+    (log_p', log_q', u), doubled for Mosaic's scoped temporaries, plus
+    the output buffer."""
+    blocks = 2 * d + k + 6
+    if with_stderr:
+        blocks += 1  # end-of-kernel chain-means temporary
+    est = 2 * blocks * rows * LANES * 4
+    if with_stderr:
+        est += 2 * 8 * LANES * 4  # double-buffered per-step stat blocks
+    else:
+        est += local_programs * LANES * 4
+    return est <= budget_bytes
+
+
+def build_mcmc_nd_pallas(
+    eval_fns: Sequence[Callable],
+    prop_kinds: Sequence[DistKind],
+    n_steps: int,
+    n_burnin: int,
+    total_chains: int,
+    targ_kinds: Optional[Sequence[DistKind]] = None,
+    target_logpdf_fn: Optional[Callable] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    axis_name: str = "mc",
+    interpret: bool = False,
+    with_stderr: bool = False,
+):
+    """Build a jitted nd MH kernel program.
+
+    Returned signature (the analytic subset of the XLA nd builder's —
+    api passes only what the kernel consumes)::
+
+        (seed, prop_params_t, targ_params_t)
+        -> ((K,) estimates, () acceptance_rate [, (K,) stderr])
+
+    ``prop_params_t``/``targ_params_t`` are d-tuples of (2,) family
+    parameter arrays; ``targ_params_t`` is () for joint-fn targets.
+    """
+    if (targ_kinds is None) == (target_logpdf_fn is None):
+        raise ValueError(
+            "exactly one of targ_kinds (product target) or "
+            "target_logpdf_fn (joint target) must be given"
+        )
+    prop_kinds = tuple(prop_kinds)
+    d = len(prop_kinds)
+    if targ_kinds is not None:
+        targ_kinds = tuple(targ_kinds)
+        if len(targ_kinds) != d:
+            raise ValueError("targ_kinds must match the proposal dims")
+    if not mcmc_nd_pallas_supports(prop_kinds, targ_kinds):
+        raise ValueError(
+            "nd Pallas MCMC supports analytic families only; "
+            "table-sampled dimensions take the XLA backend"
+        )
+    k = len(eval_fns)
+    if k >= LANES:
+        raise ValueError(f"at most {LANES - 1} fused functions supported")
+    from .fast_math import kernelize
+
+    eval_fns = tuple(kernelize(f) for f in eval_fns)
+    if target_logpdf_fn is not None:
+        target_logpdf_fn = kernelize(target_logpdf_fn)
+
+    n_dev = 1 if mesh is None else mesh.size
+    programs, rows, chains_actual = plan_mcmc_grid(total_chains)
+    programs = -(-programs // n_dev) * n_dev
+    chains_actual = programs * rows * LANES
+    local_programs = programs // n_dev
+    n_iters = n_burnin + n_steps
+    td = d if targ_kinds is not None else 1  # dummy (1, 2) when joint
+
+    rng_factory = CounterRng if interpret else HardwareRng
+
+    def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, out_ref):
+        pid = pl.program_id(0)
+        rng = rng_factory()
+        rng.seed(
+            seed_ref[0, 0] ^ _ND_STREAM_MIX, pid_base_ref[0, 0] + pid
+        )
+        qp = [(prop_ref[j, 0], prop_ref[j, 1]) for j in range(d)]
+        if targ_kinds is not None:
+            tp = [(targ_ref[j, 0], targ_ref[j, 1]) for j in range(d)]
+
+        def sample_all(counter):
+            return tuple(
+                _sample_chain_block(
+                    prop_kinds[j], *qp[j], rows, rng, counter, tag=j
+                )
+                for j in range(d)
+            )
+
+        def lp_t(xs):
+            if target_logpdf_fn is not None:
+                return jnp.broadcast_to(
+                    target_logpdf_fn(*xs).astype(jnp.float32),
+                    (rows, LANES),
+                )
+            tot = None
+            for j in range(d):
+                lp = _log_pdf(targ_kinds[j], *tp[j], xs[j], rows)
+                tot = lp if tot is None else tot + lp
+            return tot
+
+        def lp_q(xs):
+            tot = None
+            for j in range(d):
+                lq = _log_pdf(prop_kinds[j], *qp[j], xs[j], rows)
+                tot = lq if tot is None else tot + lq
+            return tot
+
+        xs0 = sample_all(0)
+        logp0 = lp_t(xs0)
+        logq0 = lp_q(xs0)
+
+        n_block = jnp.float32(rows * LANES)
+        if with_stderr:
+            # Per-program accumulation pilot from the init draw, exactly
+            # the 1-D kernel's design (restored via Chan recombination in
+            # the wrapper).
+            pilots = [
+                jnp.sum(
+                    jnp.broadcast_to(
+                        f(*xs0).astype(jnp.float32), (rows, LANES)
+                    )
+                )
+                / n_block
+                for f in eval_fns
+            ]
+
+        def mh_move(i, xs, logp, logq):
+            xp = sample_all(3 * i + 1)
+            logp_prop = lp_t(xp)
+            logq_prop = lp_q(xp)
+            log_alpha = logp_prop + logq - logp - logq_prop
+            u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
+            accept = jnp.log(u) < log_alpha
+            xs = tuple(
+                jnp.where(accept, xp_j, x_j)
+                for xp_j, x_j in zip(xp, xs)
+            )
+            logp = jnp.where(accept, logp_prop, logp)
+            logq = jnp.where(accept, logq_prop, logq)
+            return xs, logp, logq, accept
+
+        # Burn-in advances the chains without touching the K integrands
+        # or the accept counter; the iteration index runs through both
+        # phases and each phase draws the same blocks per iteration, so
+        # the streams are identical to a fused single loop.
+        def burn_body(i, carry):
+            xs, logp, logq = carry
+            xs, logp, logq, _ = mh_move(i, xs, logp, logq)
+            return (xs, logp, logq)
+
+        xs0, logp0, logq0 = _unrolled_fori(
+            0, n_burnin, burn_body, (xs0, logp0, logq0), UNROLL_STEPS
+        )
+
+        def body(i, carry):
+            xs, logp, logq, accs, n_acc = carry
+            xs, logp, logq, accept = mh_move(i, xs, logp, logq)
+            if with_stderr:
+                accs = tuple(
+                    acc + (f(*xs).astype(jnp.float32) - p)
+                    for acc, f, p in zip(accs, eval_fns, pilots)
+                )
+            else:
+                accs = tuple(
+                    acc + f(*xs).astype(jnp.float32)
+                    for acc, f in zip(accs, eval_fns)
+                )
+            n_acc = n_acc + accept.astype(jnp.float32)
+            return (xs, logp, logq, accs, n_acc)
+
+        init = (
+            xs0,
+            logp0,
+            logq0,
+            tuple(
+                jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
+            ),
+            jnp.zeros((rows, LANES), jnp.float32),
+        )
+        _, _, _, accs, n_acc = _unrolled_fori(
+            n_burnin, n_iters, body, init, UNROLL_STEPS
+        )
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        row_out = jnp.zeros((1, LANES), jnp.float32)
+        if with_stderr:
+            # Per-program between-chain stats (chain-mean sums row, SS
+            # row, centroid row + 5 padding rows), per-grid-step (8, 128)
+            # output block — the 1-D kernel's layout verbatim.
+            inv_steps = jnp.float32(1.0) / jnp.float32(max(n_steps, 1))
+            row_ss = jnp.zeros((1, LANES), jnp.float32)
+            row_mb = jnp.zeros((1, LANES), jnp.float32)
+            for i, acc in enumerate(accs):
+                cm = acc * inv_steps
+                s1 = jnp.sum(cm)
+                s2 = jnp.sum(cm * cm)
+                mbs = s1 / n_block
+                ss = jnp.maximum(s2 - n_block * mbs * mbs, 0.0)
+                mb = mbs + pilots[i]
+                row_out = jnp.where(col == i, n_block * mb, row_out)
+                row_ss = jnp.where(col == i, ss, row_ss)
+                row_mb = jnp.where(col == i, mb, row_mb)
+            row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
+            out_ref[:, :] = jnp.concatenate(
+                [row_out, row_ss, row_mb,
+                 jnp.zeros((5, LANES), jnp.float32)],
+                axis=0,
+            )
+        else:
+            for i, acc in enumerate(accs):
+                row_out = jnp.where(col == i, jnp.sum(acc), row_out)
+            row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
+            out_ref[pl.ds(pid, 1), :] = row_out
+
+    smem_scalar = pl.BlockSpec(
+        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    smem_prop = pl.BlockSpec(
+        (d, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    smem_targ = pl.BlockSpec(
+        (td, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    def pallas_sweep(seed_a, prop_a, targ_a, pid_base):
+        if with_stderr:
+            out_spec = pl.BlockSpec(
+                (8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+            total_rows = 8 * local_programs
+        else:
+            out_spec = pl.BlockSpec(
+                (local_programs, LANES),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            total_rows = local_programs
+        out = pl.pallas_call(
+            kernel,
+            grid=(local_programs,),
+            in_specs=[smem_scalar, smem_prop, smem_targ, smem_scalar],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (total_rows, LANES), jnp.float32
+            ),
+            interpret=interpret,
+        )(seed_a, prop_a, targ_a, pid_base)
+        if with_stderr:
+            grouped = out.reshape(local_programs, 8, LANES)
+            sums = jnp.sum(grouped[:, 0, :], axis=0)  # (LANES,)
+            return (
+                sums[:k],
+                sums[k],
+                grouped[:, 1, :k],  # (P, K) per-program SS
+                grouped[:, 2, :k],  # (P, K) per-program centroids
+            )
+        totals = jnp.sum(out, axis=0)
+        return totals[:k], totals[k]
+
+    denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
+    denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
+    chains_f = jnp.float32(chains_actual)
+    block_f = jnp.float32(rows * LANES)
+
+    def _stderr_of(ss_total):
+        var = ss_total / jnp.maximum(chains_f - 1.0, 1.0)
+        return jnp.sqrt(var / chains_f)
+
+    def _chan_combine(values, ss, mb):
+        # Total SS around the global mean M over this device's programs:
+        # sum_p [SS_p + n_p (mb_p - M)^2]; cross-device psum outside.
+        corr = block_f * (mb - values[None, :]) ** 2
+        return jnp.sum(ss + corr, axis=0)
+
+    def _prep(seed, prop_params_t, targ_params_t):
+        seed_a = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        prop_a = jnp.stack(
+            [jnp.asarray(p, jnp.float32) for p in prop_params_t]
+        ).reshape(d, 2)
+        if targ_kinds is not None:
+            targ_a = jnp.stack(
+                [jnp.asarray(t, jnp.float32) for t in targ_params_t]
+            ).reshape(d, 2)
+        else:
+            targ_a = jnp.zeros((1, 2), jnp.float32)
+        return seed_a, prop_a, targ_a
+
+    if mesh is None:
+
+        @jax.jit
+        def run(seed, prop_params_t, targ_params_t=()):
+            seed_a, prop_a, targ_a = _prep(
+                seed, prop_params_t, targ_params_t
+            )
+            base = jnp.zeros((1, 1), jnp.int32)
+            if with_stderr:
+                sums, n_acc, ss, mb = pallas_sweep(
+                    seed_a, prop_a, targ_a, base
+                )
+                values = sums / chains_f  # chain-MEAN sums
+                ss_total = _chan_combine(values, ss, mb)
+                return values, n_acc / denom_acc, _stderr_of(ss_total)
+            sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base)
+            return sums / denom_vals, n_acc / denom_acc
+
+        return run
+
+    replicated = P()
+
+    def sharded_body(seed_a, prop_a, targ_a):
+        dev = jax.lax.axis_index(axis_name)
+        base = (dev * local_programs).astype(jnp.int32).reshape(1, 1)
+        if with_stderr:
+            sums, n_acc, ss, mb = pallas_sweep(
+                seed_a, prop_a, targ_a, base
+            )
+            values = jax.lax.psum(sums, axis_name) / chains_f
+            n_acc = jax.lax.psum(n_acc, axis_name) / denom_acc
+            ss_total = jax.lax.psum(
+                _chan_combine(values, ss, mb), axis_name
+            )
+            return values, n_acc, _stderr_of(ss_total)
+        sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base)
+        return (
+            jax.lax.psum(sums, axis_name) / denom_vals,
+            jax.lax.psum(n_acc, axis_name) / denom_acc,
+        )
+
+    out_specs = (replicated, replicated)
+    if with_stderr:
+        out_specs = out_specs + (replicated,)
+    shard_mapped = jax.shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(replicated, replicated, replicated),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(seed, prop_params_t, targ_params_t=()):
+        seed_a, prop_a, targ_a = _prep(seed, prop_params_t, targ_params_t)
+        return shard_mapped(seed_a, prop_a, targ_a)
+
+    return run

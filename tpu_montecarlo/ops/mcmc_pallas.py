@@ -162,11 +162,17 @@ def _unrolled_fori(lo: int, hi: int, step_fn, carry, unroll: int):
     return jax.lax.fori_loop(lo + main * unroll, hi, step_fn, carry)
 
 
-def _sample_chain_block(kind: DistKind, p1, p2, rows, rng, counter, inv=None):
+def _sample_chain_block(
+    kind: DistKind, p1, p2, rows, rng, counter, inv=None, tag=0
+):
+    """One (rows, 128) proposal block.  ``tag`` separates the streams of
+    different dimensions in the nd kernel (the counter RNG folds it in;
+    the hardware PRNG is sequential so tags are naturally distinct);
+    1-D callers leave it 0, keeping their streams unchanged."""
     if kind == DistKind.UNIFORM:
         from ..sampling import next_below_f32
 
-        u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+        u = _uniform_halfopen01(rng, (rows, LANES), counter, tag)
         x = p1 + u * (p2 - p1)
         # Clamp below max: f32 rounding may land on the half-open boundary
         # (Mosaic bitcast is vector-only, so decrement the offending lanes).
@@ -180,15 +186,15 @@ def _sample_chain_block(kind: DistKind, p1, p2, rows, rng, counter, inv=None):
         # is dominated by the two log-pdf evaluations, not the draw).
         from ..sampling import normal_from_u01
 
-        u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+        u = _uniform_halfopen01(rng, (rows, LANES), counter, tag)
         return p1 + p2 * normal_from_u01(u)
     if kind == DistKind.EXPONENTIAL:
-        u = _uniform_open01(rng, (rows, LANES), counter, 0)
+        u = _uniform_open01(rng, (rows, LANES), counter, tag)
         return -jnp.log(jnp.maximum(u, 1e-7)) / p1
     if kind == DistKind.CUSTOM:
         inv_t, inv_dx = inv
         m = inv_t.shape[0] * LANES
-        u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+        u = _uniform_halfopen01(rng, (rows, LANES), counter, tag)
         pos = u * jnp.float32(m - 1)
         i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
         frac = pos - i0.astype(jnp.float32)
