@@ -472,18 +472,57 @@ class TestNdPallasKernel:
         )
         assert abs(r.values[0] - 1.5) < 0.02
 
-    def test_table_dim_falls_back_with_warning(self, kern):
+    def test_table_dims_ride_the_kernel(self, kern):
+        """Custom dims run in-kernel: the first through the stratified
+        tables, further ones through the full-inverse lane-gather (two
+        customs on the same row index would pair strata diagonally, so
+        only one dim stratifies)."""
         import warnings as _w
 
         b = Distribution.beta(2.0, 5.0)
+        b2 = Distribution.beta(3.0, 3.0)
         u = Distribution.uniform(0.0, 1.0)
         with _w.catch_warnings(record=True) as rec:
             _w.simplefilter("always")
             r = kern.integrate(
                 [lambda x, y: x * y], [b, u], n_samples=200_000, seed=6
             )
-            assert any("XLA" in str(x.message) for x in rec)
+            assert not any("XLA" in str(x.message) for x in rec)
         assert abs(r.values[0] - (2.0 / 7.0) * 0.5) < 0.01
+        # two table dims + cross term: E[XY] = E[X]E[Y] (independent)
+        r2 = kern.integrate(
+            [lambda x, y: x * y], [b, b2], n_samples=500_000, seed=8
+        )
+        assert abs(r2.values[0] - (2.0 / 7.0) * 0.5) < 0.008
+        # stderr and qmc compose with table dims in-kernel
+        r3 = kern.integrate(
+            [lambda x, y: x + y], [b, u], n_samples=200_000, seed=9,
+            return_stderr=True,
+        )
+        assert r3.stderr[0] > 0
+        assert abs(r3.values[0] - (2.0 / 7.0 + 0.5)) < 6 * r3.stderr[0] + 0.01
+        r4 = kern.integrate(
+            [lambda x, y: x * y], [b, u], n_samples=200_000, seed=10,
+            method="qmc",
+        )
+        assert abs(r4.values[0] - (2.0 / 7.0) * 0.5) < 0.005
+
+    def test_gapped_table_dim_falls_back_with_warning(self, kern):
+        import warnings as _w
+
+        x = np.linspace(0.0, 1.0, 2048)
+        p = np.where((x > 0.4) & (x < 0.6), 0.0, 1.0)
+        gapped = Distribution.from_pdf_table(x, p)
+        u = Distribution.uniform(0.0, 1.0)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            r = kern.integrate(
+                [lambda x, y: x * y], [gapped, u],
+                n_samples=200_000, seed=6,
+            )
+            assert any("XLA" in str(x.message) for x in rec)
+        # E[X] of the gapped density: symmetric around 0.5 -> E[XY] = 0.25
+        assert abs(r.values[0] - 0.25) < 0.01
 
     def test_is_weights_ride_the_kernel(self, kern):
         # Traceable pdfs fold into d-ary weighted closures, which pass

@@ -749,24 +749,50 @@ class MonteCarloIntegrator:
         )
 
     def _nd_pallas_eligible(
-        self, kinds, traced, plan_samples, with_stderr
+        self, specs, traced, plan_samples, with_stderr, method
     ) -> bool:
-        """nd kernel gate: analytic dims only, <=128 fused d-ary
-        integrands that evaluate on lane blocks, and a block row count
-        fitting the VMEM budget with d sample blocks in flight."""
+        """nd kernel gate: analytic or plain-table dims (gap-respecting
+        exact_inverse customs route to XLA), <=128 fused d-ary integrands
+        that evaluate on lane blocks, and a block row count fitting the
+        VMEM budget with d sample blocks + resident tables in flight."""
         from .ops.integrate_nd_pallas import (
+            _strat_dim,
             nd_pallas_supports,
             pick_nd_rows,
         )
 
+        kinds = tuple(s.kind for s in specs)
         d = len(kinds)
+        sdim = _strat_dim(kinds, method)
+        tables_ok = True
+        table_sizes = []
+        for j, s in enumerate(specs):
+            if s.kind != DistKind.CUSTOM:
+                table_sizes.append(0)
+                continue
+            if (
+                s.exact_inverse
+                or s.x_table is None
+                or s.x_table.shape[0] < 2
+            ):
+                tables_ok = False
+                table_sizes.append(0)
+                continue
+            m = int(s.x_table.shape[0])
+            table_sizes.append(m)
+            if j != sdim and m % 128 != 0:
+                # Full-inverse dims use the segment lane-gather layout.
+                tables_ok = False
         ok = (
             nd_pallas_supports(kinds)
+            and tables_ok
             and len(traced) <= 128
             and pick_nd_rows(
                 len(traced), d, plan_samples,
                 n_dev=1 if self._mesh is None else self._mesh.size,
                 with_stderr=with_stderr,
+                kinds=kinds, table_sizes=tuple(table_sizes),
+                method=method,
             )
             is not None
             and not any(
@@ -777,9 +803,10 @@ class MonteCarloIntegrator:
         if not ok and self._backend == "pallas":
             warnings.warn(
                 "backend='pallas' requested but this nd workload is not "
-                "kernel-eligible (table-sampled dimension, a function "
-                "that does not evaluate on lane blocks, or over the "
-                "VMEM budget); running the XLA backend instead",
+                "kernel-eligible (gap-respecting or incompatible table "
+                "dimension, a function that does not evaluate on lane "
+                "blocks, or over the VMEM budget); running the XLA "
+                "backend instead",
                 stacklevel=3,
             )
         return ok
@@ -803,16 +830,21 @@ class MonteCarloIntegrator:
             not force_xla
             and self._use_pallas(kinds[0])
             and self._nd_pallas_eligible(
-                kinds, traced, plan.actual_samples, with_stderr
+                specs, traced, plan.actual_samples, with_stderr, method
             )
         ):
             from .ops.integrate_nd_pallas import build_integrate_nd_pallas
 
+            table_sizes = tuple(
+                int(s.x_table.shape[0]) if s.kind == DistKind.CUSTOM else 0
+                for s in specs
+            )
             interpret = jax.default_backend() != "tpu"
             key = (
                 "integrate_nd_pallas",
                 _fns_key(traced),
                 kinds,
+                table_sizes,
                 plan,
                 _mesh_key(mesh),
                 interpret,
@@ -824,14 +856,17 @@ class MonteCarloIntegrator:
                 lambda: build_integrate_nd_pallas(
                     traced, kinds, plan, mesh=mesh, interpret=interpret,
                     method=method, with_stderr=with_stderr,
+                    table_sizes=table_sizes,
                 ),
             )
 
             def run_kernel(seed, params_t, xt_t, ct_t):
                 # Same call convention as the XLA nd program; analytic
-                # dims ignore the (dummy) tables.
-                del xt_t, ct_t
-                return kern(seed, jnp.stack(params_t))
+                # dims' (dummy) tables ride along unused, custom dims'
+                # uniform-u inverse tables prep inside the jitted kernel
+                # wrapper.
+                del ct_t
+                return kern(seed, jnp.stack(params_t), xt_t)
 
             per = [
                 _device_args_of(dd, s) for dd, s in zip(dists, specs)

@@ -9,8 +9,17 @@ evaluates all K d-ary integrands on the shared tuple, accumulating into
 K VMEM blocks with the same disjoint-output/grid/seed-batch design as
 the 1-D kernel (ops/integrate_pallas.py).
 
-Analytic per-dimension families only (uniform / normal / exponential):
-table-sampled dimensions route to the XLA sweep, which handles any mix.
+Per-dimension families: the analytic transforms (uniform / normal /
+exponential) plus CUSTOM (table-sampled) dimensions fully in-kernel.
+The FIRST custom dimension samples through the 1-D kernel's
+row-stratified inverse tables (one lane-gather per draw) — stratifying
+a single dimension keeps proportional allocation unbiased for any
+integrand because the other dims stay independent of the row index;
+stratifying two dims on the same row index would pair their strata
+diagonally and bias cross terms, so further custom dims (and ALL custom
+dims under Sobol QMC, whose points must map through the full inverse)
+use the i.i.d. segment lane-gather lookup shared with the MCMC kernel.
+Gap-respecting (exact_inverse) customs route to the XLA sweep.
 Transforms are the 1-D kernel's, full-block per dimension (the NORMAL
 half-block split exists only to keep 1-D accumulator shapes; nd needs
 equal-shape blocks across dimensions so every dim draws a full block).
@@ -42,19 +51,36 @@ from .integrate_pallas import (
     HardwareRng,
     _local_out_rows,
     _qmc_pos,
+    _stratified_sample_from_w,
+    _table_lookup_loop,
     _uniform_halfopen01,
     _uniform_open01,
     integrate_vmem_fits,
     plan_pallas_grid,
+    prep_inv_table,
+    prep_inv_table_stratified,
 )
 
 __all__ = ["build_integrate_nd_pallas", "nd_pallas_supports", "pick_nd_rows"]
 
 _ANALYTIC = (DistKind.UNIFORM, DistKind.NORMAL, DistKind.EXPONENTIAL)
+_SUPPORTED = _ANALYTIC + (DistKind.CUSTOM,)
 
 
 def nd_pallas_supports(kinds: Sequence[DistKind]) -> bool:
-    return all(k in _ANALYTIC for k in kinds)
+    return all(k in _SUPPORTED for k in kinds)
+
+
+def _strat_dim(kinds: Sequence[DistKind], method: str) -> int:
+    """Index of the one row-stratified custom dimension (-1 if none):
+    the first CUSTOM dim under plain MC.  QMC points must map through
+    the full inverse, so no dim stratifies under method='qmc'."""
+    if method != "mc":
+        return -1
+    for j, kk in enumerate(kinds):
+        if kk == DistKind.CUSTOM:
+            return j
+    return -1
 
 
 def pick_nd_rows(
@@ -64,13 +90,20 @@ def pick_nd_rows(
     n_dev: int = 1,
     seed_batch: int = 1,
     with_stderr: bool = False,
+    kinds: Sequence[DistKind] = (),
+    table_sizes: Sequence[int] = (),
+    method: str = "mc",
 ) -> Optional[int]:
     """Largest block row count fitting the VMEM budget with d sample
     blocks in flight per unroll step (the 1-D model charges one; each
     extra dimension adds UNROLL_BLOCKS in-flight blocks plus per-eval
-    temporaries)."""
+    temporaries).  ``kinds``/``table_sizes`` charge resident custom
+    tables: the stratified dim costs 2 (rows, 128) blocks, each
+    full-inverse dim 2 flat m-knot tables."""
     rows = BLOCK_ROWS
     extra = (UNROLL_BLOCKS + 2) * max(d - 1, 0)
+    sdim = _strat_dim(tuple(kinds), method)
+    budget = 16 * 1024 * 1024
     while rows >= 8:
         out_rows = (
             _local_out_rows(plan_samples, rows, n_dev, seed_batch)
@@ -79,9 +112,18 @@ def pick_nd_rows(
         )
         if with_stderr:
             out_rows = 2 * out_rows + 1
+        table_bytes = 0
+        for j, kk in enumerate(kinds):
+            if kk != DistKind.CUSTOM:
+                continue
+            if j == sdim:
+                table_bytes += 2 * rows * LANES * 4
+            else:
+                table_bytes += 2 * int(table_sizes[j]) * 4
         if integrate_vmem_fits(
             k, DistKind.UNIFORM, extra_blocks=extra, rows=rows,
             out_rows=out_rows, with_stderr=with_stderr,
+            budget_bytes=budget - table_bytes,
         ):
             return rows
         rows //= 2
@@ -117,22 +159,26 @@ def build_integrate_nd_pallas(
     seed_batch: int = 1,
     method: str = "mc",
     with_stderr: bool = False,
+    table_sizes: Sequence[int] = (),
 ):
-    """Build a jitted ``(seed, params) -> (K,) float32`` nd kernel
-    program; ``params`` is the (d, 2) per-dimension family parameter
-    array (SMEM-resident, like the 1-D kernel's row).  ``seed_batch=R``
-    batches R independent sweeps as a grid dimension exactly like the
-    1-D kernel (bit-equal to R single-seed calls); ``method="qmc"``
-    draws in-kernel Sobol dimensions under per-(rep, dim) seed-derived
-    rotations, auto-segmenting past one 2^32-point cycle."""
+    """Build a jitted ``(seed, params[, x_tables]) -> (K,) float32`` nd
+    kernel program; ``params`` is the (d, 2) per-dimension family
+    parameter array (SMEM-resident, like the 1-D kernel's row), and
+    ``x_tables`` — required when any dim is CUSTOM — is the d-tuple of
+    uniform-u inverse-CDF tables (analytic dims pass dummies;
+    ``table_sizes[j]`` fixes each custom table's knot count at trace
+    time).  ``seed_batch=R`` batches R independent sweeps as a grid
+    dimension exactly like the 1-D kernel (bit-equal to R single-seed
+    calls); ``method="qmc"`` draws in-kernel Sobol dimensions under
+    per-(rep, dim) seed-derived rotations, auto-segmenting past one
+    2^32-point cycle."""
     if method not in ("mc", "qmc"):
         raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
     kinds = tuple(kinds)
     d = len(kinds)
     if not nd_pallas_supports(kinds):
         raise ValueError(
-            "nd Pallas kernel supports analytic families only; table "
-            "dimensions take the XLA sweep"
+            "nd Pallas kernel supports analytic and table families only"
         )
     k = len(eval_fns)
     if k > LANES:
@@ -141,9 +187,21 @@ def build_integrate_nd_pallas(
 
     eval_fns = tuple(kernelize(f) for f in eval_fns)
 
+    custom_dims = tuple(
+        j for j, kk in enumerate(kinds) if kk == DistKind.CUSTOM
+    )
+    sdim = _strat_dim(kinds, method)
+    table_sizes = tuple(table_sizes) or (0,) * d
+    for j in custom_dims:
+        if j != sdim and table_sizes[j] % LANES != 0:
+            raise ValueError(
+                "full-inverse custom dims need lane-multiple tables"
+            )
+
     n_dev = 1 if mesh is None else mesh.size
     block_rows = pick_nd_rows(
-        k, d, plan.actual_samples, n_dev, seed_batch, with_stderr
+        k, d, plan.actual_samples, n_dev, seed_batch, with_stderr,
+        kinds=kinds, table_sizes=table_sizes, method=method,
     )
     if block_rows is None:
         raise ValueError(
@@ -187,6 +245,9 @@ def build_integrate_nd_pallas(
 
     def kernel(seed_ref, params_ref, pid_base_ref, *rest):
         rest = list(rest)
+        tabs = {}
+        for j in custom_dims:
+            tabs[j] = (rest.pop(0), rest.pop(0))
         pilot_ref = rest.pop(0) if with_stderr else None
         (out_ref,) = rest
         rep = pl.program_id(0)
@@ -209,6 +270,19 @@ def build_integrate_nd_pallas(
             rng.seed(seed_ref[0, rep], pid_base_ref[0, 0] + pid)
         ps = [(params_ref[j, 0], params_ref[j, 1]) for j in range(d)]
         rows = block_rows
+
+        def draw_custom(j, get_u):
+            t, dt = tabs[j]
+            w = get_u(False)
+            if j == sdim:
+                # Row-stratified draw (one lane-gather): the pre-tiled
+                # (rows, 128) tables bake each row's stratum.
+                return _stratified_sample_from_w(t, dt, w)
+            m = t.shape[0] * LANES
+            pos = w * jnp.float32(m - 1)
+            i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
+            frac = pos - i0.astype(jnp.float32)
+            return _table_lookup_loop(t, dt, i0, frac, rows)
 
         def draw_all(blk):
             """d equal-shape sample blocks for global block ``blk``."""
@@ -240,7 +314,10 @@ def build_integrate_nd_pallas(
                         if open01
                         else sobol_u01_halfopen(g, shifts_b[j], sobol_vs[j])
                     )
-                    xs.append(_draw_dim(kinds[j], *ps[j], get_u))
+                    if kinds[j] == DistKind.CUSTOM:
+                        xs.append(draw_custom(j, get_u))
+                    else:
+                        xs.append(_draw_dim(kinds[j], *ps[j], get_u))
                 return tuple(xs)
             xs = []
             for j in range(d):
@@ -251,7 +328,10 @@ def build_integrate_nd_pallas(
                     if open01
                     else _uniform_halfopen01(rng, (rows, LANES), blk, j)
                 )
-                xs.append(_draw_dim(kinds[j], *ps[j], get_u))
+                if kinds[j] == DistKind.CUSTOM:
+                    xs.append(draw_custom(j, get_u))
+                else:
+                    xs.append(_draw_dim(kinds[j], *ps[j], get_u))
             return tuple(xs)
 
         def body(i, carry):
@@ -313,8 +393,11 @@ def build_integrate_nd_pallas(
     out_rows = seed_batch * local_programs
     total_out_rows = 2 * out_rows if with_stderr else out_rows
 
-    def pallas_sweep(seed, params, pid_base, *pilot):
+    def pallas_sweep(seed, params, pid_base, *extra):
+        # extra = 2 prepped table refs per custom dim, then the pilot row
+        # when with_stderr.
         in_specs = [smem_seeds, smem_params, smem_scalar]
+        in_specs += [vmem] * (2 * len(custom_dims))
         if with_stderr:
             in_specs.append(vmem)
         out = pl.pallas_call(
@@ -330,7 +413,7 @@ def build_integrate_nd_pallas(
                 (total_out_rows, LANES), jnp.float32
             ),
             interpret=interpret,
-        )(seed, params, pid_base, *pilot)
+        )(seed, params, pid_base, *extra)
         if with_stderr:
             return (
                 jnp.sum(
@@ -355,13 +438,29 @@ def build_integrate_nd_pallas(
         params_arr = jnp.asarray(params, jnp.float32).reshape(d, 2)
         return seed_arr, params_arr
 
+    def _prep_tables(x_tables):
+        """Flat tuple of device table pairs, kernel-arg order: the
+        stratified dim gets (rows, 128) pre-tiled (value, slope) tables,
+        full-inverse dims the (m/128, 128) segment layout + forward
+        differences (shared with the MCMC kernel)."""
+        prepped = []
+        for j in custom_dims:
+            t = jnp.asarray(x_tables[j], jnp.float32)
+            if j == sdim:
+                prepped.extend(prep_inv_table_stratified(t, block_rows))
+            else:
+                prepped.extend(prep_inv_table(t))
+        return tuple(prepped)
+
     def _shape_result(sums):
         return sums[0] if seed_batch == 1 else sums
 
-    def _pilot_of(params_arr):
+    def _pilot_of(params_arr, x_tables=()):
         """(1, 128) pilot row: per-function means over per-dimension
         quantile grids, golden-ratio-offset per dim (deterministic, pure
-        function of replicated inputs — devices agree)."""
+        function of replicated inputs — devices agree).  Custom dims map
+        the grid through their full inverse table (plain XLA lerp — this
+        runs outside the kernel)."""
         n_p = 8 * LANES
         base = (
             jnp.arange(n_p, dtype=jnp.float32) + jnp.float32(0.5)
@@ -377,6 +476,14 @@ def build_integrate_nd_pallas(
                 from ..sampling import normal_from_u01
 
                 xs.append(p1 + p2 * normal_from_u01(u))
+            elif kinds[j] == DistKind.CUSTOM:
+                t = jnp.asarray(x_tables[j], jnp.float32)
+                m = t.shape[0]
+                pos = u * jnp.float32(m - 1)
+                i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
+                frac = pos - i0.astype(jnp.float32)
+                x0 = jnp.take(t, i0)
+                xs.append(x0 + frac * (jnp.take(t, i0 + 1) - x0))
             else:
                 xs.append(-jnp.log(u) / p1)
         vals = jnp.stack(
@@ -397,14 +504,17 @@ def build_integrate_nd_pallas(
     if mesh is None:
 
         @jax.jit
-        def run(seed, params):
+        def run(seed, params, x_tables=()):
             seed_arr, params_arr = _prep(seed, params)
+            tabs = _prep_tables(x_tables)
             base = jnp.zeros((1, 1), jnp.int32)
             if with_stderr:
-                pilot = _pilot_of(params_arr)
-                sums, sqs = pallas_sweep(seed_arr, params_arr, base, pilot)
+                pilot = _pilot_of(params_arr, x_tables)
+                sums, sqs = pallas_sweep(
+                    seed_arr, params_arr, base, *tabs, pilot
+                )
                 return _finish_stderr(sums, sqs, pilot)
-            sums = pallas_sweep(seed_arr, params_arr, base)
+            sums = pallas_sweep(seed_arr, params_arr, base, *tabs)
             return _shape_result(sums / jnp.float32(actual))
 
         run.actual_samples = actual
@@ -413,37 +523,41 @@ def build_integrate_nd_pallas(
 
     replicated = P()
 
-    def sharded_body(seed_arr, params_arr, *pilot):
+    def sharded_body(seed_arr, params_arr, tabs, *pilot):
         dev = jax.lax.axis_index(axis_name)
         base = (dev * local_programs).astype(jnp.int32).reshape(1, 1)
         if with_stderr:
-            sums, sqs = pallas_sweep(seed_arr, params_arr, base, *pilot)
+            sums, sqs = pallas_sweep(
+                seed_arr, params_arr, base, *tabs, *pilot
+            )
             return _finish_stderr(
                 jax.lax.psum(sums, axis_name),
                 jax.lax.psum(sqs, axis_name),
                 pilot[0],
             )
-        sums = pallas_sweep(seed_arr, params_arr, base)
+        sums = pallas_sweep(seed_arr, params_arr, base, *tabs)
         return _shape_result(
             jax.lax.psum(sums, axis_name) / jnp.float32(actual)
         )
 
+    tabs_rep = (replicated,) * (2 * len(custom_dims))
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(replicated, replicated)
+        in_specs=(replicated, replicated, tabs_rep)
         + ((replicated,) if with_stderr else ()),
         out_specs=(replicated, replicated) if with_stderr else replicated,
         check_vma=False,
     )
 
     @jax.jit
-    def run(seed, params):
+    def run(seed, params, x_tables=()):
         seed_arr, params_arr = _prep(seed, params)
+        tabs = _prep_tables(x_tables)
         if with_stderr:
-            pilot = _pilot_of(params_arr)
-            return shard_mapped(seed_arr, params_arr, pilot)
-        return shard_mapped(seed_arr, params_arr)
+            pilot = _pilot_of(params_arr, x_tables)
+            return shard_mapped(seed_arr, params_arr, tabs, pilot)
+        return shard_mapped(seed_arr, params_arr, tabs)
 
     run.actual_samples = actual
     run.block_rows = block_rows

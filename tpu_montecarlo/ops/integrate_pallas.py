@@ -179,6 +179,42 @@ def _table_lookup(table_ref, dx_ref, i0, frac, rows):
     return x0 + frac * dx
 
 
+def _table_lookup_loop(table_ref, dx_ref, i0, frac, rows):
+    """``fori_loop`` form of :func:`_table_lookup`: one segment per
+    iteration with loop-local temporaries.  The unrolled scan keeps every
+    segment's gather temporaries live on the Mosaic stack — fine at MCMC
+    chain-block sizes (rows <= 64), but at integrate block sizes it blows
+    the 16 MB scoped-VMEM limit (measured: ONE 32-segment lookup at
+    rows=256 under the nd kernel's 8-draw in-flight unroll allocated
+    93.6 MB and OOMed at compile time); the loop form bounds the stack at
+    one segment's temporaries at ~equal per-sample VPU work."""
+    segments = table_ref.shape[0]
+    seg = i0 >> 7
+    col = i0 - (seg << 7)
+
+    def body(s, carry):
+        x0, dx = carry
+        row_x = jnp.broadcast_to(
+            table_ref[pl.ds(s, 1), :], (rows, LANES)
+        )
+        row_d = jnp.broadcast_to(dx_ref[pl.ds(s, 1), :], (rows, LANES))
+        hit = seg == s
+        x0 = jnp.where(hit, jnp.take_along_axis(row_x, col, axis=1), x0)
+        dx = jnp.where(hit, jnp.take_along_axis(row_d, col, axis=1), dx)
+        return x0, dx
+
+    x0, dx = jax.lax.fori_loop(
+        0,
+        segments,
+        body,
+        (
+            jnp.zeros((rows, LANES), jnp.float32),
+            jnp.zeros((rows, LANES), jnp.float32),
+        ),
+    )
+    return x0 + frac * dx
+
+
 def _local_out_rows(
     plan_samples: int, rows: int, n_dev: int = 1, seed_batch: int = 1
 ) -> int:
