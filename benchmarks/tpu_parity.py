@@ -693,7 +693,41 @@ def main() -> int:
     )
     ok &= check("nd_mcmc_joint_density", r.values, [rho], 0.05,
                 "nd MCMC: E[XY] of a rho=0.8 bivariate Gaussian from its "
-                "joint log-density")
+                "joint log-density (rides the nd MH kernel)")
+
+    # Table-sampled nd dims in-kernel (round 3): two custom dims — the
+    # first through row-stratified tables, the second through the
+    # full-inverse loop lookup — cross-term unbiasedness is exactly what
+    # diagonal stratification would break.
+    beta33 = mc.Distribution.beta(3.0, 3.0)
+    r = mc.integrate(
+        [lambda x, y: x * y, lambda x, y: x + y],
+        [beta25, beta33], n_samples=10_000_000, seed=8,
+    )
+    ok &= check("nd_kernel_two_table_dims", r.values,
+                [(2.0 / 7.0) * 0.5, 2.0 / 7.0 + 0.5], 0.005,
+                "nd kernel, two custom dims: E[XY]=E[X]E[Y], E[X+Y]")
+    r = mc.integrate(
+        [lambda x, y: x * y], [beta25, u01],
+        n_samples=10_000_000, seed=9, method="qmc",
+    )
+    ok &= check("nd_kernel_table_dim_qmc", r.values, [(2.0 / 7.0) * 0.5],
+                0.002, "Sobol QMC through a full-inverse table dim")
+
+    # nd MH kernel, product target + in-kernel between-chain error bars.
+    rp = mc.integrate_mcmc(
+        [lambda x, y: x * x + y * y, lambda x, y: x * y],
+        [d, d], [q2, q2],
+        n_steps=4000, n_chains=4096, n_burnin=400, seed=42,
+        return_stderr=True,
+    )
+    ok &= check("nd_mcmc_product_kernel",
+                [float(rp.values[0]), float(rp.values[1]),
+                 float(rp.values[0] - 2.0)
+                 / max(float(rp.stderr[0]), 1e-12)],
+                [2.0, 0.0, 0.0], [0.05, 0.03, 6.0],
+                "nd MH kernel, product N(0,1)^2 target: E[X^2+Y^2]=2, "
+                "E[XY]=0, truth within 6 in-kernel error bars")
 
     # Randomized-QMC error bars (round 3): the rotation spread must
     # cover the composite estimate's error AND sit far below the MC

@@ -699,3 +699,118 @@ class TestNdMcmcPallasKernel:
             n_steps=1500, n_chains=1024, n_burnin=200, seed=7,
         )
         assert abs(r.values[0] - 1.0) < 0.08
+
+
+class TestNdCompiledHandles:
+    """AOT serving handles over the nd families (compile_integrate /
+    compile_mcmc with Distribution sequences): seed batches ride the nd
+    kernels' grid dimension (bit-equal per job), XLA routes batch via a
+    traced lax.map."""
+
+    def test_integrate_kernel_seed_batch_bit_equal(self):
+        kern = mc.MonteCarloIntegrator(backend="pallas")
+        n01 = Distribution.normal(0.0, 1.0)
+        u = Distribution.uniform(0.0, 1.0)
+        fns = [lambda x, y: x * y, lambda x, y: x * x + y]
+        prog = kern.compile_integrate(
+            fns, [n01, u], n_samples=200_000, seed_batch=3
+        )
+        out = np.asarray(prog([5, 6, 7]))
+        assert out.shape == (3, 2)
+        single = kern.compile_integrate(fns, [n01, u], n_samples=200_000)
+        singles = np.stack([np.asarray(single(s)) for s in (5, 6, 7)])
+        np.testing.assert_array_equal(out, singles)
+
+    def test_integrate_xla_seed_batch_bit_equal(self):
+        xla = mc.MonteCarloIntegrator(backend="xla")
+        n01 = Distribution.normal(0.0, 1.0)
+        u = Distribution.uniform(0.0, 1.0)
+        fns = [lambda x, y: x * y]
+        prog = xla.compile_integrate(
+            fns, [n01, u], n_samples=200_000, seed_batch=2
+        )
+        out = np.asarray(prog([5, 6]))
+        single = xla.compile_integrate(fns, [n01, u], n_samples=200_000)
+        singles = np.stack([np.asarray(single(s)) for s in (5, 6)])
+        np.testing.assert_array_equal(out, singles)
+
+    def test_integrate_stderr_handle_shapes(self):
+        kern = mc.MonteCarloIntegrator(backend="pallas")
+        n01 = Distribution.normal(0.0, 1.0)
+        prog = kern.compile_integrate(
+            [lambda x, y: x + y], [n01, n01], n_samples=200_000,
+            seed_batch=2, return_stderr=True,
+        )
+        v, se = prog([5, 6])
+        assert np.asarray(v).shape == (2, 1)
+        assert np.asarray(se).shape == (2, 1)
+        assert float(np.asarray(se)[0, 0]) > 0
+
+    def test_mcmc_kernel_seed_batch_bit_equal(self):
+        kern = mc.MonteCarloIntegrator(backend="pallas")
+        n01 = Distribution.normal(0.0, 1.0)
+        q = Distribution.normal(0.0, 2.0)
+        fns = [lambda x, y: x * x + y * y]
+        prog = kern.compile_mcmc(
+            fns, [n01, n01], [q, q],
+            n_steps=300, n_chains=512, n_burnin=50, seed_batch=2,
+        )
+        mv, ma = prog([5, 6])
+        mv, ma = np.asarray(mv), np.asarray(ma)
+        assert mv.shape == (2, 1) and ma.shape == (2,)
+        sv, sa = kern.compile_mcmc(
+            fns, [n01, n01], [q, q],
+            n_steps=300, n_chains=512, n_burnin=50,
+        )(5)
+        assert float(np.asarray(sv)[0]) == mv[0, 0]
+        assert float(np.asarray(sa)) == ma[0]
+
+    def test_mcmc_joint_fn_stderr_handle(self):
+        kern = mc.MonteCarloIntegrator(backend="pallas")
+        q = Distribution.normal(0.0, 2.0)
+        prog = kern.compile_mcmc(
+            [lambda x, y: x * y],
+            lambda x, y: -0.5 * (x * x + y * y) - 0.3 * x * y,
+            [q, q], n_steps=300, n_chains=512, n_burnin=50,
+            seed_batch=2, return_stderr=True,
+        )
+        jv, ja, jse = prog([5, 6])
+        assert np.asarray(jv).shape == (2, 1)
+        assert np.asarray(jse).shape == (2, 1)
+
+    def test_mcmc_xla_table_dim_handle(self):
+        xla = mc.MonteCarloIntegrator(backend="xla")
+        b = Distribution.beta(2.0, 5.0)
+        n01 = Distribution.normal(0.0, 1.0)
+        u = Distribution.uniform(0.0, 1.0)
+        q = Distribution.normal(0.0, 2.0)
+        prog = xla.compile_mcmc(
+            [lambda x, y: x * y], [b, n01], [u, q],
+            n_steps=200, n_chains=512, n_burnin=20, seed_batch=2,
+        )
+        tv, ta = prog([5, 6])
+        assert np.asarray(tv).shape == (2, 1)
+        assert np.asarray(ta).shape == (2,)
+
+    def test_param_batch_rejected_for_nd(self):
+        it = mc.MonteCarloIntegrator()
+        n01 = Distribution.normal(0.0, 1.0)
+        with pytest.raises(ValueError, match="param_batch"):
+            it.compile_integrate(
+                [lambda x, y: x + y], [n01, n01],
+                n_samples=1000, seed_batch=2, param_batch=True,
+            )
+        with pytest.raises(ValueError, match="param_batch"):
+            it.compile_mcmc(
+                [lambda x, y: x + y], [n01, n01],
+                [Distribution.normal(0.0, 2.0)] * 2,
+                n_steps=10, n_chains=256, n_burnin=0,
+                seed_batch=2, param_batch=True,
+            )
+
+    def test_single_element_sequence_delegates_to_scalar(self):
+        it = mc.MonteCarloIntegrator()
+        n01 = Distribution.normal(0.0, 1.0)
+        p1 = it.compile_integrate([lambda x: x * x], [n01], n_samples=100_000)
+        p2 = it.compile_integrate([lambda x: x * x], n01, n_samples=100_000)
+        assert float(np.asarray(p1(5))[0]) == float(np.asarray(p2(5))[0])

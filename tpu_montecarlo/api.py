@@ -446,7 +446,38 @@ class MonteCarloIntegrator:
         squares ride the same batched grid; param batches get one pilot
         row per rep).  Serving a whole parameter sweep WITH per-job
         error bars costs one dispatch.
+
+        ``distribution`` may be a SEQUENCE of per-dimension Distributions
+        (d-ary functions): the handle serves the multi-dimensional
+        integrate family, with ``seed_batch`` riding the nd kernel's
+        batch grid dimension (``param_batch`` is 1-D only).
         """
+        if isinstance(distribution, (list, tuple)):
+            dists = list(distribution)
+            if not dists or not all(
+                isinstance(dd, Distribution) for dd in dists
+            ):
+                raise TypeError(
+                    "a distribution sequence must be a non-empty list "
+                    "of Distribution objects"
+                )
+            if len(dists) > 1:
+                if param_batch:
+                    raise ValueError(
+                        "param_batch is not supported for "
+                        "multi-dimensional handles"
+                    )
+                traced = self._trace_user_functions(
+                    functions, n_args=len(dists)
+                )
+                run, dev_args = self._nd_program(
+                    traced, dists, n_samples, method,
+                    with_stderr=return_stderr, seed_batch=seed_batch,
+                )
+                return self._finalize_prog(
+                    run, dev_args, seed_batch, n_param_args=0
+                )
+            distribution = dists[0]
         traced = self._trace_user_functions(functions)
         spec = dist_spec_of(distribution)
         if param_batch:
@@ -813,7 +844,7 @@ class MonteCarloIntegrator:
 
     def _nd_program(
         self, traced, dists, n_samples, method, with_stderr: bool = False,
-        force_xla: bool = False,
+        force_xla: bool = False, seed_batch: int = 1,
     ):
         from .ops.integrate_nd import build_integrate_nd_fn
 
@@ -850,13 +881,14 @@ class MonteCarloIntegrator:
                 interpret,
                 method,
                 with_stderr,
+                seed_batch,
             )
             kern = self._cache.get_or_build(
                 key,
                 lambda: build_integrate_nd_pallas(
                     traced, kinds, plan, mesh=mesh, interpret=interpret,
                     method=method, with_stderr=with_stderr,
-                    table_sizes=table_sizes,
+                    table_sizes=table_sizes, seed_batch=seed_batch,
                 ),
             )
 
@@ -867,6 +899,8 @@ class MonteCarloIntegrator:
                 # wrapper.
                 del ct_t
                 return kern(seed, jnp.stack(params_t), xt_t)
+
+            run_kernel = _tag_native_batch(run_kernel, seed_batch)
 
             per = [
                 _device_args_of(dd, s) for dd, s in zip(dists, specs)
@@ -1517,6 +1551,57 @@ class MonteCarloIntegrator:
         # _integrate_nd counted the weighted tuple; same length as input.
         return out
 
+    def _parse_nd_mcmc_args(self, target, proposal):
+        """Validate and normalise the nd MCMC argument surface: returns
+        ``(proposals, targets, target_fn, d)`` with exactly one of
+        ``targets`` (per-dim product) / ``target_fn`` (traced joint
+        log-density) set."""
+        if isinstance(proposal, Distribution):
+            proposals = [proposal]
+        elif isinstance(proposal, (list, tuple)):
+            proposals = list(proposal)
+        else:
+            raise TypeError(
+                "proposal must be a Distribution or a sequence of "
+                f"Distributions, got {type(proposal)}"
+            )
+        if not proposals or not all(
+            isinstance(p, Distribution) for p in proposals
+        ):
+            raise TypeError(
+                "proposal sequence must be a non-empty list of "
+                "Distribution objects"
+            )
+        d = len(proposals)
+
+        target_fn = None
+        targets = None
+        if isinstance(target, (list, tuple)):
+            targets = list(target)
+            if len(targets) != d or not all(
+                isinstance(t, Distribution) for t in targets
+            ):
+                raise TypeError(
+                    "target sequence must be a list of Distribution "
+                    f"objects matching the {d} proposal dimension(s)"
+                )
+        elif isinstance(target, Distribution):
+            if d != 1:
+                raise TypeError(
+                    "multi-dimensional MCMC needs the target as a "
+                    f"sequence of {d} Distributions or a {d}-ary "
+                    "log-density function"
+                )
+            targets = [target]
+        elif callable(target) or isinstance(target, str):
+            # Joint log-density (up to an additive constant).
+            target_fn = self._trace_user_functions([target], n_args=d)[0]
+        else:
+            raise TypeError(
+                f"Unsupported target type for MCMC: {type(target)}"
+            )
+        return proposals, targets, target_fn, d
+
     def _nd_mcmc_pallas_eligible(
         self, prop_kinds, targ_kinds, target_fn, traced, total_chains,
         d, return_stderr,
@@ -1562,13 +1647,15 @@ class MonteCarloIntegrator:
             )
         return ok
 
-    def _run_mcmc_nd_pallas(
-        self, functions, traced, proposals, prop_specs, targets,
-        target_fn, n_steps, n_chains, n_burnin, seed, total_chains,
-        return_stderr,
-    ) -> IntegrationResult:
-        """Dispatch one nd MCMC run on the fused Pallas kernel (analytic
-        dims; product or joint-fn target)."""
+    def _nd_mcmc_kernel_program(
+        self, traced, proposals, prop_specs, targets, target_fn,
+        n_steps, n_burnin, total_chains, return_stderr,
+        seed_batch: int = 1,
+    ):
+        """Cached nd MH Pallas kernel program (analytic dims; product or
+        joint-fn target) + its device args ``(prop_params_t,
+        targ_params_t)``.  ``seed_batch=R`` batches R runs as the
+        kernel's leading grid dimension (tagged native)."""
         from .ops.mcmc_nd_pallas import build_mcmc_nd_pallas
 
         mesh = self._mesh
@@ -1601,17 +1688,34 @@ class MonteCarloIntegrator:
             _mesh_key(mesh),
             interpret,
             return_stderr,
+            seed_batch,
         )
         run = self._cache.get_or_build(
             key,
-            lambda: build_mcmc_nd_pallas(
-                traced, prop_kinds, n_steps, n_burnin, total_chains,
-                targ_kinds=targ_kinds, target_logpdf_fn=target_fn,
-                mesh=mesh, interpret=interpret,
-                with_stderr=return_stderr,
+            lambda: _tag_native_batch(
+                build_mcmc_nd_pallas(
+                    traced, prop_kinds, n_steps, n_burnin, total_chains,
+                    targ_kinds=targ_kinds, target_logpdf_fn=target_fn,
+                    mesh=mesh, interpret=interpret,
+                    with_stderr=return_stderr, seed_batch=seed_batch,
+                ),
+                seed_batch,
             ),
         )
-        out = run(np.uint32(seed), prop_params_t, targ_params_t)
+        return run, (prop_params_t, targ_params_t)
+
+    def _run_mcmc_nd_pallas(
+        self, functions, traced, proposals, prop_specs, targets,
+        target_fn, n_steps, n_chains, n_burnin, seed, total_chains,
+        return_stderr,
+    ) -> IntegrationResult:
+        """Dispatch one nd MCMC run on the fused Pallas kernel (analytic
+        dims; product or joint-fn target)."""
+        run, dev_args = self._nd_mcmc_kernel_program(
+            traced, proposals, prop_specs, targets, target_fn,
+            n_steps, n_burnin, total_chains, return_stderr,
+        )
+        out = run(np.uint32(seed), *dev_args)
         return IntegrationResult(
             values=out[0],
             n_samples=n_chains * n_steps,
@@ -1640,50 +1744,9 @@ class MonteCarloIntegrator:
                 "return_diagnostics is not supported for "
                 "multi-dimensional MCMC"
             )
-        if isinstance(proposal, Distribution):
-            proposals = [proposal]
-        elif isinstance(proposal, (list, tuple)):
-            proposals = list(proposal)
-        else:
-            raise TypeError(
-                "proposal must be a Distribution or a sequence of "
-                f"Distributions, got {type(proposal)}"
-            )
-        if not proposals or not all(
-            isinstance(p, Distribution) for p in proposals
-        ):
-            raise TypeError(
-                "proposal sequence must be a non-empty list of "
-                "Distribution objects"
-            )
-        d = len(proposals)
-
-        target_fn = None
-        targets = None
-        if isinstance(target, (list, tuple)):
-            targets = list(target)
-            if len(targets) != d or not all(
-                isinstance(t, Distribution) for t in targets
-            ):
-                raise TypeError(
-                    "target sequence must be a list of Distribution "
-                    f"objects matching the {d} proposal dimension(s)"
-                )
-        elif isinstance(target, Distribution):
-            if d != 1:
-                raise TypeError(
-                    "multi-dimensional MCMC needs the target as a "
-                    f"sequence of {d} Distributions or a {d}-ary "
-                    "log-density function"
-                )
-            targets = [target]
-        elif callable(target) or isinstance(target, str):
-            # Joint log-density (up to an additive constant).
-            target_fn = self._trace_user_functions([target], n_args=d)[0]
-        else:
-            raise TypeError(
-                f"Unsupported target type for MCMC: {type(target)}"
-            )
+        proposals, targets, target_fn, d = self._parse_nd_mcmc_args(
+            target, proposal
+        )
 
         if d == 1 and target_fn is None:
             # Pure 1-D in disguise: take the scalar path (full feature
@@ -1694,14 +1757,11 @@ class MonteCarloIntegrator:
                 return_stderr=return_stderr,
             )
 
-        from .ops.mcmc_nd import build_mcmc_nd_fn
-
         traced = self._trace_user_functions(functions, n_args=d)
         prop_specs = [dist_spec_of(p) for p in proposals]
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
-        dummy = _tbl(None)
 
         prop_kinds_early = tuple(s.kind for s in prop_specs)
         targ_kinds_early = (
@@ -1721,6 +1781,30 @@ class MonteCarloIntegrator:
                 total_chains, return_stderr,
             )
 
+        run, dev_args = self._nd_mcmc_xla_program(
+            traced, proposals, prop_specs, targets, target_fn,
+            n_steps, n_burnin, total_chains, return_stderr,
+        )
+        out = run(np.uint32(seed), *dev_args)
+        values, acc_rate = out[0], out[1]
+        return IntegrationResult(
+            values=values,
+            n_samples=n_chains * n_steps,
+            n_functions=len(functions),
+            acceptance_rate=float(acc_rate),
+            stderr=out[2] if return_stderr else None,
+        )
+
+    def _nd_mcmc_xla_program(
+        self, traced, proposals, prop_specs, targets, target_fn,
+        n_steps, n_burnin, total_chains, return_stderr,
+    ):
+        """Cached XLA nd MH program (any family mix) + its device args
+        (the 8 per-dimension param/table tuples)."""
+        from .ops.mcmc_nd import build_mcmc_nd_fn
+
+        mesh = self._mesh
+        dummy = _tbl(None)
         prop_kinds = tuple(s.kind for s in prop_specs)
         prop_exact = tuple(s.exact_inverse for s in prop_specs)
         prop_dev = [
@@ -1800,8 +1884,7 @@ class MonteCarloIntegrator:
                 mesh=mesh, with_stderr=return_stderr,
             ),
         )
-        out = run(
-            np.uint32(seed),
+        dev_args = (
             tuple(p[0] for p in prop_dev),
             targ_params_t,
             tuple(p[1] for p in prop_dev),
@@ -1811,13 +1894,60 @@ class MonteCarloIntegrator:
             tuple(t[0] for t in prop_log_dev),
             tuple(t[1] for t in prop_log_dev),
         )
-        values, acc_rate = out[0], out[1]
-        return IntegrationResult(
-            values=values,
-            n_samples=n_chains * n_steps,
-            n_functions=len(functions),
-            acceptance_rate=float(acc_rate),
-            stderr=out[2] if return_stderr else None,
+        return run, dev_args
+
+    def _compile_mcmc_nd(
+        self, functions, target, proposal, n_steps, n_chains, n_burnin,
+        seed_batch, param_batch, return_stderr,
+    ) -> Callable:
+        """AOT handle for multi-dimensional MCMC: ``prog(seed) ->
+        ((K,), acceptance[, (K,) stderr])``, or batched ``prog(seeds)``
+        with ``seed_batch=R`` — R runs ride the nd kernel's grid
+        dimension when eligible (analytic dims), else a traced lax.map
+        over the XLA nd program."""
+        if param_batch:
+            raise ValueError(
+                "param_batch is not supported for multi-dimensional "
+                "handles"
+            )
+        proposals, targets, target_fn, d = self._parse_nd_mcmc_args(
+            target, proposal
+        )
+        if d == 1 and target_fn is None:
+            return self.compile_mcmc(
+                functions, targets[0], proposals[0], n_steps=n_steps,
+                n_chains=n_chains, n_burnin=n_burnin,
+                seed_batch=seed_batch, return_stderr=return_stderr,
+            )
+        traced = self._trace_user_functions(functions, n_args=d)
+        prop_specs = [dist_spec_of(p) for p in proposals]
+        mesh = self._mesh
+        n_dev = 1 if mesh is None else mesh.size
+        total_chains = plan_chains(n_chains, self._target_threads, n_dev)
+        prop_kinds = tuple(s.kind for s in prop_specs)
+        targ_kinds = (
+            None
+            if target_fn is not None
+            else tuple(dist_spec_of(t).kind for t in targets)
+        )
+        if self._use_pallas(prop_kinds[0]) and (
+            self._nd_mcmc_pallas_eligible(
+                prop_kinds, targ_kinds, target_fn, traced,
+                total_chains, d, return_stderr,
+            )
+        ):
+            run, dev_args = self._nd_mcmc_kernel_program(
+                traced, proposals, prop_specs, targets, target_fn,
+                n_steps, n_burnin, total_chains, return_stderr,
+                seed_batch=seed_batch,
+            )
+        else:
+            run, dev_args = self._nd_mcmc_xla_program(
+                traced, proposals, prop_specs, targets, target_fn,
+                n_steps, n_burnin, total_chains, return_stderr,
+            )
+        return self._finalize_prog(
+            run, dev_args, seed_batch, n_param_args=0
         )
 
     # ------------------------------------------------------------------
@@ -2036,6 +2166,19 @@ class MonteCarloIntegrator:
             raise ValueError("n_chains must be positive")
         if n_burnin < 0:
             raise ValueError("n_burnin must be non-negative")
+        p_seq = isinstance(proposal_distribution, (list, tuple))
+        t_dist = isinstance(target_distribution, Distribution)
+        if p_seq or isinstance(target_distribution, (list, tuple)) or (
+            not t_dist and (
+                callable(target_distribution)
+                or isinstance(target_distribution, str)
+            )
+        ):
+            return self._compile_mcmc_nd(
+                functions, target_distribution, proposal_distribution,
+                n_steps, n_chains, n_burnin, seed_batch, param_batch,
+                return_stderr,
+            )
         if param_batch:
             for role, d in (
                 ("target", target_distribution),

@@ -119,6 +119,7 @@ def build_mcmc_nd_pallas(
     axis_name: str = "mc",
     interpret: bool = False,
     with_stderr: bool = False,
+    seed_batch: int = 1,
 ):
     """Build a jitted nd MH kernel program.
 
@@ -130,6 +131,12 @@ def build_mcmc_nd_pallas(
 
     ``prop_params_t``/``targ_params_t`` are d-tuples of (2,) family
     parameter arrays; ``targ_params_t`` is () for joint-fn targets.
+
+    ``seed_batch=R``: the seed arg becomes an (R,) vector and the
+    program returns ((R, K), (R,)[, (R, K)]) — R independent nd MCMC
+    runs batched as a leading grid dimension (traced once), each seeded
+    exactly like its unbatched call (the 1-D kernel's serving design,
+    ops/mcmc_pallas.py).
     """
     if (targ_kinds is None) == (target_logpdf_fn is None):
         raise ValueError(
@@ -167,10 +174,11 @@ def build_mcmc_nd_pallas(
     rng_factory = CounterRng if interpret else HardwareRng
 
     def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, out_ref):
-        pid = pl.program_id(0)
+        rep = pl.program_id(0)
+        pid = pl.program_id(1)
         rng = rng_factory()
         rng.seed(
-            seed_ref[0, 0] ^ _ND_STREAM_MIX, pid_base_ref[0, 0] + pid
+            seed_ref[0, rep] ^ _ND_STREAM_MIX, pid_base_ref[0, 0] + pid
         )
         qp = [(prop_ref[j, 0], prop_ref[j, 1]) for j in range(d)]
         if targ_kinds is not None:
@@ -308,35 +316,40 @@ def build_mcmc_nd_pallas(
             for i, acc in enumerate(accs):
                 row_out = jnp.where(col == i, jnp.sum(acc), row_out)
             row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
-            out_ref[pl.ds(pid, 1), :] = row_out
+            out_ref[pl.ds(rep * local_programs + pid, 1), :] = row_out
 
+    smem_seeds = pl.BlockSpec(
+        (1, seed_batch), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+    )
     smem_scalar = pl.BlockSpec(
-        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     smem_prop = pl.BlockSpec(
-        (d, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (d, 2), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     smem_targ = pl.BlockSpec(
-        (td, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (td, 2), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
 
     def pallas_sweep(seed_a, prop_a, targ_a, pid_base):
         if with_stderr:
             out_spec = pl.BlockSpec(
-                (8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-            )
-            total_rows = 8 * local_programs
-        else:
-            out_spec = pl.BlockSpec(
-                (local_programs, LANES),
-                lambda i: (0, 0),
+                (8, LANES),
+                lambda r, i: (r * local_programs + i, 0),
                 memory_space=pltpu.VMEM,
             )
-            total_rows = local_programs
+            total_rows = 8 * seed_batch * local_programs
+        else:
+            out_spec = pl.BlockSpec(
+                (seed_batch * local_programs, LANES),
+                lambda r, i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            total_rows = seed_batch * local_programs
         out = pl.pallas_call(
             kernel,
-            grid=(local_programs,),
-            in_specs=[smem_scalar, smem_prop, smem_targ, smem_scalar],
+            grid=(seed_batch, local_programs),
+            in_specs=[smem_seeds, smem_prop, smem_targ, smem_scalar],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(
                 (total_rows, LANES), jnp.float32
@@ -344,16 +357,18 @@ def build_mcmc_nd_pallas(
             interpret=interpret,
         )(seed_a, prop_a, targ_a, pid_base)
         if with_stderr:
-            grouped = out.reshape(local_programs, 8, LANES)
-            sums = jnp.sum(grouped[:, 0, :], axis=0)  # (LANES,)
+            grouped = out.reshape(seed_batch, local_programs, 8, LANES)
+            sums = jnp.sum(grouped[:, :, 0, :], axis=1)  # (R, LANES)
             return (
-                sums[:k],
-                sums[k],
-                grouped[:, 1, :k],  # (P, K) per-program SS
-                grouped[:, 2, :k],  # (P, K) per-program centroids
+                sums[:, :k],
+                sums[:, k],
+                grouped[:, :, 1, :k],  # (R, P, K) per-program SS
+                grouped[:, :, 2, :k],  # (R, P, K) per-program centroids
             )
-        totals = jnp.sum(out, axis=0)
-        return totals[:k], totals[k]
+        totals = jnp.sum(
+            out.reshape(seed_batch, local_programs, LANES), axis=1
+        )
+        return totals[:, :k], totals[:, k]
 
     denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
@@ -367,11 +382,18 @@ def build_mcmc_nd_pallas(
     def _chan_combine(values, ss, mb):
         # Total SS around the global mean M over this device's programs:
         # sum_p [SS_p + n_p (mb_p - M)^2]; cross-device psum outside.
-        corr = block_f * (mb - values[None, :]) ** 2
-        return jnp.sum(ss + corr, axis=0)
+        # Batched shapes: values (R, K), ss/mb (R, P, K).
+        corr = block_f * (mb - values[:, None, :]) ** 2
+        return jnp.sum(ss + corr, axis=1)
+
+    def _shape(*outs):
+        # Single-seed programs keep ((K,), scalar[, (K,)]).
+        if seed_batch == 1:
+            outs = tuple(o[0] for o in outs)
+        return outs
 
     def _prep(seed, prop_params_t, targ_params_t):
-        seed_a = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        seed_a = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
         prop_a = jnp.stack(
             [jnp.asarray(p, jnp.float32) for p in prop_params_t]
         ).reshape(d, 2)
@@ -397,9 +419,11 @@ def build_mcmc_nd_pallas(
                 )
                 values = sums / chains_f  # chain-MEAN sums
                 ss_total = _chan_combine(values, ss, mb)
-                return values, n_acc / denom_acc, _stderr_of(ss_total)
+                return _shape(
+                    values, n_acc / denom_acc, _stderr_of(ss_total)
+                )
             sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base)
-            return sums / denom_vals, n_acc / denom_acc
+            return _shape(sums / denom_vals, n_acc / denom_acc)
 
         return run
 
@@ -417,9 +441,9 @@ def build_mcmc_nd_pallas(
             ss_total = jax.lax.psum(
                 _chan_combine(values, ss, mb), axis_name
             )
-            return values, n_acc, _stderr_of(ss_total)
+            return _shape(values, n_acc, _stderr_of(ss_total))
         sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base)
-        return (
+        return _shape(
             jax.lax.psum(sums, axis_name) / denom_vals,
             jax.lax.psum(n_acc, axis_name) / denom_acc,
         )

@@ -114,8 +114,25 @@ def _smoothstep(e0, e1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
+def _merge(cond, t_val, f_val):
+    """``where(cond, t, f)`` with a boolean-branch special case: a
+    select BETWEEN BOOL blocks lowers to an ``i8 -> i1`` vector
+    truncation Mosaic rejects ("Unsupported target bitwidth for
+    truncation" — hit by WGSL ``switch``/BoolOp code on the kernel
+    path), so bool branches compute the select logically (identical
+    semantics).  ``cond`` must already be boolean."""
+    t_arr = jnp.asarray(t_val)
+    f_arr = jnp.asarray(f_val)
+    if t_arr.dtype == jnp.bool_ and f_arr.dtype == jnp.bool_:
+        return jnp.logical_or(
+            jnp.logical_and(cond, t_arr),
+            jnp.logical_and(jnp.logical_not(cond), f_arr),
+        )
+    return jnp.where(cond, t_val, f_val)
+
+
 def _select(f_val, t_val, cond):
-    return jnp.where(_truthy(cond), t_val, f_val)
+    return _merge(_truthy(cond), t_val, f_val)
 
 
 def _cast_f32(v):
@@ -702,16 +719,16 @@ class _Interpreter:
         acc = vals[0]
         for v in vals[1:]:
             if is_and:
-                acc = jnp.where(_truthy(acc), v, acc)
+                acc = _merge(_truthy(acc), v, acc)
             else:
-                acc = jnp.where(_truthy(acc), acc, v)
+                acc = _merge(_truthy(acc), acc, v)
         return acc
 
     def _eval_IfExp(self, node, env):
         test = _truthy(self.eval(node.test, env))
         body = self.eval(node.body, env)
         orelse = self.eval(node.orelse, env)
-        return jnp.where(test, body, orelse)
+        return _merge(test, body, orelse)
 
     def _eval_Attribute(self, node, env):
         base = self.eval(node.value, env)
@@ -820,7 +837,7 @@ class _Interpreter:
                 if _RET_MASK in env:
                     # Fold any pending loop-return: lanes whose mask is set
                     # already returned earlier — first return wins.
-                    val = jnp.where(
+                    val = _merge(
                         _truthy(env[_RET_MASK]), env[_RET_VAL], val
                     )
                 return env, val
@@ -909,7 +926,7 @@ class _Interpreter:
         env_f, ret_f = self.exec_block(stmt.orelse, dict(env))
 
         if ret_t is not None and ret_f is not None:
-            return env, jnp.where(test, ret_t, ret_f)
+            return env, _merge(test, ret_t, ret_f)
 
         if ret_t is None and ret_f is None:
             merged = dict(env)
@@ -919,9 +936,9 @@ class _Interpreter:
                     if env_t[key] is env_f[key]:
                         merged[key] = env_t[key]
                     else:
-                        merged[key] = jnp.where(test, env_t[key], env_f[key])
+                        merged[key] = _merge(test, env_t[key], env_f[key])
                 elif key in env:
-                    merged[key] = jnp.where(
+                    merged[key] = _merge(
                         test, env_t.get(key, env[key]), env_f.get(key, env[key])
                     )
                 # else: one-sided new variable — dropped; later use errors.
@@ -935,11 +952,11 @@ class _Interpreter:
             env_c, ret_c = self.exec_block(rest, env_f)
             if ret_c is None:
                 raise _PartialReturnError()
-            return env, jnp.where(test, ret_t, ret_c)
+            return env, _merge(test, ret_t, ret_c)
         env_c, ret_c = self.exec_block(rest, env_t)
         if ret_c is None:
             raise _PartialReturnError()
-        return env, jnp.where(test, ret_c, ret_f)
+        return env, _merge(test, ret_c, ret_f)
 
     def _exec_while(self, stmt: ast.While, env):
         if stmt.orelse:
