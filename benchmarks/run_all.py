@@ -301,6 +301,69 @@ def main():
     sps, est = _throughput(prog, n6, r6b)
     emit("c6_qmc_k8_normal_1e8", "samples_per_sec", sps, "samples/s", est)
 
+    # Config 9 (round 3): the multi-dimensional family on its kernels.
+    # Throughput counts d-VECTOR samples (each costs d draws + the fused
+    # K evals); nd MCMC counts chain steps as in c5.
+    n9 = 100_000_000 // scale
+    r9 = rbatch(n9)
+    prog = integrator.compile_integrate(
+        [lambda x, y, z: x * y * z, lambda x, y, z: x * x + y + z],
+        [
+            Distribution.normal(0.0, 1.0),
+            Distribution.uniform(0.0, 1.0),
+            Distribution.exponential(2.0),
+        ],
+        n_samples=n9, seed_batch=r9,
+    )
+    sps, est = _throughput(prog, n9, r9)
+    emit("c9_nd3_mixed_1e8", "samples_per_sec", sps, "samples/s", est)
+
+    n9b = 10_000_000 // scale
+    r9b = rbatch(n9b)
+    prog = integrator.compile_integrate(
+        [lambda x, y: x * y],
+        [Distribution.beta(2.0, 5.0), Distribution.uniform(0.0, 1.0)],
+        n_samples=n9b, seed_batch=r9b,
+    )
+    sps, est = _throughput(prog, n9b, r9b)
+    emit("c9b_nd2_beta_table_1e7", "samples_per_sec", sps, "samples/s", est)
+
+    prog = integrator.compile_integrate(
+        [lambda x, y: np.exp(x) * np.exp(y)],
+        [Distribution.uniform(0.0, 1.0), Distribution.uniform(0.0, 1.0)],
+        n_samples=n9, seed_batch=r9, method="qmc",
+    )
+    sps, est = _throughput(prog, n9, r9)
+    emit("c9c_nd2_sobol_qmc_1e8", "samples_per_sec", sps, "samples/s", est)
+
+    prog = integrator.compile_mcmc(
+        [lambda x, y: x * x + y * y],
+        [Distribution.normal(0.0, 1.0), Distribution.normal(0.0, 1.0)],
+        [Distribution.normal(0.0, 2.0), Distribution.normal(0.0, 2.0)],
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+        seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c9d_nd_mcmc_product_4096", "chain_steps_per_sec", csps,
+         "steps/s", est)
+
+    rho9 = 0.8
+    c9c = 1.0 / (2.0 * (1.0 - rho9 * rho9))
+    prog = integrator.compile_mcmc(
+        [lambda x, y: x * y],
+        lambda x, y: -c9c * (x * x - 2.0 * rho9 * x * y + y * y),
+        [Distribution.normal(0.0, 2.0), Distribution.normal(0.0, 2.0)],
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+        seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c9e_nd_mcmc_joint_4096", "chain_steps_per_sec", csps,
+         "steps/s", est)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
