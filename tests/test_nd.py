@@ -346,11 +346,6 @@ class TestMcmcNd:
                 [lambda x, y: x], [n01, n01], [prop, prop],
                 n_steps=100, n_chains=256, return_state=True,
             )
-        with pytest.raises(ValueError):
-            integrator.integrate_mcmc(
-                [lambda x, y: x], [n01, n01], [prop, prop],
-                n_steps=100, n_chains=256, return_diagnostics=True,
-            )
         with pytest.raises(TypeError):
             integrator.integrate_mcmc(
                 [lambda x, y: x], n01, [prop, prop],
@@ -814,3 +809,56 @@ class TestNdCompiledHandles:
         p1 = it.compile_integrate([lambda x: x * x], [n01], n_samples=100_000)
         p2 = it.compile_integrate([lambda x: x * x], n01, n_samples=100_000)
         assert float(np.asarray(p1(5))[0]) == float(np.asarray(p2(5))[0])
+
+
+class TestNdDiagnostics:
+    def test_split_rhat_mixed_vs_stuck(self, integrator):
+        n01 = Distribution.normal(0.0, 1.0)
+        good = integrator.integrate_mcmc(
+            [lambda x, y: x + y], [n01, n01],
+            [Distribution.normal(0.0, 2.0)] * 2,
+            n_steps=1000, n_chains=512, n_burnin=100, seed=42,
+            return_diagnostics=True,
+        )
+        assert abs(good.diagnostics["r_hat"][0] - 1.0) < 0.05
+        assert good.diagnostics["ess"][0] > 100
+        # A mismatched proposal on a short run barely moves: R-hat >> 1.
+        bad = integrator.integrate_mcmc(
+            [lambda x, y: x + y], [n01, n01],
+            [Distribution.normal(4.0, 0.3)] * 2,
+            n_steps=60, n_chains=512, n_burnin=0, seed=42,
+            return_diagnostics=True,
+        )
+        assert bad.diagnostics["r_hat"][0] > 1.1
+
+    def test_joint_target_diagnostics_with_stderr(self, integrator):
+        prop = Distribution.normal(0.0, 2.0)
+        r = integrator.integrate_mcmc(
+            [lambda x, y: x * y],
+            lambda x, y: -0.5 * (x * x + y * y),
+            [prop, prop], n_steps=800, n_chains=512, n_burnin=100,
+            seed=7, return_diagnostics=True, return_stderr=True,
+        )
+        assert r.stderr is not None
+        assert abs(r.diagnostics["r_hat"][0] - 1.0) < 0.05
+
+    def test_mesh_diagnostics(self):
+        n01 = Distribution.normal(0.0, 1.0)
+        meshed = mc.MonteCarloIntegrator(mesh="auto")
+        r = meshed.integrate_mcmc(
+            [lambda x, y: x * x + y * y], [n01, n01],
+            [Distribution.normal(0.0, 2.0)] * 2,
+            n_steps=400, n_chains=1024, n_burnin=50, seed=3,
+            return_diagnostics=True,
+        )
+        assert abs(r.diagnostics["r_hat"][0] - 1.0) < 0.1
+
+    def test_needs_four_steps(self, integrator):
+        n01 = Distribution.normal(0.0, 1.0)
+        with pytest.raises(ValueError, match="n_steps"):
+            integrator.integrate_mcmc(
+                [lambda x, y: x], [n01, n01],
+                [Distribution.normal(0.0, 2.0)] * 2,
+                n_steps=2, n_chains=256, n_burnin=0,
+                return_diagnostics=True,
+            )

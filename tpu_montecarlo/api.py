@@ -1739,11 +1739,8 @@ class MonteCarloIntegrator:
                 "chain checkpoint/resume is not supported for "
                 "multi-dimensional MCMC"
             )
-        if return_diagnostics:
-            raise ValueError(
-                "return_diagnostics is not supported for "
-                "multi-dimensional MCMC"
-            )
+        if return_diagnostics and n_steps < 4:
+            raise ValueError("return_diagnostics needs n_steps >= 4")
         proposals, targets, target_fn, d = self._parse_nd_mcmc_args(
             target, proposal
         )
@@ -1769,8 +1766,10 @@ class MonteCarloIntegrator:
             if target_fn is not None
             else tuple(dist_spec_of(t).kind for t in targets)
         )
-        if self._use_pallas(prop_kinds_early[0]) and (
-            self._nd_mcmc_pallas_eligible(
+        if (
+            not return_diagnostics
+            and self._use_pallas(prop_kinds_early[0])
+            and self._nd_mcmc_pallas_eligible(
                 prop_kinds_early, targ_kinds_early, target_fn, traced,
                 total_chains, d, return_stderr,
             )
@@ -1780,24 +1779,45 @@ class MonteCarloIntegrator:
                 target_fn, n_steps, n_chains, n_burnin, seed,
                 total_chains, return_stderr,
             )
+        if return_diagnostics and self._backend == "pallas":
+            warnings.warn(
+                "backend='pallas' requested but return_diagnostics runs "
+                "on the XLA backend (a diagnostics surface, not a "
+                "throughput path)",
+                stacklevel=3,
+            )
 
         run, dev_args = self._nd_mcmc_xla_program(
             traced, proposals, prop_specs, targets, target_fn,
             n_steps, n_burnin, total_chains, return_stderr,
+            with_diagnostics=return_diagnostics,
         )
         out = run(np.uint32(seed), *dev_args)
         values, acc_rate = out[0], out[1]
+        idx = 2
+        stderr = None
+        diagnostics = None
+        if return_stderr:
+            stderr = out[idx]
+            idx += 1
+        if return_diagnostics:
+            diagnostics = {
+                "r_hat": np.array(out[idx], dtype=np.float64),
+                "ess": np.array(out[idx + 1], dtype=np.float64),
+            }
         return IntegrationResult(
             values=values,
             n_samples=n_chains * n_steps,
             n_functions=len(functions),
             acceptance_rate=float(acc_rate),
-            stderr=out[2] if return_stderr else None,
+            stderr=stderr,
+            diagnostics=diagnostics,
         )
 
     def _nd_mcmc_xla_program(
         self, traced, proposals, prop_specs, targets, target_fn,
         n_steps, n_burnin, total_chains, return_stderr,
+        with_diagnostics: bool = False,
     ):
         """Cached XLA nd MH program (any family mix) + its device args
         (the 8 per-dimension param/table tuples)."""
@@ -1872,6 +1892,7 @@ class MonteCarloIntegrator:
             tuple(t[0].shape for t in prop_log_dev),
             _mesh_key(mesh),
             return_stderr,
+            with_diagnostics,
         )
         run = self._cache.get_or_build(
             key,
@@ -1882,6 +1903,7 @@ class MonteCarloIntegrator:
                 prop_uniform=tuple(prop_uniform),
                 prop_exact_inverses=prop_exact,
                 mesh=mesh, with_stderr=return_stderr,
+                with_diagnostics=with_diagnostics,
             ),
         )
         dev_args = (

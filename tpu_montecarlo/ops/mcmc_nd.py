@@ -53,6 +53,7 @@ def build_mcmc_nd_fn(
     mesh: Optional[jax.sharding.Mesh] = None,
     axis_name: str = "mc",
     with_stderr: bool = False,
+    with_diagnostics: bool = False,
 ):
     """Build a jitted d-dimensional MH program.
 
@@ -63,7 +64,8 @@ def build_mcmc_nd_fn(
          prop_x_t, prop_cdf_t,              # proposal sampling tables
          targ_lx_t, targ_lp_t,              # target log-pdf tables
          prop_lx_t, prop_lp_t)              # proposal log-pdf tables
-        -> ((K,) estimates, () acceptance_rate [, (K,) stderr])
+        -> ((K,) estimates, () acceptance_rate [, (K,) stderr]
+            [, (K,) r_hat, (K,) ess])
     """
     if (targ_kinds is None) == (target_logpdf_fn is None):
         raise ValueError(
@@ -82,6 +84,8 @@ def build_mcmc_nd_fn(
         raise ValueError("total_chains must divide evenly over devices")
     local_chains = total_chains // n_dev
     n_iters = n_burnin + n_steps
+    if with_diagnostics and n_steps < 4:
+        raise ValueError("with_diagnostics needs n_steps >= 4")
     if target_logpdf_fn is not None:
         v_target = jax.vmap(target_logpdf_fn)
 
@@ -134,13 +138,19 @@ def build_mcmc_nd_fn(
         logp0 = target_log(x0)
         logq0 = proposal_log(x0)
 
-        if with_stderr:
+        shift_needed = with_stderr or with_diagnostics
+        if shift_needed:
             pilot = jnp.stack(
                 [jnp.mean(vf(*x0).astype(jnp.float32)) for vf in vfns]
             )
 
+        n1 = n_steps // 2  # split-half length (odd last step excluded)
+
         def step(carry, i):
-            xs, logp, logq, acc, n_accept = carry
+            if with_diagnostics:
+                xs, logp, logq, acc, n_accept, halves = carry
+            else:
+                xs, logp, logq, acc, n_accept = carry
             xp = draw_proposals(jax.random.fold_in(key_prop, i))
             logp_prop = target_log(xp)
             logq_prop = proposal_log(xp)
@@ -157,22 +167,61 @@ def build_mcmc_nd_fn(
 
             collect = i >= n_burnin
             ys = jnp.stack([vf(*xs) for vf in vfns]).astype(jnp.float32)
-            vals = ys - pilot[:, None] if with_stderr else ys
+            if shift_needed:
+                sv = ys - pilot[:, None]
+            vals = sv if with_stderr else ys
             acc = acc + jnp.where(collect, vals, 0.0)
             n_accept = n_accept + jnp.where(
                 collect, jnp.sum(accept.astype(jnp.float32)), 0.0
             )
+            if with_diagnostics:
+                # Split-half accumulators (1-D builder's layout,
+                # ops/mcmc_xla.py): first/second half of the sampling
+                # phase, pilot-shifted sums and squares.
+                acc1, sq1, acc2, sq2 = halves
+                h1 = jnp.logical_and(i >= n_burnin, i < n_burnin + n1)
+                h2 = jnp.logical_and(
+                    i >= n_burnin + n1, i < n_burnin + 2 * n1
+                )
+                acc1 = acc1 + jnp.where(h1, sv, 0.0)
+                sq1 = sq1 + jnp.where(h1, sv * sv, 0.0)
+                acc2 = acc2 + jnp.where(h2, sv, 0.0)
+                sq2 = sq2 + jnp.where(h2, sv * sv, 0.0)
+                return (
+                    xs, logp, logq, acc, n_accept,
+                    (acc1, sq1, acc2, sq2),
+                ), None
             return (xs, logp, logq, acc, n_accept), None
 
-        init = (
-            x0, logp0, logq0,
-            jnp.zeros((k, local_chains), jnp.float32),
-            jnp.float32(0.0),
-        )
+        zk = lambda: jnp.zeros((k, local_chains), jnp.float32)  # noqa: E731
+        init = (x0, logp0, logq0, zk(), jnp.float32(0.0))
+        if with_diagnostics:
+            init = init + ((zk(), zk(), zk(), zk()),)
         carry, _ = jax.lax.scan(
             step, init, jnp.arange(n_iters, dtype=jnp.int32)
         )
-        _, _, _, acc, n_accept = carry
+        if with_diagnostics:
+            _, _, _, acc, n_accept, halves = carry
+        else:
+            _, _, _, acc, n_accept = carry
+
+        diag = ()
+        if with_diagnostics:
+            # Per-sequence (= half-chain) means and within-sequence
+            # variances, reduced to Chan-recombinant local statistics
+            # exactly as the 1-D builder.
+            acc1, sq1, acc2, sq2 = halves
+            n1f = jnp.float32(max(n1, 1))
+            mh = [acc1 / n1f, acc2 / n1f]
+            within = [
+                (sq - n1f * m * m) / jnp.float32(max(n1 - 1, 1))
+                for sq, m in zip((sq1, sq2), mh)
+            ]
+            w_sum = jnp.sum(within[0] + within[1], axis=1)
+            seq = jnp.concatenate(mh, axis=1)
+            mb_d = jnp.mean(seq, axis=1)
+            ss_d = jnp.sum((seq - mb_d[:, None]) ** 2, axis=1)
+            diag = ((w_sum, mb_d + pilot, ss_d),)
 
         chain_means = acc / jnp.float32(n_steps)
         if with_stderr:
@@ -182,8 +231,8 @@ def build_mcmc_nd_fn(
                 jnp.sum(chain_means, axis=1)
                 + jnp.float32(local_chains) * pilot
             )
-            return sums, n_accept, ss, mb_s + pilot
-        return jnp.sum(chain_means, axis=1), n_accept
+            return (sums, n_accept, ss, mb_s + pilot) + diag
+        return (jnp.sum(chain_means, axis=1), n_accept) + diag
 
     denom_vals = jnp.float32(total_chains)
     denom_acc = jnp.float32(total_chains) * jnp.float32(max(n_steps, 1))
@@ -191,6 +240,13 @@ def build_mcmc_nd_fn(
     def _stderr_of(ss_total):
         var = ss_total / jnp.maximum(denom_vals - 1.0, 1.0)
         return jnp.sqrt(var / denom_vals)
+
+    m_total = jnp.float32(2 * total_chains)  # split-half sequence count
+
+    def _rhat_of(w_tot, ss_tot):
+        from .mcmc_xla import split_rhat_ess
+
+        return split_rhat_ess(w_tot, ss_tot, m_total, n_steps // 2)
 
     if mesh is None:
 
@@ -200,6 +256,9 @@ def build_mcmc_nd_fn(
             res = (out[0] / denom_vals, out[1] / denom_acc)
             if with_stderr:
                 res = res + (_stderr_of(out[2]),)
+            if with_diagnostics:
+                w_sum, _, ss_d = out[-1]
+                res = res + _rhat_of(w_sum, ss_d)  # (r_hat, ess)
             return res
 
         return run
@@ -219,6 +278,17 @@ def build_mcmc_nd_fn(
             corr = jnp.float32(local_chains) * (mb - m_global) ** 2
             ss_total = jax.lax.psum(ss + corr, axis_name)
             res = res + (_stderr_of(ss_total),)
+        if with_diagnostics:
+            # Chan recombination over the 2x split-half sequences
+            # (1-D builder's pattern).
+            w_sum, mb_d, ss_d = out[-1]
+            n_loc = jnp.float32(2 * local_chains)
+            m_seq = jax.lax.psum(n_loc * mb_d, axis_name) / m_total
+            ss_tot = jax.lax.psum(
+                ss_d + n_loc * (mb_d - m_seq) ** 2, axis_name
+            )
+            w_tot = jax.lax.psum(w_sum, axis_name)
+            res = res + _rhat_of(w_tot, ss_tot)
         return res
 
     td = len(targ_kinds) if targ_kinds is not None else 0
@@ -233,6 +303,8 @@ def build_mcmc_nd_fn(
     out_specs = (replicated, replicated)
     if with_stderr:
         out_specs = out_specs + (replicated,)
+    if with_diagnostics:
+        out_specs = out_specs + (replicated, replicated)
 
     shard_mapped = jax.shard_map(
         sharded_body,
