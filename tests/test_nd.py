@@ -341,11 +341,6 @@ class TestMcmcNd:
     def test_unsupported_features_raise(self, integrator):
         n01 = Distribution.normal(0.0, 1.0)
         prop = Distribution.normal(0.0, 2.0)
-        with pytest.raises(ValueError):
-            integrator.integrate_mcmc(
-                [lambda x, y: x], [n01, n01], [prop, prop],
-                n_steps=100, n_chains=256, return_state=True,
-            )
         with pytest.raises(TypeError):
             integrator.integrate_mcmc(
                 [lambda x, y: x], n01, [prop, prop],
@@ -862,3 +857,85 @@ class TestNdDiagnostics:
                 n_steps=2, n_chains=256, n_burnin=0,
                 return_diagnostics=True,
             )
+
+
+class TestNdMcmcResume:
+    """Checkpoint/resume over d-vector chain state (XLA nd path): fresh
+    stateful runs reproduce stateless estimates, segments draw fresh
+    streams, resumed halves track one long run."""
+
+    def test_fresh_stateful_matches_stateless(self, integrator):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        fns = [lambda x, y: x * x + y * y]
+        r0 = integrator.integrate_mcmc(
+            fns, [n01, n01], [prop, prop],
+            n_steps=400, n_chains=512, n_burnin=50, seed=42,
+        )
+        r1 = integrator.integrate_mcmc(
+            fns, [n01, n01], [prop, prop],
+            n_steps=400, n_chains=512, n_burnin=50, seed=42,
+            return_state=True,
+        )
+        assert r0.values[0] == r1.values[0]
+        assert r1.chain_state is not None
+        assert r1.chain_state.ndim_state == 2
+        assert r1.chain_state.x.shape[0] == 2
+
+    def test_resume_tracks_long_run(self, integrator):
+        prop = Distribution.normal(0.0, 2.0)
+        rho = 0.6
+        c = 1.0 / (2 * (1 - rho * rho))
+
+        def logp(x, y):
+            return -c * (x * x - 2 * rho * x * y + y * y)
+
+        fns = [lambda x, y: x * y]
+        r1 = integrator.integrate_mcmc(
+            fns, logp, [prop, prop],
+            n_steps=1500, n_chains=1024, n_burnin=200, seed=3,
+            return_state=True,
+        )
+        r2 = integrator.integrate_mcmc(
+            fns, logp, [prop, prop],
+            n_steps=1500, n_chains=1024, n_burnin=0, seed=3,
+            initial_state=r1.chain_state, return_state=True,
+        )
+        assert r2.chain_state.segment == r1.chain_state.segment + 1
+        combined = 0.5 * (r1.values[0] + r2.values[0])
+        assert abs(combined - rho) < 0.05
+        # Fresh streams: the two segments are not identical runs.
+        assert r1.values[0] != r2.values[0]
+
+    def test_wrong_shape_state_raises(self, integrator):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        r = integrator.integrate_mcmc(
+            [lambda x, y: x], [n01, n01], [prop, prop],
+            n_steps=100, n_chains=256, n_burnin=10, seed=1,
+            return_state=True,
+        )
+        bad = mc.McmcState(r.chain_state.x[:1], r.chain_state.log_p)
+        with pytest.raises(ValueError, match="shape"):
+            integrator.integrate_mcmc(
+                [lambda x, y: x], [n01, n01], [prop, prop],
+                n_steps=100, n_chains=256, n_burnin=10, seed=1,
+                initial_state=bad,
+            )
+
+    def test_mesh_resume(self):
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        meshed = mc.MonteCarloIntegrator(mesh="auto")
+        fns = [lambda x, y: x * x + y * y]
+        r1 = meshed.integrate_mcmc(
+            fns, [n01, n01], [prop, prop],
+            n_steps=300, n_chains=1024, n_burnin=50, seed=5,
+            return_state=True,
+        )
+        r2 = meshed.integrate_mcmc(
+            fns, [n01, n01], [prop, prop],
+            n_steps=300, n_chains=1024, n_burnin=0, seed=5,
+            initial_state=r1.chain_state,
+        )
+        assert abs(0.5 * (r1.values[0] + r2.values[0]) - 2.0) < 0.15

@@ -61,7 +61,8 @@ class McmcState:
     return_state=True)`` and accepted back via ``initial_state=`` to extend
     chains across calls — a resume capability the stateless one-shot
     reference lacks (SURVEY.md §5, chain state never left GPU registers
-    there)."""
+    there).  Multi-dimensional runs carry ``x`` as a (d, n_chains)
+    position matrix (1-D runs keep the flat vector)."""
 
     def __init__(self, x: np.ndarray, log_p: np.ndarray, segment: int = 0):
         self.x = np.asarray(x, np.float32)
@@ -72,11 +73,17 @@ class McmcState:
 
     @property
     def n_chains(self) -> int:
-        return len(self.x)
+        return int(self.x.shape[-1])
+
+    @property
+    def ndim_state(self) -> int:
+        """State dimensionality: 1 for scalar chains, d for nd chains."""
+        return 1 if self.x.ndim == 1 else int(self.x.shape[0])
 
     def __repr__(self):
         return (
-            f"McmcState(n_chains={self.n_chains}, segment={self.segment})"
+            f"McmcState(n_chains={self.n_chains}, "
+            f"d={self.ndim_state}, segment={self.segment})"
         )
 
 
@@ -1734,11 +1741,7 @@ class MonteCarloIntegrator:
         log-density callable/WGSL string of d arguments — the latter is a
         capability the strictly 1-D reference cannot express
         (src/shader_gen.rs:496-509 binds one target per program)."""
-        if return_state or initial_state is not None:
-            raise ValueError(
-                "chain checkpoint/resume is not supported for "
-                "multi-dimensional MCMC"
-            )
+        want_state = return_state or initial_state is not None
         if return_diagnostics and n_steps < 4:
             raise ValueError("return_diagnostics needs n_steps >= 4")
         proposals, targets, target_fn, d = self._parse_nd_mcmc_args(
@@ -1751,7 +1754,9 @@ class MonteCarloIntegrator:
             return self.integrate_mcmc(
                 functions, targets[0], proposals[0], n_steps=n_steps,
                 n_chains=n_chains, n_burnin=n_burnin, seed=seed,
+                initial_state=initial_state, return_state=return_state,
                 return_stderr=return_stderr,
+                return_diagnostics=return_diagnostics,
             )
 
         traced = self._trace_user_functions(functions, n_args=d)
@@ -1768,6 +1773,7 @@ class MonteCarloIntegrator:
         )
         if (
             not return_diagnostics
+            and not want_state
             and self._use_pallas(prop_kinds_early[0])
             and self._nd_mcmc_pallas_eligible(
                 prop_kinds_early, targ_kinds_early, target_fn, traced,
@@ -1787,11 +1793,44 @@ class MonteCarloIntegrator:
                 stacklevel=3,
             )
 
+        use_init = initial_state is not None
         run, dev_args = self._nd_mcmc_xla_program(
             traced, proposals, prop_specs, targets, target_fn,
             n_steps, n_burnin, total_chains, return_stderr,
             with_diagnostics=return_diagnostics,
+            with_state=want_state, use_init_state=use_init,
         )
+        if want_state:
+            if use_init:
+                xs = np.asarray(initial_state.x, np.float32)
+                if xs.ndim != 2 or xs.shape != (d, total_chains):
+                    raise ValueError(
+                        f"initial_state carries x of shape {xs.shape} "
+                        f"but this nd run plans ({d}, {total_chains}); "
+                        "pass the state back with the same dimensions "
+                        "and n_chains/target_threads"
+                    )
+                x0 = jnp.asarray(xs)
+                logp0 = jnp.asarray(initial_state.log_p, jnp.float32)
+                segment = initial_state.segment + 1
+            else:
+                x0 = jnp.zeros((d, total_chains), jnp.float32)
+                logp0 = jnp.zeros(total_chains, jnp.float32)
+                segment = 0
+            out = run(
+                np.uint32(seed), *dev_args, x0, logp0, jnp.int32(segment)
+            )
+            values, acc_rate, x_f, logp_f = out
+            chain_state = McmcState(
+                np.asarray(x_f), np.asarray(logp_f), segment=segment
+            )
+            return IntegrationResult(
+                values=values,
+                n_samples=n_chains * n_steps,
+                n_functions=len(functions),
+                acceptance_rate=float(acc_rate),
+                chain_state=chain_state if return_state else None,
+            )
         out = run(np.uint32(seed), *dev_args)
         values, acc_rate = out[0], out[1]
         idx = 2
@@ -1818,6 +1857,7 @@ class MonteCarloIntegrator:
         self, traced, proposals, prop_specs, targets, target_fn,
         n_steps, n_burnin, total_chains, return_stderr,
         with_diagnostics: bool = False,
+        with_state: bool = False, use_init_state: bool = False,
     ):
         """Cached XLA nd MH program (any family mix) + its device args
         (the 8 per-dimension param/table tuples)."""
@@ -1893,6 +1933,8 @@ class MonteCarloIntegrator:
             _mesh_key(mesh),
             return_stderr,
             with_diagnostics,
+            with_state,
+            use_init_state,
         )
         run = self._cache.get_or_build(
             key,
@@ -1904,6 +1946,7 @@ class MonteCarloIntegrator:
                 prop_exact_inverses=prop_exact,
                 mesh=mesh, with_stderr=return_stderr,
                 with_diagnostics=with_diagnostics,
+                with_state=with_state, use_init_state=use_init_state,
             ),
         )
         dev_args = (

@@ -54,6 +54,8 @@ def build_mcmc_nd_fn(
     axis_name: str = "mc",
     with_stderr: bool = False,
     with_diagnostics: bool = False,
+    with_state: bool = False,
+    use_init_state: bool = False,
 ):
     """Build a jitted d-dimensional MH program.
 
@@ -66,11 +68,27 @@ def build_mcmc_nd_fn(
          prop_lx_t, prop_lp_t)              # proposal log-pdf tables
         -> ((K,) estimates, () acceptance_rate [, (K,) stderr]
             [, (K,) r_hat, (K,) ess])
+
+    ``with_state=True`` appends trailing args ``(x0, logp0, segment)`` —
+    ``x0`` a (d, total_chains) position matrix, ``logp0`` the cached
+    target log-density, ``segment`` an int32 counter folded into the RNG
+    key so continuations draw fresh streams (segment 0 skips the fold:
+    a fresh stateful run reproduces the stateless estimates exactly, the
+    1-D builder's convention) — and the program additionally returns
+    ``(x_final, logp_final)``.  ``use_init_state=True`` consumes the
+    incoming state instead of drawing initial positions; ``logq`` at the
+    resume point is recomputed from x (a deterministic function).
     """
     if (targ_kinds is None) == (target_logpdf_fn is None):
         raise ValueError(
             "exactly one of targ_kinds (product target) or "
             "target_logpdf_fn (joint target) must be given"
+        )
+    if use_init_state and not with_state:
+        raise ValueError("use_init_state requires with_state=True")
+    if with_state and (with_stderr or with_diagnostics):
+        raise ValueError(
+            "with_state applies to plain estimate runs only"
         )
     prop_kinds = tuple(prop_kinds)
     d = len(prop_kinds)
@@ -92,8 +110,15 @@ def build_mcmc_nd_fn(
     def _chain_sweep(
         seed, prop_params_t, targ_params_t, prop_x_t, prop_cdf_t,
         targ_lx_t, targ_lp_t, prop_lx_t, prop_lp_t, device_idx,
+        init_xs=None, init_logp=None, segment=None,
     ):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), device_idx)
+        if segment is not None:
+            # Fresh streams per resume segment; segment 0 skips the fold
+            # (ops/mcmc_xla.py's convention).
+            key = jnp.where(
+                segment == 0, key, jax.random.fold_in(key, segment)
+            )
         key_init = jax.random.fold_in(key, _STREAM_INIT)
         key_prop = jax.random.fold_in(key, _STREAM_PROPOSAL)
         key_acc = jax.random.fold_in(key, _STREAM_ACCEPT)
@@ -134,8 +159,12 @@ def build_mcmc_nd_fn(
                 for j in range(d)
             )
 
-        x0 = draw_proposals(key_init)
-        logp0 = target_log(x0)
+        if init_xs is not None:
+            x0 = init_xs
+            logp0 = init_logp
+        else:
+            x0 = draw_proposals(key_init)
+            logp0 = target_log(x0)
         logq0 = proposal_log(x0)
 
         shift_needed = with_stderr or with_diagnostics
@@ -203,7 +232,7 @@ def build_mcmc_nd_fn(
         if with_diagnostics:
             _, _, _, acc, n_accept, halves = carry
         else:
-            _, _, _, acc, n_accept = carry
+            xs_f, logp_f, _, acc, n_accept = carry
 
         diag = ()
         if with_diagnostics:
@@ -232,7 +261,10 @@ def build_mcmc_nd_fn(
                 + jnp.float32(local_chains) * pilot
             )
             return (sums, n_accept, ss, mb_s + pilot) + diag
-        return (jnp.sum(chain_means, axis=1), n_accept) + diag
+        out = (jnp.sum(chain_means, axis=1), n_accept) + diag
+        if with_state:
+            out = out + (jnp.stack(xs_f), logp_f)
+        return out
 
     denom_vals = jnp.float32(total_chains)
     denom_acc = jnp.float32(total_chains) * jnp.float32(max(n_steps, 1))
@@ -249,6 +281,31 @@ def build_mcmc_nd_fn(
         return split_rhat_ess(w_tot, ss_tot, m_total, n_steps // 2)
 
     if mesh is None:
+        if with_state:
+
+            @jax.jit
+            def run(seed, *args):
+                tables = args[:-3]
+                x0, logp0, segment = args[-3:]
+                init_xs = None
+                if use_init_state:
+                    x0a = jnp.asarray(x0, jnp.float32)
+                    init_xs = tuple(x0a[j] for j in range(d))
+                out = _chain_sweep(
+                    seed, *tables, jnp.int32(0),
+                    init_xs=init_xs,
+                    init_logp=(
+                        jnp.asarray(logp0, jnp.float32)
+                        if use_init_state else None
+                    ),
+                    segment=jnp.asarray(segment, jnp.int32),
+                )
+                sums, n_accept, x_f, logp_f = out
+                return (
+                    sums / denom_vals, n_accept / denom_acc, x_f, logp_f
+                )
+
+            return run
 
         @jax.jit
         def run(seed, *args):
@@ -268,7 +325,24 @@ def build_mcmc_nd_fn(
 
     def sharded_body(seed, *args):
         dev = jax.lax.axis_index(axis_name)
-        out = _chain_sweep(seed, *args, dev)
+        if with_state:
+            tables = args[:-3]
+            x0, logp0, segment = args[-3:]
+            init_xs = None
+            if use_init_state:
+                x0a = jnp.asarray(x0, jnp.float32)
+                init_xs = tuple(x0a[j] for j in range(d))
+            out = _chain_sweep(
+                seed, *tables, dev,
+                init_xs=init_xs,
+                init_logp=(
+                    jnp.asarray(logp0, jnp.float32)
+                    if use_init_state else None
+                ),
+                segment=jnp.asarray(segment, jnp.int32).reshape(()),
+            )
+        else:
+            out = _chain_sweep(seed, *args, dev)
         sums = jax.lax.psum(out[0], axis_name)
         n_accept = jax.lax.psum(out[1], axis_name)
         res = (sums / denom_vals, n_accept / denom_acc)
@@ -289,6 +363,8 @@ def build_mcmc_nd_fn(
             )
             w_tot = jax.lax.psum(w_sum, axis_name)
             res = res + _rhat_of(w_tot, ss_tot)
+        if with_state:
+            res = res + (out[2], out[3])  # (d, local) xs, (local,) logp
         return res
 
     td = len(targ_kinds) if targ_kinds is not None else 0
@@ -305,6 +381,12 @@ def build_mcmc_nd_fn(
         out_specs = out_specs + (replicated,)
     if with_diagnostics:
         out_specs = out_specs + (replicated, replicated)
+    if with_state:
+        # Chain state shards over the chain axis (x is (d, chains)).
+        in_specs = in_specs + (
+            P(None, axis_name), P(axis_name), replicated,
+        )
+        out_specs = out_specs + (P(None, axis_name), P(axis_name))
 
     shard_mapped = jax.shard_map(
         sharded_body,
