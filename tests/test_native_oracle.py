@@ -248,3 +248,70 @@ class TestOracleRhat:
         for j in (16, 19):
             assert abs(means[j] - 1.0 / (j + 2)) < 0.01
             assert 0 < ses[j] < 0.01
+
+
+class TestOracleNd:
+    """nd oracle tier: the C++ joint-Gaussian MH and the d-dim product
+    integrator cross-check the nd kernels' math from an independent
+    implementation (streams differ; estimates compare statistically)."""
+
+    def test_nd_gauss_mh_matches_framework_joint_target(self, oracle):
+        rho = 0.8
+        c = 1.0 / (2 * (1 - rho * rho))
+        prop = Distribution.normal(0.0, 2.0)
+        it = MonteCarloIntegrator()
+        r = it.integrate_mcmc(
+            [lambda x, y: x * y, lambda x, y: x * x],
+            lambda x, y: -c * (x * x - 2 * rho * x * y + y * y),
+            [prop, prop],
+            n_steps=3000, n_chains=1024, n_burnin=300, seed=1,
+        )
+        out, acc = oracle.mcmc_nd_gauss(
+            rho, [0.0, 2.0, 0.0, 2.0], d=2, seed=7,
+            n_chains=512, n_steps=3000, n_burnin=300,
+        )
+        # Both implementations estimate the same bivariate Gaussian.
+        assert abs(out[0] - rho) < 0.06
+        assert abs(out[1] - 1.0) < 0.06
+        assert abs(r.values[0] - out[0]) < 0.1
+        assert abs(r.values[1] - out[1]) < 0.1
+        assert 0.0 < acc < 1.0
+        assert abs(acc - r.acceptance_rate) < 0.1
+
+    def test_nd_gauss_exchangeable_d3(self, oracle):
+        # d=3 exchangeable rho=0.5: E[x0*x1] = 0.5, E[x0^2] = 1.
+        out, acc = oracle.mcmc_nd_gauss(
+            0.5, [0.0, 2.0] * 3, d=3, seed=11,
+            n_chains=512, n_steps=4000, n_burnin=400,
+        )
+        assert abs(out[0] - 0.5) < 0.06
+        assert abs(out[1] - 1.0) < 0.06
+
+    def test_nd_integrate_mixed_dims_vs_framework(self, oracle):
+        it = MonteCarloIntegrator()
+        nx = Distribution.normal(1.0, 0.5)
+        ex = Distribution.exponential(2.0)
+        r = it.integrate(
+            [lambda x, y: x * y, lambda x, y: x * x + y * y],
+            [nx, ex], n_samples=1_000_000, seed=3,
+        )
+        out = oracle.integrate_nd_mean(
+            [DistKind.NORMAL, DistKind.EXPONENTIAL],
+            [1.0, 0.5, 2.0, 0.0], seed=5, n=500_000,
+        )
+        # E[XY] = 1 * 0.5 = 0.5; E[X^2 + Y^2] = 1.25 + 0.5 = 1.75
+        assert abs(out[0] - 0.5) < 0.01
+        assert abs(out[1] - 1.75) < 0.02
+        assert abs(r.values[0] - out[0]) < 0.02
+        assert abs(r.values[1] - out[1]) < 0.03
+
+    def test_nd_integrate_table_dim(self, oracle):
+        d = Distribution.beta(2.0, 5.0)
+        spec_x = np.asarray(d._x_table, np.float32)
+        spec_c = np.asarray(d._cdf_table, np.float32)
+        out = oracle.integrate_nd_mean(
+            [DistKind.CUSTOM, DistKind.UNIFORM],
+            [0.0, 0.0, 0.0, 1.0], seed=9, n=500_000,
+            x_table=spec_x, cdf_table=spec_c, table_dim=0,
+        )
+        assert abs(out[0] - (2.0 / 7.0) * 0.5) < 0.005

@@ -83,6 +83,16 @@ class NativeOracle:
         lib.mc_mean_reduce.argtypes = [
             _F32P, ctypes.c_int64, ctypes.c_int32, _F64P,
         ]
+        lib.mc_mcmc_nd_gauss.argtypes = [
+            ctypes.c_double, _F32P, ctypes.c_int32, ctypes.c_uint64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _F64P,
+        ]
+        lib.mc_mcmc_nd_gauss.restype = ctypes.c_double
+        lib.mc_integrate_nd_mean.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            _F32P, ctypes.c_int32, ctypes.c_uint64, ctypes.c_int64,
+            _F32P, _F32P, ctypes.c_int64, ctypes.c_int32, _F64P,
+        ]
         lib.mc_integrate_stderr.argtypes = [
             ctypes.c_int32, _F32P, ctypes.c_uint64, ctypes.c_int64,
             _F32P, _F32P, ctypes.c_int64, ctypes.c_int32, _F64P, _F64P,
@@ -202,6 +212,41 @@ class NativeOracle:
         e = np.empty(1, np.float64)
         self._lib.mc_split_rhat_ess(sm, wv, len(sm), n1, r, e)
         return float(r[0]), float(e[0])
+
+    def mcmc_nd_gauss(
+        self, rho: float, prop_params, d: int, seed: int,
+        n_chains: int, n_steps: int, n_burnin: int,
+    ) -> Tuple[np.ndarray, float]:
+        """d-dimensional joint-Gaussian MH oracle: (array([E[x0*x1],
+        E[x0^2]]), acceptance) — the independent reference for the nd MH
+        kernels' summed-proposal acceptance math."""
+        out = np.empty(2, np.float64)
+        acc = self._lib.mc_mcmc_nd_gauss(
+            float(rho),
+            np.ascontiguousarray(prop_params, np.float32).reshape(-1),
+            d, seed, n_chains, n_steps, n_burnin, out,
+        )
+        return out, float(acc)
+
+    def integrate_nd_mean(
+        self, kinds, params, seed: int, n: int,
+        x_table=None, cdf_table=None, table_dim: int = -1,
+    ) -> np.ndarray:
+        """(E[prod_j x_j], E[sum_j x_j^2]) over d independent dims (one
+        optional custom-table dim) — the independent reference for the nd
+        fused integrate kernel's per-dim streams."""
+        kinds = np.ascontiguousarray(kinds, np.int32)
+        out = np.empty(2, np.float64)
+        xt = self._tbl(x_table)
+        ct = self._tbl(cdf_table)
+        self._lib.mc_integrate_nd_mean(
+            kinds,
+            np.ascontiguousarray(params, np.float32).reshape(-1),
+            len(kinds), seed, n, xt, ct,
+            len(xt) if x_table is not None else 0,
+            int(table_dim), out,
+        )
+        return out
 
     def mean_reduce(self, partials: np.ndarray) -> np.ndarray:
         partials = np.ascontiguousarray(partials, np.float32)

@@ -272,6 +272,109 @@ double mc_mcmc_moments(int32_t prop_kind, const float* prop_params,
          (static_cast<double>(n_chains) * static_cast<double>(n_steps));
 }
 
+// Multi-dimensional independence-sampler MH over a JOINT target — the
+// independent oracle for the nd MH kernels (ops/mcmc_nd_pallas.py /
+// ops/mcmc_nd.py): d-vector chain state, proposals drawn independently
+// per dimension from analytic families, acceptance with the proposal
+// log-density SUMMED over dimensions, burn-in/collection/averaging
+// conventions identical to the 1-D oracle above.  The target is an
+// exchangeable d-dimensional Gaussian with pairwise correlation rho
+// (precision matrix computed in closed form: for the exchangeable
+// covariance C = (1-rho) I + rho 11', C^-1 = a I + b 11' with
+// a = 1/(1-rho), b = -rho / ((1-rho)(1+(d-1)rho))) — a joint density the
+// strictly 1-D reference cannot express at all.  Writes E[x_0 x_1] and
+// E[x_0^2]; returns the acceptance rate.
+double mc_mcmc_nd_gauss(double rho, const float* prop_params, int32_t d,
+                        uint64_t seed, int64_t n_chains, int64_t n_steps,
+                        int64_t n_burnin, double* out) {
+  if (d < 1 || d > 16) return -1.0;
+  const double a = 1.0 / (1.0 - rho);
+  const double b = -rho / ((1.0 - rho) * (1.0 + (d - 1) * rho));
+  auto joint_logp = [&](const float* x) {
+    double s = 0.0, q = 0.0;
+    for (int32_t j = 0; j < d; ++j) {
+      s += static_cast<double>(x[j]);
+      q += static_cast<double>(x[j]) * static_cast<double>(x[j]);
+    }
+    return -0.5 * (a * q + b * s * s);
+  };
+  auto prop_logq = [&](const float* x) {
+    double s = 0.0;
+    for (int32_t j = 0; j < d; ++j) {
+      s += static_cast<double>(
+          log_pdf_closed(kNormal, prop_params + 2 * j, x[j]));
+    }
+    return s;
+  };
+
+  double exy = 0.0, ex2 = 0.0, n_accept = 0.0;
+  for (int64_t c = 0; c < n_chains; ++c) {
+    uint64_t chain_seed = splitmix64(seed ^ splitmix64(c + 1));
+    float x[16], xp[16];
+    for (int32_t j = 0; j < d; ++j) {
+      x[j] = sample_one(kNormal, prop_params + 2 * j, chain_seed, 0,
+                        10 + j, nullptr, nullptr, 0);
+    }
+    double logp = joint_logp(x);
+    double acc_xy = 0.0, acc_x2 = 0.0;
+    for (int64_t i = 0; i < n_burnin + n_steps; ++i) {
+      for (int32_t j = 0; j < d; ++j) {
+        xp[j] = sample_one(kNormal, prop_params + 2 * j, chain_seed,
+                           static_cast<uint64_t>(i + 1), 100 + j, nullptr,
+                           nullptr, 0);
+      }
+      double logp_prop = joint_logp(xp);
+      double log_alpha = logp_prop + prop_logq(x) - logp - prop_logq(xp);
+      double u = u01_open(chain_seed, static_cast<uint64_t>(i + 1), 3);
+      bool accept = std::log(u) < log_alpha;
+      if (accept) {
+        std::memcpy(x, xp, sizeof(float) * d);
+        logp = logp_prop;
+      }
+      if (i >= n_burnin) {
+        acc_xy += static_cast<double>(x[0]) *
+                  static_cast<double>(x[d > 1 ? 1 : 0]);
+        acc_x2 += static_cast<double>(x[0]) * static_cast<double>(x[0]);
+        if (accept) n_accept += 1.0;
+      }
+    }
+    exy += acc_xy / static_cast<double>(n_steps);
+    ex2 += acc_x2 / static_cast<double>(n_steps);
+  }
+  out[0] = exy / static_cast<double>(n_chains);
+  out[1] = ex2 / static_cast<double>(n_chains);
+  return n_accept /
+         (static_cast<double>(n_chains) * static_cast<double>(n_steps));
+}
+
+// Multi-dimensional product-of-independents integration — the oracle for
+// the nd fused integrate (ops/integrate_nd_pallas.py): d independent
+// draws per sample (analytic or custom-table per dimension), estimating
+// E[prod_j x_j] and E[sum_j x_j^2] in double.
+void mc_integrate_nd_mean(const int32_t* kinds, const float* params,
+                          int32_t d, uint64_t seed, int64_t n,
+                          const float* x_table, const float* cdf_table,
+                          int64_t table_n, int32_t table_dim,
+                          double* out) {
+  double prod_acc = 0.0, sq_acc = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    double p = 1.0, q = 0.0;
+    for (int32_t j = 0; j < d && j < 16; ++j) {
+      const float* tx = (j == table_dim) ? x_table : nullptr;
+      const float* tc = (j == table_dim) ? cdf_table : nullptr;
+      float v = sample_one(kinds[j], params + 2 * j, seed,
+                           static_cast<uint64_t>(i), 200 + j, tx, tc,
+                           (j == table_dim) ? table_n : 0);
+      p *= static_cast<double>(v);
+      q += static_cast<double>(v) * static_cast<double>(v);
+    }
+    prod_acc += p;
+    sq_acc += q;
+  }
+  out[0] = prod_acc / static_cast<double>(n);
+  out[1] = sq_acc / static_cast<double>(n);
+}
+
 // Welford-accumulated moments + standard errors, all double — the
 // independent oracle for the kernels' pilot-shifted f32 sum-of-squares
 // stderr accumulators (streams differ, so tests compare magnitudes).
