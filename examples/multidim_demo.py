@@ -3,7 +3,7 @@
 strictly 1-D reference): pass a SEQUENCE of per-dimension distributions
 and integrands of matching arity.
 
-Four vignettes:
+Six vignettes:
   1. geometry  — P(X^2 + Y^2 < 1) over the unit square, MC vs the Sobol
      digital net (method="qmc") at equal sample budget,
   2. basket IS — a rare joint tail P(X > 3, Y > 3) under N(0,1)^2 with a
@@ -12,7 +12,10 @@ Four vignettes:
      only its JOINT log-density (inexpressible in a one-distribution-
      per-program design),
   4. calibration — gradient descent on d E[payoff]/d(params) through the
-     differentiable nd estimator.
+     differentiable nd estimator,
+  5. serving — one AOT handle dispatching 4 replications per device
+     program, checkpoint/resume over the d-vector chain state, and
+     split-R-hat / ESS mixing diagnostics.
 
 Run: python examples/multidim_demo.py
 """
@@ -87,3 +90,37 @@ print("\n4) Calibrated E[max(X+Y, 0)] via pathwise nd gradients")
 print(f"   target    {target}")
 print(f"   achieved  {final:.4f}  at means "
       f"({float(params[0, 0]):.3f}, {float(params[1, 0]):.3f})")
+
+# 5. Serve the correlated-Gaussian study: one AOT handle, R independent
+#    replications per dispatch (the nd MH kernel batches them as a grid
+#    dimension on TPU), then extend the chains with checkpoint/resume and
+#    confirm mixing with split-R-hat.
+prog = integrator.compile_mcmc(
+    [lambda x, y: x * y], log_density, [prop, prop],
+    n_steps=2_000, n_chains=1_024, n_burnin=200, seed_batch=4,
+)
+reps = np.asarray(prog([20, 21, 22, 23])[0], np.float64)[:, 0]
+print("\n5) Served replications of E[XY] (one dispatch, 4 jobs)")
+print(f"   estimates {np.round(reps, 4)}")
+print(f"   spread    {reps.std(ddof=1):.4f}")
+
+seg1 = integrator.integrate_mcmc(
+    [lambda x, y: x * y], log_density, [prop, prop],
+    n_steps=2_000, n_chains=1_024, n_burnin=200, seed=20,
+    return_state=True,
+)
+seg2 = integrator.integrate_mcmc(
+    [lambda x, y: x * y], log_density, [prop, prop],
+    n_steps=2_000, n_chains=1_024, n_burnin=0, seed=20,
+    initial_state=seg1.chain_state,
+)
+diag = integrator.integrate_mcmc(
+    [lambda x, y: x * y], log_density, [prop, prop],
+    n_steps=2_000, n_chains=1_024, n_burnin=200, seed=24,
+    return_diagnostics=True,
+)
+print("   resumed   segment means "
+      f"{seg1.values[0]:.4f} -> {seg2.values[0]:.4f} "
+      f"(combined {(0.5 * (seg1.values[0] + seg2.values[0])):.4f})")
+print(f"   mixing    split-R-hat {diag.diagnostics['r_hat'][0]:.4f}, "
+      f"ESS {diag.diagnostics['ess'][0]:.0f}")
