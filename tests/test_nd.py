@@ -939,3 +939,91 @@ class TestNdMcmcResume:
             initial_state=r1.chain_state,
         )
         assert abs(0.5 * (r1.values[0] + r2.values[0]) - 2.0) < 0.15
+
+
+class TestNdParamBatch:
+    """nd param-batched handles: (R, d, 2) runtime per-dimension
+    parameter rows (pack_param_batch_nd), each batch element bit-equal
+    to its unbatched call on the kernel path."""
+
+    def _rows(self):
+        return [
+            [Distribution.normal(0.0, 1.0), Distribution.uniform(0.0, 1.0)],
+            [Distribution.normal(2.0, 3.0), Distribution.uniform(-1.0, 1.0)],
+        ]
+
+    def test_kernel_bit_equal_per_element(self):
+        kern = mc.MonteCarloIntegrator(backend="pallas")
+        fns = [lambda x, y: x * y, lambda x, y: x + y]
+        rows = self._rows()
+        prog = kern.compile_integrate(
+            fns, rows[0], n_samples=200_000,
+            seed_batch=2, param_batch=True,
+        )
+        out = np.asarray(prog([5, 6], mc.pack_param_batch_nd(rows)))
+        singles = np.stack([
+            np.asarray(
+                kern.compile_integrate(fns, row, n_samples=200_000)(s)
+            )
+            for s, row in zip((5, 6), rows)
+        ])
+        np.testing.assert_array_equal(out, singles)
+
+    def test_xla_param_batch_matches_singles(self):
+        xla = mc.MonteCarloIntegrator(backend="xla")
+        fns = [lambda x, y: x * y]
+        rows = self._rows()
+        prog = xla.compile_integrate(
+            fns, rows[0], n_samples=200_000,
+            seed_batch=2, param_batch=True,
+        )
+        out = np.asarray(prog([5, 6], mc.pack_param_batch_nd(rows)))
+        singles = np.stack([
+            np.asarray(
+                xla.compile_integrate(fns, row, n_samples=200_000)(s)
+            )
+            for s, row in zip((5, 6), rows)
+        ])
+        np.testing.assert_allclose(out, singles, rtol=1e-6)
+
+    def test_stderr_composes(self):
+        kern = mc.MonteCarloIntegrator(backend="pallas")
+        rows = self._rows()
+        prog = kern.compile_integrate(
+            [lambda x, y: x + y], rows[0], n_samples=200_000,
+            seed_batch=2, param_batch=True, return_stderr=True,
+        )
+        v, se = prog([5, 6], mc.pack_param_batch_nd(rows))
+        assert np.asarray(v).shape == (2, 1)
+        assert np.asarray(se).shape == (2, 1)
+        assert float(np.asarray(se)[0, 0]) > 0
+
+    def test_mismatched_pack_rejected(self):
+        kern = mc.MonteCarloIntegrator(backend="pallas")
+        rows = self._rows()
+        prog = kern.compile_integrate(
+            [lambda x, y: x + y], rows[0], n_samples=100_000,
+            seed_batch=2, param_batch=True,
+        )
+        bad = mc.pack_param_batch_nd(
+            [[Distribution.exponential(2.0), Distribution.uniform(0, 1)]] * 2
+        )
+        with pytest.raises(ValueError, match="packed for dimensions"):
+            prog([5, 6], bad)
+
+    def test_custom_dim_rejected(self):
+        it = mc.MonteCarloIntegrator()
+        with pytest.raises(ValueError, match="analytic"):
+            it.compile_integrate(
+                [lambda x, y: x + y],
+                [Distribution.beta(2.0, 5.0), Distribution.uniform(0, 1)],
+                n_samples=1000, seed_batch=2, param_batch=True,
+            )
+
+    def test_pack_validation(self):
+        n = Distribution.normal(0.0, 1.0)
+        u = Distribution.uniform(0.0, 1.0)
+        with pytest.raises(ValueError, match="same number"):
+            mc.pack_param_batch_nd([[n, u], [n]])
+        with pytest.raises(ValueError, match="mixes families"):
+            mc.pack_param_batch_nd([[n, u], [u, u]])

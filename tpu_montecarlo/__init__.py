@@ -26,6 +26,7 @@ from .api import (
     integrate_importance_sampling,
     integrate_mcmc,
     pack_param_batch,
+    pack_param_batch_nd,
 )
 from .distributions import Distribution, DistributionType
 from .tracing import TraceError, is_traceable, trace_function
@@ -50,6 +51,7 @@ __all__ = [
     "integrate_importance_sampling",
     "integrate_mcmc",
     "pack_param_batch",
+    "pack_param_batch_nd",
     "trace_function",
     "trace_wgsl_function",
     "is_traceable",

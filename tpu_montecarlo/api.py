@@ -469,14 +469,27 @@ class MonteCarloIntegrator:
                     "of Distribution objects"
                 )
             if len(dists) > 1:
+                d = len(dists)
+                traced = self._trace_user_functions(functions, n_args=d)
                 if param_batch:
-                    raise ValueError(
-                        "param_batch is not supported for "
-                        "multi-dimensional handles"
+                    kinds = []
+                    for dd in dists:
+                        kk = dist_spec_of(dd).kind
+                        ensure_param_batch_family(kk)
+                        kinds.append(kk)
+                    run, dev_args = self._nd_program(
+                        traced, dists, n_samples, method,
+                        with_stderr=return_stderr, seed_batch=seed_batch,
+                        param_batch=True,
                     )
-                traced = self._trace_user_functions(
-                    functions, n_args=len(dists)
-                )
+                    if (
+                        getattr(run, "__native_param_batch__", 0)
+                        != seed_batch
+                    ):
+                        run = _nd_param_map_adapter(run, d)
+                    return _nd_param_prog(
+                        run, dev_args, seed_batch, d, tuple(kinds)
+                    )
                 run, dev_args = self._nd_program(
                     traced, dists, n_samples, method,
                     with_stderr=return_stderr, seed_batch=seed_batch,
@@ -852,6 +865,7 @@ class MonteCarloIntegrator:
     def _nd_program(
         self, traced, dists, n_samples, method, with_stderr: bool = False,
         force_xla: bool = False, seed_batch: int = 1,
+        param_batch: bool = False,
     ):
         from .ops.integrate_nd import build_integrate_nd_fn
 
@@ -889,6 +903,7 @@ class MonteCarloIntegrator:
                 method,
                 with_stderr,
                 seed_batch,
+                param_batch,
             )
             kern = self._cache.get_or_build(
                 key,
@@ -896,18 +911,29 @@ class MonteCarloIntegrator:
                     traced, kinds, plan, mesh=mesh, interpret=interpret,
                     method=method, with_stderr=with_stderr,
                     table_sizes=table_sizes, seed_batch=seed_batch,
+                    param_batch=param_batch,
                 ),
             )
 
-            def run_kernel(seed, params_t, xt_t, ct_t):
-                # Same call convention as the XLA nd program; analytic
-                # dims' (dummy) tables ride along unused, custom dims'
-                # uniform-u inverse tables prep inside the jitted kernel
-                # wrapper.
-                del ct_t
-                return kern(seed, jnp.stack(params_t), xt_t)
+            if param_batch:
+                # Handle shape (seeds, (R, d, 2) params): compile-time
+                # dists supply only the families; params are runtime.
+                def run_kernel(seed, params, xt_t, ct_t):
+                    del xt_t, ct_t
+                    return kern(seed, params)
+            else:
 
-            run_kernel = _tag_native_batch(run_kernel, seed_batch)
+                def run_kernel(seed, params_t, xt_t, ct_t):
+                    # Same call convention as the XLA nd program;
+                    # analytic dims' (dummy) tables ride along unused,
+                    # custom dims' uniform-u inverse tables prep inside
+                    # the jitted kernel wrapper.
+                    del ct_t
+                    return kern(seed, jnp.stack(params_t), xt_t)
+
+            run_kernel = _tag_native_batch(
+                run_kernel, seed_batch, param_batch=param_batch
+            )
 
             per = [
                 _device_args_of(dd, s) for dd, s in zip(dists, specs)
@@ -2706,6 +2732,118 @@ def _check_param_batch_args(
             )
         params_arrs.append(p_arr)
     return seeds_arr, tuple(params_arrs)
+
+
+def _nd_param_map_adapter(run, d: int):
+    """Batch an unbatched XLA nd program over (seeds, (R, d, 2) params)
+    via a traced lax.map (the nd form of _param_batched_prog's sweep);
+    cached on the run so repeat handles reuse the trace."""
+    wrappers = getattr(run, "__batched_wrappers__", None)
+    if wrappers is None:
+        wrappers = {}
+        try:
+            run.__batched_wrappers__ = wrappers
+        except (AttributeError, TypeError):
+            pass
+    key = ("nd_param", d)
+    adapted = wrappers.get(key)
+    if adapted is None:
+
+        @jax.jit
+        def adapted(seeds, params, xt_t, ct_t):
+            return jax.lax.map(
+                lambda sp: run(
+                    sp[0],
+                    tuple(sp[1][j] for j in range(d)),
+                    xt_t,
+                    ct_t,
+                ),
+                (seeds, params),
+            )
+
+        wrappers[key] = adapted
+    return adapted
+
+
+def _nd_param_prog(run, dev_args, seed_batch: int, d: int, kinds):
+    """The nd param-batched handle: ``prog(seeds, params)`` with params
+    an (R, d, 2) float32 array of per-dimension family parameter rows
+    (build with :func:`pack_param_batch_nd`); validates shapes and the
+    per-dimension families a tagged pack carries."""
+    _, xt_t, ct_t = dev_args
+
+    def prog(seeds, params):
+        seeds_arr = np.asarray(seeds, np.uint32)
+        if seeds_arr.shape != (seed_batch,):
+            raise ValueError(
+                f"expected {seed_batch} seeds, got shape {seeds_arr.shape}"
+            )
+        fams = getattr(params, "families", None)
+        if fams is not None and tuple(fams) != tuple(kinds):
+            raise ValueError(
+                "params were packed for dimensions "
+                f"{tuple(DistKind(f).name for f in fams)} but this "
+                "program was compiled for "
+                f"{tuple(DistKind(k).name for k in kinds)}"
+            )
+        p_arr = np.asarray(params, np.float32)
+        if p_arr.shape != (seed_batch, d, 2):
+            raise ValueError(
+                f"expected a ({seed_batch}, {d}, 2) params array "
+                f"(pack_param_batch_nd), got shape {p_arr.shape}"
+            )
+        return run(
+            jnp.asarray(seeds_arr), jnp.asarray(p_arr), xt_t, ct_t
+        )
+
+    return prog
+
+
+class NdParamBatch(np.ndarray):
+    """(R, d, 2) float32 per-dimension family-parameter rows tagged
+    with the per-dimension ``families`` tuple, so a mismatched nd
+    param-batched handle rejects the pack at dispatch time."""
+
+    def __new__(cls, arr, families):
+        obj = np.asarray(arr, np.float32).view(cls)
+        obj.families = tuple(DistKind(f) for f in families)
+        return obj
+
+    def __array_finalize__(self, obj):
+        if obj is not None and not hasattr(self, "families"):
+            self.families = getattr(obj, "families", None)
+
+
+def pack_param_batch_nd(rows) -> NdParamBatch:
+    """Stack per-REPLICATION lists of per-DIMENSION analytic
+    distributions into the (R, d, 2) array an nd ``param_batch`` handle
+    takes: ``rows[r][j]`` parameterizes dimension j of batch element r.
+    Every replication must use the same family per dimension."""
+    rows = [list(r) for r in rows]
+    if not rows or not rows[0]:
+        raise ValueError("param batch needs at least one replication row")
+    d = len(rows[0])
+    specs = []
+    for r in rows:
+        if len(r) != d:
+            raise ValueError(
+                "every replication must list the same number of "
+                f"dimensions (got {len(r)} vs {d})"
+            )
+        specs.append([dist_spec_of(dd) for dd in r])
+    families = tuple(s.kind for s in specs[0])
+    for row in specs:
+        for j, s in enumerate(row):
+            if s.kind != families[j]:
+                raise ValueError(
+                    f"dimension {j} mixes families "
+                    f"{families[j].name} and {s.kind.name}"
+                )
+            ensure_param_batch_family(s.kind)
+    arr = np.stack(
+        [np.stack([s.params for s in row]) for row in specs]
+    )
+    return NdParamBatch(arr, families)
 
 
 class ParamBatch(np.ndarray):

@@ -160,6 +160,7 @@ def build_integrate_nd_pallas(
     method: str = "mc",
     with_stderr: bool = False,
     table_sizes: Sequence[int] = (),
+    param_batch: bool = False,
 ):
     """Build a jitted ``(seed, params[, x_tables]) -> (K,) float32`` nd
     kernel program; ``params`` is the (d, 2) per-dimension family
@@ -171,7 +172,12 @@ def build_integrate_nd_pallas(
     dimension exactly like the 1-D kernel (bit-equal to R single-seed
     calls); ``method="qmc"`` draws in-kernel Sobol dimensions under
     per-(rep, dim) seed-derived rotations, auto-segmenting past one
-    2^32-point cycle."""
+    2^32-point cycle.  ``param_batch=True`` (analytic dims only): the
+    params arg becomes (seed_batch, d, 2) — each batch element runs its
+    own per-dimension parameter rows, resident in SMEM as (R*d, 2) and
+    indexed per grid rep, so one compiled program serves a whole
+    d-dimensional parameter sweep per dispatch (the 1-D kernel's
+    serving design)."""
     if method not in ("mc", "qmc"):
         raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
     kinds = tuple(kinds)
@@ -190,6 +196,11 @@ def build_integrate_nd_pallas(
     custom_dims = tuple(
         j for j, kk in enumerate(kinds) if kk == DistKind.CUSTOM
     )
+    if param_batch and custom_dims:
+        raise ValueError(
+            "param_batch supports analytic dimensions only (custom "
+            "tables are baked per distribution)"
+        )
     sdim = _strat_dim(kinds, method)
     table_sizes = tuple(table_sizes) or (0,) * d
     for j in custom_dims:
@@ -253,7 +264,7 @@ def build_integrate_nd_pallas(
         rep = pl.program_id(0)
         pid = pl.program_id(1)
         if with_stderr:
-            pilot_row = pilot_ref[pl.ds(0, 1), :]
+            pilot_row = pilot_ref[pl.ds(rep if param_batch else 0, 1), :]
             colk = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
             pilots = [
                 jnp.sum(jnp.where(colk == j, pilot_row, 0.0))
@@ -268,7 +279,11 @@ def build_integrate_nd_pallas(
         else:
             rng = rng_factory()
             rng.seed(seed_ref[0, rep], pid_base_ref[0, 0] + pid)
-        ps = [(params_ref[j, 0], params_ref[j, 1]) for j in range(d)]
+        pbase = rep * d if param_batch else 0
+        ps = [
+            (params_ref[pbase + j, 0], params_ref[pbase + j, 1])
+            for j in range(d)
+        ]
         rows = block_rows
 
         def draw_custom(j, get_u):
@@ -387,7 +402,9 @@ def build_integrate_nd_pallas(
         (1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     smem_params = pl.BlockSpec(
-        (d, 2), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+        (seed_batch * d if param_batch else d, 2),
+        lambda r, i: (0, 0),
+        memory_space=pltpu.SMEM,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_rows = seed_batch * local_programs
@@ -435,7 +452,8 @@ def build_integrate_nd_pallas(
 
     def _prep(seed, params):
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
-        params_arr = jnp.asarray(params, jnp.float32).reshape(d, 2)
+        pshape = (seed_batch * d, 2) if param_batch else (d, 2)
+        params_arr = jnp.asarray(params, jnp.float32).reshape(pshape)
         return seed_arr, params_arr
 
     def _prep_tables(x_tables):
@@ -453,9 +471,11 @@ def build_integrate_nd_pallas(
         return tuple(prepped)
 
     def _shape_result(sums):
-        return sums[0] if seed_batch == 1 else sums
+        # Param-batched programs always keep the batch axis, even at R=1
+        # (the 1-D kernel's convention).
+        return sums[0] if seed_batch == 1 and not param_batch else sums
 
-    def _pilot_of(params_arr, x_tables=()):
+    def _pilot_row_of(params_arr, x_tables=()):
         """(1, 128) pilot row: per-function means over per-dimension
         quantile grids, golden-ratio-offset per dim (deterministic, pure
         function of replicated inputs — devices agree).  Custom dims map
@@ -491,13 +511,29 @@ def build_integrate_nd_pallas(
         )
         return jnp.zeros((1, LANES), jnp.float32).at[0, :k].set(vals)
 
+    def _pilot_of(params_arr, x_tables=()):
+        """Pilot block: one shared row, or one row per rep when the
+        params are batched (each rep's pilot comes from its own
+        parameter rows, as in the 1-D kernel)."""
+        if not param_batch:
+            return _pilot_row_of(params_arr, x_tables)
+        return jnp.concatenate(
+            [
+                _pilot_row_of(
+                    params_arr[r * d : (r + 1) * d], x_tables
+                )
+                for r in range(seed_batch)
+            ],
+            axis=0,
+        )
+
     def _finish_stderr(sums, sqs, pilot):
         n = jnp.float32(actual)
         mean = sums / n
         dlt = mean - pilot[:, :k]
         var = jnp.maximum(sqs / n - dlt * dlt, 0.0)
         se = jnp.sqrt(var / n)
-        if seed_batch == 1:
+        if seed_batch == 1 and not param_batch:
             return mean[0], se[0]
         return mean, se
 
