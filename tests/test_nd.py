@@ -1027,3 +1027,81 @@ class TestNdParamBatch:
             mc.pack_param_batch_nd([[n, u], [n]])
         with pytest.raises(ValueError, match="mixes families"):
             mc.pack_param_batch_nd([[n, u], [u, u]])
+
+
+class TestNdMcmcParamBatch:
+    """nd MCMC param-batched handles: (R, d, 2) runtime (target,
+    proposal) rows — one program per posterior/tempering sweep."""
+
+    def _packs(self):
+        targ_rows = [[Distribution.normal(0.0, 1.0)] * 2,
+                     [Distribution.normal(1.0, 2.0)] * 2]
+        prop_rows = [[Distribution.normal(0.0, 2.0)] * 2,
+                     [Distribution.normal(1.0, 4.0)] * 2]
+        return targ_rows, prop_rows
+
+    def test_kernel_bit_equal_per_element(self):
+        kern = mc.MonteCarloIntegrator(backend="pallas")
+        fns = [lambda x, y: x * x + y * y]
+        targ_rows, prop_rows = self._packs()
+        prog = kern.compile_mcmc(
+            fns, targ_rows[0], prop_rows[0],
+            n_steps=300, n_chains=512, n_burnin=50,
+            seed_batch=2, param_batch=True,
+        )
+        v, a = prog(
+            [5, 6],
+            mc.pack_param_batch_nd(targ_rows),
+            mc.pack_param_batch_nd(prop_rows),
+        )
+        v = np.asarray(v)
+        assert v.shape == (2, 1)
+        singles = np.stack([
+            np.asarray(
+                kern.compile_mcmc(
+                    fns, t, p, n_steps=300, n_chains=512, n_burnin=50
+                )(s)[0]
+            )
+            for s, t, p in zip((5, 6), targ_rows, prop_rows)
+        ])
+        np.testing.assert_array_equal(v, singles)
+
+    def test_xla_param_batch_statistics(self):
+        xla = mc.MonteCarloIntegrator(backend="xla")
+        fns = [lambda x, y: x * x + y * y]
+        targ_rows, prop_rows = self._packs()
+        prog = xla.compile_mcmc(
+            fns, targ_rows[0], prop_rows[0],
+            n_steps=400, n_chains=512, n_burnin=50,
+            seed_batch=2, param_batch=True,
+        )
+        v, a = prog(
+            [5, 6],
+            mc.pack_param_batch_nd(targ_rows),
+            mc.pack_param_batch_nd(prop_rows),
+        )
+        v = np.asarray(v)
+        assert abs(v[0, 0] - 2.0) < 0.3
+        assert abs(v[1, 0] - 10.0) < 1.0
+
+    def test_stderr_and_joint_rejection(self):
+        kern = mc.MonteCarloIntegrator(backend="pallas")
+        targ_rows, prop_rows = self._packs()
+        prog = kern.compile_mcmc(
+            [lambda x, y: x + y], targ_rows[0], prop_rows[0],
+            n_steps=300, n_chains=512, n_burnin=50,
+            seed_batch=2, param_batch=True, return_stderr=True,
+        )
+        v, a, se = prog(
+            [5, 6],
+            mc.pack_param_batch_nd(targ_rows),
+            mc.pack_param_batch_nd(prop_rows),
+        )
+        assert np.asarray(se).shape == (2, 1)
+        assert float(np.asarray(se)[0, 0]) > 0
+        with pytest.raises(ValueError, match="joint log-density"):
+            kern.compile_mcmc(
+                [lambda x, y: x + y], lambda x, y: -x * x - y * y,
+                prop_rows[0], n_steps=10, n_chains=256, n_burnin=0,
+                seed_batch=2, param_batch=True,
+            )

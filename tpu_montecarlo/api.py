@@ -1683,7 +1683,7 @@ class MonteCarloIntegrator:
     def _nd_mcmc_kernel_program(
         self, traced, proposals, prop_specs, targets, target_fn,
         n_steps, n_burnin, total_chains, return_stderr,
-        seed_batch: int = 1,
+        seed_batch: int = 1, param_batch: bool = False,
     ):
         """Cached nd MH Pallas kernel program (analytic dims; product or
         joint-fn target) + its device args ``(prop_params_t,
@@ -1722,6 +1722,7 @@ class MonteCarloIntegrator:
             interpret,
             return_stderr,
             seed_batch,
+            param_batch,
         )
         run = self._cache.get_or_build(
             key,
@@ -1731,8 +1732,10 @@ class MonteCarloIntegrator:
                     targ_kinds=targ_kinds, target_logpdf_fn=target_fn,
                     mesh=mesh, interpret=interpret,
                     with_stderr=return_stderr, seed_batch=seed_batch,
+                    param_batch=param_batch,
                 ),
                 seed_batch,
+                param_batch=param_batch,
             ),
         )
         return run, (prop_params_t, targ_params_t)
@@ -1995,12 +1998,11 @@ class MonteCarloIntegrator:
         ((K,), acceptance[, (K,) stderr])``, or batched ``prog(seeds)``
         with ``seed_batch=R`` — R runs ride the nd kernel's grid
         dimension when eligible (analytic dims), else a traced lax.map
-        over the XLA nd program."""
-        if param_batch:
-            raise ValueError(
-                "param_batch is not supported for multi-dimensional "
-                "handles"
-            )
+        over the XLA nd program.  ``param_batch=True`` (product-analytic
+        targets): ``prog(seeds, target_params, proposal_params)`` with
+        each params arg an (R, d, 2) array (pack_param_batch_nd) — one
+        program serves a d-dimensional posterior/tempering sweep per
+        dispatch."""
         proposals, targets, target_fn, d = self._parse_nd_mcmc_args(
             target, proposal
         )
@@ -2008,7 +2010,14 @@ class MonteCarloIntegrator:
             return self.compile_mcmc(
                 functions, targets[0], proposals[0], n_steps=n_steps,
                 n_chains=n_chains, n_burnin=n_burnin,
-                seed_batch=seed_batch, return_stderr=return_stderr,
+                seed_batch=seed_batch, param_batch=param_batch,
+                return_stderr=return_stderr,
+            )
+        if param_batch and target_fn is not None:
+            raise ValueError(
+                "param_batch needs a product-of-Distributions target "
+                "(a joint log-density function carries no runtime "
+                "parameters)"
             )
         traced = self._trace_user_functions(functions, n_args=d)
         prop_specs = [dist_spec_of(p) for p in proposals]
@@ -2021,21 +2030,33 @@ class MonteCarloIntegrator:
             if target_fn is not None
             else tuple(dist_spec_of(t).kind for t in targets)
         )
-        if self._use_pallas(prop_kinds[0]) and (
+        if param_batch:
+            for kk in prop_kinds:
+                ensure_param_batch_family(kk, "proposal")
+            for kk in targ_kinds:
+                ensure_param_batch_family(kk, "target")
+        kernel_ok = self._use_pallas(prop_kinds[0]) and (
             self._nd_mcmc_pallas_eligible(
                 prop_kinds, targ_kinds, target_fn, traced,
                 total_chains, d, return_stderr,
             )
-        ):
+        )
+        if kernel_ok:
             run, dev_args = self._nd_mcmc_kernel_program(
                 traced, proposals, prop_specs, targets, target_fn,
                 n_steps, n_burnin, total_chains, return_stderr,
-                seed_batch=seed_batch,
+                seed_batch=seed_batch, param_batch=param_batch,
             )
         else:
             run, dev_args = self._nd_mcmc_xla_program(
                 traced, proposals, prop_specs, targets, target_fn,
                 n_steps, n_burnin, total_chains, return_stderr,
+            )
+        if param_batch:
+            if not kernel_ok:
+                run = _nd_mcmc_param_map_adapter(run, d, dev_args[2:])
+            return _nd_mcmc_param_prog(
+                run, seed_batch, d, targ_kinds, prop_kinds,
             )
         return self._finalize_prog(
             run, dev_args, seed_batch, n_param_args=0
@@ -2795,6 +2816,62 @@ def _nd_param_prog(run, dev_args, seed_batch: int, d: int, kinds):
         return run(
             jnp.asarray(seeds_arr), jnp.asarray(p_arr), xt_t, ct_t
         )
+
+    return prog
+
+
+def _nd_mcmc_param_map_adapter(run, d: int, tables):
+    """Batch the unbatched XLA nd MH program over (seeds, (R, d, 2)
+    proposal and target rows) via a traced lax.map; the analytic-only
+    dummy tables close over."""
+
+    @jax.jit
+    def adapted(seeds, prop_params, targ_params):
+        return jax.lax.map(
+            lambda sp: run(
+                sp[0],
+                tuple(sp[1][j] for j in range(d)),
+                tuple(sp[2][j] for j in range(d)),
+                *tables,
+            ),
+            (seeds, prop_params, targ_params),
+        )
+
+    return adapted
+
+
+def _nd_mcmc_param_prog(run, seed_batch: int, d: int, targ_kinds,
+                        prop_kinds):
+    """The nd MCMC param-batched handle: ``prog(seeds, target_params,
+    proposal_params)`` (1-D compile_mcmc's arg order) with each params
+    arg an (R, d, 2) array; validates shapes and tagged families."""
+
+    def _check(params, kinds, role):
+        fams = getattr(params, "families", None)
+        if fams is not None and tuple(fams) != tuple(kinds):
+            raise ValueError(
+                f"{role} params were packed for dimensions "
+                f"{tuple(DistKind(f).name for f in fams)} but this "
+                "program was compiled for "
+                f"{tuple(DistKind(k).name for k in kinds)}"
+            )
+        p_arr = np.asarray(params, np.float32)
+        if p_arr.shape != (seed_batch, d, 2):
+            raise ValueError(
+                f"expected a ({seed_batch}, {d}, 2) {role} params array "
+                f"(pack_param_batch_nd), got shape {p_arr.shape}"
+            )
+        return jnp.asarray(p_arr)
+
+    def prog(seeds, target_params, proposal_params):
+        seeds_arr = np.asarray(seeds, np.uint32)
+        if seeds_arr.shape != (seed_batch,):
+            raise ValueError(
+                f"expected {seed_batch} seeds, got shape {seeds_arr.shape}"
+            )
+        targ = _check(target_params, targ_kinds, "target")
+        prop = _check(proposal_params, prop_kinds, "proposal")
+        return run(jnp.asarray(seeds_arr), prop, targ)
 
     return prog
 

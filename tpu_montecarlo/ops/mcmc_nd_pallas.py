@@ -120,6 +120,7 @@ def build_mcmc_nd_pallas(
     interpret: bool = False,
     with_stderr: bool = False,
     seed_batch: int = 1,
+    param_batch: bool = False,
 ):
     """Build a jitted nd MH kernel program.
 
@@ -137,6 +138,14 @@ def build_mcmc_nd_pallas(
     runs batched as a leading grid dimension (traced once), each seeded
     exactly like its unbatched call (the 1-D kernel's serving design,
     ops/mcmc_pallas.py).
+
+    ``param_batch=True`` (product-analytic targets only): the
+    ``prop_params_t``/``targ_params_t`` args become (R, d, 2) arrays —
+    each batch element runs its OWN per-dimension (proposal, target)
+    parameter rows, SMEM-resident as (R*d, 2) and indexed per grid rep,
+    so one program serves a whole d-dimensional posterior/tempering
+    sweep per dispatch.  In-kernel error bars compose: each rep's pilot
+    comes from its own init draw under its own parameters.
     """
     if (targ_kinds is None) == (target_logpdf_fn is None):
         raise ValueError(
@@ -153,6 +162,11 @@ def build_mcmc_nd_pallas(
         raise ValueError(
             "nd Pallas MCMC supports analytic families only; "
             "table-sampled dimensions take the XLA backend"
+        )
+    if param_batch and targ_kinds is None:
+        raise ValueError(
+            "param_batch needs a product-analytic target (a joint "
+            "log-density function carries no runtime parameters)"
         )
     k = len(eval_fns)
     if k >= LANES:
@@ -180,9 +194,16 @@ def build_mcmc_nd_pallas(
         rng.seed(
             seed_ref[0, rep] ^ _ND_STREAM_MIX, pid_base_ref[0, 0] + pid
         )
-        qp = [(prop_ref[j, 0], prop_ref[j, 1]) for j in range(d)]
+        pbase = rep * d if param_batch else 0
+        qp = [
+            (prop_ref[pbase + j, 0], prop_ref[pbase + j, 1])
+            for j in range(d)
+        ]
         if targ_kinds is not None:
-            tp = [(targ_ref[j, 0], targ_ref[j, 1]) for j in range(d)]
+            tp = [
+                (targ_ref[pbase + j, 0], targ_ref[pbase + j, 1])
+                for j in range(d)
+            ]
 
         def sample_all(counter):
             return tuple(
@@ -325,10 +346,14 @@ def build_mcmc_nd_pallas(
         (1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     smem_prop = pl.BlockSpec(
-        (d, 2), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+        (seed_batch * d if param_batch else d, 2),
+        lambda r, i: (0, 0),
+        memory_space=pltpu.SMEM,
     )
     smem_targ = pl.BlockSpec(
-        (td, 2), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+        (seed_batch * td if param_batch else td, 2),
+        lambda r, i: (0, 0),
+        memory_space=pltpu.SMEM,
     )
 
     def pallas_sweep(seed_a, prop_a, targ_a, pid_base):
@@ -387,13 +412,22 @@ def build_mcmc_nd_pallas(
         return jnp.sum(ss + corr, axis=1)
 
     def _shape(*outs):
-        # Single-seed programs keep ((K,), scalar[, (K,)]).
-        if seed_batch == 1:
+        # Single-seed programs keep ((K,), scalar[, (K,)]); param-batched
+        # programs always keep the batch axis, even at R=1.
+        if seed_batch == 1 and not param_batch:
             outs = tuple(o[0] for o in outs)
         return outs
 
     def _prep(seed, prop_params_t, targ_params_t):
         seed_a = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
+        if param_batch:
+            prop_a = jnp.asarray(prop_params_t, jnp.float32).reshape(
+                seed_batch * d, 2
+            )
+            targ_a = jnp.asarray(targ_params_t, jnp.float32).reshape(
+                seed_batch * d, 2
+            )
+            return seed_a, prop_a, targ_a
         prop_a = jnp.stack(
             [jnp.asarray(p, jnp.float32) for p in prop_params_t]
         ).reshape(d, 2)
