@@ -714,6 +714,60 @@ def main() -> int:
     ok &= check("nd_kernel_table_dim_qmc", r.values, [(2.0 / 7.0) * 0.5],
                 0.002, "Sobol QMC through a full-inverse table dim")
 
+    # nd param-batched serving + nd resume on hardware: each sweep
+    # element bit-equal to its unbatched call; a fresh stateful nd run
+    # reproduces the stateless estimates and a resumed segment draws
+    # fresh streams.
+    it_nd = mc.MonteCarloIntegrator()
+    nd_rows = [
+        [mc.Distribution.normal(0.0, 1.0), mc.Distribution.uniform(0.0, 1.0)],
+        [mc.Distribution.normal(1.0, 2.0), mc.Distribution.uniform(-1.0, 1.0)],
+    ]
+    sweep_nd = it_nd.compile_integrate(
+        [lambda x, y: x + y, lambda x, y: x * y], nd_rows[0],
+        n_samples=1_000_000, seed_batch=2, param_batch=True,
+    )
+    out_nd = np.asarray(sweep_nd([7, 42], mc.pack_param_batch_nd(nd_rows)))
+    singles_nd = np.stack([
+        np.asarray(
+            it_nd.compile_integrate(
+                [lambda x, y: x + y, lambda x, y: x * y], row,
+                n_samples=1_000_000,
+            )(s)
+        )
+        for s, row in zip([7, 42], nd_rows)
+    ])
+    same = bool(np.array_equal(out_nd, singles_nd))
+    RECORDS.append({"check": "nd_param_batch_bit_equal", "pass": same,
+                    "note": "nd (R, d, 2) sweep elements bit-equal to "
+                            "unbatched calls"})
+    print(json.dumps(RECORDS[-1]), flush=True)
+    ok &= same
+
+    it_nd_xla = mc.MonteCarloIntegrator(backend="xla")
+    r_st0 = it_nd_xla.integrate_mcmc(
+        [lambda x, y: x * x + y * y], [d, d], [q2, q2],
+        n_steps=1000, n_chains=1024, n_burnin=100, seed=42,
+    )
+    r_st1 = it_nd.integrate_mcmc(
+        [lambda x, y: x * x + y * y], [d, d], [q2, q2],
+        n_steps=1000, n_chains=1024, n_burnin=100, seed=42,
+        return_state=True,
+    )
+    r_st2 = it_nd.integrate_mcmc(
+        [lambda x, y: x * x + y * y], [d, d], [q2, q2],
+        n_steps=1000, n_chains=1024, n_burnin=0, seed=42,
+        initial_state=r_st1.chain_state,
+    )
+    ok &= check(
+        "nd_mcmc_resume",
+        [float(r_st1.values[0] - r_st0.values[0]),
+         0.5 * (r_st1.values[0] + r_st2.values[0])],
+        [0.0, 2.0], [1e-12, 0.05],
+        "fresh stateful nd run == stateless (both on the XLA state "
+        "path); resumed halves combine to E[X^2+Y^2]=2",
+    )
+
     # nd MH kernel, product target + in-kernel between-chain error bars.
     rp = mc.integrate_mcmc(
         [lambda x, y: x * x + y * y, lambda x, y: x * y],
