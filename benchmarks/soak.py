@@ -5,10 +5,11 @@ and report throughput stability, estimate drift, and same-seed
 bit-stability.
 
 Measured v5e (50 dispatches in windows of 5, K=2 @ 1e8 samples/job,
-R=10): round 3 head — median 3.25e10 samples/s, p10 within ~4% of
-median (tunnel variance), E[X^2] spread 3.8e-5 (pure Monte Carlo
-noise), same-seed outputs bit-identical before/after.  Round 2 runs:
-median 3.56e10 inverse-CDF / 3.18e10 Box-Muller.
+R=10): round 3 head (post nd/param-batch work) — median 3.79e10
+samples/s, p10 within ~4.3% of median (tunnel variance), E[X^2] spread
+3.8e-5 (pure Monte Carlo noise), same-seed outputs bit-identical
+before/after.  Earlier round-3 run: 3.25e10; round 2: 3.56e10
+inverse-CDF / 3.18e10 Box-Muller.
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/soak.py
 """
