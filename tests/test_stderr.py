@@ -452,6 +452,61 @@ class TestStderrInKernel:
         for row in range(2):
             assert abs(v[row, 0] - truth) < 4 * s[row, 0]
 
+    def test_is_table_weight_stderr_in_kernel(self):
+        # A non-traceable target PDF routes the in-kernel table-weight
+        # path; error bars must now ride the SAME kernel (values
+        # bit-equal to the plain kernel run — the value accumulators are
+        # untouched) and agree with the XLA sweep's stderr.
+        import warnings as _warnings
+
+        def box_pdf(x):
+            return float(int(abs(x) < 1.0)) * 0.5
+
+        target = Distribution.from_pdf(box_pdf, support=(-1.0, 1.0))
+        proposal = Distribution.uniform(-1.5, 1.5)
+        fns = [lambda x: x * x, lambda x: x]
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            it = MonteCarloIntegrator(backend="pallas")
+            r = it.integrate_importance_sampling(
+                fns, target, proposal, n_samples=400_000, seed=7,
+                return_stderr=True,
+            )
+            plain = it.integrate_importance_sampling(
+                fns, target, proposal, n_samples=400_000, seed=7,
+            )
+        np.testing.assert_array_equal(
+            np.float32(r.values), np.float32(plain.values)
+        )
+        r_x = MonteCarloIntegrator(backend="xla").integrate_importance_sampling(
+            fns, target, proposal, n_samples=400_000, return_stderr=True,
+        )
+        np.testing.assert_allclose(r.stderr, r_x.stderr, rtol=0.15)
+        assert abs(r.values[0] - 1 / 3) < 4 * r.stderr[0] + 2e-3
+
+    def test_is_table_weight_stderr_seed_batched(self):
+        def box_pdf(x):
+            return float(int(abs(x) < 1.0)) * 0.5
+
+        target = Distribution.from_pdf(box_pdf, support=(-1.0, 1.0))
+        it = MonteCarloIntegrator(backend="pallas")
+        prog = it.compile_importance_sampling(
+            [lambda x: x * x], target, Distribution.uniform(-1.5, 1.5),
+            n_samples=200_000, seed_batch=3, return_stderr=True,
+        )
+        v, s = (np.asarray(a) for a in prog([1, 2, 3]))
+        assert v.shape == (3, 1) and s.shape == (3, 1)
+        for row in range(3):
+            assert abs(v[row, 0] - 1 / 3) < 4 * s[row, 0] + 2e-3
+        # Each batch element must be bit-equal to its single-seed call.
+        single = it.compile_importance_sampling(
+            [lambda x: x * x], target, Distribution.uniform(-1.5, 1.5),
+            n_samples=200_000, return_stderr=True,
+        )
+        v1, s1 = (np.asarray(a) for a in single(2))
+        np.testing.assert_array_equal(v[1], np.float32(v1))
+        np.testing.assert_array_equal(s[1], np.float32(s1))
+
 
 class TestStderrRouting:
 

@@ -1185,9 +1185,10 @@ class MonteCarloIntegrator:
         ``return_stderr=True``: ``result.stderr`` estimates the standard
         error of each weighted estimator f_i(X) p(X)/q(X) — the quantity
         that tells you whether the proposal is any good (see integrate).
-        When both PDFs trace, the weighted integrands ride the fused
-        Pallas kernel with its in-kernel squares accumulators; the
-        table-weight route runs the XLA sweep.  Under ``method="qmc"``
+        Error bars stay in-kernel on BOTH routes: traced PDFs fold the
+        weight into each integrand, table PDFs accumulate pilot-shifted
+        squares of the in-kernel table-weighted values (the pilot mean
+        is weighted on the same quantile grid).  Under ``method="qmc"``
         error bars come from ``qmc_rotations`` independent rotations in
         one seed-batched dispatch (randomized QMC — see
         :meth:`integrate`)."""
@@ -1311,10 +1312,7 @@ class MonteCarloIntegrator:
         n_dev = 1 if mesh is None else mesh.size
 
         pallas_ok = False
-        # Error-bar runs take the XLA closure path (see
-        # _get_integrate_program); the in-kernel table-weight route has
-        # no sum-of-squares accumulators.
-        if not with_stderr and self._use_pallas(spec.kind):
+        if self._use_pallas(spec.kind):
             from .ops.integrate_pallas import build_integrate_fn_pallas
 
             plan = make_integrate_plan(
@@ -1358,6 +1356,7 @@ class MonteCarloIntegrator:
                         plan_samples=plan.actual_samples,
                         n_dev=n_dev,
                         seed_batch=seed_batch,
+                        with_stderr=with_stderr,
                     )
                     is not None
                 )
@@ -1404,6 +1403,7 @@ class MonteCarloIntegrator:
                 gapped,
                 seed_batch,
                 method,
+                with_stderr,
             )
             run = self._cache.get_or_build(
                 key,
@@ -1418,6 +1418,7 @@ class MonteCarloIntegrator:
                         gapped_tables=gapped,
                         seed_batch=seed_batch,
                         method=method,
+                        with_stderr=with_stderr,
                     ),
                     seed_batch,
                 ),

@@ -528,7 +528,14 @@ def pad_uniform_table(xs, values, fill):
 def uniform_table_value(x, tab, rows, outside):
     """Interpolated lookup of ``x`` against a pad_uniform_table() trio;
     ``outside`` outside [x0, x_max] (0.0 for PDFs, -100 for log-PDFs —
-    reference conventions, src/distribution.rs:173-281, 367-475)."""
+    reference conventions, src/distribution.rs:173-281, 367-475).
+
+    Uses the fori_loop segment scan: these lookups run inside the
+    integrate kernel's UNROLL_BLOCKS-deep eval chain, where the unrolled
+    scan keeps every segment's gather temporaries live on the Mosaic
+    stack — measured compile-OOM at 34.6 MB scoped VMEM (16 MB limit)
+    on a 16-segment weight table with k=2 + stderr accumulators; the
+    loop form bounds the stack at one segment's temporaries."""
     v_ref, dx_ref, grid_ref = tab
     x0 = grid_ref[0, 0]
     step = grid_ref[0, 1]
@@ -537,7 +544,7 @@ def uniform_table_value(x, tab, rows, outside):
     pos = (x - x0) / step
     i0 = jnp.clip(pos.astype(jnp.int32), 0, n_pad - 2)
     frac = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
-    val = _table_lookup(v_ref, dx_ref, i0, frac, rows)
+    val = _table_lookup_loop(v_ref, dx_ref, i0, frac, rows)
     inside = jnp.logical_and(x >= x0, x <= x_max)
     return jnp.where(inside, val, outside)
 
@@ -600,10 +607,12 @@ def build_integrate_fn_pallas(
     which are per-distribution artifacts, and IS weight closures bake
     distribution parameters at trace time.
 
-    ``with_stderr=True`` (no in-kernel IS weight tables; seed and param
-    batches both work — the VMEM pilot table carries one row per
-    param-batch rep, a single shared row otherwise, and each element
-    gets its own (values, stderrs) pair):
+    ``with_stderr=True`` (seed and param batches both work — the VMEM
+    pilot table carries one row per param-batch rep, a single shared
+    row otherwise, and each element gets its own (values, stderrs)
+    pair; with ``is_weight`` the pilot means are weighted, so error
+    bars measure the WEIGHTED estimators f(x) p(x)/q(x), same as the
+    XLA sweep):
     the kernel carries a second accumulator block per function summing
     pilot-shifted squares ``(f(x) - pilot)^2`` and the program returns
     ``(means, stderrs)`` with the standard MC error formula — error
@@ -619,11 +628,6 @@ def build_integrate_fn_pallas(
     kernel's."""
     if method not in ("mc", "qmc"):
         raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
-    if with_stderr and is_weight is not None:
-        raise ValueError(
-            "with_stderr is not supported with in-kernel IS weight "
-            "descriptors (weighted integrands fold the weight instead)"
-        )
     if param_batch:
         from ..sampling import ensure_param_batch_family
 
@@ -932,11 +936,38 @@ def build_integrate_fn_pallas(
             return sums
         return sums[0] if seed_batch == 1 else sums
 
-    def _pilot_vals(p1, p2, prepped):
+    def _pilot_weight(x, weight_tables):
+        """Pilot-grid IS weight p(x)/q(x) OUTSIDE the kernel.  Table
+        modes interpolate the raw uniform-grid tables (0 outside
+        support, like the in-kernel uniform_table_value); traced modes
+        call the pdf closures directly.  The pilot is an arbitrary
+        fixed shift — only determinism across devices matters — so this
+        plain-XLA lookup need not be bit-equal to the in-kernel one."""
+        if is_weight is None:
+            return None
+        wt = list(weight_tables)
+
+        def mode_val(mode, is_table):
+            if not is_table:
+                return mode(x).astype(jnp.float32)
+            xs = jnp.asarray(wt.pop(0), jnp.float32)
+            vals = jnp.asarray(wt.pop(0), jnp.float32)
+            v = jnp.interp(x, xs, vals)
+            inside = jnp.logical_and(x >= xs[0], x <= xs[-1])
+            return jnp.where(inside, v, 0.0).astype(jnp.float32)
+
+        p_val = mode_val(p_mode, p_table)
+        q_val = mode_val(q_mode, q_table)
+        safe_q = jnp.where(q_val > 0, q_val, 1.0)
+        return jnp.where(q_val > 0, p_val / safe_q, 0.0)
+
+    def _pilot_vals(p1, p2, prepped, weight_tables):
         """(K,) per-function means over a deterministic quantile grid of
         the sampling distribution.  For CUSTOM families the stratified
         inverse table itself IS an equal-mass quantile grid, so it
-        doubles as the pilot sample block."""
+        doubles as the pilot sample block.  With is_weight the grid
+        evals carry the IS weight, shifting squares of the WEIGHTED
+        integrands (the quantity the kernel accumulates)."""
         if is_custom:
             x = prepped[0]
         else:
@@ -953,22 +984,28 @@ def build_integrate_fn_pallas(
                 x = p1 + p2 * normal_from_u01(u)
             else:
                 x = -jnp.log(jnp.maximum(u, 1e-7)) / p1
-        return jnp.stack(
-            [jnp.mean(f(x).astype(jnp.float32)) for f in eval_fns]
-        )
+        w = _pilot_weight(x, weight_tables)
 
-    def _pilot_of(params_arr, prepped):
+        def f_val(f):
+            v = f(x).astype(jnp.float32)
+            return v if w is None else v * w
+
+        return jnp.stack([jnp.mean(f_val(f)) for f in eval_fns])
+
+    def _pilot_of(params_arr, prepped, weight_tables=()):
         """Pilot table: one (128,) row per param-batch rep (each rep has
         its own distribution), a single shared row otherwise — identical
         on every device (pure function of replicated inputs), so shifted
         squares psum consistently."""
         if param_batch:
             vals = jax.vmap(
-                lambda p: _pilot_vals(p[0], p[1], prepped)
+                lambda p: _pilot_vals(p[0], p[1], prepped, weight_tables)
             )(params_arr)  # (R, K)
             rows = jnp.zeros((seed_batch, LANES), jnp.float32)
             return rows.at[:, :k].set(vals)
-        vals = _pilot_vals(params_arr[0, 0], params_arr[0, 1], prepped)
+        vals = _pilot_vals(
+            params_arr[0, 0], params_arr[0, 1], prepped, weight_tables
+        )
         return jnp.zeros((1, LANES), jnp.float32).at[0, :k].set(vals)
 
     def _finish_stderr(sums, sqs, pilot):
@@ -1017,7 +1054,7 @@ def build_integrate_fn_pallas(
             base = jnp.zeros((1, 1), jnp.int32)
             prepped = _prep_tables(x_table, cdf_table, weight_tables)
             if with_stderr:
-                pilot = _pilot_of(params_arr, prepped)
+                pilot = _pilot_of(params_arr, prepped, weight_tables)
                 sums, sqs = pallas_sweep(
                     seed_arr, params_arr, base, pilot, *prepped
                 )
@@ -1069,7 +1106,7 @@ def build_integrate_fn_pallas(
         seed_arr, params_arr = _prep(seed, params)
         prepped = _prep_tables(x_table, cdf_table, weight_tables)
         if with_stderr:
-            pilot = _pilot_of(params_arr, prepped)
+            pilot = _pilot_of(params_arr, prepped, weight_tables)
             return shard_mapped(seed_arr, params_arr, pilot, *prepped)
         return shard_mapped(seed_arr, params_arr, *prepped)
 

@@ -12,7 +12,7 @@ in-kernel RNG but reuse the same transform conventions.
 from __future__ import annotations
 
 from enum import IntEnum
-from typing import NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -29,16 +29,31 @@ __all__ = [
     "log_pdf",
     "pdf_from_table",
     "log_pdf_from_table",
+    "ANALYTIC_EXT",
+    "ANALYTIC_KINDS",
 ]
 
 
 class DistKind(IntEnum):
-    """Sampling family codes (reference: src/engine.rs:35, dist codes 0..3)."""
+    """Sampling family codes (reference: src/engine.rs:35, dist codes 0..3).
+
+    Codes 4+ are extended analytic families beyond the reference's four
+    (reference factory surface: python/wgpu_montecarlo/__init__.py:254-608);
+    each is one ``ANALYTIC_EXT`` registry row — an exact inverse-CDF
+    transform plus a closed-form log density — consumed generically by
+    every backend (XLA, the 1-D/nd Pallas kernels, QMC, MCMC)."""
 
     UNIFORM = 0
     NORMAL = 1
     EXPONENTIAL = 2
     CUSTOM = 3
+    LOGNORMAL = 4
+    CAUCHY = 5
+    LAPLACE = 6
+    LOGISTIC = 7
+    GUMBEL = 8
+    WEIBULL = 9
+    PARETO = 10
 
 
 class DistSpec(NamedTuple):
@@ -91,6 +106,11 @@ def _build_spec(dist, DistributionType, compute_inverse_cdf_table) -> DistSpec:
     if t == DistributionType.EXPONENTIAL:
         p = (dist.params["lambda"], 0.0)
         return DistSpec(DistKind.EXPONENTIAL, np.asarray(p, np.float32))
+    ext_kind = getattr(DistKind, t.name, None)
+    ext = ANALYTIC_EXT.get(ext_kind)
+    if ext is not None:
+        p = tuple(dist.params[n] for n in ext.param_names)
+        return DistSpec(ext_kind, np.asarray(p, np.float32))
     if t == DistributionType.CUSTOM:
         if dist._x_table is None or dist._cdf_table is None:
             raise ValueError("Custom distribution requires x/cdf tables")
@@ -157,6 +177,189 @@ def normal_from_u01(u):
     """
     u = jnp.clip(u, 1e-7, np.float32(1.0 - 1e-7))
     return _SQRT2 * jax.lax.erf_inv(2.0 * u - 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Extended analytic families.
+#
+# Each family is ONE registry row: an exact inverse-CDF transform and a
+# closed-form log density, both written in kernel-safe primitives — the
+# exp/log/sqrt/erf_inv intrinsics Mosaic lowers well, plus the fast_math
+# tangent polynomial for Cauchy (Mosaic has no lowering at all for
+# asin/acos/atan/copysign, and its tan intrinsic costs ~6x the
+# polynomial; see ops/fast_math.py).  Every dispatch site (XLA
+# transform_from_u / analytic_log_pdf, the Pallas 1-D and nd integrate
+# and MCMC kernels, the QMC streams, stderr pilot grids) consults the
+# registry generically, so adding a family is one entry here plus one
+# Distribution factory.
+#
+# Uniform-draw convention: every inv_cdf clamps u into
+# [1e-7, 1 - 1e-7] internally, so it accepts both the [0, 1) and the
+# (0, 1] generators in this codebase.  The clamp truncates the sampled
+# tails at the 1e-7 quantiles — same order as the normal sampler's
+# ~5.2 sigma truncation (normal_from_u01) and statistically invisible
+# at the framework's tolerances.
+# ---------------------------------------------------------------------------
+
+_U_LO = np.float32(1e-7)
+_U_HI = np.float32(1.0 - 1e-7)
+_PI_F = np.float32(np.pi)
+
+
+def _clip_u(u):
+    return jnp.clip(u, _U_LO, _U_HI)
+
+
+class AnalyticExt(NamedTuple):
+    """Registry row for an extended analytic family.
+
+    ``inv_cdf(u, p1, p2) -> x`` and ``log_pdf(x, p1, p2) -> f32`` must
+    be pure jittable JAX in kernel-safe primitives; log_pdf must return
+    FINITE values everywhere (floored at LOG_PDF_FLOOR, the reference's
+    out-of-support convention, src/shader_gen.rs:543-571)."""
+
+    name: str
+    param_names: Tuple[str, str]
+    inv_cdf: Callable
+    log_pdf: Callable
+
+
+def _lognormal_inv(u, p1, p2):
+    # p1 = mu, p2 = sigma (of log X): exp of the inverse-CDF normal.
+    return jnp.exp(p1 + p2 * normal_from_u01(u))
+
+
+def _lognormal_logpdf(x, p1, p2):
+    safe = jnp.maximum(x, np.float32(1e-30))
+    lx = jnp.log(safe)
+    z = (lx - p1) / p2
+    val = -0.5 * z * z - lx - jnp.log(p2 * _SQRT_2PI)
+    return jnp.maximum(
+        jnp.where(x > 0, val, LOG_PDF_FLOOR), LOG_PDF_FLOOR
+    )
+
+
+def _cauchy_inv(u, p1, p2):
+    # p1 = location, p2 = scale.  fast_tan: Cody-Waite reduction +
+    # minimax polynomial — the kernel-safe tangent (see module comment).
+    from .ops.fast_math import fast_tan
+
+    return p1 + p2 * fast_tan(_PI_F * (_clip_u(u) - np.float32(0.5)))
+
+
+def _cauchy_logpdf(x, p1, p2):
+    z = (x - p1) / p2
+    return jnp.maximum(
+        -jnp.log(_PI_F * p2 * (1.0 + z * z)), LOG_PDF_FLOOR
+    )
+
+
+def _laplace_inv(u, p1, p2):
+    # p1 = location, p2 = diversity b; double-exponential folding of the
+    # exponential inverse transform.  After the clip, 1 - 2|t| >= 2e-7.
+    t = _clip_u(u) - np.float32(0.5)
+    mag = -jnp.log(1.0 - 2.0 * jnp.abs(t))
+    return p1 + p2 * jnp.where(t >= 0, mag, -mag)
+
+
+def _laplace_logpdf(x, p1, p2):
+    return jnp.maximum(
+        -jnp.abs(x - p1) / p2 - jnp.log(2.0 * p2), LOG_PDF_FLOOR
+    )
+
+
+def _logistic_inv(u, p1, p2):
+    # p1 = location, p2 = scale: the logit transform.
+    uc = _clip_u(u)
+    return p1 + p2 * jnp.log(uc / (1.0 - uc))
+
+
+def _softplus(t):
+    # log(1 + e^t) without overflow: max(t, 0) + log1p(e^-|t|), with the
+    # log1p spelled log(1 + .) (argument <= 1; Mosaic has no expm1/log1p).
+    return jnp.maximum(t, 0.0) + jnp.log(1.0 + jnp.exp(-jnp.abs(t)))
+
+
+def _logistic_logpdf(x, p1, p2):
+    z = (x - p1) / p2
+    return jnp.maximum(
+        -z - 2.0 * _softplus(-z) - jnp.log(p2), LOG_PDF_FLOOR
+    )
+
+
+def _gumbel_inv(u, p1, p2):
+    # p1 = location, p2 = scale (max-Gumbel convention).
+    return p1 - p2 * jnp.log(-jnp.log(_clip_u(u)))
+
+
+def _gumbel_logpdf(x, p1, p2):
+    z = (x - p1) / p2
+    # exp(-z) overflows f32 for z << 0: the intermediate -inf is floored
+    # (a density below e^-100 is indistinguishable from 0 in f32).
+    return jnp.maximum(-(z + jnp.exp(-z)) - jnp.log(p2), LOG_PDF_FLOOR)
+
+
+def _weibull_inv(u, p1, p2):
+    # p1 = shape k, p2 = scale lambda: an Exp(1) draw raised to 1/k
+    # (x = lambda * E^(1/k); u and 1-u are exchangeable uniforms).  The
+    # power is exp(log(e)/k) — Mosaic-safe, and e >= 1e-7 after the clip.
+    e = -jnp.log(_clip_u(u))
+    return p2 * jnp.exp(jnp.log(e) / p1)
+
+
+def _weibull_logpdf(x, p1, p2):
+    t = jnp.maximum(x, np.float32(1e-30)) / p2
+    lt = jnp.log(t)
+    val = jnp.log(p1 / p2) + (p1 - 1.0) * lt - jnp.exp(p1 * lt)
+    return jnp.maximum(
+        jnp.where(x > 0, val, LOG_PDF_FLOOR), LOG_PDF_FLOOR
+    )
+
+
+def _pareto_inv(u, p1, p2):
+    # p1 = x_min, p2 = tail index alpha: x = x_min * u^(-1/alpha).
+    return p1 * jnp.exp(-jnp.log(_clip_u(u)) / p2)
+
+
+def _pareto_logpdf(x, p1, p2):
+    safe = jnp.maximum(x, p1)
+    val = jnp.log(p2) + p2 * jnp.log(p1) - (p2 + 1.0) * jnp.log(safe)
+    return jnp.maximum(
+        jnp.where(x >= p1, val, LOG_PDF_FLOOR), LOG_PDF_FLOOR
+    )
+
+
+ANALYTIC_EXT = {
+    DistKind.LOGNORMAL: AnalyticExt(
+        "lognormal", ("mu", "sigma"), _lognormal_inv, _lognormal_logpdf
+    ),
+    DistKind.CAUCHY: AnalyticExt(
+        "cauchy", ("loc", "scale"), _cauchy_inv, _cauchy_logpdf
+    ),
+    DistKind.LAPLACE: AnalyticExt(
+        "laplace", ("loc", "scale"), _laplace_inv, _laplace_logpdf
+    ),
+    DistKind.LOGISTIC: AnalyticExt(
+        "logistic", ("loc", "scale"), _logistic_inv, _logistic_logpdf
+    ),
+    DistKind.GUMBEL: AnalyticExt(
+        "gumbel", ("loc", "scale"), _gumbel_inv, _gumbel_logpdf
+    ),
+    DistKind.WEIBULL: AnalyticExt(
+        "weibull", ("shape", "scale"), _weibull_inv, _weibull_logpdf
+    ),
+    DistKind.PARETO: AnalyticExt(
+        "pareto", ("x_min", "alpha"), _pareto_inv, _pareto_logpdf
+    ),
+}
+
+#: Every family that samples from closed-form transforms (no host
+#: tables) — the families eligible for param_batch / expectation_fn.
+ANALYTIC_KINDS: Tuple[DistKind, ...] = (
+    DistKind.UNIFORM,
+    DistKind.NORMAL,
+    DistKind.EXPONENTIAL,
+) + tuple(ANALYTIC_EXT)
 
 
 def next_below_f32(hi):
@@ -226,6 +429,9 @@ def transform_from_u(
         )
     if kind == DistKind.EXPONENTIAL:
         return -jnp.log(jnp.maximum(u, 1e-7)) / params[0]
+    ext = ANALYTIC_EXT.get(kind)
+    if ext is not None:
+        return ext.inv_cdf(u, params[0], params[1]).astype(jnp.float32)
     if kind == DistKind.CUSTOM:
         if exact_inverse:
             # CDF with flat runs: the exact (discontinuous) inverse keeps
@@ -262,6 +468,9 @@ def analytic_log_pdf(kind: DistKind, p1, p2, x):
         return -0.5 * z * z - jnp.log(p2 * _SQRT_2PI)
     if kind == DistKind.EXPONENTIAL:
         return jnp.where(x >= 0.0, jnp.log(p1) - p1 * x, LOG_PDF_FLOOR)
+    ext = ANALYTIC_EXT.get(kind)
+    if ext is not None:
+        return ext.log_pdf(x, p1, p2)
     raise ValueError(f"No analytic log-pdf for {kind}")
 
 
