@@ -800,6 +800,53 @@ def main() -> int:
                 [0.0, 0.0], [6.0, 0.2],
                 "rotation-spread bars: |err|<=6*stderr and <0.2x MC bars")
 
+    # --- extended analytic families (beyond the reference surface) ----
+    # One compiled-kernel moment check per registry family; Cauchy has
+    # no moments, so its check is the CDF at loc +/- scale.
+    euler_gamma = 0.5772156649
+    fam_rows = [
+        (mc.Distribution.lognormal(0.3, 0.5), math.exp(0.425), "lognormal"),
+        (mc.Distribution.laplace(1.0, 2.0), 1.0, "laplace"),
+        (mc.Distribution.logistic(0.5, 1.0), 0.5, "logistic"),
+        (mc.Distribution.gumbel(0.0, 1.5), 1.5 * euler_gamma, "gumbel"),
+        (mc.Distribution.weibull(2.0, 1.0), math.gamma(1.5), "weibull"),
+        (mc.Distribution.pareto(1.0, 3.0), 1.5, "pareto"),
+    ]
+    for dist_f, truth, fam in fam_rows:
+        rf = mc.integrate([lambda x: x], dist_f,
+                          n_samples=4_000_000, seed=42,
+                          return_stderr=True)
+        ok &= check(f"family_{fam}_mean",
+                    [float(rf.values[0]),
+                     float(rf.values[0] - truth)
+                     / max(float(rf.stderr[0]), 1e-12)],
+                    [truth, 0.0], [0.02 * max(abs(truth), 0.5), 6.0],
+                    f"{fam} kernel: E[X] within tolerance AND 6 "
+                    "in-kernel error bars")
+    rc = mc.integrate([lambda x: x < 2.0, lambda x: x < 0.5,
+                       lambda x: x < 3.5],
+                      mc.Distribution.cauchy(2.0, 1.5),
+                      n_samples=4_000_000, seed=42)
+    ok &= check("family_cauchy_cdf", rc.values, [0.5, 0.25, 0.75], 0.005,
+                "cauchy kernel (fast_tan inverse CDF): CDF at loc, "
+                "loc +/- scale")
+
+    # New-family MCMC in-kernel: laplace target via logistic proposal.
+    rlm = mc.integrate_mcmc(
+        [lambda x: x], mc.Distribution.laplace(3.0, 1.0),
+        mc.Distribution.logistic(0.0, 2.0),
+        n_steps=4000, n_chains=2048, n_burnin=500, seed=42,
+    )
+    ok &= check("family_mcmc_laplace_target", rlm.values, [3.0], 0.1,
+                "MH kernel with extended-family target AND proposal")
+
+    # New-family QMC through the kernel's rotated radical inverse.
+    rwq = mc.integrate([lambda x: x], mc.Distribution.weibull(1.5, 2.0),
+                       n_samples=1 << 21, seed=42, method="qmc")
+    ok &= check("family_weibull_qmc", rwq.values,
+                [2.0 * math.gamma(1.0 + 1.0 / 1.5)], 0.005,
+                "monotone inverse CDF carries QMC structure")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",

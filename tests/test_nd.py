@@ -782,17 +782,24 @@ class TestNdCompiledHandles:
         assert np.asarray(tv).shape == (2, 1)
         assert np.asarray(ta).shape == (2,)
 
-    def test_param_batch_rejected_for_nd(self):
+    def test_param_batch_rejected_for_table_dims(self):
+        # nd param_batch works for analytic dims (TestNdParamBatch
+        # below); a CUSTOM (table-sampled) dimension must still reject —
+        # tables are per-distribution host artifacts, not runtime rows.
         it = mc.MonteCarloIntegrator()
         n01 = Distribution.normal(0.0, 1.0)
+        tbl = Distribution.from_pdf(
+            lambda x: 1.0 if (0.0 <= x) and (x < 1.0) else 0.0,
+            support=(0.0, 1.0),
+        )
         with pytest.raises(ValueError, match="param_batch"):
             it.compile_integrate(
-                [lambda x, y: x + y], [n01, n01],
+                [lambda x, y: x + y], [n01, tbl],
                 n_samples=1000, seed_batch=2, param_batch=True,
             )
         with pytest.raises(ValueError, match="param_batch"):
             it.compile_mcmc(
-                [lambda x, y: x + y], [n01, n01],
+                [lambda x, y: x + y], [n01, tbl],
                 [Distribution.normal(0.0, 2.0)] * 2,
                 n_steps=10, n_chains=256, n_burnin=0,
                 seed_batch=2, param_batch=True,

@@ -22,12 +22,24 @@ __all__ = ["Distribution", "DistributionType"]
 
 
 class DistributionType(Enum):
-    """Supported sampling families."""
+    """Supported sampling families.
+
+    The first four match the reference (python/wgpu_montecarlo/
+    __init__.py:254-608); the rest are extended closed-form families
+    this framework samples exactly on-device (one inverse-CDF registry
+    row each — see sampling.ANALYTIC_EXT)."""
 
     UNIFORM = auto()
     NORMAL = auto()
     EXPONENTIAL = auto()
     CUSTOM = auto()
+    LOGNORMAL = auto()
+    CAUCHY = auto()
+    LAPLACE = auto()
+    LOGISTIC = auto()
+    GUMBEL = auto()
+    WEIBULL = auto()
+    PARETO = auto()
 
 
 class Distribution:
@@ -129,6 +141,174 @@ class Distribution:
         return Distribution(
             dist_type=DistributionType.EXPONENTIAL,
             params={"lambda": lambda_param, "support": (0.0, 10.0 / lambda_param)},
+            pdf_func=pdf,
+        )
+
+    # -- Extended closed-form families (beyond the reference's factory --
+    # -- surface): each samples exactly on-device via one inverse-CDF  --
+    # -- registry row (sampling.ANALYTIC_EXT) on every backend, joins  --
+    # -- param_batch sweeps and expectation_fn gradients, and records  --
+    # -- a support wide enough for the table fall-backs.  The sampled  --
+    # -- tails truncate at the 1e-7 quantiles (see sampling._clip_u).  --
+
+    @staticmethod
+    def lognormal(mu: float = 0.0, sigma: float = 1.0) -> "Distribution":
+        """Log-normal: ``ln X ~ N(mu, sigma)``.  E[X] = exp(mu + sigma^2/2)."""
+        if not sigma > 0:
+            raise ValueError(f"sigma must be positive, got {sigma}")
+        sqrt_2pi = np.sqrt(2 * np.pi)
+
+        def pdf(x: float) -> float:
+            return (
+                math.exp(-0.5 * ((math.log(x) - mu) / sigma) ** 2)
+                / (x * sigma * sqrt_2pi)
+                if x > 0
+                else 0.0
+            )
+
+        return Distribution(
+            dist_type=DistributionType.LOGNORMAL,
+            params={
+                "mu": mu,
+                "sigma": sigma,
+                "support": (0.0, math.exp(mu + 7 * sigma)),
+            },
+            pdf_func=pdf,
+        )
+
+    @staticmethod
+    def cauchy(loc: float = 0.0, scale: float = 1.0) -> "Distribution":
+        """Cauchy (Lorentz) with location/scale.  No finite moments; the
+        device sampler truncates at the 1e-7 quantiles (|x - loc| up to
+        ~3.2e6 scale)."""
+        if not scale > 0:
+            raise ValueError(f"scale must be positive, got {scale}")
+        inv_pi = 1.0 / math.pi
+
+        def pdf(x: float) -> float:
+            return inv_pi / (scale * (1.0 + ((x - loc) / scale) ** 2))
+
+        return Distribution(
+            dist_type=DistributionType.CAUCHY,
+            params={
+                "loc": loc,
+                "scale": scale,
+                "support": (loc - 3.2e6 * scale, loc + 3.2e6 * scale),
+            },
+            pdf_func=pdf,
+        )
+
+    @staticmethod
+    def laplace(loc: float = 0.0, scale: float = 1.0) -> "Distribution":
+        """Laplace (double exponential) with location and diversity b."""
+        if not scale > 0:
+            raise ValueError(f"scale must be positive, got {scale}")
+
+        def pdf(x: float) -> float:
+            return math.exp(-abs(x - loc) / scale) / (2.0 * scale)
+
+        return Distribution(
+            dist_type=DistributionType.LAPLACE,
+            params={
+                "loc": loc,
+                "scale": scale,
+                "support": (loc - 17.0 * scale, loc + 17.0 * scale),
+            },
+            pdf_func=pdf,
+        )
+
+    @staticmethod
+    def logistic(loc: float = 0.0, scale: float = 1.0) -> "Distribution":
+        """Logistic with location/scale; Var[X] = (pi * scale)^2 / 3."""
+        if not scale > 0:
+            raise ValueError(f"scale must be positive, got {scale}")
+
+        def pdf(x: float) -> float:
+            t = math.exp(-abs((x - loc) / scale))
+            return t / (scale * (1.0 + t) ** 2)
+
+        return Distribution(
+            dist_type=DistributionType.LOGISTIC,
+            params={
+                "loc": loc,
+                "scale": scale,
+                "support": (loc - 17.0 * scale, loc + 17.0 * scale),
+            },
+            pdf_func=pdf,
+        )
+
+    @staticmethod
+    def gumbel(loc: float = 0.0, scale: float = 1.0) -> "Distribution":
+        """Gumbel (max extreme-value): E[X] = loc + gamma * scale."""
+        if not scale > 0:
+            raise ValueError(f"scale must be positive, got {scale}")
+
+        def pdf(x: float) -> float:
+            z = (x - loc) / scale
+            return (
+                math.exp(-(z + math.exp(-z))) / scale if z > -30.0 else 0.0
+            )
+
+        return Distribution(
+            dist_type=DistributionType.GUMBEL,
+            params={
+                "loc": loc,
+                "scale": scale,
+                "support": (loc - 3.0 * scale, loc + 17.0 * scale),
+            },
+            pdf_func=pdf,
+        )
+
+    @staticmethod
+    def weibull(shape: float, scale: float = 1.0) -> "Distribution":
+        """Weibull with shape k and scale lambda:
+        E[X] = scale * Gamma(1 + 1/shape)."""
+        if not shape > 0:
+            raise ValueError(f"shape must be positive, got {shape}")
+        if not scale > 0:
+            raise ValueError(f"scale must be positive, got {scale}")
+
+        def pdf(x: float) -> float:
+            return (
+                (shape / scale)
+                * (x / scale) ** (shape - 1.0)
+                * math.exp(-((x / scale) ** shape))
+                if x > 0
+                else 0.0
+            )
+
+        return Distribution(
+            dist_type=DistributionType.WEIBULL,
+            params={
+                "shape": shape,
+                "scale": scale,
+                "support": (0.0, scale * 16.2 ** (1.0 / shape)),
+            },
+            pdf_func=pdf,
+        )
+
+    @staticmethod
+    def pareto(x_min: float = 1.0, alpha: float = 1.0) -> "Distribution":
+        """Pareto (type I) with minimum x_min and tail index alpha."""
+        if not x_min > 0:
+            raise ValueError(f"x_min must be positive, got {x_min}")
+        if not alpha > 0:
+            raise ValueError(f"alpha must be positive, got {alpha}")
+
+        def pdf(x: float) -> float:
+            return (
+                alpha * x_min**alpha / x ** (alpha + 1.0)
+                if x >= x_min
+                else 0.0
+            )
+
+        return Distribution(
+            dist_type=DistributionType.PARETO,
+            params={
+                "x_min": x_min,
+                "alpha": alpha,
+                "support": (x_min, x_min * math.exp(16.2 / alpha)),
+            },
             pdf_func=pdf,
         )
 

@@ -63,8 +63,9 @@ from .integrate_pallas import (
 
 __all__ = ["build_integrate_nd_pallas", "nd_pallas_supports", "pick_nd_rows"]
 
-_ANALYTIC = (DistKind.UNIFORM, DistKind.NORMAL, DistKind.EXPONENTIAL)
-_SUPPORTED = _ANALYTIC + (DistKind.CUSTOM,)
+from ..sampling import ANALYTIC_KINDS as _ANALYTIC
+
+_SUPPORTED = tuple(_ANALYTIC) + (DistKind.CUSTOM,)
 
 
 def nd_pallas_supports(kinds: Sequence[DistKind]) -> bool:
@@ -146,6 +147,11 @@ def _draw_dim(kind: DistKind, p1, p2, get_u):
         return p1 + p2 * normal_from_u01(get_u(False))
     if kind == DistKind.EXPONENTIAL:
         return -jnp.log(jnp.maximum(get_u(True), 1e-7)) / p1
+    from ..sampling import ANALYTIC_EXT
+
+    ext = ANALYTIC_EXT.get(kind)
+    if ext is not None:
+        return ext.inv_cdf(get_u(False), p1, p2).astype(jnp.float32)
     raise ValueError(f"nd Pallas kernel does not support {kind}")
 
 
@@ -504,8 +510,12 @@ def build_integrate_nd_pallas(
                 frac = pos - i0.astype(jnp.float32)
                 x0 = jnp.take(t, i0)
                 xs.append(x0 + frac * (jnp.take(t, i0 + 1) - x0))
-            else:
+            elif kinds[j] == DistKind.EXPONENTIAL:
                 xs.append(-jnp.log(u) / p1)
+            else:
+                from ..sampling import ANALYTIC_EXT
+
+                xs.append(ANALYTIC_EXT[kinds[j]].inv_cdf(u, p1, p2))
         vals = jnp.stack(
             [jnp.mean(f(*xs).astype(jnp.float32)) for f in eval_fns]
         )

@@ -73,12 +73,9 @@ _INV_2POW24 = np.float32(1.0 / (1 << 24))
 
 
 def pallas_supports(kind: DistKind) -> bool:
-    return kind in (
-        DistKind.UNIFORM,
-        DistKind.NORMAL,
-        DistKind.EXPONENTIAL,
-        DistKind.CUSTOM,
-    )
+    from ..sampling import ANALYTIC_KINDS
+
+    return kind == DistKind.CUSTOM or kind in ANALYTIC_KINDS
 
 
 def plan_pallas_grid(n_samples: int, rows: int = BLOCK_ROWS):
@@ -448,6 +445,15 @@ def _sample_subblocks_qmc(
         ts_ref, dts_ref = tables
         w = qmc_u01_halfopen(g, s1)
         return [_stratified_sample_from_w(ts_ref, dts_ref, w)]
+    from ..sampling import ANALYTIC_EXT
+
+    ext = ANALYTIC_EXT.get(kind)
+    if ext is not None:
+        # Monotone inverse CDFs carry the low-discrepancy structure of
+        # the rotated radical inverse to the samples exactly (same
+        # argument as the NORMAL branch above).
+        u = qmc_u01_halfopen(g, s1)
+        return [ext.inv_cdf(u, p1, p2).astype(jnp.float32)]
     raise ValueError(f"Pallas QMC does not support {kind}")
 
 
@@ -483,6 +489,14 @@ def _sample_subblocks(
     if kind == DistKind.CUSTOM:
         ts_ref, dts_ref = tables
         return [_stratified_sample(ts_ref, dts_ref, rng, counter, rows)]
+    from ..sampling import ANALYTIC_EXT
+
+    ext = ANALYTIC_EXT.get(kind)
+    if ext is not None:
+        # Extended analytic families: one [0, 1) uniform per sample
+        # through the registry's inverse CDF (it clamps u internally).
+        u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+        return [ext.inv_cdf(u, p1, p2).astype(jnp.float32)]
     raise ValueError(f"Pallas kernel does not support {kind}")
 
 
@@ -982,8 +996,12 @@ def build_integrate_fn_pallas(
                 from ..sampling import normal_from_u01
 
                 x = p1 + p2 * normal_from_u01(u)
-            else:
+            elif kind == DistKind.EXPONENTIAL:
                 x = -jnp.log(jnp.maximum(u, 1e-7)) / p1
+            else:
+                from ..sampling import ANALYTIC_EXT
+
+                x = ANALYTIC_EXT[kind].inv_cdf(u, p1, p2)
         w = _pilot_weight(x, weight_tables)
 
         def f_val(f):

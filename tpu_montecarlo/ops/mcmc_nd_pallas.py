@@ -60,7 +60,7 @@ __all__ = [
     "mcmc_nd_vmem_fits",
 ]
 
-_ANALYTIC = (DistKind.UNIFORM, DistKind.NORMAL, DistKind.EXPONENTIAL)
+from ..sampling import ANALYTIC_KINDS as _ANALYTIC
 
 # Seed-word mix distinguishing the nd MCMC stream family from both the
 # integrate kernels' and the 1-D MCMC kernel's (0x5BD1E995) families.

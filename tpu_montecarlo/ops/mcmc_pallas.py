@@ -58,14 +58,13 @@ __all__ = [
 
 
 def mcmc_pallas_supports(proposal_kind: DistKind, target_kind: DistKind) -> bool:
-    """All four families run in-kernel (CUSTOM via table lookups); callers
-    must additionally ensure CUSTOM log-pdf x-grids are uniform."""
-    kinds = (
-        DistKind.UNIFORM,
-        DistKind.NORMAL,
-        DistKind.EXPONENTIAL,
-        DistKind.CUSTOM,
-    )
+    """Every family runs in-kernel — the analytic families (including
+    the extended closed-form registry) via their transforms/log
+    densities, CUSTOM via table lookups; callers must additionally
+    ensure CUSTOM log-pdf x-grids are uniform."""
+    from ..sampling import ANALYTIC_KINDS
+
+    kinds = ANALYTIC_KINDS + (DistKind.CUSTOM,)
     return proposal_kind in kinds and target_kind in kinds
 
 
@@ -199,6 +198,12 @@ def _sample_chain_block(
         i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
         frac = pos - i0.astype(jnp.float32)
         return _table_lookup(inv_t, inv_dx, i0, frac, rows)
+    from ..sampling import ANALYTIC_EXT
+
+    ext = ANALYTIC_EXT.get(kind)
+    if ext is not None:
+        u = _uniform_halfopen01(rng, (rows, LANES), counter, tag)
+        return ext.inv_cdf(u, p1, p2).astype(jnp.float32)
     raise ValueError(f"Pallas MCMC does not support {kind}")
 
 

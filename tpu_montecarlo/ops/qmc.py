@@ -145,7 +145,7 @@ def qmc_u01_open(idx, shift):
 # pipeline as the 1-D stream.
 # ---------------------------------------------------------------------------
 
-SOBOL_MAX_DIMS = 16
+SOBOL_MAX_DIMS = 32
 
 # (degree s, polynomial a, m_1..m_s) for dimensions 2..16 (1-indexed à la
 # Joe & Kuo's new-joe-kuo-6 table; dimension 1 is the radical inverse).
@@ -169,6 +169,36 @@ _JOE_KUO = (
     (6, 16, (1, 3, 3, 9, 25, 25)),
 )
 
+# Dimensions 17..32: generated offline by tools/gen_sobol_dims.py —
+# the remaining primitive polynomials of degrees 6-7 (primitivity
+# verified by multiplicative order), with initial values searched to
+# minimise the worst pairwise dyadic t-value against ALL previously
+# accepted dimensions over 2^12 points (the same two-dimensional-
+# projection criterion Joe & Kuo optimised; their published values are
+# unavailable offline).  Searched worst pairwise t <= 5, most <= 4;
+# tests/test_nd.py asserts the per-dimension and pairwise balance of
+# every baked dimension.
+_JOE_KUO_EXT = (
+    (6, 19, (1, 3, 7, 13, 17, 3)),
+    (6, 22, (1, 3, 1, 13, 17, 63)),
+    (6, 25, (1, 1, 5, 11, 7, 5)),
+    (7, 1, (1, 3, 5, 3, 31, 55, 67)),
+    (7, 4, (1, 3, 1, 3, 13, 9, 55)),
+    (7, 7, (1, 3, 3, 11, 3, 39, 109)),
+    (7, 8, (1, 1, 3, 15, 23, 57, 9)),
+    (7, 14, (1, 1, 1, 1, 29, 3, 37)),
+    (7, 19, (1, 1, 1, 5, 7, 31, 115)),
+    (7, 21, (1, 1, 3, 1, 13, 53, 45)),
+    (7, 28, (1, 3, 1, 15, 21, 45, 65)),
+    (7, 31, (1, 1, 7, 15, 21, 27, 91)),
+    (7, 32, (1, 1, 1, 13, 11, 5, 101)),
+    (7, 37, (1, 3, 3, 5, 19, 7, 15)),
+    (7, 41, (1, 1, 7, 13, 17, 17, 109)),
+    (7, 42, (1, 1, 1, 1, 9, 41, 91)),
+)
+
+_ALL_DIMS = _JOE_KUO + _JOE_KUO_EXT
+
 
 def sobol_direction_numbers(dim: int) -> np.ndarray:
     """(32,) uint32 direction numbers for Sobol dimension ``dim``
@@ -183,7 +213,7 @@ def sobol_direction_numbers(dim: int) -> np.ndarray:
         return (np.uint32(1) << np.arange(31, -1, -1, dtype=np.uint32)).astype(
             np.uint32
         )
-    s, a, m_init = _JOE_KUO[dim - 1]
+    s, a, m_init = _ALL_DIMS[dim - 1]
     m = list(m_init)
     for k in range(s, 32):
         value = m[k - s] ^ (m[k - s] << s)

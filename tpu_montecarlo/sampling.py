@@ -152,8 +152,9 @@ def ensure_param_batch_family(
         )
         raise ValueError(
             f"{feature} applies to analytic families only "
-            f"(uniform/normal/exponential): {subject} through "
-            "host-built per-distribution tables"
+            "(uniform/normal/exponential and the extended closed-form "
+            f"families): {subject} through host-built per-distribution "
+            "tables"
         )
 
 
