@@ -847,6 +847,19 @@ def main() -> int:
                 [2.0 * math.gamma(1.0 + 1.0 / 1.5)], 0.005,
                 "monotone inverse CDF carries QMC structure")
 
+    # IS proposal diagnostics (Kish ESS in-kernel): p=N(0,1), q=N(1,1)
+    # has E_q[w^2] = e, so ESS/n -> e^-1.
+    ress = mc.integrate_importance_sampling(
+        [lambda x: x], mc.Distribution.normal(0.0, 1.0),
+        mc.Distribution.normal(1.0, 1.0),
+        n_samples=4_000_000, seed=42, return_diagnostics=True,
+    )
+    ok &= check("is_ess_diagnostics",
+                [ress.diagnostics["mean_weight"],
+                 ress.diagnostics["ess"] / 4_000_000],
+                [1.0, math.exp(-1.0)], [0.01, 0.02],
+                "weight-column ESS: mean weight ~1, ESS/n ~ e^-1")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",

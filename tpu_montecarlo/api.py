@@ -103,10 +103,12 @@ class IntegrationResult:
             function, when requested with ``return_stderr=True``; else
             None (an addition over the reference, which returns point
             estimates only).
-        diagnostics: MCMC only — dict of convergence diagnostics when
-            requested with ``return_diagnostics=True``: ``"r_hat"``
-            ((K,) float64 split-R-hat potential scale reduction) and
-            ``"ess"`` ((K,) float64 effective sample size); else None.
+        diagnostics: dict when requested with ``return_diagnostics=True``,
+            else None.  MCMC: ``"r_hat"`` ((K,) float64 split-R-hat
+            potential scale reduction) and ``"ess"`` ((K,) float64
+            effective sample size).  Importance sampling: ``"ess"``
+            (Kish effective sample size of the weighted sample),
+            ``"mean_weight"``, and ``"weight_cv"``.
     """
 
     def __init__(
@@ -140,6 +142,41 @@ class IntegrationResult:
 
     def __len__(self):
         return self.n_functions
+
+
+def _unit_integrand(n_args: int = 1) -> Callable:
+    """Constant-1 integrand of the given arity, pre-tagged as traced.
+
+    Folded through the IS weight wrappers it evaluates to the raw weight
+    w(x) = p(x)/q(x), so the diagnostics path reads the weight's mean
+    and (via the stderr accumulators) second moment with no new kernel
+    code.  ``x*0 + 1`` rather than the literal 1.0 so kernel
+    accumulators receive a full sample block."""
+
+    def one(*xs):
+        return xs[0] * 0.0 + 1.0
+
+    one.__tpu_mc_traced__ = True
+    one.__tpu_mc_key__ = ("unit_integrand", n_args)
+    return one
+
+
+def _weight_diagnostics(mean_w: float, se_w: float, n_samples: int) -> dict:
+    """IS proposal-quality diagnostics from the weight column's mean and
+    standard error: Kish effective sample size (Σw)²/Σw², the weight
+    coefficient of variation (ess = n / (1 + cv²)), and the mean weight
+    itself (≈1 when both densities are normalized)."""
+    var_w = se_w * se_w * n_samples
+    denom = var_w + mean_w * mean_w
+    return {
+        "ess": float(n_samples * mean_w * mean_w / denom)
+        if denom > 0
+        else 0.0,
+        "mean_weight": float(mean_w),
+        "weight_cv": float(np.sqrt(var_w) / mean_w)
+        if mean_w > 0
+        else float("inf"),
+    }
 
 
 class _ProgramCache:
@@ -1174,6 +1211,7 @@ class MonteCarloIntegrator:
         method: str = "mc",
         return_stderr: bool = False,
         qmc_rotations: int = 8,
+        return_diagnostics: bool = False,
     ) -> IntegrationResult:
         """Compute E_p[f(X)] sampling from q with weights p(x)/q(x).
 
@@ -1191,7 +1229,20 @@ class MonteCarloIntegrator:
         is weighted on the same quantile grid).  Under ``method="qmc"``
         error bars come from ``qmc_rotations`` independent rotations in
         one seed-batched dispatch (randomized QMC — see
-        :meth:`integrate`)."""
+        :meth:`integrate`).
+
+        ``return_diagnostics=True``: ``result.diagnostics`` reports
+        proposal quality from the weight moments — ``"ess"`` (Kish
+        effective sample size (Σw)²/Σw²: how many iid target draws the
+        weighted sample is worth), ``"mean_weight"`` (≈1 when both
+        densities are normalized — a consistency check), and
+        ``"weight_cv"`` (weight coefficient of variation;
+        ess = n / (1 + cv²)).  Computed IN-KERNEL by folding a
+        constant-1 integrand through the same weight machinery (its
+        weighted value IS w) and reading the weight's mean and second
+        moment from the stderr accumulators — no extra dispatch.
+        ``method="mc"`` only (the per-sample weight variance is an iid
+        quantity)."""
         t_seq = isinstance(target_distribution, (list, tuple))
         q_seq = isinstance(proposal_distribution, (list, tuple))
         if t_seq or q_seq:
@@ -1218,9 +1269,30 @@ class MonteCarloIntegrator:
                 return self._integrate_is_nd(
                     functions, targets, proposals, n_samples, seed,
                     method, return_stderr, qmc_rotations,
+                    return_diagnostics=return_diagnostics,
                 )
             target_distribution = targets[0]
             proposal_distribution = proposals[0]
+        if return_diagnostics:
+            if method == "qmc":
+                raise ValueError(
+                    "return_diagnostics estimates the per-sample weight "
+                    "variance, an iid quantity; use method='mc'"
+                )
+            prog = self._get_is_program(
+                list(functions) + [_unit_integrand()],
+                target_distribution, proposal_distribution, n_samples,
+                method=method, with_stderr=True,
+            )
+            values, stderr = prog(seed)
+            v = np.asarray(values, np.float64)
+            s = np.asarray(stderr, np.float64)
+            return IntegrationResult(
+                values=v[:-1], n_samples=n_samples,
+                n_functions=len(functions),
+                stderr=s[:-1] if return_stderr else None,
+                diagnostics=_weight_diagnostics(v[-1], s[-1], n_samples),
+            )
         if return_stderr and method == "qmc":
             if qmc_rotations < 2:
                 raise ValueError(
@@ -1567,23 +1639,42 @@ class MonteCarloIntegrator:
 
     def _integrate_is_nd(
         self, functions, targets, proposals, n_samples, seed, method,
-        return_stderr, qmc_rotations,
+        return_stderr, qmc_rotations, return_diagnostics=False,
     ) -> IntegrationResult:
         """Multi-dimensional importance sampling: sample each dimension
         from its proposal, fold the product weight into every integrand,
         and run the nd sweep (an extension beyond the strictly 1-D
-        reference)."""
+        reference).  ``return_diagnostics``: same weight-column trick as
+        the 1-D path — a constant-1 integrand rides the product-weight
+        wrappers, and its mean/second moment give ESS / weight CV."""
         d = len(targets)
         traced = self._trace_user_functions(functions, n_args=d)
+        if return_diagnostics:
+            if method == "qmc":
+                raise ValueError(
+                    "return_diagnostics estimates the per-sample weight "
+                    "variance, an iid quantity; use method='mc'"
+                )
+            traced = traced + (_unit_integrand(d),)
         p_evals = [self._pdf_evaluator(t) for t in targets]
         q_evals = [self._pdf_evaluator(q) for q in proposals]
         weighted = self._weighted_fns_nd(traced, p_evals, q_evals)
         out = self._integrate_nd(
             weighted, proposals, n_samples, seed, method,
-            return_stderr, qmc_rotations,
+            return_stderr or return_diagnostics, qmc_rotations,
         )
-        # _integrate_nd counted the weighted tuple; same length as input.
-        return out
+        if not return_diagnostics:
+            # _integrate_nd counted the weighted tuple; same length as
+            # the input.
+            return out
+        v = np.asarray(out.values, np.float64)
+        s = np.asarray(out.stderr, np.float64)
+        return IntegrationResult(
+            values=v[:-1], n_samples=n_samples,
+            n_functions=len(functions),
+            stderr=s[:-1] if return_stderr else None,
+            diagnostics=_weight_diagnostics(v[-1], s[-1], n_samples),
+        )
 
     def _parse_nd_mcmc_args(self, target, proposal):
         """Validate and normalise the nd MCMC argument surface: returns
@@ -3330,6 +3421,7 @@ def integrate_importance_sampling(
     method: str = "mc",
     return_stderr: bool = False,
     qmc_rotations: int = 8,
+    return_diagnostics: bool = False,
 ) -> IntegrationResult:
     """One-shot importance-sampling integration."""
     integrator = MonteCarloIntegrator(
@@ -3338,7 +3430,7 @@ def integrate_importance_sampling(
     return integrator.integrate_importance_sampling(
         functions, target_distribution, proposal_distribution, n_samples,
         seed, method=method, return_stderr=return_stderr,
-        qmc_rotations=qmc_rotations,
+        qmc_rotations=qmc_rotations, return_diagnostics=return_diagnostics,
     )
 
 
