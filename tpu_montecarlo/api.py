@@ -494,7 +494,10 @@ class MonteCarloIntegrator:
         ``distribution`` may be a SEQUENCE of per-dimension Distributions
         (d-ary functions): the handle serves the multi-dimensional
         integrate family, with ``seed_batch`` riding the nd kernel's
-        batch grid dimension (``param_batch`` is 1-D only).
+        batch grid dimension.  ``param_batch=True`` then takes ``params``
+        as an (R, d, 2) array — one :func:`pack_param_batch` row per
+        dimension — so a single compiled nd program serves a
+        d-dimensional parameter sweep.
         """
         if isinstance(distribution, (list, tuple)):
             dists = list(distribution)
