@@ -28,7 +28,7 @@ from .api import (
     pack_param_batch,
     pack_param_batch_nd,
 )
-from .distributions import Distribution, DistributionType
+from .distributions import Distribution, DistributionType, RandomWalk
 from .tracing import TraceError, is_traceable, trace_function
 from .wgsl_frontend import WgslError, trace_wgsl_function
 
@@ -44,6 +44,7 @@ __all__ = [
     "MonteCarloIntegrator",
     "Distribution",
     "DistributionType",
+    "RandomWalk",
     "IntegrationResult",
     "McmcState",
     "expectation_fn",

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .distributions import Distribution
+from .distributions import Distribution, RandomWalk
 from .ops.integrate_xla import build_integrate_fn
 from .ops.mcmc_xla import build_mcmc_fn, plan_chains
 from .sampling import (
@@ -2165,7 +2165,7 @@ class MonteCarloIntegrator:
         self,
         functions: List[Union[Callable, str]],
         target_distribution: Distribution,
-        proposal_distribution: Distribution,
+        proposal_distribution: Union[Distribution, RandomWalk],
         n_steps: int = 10_000,
         n_chains: int = 1024,
         n_burnin: int = 1_000,
@@ -2177,6 +2177,16 @@ class MonteCarloIntegrator:
     ) -> IntegrationResult:
         """Compute E_p[f(X)] with parallel independence-sampler
         Metropolis-Hastings chains (one chain per lane).
+
+        Passing :class:`RandomWalk` as ``proposal_distribution`` switches
+        to random-walk MH — ``x' = x + step * N(0, 1)``, acceptance
+        ``log u < log p(x') - log p(x)`` — a proposal family beyond the
+        reference's independence-only sampler; use it whenever no
+        analytic family envelopes the target well (the independence
+        chain's acceptance collapses there, the random walk still mixes).
+        ``RandomWalk(adapt=True)`` tunes the step per chain during
+        burn-in toward ``target_accept``; adaptive runs are
+        stateless-only (the tuned steps are not checkpointed).
 
         ``return_state=True`` attaches the final per-chain state to the
         result; passing it back as ``initial_state`` resumes those chains
@@ -2223,6 +2233,11 @@ class MonteCarloIntegrator:
             raise ValueError(
                 "return_diagnostics applies to stateless MCMC runs only"
             )
+        if isinstance(proposal_distribution, RandomWalk):
+            _check_random_walk_args(
+                proposal_distribution, n_burnin,
+                return_state or initial_state is not None,
+            )
 
         p_seq = isinstance(proposal_distribution, (list, tuple))
         t_dist = isinstance(target_distribution, Distribution)
@@ -2243,13 +2258,6 @@ class MonteCarloIntegrator:
             )
 
         traced = self._trace_user_functions(functions)
-
-        prop_spec = dist_spec_of(proposal_distribution)
-        targ_spec = dist_spec_of(target_distribution)
-        mesh = self._mesh
-        n_dev = 1 if mesh is None else mesh.size
-
-        total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
         want_state = return_state or initial_state is not None
 
@@ -2339,7 +2347,7 @@ class MonteCarloIntegrator:
         self,
         functions: List[Union[Callable, str]],
         target_distribution: Distribution,
-        proposal_distribution: Distribution,
+        proposal_distribution: Union[Distribution, RandomWalk],
         n_steps: int = 10_000,
         n_chains: int = 1024,
         n_burnin: int = 1_000,
@@ -2386,7 +2394,17 @@ class MonteCarloIntegrator:
                 n_steps, n_chains, n_burnin, seed_batch, param_batch,
                 return_stderr,
             )
-        if param_batch:
+        if isinstance(proposal_distribution, RandomWalk):
+            _check_random_walk_args(
+                proposal_distribution, n_burnin, False
+            )
+            if param_batch:
+                raise ValueError(
+                    "param_batch is not supported with RandomWalk "
+                    "proposals yet; batch seeds only, or sweep step "
+                    "sizes across calls"
+                )
+        elif param_batch:
             for role, d in (
                 ("target", target_distribution),
                 ("proposal", proposal_distribution),
@@ -2488,7 +2506,16 @@ class MonteCarloIntegrator:
                 raise ValueError(
                     "with_diagnostics is not supported on batched programs"
                 )
-        prop_spec = dist_spec_of(proposal_distribution)
+        random_walk = isinstance(proposal_distribution, RandomWalk)
+        rw_adapt = random_walk and proposal_distribution.adapt
+        if random_walk and param_batch:
+            raise ValueError(
+                "param_batch is not supported with RandomWalk proposals "
+                "yet; batch seeds only, or sweep step sizes across calls"
+            )
+        prop_spec = (
+            None if random_walk else dist_spec_of(proposal_distribution)
+        )
         targ_spec = dist_spec_of(target_distribution)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
@@ -2503,10 +2530,13 @@ class MonteCarloIntegrator:
                 "the XLA MCMC backend",
                 stacklevel=3,
             )
-        pallas_ok = not with_diagnostics and self._mcmc_pallas_ok(
-            traced, prop_spec, targ_spec,
-            target_distribution, proposal_distribution,
-        )
+        if random_walk:
+            pallas_ok = False  # Pallas random-walk kernel: next commit
+        else:
+            pallas_ok = not with_diagnostics and self._mcmc_pallas_ok(
+                traced, prop_spec, targ_spec,
+                target_distribution, proposal_distribution,
+            )
         if pallas_ok:
             # The kernel keeps the (seed_batch x programs, 128) sums
             # buffer (tripled for error-bar runs: sums / SS / centroid
@@ -2641,20 +2671,35 @@ class MonteCarloIntegrator:
 
         # Log-pdf tables are fetched for both distributions (reference
         # __init__.py:1077-1081) but only consulted for CUSTOM families —
-        # analytic ones use closed forms (shader_gen.rs:543-571).
+        # analytic ones use closed forms (shader_gen.rs:543-571).  A
+        # random-walk proposal has no density of its own: its table slots
+        # carry dummies and its params row is (step, init_lo, init_hi,
+        # target_accept).
         targ_lx, targ_lp = target_distribution.get_log_pdf_table()
-        prop_lx, prop_lp = proposal_distribution.get_log_pdf_table()
         targ_uniform = is_uniform_grid(targ_lx)
-        prop_uniform = is_uniform_grid(prop_lx)
+        if random_walk:
+            prop_lx = np.zeros(1, np.float32)
+            prop_uniform = False
+            prop_kind_key = ("rw", rw_adapt)
+            prop_kind = DistKind.NORMAL  # ignored by the builder
+            prop_exact_inverse = False
+            prop_table_key = None
+        else:
+            prop_lx, prop_lp = proposal_distribution.get_log_pdf_table()
+            prop_uniform = is_uniform_grid(prop_lx)
+            prop_kind_key = prop_spec.kind
+            prop_kind = prop_spec.kind
+            prop_exact_inverse = prop_spec.exact_inverse
+            prop_table_key = _table_shapes(prop_spec)
         key = (
             "mcmc_xla",
             _fns_key(traced),
-            prop_spec.kind,
+            prop_kind_key,
             targ_spec.kind,
             n_steps,
             n_burnin,
             total_chains,
-            _table_shapes(prop_spec),
+            prop_table_key,
             (targ_lx.shape, prop_lx.shape),
             _mesh_key(mesh),
             (with_state, use_init_state, targ_uniform, prop_uniform),
@@ -2665,7 +2710,7 @@ class MonteCarloIntegrator:
             key,
             lambda: build_mcmc_fn(
                 traced,
-                prop_spec.kind,
+                prop_kind,
                 targ_spec.kind,
                 n_steps,
                 n_burnin,
@@ -2675,16 +2720,29 @@ class MonteCarloIntegrator:
                 use_init_state=use_init_state,
                 targ_table_uniform=targ_uniform,
                 prop_table_uniform=prop_uniform,
-                prop_exact_inverse=prop_spec.exact_inverse,
+                prop_exact_inverse=prop_exact_inverse,
                 with_stderr=with_stderr,
                 with_diagnostics=with_diagnostics,
+                random_walk=random_walk,
+                rw_adapt=rw_adapt,
             ),
         )
         use_targ_table = targ_spec.kind == DistKind.CUSTOM
-        use_prop_table = prop_spec.kind == DistKind.CUSTOM
-        prop_dev = _device_args_of(proposal_distribution, prop_spec)
-        targ_dev = _device_args_of(target_distribution, targ_spec)
+        use_prop_table = (
+            not random_walk and prop_spec.kind == DistKind.CUSTOM
+        )
         dummy = _tbl(None)
+        if random_walk:
+            prop_dev = (
+                jnp.asarray(
+                    proposal_distribution.pack_params(target_distribution)
+                ),
+                dummy,
+                dummy,
+            )
+        else:
+            prop_dev = _device_args_of(proposal_distribution, prop_spec)
+        targ_dev = _device_args_of(target_distribution, targ_spec)
         targ_log_dev = (
             _device_log_tables_of(target_distribution)
             if use_targ_table
@@ -2714,7 +2772,11 @@ class MonteCarloIntegrator:
         return (
             self._finalize_mcmc_prog(
                 run, static_args, seed_batch, param_batch,
-                (prop_spec.kind, targ_spec.kind),
+                (
+                    (targ_spec.kind, targ_spec.kind)
+                    if random_walk  # param_batch is rejected above anyway
+                    else (prop_spec.kind, targ_spec.kind)
+                ),
             ),
             total_chains,
         )
@@ -2795,6 +2857,26 @@ def _tag_native_batch(run, seed_batch: int, param_batch: bool = False):
             if hasattr(run, attr):
                 setattr(tagged, attr, getattr(run, attr))
         return tagged
+
+
+def _check_random_walk_args(
+    rw: RandomWalk, n_burnin: int, stateful: bool
+) -> None:
+    """Shared RandomWalk argument validation for the MCMC entry points:
+    step adaptation happens during burn-in (so it needs one) and produces
+    per-chain steps the checkpoint state does not carry (so adaptive
+    runs are stateless-only; fixed-step random walks resume fine)."""
+    if rw.adapt and n_burnin <= 0:
+        raise ValueError(
+            "RandomWalk(adapt=True) tunes the step during burn-in; "
+            "pass n_burnin > 0 (or a fixed step_size with adapt=False)"
+        )
+    if rw.adapt and stateful:
+        raise ValueError(
+            "RandomWalk(adapt=True) is stateless-only: the adapted "
+            "per-chain steps are not part of the checkpoint state.  "
+            "Resume with a fixed step_size (adapt=False) instead"
+        )
 
 
 def _checked_batch_prog(dispatch, dev_args, seed_batch, n_param_args, param_kinds):
@@ -3440,7 +3522,7 @@ def integrate_importance_sampling(
 def integrate_mcmc(
     functions: List[Union[Callable, str]],
     target_distribution: Distribution,
-    proposal_distribution: Distribution,
+    proposal_distribution: Union[Distribution, RandomWalk],
     n_steps: int = 10_000,
     n_chains: int = 1024,
     n_burnin: int = 1_000,

@@ -18,7 +18,7 @@ import numpy as np
 
 from . import tables as _tables
 
-__all__ = ["Distribution", "DistributionType"]
+__all__ = ["Distribution", "DistributionType", "RandomWalk"]
 
 
 class DistributionType(Enum):
@@ -524,3 +524,137 @@ class Distribution:
 
         cache[min_log_value] = (x_table, log_pdf_table)
         return x_table, log_pdf_table
+
+    # ------------------------------------------------------------------
+    # Host-side quantiles
+    # ------------------------------------------------------------------
+
+    def quantile(self, q: float) -> float:
+        """Exact host-side quantile (inverse CDF) at ``q`` in (0, 1).
+
+        Closed forms for every analytic family; CUSTOM distributions
+        interpolate their host-built CDF table.  Pure Python/numpy — no
+        device round-trips — so it is safe to call in hot host paths
+        (the random-walk proposal uses it to pick overdispersed chain
+        init ranges).  A capability beyond the reference, which exposes
+        no quantile surface at all.
+        """
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"q must be in (0, 1), got {q}")
+        p = self.params
+        t = self.dist_type
+        if t == DistributionType.UNIFORM:
+            return p["min"] + q * (p["max"] - p["min"])
+        if t == DistributionType.NORMAL:
+            import statistics
+
+            return statistics.NormalDist(p["mean"], p["std"]).inv_cdf(q)
+        if t == DistributionType.EXPONENTIAL:
+            return -math.log1p(-q) / p["lambda"]
+        if t == DistributionType.LOGNORMAL:
+            import statistics
+
+            return math.exp(
+                statistics.NormalDist(p["mu"], p["sigma"]).inv_cdf(q)
+            )
+        if t == DistributionType.CAUCHY:
+            return p["loc"] + p["scale"] * math.tan(math.pi * (q - 0.5))
+        if t == DistributionType.LAPLACE:
+            half = q - 0.5
+            mag = -math.log1p(-2.0 * abs(half))
+            return p["loc"] + p["scale"] * math.copysign(mag, half)
+        if t == DistributionType.LOGISTIC:
+            return p["loc"] + p["scale"] * math.log(q / (1.0 - q))
+        if t == DistributionType.GUMBEL:
+            return p["loc"] - p["scale"] * math.log(-math.log(q))
+        if t == DistributionType.WEIBULL:
+            return p["scale"] * (-math.log1p(-q)) ** (1.0 / p["shape"])
+        if t == DistributionType.PARETO:
+            return p["x_min"] * (1.0 - q) ** (-1.0 / p["alpha"])
+        if t == DistributionType.CUSTOM:
+            if self._x_table is None or self._cdf_table is None:
+                raise ValueError("Custom distribution requires x/cdf tables")
+            cdf = np.asarray(self._cdf_table, np.float64)
+            xs = np.asarray(self._x_table, np.float64)
+            return float(np.interp(q, cdf, xs))
+        raise ValueError(f"Unknown distribution type: {t}")
+
+
+class RandomWalk:
+    """Symmetric Gaussian random-walk Metropolis proposal for
+    ``integrate_mcmc`` / ``compile_mcmc``.
+
+    Passing ``RandomWalk(...)`` where those entry points take a proposal
+    ``Distribution`` switches the sampler from independence-chain MH to
+    random-walk MH: each step proposes ``x' = x + step_size * z`` with
+    ``z ~ N(0, 1)``, and the symmetric proposal density cancels out of
+    the acceptance ratio (``log u < log p(x') - log p(x)``).  This is a
+    capability beyond the reference, whose MCMC is an independence
+    sampler only (src/shader_gen.rs:466-539: acceptance carries the
+    ``log_q`` terms of a state-independent proposal): when no analytic
+    family envelopes the target well, the independence chain's
+    acceptance collapses, while a random walk still explores any
+    continuous target locally.
+
+    ``adapt=True`` tunes the step per chain during burn-in by
+    Robbins-Monro on the log step — ``log s += gamma_i * (alpha_i -
+    target_accept)`` with ``gamma_i = i^-0.6`` and ``alpha_i`` the step's
+    acceptance probability — then freezes it for the sampling phase
+    (finite adaptation, so the sampling-phase chain is exact MH).  The
+    default ``target_accept=0.44`` is the classic 1-D random-walk
+    optimum; multi-dimensional runs may prefer ~0.234.
+
+    Chains initialise uniformly over ``init_range`` (default: the
+    target's central 98% interval, ``target.quantile(0.01/0.99)``) — an
+    overdispersed start that makes the split-R-hat diagnostic
+    meaningful.
+    """
+
+    __slots__ = ("step_size", "adapt", "target_accept", "init_range")
+
+    def __init__(
+        self,
+        step_size: float = 1.0,
+        adapt: bool = False,
+        target_accept: float = 0.44,
+        init_range: Optional[Tuple[float, float]] = None,
+    ):
+        if not step_size > 0:
+            raise ValueError(f"step_size must be positive, got {step_size}")
+        if not 0.0 < target_accept < 1.0:
+            raise ValueError(
+                f"target_accept must be in (0, 1), got {target_accept}"
+            )
+        if init_range is not None:
+            lo, hi = float(init_range[0]), float(init_range[1])
+            if not lo < hi:
+                raise ValueError(
+                    f"init_range must satisfy lo < hi, got {init_range}"
+                )
+            init_range = (lo, hi)
+        self.step_size = float(step_size)
+        self.adapt = bool(adapt)
+        self.target_accept = float(target_accept)
+        self.init_range = init_range
+
+    def __repr__(self) -> str:
+        return (
+            f"RandomWalk(step_size={self.step_size}, adapt={self.adapt}, "
+            f"target_accept={self.target_accept}, "
+            f"init_range={self.init_range})"
+        )
+
+    def pack_params(self, target: "Distribution") -> np.ndarray:
+        """(4,) float32 runtime parameter row the MCMC programs consume:
+        (step_size, init_lo, init_hi, target_accept).  The init range
+        defaults to the target's central 98% interval."""
+        if self.init_range is not None:
+            lo, hi = self.init_range
+        else:
+            lo = target.quantile(0.01)
+            hi = target.quantile(0.99)
+        if not hi > lo:
+            lo, hi = lo - self.step_size, hi + self.step_size
+        return np.asarray(
+            [self.step_size, lo, hi, self.target_accept], np.float32
+        )

@@ -41,6 +41,12 @@ _STREAM_INIT = 0
 _STREAM_PROPOSAL = 1
 _STREAM_ACCEPT = 2
 
+# Adaptive random-walk log-step clamp: steps outside [1e-6, 1e6] mean the
+# adaptation diverged (e.g. a target whose log-pdf never varies); clamping
+# keeps exp(log_step) finite rather than silently freezing the chain.
+_RW_LOG_STEP_MIN = jnp.float32(-13.815511)  # log(1e-6)
+_RW_LOG_STEP_MAX = jnp.float32(13.815511)  # log(1e6)
+
 
 def split_rhat_ess(w_tot, ss_tot, m_total, n1):
     """Split-R-hat + ESS from reduced split-half statistics.
@@ -106,6 +112,8 @@ def build_mcmc_fn(
     prop_exact_inverse: bool = False,
     with_stderr: bool = False,
     with_diagnostics: bool = False,
+    random_walk: bool = False,
+    rw_adapt: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -137,6 +145,18 @@ def build_mcmc_fn(
     autocorrelation (an addition over the reference).  Squares are
     accumulated around per-device chain-mean centroids and recombined
     with the global mean, so no float32 cancellation at any offset.
+
+    ``random_walk=True`` (a proposal family beyond the reference's
+    independence-only sampler, see distributions.RandomWalk): the
+    proposal becomes ``x' = x + step * z`` with ``z ~ N(0, 1)`` and the
+    symmetric density cancels from the acceptance ratio (``log u <
+    log_p(x') - log_p(x)``).  ``proposal_params`` is then the (4,) row
+    ``(step, init_lo, init_hi, target_accept)``; the proposal-side
+    tables and ``proposal_kind`` are ignored (pass dummies), and fresh
+    chains initialise uniformly over (init_lo, init_hi).  With
+    ``rw_adapt=True`` each chain Robbins-Monro-tunes its own log step
+    toward ``target_accept`` during burn-in (``gamma_i = i^-0.6``) and
+    freezes it for the sampling phase.
 
     ``with_diagnostics=True`` (stateless only, ``n_steps >= 4``): the
     program additionally returns two ``(K,)`` arrays — split-R-hat and
@@ -210,8 +230,22 @@ def build_mcmc_fn(
                 uniform=prop_table_uniform,
             )
 
+        if random_walk:
+            rw_step = prop_params[0]
+            rw_lo, rw_hi = prop_params[1], prop_params[2]
+            rw_target = prop_params[3]
+
         if init_x is not None:
             x0, logp0 = init_x, init_logp
+        elif random_walk:
+            # Overdispersed uniform init over the caller-chosen range
+            # (default: the target's central 98% interval) — there is no
+            # proposal distribution to draw a start from.
+            u0 = jax.random.uniform(
+                key_init, (local_chains,), jnp.float32
+            )
+            x0 = rw_lo + u0 * (rw_hi - rw_lo)
+            logp0 = target_log_pdf(x0)
         else:
             x0 = sample_block(
                 key_init,
@@ -223,7 +257,16 @@ def build_mcmc_fn(
                 exact_inverse=prop_exact_inverse,
             )
             logp0 = target_log_pdf(x0)
-        logq0 = proposal_log_pdf(x0)
+        # The carried third slot: the chain's own proposal log-density
+        # for the independence sampler (it only changes on acceptance),
+        # the per-chain log step for the random walk (it only changes
+        # while adapting during burn-in).
+        if random_walk:
+            aux0 = jnp.full(
+                (local_chains,), jnp.log(rw_step), jnp.float32
+            )
+        else:
+            aux0 = proposal_log_pdf(x0)
 
         shift_needed = with_stderr or with_diagnostics
         if shift_needed:
@@ -239,31 +282,61 @@ def build_mcmc_fn(
         n1 = n_steps // 2  # split-half length (odd last step excluded)
 
         def step(carry, i):
-            # The chain's own proposal log-density is carried, not
-            # recomputed (it only changes on acceptance).
             if with_diagnostics:
-                x, logp, logq, acc, n_accept, halves = carry
+                x, logp, aux, acc, n_accept, halves = carry
             else:
-                x, logp, logq, acc, n_accept = carry
-            xp = sample_block(
-                jax.random.fold_in(key_prop, i),
-                (local_chains,),
-                proposal_kind,
-                prop_params,
-                prop_x_table,
-                prop_cdf_table,
-                exact_inverse=prop_exact_inverse,
-            )
-            logp_prop = target_log_pdf(xp)
-            logq_prop = proposal_log_pdf(xp)
-            log_alpha = logp_prop + logq - logp - logq_prop
+                x, logp, aux, acc, n_accept = carry
+            if random_walk:
+                z = jax.random.normal(
+                    jax.random.fold_in(key_prop, i),
+                    (local_chains,),
+                    jnp.float32,
+                )
+                step_sz = jnp.exp(aux) if rw_adapt else rw_step
+                xp = x + step_sz * z
+                logp_prop = target_log_pdf(xp)
+                # Symmetric proposal: the q terms cancel.
+                log_alpha = logp_prop - logp
+            else:
+                xp = sample_block(
+                    jax.random.fold_in(key_prop, i),
+                    (local_chains,),
+                    proposal_kind,
+                    prop_params,
+                    prop_x_table,
+                    prop_cdf_table,
+                    exact_inverse=prop_exact_inverse,
+                )
+                logp_prop = target_log_pdf(xp)
+                logq_prop = proposal_log_pdf(xp)
+                log_alpha = logp_prop + aux - logp - logq_prop
             u = jax.random.uniform(
                 jax.random.fold_in(key_acc, i), (local_chains,), jnp.float32
             )
             accept = jnp.log(jnp.maximum(u, 1e-38)) < log_alpha
             x = jnp.where(accept, xp, x)
             logp = jnp.where(accept, logp_prop, logp)
-            logq = jnp.where(accept, logq_prop, logq)
+            if random_walk:
+                if rw_adapt:
+                    # Robbins-Monro on the log step, burn-in only: the
+                    # step's acceptance PROBABILITY (not the noisy
+                    # indicator) drives the update; gamma_i = i^-0.6.
+                    alpha_p = jnp.exp(jnp.minimum(log_alpha, 0.0))
+                    gamma = jnp.exp(
+                        jnp.float32(-0.6)
+                        * jnp.log((i + 1).astype(jnp.float32))
+                    )
+                    aux = jnp.where(
+                        i < n_burnin,
+                        jnp.clip(
+                            aux + gamma * (alpha_p - rw_target),
+                            _RW_LOG_STEP_MIN,
+                            _RW_LOG_STEP_MAX,
+                        ),
+                        aux,
+                    )
+            else:
+                aux = jnp.where(accept, logq_prop, aux)
 
             collect = i >= n_burnin
             ys = jnp.stack(
@@ -287,12 +360,12 @@ def build_mcmc_fn(
                 acc2 = acc2 + jnp.where(h2, sv, 0.0)
                 sq2 = sq2 + jnp.where(h2, sv * sv, 0.0)
                 return (
-                    x, logp, logq, acc, n_accept, (acc1, sq1, acc2, sq2)
+                    x, logp, aux, acc, n_accept, (acc1, sq1, acc2, sq2)
                 ), None
-            return (x, logp, logq, acc, n_accept), None
+            return (x, logp, aux, acc, n_accept), None
 
         zk = lambda: jnp.zeros((k, local_chains), jnp.float32)  # noqa: E731
-        init = (x0, logp0, logq0, zk(), jnp.float32(0.0))
+        init = (x0, logp0, aux0, zk(), jnp.float32(0.0))
         if with_diagnostics:
             init = init + ((zk(), zk(), zk(), zk()),)
         carry, _ = jax.lax.scan(
