@@ -364,6 +364,39 @@ def main():
     emit("c9e_nd_mcmc_joint_4096", "chain_steps_per_sec", csps,
          "steps/s", est)
 
+    # Config 10 (round 3 cont.): random-walk Metropolis on the kernel
+    # tier.  c10: 1-D adaptive walk (burn-in carries the per-chain
+    # log-step + Robbins-Monro update); c10b: 2-D walk on a correlated
+    # joint log-density.  Work counts chain steps as in c5.
+    from tpu_montecarlo import RandomWalk
+
+    prog = integrator.compile_mcmc(
+        [lambda x: x * x],
+        Distribution.normal(0.0, 1.0),
+        RandomWalk(step_size=2.4, adapt=True),
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+        seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c10_rw_adapt_4096", "chain_steps_per_sec", csps, "steps/s", est)
+
+    prog = integrator.compile_mcmc(
+        [lambda x, y: x * y],
+        lambda x, y: -c9c * (x * x - 2.0 * rho9 * x * y + y * y),
+        RandomWalk(
+            step_size=1.0, target_accept=0.234, init_range=(-4.0, 4.0)
+        ),
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+        seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c10b_rw_nd_joint_4096", "chain_steps_per_sec", csps,
+         "steps/s", est)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)

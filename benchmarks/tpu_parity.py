@@ -860,6 +860,50 @@ def main() -> int:
                 [1.0, math.exp(-1.0)], [0.01, 0.02],
                 "weight-column ESS: mean weight ~1, ESS/n ~ e^-1")
 
+    # Random-walk Metropolis in-kernel: fixed-step moments, burn-in
+    # step adaptation converging to the target acceptance, and a 2-D
+    # correlated joint target (rho = 0.6 -> E[XY] = 0.6) whose dimension
+    # count is read off the density's arity.
+    rrw = mc.integrate_mcmc(
+        [lambda x: x, lambda x: x * x],
+        mc.Distribution.normal(3.0, 2.0), mc.RandomWalk(step_size=2.0),
+        n_steps=4000, n_chains=2048, n_burnin=500, seed=42,
+    )
+    ok &= check("rw_normal_moments", rrw.values, [3.0, 13.0],
+                [0.1, 0.5], "random-walk MH kernel: N(3,2) moments")
+    rra = mc.integrate_mcmc(
+        [lambda x: x], mc.Distribution.normal(3.0, 2.0),
+        mc.RandomWalk(step_size=50.0, adapt=True),
+        n_steps=4000, n_chains=2048, n_burnin=1000, seed=42,
+    )
+    ok &= check("rw_adapt_acceptance",
+                [rra.values[0], rra.acceptance_rate], [3.0, 0.44],
+                [0.15, 0.08],
+                "Robbins-Monro step adaptation: estimate right AND "
+                "acceptance at the 0.44 target from a 25x-off step")
+    rho_rw = 0.6
+    c_rw = 1.0 / (2.0 * (1.0 - rho_rw * rho_rw))
+    rrn = mc.integrate_mcmc(
+        [lambda x, y: x * y],
+        lambda x, y: -c_rw * (x * x - 2.0 * rho_rw * x * y + y * y),
+        mc.RandomWalk(step_size=1.0, init_range=(-3.0, 3.0)),
+        n_steps=4000, n_chains=2048, n_burnin=500, seed=42,
+    )
+    ok &= check("rw_nd_joint_corr", rrn.values, [rho_rw], 0.06,
+                "2-D random walk on a correlated joint log-density "
+                "(arity-derived d): E[XY] = rho")
+    rrx = mc.MonteCarloIntegrator(backend="xla").integrate_mcmc(
+        [lambda x: x, lambda x: x * x],
+        mc.Distribution.normal(3.0, 2.0), mc.RandomWalk(step_size=2.0),
+        n_steps=4000, n_chains=2048, n_burnin=500, seed=42,
+    )
+    ok &= check("rw_kernel_vs_xla",
+                [rrw.values[0] - rrx.values[0],
+                 rrw.values[1] - rrx.values[1]], [0.0, 0.0],
+                [0.1, 0.5],
+                "kernel and XLA random walks agree statistically "
+                "(different RNG streams)")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",

@@ -314,6 +314,445 @@ class TestCompositions:
 
 
 # ---------------------------------------------------------------------------
+# Pallas kernel backend (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+
+class TestPallasKernel:
+    """The in-kernel random walk (ops/mcmc_pallas.py random_walk=True).
+
+    Forced backend="pallas" runs the real kernel through the Pallas
+    interpreter; streams differ from the XLA backend (hardware-PRNG
+    counter model vs jax.random), so cross-backend checks are
+    statistical, not bitwise.  Sizes are kept small — the interpreter
+    executes the MH loop step by step.
+    """
+
+    @pytest.fixture(scope="class")
+    def kern(self):
+        return MonteCarloIntegrator(backend="pallas")
+
+    def test_fixed_step_moments(self, kern):
+        target = Distribution.normal(3.0, 2.0)
+        r = kern.integrate_mcmc(
+            [lambda x: x, lambda x: x * x],
+            target,
+            RandomWalk(step_size=2.0),
+            n_steps=400,
+            n_chains=512,
+            n_burnin=100,
+            seed=7,
+        )
+        assert abs(r.values[0] - 3.0) < 0.15
+        assert abs(r.values[1] - 13.0) < 0.8
+        assert 0.0 < r.acceptance_rate < 1.0
+
+    def test_adapts_to_target_accept(self, kern):
+        # A 50x-too-large starting step must be tuned down in-kernel.
+        target = Distribution.normal(3.0, 2.0)
+        r = kern.integrate_mcmc(
+            [lambda x: x],
+            target,
+            RandomWalk(step_size=50.0, adapt=True),
+            n_steps=400,
+            n_chains=512,
+            n_burnin=300,
+            seed=7,
+        )
+        assert abs(r.values[0] - 3.0) < 0.2
+        assert abs(r.acceptance_rate - 0.44) < 0.1
+
+    def test_custom_table_target(self, kern):
+        target = Distribution.from_pdf(
+            lambda x: np.exp(-abs(x - 1.0)), support=(-9.0, 11.0)
+        )
+        r = kern.integrate_mcmc(
+            [lambda x: x],
+            target,
+            RandomWalk(step_size=1.5),
+            n_steps=400,
+            n_chains=512,
+            n_burnin=100,
+            seed=3,
+        )
+        assert abs(r.values[0] - 1.0) < 0.25
+
+    def test_matches_xla_statistically(self, kern):
+        target = Distribution.exponential(2.0)
+        rw = RandomWalk(step_size=0.7)
+        kwargs = dict(n_steps=600, n_chains=512, n_burnin=150, seed=11)
+        rp = kern.integrate_mcmc([lambda x: x], target, rw, **kwargs)
+        rx = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            [lambda x: x], target, rw, **kwargs
+        )
+        assert abs(rp.values[0] - rx.values[0]) < 0.05
+        assert abs(rp.acceptance_rate - rx.acceptance_rate) < 0.05
+
+    def test_stderr_stays_in_kernel(self, kern):
+        target = Distribution.normal(3.0, 2.0)
+        r = kern.integrate_mcmc(
+            [lambda x: x],
+            target,
+            RandomWalk(step_size=2.0),
+            n_steps=400,
+            n_chains=512,
+            n_burnin=100,
+            seed=7,
+            return_stderr=True,
+        )
+        assert r.stderr is not None and r.stderr[0] > 0
+        assert abs(r.values[0] - 3.0) < 6 * r.stderr[0]
+
+    def test_seed_batch_handle_matches_single_calls(self, kern):
+        target = Distribution.normal(1.0, 1.0)
+        rw = RandomWalk(step_size=1.5)
+        kwargs = dict(n_steps=200, n_chains=512, n_burnin=50)
+        prog = kern.compile_mcmc(
+            [lambda x: x], target, rw, seed_batch=2, **kwargs
+        )
+        vals, accs = prog(np.array([5, 9], np.uint32))
+        for i, s in enumerate((5, 9)):
+            r = kern.integrate_mcmc(
+                [lambda x: x], target, rw, seed=s, **kwargs
+            )
+            assert float(vals[i][0]) == r.values[0]
+            assert float(accs[i]) == pytest.approx(r.acceptance_rate)
+
+    def test_resume_fixed_step(self, kern):
+        target = Distribution.normal(3.0, 2.0)
+        rw = RandomWalk(step_size=2.0)
+        r1 = kern.integrate_mcmc(
+            [lambda x: x],
+            target,
+            rw,
+            n_steps=200,
+            n_chains=512,
+            n_burnin=100,
+            seed=1,
+            return_state=True,
+        )
+        r2 = kern.integrate_mcmc(
+            [lambda x: x],
+            target,
+            rw,
+            n_steps=200,
+            n_chains=512,
+            n_burnin=0,
+            seed=1,
+            initial_state=r1.chain_state,
+        )
+        assert abs(r2.values[0] - 3.0) < 0.4
+        # The resumed segment draws fresh streams, not a replay.
+        assert r2.values[0] != r1.values[0]
+
+    def test_sharded_matches_expectation(self, mesh8):
+        kern = MonteCarloIntegrator(backend="pallas", mesh=mesh8)
+        target = Distribution.normal(2.0, 1.0)
+        r = kern.integrate_mcmc(
+            [lambda x: x],
+            target,
+            RandomWalk(step_size=1.5),
+            n_steps=400,
+            n_chains=1024,
+            n_burnin=100,
+            seed=23,
+        )
+        assert abs(r.values[0] - 2.0) < 0.15
+
+    def test_builder_rejects_param_batch(self):
+        from tpu_montecarlo.ops.mcmc_pallas import build_mcmc_fn_pallas
+        from tpu_montecarlo.sampling import DistKind
+
+        with pytest.raises(ValueError, match="param_batch"):
+            build_mcmc_fn_pallas(
+                [lambda x: x],
+                DistKind.NORMAL,
+                DistKind.NORMAL,
+                100,
+                10,
+                512,
+                interpret=True,
+                seed_batch=2,
+                param_batch=True,
+                random_walk=True,
+            )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional random walks
+# ---------------------------------------------------------------------------
+
+
+def _corr_gauss_logp(x, y):
+    # Correlated bivariate normal, rho = 0.6: E[XY] = 0.6.
+    return -0.5 * (x * x + y * y - 1.2 * x * y) / (1.0 - 0.36)
+
+
+class TestNdRandomWalk:
+    """d-dimensional random-walk MH: a RandomWalk proposal with a
+    sequence-of-Distributions (product) or joint log-density target.
+    The dimension count comes from the target itself (sequence length
+    or the density's arity)."""
+
+    def test_product_target_moments(self, integ):
+        targets = [
+            Distribution.normal(1.0, 1.0), Distribution.exponential(2.0)
+        ]
+        r = integ.integrate_mcmc(
+            [lambda x, y: x, lambda x, y: y, lambda x, y: x * y],
+            targets,
+            RandomWalk(step_size=[1.5, 0.6]),
+            n_steps=2000,
+            n_chains=1024,
+            n_burnin=500,
+            seed=7,
+        )
+        assert abs(r.values[0] - 1.0) < 0.1
+        assert abs(r.values[1] - 0.5) < 0.05
+        assert abs(r.values[2] - 0.5) < 0.08  # independent dims
+
+    def test_joint_target_with_adaptation(self, integ):
+        r = integ.integrate_mcmc(
+            [lambda x, y: x * y],
+            _corr_gauss_logp,
+            RandomWalk(
+                step_size=1.0, adapt=True, target_accept=0.3,
+                init_range=(-3.0, 3.0),
+            ),
+            n_steps=3000,
+            n_chains=1024,
+            n_burnin=1000,
+            seed=3,
+        )
+        assert abs(r.values[0] - 0.6) < 0.08
+        assert abs(r.acceptance_rate - 0.3) < 0.06
+
+    def test_joint_target_needs_init_range(self, integ):
+        with pytest.raises(ValueError, match="init_range"):
+            integ.integrate_mcmc(
+                [lambda x, y: x],
+                _corr_gauss_logp,
+                RandomWalk(step_size=1.0),
+                n_steps=100,
+                n_chains=256,
+                n_burnin=10,
+            )
+
+    def test_step_size_length_mismatch(self, integ):
+        targets = [Distribution.normal(), Distribution.normal()]
+        with pytest.raises(ValueError, match="dimension"):
+            integ.integrate_mcmc(
+                [lambda x, y: x],
+                targets,
+                RandomWalk(step_size=[1.0, 2.0, 3.0]),
+                n_steps=100,
+                n_chains=256,
+                n_burnin=10,
+            )
+
+    def test_per_dim_init_ranges(self, integ):
+        targets = [Distribution.normal(), Distribution.uniform(2.0, 4.0)]
+        rw = RandomWalk(
+            step_size=1.0, init_range=[(-2.0, 2.0), (2.5, 3.5)]
+        )
+        rows = rw.pack_params_nd(targets, 2)
+        assert rows.shape == (2, 4)
+        assert rows[0][1] == np.float32(-2.0)
+        assert rows[1][2] == np.float32(3.5)
+        r = integ.integrate_mcmc(
+            [lambda x, y: y],
+            targets,
+            rw,
+            n_steps=1000,
+            n_chains=512,
+            n_burnin=300,
+            seed=5,
+        )
+        assert abs(r.values[0] - 3.0) < 0.1
+
+    def test_var_args_target_rejected(self, integ):
+        with pytest.raises(TypeError, match="dimension"):
+            integ.integrate_mcmc(
+                [lambda x, y: x],
+                lambda *xs: -sum(v * v for v in xs),
+                RandomWalk(step_size=1.0, init_range=(-2.0, 2.0)),
+                n_steps=100,
+                n_chains=256,
+            )
+
+    def test_three_dim_arity_detection(self, integ):
+        # d is read off the joint density's own signature.
+        r = integ.integrate_mcmc(
+            [lambda x, y, z: x * x + y * y + z * z],
+            lambda x, y, z: -0.5 * (x * x + y * y + z * z),
+            RandomWalk(step_size=1.2, init_range=(-3.0, 3.0)),
+            n_steps=2000,
+            n_chains=1024,
+            n_burnin=500,
+            seed=11,
+        )
+        assert abs(r.values[0] - 3.0) < 0.15
+
+    def test_stderr_and_resume(self, integ):
+        targets = [Distribution.normal(2.0, 1.0), Distribution.normal()]
+        rw = RandomWalk(step_size=1.2)
+        rs = integ.integrate_mcmc(
+            [lambda x, y: x],
+            targets,
+            rw,
+            n_steps=1500,
+            n_chains=512,
+            n_burnin=300,
+            seed=9,
+            return_stderr=True,
+        )
+        assert rs.stderr is not None and rs.stderr[0] > 0
+        assert abs(rs.values[0] - 2.0) < 6 * rs.stderr[0]
+        r1 = integ.integrate_mcmc(
+            [lambda x, y: x],
+            targets,
+            rw,
+            n_steps=500,
+            n_chains=512,
+            n_burnin=200,
+            seed=1,
+            return_state=True,
+        )
+        r2 = integ.integrate_mcmc(
+            [lambda x, y: x],
+            targets,
+            rw,
+            n_steps=500,
+            n_chains=512,
+            n_burnin=0,
+            seed=1,
+            initial_state=r1.chain_state,
+        )
+        assert abs(r2.values[0] - 2.0) < 0.3
+        assert r2.values[0] != r1.values[0]
+
+    def test_diagnostics(self, integ):
+        targets = [Distribution.normal(), Distribution.normal()]
+        r = integ.integrate_mcmc(
+            [lambda x, y: x + y],
+            targets,
+            RandomWalk(step_size=1.5),
+            n_steps=2000,
+            n_chains=512,
+            n_burnin=500,
+            seed=17,
+            return_diagnostics=True,
+        )
+        assert float(r.diagnostics["r_hat"][0]) < 1.05
+
+    def test_sharded(self, mesh8):
+        integ = MonteCarloIntegrator(mesh=mesh8)
+        r = integ.integrate_mcmc(
+            [lambda x, y: x * y],
+            _corr_gauss_logp,
+            RandomWalk(step_size=1.0, init_range=(-3.0, 3.0)),
+            n_steps=1500,
+            n_chains=1024,
+            n_burnin=300,
+            seed=23,
+        )
+        assert abs(r.values[0] - 0.6) < 0.1
+
+
+class TestNdRandomWalkPallas:
+    """The nd random-walk kernel tier (interpret mode on CPU)."""
+
+    @pytest.fixture(scope="class")
+    def kern(self):
+        return MonteCarloIntegrator(backend="pallas")
+
+    def test_product_target(self, kern):
+        targets = [
+            Distribution.normal(1.0, 1.0), Distribution.exponential(2.0)
+        ]
+        r = kern.integrate_mcmc(
+            [lambda x, y: x, lambda x, y: y],
+            targets,
+            RandomWalk(step_size=[1.5, 0.6]),
+            n_steps=400,
+            n_chains=512,
+            n_burnin=150,
+            seed=7,
+        )
+        assert abs(r.values[0] - 1.0) < 0.15
+        assert abs(r.values[1] - 0.5) < 0.08
+
+    def test_joint_target_adapts(self, kern):
+        r = kern.integrate_mcmc(
+            [lambda x, y: x * y],
+            _corr_gauss_logp,
+            RandomWalk(
+                step_size=1.0, adapt=True, target_accept=0.3,
+                init_range=(-3.0, 3.0),
+            ),
+            n_steps=500,
+            n_chains=512,
+            n_burnin=400,
+            seed=3,
+        )
+        assert abs(r.values[0] - 0.6) < 0.12
+        assert abs(r.acceptance_rate - 0.3) < 0.07
+
+    def test_matches_xla_statistically(self, kern):
+        targets = [Distribution.normal(2.0, 1.0), Distribution.normal()]
+        rw = RandomWalk(step_size=1.2)
+        kwargs = dict(n_steps=600, n_chains=512, n_burnin=150, seed=11)
+        rp = kern.integrate_mcmc([lambda x, y: x], targets, rw, **kwargs)
+        rx = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            [lambda x, y: x], targets, rw, **kwargs
+        )
+        assert abs(rp.values[0] - rx.values[0]) < 0.07
+
+    def test_seed_batch_handle_matches_single_calls(self, kern):
+        targets = [Distribution.normal(1.0, 1.0), Distribution.normal()]
+        rw = RandomWalk(step_size=1.2)
+        kwargs = dict(n_steps=200, n_chains=512, n_burnin=50)
+        prog = kern.compile_mcmc(
+            [lambda x, y: x + y], targets, rw, seed_batch=2, **kwargs
+        )
+        vals, accs = prog(np.array([5, 9], np.uint32))
+        for i, s in enumerate((5, 9)):
+            r = kern.integrate_mcmc(
+                [lambda x, y: x + y], targets, rw, seed=s, **kwargs
+            )
+            assert float(vals[i][0]) == r.values[0]
+            assert float(accs[i]) == pytest.approx(r.acceptance_rate)
+
+    def test_stderr_in_kernel(self, kern):
+        targets = [Distribution.normal(3.0, 2.0), Distribution.normal()]
+        r = kern.integrate_mcmc(
+            [lambda x, y: x],
+            targets,
+            RandomWalk(step_size=1.5),
+            n_steps=400,
+            n_chains=512,
+            n_burnin=100,
+            seed=7,
+            return_stderr=True,
+        )
+        assert r.stderr is not None and r.stderr[0] > 0
+        assert abs(r.values[0] - 3.0) < 6 * r.stderr[0]
+
+    def test_sharded_joint(self, mesh8):
+        kern = MonteCarloIntegrator(backend="pallas", mesh=mesh8)
+        r = kern.integrate_mcmc(
+            [lambda x, y: x * y],
+            _corr_gauss_logp,
+            RandomWalk(step_size=1.0, init_range=(-3.0, 3.0)),
+            n_steps=400,
+            n_chains=1024,
+            n_burnin=150,
+            seed=23,
+        )
+        assert abs(r.values[0] - 0.6) < 0.12
+
+
+# ---------------------------------------------------------------------------
 # Init ranges and quantiles
 # ---------------------------------------------------------------------------
 

@@ -1683,46 +1683,66 @@ class MonteCarloIntegrator:
         """Validate and normalise the nd MCMC argument surface: returns
         ``(proposals, targets, target_fn, d)`` with exactly one of
         ``targets`` (per-dim product) / ``target_fn`` (traced joint
-        log-density) set."""
-        if isinstance(proposal, Distribution):
+        log-density) set.  A :class:`RandomWalk` proposal returns
+        ``proposals=None`` (the walk carries no per-dimension proposal
+        distributions); ``d`` then comes from the target — the sequence
+        length, or a joint log-density's own arity."""
+        if isinstance(proposal, RandomWalk):
+            proposals = None
+            d = None  # fixed by the target below
+        elif isinstance(proposal, Distribution):
             proposals = [proposal]
         elif isinstance(proposal, (list, tuple)):
             proposals = list(proposal)
         else:
             raise TypeError(
-                "proposal must be a Distribution or a sequence of "
-                f"Distributions, got {type(proposal)}"
+                "proposal must be a Distribution, a sequence of "
+                f"Distributions, or a RandomWalk, got {type(proposal)}"
             )
-        if not proposals or not all(
-            isinstance(p, Distribution) for p in proposals
-        ):
-            raise TypeError(
-                "proposal sequence must be a non-empty list of "
-                "Distribution objects"
-            )
-        d = len(proposals)
+        if proposals is not None:
+            if not proposals or not all(
+                isinstance(p, Distribution) for p in proposals
+            ):
+                raise TypeError(
+                    "proposal sequence must be a non-empty list of "
+                    "Distribution objects"
+                )
+            d = len(proposals)
 
         target_fn = None
         targets = None
         if isinstance(target, (list, tuple)):
             targets = list(target)
+            if d is None:
+                d = len(targets)
             if len(targets) != d or not all(
                 isinstance(t, Distribution) for t in targets
             ):
                 raise TypeError(
-                    "target sequence must be a list of Distribution "
-                    f"objects matching the {d} proposal dimension(s)"
+                    "target sequence must be a non-empty list of "
+                    f"Distribution objects matching the {d} "
+                    "proposal dimension(s)"
+                )
+            if not targets:
+                raise TypeError(
+                    "target sequence must be a non-empty list of "
+                    "Distribution objects"
                 )
         elif isinstance(target, Distribution):
-            if d != 1:
+            if d not in (None, 1):
                 raise TypeError(
                     "multi-dimensional MCMC needs the target as a "
                     f"sequence of {d} Distributions or a {d}-ary "
                     "log-density function"
                 )
+            d = 1
             targets = [target]
         elif callable(target) or isinstance(target, str):
-            # Joint log-density (up to an additive constant).
+            # Joint log-density (up to an additive constant).  With a
+            # RandomWalk proposal the dimension count comes from the
+            # density's own arity.
+            if d is None:
+                d = _target_arity(target)
             target_fn = self._trace_user_functions([target], n_args=d)[0]
         else:
             raise TypeError(
@@ -1734,8 +1754,9 @@ class MonteCarloIntegrator:
         self, prop_kinds, targ_kinds, target_fn, traced, total_chains,
         d, return_stderr,
     ) -> bool:
-        """nd MCMC kernel gate: analytic proposal dims, analytic-product
-        or block-traceable joint-fn target, <=127 fused d-ary integrands
+        """nd MCMC kernel gate: analytic proposal dims (vacuous for a
+        RandomWalk proposal, ``prop_kinds=()``), analytic-product or
+        block-traceable joint-fn target, <=127 fused d-ary integrands
         evaluating on lane blocks, and d state blocks fitting VMEM."""
         from .ops.mcmc_nd_pallas import (
             mcmc_nd_pallas_supports,
@@ -1779,19 +1800,32 @@ class MonteCarloIntegrator:
         self, traced, proposals, prop_specs, targets, target_fn,
         n_steps, n_burnin, total_chains, return_stderr,
         seed_batch: int = 1, param_batch: bool = False,
+        proposal_rw=None, d: int = 0,
     ):
         """Cached nd MH Pallas kernel program (analytic dims; product or
         joint-fn target) + its device args ``(prop_params_t,
         targ_params_t)``.  ``seed_batch=R`` batches R runs as the
-        kernel's leading grid dimension (tagged native)."""
+        kernel's leading grid dimension (tagged native).
+        ``proposal_rw``: a RandomWalk proposal — the kernel then runs
+        random-walk MH and ``prop_params_t`` becomes its (d, 4)
+        parameter rows (``d`` required then; otherwise unused)."""
         from .ops.mcmc_nd_pallas import build_mcmc_nd_pallas
 
         mesh = self._mesh
-        prop_kinds = tuple(s.kind for s in prop_specs)
-        prop_params_t = tuple(
-            _device_args_of(p, s)[0]
-            for p, s in zip(proposals, prop_specs)
-        )
+        random_walk = proposal_rw is not None
+        if random_walk:
+            prop_kinds = ()
+            prop_params_t = jnp.asarray(
+                proposal_rw.pack_params_nd(targets, d)
+            )
+            prop_key = ("rw", proposal_rw.adapt)
+        else:
+            prop_kinds = tuple(s.kind for s in prop_specs)
+            prop_params_t = tuple(
+                _device_args_of(p, s)[0]
+                for p, s in zip(proposals, prop_specs)
+            )
+            prop_key = prop_kinds
         if target_fn is not None:
             targ_kinds = None
             targ_params_t = ()
@@ -1808,7 +1842,7 @@ class MonteCarloIntegrator:
         key = (
             "mcmc_nd_pallas",
             _fns_key(traced),
-            prop_kinds,
+            prop_key,
             targ_key,
             n_steps,
             n_burnin,
@@ -1828,6 +1862,9 @@ class MonteCarloIntegrator:
                     mesh=mesh, interpret=interpret,
                     with_stderr=return_stderr, seed_batch=seed_batch,
                     param_batch=param_batch,
+                    random_walk=random_walk,
+                    rw_adapt=random_walk and proposal_rw.adapt,
+                    rw_d=d if random_walk else 0,
                 ),
                 seed_batch,
                 param_batch=param_batch,
@@ -1838,13 +1875,14 @@ class MonteCarloIntegrator:
     def _run_mcmc_nd_pallas(
         self, functions, traced, proposals, prop_specs, targets,
         target_fn, n_steps, n_chains, n_burnin, seed, total_chains,
-        return_stderr,
+        return_stderr, proposal_rw=None, d: int = 0,
     ) -> IntegrationResult:
         """Dispatch one nd MCMC run on the fused Pallas kernel (analytic
-        dims; product or joint-fn target)."""
+        dims or RandomWalk; product or joint-fn target)."""
         run, dev_args = self._nd_mcmc_kernel_program(
             traced, proposals, prop_specs, targets, target_fn,
             n_steps, n_burnin, total_chains, return_stderr,
+            proposal_rw=proposal_rw, d=d,
         )
         out = run(np.uint32(seed), *dev_args)
         return IntegrationResult(
@@ -1876,20 +1914,27 @@ class MonteCarloIntegrator:
             # Pure 1-D in disguise: take the scalar path (full feature
             # surface incl. resume/diagnostics/Pallas kernel).
             return self.integrate_mcmc(
-                functions, targets[0], proposals[0], n_steps=n_steps,
+                functions, targets[0],
+                proposal if proposals is None else proposals[0],
+                n_steps=n_steps,
                 n_chains=n_chains, n_burnin=n_burnin, seed=seed,
                 initial_state=initial_state, return_state=return_state,
                 return_stderr=return_stderr,
                 return_diagnostics=return_diagnostics,
             )
 
+        random_walk = proposals is None
         traced = self._trace_user_functions(functions, n_args=d)
-        prop_specs = [dist_spec_of(p) for p in proposals]
+        prop_specs = (
+            None if random_walk else [dist_spec_of(p) for p in proposals]
+        )
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
-        prop_kinds_early = tuple(s.kind for s in prop_specs)
+        prop_kinds_early = (
+            () if random_walk else tuple(s.kind for s in prop_specs)
+        )
         targ_kinds_early = (
             None
             if target_fn is not None
@@ -1898,7 +1943,7 @@ class MonteCarloIntegrator:
         if (
             not return_diagnostics
             and not want_state
-            and self._use_pallas(prop_kinds_early[0])
+            and self._use_pallas(DistKind.NORMAL)
             and self._nd_mcmc_pallas_eligible(
                 prop_kinds_early, targ_kinds_early, target_fn, traced,
                 total_chains, d, return_stderr,
@@ -1908,6 +1953,7 @@ class MonteCarloIntegrator:
                 functions, traced, proposals, prop_specs, targets,
                 target_fn, n_steps, n_chains, n_burnin, seed,
                 total_chains, return_stderr,
+                proposal_rw=proposal if random_walk else None, d=d,
             )
         if return_diagnostics and self._backend == "pallas":
             warnings.warn(
@@ -1923,6 +1969,7 @@ class MonteCarloIntegrator:
             n_steps, n_burnin, total_chains, return_stderr,
             with_diagnostics=return_diagnostics,
             with_state=want_state, use_init_state=use_init,
+            proposal_rw=proposal if random_walk else None, d=d,
         )
         if want_state:
             if use_init:
@@ -1982,28 +2029,48 @@ class MonteCarloIntegrator:
         n_steps, n_burnin, total_chains, return_stderr,
         with_diagnostics: bool = False,
         with_state: bool = False, use_init_state: bool = False,
+        proposal_rw=None, d: int = 0,
     ):
         """Cached XLA nd MH program (any family mix) + its device args
-        (the 8 per-dimension param/table tuples)."""
+        (the 8 per-dimension param/table tuples).  ``proposal_rw``: a
+        RandomWalk proposal — the program then runs random-walk MH with
+        per-dimension (4,) parameter rows in the params slots and
+        dummies in every proposal table slot (``d`` required then)."""
         from .ops.mcmc_nd import build_mcmc_nd_fn
 
         mesh = self._mesh
         dummy = _tbl(None)
-        prop_kinds = tuple(s.kind for s in prop_specs)
-        prop_exact = tuple(s.exact_inverse for s in prop_specs)
-        prop_dev = [
-            _device_args_of(p, s) for p, s in zip(proposals, prop_specs)
-        ]
-        prop_log_dev = []
-        prop_uniform = []
-        for p, s in zip(proposals, prop_specs):
-            if s.kind == DistKind.CUSTOM:
-                lx, lp = _device_log_tables_of(p, "proposal")
-                prop_log_dev.append((lx, lp))
-                prop_uniform.append(bool(is_uniform_grid(np.asarray(lx))))
-            else:
-                prop_log_dev.append((dummy, dummy))
-                prop_uniform.append(False)
+        random_walk = proposal_rw is not None
+        if random_walk:
+            rows = proposal_rw.pack_params_nd(targets, d)
+            prop_kinds = (DistKind.NORMAL,) * d  # ignored by the builder
+            prop_exact = (False,) * d
+            prop_dev = [
+                (jnp.asarray(rows[j]), dummy, dummy) for j in range(d)
+            ]
+            prop_log_dev = [(dummy, dummy)] * d
+            prop_uniform = [False] * d
+            prop_key = ("rw", proposal_rw.adapt)
+        else:
+            prop_kinds = tuple(s.kind for s in prop_specs)
+            prop_exact = tuple(s.exact_inverse for s in prop_specs)
+            prop_dev = [
+                _device_args_of(p, s)
+                for p, s in zip(proposals, prop_specs)
+            ]
+            prop_log_dev = []
+            prop_uniform = []
+            for p, s in zip(proposals, prop_specs):
+                if s.kind == DistKind.CUSTOM:
+                    lx, lp = _device_log_tables_of(p, "proposal")
+                    prop_log_dev.append((lx, lp))
+                    prop_uniform.append(
+                        bool(is_uniform_grid(np.asarray(lx)))
+                    )
+                else:
+                    prop_log_dev.append((dummy, dummy))
+                    prop_uniform.append(False)
+            prop_key = prop_kinds
 
         if target_fn is not None:
             targ_kinds = None
@@ -2044,14 +2111,18 @@ class MonteCarloIntegrator:
         key = (
             "mcmc_nd",
             _fns_key(traced),
-            prop_kinds,
+            prop_key,
             prop_exact,
             tuple(prop_uniform),
             targ_key,
             n_steps,
             n_burnin,
             total_chains,
-            tuple(_table_shapes(s) for s in prop_specs),
+            (
+                None
+                if random_walk
+                else tuple(_table_shapes(s) for s in prop_specs)
+            ),
             targ_shapes,
             tuple(t[0].shape for t in prop_log_dev),
             _mesh_key(mesh),
@@ -2071,6 +2142,8 @@ class MonteCarloIntegrator:
                 mesh=mesh, with_stderr=return_stderr,
                 with_diagnostics=with_diagnostics,
                 with_state=with_state, use_init_state=use_init_state,
+                random_walk=random_walk,
+                rw_adapt=random_walk and proposal_rw.adapt,
             ),
         )
         dev_args = (
@@ -2103,7 +2176,9 @@ class MonteCarloIntegrator:
         )
         if d == 1 and target_fn is None:
             return self.compile_mcmc(
-                functions, targets[0], proposals[0], n_steps=n_steps,
+                functions, targets[0],
+                proposal if proposals is None else proposals[0],
+                n_steps=n_steps,
                 n_chains=n_chains, n_burnin=n_burnin,
                 seed_batch=seed_batch, param_batch=param_batch,
                 return_stderr=return_stderr,
@@ -2114,12 +2189,25 @@ class MonteCarloIntegrator:
                 "(a joint log-density function carries no runtime "
                 "parameters)"
             )
+        random_walk = proposals is None
+        if random_walk:
+            _check_random_walk_args(proposal, n_burnin, False)
+            if param_batch:
+                raise ValueError(
+                    "param_batch is not supported with RandomWalk "
+                    "proposals yet; batch seeds only, or sweep step "
+                    "sizes across calls"
+                )
         traced = self._trace_user_functions(functions, n_args=d)
-        prop_specs = [dist_spec_of(p) for p in proposals]
+        prop_specs = (
+            None if random_walk else [dist_spec_of(p) for p in proposals]
+        )
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
-        prop_kinds = tuple(s.kind for s in prop_specs)
+        prop_kinds = (
+            () if random_walk else tuple(s.kind for s in prop_specs)
+        )
         targ_kinds = (
             None
             if target_fn is not None
@@ -2130,7 +2218,7 @@ class MonteCarloIntegrator:
                 ensure_param_batch_family(kk, "proposal")
             for kk in targ_kinds:
                 ensure_param_batch_family(kk, "target")
-        kernel_ok = self._use_pallas(prop_kinds[0]) and (
+        kernel_ok = self._use_pallas(DistKind.NORMAL) and (
             self._nd_mcmc_pallas_eligible(
                 prop_kinds, targ_kinds, target_fn, traced,
                 total_chains, d, return_stderr,
@@ -2141,11 +2229,13 @@ class MonteCarloIntegrator:
                 traced, proposals, prop_specs, targets, target_fn,
                 n_steps, n_burnin, total_chains, return_stderr,
                 seed_batch=seed_batch, param_batch=param_batch,
+                proposal_rw=proposal if random_walk else None, d=d,
             )
         else:
             run, dev_args = self._nd_mcmc_xla_program(
                 traced, proposals, prop_specs, targets, target_fn,
                 n_steps, n_burnin, total_chains, return_stderr,
+                proposal_rw=proposal if random_walk else None, d=d,
             )
         if param_batch:
             if not kernel_ok:
@@ -2427,24 +2517,29 @@ class MonteCarloIntegrator:
     def _mcmc_pallas_ok(
         self, traced, prop_spec, targ_spec,
         target_distribution, proposal_distribution,
+        random_walk: bool = False,
     ) -> bool:
         """Pallas-kernel eligibility for an MCMC workload: CUSTOM families
         need uniform log-pdf x-grids (host-built ones are) and a
         lane-multiple inverse-CDF table for the in-kernel lookups; the
         kernel also reserves one output lane for the accept count, capping
-        K at 127.  Anything else routes to the XLA backend."""
-        if not self._use_pallas(prop_spec.kind):
+        K at 127.  Anything else routes to the XLA backend.
+        ``random_walk=True`` (prop_spec is None): the proposal is a
+        tableless symmetric Gaussian step, so only the target-side checks
+        apply."""
+        probe_kind = targ_spec.kind if random_walk else prop_spec.kind
+        if not self._use_pallas(probe_kind):
             return False
         from .ops.mcmc_pallas import mcmc_pallas_supports
 
         ok = (
-            mcmc_pallas_supports(prop_spec.kind, targ_spec.kind)
+            mcmc_pallas_supports(probe_kind, targ_spec.kind)
             and len(traced) < 128
             and _block_traceable(traced)
         )
         if ok and targ_spec.kind == DistKind.CUSTOM:
             ok = _uniform_log_tables(target_distribution) is not None
-        if ok and prop_spec.kind == DistKind.CUSTOM:
+        if ok and not random_walk and prop_spec.kind == DistKind.CUSTOM:
             # exact_inverse proposals sample through host-built
             # gap-respecting tables (always lane-multiple); the q-table
             # must additionally pass the proposal-fidelity pipeline.
@@ -2530,13 +2625,11 @@ class MonteCarloIntegrator:
                 "the XLA MCMC backend",
                 stacklevel=3,
             )
-        if random_walk:
-            pallas_ok = False  # Pallas random-walk kernel: next commit
-        else:
-            pallas_ok = not with_diagnostics and self._mcmc_pallas_ok(
-                traced, prop_spec, targ_spec,
-                target_distribution, proposal_distribution,
-            )
+        pallas_ok = not with_diagnostics and self._mcmc_pallas_ok(
+            traced, prop_spec, targ_spec,
+            target_distribution, proposal_distribution,
+            random_walk=random_walk,
+        )
         if pallas_ok:
             # The kernel keeps the (seed_batch x programs, 128) sums
             # buffer (tripled for error-bar runs: sums / SS / centroid
@@ -2578,17 +2671,19 @@ class MonteCarloIntegrator:
 
             interpret = jax.default_backend() != "tpu"
             prop_gapped = (
-                prop_spec.kind == DistKind.CUSTOM and prop_spec.exact_inverse
+                not random_walk
+                and prop_spec.kind == DistKind.CUSTOM
+                and prop_spec.exact_inverse
             )
             key = (
                 "mcmc_pallas",
                 _fns_key(traced),
-                prop_spec.kind,
+                ("rw", rw_adapt) if random_walk else prop_spec.kind,
                 targ_spec.kind,
                 n_steps,
                 n_burnin,
                 total_chains,
-                _table_shapes(prop_spec),
+                None if random_walk else _table_shapes(prop_spec),
                 _mesh_key(mesh),
                 interpret,
                 (with_state, use_init_state, prop_gapped),
@@ -2602,7 +2697,7 @@ class MonteCarloIntegrator:
                 lambda: _tag_native_batch(
                     build_mcmc_fn_pallas(
                         traced,
-                        prop_spec.kind,
+                        targ_spec.kind if random_walk else prop_spec.kind,
                         targ_spec.kind,
                         n_steps,
                         n_burnin,
@@ -2615,12 +2710,28 @@ class MonteCarloIntegrator:
                         seed_batch=native_batch,
                         param_batch=param_batch,
                         with_stderr=with_stderr,
+                        random_walk=random_walk,
+                        rw_adapt=rw_adapt,
                     ),
                     native_batch,
                     param_batch=param_batch,
                 ),
             )
-            if prop_gapped:
+            dummy = _tbl(None)
+            if random_walk:
+                # (step, init_lo, init_hi, target_accept) row; the
+                # proposal-side table slots carry dummies (the kernel
+                # never reads them for a random walk).
+                prop_dev = (
+                    jnp.asarray(
+                        proposal_distribution.pack_params(
+                            target_distribution
+                        )
+                    ),
+                    dummy,
+                    dummy,
+                )
+            elif prop_gapped:
                 t, dt = _device_gapped_tables(
                     proposal_distribution, prop_spec, stratified=False
                 )
@@ -2634,7 +2745,6 @@ class MonteCarloIntegrator:
                     proposal_distribution, prop_spec
                 )
             targ_dev = _device_args_of(target_distribution, targ_spec)
-            dummy = _tbl(None)
             targ_log_dev = (
                 _device_uniform_log_tables(target_distribution)
                 if targ_spec.kind == DistKind.CUSTOM
@@ -2642,7 +2752,7 @@ class MonteCarloIntegrator:
             )
             prop_log_dev = (
                 _device_uniform_log_tables(proposal_distribution, "proposal")
-                if prop_spec.kind == DistKind.CUSTOM
+                if not random_walk and prop_spec.kind == DistKind.CUSTOM
                 else (dummy, dummy)
             )
             static_args = (
@@ -2664,7 +2774,11 @@ class MonteCarloIntegrator:
             return (
                 self._finalize_mcmc_prog(
                     run, static_args, seed_batch, param_batch,
-                    (prop_spec.kind, targ_spec.kind),
+                    (
+                        (targ_spec.kind, targ_spec.kind)
+                        if random_walk  # param_batch is rejected above
+                        else (prop_spec.kind, targ_spec.kind)
+                    ),
                 ),
                 total_chains,
             )
@@ -2808,13 +2922,14 @@ def _mcmc_table_bytes(
     the proposal inverse-CDF (value, slope) pair plus the 128-padded
     (values, dx) log-pdf tables for each CUSTOM role.  Feeds the
     mcmc_vmem_fits routing gate so an incompressible giant user table
-    falls back to XLA instead of compile-OOMing the kernel."""
+    falls back to XLA instead of compile-OOMing the kernel.
+    ``prop_spec`` is None for random-walk proposals (no tables)."""
 
     def _padded(n: int) -> int:
         return -(-int(n) // 128) * 128
 
     total = 0
-    if prop_spec.kind == DistKind.CUSTOM:
+    if prop_spec is not None and prop_spec.kind == DistKind.CUSTOM:
         if prop_spec.exact_inverse:
             from .tables import INV_CDF_TABLE_SIZE
 
@@ -2857,6 +2972,44 @@ def _tag_native_batch(run, seed_batch: int, param_batch: bool = False):
             if hasattr(run, attr):
                 setattr(tagged, attr, getattr(run, attr))
         return tagged
+
+
+def _target_arity(target) -> int:
+    """Dimension count of a joint log-density target for entry points
+    where no per-dimension proposal list fixes d (RandomWalk proposals):
+    WGSL strings carry their declared parameter count; Python callables
+    expose theirs via ``inspect.signature`` (positional parameters)."""
+    if isinstance(target, str):
+        tf = trace_wgsl_function(target)
+        return int(getattr(tf, "__tpu_mc_arity__", 1))
+    import inspect
+
+    try:
+        sig = inspect.signature(target)
+    except (TypeError, ValueError):
+        raise TypeError(
+            "cannot determine the dimension count of this joint "
+            "log-density; pass a plain function of d positional "
+            "arguments (or per-dimension proposal Distributions)"
+        )
+    kinds = [p.kind for p in sig.parameters.values()]
+    if any(
+        k in (inspect.Parameter.VAR_POSITIONAL, inspect.Parameter.VAR_KEYWORD)
+        for k in kinds
+    ):
+        raise TypeError(
+            "a joint log-density taking *args/**kwargs has no fixed "
+            "dimension count; declare d positional arguments"
+        )
+    return sum(
+        1
+        for k in kinds
+        if k
+        in (
+            inspect.Parameter.POSITIONAL_ONLY,
+            inspect.Parameter.POSITIONAL_OR_KEYWORD,
+        )
+    )
 
 
 def _check_random_walk_args(

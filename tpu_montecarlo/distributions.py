@@ -608,34 +608,73 @@ class RandomWalk:
     target's central 98% interval, ``target.quantile(0.01/0.99)``) — an
     overdispersed start that makes the split-R-hat diagnostic
     meaningful.
+
+    Multi-dimensional MCMC (a sequence-of-Distributions or joint
+    log-density target) takes the same object: the step becomes an
+    isotropic d-vector, or pass ``step_size=[s_1, ..., s_d]`` for
+    per-dimension scales; ``init_range`` likewise broadcasts or takes a
+    per-dimension list of (lo, hi) pairs.  A JOINT log-density target
+    carries no per-dimension quantiles, so it requires an explicit
+    ``init_range``.  ``adapt=True`` tunes ONE per-chain log-scale
+    multiplying the whole step vector (relative per-dimension scales are
+    preserved); the classic nd target acceptance is ~0.234.
     """
 
     __slots__ = ("step_size", "adapt", "target_accept", "init_range")
 
     def __init__(
         self,
-        step_size: float = 1.0,
+        step_size=1.0,
         adapt: bool = False,
         target_accept: float = 0.44,
-        init_range: Optional[Tuple[float, float]] = None,
+        init_range=None,
     ):
-        if not step_size > 0:
-            raise ValueError(f"step_size must be positive, got {step_size}")
+        if isinstance(step_size, (list, tuple, np.ndarray)):
+            step_size = tuple(float(s) for s in step_size)
+            if not step_size or not all(s > 0 for s in step_size):
+                raise ValueError(
+                    "per-dimension step_size must be a non-empty "
+                    f"sequence of positive floats, got {step_size}"
+                )
+        else:
+            step_size = float(step_size)
+            if not step_size > 0:
+                raise ValueError(
+                    f"step_size must be positive, got {step_size}"
+                )
         if not 0.0 < target_accept < 1.0:
             raise ValueError(
                 f"target_accept must be in (0, 1), got {target_accept}"
             )
         if init_range is not None:
-            lo, hi = float(init_range[0]), float(init_range[1])
-            if not lo < hi:
-                raise ValueError(
-                    f"init_range must satisfy lo < hi, got {init_range}"
-                )
-            init_range = (lo, hi)
-        self.step_size = float(step_size)
+            init_range = self._check_ranges(init_range)
+        self.step_size = step_size
         self.adapt = bool(adapt)
         self.target_accept = float(target_accept)
         self.init_range = init_range
+
+    @staticmethod
+    def _check_ranges(init_range):
+        """One (lo, hi) pair, or a sequence of per-dimension pairs."""
+        first = init_range[0]
+        if isinstance(first, (list, tuple, np.ndarray)):
+            pairs = []
+            for r in init_range:
+                lo, hi = float(r[0]), float(r[1])
+                if not lo < hi:
+                    raise ValueError(
+                        f"init_range pairs must satisfy lo < hi, got {r}"
+                    )
+                pairs.append((lo, hi))
+            if not pairs:
+                raise ValueError("init_range sequence must be non-empty")
+            return tuple(pairs)
+        lo, hi = float(init_range[0]), float(init_range[1])
+        if not lo < hi:
+            raise ValueError(
+                f"init_range must satisfy lo < hi, got {init_range}"
+            )
+        return (lo, hi)
 
     def __repr__(self) -> str:
         return (
@@ -644,17 +683,56 @@ class RandomWalk:
             f"init_range={self.init_range})"
         )
 
-    def pack_params(self, target: "Distribution") -> np.ndarray:
-        """(4,) float32 runtime parameter row the MCMC programs consume:
-        (step_size, init_lo, init_hi, target_accept).  The init range
-        defaults to the target's central 98% interval."""
+    def _steps_of(self, d: int):
+        """Per-dimension step list, broadcasting a scalar step."""
+        if isinstance(self.step_size, tuple):
+            if len(self.step_size) != d:
+                raise ValueError(
+                    f"step_size has {len(self.step_size)} entries but "
+                    f"this MCMC run has {d} dimension(s)"
+                )
+            return list(self.step_size)
+        return [self.step_size] * d
+
+    def _ranges_of(self, targets, d: int):
+        """Per-dimension (lo, hi) init pairs: explicit (broadcast or
+        per-dim), else the per-target central 98% interval."""
         if self.init_range is not None:
-            lo, hi = self.init_range
-        else:
-            lo = target.quantile(0.01)
-            hi = target.quantile(0.99)
-        if not hi > lo:
-            lo, hi = lo - self.step_size, hi + self.step_size
-        return np.asarray(
-            [self.step_size, lo, hi, self.target_accept], np.float32
-        )
+            r = self.init_range
+            if isinstance(r[0], tuple):
+                if len(r) != d:
+                    raise ValueError(
+                        f"init_range has {len(r)} pairs but this MCMC "
+                        f"run has {d} dimension(s)"
+                    )
+                return list(r)
+            return [r] * d
+        if targets is None:
+            raise ValueError(
+                "a joint log-density target carries no per-dimension "
+                "quantiles; pass RandomWalk(init_range=...) (one (lo, "
+                "hi) pair or a per-dimension list) to place the chains"
+            )
+        return [
+            (t.quantile(0.01), t.quantile(0.99)) for t in targets
+        ]
+
+    def pack_params(self, target: "Distribution") -> np.ndarray:
+        """(4,) float32 runtime parameter row the 1-D MCMC programs
+        consume: (step_size, init_lo, init_hi, target_accept).  The init
+        range defaults to the target's central 98% interval."""
+        return self.pack_params_nd([target], 1)[0]
+
+    def pack_params_nd(self, targets, d: int) -> np.ndarray:
+        """(d, 4) float32 parameter rows (step_j, init_lo_j, init_hi_j,
+        target_accept) for the nd MCMC programs.  ``targets`` is the
+        per-dimension Distribution list (None for a joint log-density
+        target, which then needs an explicit ``init_range``)."""
+        steps = self._steps_of(d)
+        ranges = self._ranges_of(targets, d)
+        rows = []
+        for s, (lo, hi) in zip(steps, ranges):
+            if not hi > lo:
+                lo, hi = lo - s, hi + s
+            rows.append([s, lo, hi, self.target_accept])
+        return np.asarray(rows, np.float32)

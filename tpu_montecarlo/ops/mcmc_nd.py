@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..sampling import DistKind, log_pdf, sample_block
+from .mcmc_xla import _RW_LOG_STEP_MAX, _RW_LOG_STEP_MIN
 
 __all__ = ["build_mcmc_nd_fn"]
 
@@ -56,6 +57,8 @@ def build_mcmc_nd_fn(
     with_diagnostics: bool = False,
     with_state: bool = False,
     use_init_state: bool = False,
+    random_walk: bool = False,
+    rw_adapt: bool = False,
 ):
     """Build a jitted d-dimensional MH program.
 
@@ -78,6 +81,18 @@ def build_mcmc_nd_fn(
     ``(x_final, logp_final)``.  ``use_init_state=True`` consumes the
     incoming state instead of drawing initial positions; ``logq`` at the
     resume point is recomputed from x (a deterministic function).
+
+    ``random_walk=True`` (see distributions.RandomWalk): the proposal
+    becomes ``x'_j = x_j + step_j * z_j`` with ``z ~ N(0, I)`` and the
+    symmetric density cancels from the acceptance ratio.
+    ``prop_params_t`` is then a d-tuple of (4,) rows ``(step_j,
+    init_lo_j, init_hi_j, target_accept)``; ``prop_kinds`` and the
+    proposal-side tables are ignored (pass dummies), and fresh chains
+    initialise uniformly over the per-dimension init ranges.
+    ``rw_adapt=True``: each chain Robbins-Monro-tunes ONE log-scale
+    multiplying its whole step vector toward ``target_accept`` during
+    burn-in (``gamma_i = i^-0.6``; per-dimension relative scales are
+    preserved), frozen for the sampling phase.
     """
     if (targ_kinds is None) == (target_logpdf_fn is None):
         raise ValueError(
@@ -159,13 +174,41 @@ def build_mcmc_nd_fn(
                 for j in range(d)
             )
 
+        if random_walk:
+            # Per-dimension (step, init_lo, init_hi, target_accept) rows.
+            rw_steps = [prop_params_t[j][0] for j in range(d)]
+            rw_los = [prop_params_t[j][1] for j in range(d)]
+            rw_his = [prop_params_t[j][2] for j in range(d)]
+            rw_target = prop_params_t[0][3]
+
         if init_xs is not None:
             x0 = init_xs
             logp0 = init_logp
+        elif random_walk:
+            # Overdispersed per-dimension uniform init (there is no
+            # proposal distribution to draw a start from).
+            x0 = tuple(
+                rw_los[j]
+                + (rw_his[j] - rw_los[j])
+                * jax.random.uniform(
+                    jax.random.fold_in(key_init, j),
+                    (local_chains,),
+                    jnp.float32,
+                )
+                for j in range(d)
+            )
+            logp0 = target_log(x0)
         else:
             x0 = draw_proposals(key_init)
             logp0 = target_log(x0)
-        logq0 = proposal_log(x0)
+        # The carried third slot: the chain's own summed proposal
+        # log-density for the independence sampler, the per-chain
+        # log-scale multiplying the step vector for the random walk
+        # (adapted during burn-in only; relative per-dim scales fixed).
+        if random_walk:
+            logq0 = jnp.zeros((local_chains,), jnp.float32)
+        else:
+            logq0 = proposal_log(x0)
 
         shift_needed = with_stderr or with_diagnostics
         if shift_needed:
@@ -180,10 +223,28 @@ def build_mcmc_nd_fn(
                 xs, logp, logq, acc, n_accept, halves = carry
             else:
                 xs, logp, logq, acc, n_accept = carry
-            xp = draw_proposals(jax.random.fold_in(key_prop, i))
-            logp_prop = target_log(xp)
-            logq_prop = proposal_log(xp)
-            log_alpha = logp_prop + logq - logp - logq_prop
+            key_i = jax.random.fold_in(key_prop, i)
+            if random_walk:
+                scale = jnp.exp(logq) if rw_adapt else jnp.float32(1.0)
+                xp = tuple(
+                    x_j
+                    + scale
+                    * rw_steps[j]
+                    * jax.random.normal(
+                        jax.random.fold_in(key_i, j),
+                        (local_chains,),
+                        jnp.float32,
+                    )
+                    for j, x_j in enumerate(xs)
+                )
+                logp_prop = target_log(xp)
+                # Symmetric proposal: the q terms cancel.
+                log_alpha = logp_prop - logp
+            else:
+                xp = draw_proposals(key_i)
+                logp_prop = target_log(xp)
+                logq_prop = proposal_log(xp)
+                log_alpha = logp_prop + logq - logp - logq_prop
             u = jax.random.uniform(
                 jax.random.fold_in(key_acc, i), (local_chains,), jnp.float32
             )
@@ -192,7 +253,27 @@ def build_mcmc_nd_fn(
                 jnp.where(accept, xp_j, x_j) for xp_j, x_j in zip(xp, xs)
             )
             logp = jnp.where(accept, logp_prop, logp)
-            logq = jnp.where(accept, logq_prop, logq)
+            if random_walk:
+                if rw_adapt:
+                    # Robbins-Monro on the per-chain log-scale, burn-in
+                    # only (the 1-D builder's update, ops/mcmc_xla.py):
+                    # driven by the step's acceptance PROBABILITY.
+                    alpha_p = jnp.exp(jnp.minimum(log_alpha, 0.0))
+                    gamma = jnp.exp(
+                        jnp.float32(-0.6)
+                        * jnp.log((i + 1).astype(jnp.float32))
+                    )
+                    logq = jnp.where(
+                        i < n_burnin,
+                        jnp.clip(
+                            logq + gamma * (alpha_p - rw_target),
+                            _RW_LOG_STEP_MIN,
+                            _RW_LOG_STEP_MAX,
+                        ),
+                        logq,
+                    )
+            else:
+                logq = jnp.where(accept, logq_prop, logq)
 
             collect = i >= n_burnin
             ys = jnp.stack([vf(*xs) for vf in vfns]).astype(jnp.float32)

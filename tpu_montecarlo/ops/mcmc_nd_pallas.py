@@ -44,6 +44,7 @@ from .integrate_pallas import (
     LANES,
     CounterRng,
     HardwareRng,
+    _uniform_halfopen01,
     _uniform_open01,
 )
 from .mcmc_pallas import (
@@ -121,6 +122,9 @@ def build_mcmc_nd_pallas(
     with_stderr: bool = False,
     seed_batch: int = 1,
     param_batch: bool = False,
+    random_walk: bool = False,
+    rw_adapt: bool = False,
+    rw_d: int = 0,
 ):
     """Build a jitted nd MH kernel program.
 
@@ -146,6 +150,18 @@ def build_mcmc_nd_pallas(
     so one program serves a whole d-dimensional posterior/tempering
     sweep per dispatch.  In-kernel error bars compose: each rep's pilot
     comes from its own init draw under its own parameters.
+
+    ``random_walk=True`` (see distributions.RandomWalk / ops/mcmc_nd.py):
+    random-walk MH in-kernel — ``x'_j = x_j + step_j * z_j`` with
+    ``z ~ N(0, I)``, the symmetric density cancelling from the
+    acceptance ratio.  ``prop_kinds`` is then ``()`` and ``rw_d`` fixes
+    the dimension count; the prop params arg becomes the (d, 4) rows
+    ``(step_j, init_lo_j, init_hi_j, target_accept)`` and fresh chains
+    initialise uniformly over the per-dimension init ranges.
+    ``rw_adapt=True`` carries ONE per-chain log-scale block multiplying
+    the whole step vector, Robbins-Monro-updated toward
+    ``target_accept`` through burn-in and frozen for sampling (the 1-D
+    kernel's update, ops/mcmc_pallas.py).
     """
     if (targ_kinds is None) == (target_logpdf_fn is None):
         raise ValueError(
@@ -153,7 +169,9 @@ def build_mcmc_nd_pallas(
             "target_logpdf_fn (joint target) must be given"
         )
     prop_kinds = tuple(prop_kinds)
-    d = len(prop_kinds)
+    d = rw_d if random_walk else len(prop_kinds)
+    if random_walk and d <= 0:
+        raise ValueError("random_walk needs rw_d (the dimension count)")
     if targ_kinds is not None:
         targ_kinds = tuple(targ_kinds)
         if len(targ_kinds) != d:
@@ -167,6 +185,10 @@ def build_mcmc_nd_pallas(
         raise ValueError(
             "param_batch needs a product-analytic target (a joint "
             "log-density function carries no runtime parameters)"
+        )
+    if param_batch and random_walk:
+        raise ValueError(
+            "param_batch is not supported with random_walk yet"
         )
     k = len(eval_fns)
     if k >= LANES:
@@ -195,10 +217,17 @@ def build_mcmc_nd_pallas(
             seed_ref[0, rep] ^ _ND_STREAM_MIX, pid_base_ref[0, 0] + pid
         )
         pbase = rep * d if param_batch else 0
-        qp = [
-            (prop_ref[pbase + j, 0], prop_ref[pbase + j, 1])
-            for j in range(d)
-        ]
+        if random_walk:
+            # Per-dimension (step, init_lo, init_hi, target_accept) rows.
+            rw_steps = [prop_ref[j, 0] for j in range(d)]
+            rw_los = [prop_ref[j, 1] for j in range(d)]
+            rw_his = [prop_ref[j, 2] for j in range(d)]
+            rw_target = prop_ref[0, 3]
+        else:
+            qp = [
+                (prop_ref[pbase + j, 0], prop_ref[pbase + j, 1])
+                for j in range(d)
+            ]
         if targ_kinds is not None:
             tp = [
                 (targ_ref[pbase + j, 0], targ_ref[pbase + j, 1])
@@ -206,6 +235,17 @@ def build_mcmc_nd_pallas(
             ]
 
         def sample_all(counter):
+            if random_walk:
+                # Overdispersed per-dimension uniform init (only the
+                # init draw routes here for a random walk).
+                return tuple(
+                    rw_los[j]
+                    + (rw_his[j] - rw_los[j])
+                    * _uniform_halfopen01(
+                        rng, (rows, LANES), counter, j
+                    )
+                    for j in range(d)
+                )
             return tuple(
                 _sample_chain_block(
                     prop_kinds[j], *qp[j], rows, rng, counter, tag=j
@@ -234,7 +274,8 @@ def build_mcmc_nd_pallas(
 
         xs0 = sample_all(0)
         logp0 = lp_t(xs0)
-        logq0 = lp_q(xs0)
+        if not random_walk:
+            logq0 = lp_q(xs0)
 
         n_block = jnp.float32(rows * LANES)
         if with_stderr:
@@ -251,62 +292,142 @@ def build_mcmc_nd_pallas(
                 for f in eval_fns
             ]
 
-        def mh_move(i, xs, logp, logq):
-            xp = sample_all(3 * i + 1)
-            logp_prop = lp_t(xp)
-            logq_prop = lp_q(xp)
-            log_alpha = logp_prop + logq - logp - logq_prop
-            u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
-            accept = jnp.log(u) < log_alpha
-            xs = tuple(
-                jnp.where(accept, xp_j, x_j)
-                for xp_j, x_j in zip(xp, xs)
+        def accumulate(accs, xs):
+            if with_stderr:
+                return tuple(
+                    acc + (f(*xs).astype(jnp.float32) - p)
+                    for acc, f, p in zip(accs, eval_fns, pilots)
+                )
+            return tuple(
+                acc + f(*xs).astype(jnp.float32)
+                for acc, f in zip(accs, eval_fns)
             )
-            logp = jnp.where(accept, logp_prop, logp)
-            logq = jnp.where(accept, logq_prop, logq)
-            return xs, logp, logq, accept
+
+        zero_accs = tuple(
+            jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
+        )
+        zero_block = jnp.zeros((rows, LANES), jnp.float32)
 
         # Burn-in advances the chains without touching the K integrands
         # or the accept counter; the iteration index runs through both
         # phases and each phase draws the same blocks per iteration, so
         # the streams are identical to a fused single loop.
-        def burn_body(i, carry):
-            xs, logp, logq = carry
-            xs, logp, logq, _ = mh_move(i, xs, logp, logq)
-            return (xs, logp, logq)
+        if random_walk:
+            from ..sampling import normal_from_u01
+            from .mcmc_pallas import _RW_LS_MAX, _RW_LS_MIN
 
-        xs0, logp0, logq0 = _unrolled_fori(
-            0, n_burnin, burn_body, (xs0, logp0, logq0), UNROLL_STEPS
-        )
-
-        def body(i, carry):
-            xs, logp, logq, accs, n_acc = carry
-            xs, logp, logq, accept = mh_move(i, xs, logp, logq)
-            if with_stderr:
-                accs = tuple(
-                    acc + (f(*xs).astype(jnp.float32) - p)
-                    for acc, f, p in zip(accs, eval_fns, pilots)
+            def rw_move(i, xs, logp, scale):
+                # Symmetric per-dimension Gaussian steps (dimension j
+                # draws under tag j); the q terms cancel.
+                xp = tuple(
+                    x_j
+                    + scale
+                    * rw_steps[j]
+                    * normal_from_u01(
+                        _uniform_halfopen01(
+                            rng, (rows, LANES), 3 * i + 1, j
+                        )
+                    )
+                    for j, x_j in enumerate(xs)
                 )
+                logp_prop = lp_t(xp)
+                log_alpha = logp_prop - logp
+                u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
+                accept = jnp.log(u) < log_alpha
+                xs = tuple(
+                    jnp.where(accept, xp_j, x_j)
+                    for xp_j, x_j in zip(xp, xs)
+                )
+                logp = jnp.where(accept, logp_prop, logp)
+                return xs, logp, accept, log_alpha
+
+            if rw_adapt:
+                # ONE per-chain log-scale multiplying the whole step
+                # vector (relative per-dim scales preserved), tuned by
+                # Robbins-Monro through burn-in and frozen for sampling
+                # — the 1-D kernel's update, vector gamma_i = i^-0.6.
+                def burn_body(i, carry):
+                    xs, logp, ls = carry
+                    xs, logp, _, log_alpha = rw_move(
+                        i, xs, logp, jnp.exp(ls)
+                    )
+                    alpha_p = jnp.exp(jnp.minimum(log_alpha, 0.0))
+                    i_f = jnp.full(
+                        (rows, LANES), i + 1, jnp.int32
+                    ).astype(jnp.float32)
+                    gamma = jnp.exp(jnp.float32(-0.6) * jnp.log(i_f))
+                    ls = jnp.clip(
+                        ls + gamma * (alpha_p - rw_target),
+                        _RW_LS_MIN,
+                        _RW_LS_MAX,
+                    )
+                    return (xs, logp, ls)
+
+                xs0, logp0, ls_f = _unrolled_fori(
+                    0, n_burnin, burn_body,
+                    (xs0, logp0, zero_block), UNROLL_STEPS,
+                )
+                scale_fin = jnp.exp(ls_f)
             else:
-                accs = tuple(
-                    acc + f(*xs).astype(jnp.float32)
-                    for acc, f in zip(accs, eval_fns)
-                )
-            n_acc = n_acc + accept.astype(jnp.float32)
-            return (xs, logp, logq, accs, n_acc)
 
-        init = (
-            xs0,
-            logp0,
-            logq0,
-            tuple(
-                jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
-            ),
-            jnp.zeros((rows, LANES), jnp.float32),
-        )
-        _, _, _, accs, n_acc = _unrolled_fori(
-            n_burnin, n_iters, body, init, UNROLL_STEPS
-        )
+                def burn_body(i, carry):
+                    xs, logp = carry
+                    xs, logp, _, _ = rw_move(i, xs, logp, 1.0)
+                    return (xs, logp)
+
+                xs0, logp0 = _unrolled_fori(
+                    0, n_burnin, burn_body, (xs0, logp0), UNROLL_STEPS
+                )
+                scale_fin = 1.0
+
+            def body(i, carry):
+                xs, logp, accs, n_acc = carry
+                xs, logp, accept, _ = rw_move(i, xs, logp, scale_fin)
+                accs = accumulate(accs, xs)
+                n_acc = n_acc + accept.astype(jnp.float32)
+                return (xs, logp, accs, n_acc)
+
+            _, _, accs, n_acc = _unrolled_fori(
+                n_burnin, n_iters, body,
+                (xs0, logp0, zero_accs, zero_block), UNROLL_STEPS,
+            )
+        else:
+
+            def mh_move(i, xs, logp, logq):
+                xp = sample_all(3 * i + 1)
+                logp_prop = lp_t(xp)
+                logq_prop = lp_q(xp)
+                log_alpha = logp_prop + logq - logp - logq_prop
+                u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
+                accept = jnp.log(u) < log_alpha
+                xs = tuple(
+                    jnp.where(accept, xp_j, x_j)
+                    for xp_j, x_j in zip(xp, xs)
+                )
+                logp = jnp.where(accept, logp_prop, logp)
+                logq = jnp.where(accept, logq_prop, logq)
+                return xs, logp, logq, accept
+
+            def burn_body(i, carry):
+                xs, logp, logq = carry
+                xs, logp, logq, _ = mh_move(i, xs, logp, logq)
+                return (xs, logp, logq)
+
+            xs0, logp0, logq0 = _unrolled_fori(
+                0, n_burnin, burn_body, (xs0, logp0, logq0), UNROLL_STEPS
+            )
+
+            def body(i, carry):
+                xs, logp, logq, accs, n_acc = carry
+                xs, logp, logq, accept = mh_move(i, xs, logp, logq)
+                accs = accumulate(accs, xs)
+                n_acc = n_acc + accept.astype(jnp.float32)
+                return (xs, logp, logq, accs, n_acc)
+
+            _, _, _, accs, n_acc = _unrolled_fori(
+                n_burnin, n_iters, body,
+                (xs0, logp0, logq0, zero_accs, zero_block), UNROLL_STEPS,
+            )
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         row_out = jnp.zeros((1, LANES), jnp.float32)
@@ -346,7 +467,7 @@ def build_mcmc_nd_pallas(
         (1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     smem_prop = pl.BlockSpec(
-        (seed_batch * d if param_batch else d, 2),
+        (seed_batch * d if param_batch else d, 4 if random_walk else 2),
         lambda r, i: (0, 0),
         memory_space=pltpu.SMEM,
     )
@@ -428,9 +549,15 @@ def build_mcmc_nd_pallas(
                 seed_batch * d, 2
             )
             return seed_a, prop_a, targ_a
-        prop_a = jnp.stack(
-            [jnp.asarray(p, jnp.float32) for p in prop_params_t]
-        ).reshape(d, 2)
+        if random_walk:
+            # One (d, 4) array of RandomWalk rows, not a d-tuple.
+            prop_a = jnp.asarray(prop_params_t, jnp.float32).reshape(
+                d, 4
+            )
+        else:
+            prop_a = jnp.stack(
+                [jnp.asarray(p, jnp.float32) for p in prop_params_t]
+            ).reshape(d, 2)
         if targ_kinds is not None:
             targ_a = jnp.stack(
                 [jnp.asarray(t, jnp.float32) for t in targ_params_t]

@@ -130,6 +130,14 @@ def plan_state_chains(total_chains: int, n_dev: int = 1) -> int:
 # a fresh stateful run reproduces the stateless kernel bit-for-bit.
 _SEGMENT_MIX = np.int32(0x9E3779B1 - (1 << 32))  # 0x9E3779B1 as int32
 
+# Adaptive random-walk log-step clamp (same bounds as the XLA backend):
+# steps outside [1e-6, 1e6] mean the adaptation diverged; the clamp keeps
+# exp(log_step) finite rather than silently freezing the chain.  Plain
+# Python floats — jnp scalars would be captured as kernel constants,
+# which pallas_call rejects.
+_RW_LS_MIN = -13.815511  # log(1e-6)
+_RW_LS_MAX = 13.815511  # log(1e6)
+
 # MH steps per fori_loop iteration.  As in the integrate kernel
 # (integrate_pallas.UNROLL_BLOCKS), the dominant compiled-loop cost is
 # per-iteration carry store/reload — here the (x, log_p, log_q, K accs,
@@ -242,6 +250,8 @@ def build_mcmc_fn_pallas(
     seed_batch: int = 1,
     param_batch: bool = False,
     with_stderr: bool = False,
+    random_walk: bool = False,
+    rw_adapt: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -283,6 +293,19 @@ def build_mcmc_fn_pallas(
     dispatch.  The whole param arrays stay resident in SMEM; each grid
     rep reads its row.
 
+    ``random_walk=True``: random-walk MH in-kernel (see
+    distributions.RandomWalk / ops/mcmc_xla.py — a proposal family
+    beyond the reference's independence-only sampler).  The proposal
+    params arg becomes the (4,) row ``(step, init_lo, init_hi,
+    target_accept)``; ``proposal_kind`` and the proposal-side tables
+    are ignored.  Each iteration draws the same two uniform blocks as
+    the independence kernel (one feeds ``normal_from_u01`` for the
+    step, one the accept test), so the stream structure is unchanged.
+    ``rw_adapt=True`` carries a per-chain log-step block through
+    burn-in, Robbins-Monro-updating it toward ``target_accept``
+    (``gamma_i = i^-0.6``, computed vectorially — Mosaic has no scalar
+    int->float casts) and freezing it for the sampling phase.
+
     ``with_stderr=True`` (stateless, unbatched): the program returns
     ``(values, acceptance, stderrs)`` with stderr from the BETWEEN-CHAIN
     variance of per-chain means.  Accumulators are pilot-shifted (pilot =
@@ -313,12 +336,23 @@ def build_mcmc_fn_pallas(
             raise ValueError(
                 "param_batch applies to stateless MCMC programs only"
             )
+        if random_walk:
+            raise ValueError(
+                "param_batch is not supported with random_walk yet"
+            )
         ensure_param_batch_family(proposal_kind, "proposal")
         ensure_param_batch_family(target_kind, "target")
+    if random_walk and use_init_state and rw_adapt:
+        raise ValueError("rw_adapt is stateless-only (steps not resumable)")
     k = len(eval_fns)
     if k >= LANES:
         raise ValueError(f"at most {LANES - 1} fused functions supported")
-    if not mcmc_pallas_supports(proposal_kind, target_kind):
+    if random_walk:
+        if not mcmc_pallas_supports(target_kind, target_kind):
+            raise ValueError(
+                "Unsupported target distribution family for Pallas MCMC"
+            )
+    elif not mcmc_pallas_supports(proposal_kind, target_kind):
         raise ValueError("Unsupported distribution family for Pallas MCMC")
     # In-kernel trig -> polynomial kernels (see integrate_pallas /
     # fast_math): covers the K integrand evaluations and the stderr
@@ -326,7 +360,7 @@ def build_mcmc_fn_pallas(
     from .fast_math import kernelize
 
     eval_fns = tuple(kernelize(f) for f in eval_fns)
-    prop_custom = proposal_kind == DistKind.CUSTOM
+    prop_custom = (not random_walk) and proposal_kind == DistKind.CUSTOM
     targ_custom = target_kind == DistKind.CUSTOM
 
     n_dev = 1 if mesh is None else mesh.size
@@ -372,6 +406,11 @@ def build_mcmc_fn_pallas(
         q2 = prop_ref[prow, 1]
         t1 = targ_ref[prow, 0]
         t2 = targ_ref[prow, 1]
+        if random_walk:
+            # (step, init_lo, init_hi, target_accept) — see RandomWalk.
+            rw_lo = prop_ref[prow, 1]
+            rw_hi = prop_ref[prow, 2]
+            rw_target = prop_ref[prow, 3]
 
         def sample(counter):
             return _sample_chain_block(
@@ -387,10 +426,17 @@ def build_mcmc_fn_pallas(
         if use_init_state:
             x0 = x0_ref[pl.ds(pid * rows, rows), :]
             logp0 = logp0_ref[pl.ds(pid * rows, rows), :]
+        elif random_walk:
+            # Overdispersed uniform init over (init_lo, init_hi): there
+            # is no proposal distribution to draw a start from.
+            u0 = _uniform_halfopen01(rng, (rows, LANES), 0, 0)
+            x0 = rw_lo + u0 * (rw_hi - rw_lo)
+            logp0 = lp_t(x0)
         else:
             x0 = sample(0)
             logp0 = lp_t(x0)
-        logq0 = lp_q(x0)
+        if not random_walk:
+            logq0 = lp_q(x0)
 
         n_block = jnp.float32(rows * LANES)
         if with_stderr:
@@ -405,21 +451,21 @@ def build_mcmc_fn_pallas(
                 for f in eval_fns
             ]
 
-        def mh_move(i, x, logp, logq):
-            # The chain's own log-densities are carried, not recomputed
-            # (they only change on acceptance).  Distinct counters per
-            # draw purpose — the reference's stream separation via
-            # +1000000/+999999 offsets (shader_gen.rs:477-536).
-            xp = sample(3 * i + 1)
-            logp_prop = lp_t(xp)
-            logq_prop = lp_q(xp)
-            log_alpha = logp_prop + logq - logp - logq_prop
-            u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
-            accept = jnp.log(u) < log_alpha
-            x = jnp.where(accept, xp, x)
-            logp = jnp.where(accept, logp_prop, logp)
-            logq = jnp.where(accept, logq_prop, logq)
-            return x, logp, logq, accept
+        def accumulate(accs, x):
+            if with_stderr:
+                return tuple(
+                    acc + (f(x).astype(jnp.float32) - p)
+                    for acc, f, p in zip(accs, eval_fns, pilots)
+                )
+            return tuple(
+                acc + f(x).astype(jnp.float32)
+                for acc, f in zip(accs, eval_fns)
+            )
+
+        zero_accs = tuple(
+            jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
+        )
+        zero_block = jnp.zeros((rows, LANES), jnp.float32)
 
         # Burn-in advances the chains WITHOUT evaluating the K integrands
         # or the accept counter (the reference's burn-in loop runs only
@@ -427,41 +473,120 @@ def build_mcmc_fn_pallas(
         # running through both phases, and each phase draws the same two
         # blocks per iteration, so the RNG streams — and therefore the
         # estimates — are bit-identical to the fused single-loop form.
-        def burn_body(i, carry):
-            x, logp, logq = carry
-            x, logp, logq, _ = mh_move(i, x, logp, logq)
-            return (x, logp, logq)
+        if random_walk:
+            from ..sampling import normal_from_u01
 
-        x0, logp0, logq0 = _unrolled_fori(
-            0, n_burnin, burn_body, (x0, logp0, logq0), UNROLL_STEPS
-        )
+            def rw_move(i, x, logp, step_sz):
+                # Symmetric Gaussian step: the q terms cancel from the
+                # acceptance ratio.  Same two uniform blocks per
+                # iteration as the independence kernel.
+                u = _uniform_halfopen01(rng, (rows, LANES), 3 * i + 1, 0)
+                xp = x + step_sz * normal_from_u01(u)
+                logp_prop = lp_t(xp)
+                log_alpha = logp_prop - logp
+                u2 = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
+                accept = jnp.log(u2) < log_alpha
+                x = jnp.where(accept, xp, x)
+                logp = jnp.where(accept, logp_prop, logp)
+                return x, logp, accept, log_alpha
 
-        def body(i, carry):
-            x, logp, logq, accs, n_acc = carry
-            x, logp, logq, accept = mh_move(i, x, logp, logq)
-            if with_stderr:
-                accs = tuple(
-                    acc + (f(x).astype(jnp.float32) - p)
-                    for acc, f, p in zip(accs, eval_fns, pilots)
+            rw_step = q1  # (4,) row slot 0
+            if rw_adapt:
+                # Per-chain Robbins-Monro on the log step, burn-in only
+                # (frozen for sampling, so the sampling chain is exact
+                # MH).  gamma_i = i^-0.6, computed as a vector block —
+                # Mosaic has no scalar int->float casts.
+                ls0 = jnp.log(rw_step) + zero_block
+
+                def burn_body(i, carry):
+                    x, logp, ls = carry
+                    x, logp, _, log_alpha = rw_move(
+                        i, x, logp, jnp.exp(ls)
+                    )
+                    alpha_p = jnp.exp(jnp.minimum(log_alpha, 0.0))
+                    i_f = jnp.full(
+                        (rows, LANES), i + 1, jnp.int32
+                    ).astype(jnp.float32)
+                    gamma = jnp.exp(jnp.float32(-0.6) * jnp.log(i_f))
+                    ls = jnp.clip(
+                        ls + gamma * (alpha_p - rw_target),
+                        _RW_LS_MIN,
+                        _RW_LS_MAX,
+                    )
+                    return (x, logp, ls)
+
+                x0, logp0, ls_f = _unrolled_fori(
+                    0, n_burnin, burn_body, (x0, logp0, ls0), UNROLL_STEPS
                 )
+                step_fin = jnp.exp(ls_f)
             else:
-                accs = tuple(
-                    acc + f(x).astype(jnp.float32)
-                    for acc, f in zip(accs, eval_fns)
-                )
-            n_acc = n_acc + accept.astype(jnp.float32)
-            return (x, logp, logq, accs, n_acc)
 
-        init = (
-            x0,
-            logp0,
-            logq0,
-            tuple(jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)),
-            jnp.zeros((rows, LANES), jnp.float32),
-        )
-        x_f, logp_f, _, accs, n_acc = _unrolled_fori(
-            n_burnin, n_iters, body, init, UNROLL_STEPS
-        )
+                def burn_body(i, carry):
+                    x, logp = carry
+                    x, logp, _, _ = rw_move(i, x, logp, rw_step)
+                    return (x, logp)
+
+                x0, logp0 = _unrolled_fori(
+                    0, n_burnin, burn_body, (x0, logp0), UNROLL_STEPS
+                )
+                step_fin = rw_step
+
+            def body(i, carry):
+                x, logp, accs, n_acc = carry
+                x, logp, accept, _ = rw_move(i, x, logp, step_fin)
+                accs = accumulate(accs, x)
+                n_acc = n_acc + accept.astype(jnp.float32)
+                return (x, logp, accs, n_acc)
+
+            x_f, logp_f, accs, n_acc = _unrolled_fori(
+                n_burnin,
+                n_iters,
+                body,
+                (x0, logp0, zero_accs, zero_block),
+                UNROLL_STEPS,
+            )
+        else:
+
+            def mh_move(i, x, logp, logq):
+                # The chain's own log-densities are carried, not
+                # recomputed (they only change on acceptance).  Distinct
+                # counters per draw purpose — the reference's stream
+                # separation via +1000000/+999999 offsets
+                # (shader_gen.rs:477-536).
+                xp = sample(3 * i + 1)
+                logp_prop = lp_t(xp)
+                logq_prop = lp_q(xp)
+                log_alpha = logp_prop + logq - logp - logq_prop
+                u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
+                accept = jnp.log(u) < log_alpha
+                x = jnp.where(accept, xp, x)
+                logp = jnp.where(accept, logp_prop, logp)
+                logq = jnp.where(accept, logq_prop, logq)
+                return x, logp, logq, accept
+
+            def burn_body(i, carry):
+                x, logp, logq = carry
+                x, logp, logq, _ = mh_move(i, x, logp, logq)
+                return (x, logp, logq)
+
+            x0, logp0, logq0 = _unrolled_fori(
+                0, n_burnin, burn_body, (x0, logp0, logq0), UNROLL_STEPS
+            )
+
+            def body(i, carry):
+                x, logp, logq, accs, n_acc = carry
+                x, logp, logq, accept = mh_move(i, x, logp, logq)
+                accs = accumulate(accs, x)
+                n_acc = n_acc + accept.astype(jnp.float32)
+                return (x, logp, logq, accs, n_acc)
+
+            x_f, logp_f, _, accs, n_acc = _unrolled_fori(
+                n_burnin,
+                n_iters,
+                body,
+                (x0, logp0, logq0, zero_accs, zero_block),
+                UNROLL_STEPS,
+            )
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         row_out = jnp.zeros((1, LANES), jnp.float32)
@@ -517,11 +642,15 @@ def build_mcmc_fn_pallas(
     # Param-batched programs keep the WHOLE (R, 2) arrays resident in SMEM
     # and index by rep inside the kernel (Mosaic requires SMEM blocks to
     # span the array, like the seed vector).
-    smem_params = pl.BlockSpec(
-        (seed_batch if param_batch else 1, 2),
-        lambda r, i: (0, 0),
-        memory_space=pltpu.SMEM,
-    )
+    def _smem_params(width):
+        return pl.BlockSpec(
+            (seed_batch if param_batch else 1, width),
+            lambda r, i: (0, 0),
+            memory_space=pltpu.SMEM,
+        )
+
+    smem_prop = _smem_params(4 if random_walk else 2)
+    smem_targ = _smem_params(2)
     smem_grid = pl.BlockSpec((1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -531,7 +660,7 @@ def build_mcmc_fn_pallas(
     )
 
     def pallas_sweep(seed, prop, targ, pid_base, *rest):
-        in_specs = [smem_seeds, smem_params, smem_params, smem_scalar]
+        in_specs = [smem_seeds, smem_prop, smem_targ, smem_scalar]
         if with_state:
             in_specs += [smem_scalar]  # segment
         if prop_custom:
@@ -659,11 +788,13 @@ def build_mcmc_fn_pallas(
                     jnp.asarray(prop_lp, jnp.float32),
                 )
             )
-        pshape = (seed_batch, 2) if param_batch else (1, 2)
+        pw = 4 if random_walk else 2
+        prop_shape = (seed_batch, pw) if param_batch else (1, pw)
+        targ_shape = (seed_batch, 2) if param_batch else (1, 2)
         return (
             jnp.asarray(seed, jnp.int32).reshape(1, seed_batch),
-            jnp.asarray(prop_params, jnp.float32).reshape(pshape),
-            jnp.asarray(targ_params, jnp.float32).reshape(pshape),
+            jnp.asarray(prop_params, jnp.float32).reshape(prop_shape),
+            jnp.asarray(targ_params, jnp.float32).reshape(targ_shape),
             tuple(prepped),
         )
 
