@@ -904,6 +904,40 @@ def main() -> int:
                 "kernel and XLA random walks agree statistically "
                 "(different RNG streams)")
 
+    # Param-batched random-walk sweep: (R, 4) walk rows ride the
+    # proposal-params slot (pack_random_walk_batch); every element must
+    # be bit-equal to its unbatched call.  Both rows adapt their step
+    # during burn-in (adaptation is a compile-time kernel phase, so a
+    # pack's adapt tag must match the program's — mixed packs are
+    # rejected at pack time).
+    rw_targets = [mc.Distribution.normal(0.0, 1.0),
+                  mc.Distribution.normal(2.0, 0.5)]
+    rw_walks = [mc.RandomWalk(step_size=2.4, adapt=True),
+                mc.RandomWalk(step_size=1.0, adapt=True)]
+    it_rw = mc.MonteCarloIntegrator()
+    rw_sweep = it_rw.compile_mcmc(
+        [lambda x: x], rw_targets[0], rw_walks[0],
+        n_steps=2000, n_chains=1024, n_burnin=200,
+        seed_batch=2, param_batch=True,
+    )
+    wv, wa = rw_sweep(
+        [7, 42], mc.pack_param_batch(rw_targets),
+        mc.pack_random_walk_batch(rw_walks, rw_targets),
+    )
+    wv, wa = np.asarray(wv), np.asarray(wa)
+    rw_singles = [
+        it_rw.compile_mcmc([lambda x: x], t, w,
+                           n_steps=2000, n_chains=1024, n_burnin=200)(s)
+        for s, t, w in zip([7, 42], rw_targets, rw_walks)
+    ]
+    rw_sv = np.stack([np.asarray(v) for v, _ in rw_singles])
+    rw_sa = np.asarray([float(np.asarray(a)) for _, a in rw_singles])
+    ok &= check("rw_param_batch_bit_equal",
+                list((wv - rw_sv).ravel()) + list(wa - rw_sa),
+                [0.0] * 4, 1e-12,
+                "param-batched random-walk sweep (adaptive + fixed "
+                "rows) bit-equal to unbatched calls")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",

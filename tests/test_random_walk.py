@@ -459,15 +459,18 @@ class TestPallasKernel:
         )
         assert abs(r.values[0] - 2.0) < 0.15
 
-    def test_builder_rejects_param_batch(self):
+    def test_builder_rejects_param_batch_custom_target(self):
+        # A random walk's own rows always batch; the analytic-family
+        # gate still applies to the TARGET (a custom table cannot take
+        # runtime parameter words).
         from tpu_montecarlo.ops.mcmc_pallas import build_mcmc_fn_pallas
         from tpu_montecarlo.sampling import DistKind
 
-        with pytest.raises(ValueError, match="param_batch"):
+        with pytest.raises(ValueError, match="analytic"):
             build_mcmc_fn_pallas(
                 [lambda x: x],
-                DistKind.NORMAL,
-                DistKind.NORMAL,
+                DistKind.CUSTOM,
+                DistKind.CUSTOM,
                 100,
                 10,
                 512,
@@ -838,9 +841,12 @@ class TestValidation:
                 return_state=True,
             )
 
-    def test_param_batch_rejected(self, integ):
-        target = Distribution.normal()
-        with pytest.raises(ValueError, match="param_batch"):
+    def test_param_batch_custom_target_rejected(self, integ):
+        # Walk rows always batch, but the target stays gated to the
+        # analytic families (custom tables are host-built per
+        # distribution and carry no runtime parameter words).
+        target = Distribution.beta(2.0, 5.0)
+        with pytest.raises(ValueError, match="analytic"):
             integ.compile_mcmc(
                 [lambda x: x],
                 target,
@@ -848,3 +854,209 @@ class TestValidation:
                 seed_batch=2,
                 param_batch=True,
             )
+
+
+# ---------------------------------------------------------------------------
+# Parameter-batched random walks: one compiled program sweeping
+# (target parameters, walk rows) pairs in a single dispatch
+# ---------------------------------------------------------------------------
+
+
+class TestRandomWalkParamBatch:
+    SEEDS = [7, 42, 1234]
+
+    def _targets(self):
+        from tpu_montecarlo import pack_param_batch
+
+        dists = [
+            Distribution.normal(0.0, 1.0),
+            Distribution.normal(1.0, 2.0),
+            Distribution.normal(-2.0, 0.5),
+        ]
+        return dists, pack_param_batch(dists)
+
+    def test_pack_shapes_and_tag(self):
+        from tpu_montecarlo import (
+            pack_random_walk_batch,
+            pack_random_walk_batch_nd,
+        )
+
+        dists, _ = self._targets()
+        walks = [RandomWalk(step_size=s) for s in (1.0, 2.4, 5.0)]
+        p = pack_random_walk_batch(walks, dists)
+        assert p.shape == (3, 4) and p.family == "rw"
+        np.testing.assert_allclose(p[:, 0], [1.0, 2.4, 5.0])
+        # Per-row default init range = that row's central 98% interval.
+        np.testing.assert_allclose(
+            p[1, 1:3],
+            [dists[1].quantile(0.01), dists[1].quantile(0.99)],
+            rtol=1e-5,
+        )
+        pn = pack_random_walk_batch_nd(walks, [dists[0], dists[1]])
+        assert pn.shape == (3, 2, 4) and pn.family == "rw"
+        pj = pack_random_walk_batch_nd(
+            [RandomWalk(step_size=1.0, init_range=(-3, 3))] * 2, d=3
+        )
+        assert pj.shape == (2, 3, 4)
+
+    def test_pack_validation(self):
+        from tpu_montecarlo import (
+            pack_random_walk_batch,
+            pack_random_walk_batch_nd,
+        )
+
+        dists, _ = self._targets()
+        with pytest.raises(ValueError, match="at least one"):
+            pack_random_walk_batch([], dists[0])
+        with pytest.raises(TypeError, match="RandomWalk"):
+            pack_random_walk_batch([dists[0]], dists[0])
+        with pytest.raises(ValueError, match="walks but"):
+            pack_random_walk_batch([RandomWalk()] * 2, dists)
+        with pytest.raises(ValueError, match="init_range"):
+            pack_random_walk_batch([RandomWalk()])  # no target, no range
+        with pytest.raises(ValueError, match="pass d="):
+            pack_random_walk_batch_nd(
+                [RandomWalk(init_range=(-1, 1))]
+            )
+        # Adaptation is compile-time: mixed adapt= rows would silently
+        # adapt every row, so the pack rejects them outright.
+        with pytest.raises(ValueError, match="share adapt"):
+            pack_random_walk_batch(
+                [RandomWalk(adapt=True), RandomWalk()], dists[0]
+            )
+
+    def test_adapt_tag_must_match_program(self):
+        """A fixed-step pack is rejected by a program compiled with an
+        adaptive walk (and vice versa): adaptation is a compile-time
+        kernel phase, so silently adapting a fixed-step row would break
+        the element-bit-equal-to-unbatched guarantee."""
+        from tpu_montecarlo import (
+            pack_param_batch,
+            pack_random_walk_batch,
+        )
+
+        integ = MonteCarloIntegrator()
+        dists, tp = self._targets()
+        fixed = pack_random_walk_batch([RandomWalk()] * 3, dists)
+        adaptive = pack_random_walk_batch(
+            [RandomWalk(adapt=True)] * 3, dists
+        )
+        assert fixed.family == "rw" and adaptive.family == "rw_adapt"
+        prog = integ.compile_mcmc(
+            [lambda x: x], dists[0], RandomWalk(adapt=True),
+            n_steps=100, n_chains=256, n_burnin=20,
+            seed_batch=3, param_batch=True,
+        )
+        with pytest.raises(ValueError, match="fixed-step RandomWalk"):
+            prog(self.SEEDS, tp, fixed)
+        vals, _ = prog(self.SEEDS, tp, adaptive)
+        assert np.asarray(vals).shape == (3, 1)
+
+    @pytest.mark.parametrize("backend", ["pallas", "xla"])
+    def test_elements_match_unbatched(self, backend):
+        """Each batch element reproduces the unbatched handle built from
+        the same (target, walk) pair with the same seed — bit-for-bit on
+        both backends (the kernel grid reps and the lax.map elements
+        keep the exact single-job streams)."""
+        from tpu_montecarlo import (
+            pack_param_batch,
+            pack_random_walk_batch,
+        )
+
+        integ = MonteCarloIntegrator(backend=backend)
+        dists, tp = self._targets()
+        walks = [RandomWalk(step_size=s) for s in (1.0, 2.4, 0.7)]
+        pp = pack_random_walk_batch(walks, dists)
+        fns = [lambda x: x, lambda x: x * x]
+        kw = dict(n_steps=300, n_chains=512, n_burnin=100)
+        prog = integ.compile_mcmc(
+            fns, dists[0], walks[0], seed_batch=3, param_batch=True, **kw
+        )
+        vals, acc = prog(self.SEEDS, tp, pp)
+        vals, acc = np.asarray(vals), np.asarray(acc)
+        assert vals.shape == (3, 2) and acc.shape == (3,)
+        for i, (s, d, w) in enumerate(zip(self.SEEDS, dists, walks)):
+            single = integ.compile_mcmc(fns, d, w, **kw)
+            sv, sa = single(s)
+            np.testing.assert_array_equal(vals[i], np.asarray(sv))
+            np.testing.assert_array_equal(acc[i], np.asarray(sa))
+
+    def test_adaptive_sweep_hits_target_acceptance(self):
+        """A step-size sweep with adapt=True: every row lands near its
+        own target acceptance regardless of its (bad) initial step."""
+        from tpu_montecarlo import (
+            pack_param_batch,
+            pack_random_walk_batch,
+        )
+
+        integ = MonteCarloIntegrator(backend="pallas")
+        dists, tp = self._targets()
+        walks = [
+            RandomWalk(step_size=s, adapt=True, target_accept=ta)
+            for s, ta in ((20.0, 0.44), (0.01, 0.3), (8.0, 0.6))
+        ]
+        pp = pack_random_walk_batch(walks, dists)
+        prog = integ.compile_mcmc(
+            [lambda x: x], dists[0], walks[0],
+            n_steps=1500, n_chains=512, n_burnin=600,
+            seed_batch=3, param_batch=True, return_stderr=True,
+        )
+        vals, acc, se = prog(self.SEEDS, tp, pp)
+        vals, acc = np.asarray(vals).ravel(), np.asarray(acc)
+        np.testing.assert_allclose(vals, [0.0, 1.0, -2.0], atol=0.25)
+        np.testing.assert_allclose(acc, [0.44, 0.3, 0.6], atol=0.12)
+        assert np.all(np.asarray(se) > 0)
+
+    @pytest.mark.parametrize("backend", ["pallas", "xla"])
+    def test_nd_elements_match_unbatched(self, backend):
+        from tpu_montecarlo import (
+            pack_param_batch_nd,
+            pack_random_walk_batch_nd,
+        )
+
+        integ = MonteCarloIntegrator(backend=backend)
+        rows = [
+            [Distribution.normal(0.0, 1.0), Distribution.normal(0.0, 1.0)],
+            [Distribution.normal(1.0, 1.0), Distribution.normal(-1.0, 2.0)],
+        ]
+        tp = pack_param_batch_nd(rows)
+        walks = [
+            RandomWalk(step_size=[1.0, 2.0]),
+            RandomWalk(step_size=0.8),
+        ]
+        pp = pack_random_walk_batch_nd(walks, rows)
+        fns = [lambda x, y: x + y]
+        kw = dict(n_steps=300, n_chains=512, n_burnin=100)
+        prog = integ.compile_mcmc(
+            fns, rows[0], walks[0], seed_batch=2, param_batch=True, **kw
+        )
+        vals, acc = prog(self.SEEDS[:2], tp, pp)
+        vals, acc = np.asarray(vals), np.asarray(acc)
+        for i, (s, row, w) in enumerate(zip(self.SEEDS, rows, walks)):
+            single = integ.compile_mcmc(fns, row, w, **kw)
+            sv, sa = single(s)
+            np.testing.assert_array_equal(vals[i], np.asarray(sv))
+            np.testing.assert_array_equal(acc[i], np.asarray(sa))
+
+    def test_wrong_pack_rejected_at_dispatch(self):
+        from tpu_montecarlo import (
+            pack_param_batch,
+            pack_random_walk_batch,
+        )
+
+        integ = MonteCarloIntegrator()
+        dists, tp = self._targets()
+        pp = pack_random_walk_batch([RandomWalk()] * 3, dists)
+        prog = integ.compile_mcmc(
+            [lambda x: x], dists[0], RandomWalk(),
+            n_steps=100, n_chains=256, n_burnin=10,
+            seed_batch=3, param_batch=True,
+        )
+        with pytest.raises(ValueError, match="RandomWalk"):
+            prog(self.SEEDS, tp, tp)  # family pack in the walk slot
+        with pytest.raises(ValueError, match="expected a"):
+            prog(self.SEEDS, tp, np.zeros((3, 2), np.float32))
+        # And the reverse: a walk pack where family rows are expected
+        # (the family tag mismatch fires before the shape check).
+        with pytest.raises(ValueError, match="RandomWalk proposals"):
+            prog(self.SEEDS, pp, pp)

@@ -27,6 +27,8 @@ from .api import (
     integrate_mcmc,
     pack_param_batch,
     pack_param_batch_nd,
+    pack_random_walk_batch,
+    pack_random_walk_batch_nd,
 )
 from .distributions import Distribution, DistributionType, RandomWalk
 from .tracing import TraceError, is_traceable, trace_function
@@ -53,6 +55,8 @@ __all__ = [
     "integrate_mcmc",
     "pack_param_batch",
     "pack_param_batch_nd",
+    "pack_random_walk_batch",
+    "pack_random_walk_batch_nd",
     "trace_function",
     "trace_wgsl_function",
     "is_traceable",

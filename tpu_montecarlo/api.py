@@ -2191,13 +2191,10 @@ class MonteCarloIntegrator:
             )
         random_walk = proposals is None
         if random_walk:
+            # With param_batch the proposal slot takes (R, d, 4)
+            # RandomWalk rows (pack_random_walk_batch_nd); the target's
+            # analytic-family gate below still applies.
             _check_random_walk_args(proposal, n_burnin, False)
-            if param_batch:
-                raise ValueError(
-                    "param_batch is not supported with RandomWalk "
-                    "proposals yet; batch seeds only, or sweep step "
-                    "sizes across calls"
-                )
         traced = self._trace_user_functions(functions, n_args=d)
         prop_specs = (
             None if random_walk else [dist_spec_of(p) for p in proposals]
@@ -2242,6 +2239,8 @@ class MonteCarloIntegrator:
                 run = _nd_mcmc_param_map_adapter(run, d, dev_args[2:])
             return _nd_mcmc_param_prog(
                 run, seed_batch, d, targ_kinds, prop_kinds,
+                random_walk=random_walk,
+                rw_adapt=random_walk and proposal.adapt,
             )
         return self._finalize_prog(
             run, dev_args, seed_batch, n_param_args=0
@@ -2462,7 +2461,12 @@ class MonteCarloIntegrator:
         proposal_params) -> ((R, K), (R,))`` with each params arg an
         (R, 2) float32 array (:func:`pack_param_batch`; R =
         ``seed_batch``) — one compiled program serves a whole
-        posterior/proposal sweep per dispatch.  Analytic families only."""
+        posterior/proposal sweep per dispatch.  Analytic families only.
+        With a :class:`RandomWalk` proposal the proposal-params slot
+        instead takes (R, 4) walk rows (:func:`pack_random_walk_batch`;
+        (R, d, 4) via :func:`pack_random_walk_batch_nd` for nd runs) —
+        one program serves a step-size/adaptation sweep, e.g. for
+        calibrating the walk against a batch of tempered targets."""
         if len(functions) == 0:
             raise ValueError("At least one function is required")
         if n_steps <= 0:
@@ -2489,10 +2493,11 @@ class MonteCarloIntegrator:
                 proposal_distribution, n_burnin, False
             )
             if param_batch:
-                raise ValueError(
-                    "param_batch is not supported with RandomWalk "
-                    "proposals yet; batch seeds only, or sweep step "
-                    "sizes across calls"
+                # The proposal-params slot takes (R, 4) RandomWalk rows
+                # (pack_random_walk_batch); only the target's family is
+                # gated to the analytic, runtime-parameterizable set.
+                ensure_param_batch_family(
+                    dist_spec_of(target_distribution).kind, "target"
                 )
         elif param_batch:
             for role, d in (
@@ -2603,11 +2608,6 @@ class MonteCarloIntegrator:
                 )
         random_walk = isinstance(proposal_distribution, RandomWalk)
         rw_adapt = random_walk and proposal_distribution.adapt
-        if random_walk and param_batch:
-            raise ValueError(
-                "param_batch is not supported with RandomWalk proposals "
-                "yet; batch seeds only, or sweep step sizes across calls"
-            )
         prop_spec = (
             None if random_walk else dist_spec_of(proposal_distribution)
         )
@@ -2775,8 +2775,8 @@ class MonteCarloIntegrator:
                 self._finalize_mcmc_prog(
                     run, static_args, seed_batch, param_batch,
                     (
-                        (targ_spec.kind, targ_spec.kind)
-                        if random_walk  # param_batch is rejected above
+                        ("rw_adapt" if rw_adapt else "rw", targ_spec.kind)
+                        if random_walk
                         else (prop_spec.kind, targ_spec.kind)
                     ),
                 ),
@@ -2887,8 +2887,8 @@ class MonteCarloIntegrator:
             self._finalize_mcmc_prog(
                 run, static_args, seed_batch, param_batch,
                 (
-                    (targ_spec.kind, targ_spec.kind)
-                    if random_walk  # param_batch is rejected above anyway
+                    ("rw_adapt" if rw_adapt else "rw", targ_spec.kind)
+                    if random_walk
                     else (prop_spec.kind, targ_spec.kind)
                 ),
             ),
@@ -3056,7 +3056,13 @@ def _check_param_batch_args(
     ``param_kinds``: the families the program was compiled for — a
     ``ParamBatch`` array packed for a different family is rejected
     (its rows would silently be reinterpreted, e.g. (min, max) read
-    as (mean, std)); plain arrays skip the family check."""
+    as (mean, std)); plain arrays skip the family check.  The sentinel
+    kinds ``"rw"`` / ``"rw_adapt"`` mark a RandomWalk-proposal slot,
+    whose rows are (R, 4) ``(step, init_lo, init_hi, target_accept)``
+    packs (:func:`pack_random_walk_batch`) rather than (R, 2) family
+    words; the adapt variant additionally pins the pack to a program
+    compiled with burn-in step adaptation (a compile-time kernel phase
+    every row shares)."""
     seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
     if seeds_arr.shape != (r,):
         raise ValueError(
@@ -3068,21 +3074,33 @@ def _check_param_batch_args(
         )
     params_arrs = []
     for i, p in enumerate(params):
+        kind = param_kinds[i] if i < len(param_kinds) else None
+        width = 4 if kind in ("rw", "rw_adapt") else 2
         fam = getattr(p, "family", None)
-        if fam is not None and i < len(param_kinds) and fam != param_kinds[i]:
+        if fam is not None and kind is not None and fam != kind:
             raise ValueError(
                 f"params array {i} was packed for "
-                f"{DistKind(fam).name} distributions but this program "
-                f"was compiled for {DistKind(param_kinds[i]).name}"
+                f"{_param_kind_name(fam)} but this program "
+                f"was compiled for {_param_kind_name(kind)}"
             )
         p_arr = jnp.asarray(np.asarray(p, np.float32))
-        if p_arr.shape != (r, 2):
+        if p_arr.shape != (r, width):
             raise ValueError(
-                f"expected a ({r}, 2) params array, got shape "
+                f"expected a ({r}, {width}) params array, got shape "
                 f"{p_arr.shape}"
             )
         params_arrs.append(p_arr)
     return seeds_arr, tuple(params_arrs)
+
+
+def _param_kind_name(kind) -> str:
+    """Human name of a param-batch slot kind: a DistKind family or the
+    ``"rw"`` / ``"rw_adapt"`` RandomWalk sentinels."""
+    if kind == "rw":
+        return "fixed-step RandomWalk proposals"
+    if kind == "rw_adapt":
+        return "adaptive RandomWalk proposals"
+    return f"{DistKind(kind).name} distributions"
 
 
 def _nd_param_map_adapter(run, d: int):
@@ -3171,12 +3189,15 @@ def _nd_mcmc_param_map_adapter(run, d: int, tables):
 
 
 def _nd_mcmc_param_prog(run, seed_batch: int, d: int, targ_kinds,
-                        prop_kinds):
+                        prop_kinds, random_walk: bool = False,
+                        rw_adapt: bool = False):
     """The nd MCMC param-batched handle: ``prog(seeds, target_params,
     proposal_params)`` (1-D compile_mcmc's arg order) with each params
-    arg an (R, d, 2) array; validates shapes and tagged families."""
+    arg an (R, d, 2) array; validates shapes and tagged families.  With
+    a RandomWalk proposal the proposal slot instead takes the (R, d, 4)
+    rows of :func:`pack_random_walk_batch_nd`."""
 
-    def _check(params, kinds, role):
+    def _check(params, kinds, role, width=2):
         fams = getattr(params, "families", None)
         if fams is not None and tuple(fams) != tuple(kinds):
             raise ValueError(
@@ -3186,10 +3207,29 @@ def _nd_mcmc_param_prog(run, seed_batch: int, d: int, targ_kinds,
                 f"{tuple(DistKind(k).name for k in kinds)}"
             )
         p_arr = np.asarray(params, np.float32)
-        if p_arr.shape != (seed_batch, d, 2):
+        if p_arr.shape != (seed_batch, d, width):
             raise ValueError(
-                f"expected a ({seed_batch}, {d}, 2) {role} params array "
-                f"(pack_param_batch_nd), got shape {p_arr.shape}"
+                f"expected a ({seed_batch}, {d}, {width}) {role} params "
+                f"array, got shape {p_arr.shape}"
+            )
+        return jnp.asarray(p_arr)
+
+    def _check_rw(params):
+        want = "rw_adapt" if rw_adapt else "rw"
+        fam = getattr(params, "family", None)
+        if fam is not None and fam != want:
+            raise ValueError(
+                "this program was compiled for "
+                f"{_param_kind_name(want)}; pack matching (R, d, 4) "
+                "rows with pack_random_walk_batch_nd, got a pack for "
+                f"{_param_kind_name(fam)}"
+            )
+        p_arr = np.asarray(params, np.float32)
+        if p_arr.shape != (seed_batch, d, 4):
+            raise ValueError(
+                f"expected a ({seed_batch}, {d}, 4) RandomWalk params "
+                f"array (pack_random_walk_batch_nd), got shape "
+                f"{p_arr.shape}"
             )
         return jnp.asarray(p_arr)
 
@@ -3200,7 +3240,11 @@ def _nd_mcmc_param_prog(run, seed_batch: int, d: int, targ_kinds,
                 f"expected {seed_batch} seeds, got shape {seeds_arr.shape}"
             )
         targ = _check(target_params, targ_kinds, "target")
-        prop = _check(proposal_params, prop_kinds, "proposal")
+        prop = (
+            _check_rw(proposal_params)
+            if random_walk
+            else _check(proposal_params, prop_kinds, "proposal")
+        )
         return run(jnp.asarray(seeds_arr), prop, targ)
 
     return prog
@@ -3287,6 +3331,114 @@ def pack_param_batch(distributions) -> ParamBatch:
         )
     ensure_param_batch_family(specs[0].kind)
     return ParamBatch(np.stack([s.params for s in specs]), specs[0].kind)
+
+
+class RwParamBatch(np.ndarray):
+    """(R, 4) (1-D) or (R, d, 4) (nd) float32 RandomWalk parameter rows
+    — ``(step, init_lo, init_hi, target_accept)`` — tagged with the
+    ``"rw"`` / ``"rw_adapt"`` sentinel family, so a handle compiled for
+    density-backed proposals rejects the pack at dispatch time (and vice
+    versa).  Step adaptation is a compile-time kernel phase, not a row
+    word, so adaptive and fixed-step packs carry distinct tags and a
+    program compiled for one rejects the other (every row of an adaptive
+    program adapts; silently adapting a fixed-step row would break the
+    element-bit-equal-to-its-unbatched-call guarantee)."""
+
+    def __new__(cls, arr, adapt: bool = False):
+        obj = np.asarray(arr, np.float32).view(cls)
+        obj.family = "rw_adapt" if adapt else "rw"
+        return obj
+
+    def __array_finalize__(self, obj):
+        if obj is not None and not hasattr(self, "family"):
+            self.family = getattr(obj, "family", "rw")
+
+
+def _walks_targets_of(walks, target, what: str):
+    """Validate a (walks, per-row targets) pairing for the RandomWalk
+    pack builders.  ``target``: one shared value, a length-R sequence,
+    or None (every walk then needs an explicit init_range)."""
+    walks = list(walks)
+    if not walks:
+        raise ValueError("param batch needs at least one RandomWalk")
+    for w in walks:
+        if not isinstance(w, RandomWalk):
+            raise TypeError(
+                f"pack_random_walk_batch{what} takes RandomWalk "
+                f"proposals, got {type(w)}"
+            )
+    if len({w.adapt for w in walks}) > 1:
+        raise ValueError(
+            "all walks in a param batch must share adapt= — step "
+            "adaptation is a compile-time kernel phase (every row of "
+            "an adaptive program adapts); run adaptive and fixed-step "
+            "sweeps as separate programs"
+        )
+    if target is None or isinstance(target, Distribution):
+        targets = [target] * len(walks)
+    else:
+        targets = list(target)
+        if len(targets) != len(walks):
+            raise ValueError(
+                f"{len(walks)} walks but {len(targets)} targets; pass "
+                "one shared target or one per replication row"
+            )
+    return walks, targets
+
+
+def pack_random_walk_batch(walks, target=None) -> RwParamBatch:
+    """Stack :class:`RandomWalk` proposals into the (R, 4) rows a 1-D
+    ``param_batch`` MCMC handle takes in its proposal-params slot —
+    one step-size/init-range/target-acceptance row per replication, so
+    a single compiled program serves a whole step-size (or adaptation)
+    sweep per dispatch.  ``target``: the Distribution whose central 98%
+    interval seeds default init ranges — one shared, a length-R list
+    (matched to the swept target rows), or None when every walk carries
+    an explicit ``init_range``."""
+    walks, targets = _walks_targets_of(walks, target, "")
+    rows = []
+    for w, t in zip(walks, targets):
+        rows.append(
+            w.pack_params_nd([t] if t is not None else None, 1)[0]
+        )
+    return RwParamBatch(np.stack(rows), walks[0].adapt)
+
+
+def pack_random_walk_batch_nd(walks, targets=None, d=None) -> RwParamBatch:
+    """nd form of :func:`pack_random_walk_batch`: (R, d, 4) rows.
+    ``targets``: the per-dimension Distribution list (shared across
+    rows), a length-R list of such lists, or None for joint log-density
+    targets (explicit ``init_range`` on every walk; ``d`` required
+    then)."""
+    shared = None
+    if targets is not None:
+        targets = list(targets)
+        if targets and isinstance(targets[0], Distribution):
+            shared = targets  # one per-dimension list for every row
+            targets = None
+    walks, per_row = _walks_targets_of(walks, targets, "_nd")
+    if shared is not None:
+        per_row = [shared] * len(walks)
+    dims = {len(r) for r in per_row if r is not None}
+    if len(dims) > 1:
+        raise ValueError(
+            f"rows mix dimension counts {sorted(dims)}"
+        )
+    if d is None:
+        if not dims:
+            raise ValueError(
+                "pass d= when packing for a joint log-density target "
+                "(no per-dimension target lists to read it from)"
+            )
+        d = dims.pop()
+    elif dims and dims != {d}:
+        raise ValueError(
+            f"d={d} but the target lists have {dims.pop()} dimensions"
+        )
+    return RwParamBatch(
+        np.stack([w.pack_params_nd(t, d) for w, t in zip(walks, per_row)]),
+        walks[0].adapt,
+    )
 
 
 def _block_traceable(fns, n_args: int = 1) -> bool:

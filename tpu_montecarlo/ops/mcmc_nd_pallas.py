@@ -149,7 +149,9 @@ def build_mcmc_nd_pallas(
     parameter rows, SMEM-resident as (R*d, 2) and indexed per grid rep,
     so one program serves a whole d-dimensional posterior/tempering
     sweep per dispatch.  In-kernel error bars compose: each rep's pilot
-    comes from its own init draw under its own parameters.
+    comes from its own init draw under its own parameters.  With
+    ``random_walk=True`` the prop array is (R, d, 4) RandomWalk rows
+    instead — one walk (steps, init ranges, target acceptance) per rep.
 
     ``random_walk=True`` (see distributions.RandomWalk / ops/mcmc_nd.py):
     random-walk MH in-kernel — ``x'_j = x_j + step_j * z_j`` with
@@ -186,10 +188,6 @@ def build_mcmc_nd_pallas(
             "param_batch needs a product-analytic target (a joint "
             "log-density function carries no runtime parameters)"
         )
-    if param_batch and random_walk:
-        raise ValueError(
-            "param_batch is not supported with random_walk yet"
-        )
     k = len(eval_fns)
     if k >= LANES:
         raise ValueError(f"at most {LANES - 1} fused functions supported")
@@ -218,11 +216,12 @@ def build_mcmc_nd_pallas(
         )
         pbase = rep * d if param_batch else 0
         if random_walk:
-            # Per-dimension (step, init_lo, init_hi, target_accept) rows.
-            rw_steps = [prop_ref[j, 0] for j in range(d)]
-            rw_los = [prop_ref[j, 1] for j in range(d)]
-            rw_his = [prop_ref[j, 2] for j in range(d)]
-            rw_target = prop_ref[0, 3]
+            # Per-dimension (step, init_lo, init_hi, target_accept) rows
+            # (this grid rep's own d-row slice when param-batched).
+            rw_steps = [prop_ref[pbase + j, 0] for j in range(d)]
+            rw_los = [prop_ref[pbase + j, 1] for j in range(d)]
+            rw_his = [prop_ref[pbase + j, 2] for j in range(d)]
+            rw_target = prop_ref[pbase, 3]
         else:
             qp = [
                 (prop_ref[pbase + j, 0], prop_ref[pbase + j, 1])
@@ -543,7 +542,7 @@ def build_mcmc_nd_pallas(
         seed_a = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
         if param_batch:
             prop_a = jnp.asarray(prop_params_t, jnp.float32).reshape(
-                seed_batch * d, 2
+                seed_batch * d, 4 if random_walk else 2
             )
             targ_a = jnp.asarray(targ_params_t, jnp.float32).reshape(
                 seed_batch * d, 2

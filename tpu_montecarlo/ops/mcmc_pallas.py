@@ -286,12 +286,13 @@ def build_mcmc_fn_pallas(
     batched as a leading grid dimension (traced once), each seeded exactly
     like its unbatched call.
 
-    ``param_batch=True`` (stateless, analytic proposal AND target): the
-    proposal/target params args become (seed_batch, 2) — each batch
-    element runs its OWN (proposal, target) parameter pair, so one
-    compiled program serves a whole posterior/tempering sweep per
-    dispatch.  The whole param arrays stay resident in SMEM; each grid
-    rep reads its row.
+    ``param_batch=True`` (stateless, analytic target; analytic or
+    random-walk proposal): the proposal/target params args become
+    (seed_batch, 2) — or (seed_batch, 4) walk rows under
+    ``random_walk=True`` — each batch element running its OWN
+    (proposal, target) parameter pair, so one compiled program serves a
+    whole posterior/tempering/step-size sweep per dispatch.  The whole
+    param arrays stay resident in SMEM; each grid rep reads its row.
 
     ``random_walk=True``: random-walk MH in-kernel (see
     distributions.RandomWalk / ops/mcmc_xla.py — a proposal family
@@ -336,11 +337,12 @@ def build_mcmc_fn_pallas(
             raise ValueError(
                 "param_batch applies to stateless MCMC programs only"
             )
-        if random_walk:
-            raise ValueError(
-                "param_batch is not supported with random_walk yet"
-            )
-        ensure_param_batch_family(proposal_kind, "proposal")
+        if not random_walk:
+            # A random walk's "proposal params" are its (step, init_lo,
+            # init_hi, target_accept) row — always runtime words, so any
+            # walk batches; only density-backed proposals are gated to
+            # analytic families.
+            ensure_param_batch_family(proposal_kind, "proposal")
         ensure_param_batch_family(target_kind, "target")
     if random_walk and use_init_state and rw_adapt:
         raise ValueError("rw_adapt is stateless-only (steps not resumable)")
