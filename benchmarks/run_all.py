@@ -127,6 +127,16 @@ def main():
     sps, est = _throughput(prog, n2, repeats)
     emit("c2_k8_normal_1e8", "samples_per_sec", sps, "samples/s", est)
 
+    # Config 2b: the same K=8 workload under antithetic pairing — one
+    # erf_inv per PAIR, so it should run FASTER than plain MC while also
+    # cutting variance on the monotone integrands.
+    prog = integrator.compile_integrate(
+        k8, Distribution.normal(0.0, 1.0), n_samples=n2,
+        seed_batch=repeats, method="antithetic",
+    )
+    sps, est = _throughput(prog, n2, repeats)
+    emit("c2b_k8_antithetic_1e8", "samples_per_sec", sps, "samples/s", est)
+
     # Config 3: custom from_pdf Beta(2,5) + triangular via table, 1e7 samples.
     def tri_pdf(x):
         if 0 <= x <= 1:

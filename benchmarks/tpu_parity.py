@@ -847,6 +847,71 @@ def main() -> int:
                 [2.0 * math.gamma(1.0 + 1.0 / 1.5)], 0.005,
                 "monotone inverse CDF carries QMC structure")
 
+    # Antithetic variates in the compiled kernel: exact pair
+    # cancellation for E[X] (estimate == mean, stderr ~ 0), unbiased
+    # second moment, and a REDUCED honest error bar on a monotone
+    # integrand vs iid MC at the same N.
+    ra = mc.integrate(
+        [lambda x: x, lambda x: x * x], mc.Distribution.normal(3.0, 2.0),
+        n_samples=10_000_000, seed=42, method="antithetic",
+        return_stderr=True,
+    )
+    ok &= check("antithetic_exact_cancel",
+                [ra.values[0], float(ra.stderr[0] < 1e-6),
+                 ra.values[1]],
+                [3.0, 1.0, 13.0], [1e-4, 1e-9, 0.05],
+                "antithetic pairs cancel E[X] exactly in-kernel; "
+                "E[X^2] unbiased")
+    f_mono = [lambda x: 2.718281828 ** (0.5 * x)]
+    dn = mc.Distribution.normal(0.0, 1.0)
+    r_mc = mc.integrate(f_mono, dn, n_samples=10_000_000, seed=1,
+                        method="mc", return_stderr=True)
+    r_an = mc.integrate(f_mono, dn, n_samples=10_000_000, seed=1,
+                        method="antithetic", return_stderr=True)
+    ok &= check("antithetic_variance_reduction",
+                [r_an.values[0],
+                 float(r_an.stderr[0] < 0.7 * r_mc.stderr[0])],
+                [math.exp(0.125), 1.0], [0.005, 1e-9],
+                "monotone integrand: honest antithetic error bar "
+                "under 0.7x the iid MC bar at equal N")
+
+    # Control variates on the compiled kernel: the regression-corrected
+    # estimate stays right while the residual error bar drops well
+    # under the plain one (all moments fused into one kernel program).
+    r_cv = mc.integrate(
+        f_mono, dn, n_samples=10_000_000, seed=1, return_stderr=True,
+        control_variates=[(lambda x: x, 0.0), (lambda x: x * x, 1.0)],
+    )
+    ok &= check("control_variates_kernel",
+                [r_cv.values[0],
+                 float(r_cv.stderr[0] < 0.3 * r_mc.stderr[0])],
+                [math.exp(0.125), 1.0], [0.002, 1e-9],
+                "two-control regression: estimate right, residual "
+                "error bar under 0.3x the plain MC bar")
+
+    # Thinned MCMC draws on hardware: the recorded states must carry the
+    # target's distribution (N(3,2) moments) and recording must not
+    # perturb the estimates.
+    r_sm = mc.integrate_mcmc(
+        [lambda x: x], mc.Distribution.normal(3.0, 2.0),
+        mc.Distribution.normal(3.0, 4.0),
+        n_steps=2000, n_chains=1024, n_burnin=200, seed=42,
+        return_samples=40,
+    )
+    r_plain_sm = mc.integrate_mcmc(
+        [lambda x: x], mc.Distribution.normal(3.0, 2.0),
+        mc.Distribution.normal(3.0, 4.0),
+        n_steps=2000, n_chains=1024, n_burnin=200, seed=42,
+        backend="xla",
+    )
+    sm = np.asarray(r_sm.samples)
+    ok &= check("mcmc_thinned_draws",
+                [float(sm.shape == (40, 1024)), sm.mean(), sm.std(),
+                 r_sm.values[0] - r_plain_sm.values[0]],
+                [1.0, 3.0, 2.0, 0.0], [1e-9, 0.15, 0.2, 1e-12],
+                "(m, chains) draws match the target's moments; "
+                "recording leaves estimates bit-identical")
+
     # IS proposal diagnostics (Kish ESS in-kernel): p=N(0,1), q=N(1,1)
     # has E_q[w^2] = e, so ESS/n -> e^-1.
     ress = mc.integrate_importance_sampling(

@@ -1,0 +1,166 @@
+"""Thinned MCMC draws (``return_samples=m`` on integrate_mcmc): raw
+post-burn-in chain states every ``n_steps // m`` sampling steps, at
+user-bounded memory — raw chain output for downstream inference, a
+surface the expectations-only reference lacks (its chains never leave
+the device, src/shader_gen.rs:390-392).  XLA backend; composes with
+stderr and diagnostics; 1-D shape (m, n_chains), nd (m, n_chains, d).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_montecarlo import (
+    Distribution,
+    MonteCarloIntegrator,
+    RandomWalk,
+    integrate_mcmc,
+)
+
+
+class TestSamples1D:
+    def test_shape_dtype_and_distribution(self):
+        """Draws from an N(3,2) target must look like N(3,2)."""
+        r = integrate_mcmc(
+            [lambda x: x], Distribution.normal(3.0, 2.0),
+            Distribution.normal(3.0, 4.0),
+            n_steps=1000, n_chains=512, n_burnin=200, seed=42,
+            return_samples=50,
+        )
+        s = r.samples
+        assert s.shape == (50, 512) and s.dtype == np.float32
+        assert abs(s.mean() - 3.0) < 0.2
+        assert abs(s.std() - 2.0) < 0.3
+
+    def test_thinning_reduces_autocorrelation(self):
+        """Consecutive thinned draws (stride = n_steps/m apart) must be
+        far less correlated than consecutive chain steps: lag-1
+        correlation of the thinned series stays small."""
+        r = integrate_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            RandomWalk(step_size=2.4),
+            n_steps=2000, n_chains=256, n_burnin=200, seed=7,
+            return_samples=20,  # stride 100
+        )
+        s = r.samples  # (20, 256)
+        a, b = s[:-1].ravel(), s[1:].ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert abs(corr) < 0.15
+
+    def test_composes_with_stderr_and_diagnostics(self):
+        r = integrate_mcmc(
+            [lambda x: x * x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+            n_steps=1000, n_chains=512, n_burnin=100, seed=1,
+            return_samples=10, return_stderr=True,
+            return_diagnostics=True,
+        )
+        assert r.samples.shape == (10, 512)
+        assert r.stderr is not None and r.stderr[0] > 0
+        assert abs(float(r.diagnostics["r_hat"][0]) - 1.0) < 0.2
+        assert abs(r.values[0] - 1.0) < 0.1
+
+    def test_deterministic_per_seed(self):
+        kw = dict(
+            n_steps=300, n_chains=256, n_burnin=50, return_samples=5
+        )
+        a = integrate_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0), seed=3, **kw
+        )
+        b = integrate_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0), seed=3, **kw
+        )
+        np.testing.assert_array_equal(a.samples, b.samples)
+
+    def test_values_unchanged_by_sampling(self):
+        """Recording draws must not perturb the estimates: same seed
+        with and without return_samples gives identical values."""
+        kw = dict(n_steps=400, n_chains=256, n_burnin=50, seed=11)
+        base = integrate_mcmc(
+            [lambda x: x], Distribution.normal(1.0, 1.0),
+            Distribution.normal(1.0, 2.0), **kw
+        )
+        with_s = integrate_mcmc(
+            [lambda x: x], Distribution.normal(1.0, 1.0),
+            Distribution.normal(1.0, 2.0), return_samples=8, **kw
+        )
+        np.testing.assert_array_equal(base.values, with_s.values)
+
+    def test_mesh_sharded(self, mesh8):
+        integ = MonteCarloIntegrator(mesh=mesh8)
+        r = integ.integrate_mcmc(
+            [lambda x: x], Distribution.normal(3.0, 2.0),
+            Distribution.normal(3.0, 4.0),
+            n_steps=500, n_chains=512, n_burnin=100, seed=5,
+            return_samples=8,
+        )
+        assert r.samples.shape == (8, 512)
+        assert abs(r.samples.mean() - 3.0) < 0.3
+
+
+class TestSamplesNd:
+    def test_joint_target_shape_and_correlation(self):
+        """Correlated 2-D Gaussian target: the thinned cloud must show
+        the target's negative cross-correlation."""
+        rho, c = -0.5, 1.0 / (2.0 * (1.0 - 0.25))
+        r = integrate_mcmc(
+            [lambda x, y: x * y],
+            lambda x, y: -c * (x * x - 2.0 * rho * x * y + y * y),
+            RandomWalk(step_size=1.0, init_range=(-3.0, 3.0)),
+            n_steps=2000, n_chains=512, n_burnin=500, seed=2,
+            return_samples=25,
+        )
+        s = r.samples
+        assert s.shape == (25, 512, 2)
+        xs, ys = s[..., 0].ravel(), s[..., 1].ravel()
+        emp = np.corrcoef(xs, ys)[0, 1]
+        assert abs(emp - rho) < 0.1
+
+    def test_product_target(self):
+        r = integrate_mcmc(
+            [lambda x, y: x + y],
+            [Distribution.normal(1.0, 1.0), Distribution.normal(-1.0, 0.5)],
+            [Distribution.normal(1.0, 2.0), Distribution.normal(-1.0, 1.0)],
+            n_steps=800, n_chains=512, n_burnin=200, seed=4,
+            return_samples=25, return_stderr=True,
+        )
+        s = r.samples
+        assert s.shape == (25, 512, 2)
+        assert abs(s[..., 0].mean() - 1.0) < 0.15
+        assert abs(s[..., 1].mean() + 1.0) < 0.1
+
+
+class TestValidation:
+    def test_rejects_more_than_n_steps(self):
+        with pytest.raises(ValueError, match="return_samples"):
+            integrate_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0),
+                n_steps=100, n_chains=256, n_burnin=10,
+                return_samples=200,
+            )
+
+    def test_rejects_stateful(self):
+        with pytest.raises(ValueError, match="stateless"):
+            integrate_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0),
+                n_steps=100, n_chains=256, n_burnin=10,
+                return_samples=10, return_state=True,
+            )
+
+    def test_pallas_backend_warns_and_routes_xla(self):
+        import warnings
+
+        integ = MonteCarloIntegrator(backend="pallas")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            r = integ.integrate_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0),
+                n_steps=200, n_chains=256, n_burnin=20,
+                return_samples=4,
+            )
+        assert any("return_samples" in str(x.message) for x in w)
+        assert r.samples.shape == (4, 256)

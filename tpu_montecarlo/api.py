@@ -109,6 +109,11 @@ class IntegrationResult:
             effective sample size).  Importance sampling: ``"ess"``
             (Kish effective sample size of the weighted sample),
             ``"mean_weight"``, and ``"weight_cv"``.
+        samples: MCMC only — (m, n_chains) float32 thinned post-burn-in
+            draws when requested with ``return_samples=m`` (nd runs:
+            (m, n_chains, d)); else None.  Raw chain output for
+            downstream inference, a surface the expectations-only
+            reference lacks.
     """
 
     def __init__(
@@ -120,6 +125,7 @@ class IntegrationResult:
         chain_state: Optional[McmcState] = None,
         stderr=None,
         diagnostics: Optional[dict] = None,
+        samples=None,
     ):
         self.values = np.array(values, dtype=np.float64)
         self.n_samples = n_samples
@@ -130,6 +136,7 @@ class IntegrationResult:
             None if stderr is None else np.array(stderr, dtype=np.float64)
         )
         self.diagnostics = diagnostics
+        self.samples = None if samples is None else np.asarray(samples)
 
     def __repr__(self):
         return (
@@ -362,13 +369,33 @@ class MonteCarloIntegrator:
         method: str = "mc",
         return_stderr: bool = False,
         qmc_rotations: int = 8,
+        control_variates=None,
     ) -> IntegrationResult:
         """Compute E[f_i(X)] for all functions on shared samples.
+
+        ``control_variates=[(g, E[g]), ...]``: control-variate variance
+        reduction (beyond the reference) — each estimate is corrected by
+        the regression-optimal combination of the controls' deviations
+        from their KNOWN means, ``theta_i = mean(f_i) - c_i^T (mean(g) -
+        E[g])``; all moments fuse into one program on shared samples
+        (both backends), and ``return_stderr`` reports the REDUCED
+        residual error.  ``method='mc'`` only.
 
         ``method="qmc"`` draws a seed-rotated low-discrepancy point set
         instead of pseudo-random samples (ops/qmc.py): identical sampling
         semantics per family, ~O(log N / N) convergence on smooth
         integrands — a capability beyond the plain-MC reference.
+
+        ``method="antithetic"`` uses each uniform draw at ``u`` AND its
+        mirror ``1 - u`` through the monotone inverse-CDF transforms
+        (classic antithetic variates, also beyond the reference):
+        unbiased, same sample count, half the RNG draws, variance at
+        most iid MC for integrands monotone in x — and EXACT
+        cancellation for odd integrands under symmetric distributions.
+        ``return_stderr`` treats the pair mean as the iid unit, so the
+        error bar reports the antithetic estimator's true (reduced)
+        error.  Multi-dimensional runs mirror the uniform vector
+        componentwise (XLA path).
 
         ``return_stderr=True`` additionally estimates the Monte Carlo
         standard error per function (``result.stderr``, an addition over
@@ -395,6 +422,11 @@ class MonteCarloIntegrator:
         sampling with a shifted proposal, which is also how the
         reference's ~5.77-sigma Box-Muller truncation was worked
         around)."""
+        if control_variates is not None:
+            return self._integrate_with_cv(
+                functions, distribution, n_samples, seed, method,
+                return_stderr, control_variates,
+            )
         if isinstance(distribution, (list, tuple)):
             dists = list(distribution)
             if not dists or not all(
@@ -786,6 +818,152 @@ class MonteCarloIntegrator:
         )
         return run(np.uint32(seed), *dev_args)
 
+    def _integrate_with_cv(
+        self, functions, distribution, n_samples, seed, method,
+        return_stderr, control_variates,
+    ) -> IntegrationResult:
+        """Control-variate integration (variance reduction beyond the
+        reference): ``theta_i = mean(f_i) - c_i^T (mean(g) - E[g])``
+        with the regression-optimal ``c_i = Cov(g)^-1 Cov(g, f_i)``,
+        for user controls ``g_j`` of KNOWN means.
+
+        Every needed moment is itself a plain integrand: the
+        pilot-shifted products ``(f_i - a_i)(g_j - b_j)``,
+        ``(g_j - b_j)(g_l - b_l)`` and squares compose over the traced
+        user functions and fuse into ONE standard program on shared
+        samples — so the whole estimator rides either backend (Pallas
+        kernel included), sharding, and the K>128 multi-pass driver,
+        with no new device machinery.  Pilots ``a, b`` are the
+        functions' values at the distribution median: arbitrary fixed
+        shifts that keep ``E[XY] - E[X]E[Y]`` away from float32
+        catastrophic cancellation (the same trick as the stderr
+        accumulators).  Coefficients are the classic same-run plug-in
+        (O(1/n) bias — negligible at MC sample counts; Glasserman,
+        "Monte Carlo Methods in Financial Engineering" §4.1).  stderr
+        (when asked) is the per-function regression residual,
+        ``sqrt((Var f - cov^T Cov(g)^-1 cov) / n)`` — the reduced error
+        the corrected estimator actually has."""
+        if method != "mc":
+            raise ValueError(
+                "control_variates supports method='mc' only "
+                "(coefficients and residual variances are iid-sample "
+                f"estimates); got method={method!r}"
+            )
+        pairs = list(control_variates)
+        if not pairs:
+            raise ValueError(
+                "control_variates must be a non-empty list of "
+                "(function, known_mean) pairs"
+            )
+        g_fns, g_means = [], []
+        for p in pairs:
+            if not (isinstance(p, (list, tuple)) and len(p) == 2):
+                raise TypeError(
+                    "each control variate is a (function, known_mean) "
+                    f"pair, got {p!r}"
+                )
+            g_fns.append(p[0])
+            g_means.append(float(p[1]))
+        if isinstance(distribution, (list, tuple)):
+            dists = list(distribution)
+            if not dists or not all(
+                isinstance(dd, Distribution) for dd in dists
+            ):
+                raise TypeError(
+                    "a distribution sequence must be a non-empty list "
+                    "of Distribution objects"
+                )
+        else:
+            dists = [distribution]
+        d = len(dists)
+        k = len(functions)
+        n_cv = len(g_fns)
+        traced_f = self._trace_user_functions(functions, n_args=d)
+        traced_g = self._trace_user_functions(g_fns, n_args=d)
+
+        # Median-point pilots: one block evaluation per function on the
+        # host path; any fixed constant works, a near-center one keeps
+        # the product moments at O(spread^2) instead of O(mean^2).
+        meds = [
+            jnp.full((8, 128), float(dd.quantile(0.5)), jnp.float32)
+            for dd in dists
+        ]
+
+        def _pilot(t):
+            return float(np.asarray(jnp.mean(t(*meds))))
+
+        a = np.array([_pilot(t) for t in traced_f])
+        b = np.array([_pilot(t) for t in traced_g])
+
+        def _shift(t, s):
+            def fn(*xs, _t=t, _s=np.float32(s)):
+                return _t(*xs) - _s
+
+            return fn
+
+        def _prod(ta, tb):
+            def fn(*xs, _a=ta, _b=tb):
+                return _a(*xs) * _b(*xs)
+
+            return fn
+
+        sf = [_shift(t, ai) for t, ai in zip(traced_f, a)]
+        sg = [_shift(t, bj) for t, bj in zip(traced_g, b)]
+        composed = list(traced_f) + list(traced_g)
+        for i in range(k):
+            for j in range(n_cv):
+                composed.append(_prod(sf[i], sg[j]))
+        for j in range(n_cv):
+            for l in range(j, n_cv):
+                composed.append(_prod(sg[j], sg[l]))
+        if return_stderr:
+            composed += [_prod(sf[i], sf[i]) for i in range(k)]
+        composed = tuple(composed)
+
+        n_dev = 1 if self._mesh is None else self._mesh.size
+        n_act = make_integrate_plan(
+            n_samples, self._target_threads, n_dev=n_dev
+        ).actual_samples
+        if d > 1:
+            run, dev_args = self._nd_program(composed, dists, n_samples, "mc")
+        else:
+            run, dev_args = self._get_integrate_program(
+                composed, dists[0], n_samples, method="mc"
+            )
+        # The kernel grid may re-round the plan's count.
+        n_act = getattr(run, "actual_samples", n_act)
+        out = np.asarray(run(np.uint32(seed), *dev_args), np.float64)
+
+        m_f = out[:k]
+        m_g = out[k:k + n_cv]
+        pos = k + n_cv
+        fg = out[pos:pos + k * n_cv].reshape(k, n_cv)
+        pos += k * n_cv
+        # Cov(f_i, g_j) = E[(f-a)(g-b)] - (m_f - a)(m_g - b).
+        cov_fg = fg - np.outer(m_f - a, m_g - b)
+        gram = np.zeros((n_cv, n_cv))
+        for j in range(n_cv):
+            for l in range(j, n_cv):
+                v = out[pos] - (m_g[j] - b[j]) * (m_g[l] - b[l])
+                gram[j, l] = gram[l, j] = v
+                pos += 1
+        # lstsq tolerates degenerate controls (a constant g has zero
+        # variance AND zero covariance, so its coefficient is free —
+        # the minimum-norm solution sets it to 0).
+        coef = np.linalg.lstsq(gram, cov_fg.T, rcond=None)[0]  # (C, K)
+        theta = m_f - coef.T.dot(m_g - np.array(g_means))
+        stderr = None
+        if return_stderr:
+            ff = out[pos:pos + k]
+            var_f = np.maximum(ff - (m_f - a) ** 2, 0.0)
+            explained = np.sum(cov_fg * coef.T, axis=1)
+            resid = np.maximum(var_f - explained, 0.0)
+            stderr = np.sqrt(resid / float(n_act))
+        return IntegrationResult(
+            values=theta, n_samples=n_samples, n_functions=k,
+            stderr=stderr,
+        )
+
     # ------------------------------------------------------------------
     # multi-dimensional integrate (capability extension: the reference's
     # device layer binds exactly one distribution per program,
@@ -854,6 +1032,17 @@ class MonteCarloIntegrator:
 
         kinds = tuple(s.kind for s in specs)
         d = len(kinds)
+        if method == "antithetic":
+            # nd antithetic pairs ride the XLA sweep (componentwise u
+            # mirroring); the nd kernel's first-dim row stratification
+            # has no in-block mirror slot yet.
+            if self._backend == "pallas":
+                warnings.warn(
+                    "backend='pallas' requested but nd "
+                    "method='antithetic' runs on the XLA backend",
+                    stacklevel=3,
+                )
+            return False
         sdim = _strat_dim(kinds, method)
         tables_ok = True
         table_sizes = []
@@ -1018,8 +1207,10 @@ class MonteCarloIntegrator:
         method: str = "mc", param_batch: bool = False,
         with_stderr: bool = False,
     ):
-        if method not in ("mc", "qmc"):
-            raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
+        if method not in ("mc", "qmc", "antithetic"):
+            raise ValueError(
+                f"method must be 'mc', 'qmc' or 'antithetic', got {method!r}"
+            )
         spec = dist_spec_of(distribution)
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
@@ -1277,10 +1468,11 @@ class MonteCarloIntegrator:
             target_distribution = targets[0]
             proposal_distribution = proposals[0]
         if return_diagnostics:
-            if method == "qmc":
+            if method != "mc":
                 raise ValueError(
                     "return_diagnostics estimates the per-sample weight "
-                    "variance, an iid quantity; use method='mc'"
+                    "variance, an iid quantity; use method='mc' (got "
+                    f"method={method!r})"
                 )
             prog = self._get_is_program(
                 list(functions) + [_unit_integrand()],
@@ -1653,10 +1845,11 @@ class MonteCarloIntegrator:
         d = len(targets)
         traced = self._trace_user_functions(functions, n_args=d)
         if return_diagnostics:
-            if method == "qmc":
+            if method != "mc":
                 raise ValueError(
                     "return_diagnostics estimates the per-sample weight "
-                    "variance, an iid quantity; use method='mc'"
+                    "variance, an iid quantity; use method='mc' (got "
+                    f"method={method!r})"
                 )
             traced = traced + (_unit_integrand(d),)
         p_evals = [self._pdf_evaluator(t) for t in targets]
@@ -1896,7 +2089,7 @@ class MonteCarloIntegrator:
     def _integrate_mcmc_nd(
         self, functions, target, proposal, n_steps, n_chains, n_burnin,
         seed, initial_state, return_state, return_stderr,
-        return_diagnostics,
+        return_diagnostics, return_samples: int = 0,
     ) -> IntegrationResult:
         """Multi-dimensional MH: per-dimension proposal distributions with
         either a product-of-Distributions target or a user JOINT
@@ -1921,6 +2114,7 @@ class MonteCarloIntegrator:
                 initial_state=initial_state, return_state=return_state,
                 return_stderr=return_stderr,
                 return_diagnostics=return_diagnostics,
+                return_samples=return_samples or None,
             )
 
         random_walk = proposals is None
@@ -1942,6 +2136,7 @@ class MonteCarloIntegrator:
         )
         if (
             not return_diagnostics
+            and not return_samples
             and not want_state
             and self._use_pallas(DistKind.NORMAL)
             and self._nd_mcmc_pallas_eligible(
@@ -1955,11 +2150,15 @@ class MonteCarloIntegrator:
                 total_chains, return_stderr,
                 proposal_rw=proposal if random_walk else None, d=d,
             )
-        if return_diagnostics and self._backend == "pallas":
+        if (
+            return_diagnostics or return_samples
+        ) and self._backend == "pallas":
             warnings.warn(
-                "backend='pallas' requested but return_diagnostics runs "
-                "on the XLA backend (a diagnostics surface, not a "
-                "throughput path)",
+                "backend='pallas' requested but "
+                + ("return_diagnostics" if return_diagnostics
+                   else "return_samples")
+                + " runs on the XLA backend (an inference surface, not "
+                "a throughput path)",
                 stacklevel=3,
             )
 
@@ -1970,6 +2169,7 @@ class MonteCarloIntegrator:
             with_diagnostics=return_diagnostics,
             with_state=want_state, use_init_state=use_init,
             proposal_rw=proposal if random_walk else None, d=d,
+            with_samples=return_samples,
         )
         if want_state:
             if use_init:
@@ -2007,6 +2207,7 @@ class MonteCarloIntegrator:
         idx = 2
         stderr = None
         diagnostics = None
+        samples = None
         if return_stderr:
             stderr = out[idx]
             idx += 1
@@ -2015,6 +2216,11 @@ class MonteCarloIntegrator:
                 "r_hat": np.array(out[idx], dtype=np.float64),
                 "ess": np.array(out[idx + 1], dtype=np.float64),
             }
+            idx += 2
+        if return_samples:
+            # Builder buffer is (m, d, total_chains); surface as
+            # (m, n_chains, d) draws.
+            samples = np.transpose(np.asarray(out[idx]), (0, 2, 1))
         return IntegrationResult(
             values=values,
             n_samples=n_chains * n_steps,
@@ -2022,6 +2228,7 @@ class MonteCarloIntegrator:
             acceptance_rate=float(acc_rate),
             stderr=stderr,
             diagnostics=diagnostics,
+            samples=samples,
         )
 
     def _nd_mcmc_xla_program(
@@ -2029,7 +2236,7 @@ class MonteCarloIntegrator:
         n_steps, n_burnin, total_chains, return_stderr,
         with_diagnostics: bool = False,
         with_state: bool = False, use_init_state: bool = False,
-        proposal_rw=None, d: int = 0,
+        proposal_rw=None, d: int = 0, with_samples: int = 0,
     ):
         """Cached XLA nd MH program (any family mix) + its device args
         (the 8 per-dimension param/table tuples).  ``proposal_rw``: a
@@ -2130,6 +2337,7 @@ class MonteCarloIntegrator:
             with_diagnostics,
             with_state,
             use_init_state,
+            with_samples,
         )
         run = self._cache.get_or_build(
             key,
@@ -2144,6 +2352,7 @@ class MonteCarloIntegrator:
                 with_state=with_state, use_init_state=use_init_state,
                 random_walk=random_walk,
                 rw_adapt=random_walk and proposal_rw.adapt,
+                with_samples=with_samples,
             ),
         )
         dev_args = (
@@ -2263,9 +2472,18 @@ class MonteCarloIntegrator:
         return_state: bool = False,
         return_stderr: bool = False,
         return_diagnostics: bool = False,
+        return_samples: Optional[int] = None,
     ) -> IntegrationResult:
         """Compute E_p[f(X)] with parallel independence-sampler
         Metropolis-Hastings chains (one chain per lane).
+
+        ``return_samples=m`` (stateless runs, ``1 <= m <= n_steps``):
+        ``result.samples`` holds (m, n_chains) float32 thinned
+        post-burn-in draws — the chain states every ``n_steps // m``
+        sampling steps — raw chain output for downstream inference
+        (histograms, quantiles, posterior predictive) at user-bounded
+        memory; a surface the expectations-only reference lacks.  Runs
+        on the XLA backend.
 
         Passing :class:`RandomWalk` as ``proposal_distribution`` switches
         to random-walk MH — ``x' = x + step * N(0, 1)``, acceptance
@@ -2322,6 +2540,19 @@ class MonteCarloIntegrator:
             raise ValueError(
                 "return_diagnostics applies to stateless MCMC runs only"
             )
+        if return_samples is not None:
+            m_samp = int(return_samples)
+            if return_state or initial_state is not None:
+                raise ValueError(
+                    "return_samples applies to stateless MCMC runs only"
+                )
+            if not 1 <= m_samp <= n_steps:
+                raise ValueError(
+                    f"return_samples must be in [1, n_steps={n_steps}], "
+                    f"got {return_samples}"
+                )
+        else:
+            m_samp = 0
         if isinstance(proposal_distribution, RandomWalk):
             _check_random_walk_args(
                 proposal_distribution, n_burnin,
@@ -2344,6 +2575,7 @@ class MonteCarloIntegrator:
                 initial_state=initial_state, return_state=return_state,
                 return_stderr=return_stderr,
                 return_diagnostics=return_diagnostics,
+                return_samples=m_samp,
             )
 
         traced = self._trace_user_functions(functions)
@@ -2360,12 +2592,14 @@ class MonteCarloIntegrator:
                 n_burnin,
                 with_stderr=return_stderr,
                 with_diagnostics=return_diagnostics,
+                with_samples=m_samp,
             )
             outs = stateless(seed)
             values, acc_rate = outs[0], outs[1]
             idx = 2
             stderr = None
             diagnostics = None
+            samples = None
             if return_stderr:
                 stderr = outs[idx]
                 idx += 1
@@ -2374,6 +2608,9 @@ class MonteCarloIntegrator:
                     "r_hat": np.array(outs[idx], dtype=np.float64),
                     "ess": np.array(outs[idx + 1], dtype=np.float64),
                 }
+                idx += 2
+            if m_samp:
+                samples = np.asarray(outs[idx])
             return IntegrationResult(
                 values=values,
                 n_samples=n_chains * n_steps,
@@ -2381,6 +2618,7 @@ class MonteCarloIntegrator:
                 acceptance_rate=float(acc_rate),
                 stderr=stderr,
                 diagnostics=diagnostics,
+                samples=samples,
             )
 
         # Checkpoint/resume: both backends surface chain state (the Pallas
@@ -2575,6 +2813,7 @@ class MonteCarloIntegrator:
         param_batch: bool = False,
         with_stderr: bool = False,
         with_diagnostics: bool = False,
+        with_samples: int = 0,
     ):
         """MCMC program + the chain count its state carries.
 
@@ -2606,6 +2845,15 @@ class MonteCarloIntegrator:
                 raise ValueError(
                     "with_diagnostics is not supported on batched programs"
                 )
+        if with_samples:
+            if with_state:
+                raise ValueError(
+                    "return_samples applies to stateless MCMC runs only"
+                )
+            if seed_batch != 1 or param_batch:
+                raise ValueError(
+                    "return_samples is not supported on batched programs"
+                )
         random_walk = isinstance(proposal_distribution, RandomWalk)
         rw_adapt = random_walk and proposal_distribution.adapt
         prop_spec = (
@@ -2616,16 +2864,21 @@ class MonteCarloIntegrator:
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
-        # Diagnostics runs take the XLA backend (a diagnostics surface,
-        # not the serving hot path; the kernel reduces chains to program
-        # sums and has no split-half accumulators).
-        if with_diagnostics and self._backend == "pallas":
+        # Diagnostics and raw-draw runs take the XLA backend (inference
+        # surfaces, not the serving hot path; the kernel reduces chains
+        # to program sums and Mosaic has no dynamic_update_slice for the
+        # thinned-draw buffer).
+        if (with_diagnostics or with_samples) and self._backend == "pallas":
             warnings.warn(
-                "backend='pallas' requested but return_diagnostics runs "
-                "the XLA MCMC backend",
+                "backend='pallas' requested but "
+                + ("return_diagnostics" if with_diagnostics
+                   else "return_samples")
+                + " runs the XLA MCMC backend",
                 stacklevel=3,
             )
-        pallas_ok = not with_diagnostics and self._mcmc_pallas_ok(
+        pallas_ok = (
+            not with_diagnostics and not with_samples
+        ) and self._mcmc_pallas_ok(
             traced, prop_spec, targ_spec,
             target_distribution, proposal_distribution,
             random_walk=random_walk,
@@ -2659,8 +2912,12 @@ class MonteCarloIntegrator:
                 and initial_chains == total_chains
             ):
                 pallas_ok = False  # state minted by the XLA backend
-        if not pallas_ok and not with_diagnostics and self._backend == "pallas":
-            # (with_diagnostics already warned above.)
+        if (
+            not pallas_ok
+            and not (with_diagnostics or with_samples)
+            and self._backend == "pallas"
+        ):
+            # (with_diagnostics / with_samples already warned above.)
             warnings.warn(
                 "backend='pallas' requested but this MCMC workload is "
                 "not Pallas-eligible; running the XLA backend instead",
@@ -2819,6 +3076,7 @@ class MonteCarloIntegrator:
             (with_state, use_init_state, targ_uniform, prop_uniform),
             with_stderr,
             with_diagnostics,
+            with_samples,
         )
         run = self._cache.get_or_build(
             key,
@@ -2839,6 +3097,7 @@ class MonteCarloIntegrator:
                 with_diagnostics=with_diagnostics,
                 random_walk=random_walk,
                 rw_adapt=rw_adapt,
+                with_samples=with_samples,
             ),
         )
         use_targ_table = targ_spec.kind == DistKind.CUSTOM
@@ -3768,6 +4027,7 @@ def integrate(
     method: str = "mc",
     return_stderr: bool = False,
     qmc_rotations: int = 8,
+    control_variates=None,
 ) -> IntegrationResult:
     """One-shot Monte Carlo integration (fresh integrator; compiled programs
     are still cached process-wide)."""
@@ -3777,6 +4037,7 @@ def integrate(
     return integrator.integrate(
         functions, distribution, n_samples, seed, method=method,
         return_stderr=return_stderr, qmc_rotations=qmc_rotations,
+        control_variates=control_variates,
     )
 
 
@@ -3839,6 +4100,7 @@ def integrate_mcmc(
     return_state: bool = False,
     return_stderr: bool = False,
     return_diagnostics: bool = False,
+    return_samples: Optional[int] = None,
 ) -> IntegrationResult:
     """One-shot MCMC integration."""
     integrator = MonteCarloIntegrator(
@@ -3856,4 +4118,5 @@ def integrate_mcmc(
         return_state=return_state,
         return_stderr=return_stderr,
         return_diagnostics=return_diagnostics,
+        return_samples=return_samples,
     )

@@ -33,7 +33,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..sampling import DistKind, sample_block, transform_from_u
+from ..sampling import (
+    DistKind,
+    sample_block,
+    sample_block_antithetic,
+    transform_from_u,
+)
 from ..utils.dispatch import IntegratePlan
 
 __all__ = ["build_integrate_nd_fn"]
@@ -60,8 +65,20 @@ def build_integrate_nd_fn(
     (K,) float32`` d-dimensional integration program; the three table
     arguments are d-tuples of per-dimension arrays (analytic families get
     1-element dummies, as in the 1-D path)."""
-    if method not in ("mc", "qmc"):
-        raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
+    if method not in ("mc", "qmc", "antithetic"):
+        raise ValueError(
+            f"method must be 'mc', 'qmc' or 'antithetic', got {method!r}"
+        )
+    # d-dimensional antithetic variates: the uniform VECTOR u mirrors to
+    # 1-u componentwise, so x' mirrors x through every dimension's
+    # monotone inverse CDF jointly — unbiased, variance at most iid MC
+    # for integrands monotone in each argument.
+    anti = method == "antithetic"
+    if anti and plan.chunk_elems % 2 != 0:
+        raise ValueError(
+            "antithetic sampling pairs draws; the plan's chunk size "
+            f"must be even (got {plan.chunk_elems})"
+        )
     kinds = tuple(kinds)
     d = len(kinds)
     if d < 1:
@@ -156,6 +173,23 @@ def build_integrate_nd_fn(
                     )
                     for j in range(d)
                 )
+            if anti:
+                pairs = [
+                    sample_block_antithetic(
+                        jax.random.fold_in(dim_keys[j], i),
+                        (plan.chunk_elems // 2,),
+                        kinds[j],
+                        params_t[j],
+                        xt_t[j],
+                        ct_t[j],
+                        exact_inverse=exact_inverses[j],
+                    )
+                    for j in range(d)
+                ]
+                return (
+                    tuple(p[0] for p in pairs),
+                    tuple(p[1] for p in pairs),
+                )
             return tuple(
                 sample_block(
                     jax.random.fold_in(dim_keys[j], i),
@@ -174,25 +208,60 @@ def build_integrate_nd_fn(
             # accumulation on chunk-0 means (identical on all devices) so
             # E[(f-c)^2] - (mean-c)^2 never cancels catastrophically.
             xs0 = draw(jnp.int32(0))
-            pilot = jnp.stack(
-                [jnp.mean(vf(*xs0).astype(jnp.float32)) for vf in vfns]
-            )
+            if anti:
+                pilot = jnp.stack([
+                    0.5 * (
+                        jnp.mean(vf(*xs0[0]).astype(jnp.float32))
+                        + jnp.mean(vf(*xs0[1]).astype(jnp.float32))
+                    )
+                    for vf in vfns
+                ])
+            else:
+                pilot = jnp.stack(
+                    [jnp.mean(vf(*xs0).astype(jnp.float32)) for vf in vfns]
+                )
 
         def body(carry, i):
             xs = draw(chunk_start + i)
             if with_stderr:
                 sums, comps, sq_sums, sq_comps = carry
-                ys = [vf(*xs).astype(jnp.float32) for vf in vfns]
-                vals = jnp.stack([jnp.sum(y) for y in ys])
-                sq_vals = jnp.stack(
-                    [jnp.sum((y - c) * (y - c)) for y, c in zip(ys, pilot)]
-                )
+                if anti:
+                    ys1 = [vf(*xs[0]).astype(jnp.float32) for vf in vfns]
+                    ys2 = [vf(*xs[1]).astype(jnp.float32) for vf in vfns]
+                    vals = jnp.stack(
+                        [jnp.sum(a) + jnp.sum(b) for a, b in zip(ys1, ys2)]
+                    )
+                    # Squares of PAIR MEANS — the antithetic estimator's
+                    # iid unit (see the 1-D sweep).
+                    sq_vals = jnp.stack([
+                        jnp.sum(
+                            (0.5 * (a + b) - c) * (0.5 * (a + b) - c)
+                        )
+                        for a, b, c in zip(ys1, ys2, pilot)
+                    ])
+                else:
+                    ys = [vf(*xs).astype(jnp.float32) for vf in vfns]
+                    vals = jnp.stack([jnp.sum(y) for y in ys])
+                    sq_vals = jnp.stack(
+                        [
+                            jnp.sum((y - c) * (y - c))
+                            for y, c in zip(ys, pilot)
+                        ]
+                    )
                 return (
                     _kahan_add(sums, comps, vals)
                     + _kahan_add(sq_sums, sq_comps, sq_vals)
                 ), None
             sums, comps = carry
-            vals = jnp.stack([jnp.sum(vf(*xs)) for vf in vfns])
+            if anti:
+                vals = jnp.stack(
+                    [
+                        jnp.sum(vf(*xs[0])) + jnp.sum(vf(*xs[1]))
+                        for vf in vfns
+                    ]
+                )
+            else:
+                vals = jnp.stack([jnp.sum(vf(*xs)) for vf in vfns])
             return _kahan_add(sums, comps, vals), None
 
         n_acc = 4 if with_stderr else 2
@@ -205,14 +274,18 @@ def build_integrate_nd_fn(
         return carry[0]
 
     n_f32 = jnp.float32(plan.actual_samples)
+    # Antithetic error bars count PAIRS as the iid unit.
+    n_units = jnp.float32(
+        plan.actual_samples // 2 if anti else plan.actual_samples
+    )
 
     def _finish(sums, sq_sums=None, pilot=None):
         mean = sums / n_f32
         if sq_sums is None:
             return mean
         dlt = mean - pilot
-        var = jnp.maximum(sq_sums / n_f32 - dlt * dlt, 0.0)
-        return mean, jnp.sqrt(var / n_f32)
+        var = jnp.maximum(sq_sums / n_units - dlt * dlt, 0.0)
+        return mean, jnp.sqrt(var / n_units)
 
     if mesh is None:
 

@@ -500,6 +500,68 @@ def _sample_subblocks(
     raise ValueError(f"Pallas kernel does not support {kind}")
 
 
+def _sample_subblocks_antithetic(
+    kind: DistKind, p1, p2, rng, counter, tables=None, rows=BLOCK_ROWS
+):
+    """Antithetic counterpart of :func:`_sample_subblocks`: the SAME
+    uniform draws (same shapes, counters and tags, so the RNG stream
+    structure is unchanged), each mapped through the monotone transform
+    at ``u`` AND its mirror ``1 - u`` — element (r, l) of sub-block
+    2i+1 is the exact antithetic partner of element (r, l) of sub-block
+    2i.  Each call therefore yields 2x the samples of the plain path
+    from half the RNG draws per sample; the caller halves the block
+    loop count to keep the total.  CUSTOM mirrors WITHIN each row's
+    stratum (the stratum is baked into the pre-tiled tables), which
+    preserves the stratification and pairs antithetically inside each
+    equal-mass cell."""
+    if kind == DistKind.UNIFORM:
+        from ..sampling import next_below_f32
+
+        u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+
+        def aff(uu):
+            x = p1 + uu * (p2 - p1)
+            return jnp.where(
+                x >= p2, next_below_f32(jnp.full_like(x, p2)), x
+            )
+
+        return [aff(u), aff(1.0 - u)]
+    if kind == DistKind.NORMAL:
+        from ..sampling import normal_from_u01
+
+        half = rows // 2
+        u1 = _uniform_halfopen01(rng, (half, LANES), counter, 0)
+        u2 = _uniform_halfopen01(rng, (half, LANES), counter, 1)
+        z1 = normal_from_u01(u1)
+        z2 = normal_from_u01(u2)
+        # Reflect z about the mean: the exact mirror of the monotone
+        # inverse CDF, without a second erf_inv.
+        return [p1 + p2 * z1, p1 - p2 * z1, p1 + p2 * z2, p1 - p2 * z2]
+    if kind == DistKind.EXPONENTIAL:
+        u = _uniform_open01(rng, (rows, LANES), counter, 0)
+        return [
+            -jnp.log(jnp.maximum(u, 1e-7)) / p1,
+            -jnp.log(jnp.maximum(1.0 - u, 1e-7)) / p1,
+        ]
+    if kind == DistKind.CUSTOM:
+        ts_ref, dts_ref = tables
+        w = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+        return [
+            _stratified_sample_from_w(ts_ref, dts_ref, w),
+            _stratified_sample_from_w(ts_ref, dts_ref, 1.0 - w),
+        ]
+    from ..sampling import ANALYTIC_EXT
+
+    ext = ANALYTIC_EXT.get(kind)
+    if ext is not None:
+        u = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+        return [
+            ext.inv_cdf(u, p1, p2).astype(jnp.float32),
+            ext.inv_cdf(1.0 - u, p1, p2).astype(jnp.float32),
+        ]
+    raise ValueError(f"Pallas kernel does not support {kind}")
+
+
 def _acc_rows(kind: DistKind, rows: int = BLOCK_ROWS) -> int:
     return rows // 2 if kind == DistKind.NORMAL else rows
 
@@ -640,8 +702,11 @@ def build_integrate_fn_pallas(
     (same design as the XLA sweep's chunk-0 pilot).  The VALUE
     accumulators are untouched, so means stay bit-equal to the plain
     kernel's."""
-    if method not in ("mc", "qmc"):
-        raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
+    if method not in ("mc", "qmc", "antithetic"):
+        raise ValueError(
+            f"method must be 'mc', 'qmc' or 'antithetic', got {method!r}"
+        )
+    anti = method == "antithetic"
     if param_batch:
         from ..sampling import ensure_param_batch_family
 
@@ -675,13 +740,18 @@ def build_integrate_fn_pallas(
     # includes the seed_batch x programs output buffer.  An explicit
     # ``block_rows`` pins the choice — the K>128 multi-pass driver uses
     # it so every pass shares one grid and therefore one sample stream.
+    # Antithetic blocks yield 2x samples (each draw used at u and 1-u),
+    # so the grid plans over half the requested count.
+    grid_samples = (
+        -(-plan.actual_samples // 2) if anti else plan.actual_samples
+    )
     if block_rows is None:
         block_rows = pick_block_rows(
             k, kind,
             n_weight_tables=int(p_table) + int(q_table),
             extra_blocks=3 if is_weight is not None else 0,
             gapped=gapped_tables,
-            plan_samples=plan.actual_samples,
+            plan_samples=grid_samples,
             n_dev=n_dev,
             seed_batch=seed_batch,
             with_stderr=with_stderr,
@@ -693,15 +763,19 @@ def build_integrate_fn_pallas(
             "backend"
         )
 
-    programs, loops, actual = plan_pallas_grid(plan.actual_samples, block_rows)
+    programs, loops, actual = plan_pallas_grid(grid_samples, block_rows)
     # Shape the grid to divide evenly over devices.
     programs = -(-programs // n_dev) * n_dev
     # Round loops up to an unroll multiple (equal-weight rounded-up
     # semantics, same as every other grid dimension) so each fori_loop
-    # iteration processes exactly UNROLL_BLOCKS blocks.
-    unroll = min(UNROLL_BLOCKS, loops)
+    # iteration processes exactly UNROLL_BLOCKS blocks.  Antithetic
+    # halves the unroll: each generated block carries its mirror, so the
+    # in-flight sample VMEM per iteration stays at the plain path's.
+    unroll = min(
+        max(1, UNROLL_BLOCKS // 2) if anti else UNROLL_BLOCKS, loops
+    )
     loops = -(-loops // unroll) * unroll
-    actual = programs * loops * block_rows * LANES
+    actual = programs * loops * block_rows * LANES * (2 if anti else 1)
     local_programs = programs // n_dev
 
     qmc_seg_bits = None
@@ -821,10 +895,37 @@ def build_integrate_fn_pallas(
                     subs += _sample_subblocks_qmc(
                         kind, p1, p2, b, shift_b, tables, block_rows,
                     )
+                elif anti:
+                    subs += _sample_subblocks_antithetic(
+                        kind, p1, p2, rng, blk, tables, block_rows
+                    )
                 else:
                     subs += _sample_subblocks(
                         kind, p1, p2, rng, blk, tables, block_rows
                     )
+            if anti and with_stderr:
+                # Antithetic sub-blocks come in adjacent mirror pairs;
+                # squares accumulate on the PAIR MEAN (the estimator's
+                # iid unit), so the error bar captures the negative
+                # within-pair covariance the method exists to exploit.
+                # The value accumulators still add both members, keeping
+                # means bit-equal to the stderr-off antithetic kernel.
+                for x1, x2 in zip(subs[0::2], subs[1::2]):
+                    w1 = weight(x1)
+                    w2 = weight(x2)
+                    for j, f in enumerate(eval_fns):
+                        v1 = f(x1).astype(jnp.float32)
+                        v2 = f(x2).astype(jnp.float32)
+                        if w1 is not None:
+                            v1 = v1 * w1
+                            v2 = v2 * w2
+                        # Two separate adds, matching the stderr-off
+                        # loop's accumulation order bit-for-bit.
+                        accs[j] = accs[j] + v1
+                        accs[j] = accs[j] + v2
+                        d = 0.5 * (v1 + v2) - pilots[j]
+                        sqs[j] = sqs[j] + d * d
+                return tuple(accs) + tuple(sqs)
             for x in subs:
                 w = weight(x)
                 for j, f in enumerate(eval_fns):
@@ -1030,13 +1131,16 @@ def build_integrate_fn_pallas(
         # sums/sqs are (R, K); single-seed programs keep (K,) results
         # (param-batched programs always keep the batch axis).
         n = jnp.float32(actual)
+        # Antithetic squares are of PAIR MEANS, so the error bar's iid
+        # unit count is the pair count.
+        n_units = jnp.float32(actual // 2 if anti else actual)
         mean = sums / n
         # Var[f] = E[(f-c)^2] - (mean-c)^2 for any shift c; c ~ mean
         # keeps both terms O(std^2) (no f32 cancellation).  pilot rows
         # broadcast (R or 1, K) against the (R, K) means.
         d = mean - pilot[:, :k]
-        var = jnp.maximum(sqs / n - d * d, 0.0)
-        se = jnp.sqrt(var / n)
+        var = jnp.maximum(sqs / n_units - d * d, 0.0)
+        se = jnp.sqrt(var / n_units)
         if seed_batch == 1 and not param_batch:
             return mean[0], se[0]
         return mean, se

@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..sampling import DistKind, sample_block, transform_from_u
+from ..sampling import (
+    DistKind,
+    sample_block,
+    sample_block_antithetic,
+    transform_from_u,
+)
 from ..utils.dispatch import IntegratePlan
 
 __all__ = ["build_integrate_fn"]
@@ -99,9 +104,25 @@ def build_integrate_fn(
     formula neither tracks nor bounds its error.  For a real QMC error
     bar, run R independent seed rotations (seed-batched handles) and
     take the spread of the R estimates.
+
+    ``method="antithetic"``: each uniform draw is used at ``u`` AND its
+    mirror ``1 - u`` through the monotone inverse-CDF transforms
+    (NORMAL reflects z about the mean) — classic antithetic variates,
+    unbiased with variance at most iid MC for monotone integrands and
+    EXACT cancellation for odd ones.  Error bars treat the pair mean as
+    the iid unit, so ``return_stderr`` reports the antithetic
+    estimator's true (reduced) error.
     """
-    if method not in ("mc", "qmc"):
-        raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
+    if method not in ("mc", "qmc", "antithetic"):
+        raise ValueError(
+            f"method must be 'mc', 'qmc' or 'antithetic', got {method!r}"
+        )
+    anti = method == "antithetic"
+    if anti and plan.chunk_elems % 2 != 0:
+        raise ValueError(
+            "antithetic sampling pairs draws; the plan's chunk size "
+            f"must be even (got {plan.chunk_elems})"
+        )
     k = len(eval_fns)
     vfns = [jax.vmap(f) for f in eval_fns]
     n_dev = 1 if mesh is None else mesh.size
@@ -150,6 +171,15 @@ def build_integrate_fn(
                     x_table, cdf_table, exact_inverse, shift_i,
                 )
             ck = jax.random.fold_in(key, i)
+            if anti:
+                # Half the draws, each used at u AND its mirror 1-u:
+                # the chunk keeps its sample count, the pair elements
+                # are exact antithetic partners (variance reduction for
+                # monotone integrands, exact cancellation for odd ones).
+                return sample_block_antithetic(
+                    ck, (plan.chunk_elems // 2,), kind, params, x_table,
+                    cdf_table, exact_inverse=exact_inverse,
+                )
             return sample_block(
                 ck, (plan.chunk_elems,), kind, params, x_table,
                 cdf_table, exact_inverse=exact_inverse,
@@ -164,28 +194,59 @@ def build_integrate_fn(
             # stream), so the shifted partials psum consistently; the raw
             # VALUE sums stay unshifted, bit-equal to the plain program.
             x0 = draw(jnp.int32(0))
-            pilot = jnp.stack(
-                [jnp.mean(vf(x0).astype(jnp.float32)) for vf in vfns]
-            )
+            if anti:
+                pilot = jnp.stack([
+                    0.5 * (
+                        jnp.mean(vf(x0[0]).astype(jnp.float32))
+                        + jnp.mean(vf(x0[1]).astype(jnp.float32))
+                    )
+                    for vf in vfns
+                ])
+            else:
+                pilot = jnp.stack(
+                    [jnp.mean(vf(x0).astype(jnp.float32)) for vf in vfns]
+                )
 
         def body(carry, i):
             x = draw(chunk_start + i)
             if with_stderr:
                 sums, comps, sq_sums, sq_comps = carry
-                ys = [vf(x).astype(jnp.float32) for vf in vfns]
-                vals = jnp.stack([jnp.sum(y) for y in ys])
-                sq_vals = jnp.stack(
-                    [
-                        jnp.sum((y - c) * (y - c))
-                        for y, c in zip(ys, pilot)
-                    ]
-                )
+                if anti:
+                    ys1 = [vf(x[0]).astype(jnp.float32) for vf in vfns]
+                    ys2 = [vf(x[1]).astype(jnp.float32) for vf in vfns]
+                    vals = jnp.stack(
+                        [jnp.sum(a) + jnp.sum(b) for a, b in zip(ys1, ys2)]
+                    )
+                    # Squares of PAIR MEANS: the pair is the iid unit of
+                    # the antithetic estimator — individual-eval squares
+                    # would ignore the (negative) within-pair covariance
+                    # the method exists to exploit.
+                    sq_vals = jnp.stack([
+                        jnp.sum(
+                            (0.5 * (a + b) - c) * (0.5 * (a + b) - c)
+                        )
+                        for a, b, c in zip(ys1, ys2, pilot)
+                    ])
+                else:
+                    ys = [vf(x).astype(jnp.float32) for vf in vfns]
+                    vals = jnp.stack([jnp.sum(y) for y in ys])
+                    sq_vals = jnp.stack(
+                        [
+                            jnp.sum((y - c) * (y - c))
+                            for y, c in zip(ys, pilot)
+                        ]
+                    )
                 return (
                     _kahan_add(sums, comps, vals)
                     + _kahan_add(sq_sums, sq_comps, sq_vals)
                 ), None
             sums, comps = carry
-            vals = jnp.stack([jnp.sum(vf(x)) for vf in vfns])
+            if anti:
+                vals = jnp.stack(
+                    [jnp.sum(vf(x[0])) + jnp.sum(vf(x[1])) for vf in vfns]
+                )
+            else:
+                vals = jnp.stack([jnp.sum(vf(x)) for vf in vfns])
             return _kahan_add(sums, comps, vals), None
 
         n_acc = 4 if with_stderr else 2
@@ -198,6 +259,11 @@ def build_integrate_fn(
         return carry[0]
 
     n_f32 = jnp.float32(plan.actual_samples)
+    # Antithetic error bars count PAIRS as the iid unit (the squares
+    # accumulated above are of pair means): var(pair mean) / n_pairs.
+    n_units = jnp.float32(
+        plan.actual_samples // 2 if anti else plan.actual_samples
+    )
 
     def _finish(sums, sq_sums=None, pilot=None):
         mean = sums / n_f32
@@ -206,8 +272,8 @@ def build_integrate_fn(
         # Var[f] = E[(f - c)^2] - (mean - c)^2 for any shift c; with the
         # pilot c ~ mean both terms are O(std^2), so no cancellation.
         d = mean - pilot
-        var = jnp.maximum(sq_sums / n_f32 - d * d, 0.0)
-        return mean, jnp.sqrt(var / n_f32)
+        var = jnp.maximum(sq_sums / n_units - d * d, 0.0)
+        return mean, jnp.sqrt(var / n_units)
 
     # Tables are always passed as arrays; analytic families get 1-element
     # dummies (the reference does the same with dummy GPU buffers,

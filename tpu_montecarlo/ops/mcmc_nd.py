@@ -59,8 +59,14 @@ def build_mcmc_nd_fn(
     use_init_state: bool = False,
     random_walk: bool = False,
     rw_adapt: bool = False,
+    with_samples: int = 0,
 ):
     """Build a jitted d-dimensional MH program.
+
+    ``with_samples=m``: additionally returns an (m, d, total_chains)
+    float32 buffer of thinned post-burn-in draws (every ``n_steps // m``
+    sampling steps; the 1-D builder's convention, ops/mcmc_xla.py) —
+    stateless only, sharded over the chain axis on a mesh.
 
     Returned signature::
 
@@ -119,6 +125,17 @@ def build_mcmc_nd_fn(
     n_iters = n_burnin + n_steps
     if with_diagnostics and n_steps < 4:
         raise ValueError("with_diagnostics needs n_steps >= 4")
+    if with_samples:
+        if with_state:
+            raise ValueError(
+                "with_samples applies to stateless MCMC programs only"
+            )
+        if not 1 <= int(with_samples) <= n_steps:
+            raise ValueError(
+                f"with_samples must be in [1, n_steps={n_steps}], got "
+                f"{with_samples}"
+            )
+    sample_stride = n_steps // with_samples if with_samples else 0
     if target_logpdf_fn is not None:
         v_target = jax.vmap(target_logpdf_fn)
 
@@ -219,6 +236,8 @@ def build_mcmc_nd_fn(
         n1 = n_steps // 2  # split-half length (odd last step excluded)
 
         def step(carry, i):
+            if with_samples:
+                carry, buf = carry[:-1], carry[-1]
             if with_diagnostics:
                 xs, logp, logq, acc, n_accept, halves = carry
             else:
@@ -284,6 +303,25 @@ def build_mcmc_nd_fn(
             n_accept = n_accept + jnp.where(
                 collect, jnp.sum(accept.astype(jnp.float32)), 0.0
             )
+            if with_samples:
+                # Thinned draw: the post-step d-vector state at sampling
+                # steps n_burnin + j*stride (1-D builder's convention).
+                j = (i - jnp.int32(n_burnin)) // jnp.int32(sample_stride)
+                on_grid = (
+                    i - jnp.int32(n_burnin)
+                ) % jnp.int32(sample_stride) == 0
+                hit = jnp.logical_and(
+                    i >= n_burnin,
+                    jnp.logical_and(on_grid, j < with_samples),
+                )
+                pos = jnp.clip(j, 0, with_samples - 1)
+                cur = jax.lax.dynamic_index_in_dim(
+                    buf, pos, 0, keepdims=False
+                )
+                buf = jax.lax.dynamic_update_index_in_dim(
+                    buf, jnp.where(hit, jnp.stack(xs), cur), pos, 0
+                )
+            samp = (buf,) if with_samples else ()
             if with_diagnostics:
                 # Split-half accumulators (1-D builder's layout,
                 # ops/mcmc_xla.py): first/second half of the sampling
@@ -300,16 +338,23 @@ def build_mcmc_nd_fn(
                 return (
                     xs, logp, logq, acc, n_accept,
                     (acc1, sq1, acc2, sq2),
-                ), None
-            return (xs, logp, logq, acc, n_accept), None
+                ) + samp, None
+            return (xs, logp, logq, acc, n_accept) + samp, None
 
         zk = lambda: jnp.zeros((k, local_chains), jnp.float32)  # noqa: E731
         init = (x0, logp0, logq0, zk(), jnp.float32(0.0))
         if with_diagnostics:
             init = init + ((zk(), zk(), zk(), zk()),)
+        if with_samples:
+            init = init + (
+                jnp.zeros((with_samples, d, local_chains), jnp.float32),
+            )
         carry, _ = jax.lax.scan(
             step, init, jnp.arange(n_iters, dtype=jnp.int32)
         )
+        samples_buf = ()
+        if with_samples:
+            carry, samples_buf = carry[:-1], (carry[-1],)
         if with_diagnostics:
             _, _, _, acc, n_accept, halves = carry
         else:
@@ -341,8 +386,8 @@ def build_mcmc_nd_fn(
                 jnp.sum(chain_means, axis=1)
                 + jnp.float32(local_chains) * pilot
             )
-            return (sums, n_accept, ss, mb_s + pilot) + diag
-        out = (jnp.sum(chain_means, axis=1), n_accept) + diag
+            return (sums, n_accept, ss, mb_s + pilot) + diag + samples_buf
+        out = (jnp.sum(chain_means, axis=1), n_accept) + diag + samples_buf
         if with_state:
             out = out + (jnp.stack(xs_f), logp_f)
         return out
@@ -392,11 +437,15 @@ def build_mcmc_nd_fn(
         def run(seed, *args):
             out = _chain_sweep(seed, *args, jnp.int32(0))
             res = (out[0] / denom_vals, out[1] / denom_acc)
+            pos = 4 if with_stderr else 2
             if with_stderr:
                 res = res + (_stderr_of(out[2]),)
             if with_diagnostics:
-                w_sum, _, ss_d = out[-1]
+                w_sum, _, ss_d = out[pos]
+                pos += 1
                 res = res + _rhat_of(w_sum, ss_d)  # (r_hat, ess)
+            if with_samples:
+                res = res + (out[pos],)  # (m, d, total_chains) draws
             return res
 
         return run
@@ -433,10 +482,12 @@ def build_mcmc_nd_fn(
             corr = jnp.float32(local_chains) * (mb - m_global) ** 2
             ss_total = jax.lax.psum(ss + corr, axis_name)
             res = res + (_stderr_of(ss_total),)
+        pos = 4 if with_stderr else 2
         if with_diagnostics:
             # Chan recombination over the 2x split-half sequences
             # (1-D builder's pattern).
-            w_sum, mb_d, ss_d = out[-1]
+            w_sum, mb_d, ss_d = out[pos]
+            pos += 1
             n_loc = jnp.float32(2 * local_chains)
             m_seq = jax.lax.psum(n_loc * mb_d, axis_name) / m_total
             ss_tot = jax.lax.psum(
@@ -444,6 +495,8 @@ def build_mcmc_nd_fn(
             )
             w_tot = jax.lax.psum(w_sum, axis_name)
             res = res + _rhat_of(w_tot, ss_tot)
+        if with_samples:
+            res = res + (out[pos],)  # (m, d, local) -> sharded chains
         if with_state:
             res = res + (out[2], out[3])  # (d, local) xs, (local,) logp
         return res
@@ -462,6 +515,9 @@ def build_mcmc_nd_fn(
         out_specs = out_specs + (replicated,)
     if with_diagnostics:
         out_specs = out_specs + (replicated, replicated)
+    if with_samples:
+        # (m, d, total_chains): thinned draws sharded over chains.
+        out_specs = out_specs + (P(None, None, axis_name),)
     if with_state:
         # Chain state shards over the chain axis (x is (d, chains)).
         in_specs = in_specs + (

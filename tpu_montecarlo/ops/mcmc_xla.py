@@ -114,6 +114,7 @@ def build_mcmc_fn(
     with_diagnostics: bool = False,
     random_walk: bool = False,
     rw_adapt: bool = False,
+    with_samples: int = 0,
 ):
     """Build a jitted MH program.
 
@@ -158,6 +159,16 @@ def build_mcmc_fn(
     toward ``target_accept`` during burn-in (``gamma_i = i^-0.6``) and
     freezes it for the sampling phase.
 
+    ``with_samples=m`` (stateless only, ``1 <= m <= n_steps``): the
+    program additionally returns an ``(m, total_chains)`` float32 array
+    of thinned post-burn-in draws — the chain states at sampling steps
+    ``n_burnin + j * (n_steps // m)`` (the same states the accumulators
+    integrate), written into a carried buffer so memory stays at the
+    user-chosen m regardless of n_steps.  On a mesh the buffer is
+    sharded over the chain axis.  A raw-draw surface the
+    expectations-only reference lacks (its chains never leave the
+    device, src/shader_gen.rs:390-392).
+
     ``with_diagnostics=True`` (stateless only, ``n_steps >= 4``): the
     program additionally returns two ``(K,)`` arrays — split-R-hat and
     ESS.  R-hat is the Gelman-Rubin potential-scale-reduction statistic
@@ -176,6 +187,21 @@ def build_mcmc_fn(
         raise ValueError(
             "with_diagnostics applies to stateless MCMC programs only"
         )
+    if with_samples:
+        # Thinned post-burn-in draws: a carried (m, local_chains) buffer
+        # written every `stride` sampling steps (a capability beyond the
+        # expectations-only reference — raw chain output for downstream
+        # inference, at user-bounded memory).
+        if with_state:
+            raise ValueError(
+                "with_samples applies to stateless MCMC programs only"
+            )
+        if not 1 <= int(with_samples) <= n_steps:
+            raise ValueError(
+                f"with_samples must be in [1, n_steps={n_steps}], got "
+                f"{with_samples}"
+            )
+    sample_stride = n_steps // with_samples if with_samples else 0
     if with_diagnostics and n_steps < 4:
         # Each half-sequence needs >= 2 draws: at n1 = 1 the within-half
         # variance is identically zero and R-hat would be meaningless.
@@ -282,6 +308,8 @@ def build_mcmc_fn(
         n1 = n_steps // 2  # split-half length (odd last step excluded)
 
         def step(carry, i):
+            if with_samples:
+                carry, buf = carry[:-1], carry[-1]
             if with_diagnostics:
                 x, logp, aux, acc, n_accept, halves = carry
             else:
@@ -349,6 +377,26 @@ def build_mcmc_fn(
             n_accept = n_accept + jnp.where(
                 collect, jnp.sum(accept.astype(jnp.float32)), 0.0
             )
+            if with_samples:
+                # Thinned draw: record the post-step state at sampling
+                # steps n_burnin + j*stride (the same states the
+                # accumulators integrate).
+                j = (i - jnp.int32(n_burnin)) // jnp.int32(sample_stride)
+                on_grid = (
+                    i - jnp.int32(n_burnin)
+                ) % jnp.int32(sample_stride) == 0
+                hit = jnp.logical_and(
+                    i >= n_burnin,
+                    jnp.logical_and(on_grid, j < with_samples),
+                )
+                pos = jnp.clip(j, 0, with_samples - 1)
+                cur = jax.lax.dynamic_index_in_dim(
+                    buf, pos, 0, keepdims=False
+                )
+                buf = jax.lax.dynamic_update_index_in_dim(
+                    buf, jnp.where(hit, x, cur), pos, 0
+                )
+            samp = (buf,) if with_samples else ()
             if with_diagnostics:
                 acc1, sq1, acc2, sq2 = halves
                 h1 = jnp.logical_and(i >= n_burnin, i < n_burnin + n1)
@@ -361,16 +409,23 @@ def build_mcmc_fn(
                 sq2 = sq2 + jnp.where(h2, sv * sv, 0.0)
                 return (
                     x, logp, aux, acc, n_accept, (acc1, sq1, acc2, sq2)
-                ), None
-            return (x, logp, aux, acc, n_accept), None
+                ) + samp, None
+            return (x, logp, aux, acc, n_accept) + samp, None
 
         zk = lambda: jnp.zeros((k, local_chains), jnp.float32)  # noqa: E731
         init = (x0, logp0, aux0, zk(), jnp.float32(0.0))
         if with_diagnostics:
             init = init + ((zk(), zk(), zk(), zk()),)
+        if with_samples:
+            init = init + (
+                jnp.zeros((with_samples, local_chains), jnp.float32),
+            )
         carry, _ = jax.lax.scan(
             step, init, jnp.arange(n_iters, dtype=jnp.int32)
         )
+        samples_buf = ()
+        if with_samples:
+            carry, samples_buf = carry[:-1], (carry[-1],)
         if with_diagnostics:
             x_f, logp_f, _, acc, n_accept, halves = carry
         else:
@@ -410,8 +465,14 @@ def build_mcmc_fn(
                 jnp.sum(chain_means, axis=1)
                 + jnp.float32(local_chains) * pilot
             )
-            return (sums, n_accept, x_f, logp_f, ss, mb_s + pilot) + diag
-        return (jnp.sum(chain_means, axis=1), n_accept, x_f, logp_f) + diag
+            return (
+                (sums, n_accept, x_f, logp_f, ss, mb_s + pilot)
+                + diag + samples_buf
+            )
+        return (
+            (jnp.sum(chain_means, axis=1), n_accept, x_f, logp_f)
+            + diag + samples_buf
+        )
 
     denom_vals = jnp.float32(total_chains)
     denom_acc = jnp.float32(total_chains) * jnp.float32(max(n_steps, 1))
@@ -446,7 +507,7 @@ def build_mcmc_fn(
 
             return run
 
-        if with_stderr or with_diagnostics:
+        if with_stderr or with_diagnostics or with_samples:
 
             @jax.jit
             def run(seed, prop_params, targ_params, *tables):
@@ -455,12 +516,16 @@ def build_mcmc_fn(
                 )
                 sums, n_accept = out[0], out[1]
                 res = (sums / denom_vals, n_accept / denom_acc)
+                pos = 6 if with_stderr else 4
                 if with_stderr:
                     # Single device: the local centroid IS the global mean.
                     res = res + (_stderr_of(out[4]),)
                 if with_diagnostics:
-                    w_sum, _, ss_d = out[-1]
+                    w_sum, _, ss_d = out[pos]
+                    pos += 1
                     res = res + _rhat_of(w_sum, ss_d)  # (r_hat, ess)
+                if with_samples:
+                    res = res + (out[pos],)  # (m, total_chains) draws
                 return res
 
             return run
@@ -506,9 +571,11 @@ def build_mcmc_fn(
             corr = jnp.float32(local_chains) * (mb - m_global) ** 2
             ss_total = jax.lax.psum(ss + corr, axis_name)
             out = out + (_stderr_of(ss_total),)
+        pos = 6 if with_stderr else 4
         if with_diagnostics:
             # Same Chan pattern over the 2x split-half sequences.
-            w_sum, mb_d, ss_d = sweep_out[-1]
+            w_sum, mb_d, ss_d = sweep_out[pos]
+            pos += 1
             n_loc = jnp.float32(2 * local_chains)
             m_seq = jax.lax.psum(n_loc * mb_d, axis_name) / m_total
             ss_tot = jax.lax.psum(
@@ -516,6 +583,10 @@ def build_mcmc_fn(
             )
             w_tot = jax.lax.psum(w_sum, axis_name)
             out = out + _rhat_of(w_tot, ss_tot)  # (r_hat, ess)
+        if with_samples:
+            # Per-device (m, local_chains) buffers concatenate along the
+            # chain axis via the sharded out_spec.
+            out = out + (sweep_out[pos],)
         if with_state:
             out = out + (x_f, logp_f)
         return out
@@ -527,6 +598,9 @@ def build_mcmc_fn(
         out_specs = out_specs + (replicated,)
     if with_diagnostics:
         out_specs = out_specs + (replicated, replicated)
+    if with_samples:
+        # (m, total_chains): thinned draws sharded over the chain axis.
+        out_specs = out_specs + (P(None, axis_name),)
     if with_state:
         in_specs = in_specs + (sharded, sharded, replicated)
         out_specs = out_specs + (sharded, sharded)

@@ -404,6 +404,35 @@ def sample_block(
     )
 
 
+def sample_block_antithetic(
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    kind: DistKind,
+    params: jax.Array,
+    x_table: Optional[jax.Array] = None,
+    cdf_table: Optional[jax.Array] = None,
+    exact_inverse: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Draw an antithetic PAIR of float32 sample blocks: element ``i`` of
+    the second block is the mirror of element ``i`` of the first through
+    the distribution's monotone inverse CDF (``u`` and ``1 - u``; the
+    NORMAL pair reflects ``z`` about the mean, the exact equivalent).
+    Pair averages are unbiased with variance at most the iid sampler's
+    for monotone integrands (classic antithetic variates) — a variance
+    reduction surface the reference lacks.  Same per-sample transforms
+    as :func:`sample_block`, so the estimator semantics match."""
+    if kind == DistKind.NORMAL:
+        z = jax.random.normal(key, shape, jnp.float32)
+        return params[0] + params[1] * z, params[0] - params[1] * z
+    u = jax.random.uniform(key, shape, jnp.float32)
+    return (
+        transform_from_u(u, kind, params, x_table, cdf_table, exact_inverse),
+        transform_from_u(
+            1.0 - u, kind, params, x_table, cdf_table, exact_inverse
+        ),
+    )
+
+
 def transform_from_u(
     u: jax.Array,
     kind: DistKind,
