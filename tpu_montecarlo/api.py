@@ -1032,17 +1032,6 @@ class MonteCarloIntegrator:
 
         kinds = tuple(s.kind for s in specs)
         d = len(kinds)
-        if method == "antithetic":
-            # nd antithetic pairs ride the XLA sweep (componentwise u
-            # mirroring); the nd kernel's first-dim row stratification
-            # has no in-block mirror slot yet.
-            if self._backend == "pallas":
-                warnings.warn(
-                    "backend='pallas' requested but nd "
-                    "method='antithetic' runs on the XLA backend",
-                    stacklevel=3,
-                )
-            return False
         sdim = _strat_dim(kinds, method)
         tables_ok = True
         table_sizes = []

@@ -74,9 +74,11 @@ def nd_pallas_supports(kinds: Sequence[DistKind]) -> bool:
 
 def _strat_dim(kinds: Sequence[DistKind], method: str) -> int:
     """Index of the one row-stratified custom dimension (-1 if none):
-    the first CUSTOM dim under plain MC.  QMC points must map through
-    the full inverse, so no dim stratifies under method='qmc'."""
-    if method != "mc":
+    the first CUSTOM dim under plain MC or antithetic (the antithetic
+    mirror stays WITHIN the row's stratum, so stratification survives).
+    QMC points must map through the full inverse, so no dim stratifies
+    under method='qmc'."""
+    if method == "qmc":
         return -1
     for j, kk in enumerate(kinds):
         if kk == DistKind.CUSTOM:
@@ -129,6 +131,46 @@ def pick_nd_rows(
             return rows
         rows //= 2
     return None
+
+
+def _draw_dim_pair(kind: DistKind, p1, p2, get_u):
+    """Antithetic pair for one dimension: ONE uniform draw mapped
+    through the monotone transform at ``u`` and its mirror ``1 - u``
+    (the NORMAL pair reflects z about the mean — one erf_inv per pair).
+    Same transforms as :func:`_draw_dim`."""
+    if kind == DistKind.UNIFORM:
+        from ..sampling import next_below_f32
+
+        u = get_u(False)
+
+        def aff(uu):
+            x = p1 + uu * (p2 - p1)
+            return jnp.where(
+                x >= p2, next_below_f32(jnp.full_like(x, p2)), x
+            )
+
+        return aff(u), aff(1.0 - u)
+    if kind == DistKind.NORMAL:
+        from ..sampling import normal_from_u01
+
+        z = normal_from_u01(get_u(False))
+        return p1 + p2 * z, p1 - p2 * z
+    if kind == DistKind.EXPONENTIAL:
+        u = get_u(True)
+        return (
+            -jnp.log(jnp.maximum(u, 1e-7)) / p1,
+            -jnp.log(jnp.maximum(1.0 - u, 1e-7)) / p1,
+        )
+    from ..sampling import ANALYTIC_EXT
+
+    ext = ANALYTIC_EXT.get(kind)
+    if ext is not None:
+        u = get_u(False)
+        return (
+            ext.inv_cdf(u, p1, p2).astype(jnp.float32),
+            ext.inv_cdf(1.0 - u, p1, p2).astype(jnp.float32),
+        )
+    raise ValueError(f"nd Pallas kernel does not support {kind}")
 
 
 def _draw_dim(kind: DistKind, p1, p2, get_u):
@@ -184,8 +226,11 @@ def build_integrate_nd_pallas(
     indexed per grid rep, so one compiled program serves a whole
     d-dimensional parameter sweep per dispatch (the 1-D kernel's
     serving design)."""
-    if method not in ("mc", "qmc"):
-        raise ValueError(f"method must be 'mc' or 'qmc', got {method!r}")
+    if method not in ("mc", "qmc", "antithetic"):
+        raise ValueError(
+            f"method must be 'mc', 'qmc' or 'antithetic', got {method!r}"
+        )
+    anti = method == "antithetic"
     kinds = tuple(kinds)
     d = len(kinds)
     if not nd_pallas_supports(kinds):
@@ -216,8 +261,14 @@ def build_integrate_nd_pallas(
             )
 
     n_dev = 1 if mesh is None else mesh.size
+    # Antithetic blocks carry their mirrors, so the grid plans over half
+    # the requested count and the unroll halves to keep in-flight sample
+    # VMEM at the plain path's level (1-D kernel's convention).
+    grid_samples = (
+        -(-plan.actual_samples // 2) if anti else plan.actual_samples
+    )
     block_rows = pick_nd_rows(
-        k, d, plan.actual_samples, n_dev, seed_batch, with_stderr,
+        k, d, grid_samples, n_dev, seed_batch, with_stderr,
         kinds=kinds, table_sizes=table_sizes, method=method,
     )
     if block_rows is None:
@@ -227,12 +278,14 @@ def build_integrate_nd_pallas(
         )
 
     programs, loops, actual = plan_pallas_grid(
-        plan.actual_samples, block_rows
+        grid_samples, block_rows
     )
     programs = -(-programs // n_dev) * n_dev
-    unroll = min(UNROLL_BLOCKS, loops)
+    unroll = min(
+        max(1, UNROLL_BLOCKS // 2) if anti else UNROLL_BLOCKS, loops
+    )
     loops = -(-loops // unroll) * unroll
-    actual = programs * loops * block_rows * LANES
+    actual = programs * loops * block_rows * LANES * (2 if anti else 1)
     local_programs = programs // n_dev
 
     sobol_vs = None
@@ -305,6 +358,48 @@ def build_integrate_nd_pallas(
             frac = pos - i0.astype(jnp.float32)
             return _table_lookup_loop(t, dt, i0, frac, rows)
 
+        def draw_custom_pair(j, get_u):
+            """Antithetic pair for a custom dim: w and 1-w through the
+            same table — WITHIN the row's stratum for the stratified
+            dim, so stratification survives the mirroring."""
+            t, dt = tabs[j]
+            w = get_u(False)
+            if j == sdim:
+                return (
+                    _stratified_sample_from_w(t, dt, w),
+                    _stratified_sample_from_w(t, dt, 1.0 - w),
+                )
+            m = t.shape[0] * LANES
+
+            def look(ww):
+                pos = ww * jnp.float32(m - 1)
+                i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
+                frac = pos - i0.astype(jnp.float32)
+                return _table_lookup_loop(t, dt, i0, frac, rows)
+
+            return look(w), look(1.0 - w)
+
+        def draw_all_pair(blk):
+            """Two componentwise-mirrored d-tuples from ONE uniform set
+            per dimension (the nd antithetic pair: x' mirrors x through
+            every dimension's monotone inverse jointly)."""
+            xs1, xs2 = [], []
+            for j in range(d):
+                get_u = (
+                    lambda open01, j=j: _uniform_open01(
+                        rng, (rows, LANES), blk, j
+                    )
+                    if open01
+                    else _uniform_halfopen01(rng, (rows, LANES), blk, j)
+                )
+                if kinds[j] == DistKind.CUSTOM:
+                    a, b2 = draw_custom_pair(j, get_u)
+                else:
+                    a, b2 = _draw_dim_pair(kinds[j], *ps[j], get_u)
+                xs1.append(a)
+                xs2.append(b2)
+            return tuple(xs1), tuple(xs2)
+
         def draw_all(blk):
             """d equal-shape sample blocks for global block ``blk``."""
             if method == "qmc":
@@ -365,7 +460,24 @@ def build_integrate_nd_pallas(
             xsets = []
             for u in range(unroll):
                 blk = i * jnp.int32(unroll) + jnp.int32(u)
-                xsets.append(draw_all(blk))
+                if anti:
+                    xsets.extend(draw_all_pair(blk))
+                else:
+                    xsets.append(draw_all(blk))
+            if anti and with_stderr:
+                # Adjacent xsets are mirror pairs; squares accumulate on
+                # the PAIR MEAN (the antithetic estimator's iid unit),
+                # value adds stay per-member so means are bit-equal to
+                # the stderr-off antithetic kernel (1-D convention).
+                for xs1, xs2 in zip(xsets[0::2], xsets[1::2]):
+                    for j, f in enumerate(eval_fns):
+                        v1 = f(*xs1).astype(jnp.float32)
+                        v2 = f(*xs2).astype(jnp.float32)
+                        accs[j] = accs[j] + v1
+                        accs[j] = accs[j] + v2
+                        dd = 0.5 * (v1 + v2) - pilots[j]
+                        sqs[j] = sqs[j] + dd * dd
+                return tuple(accs) + tuple(sqs)
             for xs in xsets:
                 for j, f in enumerate(eval_fns):
                     v = f(*xs).astype(jnp.float32)
@@ -539,10 +651,12 @@ def build_integrate_nd_pallas(
 
     def _finish_stderr(sums, sqs, pilot):
         n = jnp.float32(actual)
+        # Antithetic squares are of pair means: pairs are the iid unit.
+        n_units = jnp.float32(actual // 2 if anti else actual)
         mean = sums / n
         dlt = mean - pilot[:, :k]
-        var = jnp.maximum(sqs / n - dlt * dlt, 0.0)
-        se = jnp.sqrt(var / n)
+        var = jnp.maximum(sqs / n_units - dlt * dlt, 0.0)
+        se = jnp.sqrt(var / n_units)
         if seed_batch == 1 and not param_batch:
             return mean[0], se[0]
         return mean, se
