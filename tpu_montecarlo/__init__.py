@@ -30,7 +30,7 @@ from .api import (
     pack_random_walk_batch,
     pack_random_walk_batch_nd,
 )
-from .distributions import Distribution, DistributionType, RandomWalk
+from .distributions import Distribution, DistributionType, HMC, RandomWalk
 from .tracing import TraceError, is_traceable, trace_function
 from .wgsl_frontend import WgslError, trace_wgsl_function
 
@@ -47,6 +47,7 @@ __all__ = [
     "Distribution",
     "DistributionType",
     "RandomWalk",
+    "HMC",
     "IntegrationResult",
     "McmcState",
     "expectation_fn",

@@ -60,6 +60,7 @@ def build_mcmc_nd_fn(
     random_walk: bool = False,
     rw_adapt: bool = False,
     with_samples: int = 0,
+    hmc_leapfrog: int = 0,
 ):
     """Build a jitted d-dimensional MH program.
 
@@ -99,6 +100,16 @@ def build_mcmc_nd_fn(
     multiplying its whole step vector toward ``target_accept`` during
     burn-in (``gamma_i = i^-0.6``; per-dimension relative scales are
     preserved), frozen for the sampling phase.
+
+    ``hmc_leapfrog=L`` (with ``random_walk=True``; distributions.HMC):
+    the proposal becomes an L-step leapfrog trajectory through
+    ``H(x, p) = -log p(x) + |p|^2 / 2`` with fresh per-chain d-vector
+    momenta each iteration and the exact energy correction in the
+    acceptance.  Per-dimension steps act as a diagonal mass matrix
+    (dimension j drifts with ``eps_j = scale * step_j``).  The position
+    gradient is JAX autodiff of the summed target log-density — closed
+    forms for analytic product targets, interpolant slopes for table
+    dims, the traced expression's gradient for joint fn targets.
     """
     if (targ_kinds is None) == (target_logpdf_fn is None):
         raise ValueError(
@@ -245,20 +256,59 @@ def build_mcmc_nd_fn(
             key_i = jax.random.fold_in(key_prop, i)
             if random_walk:
                 scale = jnp.exp(logq) if rw_adapt else jnp.float32(1.0)
-                xp = tuple(
-                    x_j
-                    + scale
-                    * rw_steps[j]
-                    * jax.random.normal(
+                z = tuple(
+                    jax.random.normal(
                         jax.random.fold_in(key_i, j),
                         (local_chains,),
                         jnp.float32,
                     )
-                    for j, x_j in enumerate(xs)
+                    for j in range(d)
                 )
-                logp_prop = target_log(xp)
-                # Symmetric proposal: the q terms cancel.
-                log_alpha = logp_prop - logp
+                if hmc_leapfrog:
+                    # L kick-drift-kick leapfrog steps carrying the
+                    # gradient tuple (one grad eval per step); the
+                    # per-dimension steps are a diagonal mass matrix.
+                    grad_logp = jax.grad(
+                        lambda xv: jnp.sum(target_log(xv))
+                    )
+                    eps = tuple(scale * rw_steps[j] for j in range(d))
+
+                    def leap(_, c):
+                        xq, p, g = c
+                        p = tuple(
+                            p[j] + 0.5 * eps[j] * g[j] for j in range(d)
+                        )
+                        xq = tuple(
+                            xq[j] + eps[j] * p[j] for j in range(d)
+                        )
+                        g = grad_logp(xq)
+                        p = tuple(
+                            p[j] + 0.5 * eps[j] * g[j] for j in range(d)
+                        )
+                        return xq, p, g
+
+                    xp, pf, _ = jax.lax.fori_loop(
+                        0, hmc_leapfrog, leap, (xs, z, grad_logp(xs))
+                    )
+                    logp_prop = target_log(xp)
+                    kin0 = sum(p_j * p_j for p_j in z)
+                    kinf = sum(p_j * p_j for p_j in pf)
+                    log_alpha = (logp_prop - 0.5 * kinf) - (
+                        logp - 0.5 * kin0
+                    )
+                    # Diverged trajectories (inf - inf) reject rather
+                    # than NaN-poison the step adaptation.
+                    log_alpha = jnp.where(
+                        jnp.isnan(log_alpha), -jnp.inf, log_alpha
+                    )
+                else:
+                    xp = tuple(
+                        x_j + scale * rw_steps[j] * z[j]
+                        for j, x_j in enumerate(xs)
+                    )
+                    logp_prop = target_log(xp)
+                    # Symmetric proposal: the q terms cancel.
+                    log_alpha = logp_prop - logp
             else:
                 xp = draw_proposals(key_i)
                 logp_prop = target_log(xp)

@@ -115,6 +115,7 @@ def build_mcmc_fn(
     random_walk: bool = False,
     rw_adapt: bool = False,
     with_samples: int = 0,
+    hmc_leapfrog: int = 0,
 ):
     """Build a jitted MH program.
 
@@ -158,6 +159,15 @@ def build_mcmc_fn(
     ``rw_adapt=True`` each chain Robbins-Monro-tunes its own log step
     toward ``target_accept`` during burn-in (``gamma_i = i^-0.6``) and
     freezes it for the sampling phase.
+
+    ``hmc_leapfrog=L`` (with ``random_walk=True``; see
+    distributions.HMC): the proposal becomes an L-step leapfrog
+    trajectory through the Hamiltonian ``H(x, p) = -log p(x) + p^2/2``
+    with a fresh per-chain momentum ``p ~ N(0, 1)`` each iteration and
+    the exact Metropolis energy correction in the acceptance.  The
+    position gradient is JAX autodiff of the target log-density (the
+    interpolant slope for table targets).  Step adaptation, init, and
+    the parameter row are exactly the random walk's.
 
     ``with_samples=m`` (stateless only, ``1 <= m <= n_steps``): the
     program additionally returns an ``(m, total_chains)`` float32 array
@@ -321,10 +331,44 @@ def build_mcmc_fn(
                     jnp.float32,
                 )
                 step_sz = jnp.exp(aux) if rw_adapt else rw_step
-                xp = x + step_sz * z
-                logp_prop = target_log_pdf(xp)
-                # Symmetric proposal: the q terms cancel.
-                log_alpha = logp_prop - logp
+                if hmc_leapfrog:
+                    # Leapfrog trajectory from a fresh momentum (z), as
+                    # L kick-drift-kick steps carrying the gradient so
+                    # each step costs ONE grad eval.  NaNs from leaving
+                    # the support reject naturally (NaN log_alpha
+                    # compares False).
+                    grad_logp = jax.grad(
+                        lambda xv: jnp.sum(target_log_pdf(xv))
+                    )
+                    eps = step_sz
+
+                    def leap(_, c):
+                        xq, p, g = c
+                        p = p + 0.5 * eps * g
+                        xq = xq + eps * p
+                        g = grad_logp(xq)
+                        p = p + 0.5 * eps * g
+                        return xq, p, g
+
+                    xp, pf, _ = jax.lax.fori_loop(
+                        0, hmc_leapfrog, leap, (x, z, grad_logp(x))
+                    )
+                    logp_prop = target_log_pdf(xp)
+                    # Exact Metropolis energy correction: the kinetic
+                    # terms join the density ratio.
+                    log_alpha = (
+                        logp_prop - 0.5 * pf * pf
+                    ) - (logp - 0.5 * z * z)
+                    # A diverged trajectory (f32 overflow -> inf - inf)
+                    # must reject, not NaN-poison the step adaptation.
+                    log_alpha = jnp.where(
+                        jnp.isnan(log_alpha), -jnp.inf, log_alpha
+                    )
+                else:
+                    xp = x + step_sz * z
+                    logp_prop = target_log_pdf(xp)
+                    # Symmetric proposal: the q terms cancel.
+                    log_alpha = logp_prop - logp
             else:
                 xp = sample_block(
                     jax.random.fold_in(key_prop, i),
