@@ -292,6 +292,174 @@ class TestCompositions:
 
 
 # ---------------------------------------------------------------------------
+# Pallas kernel tier (interpret mode on CPU; compiled on TPU)
+# ---------------------------------------------------------------------------
+
+
+class TestPallasKernel:
+    """In-kernel HMC: the leapfrog gradient is jax.grad of the
+    closed-form analytic log-density traced into the kernel body
+    (gather-free elementwise ops), so analytic targets run at kernel
+    speed; CUSTOM table targets route to XLA (their gradient would need
+    gather-VJP scatters Mosaic lacks)."""
+
+    @pytest.fixture(scope="class")
+    def kern(self):
+        return MonteCarloIntegrator(backend="pallas")
+
+    def test_fixed_step_moments(self, kern):
+        target = Distribution.normal(3.0, 2.0)
+        r = kern.integrate_mcmc(
+            [lambda x: x, lambda x: x * x],
+            target,
+            HMC(step_size=0.4, n_leapfrog=8),
+            n_steps=1500,
+            n_chains=512,
+            n_burnin=200,
+            seed=7,
+        )
+        assert abs(r.values[0] - 3.0) < 0.12
+        assert abs(r.values[1] - 13.0) < 0.7
+
+    def test_adapts_to_target_accept(self, kern):
+        target = Distribution.normal(3.0, 2.0)
+        r = kern.integrate_mcmc(
+            [lambda x: x],
+            target,
+            HMC(step_size=6.0, n_leapfrog=5, adapt=True),
+            n_steps=1500,
+            n_chains=512,
+            n_burnin=600,
+            seed=11,
+        )
+        assert abs(r.values[0] - 3.0) < 0.15
+        assert 0.6 < r.acceptance_rate < 0.95
+
+    def test_extended_family_target(self, kern):
+        r = kern.integrate_mcmc(
+            [lambda x: x],
+            Distribution.laplace(2.0, 1.0),
+            HMC(step_size=0.5, n_leapfrog=6),
+            n_steps=2000,
+            n_chains=512,
+            n_burnin=300,
+            seed=13,
+        )
+        assert abs(r.values[0] - 2.0) < 0.12
+
+    def test_matches_xla_statistically(self, kern):
+        target = Distribution.normal(0.0, 1.5)
+        prop = HMC(step_size=0.4, n_leapfrog=6)
+        kw = dict(n_steps=1500, n_chains=512, n_burnin=200, seed=17)
+        r_k = kern.integrate_mcmc([lambda x: x * x], target, prop, **kw)
+        r_x = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            [lambda x: x * x], target, prop, **kw
+        )
+        assert abs(r_k.values[0] - 2.25) < 0.1
+        assert abs(r_x.values[0] - 2.25) < 0.1
+
+    def test_stderr_stays_in_kernel(self, kern):
+        import warnings
+
+        target = Distribution.normal(2.0, 1.0)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            r = kern.integrate_mcmc(
+                [lambda x: x],
+                target,
+                HMC(step_size=0.4, n_leapfrog=6),
+                n_steps=800,
+                n_chains=512,
+                n_burnin=100,
+                seed=19,
+                return_stderr=True,
+            )
+        assert not any("XLA" in str(x.message) for x in w)
+        assert r.stderr[0] > 0
+        assert abs(r.values[0] - 2.0) < 6 * r.stderr[0] + 0.05
+
+    def test_resume_fixed_step(self, kern):
+        target = Distribution.normal(3.0, 1.0)
+        prop = HMC(step_size=0.4, n_leapfrog=6)
+        r1 = kern.integrate_mcmc(
+            [lambda x: x], target, prop,
+            n_steps=600, n_chains=512, n_burnin=100, seed=23,
+            return_state=True,
+        )
+        r2 = kern.integrate_mcmc(
+            [lambda x: x], target, prop,
+            n_steps=600, n_chains=512, n_burnin=0, seed=23,
+            initial_state=r1.chain_state,
+        )
+        assert abs(r1.values[0] - 3.0) < 0.12
+        assert abs(r2.values[0] - 3.0) < 0.12
+
+    def test_seed_batch_handle_matches_single_calls(self, kern):
+        target = Distribution.normal(0.0, 2.0)
+        prop = HMC(step_size=0.4, n_leapfrog=6)
+        prog = kern.compile_mcmc(
+            [lambda x: x * x], target, prop,
+            n_steps=400, n_chains=256, n_burnin=100, seed_batch=3,
+        )
+        vals, accs = prog([5, 6, 7])
+        singles = [
+            kern.integrate_mcmc(
+                [lambda x: x * x], target, prop,
+                n_steps=400, n_chains=256, n_burnin=100, seed=s,
+            )
+            for s in (5, 6, 7)
+        ]
+        for i, s in enumerate(singles):
+            np.testing.assert_allclose(
+                np.asarray(vals)[i], s.values, rtol=1e-5
+            )
+
+    def test_nd_joint_target_in_kernel(self, kern):
+        # Joint traced log-densities differentiate in-kernel too (the
+        # traced expression's grad is gather-free elementwise ops).
+        import warnings
+
+        rho = 0.6
+
+        def logp(x, y):
+            return -0.5 * (x * x - 2 * rho * x * y + y * y) / (
+                1 - rho * rho
+            )
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            r = kern.integrate_mcmc(
+                [lambda x, y: x * y],
+                logp,
+                HMC(step_size=0.35, n_leapfrog=9, init_range=(-2.0, 2.0)),
+                n_steps=2500,
+                n_chains=512,
+                n_burnin=300,
+                seed=29,
+            )
+        assert not any("XLA" in str(x.message) for x in w)
+        assert abs(r.values[0] - rho) < 0.08
+
+    def test_nd_product_adaptive_with_stderr(self, kern):
+        r = kern.integrate_mcmc(
+            [lambda x, y: x, lambda x, y: y * y],
+            [
+                Distribution.normal(0.0, 10.0),
+                Distribution.normal(0.0, 1.0),
+            ],
+            HMC(step_size=[2.0, 0.2], n_leapfrog=8, adapt=True),
+            n_steps=2000,
+            n_chains=512,
+            n_burnin=500,
+            seed=31,
+            return_stderr=True,
+        )
+        assert abs(r.values[0]) < 1.0
+        assert abs(r.values[1] - 1.0) < 0.15
+        assert r.stderr[1] > 0
+
+
+# ---------------------------------------------------------------------------
 # Multi-dimensional
 # ---------------------------------------------------------------------------
 
@@ -447,15 +615,21 @@ class TestValidation:
         s = repr(h)
         assert "HMC" in s and "n_leapfrog=12" in s
 
-    def test_pallas_request_warns_and_routes_xla(self):
+    def test_pallas_table_target_warns_and_routes_xla(self):
+        # In-kernel HMC needs a closed-form gradient; a CUSTOM table
+        # target (gather-VJP scatter Mosaic lacks) routes to XLA with a
+        # warning when the kernel was explicitly requested.
         import warnings
 
+        tab = Distribution.from_pdf(
+            lambda x: np.exp(-0.5 * x * x), support=(-6.0, 6.0)
+        )
         integ = MonteCarloIntegrator(backend="pallas")
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             r = integ.integrate_mcmc(
                 [lambda x: x],
-                Distribution.normal(0.0, 1.0),
+                tab,
                 HMC(step_size=0.5, n_leapfrog=5),
                 n_steps=400,
                 n_chains=256,

@@ -1934,7 +1934,7 @@ class MonteCarloIntegrator:
 
     def _nd_mcmc_pallas_eligible(
         self, prop_kinds, targ_kinds, target_fn, traced, total_chains,
-        d, return_stderr,
+        d, return_stderr, hmc_L: int = 0,
     ) -> bool:
         """nd MCMC kernel gate: analytic proposal dims (vacuous for a
         RandomWalk proposal, ``prop_kinds=()``), analytic-product or
@@ -1965,7 +1965,7 @@ class MonteCarloIntegrator:
             )
             and mcmc_nd_vmem_fits(
                 len(traced), d, rows, programs // n_dev,
-                with_stderr=return_stderr,
+                with_stderr=return_stderr, hmc=bool(hmc_L),
             )
         )
         if not ok and self._backend == "pallas":
@@ -1995,12 +1995,21 @@ class MonteCarloIntegrator:
 
         mesh = self._mesh
         random_walk = proposal_rw is not None
+        hmc_L = (
+            proposal_rw.n_leapfrog
+            if isinstance(proposal_rw, HMC)
+            else 0
+        )
         if random_walk:
             prop_kinds = ()
             prop_params_t = jnp.asarray(
                 proposal_rw.pack_params_nd(targets, d)
             )
-            prop_key = ("rw", proposal_rw.adapt)
+            prop_key = (
+                ("hmc", hmc_L, proposal_rw.adapt)
+                if hmc_L
+                else ("rw", proposal_rw.adapt)
+            )
         else:
             prop_kinds = tuple(s.kind for s in prop_specs)
             prop_params_t = tuple(
@@ -2047,6 +2056,7 @@ class MonteCarloIntegrator:
                     random_walk=random_walk,
                     rw_adapt=random_walk and proposal_rw.adapt,
                     rw_d=d if random_walk else 0,
+                    hmc_leapfrog=hmc_L,
                 ),
                 seed_batch,
                 param_batch=param_batch,
@@ -2127,11 +2137,15 @@ class MonteCarloIntegrator:
             not return_diagnostics
             and not return_samples
             and not want_state
-            and not isinstance(proposal, HMC)
             and self._use_pallas(DistKind.NORMAL)
             and self._nd_mcmc_pallas_eligible(
                 prop_kinds_early, targ_kinds_early, target_fn, traced,
                 total_chains, d, return_stderr,
+                hmc_L=(
+                    proposal.n_leapfrog
+                    if isinstance(proposal, HMC)
+                    else 0
+                ),
             )
         ):
             return self._run_mcmc_nd_pallas(
@@ -2426,10 +2440,14 @@ class MonteCarloIntegrator:
                 ensure_param_batch_family(kk, "target")
         kernel_ok = (
             self._use_pallas(DistKind.NORMAL)
-            and not isinstance(proposal, HMC)
             and self._nd_mcmc_pallas_eligible(
                 prop_kinds, targ_kinds, target_fn, traced,
                 total_chains, d, return_stderr,
+                hmc_L=(
+                    proposal.n_leapfrog
+                    if isinstance(proposal, HMC)
+                    else 0
+                ),
             )
         )
         if kernel_ok:
@@ -2894,8 +2912,12 @@ class MonteCarloIntegrator:
                 + " runs the XLA MCMC backend",
                 stacklevel=3,
             )
+        # In-kernel HMC needs the gradient traced from a closed form:
+        # table targets would need gather-VJP scatters Mosaic lacks.
         pallas_ok = (
-            not with_diagnostics and not with_samples and hmc_L == 0
+            not with_diagnostics
+            and not with_samples
+            and (hmc_L == 0 or targ_spec.kind != DistKind.CUSTOM)
         ) and self._mcmc_pallas_ok(
             traced, prop_spec, targ_spec,
             target_distribution, proposal_distribution,
@@ -2919,6 +2941,7 @@ class MonteCarloIntegrator:
                     target_distribution, proposal_distribution,
                 ),
                 with_stderr=with_stderr,
+                hmc=bool(hmc_L),
             )
         if pallas_ok and with_state:
             from .ops.mcmc_pallas import plan_state_chains
@@ -2953,7 +2976,11 @@ class MonteCarloIntegrator:
             key = (
                 "mcmc_pallas",
                 _fns_key(traced),
-                ("rw", rw_adapt) if random_walk else prop_spec.kind,
+                (
+                    (("hmc", hmc_L, rw_adapt) if hmc_L else ("rw", rw_adapt))
+                    if random_walk
+                    else prop_spec.kind
+                ),
                 targ_spec.kind,
                 n_steps,
                 n_burnin,
@@ -2987,6 +3014,7 @@ class MonteCarloIntegrator:
                         with_stderr=with_stderr,
                         random_walk=random_walk,
                         rw_adapt=rw_adapt,
+                        hmc_leapfrog=hmc_L,
                     ),
                     native_batch,
                     param_batch=param_batch,

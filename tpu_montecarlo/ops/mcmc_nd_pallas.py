@@ -91,6 +91,7 @@ def mcmc_nd_vmem_fits(
     local_programs: int,
     budget_bytes: int = 16 * 1024 * 1024,
     with_stderr: bool = False,
+    hmc: bool = False,
 ) -> bool:
     """Conservative VMEM estimate, same model as the 1-D gate
     (mcmc_pallas.mcmc_vmem_fits): d carried state blocks + (log_p,
@@ -100,6 +101,8 @@ def mcmc_nd_vmem_fits(
     blocks = 2 * d + k + 6
     if with_stderr:
         blocks += 1  # end-of-kernel chain-means temporary
+    if hmc:
+        blocks += 3 * d  # leapfrog (position, momentum, gradient) tuples
     est = 2 * blocks * rows * LANES * 4
     if with_stderr:
         est += 2 * 8 * LANES * 4  # double-buffered per-step stat blocks
@@ -125,6 +128,7 @@ def build_mcmc_nd_pallas(
     random_walk: bool = False,
     rw_adapt: bool = False,
     rw_d: int = 0,
+    hmc_leapfrog: int = 0,
 ):
     """Build a jitted nd MH kernel program.
 
@@ -164,6 +168,15 @@ def build_mcmc_nd_pallas(
     the whole step vector, Robbins-Monro-updated toward
     ``target_accept`` through burn-in and frozen for sampling (the 1-D
     kernel's update, ops/mcmc_pallas.py).
+
+    ``hmc_leapfrog=L`` (with ``random_walk=True``; distributions.HMC):
+    nd Hamiltonian Monte Carlo fully IN-KERNEL — per-chain d-vector
+    momenta, L kick-drift-kick leapfrog steps with per-dimension steps
+    as a diagonal mass matrix, exact Metropolis energy correction.  The
+    position gradient is ``jax.grad`` of the summed log-density traced
+    into the kernel — closed forms for analytic product targets AND
+    traced joint log-density fns (both gather-free elementwise Mosaic
+    ops); table targets route to the XLA sweep at the call site.
     """
     if (targ_kinds is None) == (target_logpdf_fn is None):
         raise ValueError(
@@ -197,6 +210,14 @@ def build_mcmc_nd_pallas(
     if target_logpdf_fn is not None:
         target_logpdf_fn = kernelize(target_logpdf_fn)
 
+    # HMC inlines L leapfrog grad evals per MH step; dividing the step
+    # unroll by L keeps the kernel body at the plain walk's scale
+    # (the 1-D kernel's convention).
+    unroll_steps = (
+        max(1, UNROLL_STEPS // hmc_leapfrog)
+        if hmc_leapfrog
+        else UNROLL_STEPS
+    )
     n_dev = 1 if mesh is None else mesh.size
     programs, rows, chains_actual = plan_mcmc_grid(total_chains)
     programs = -(-programs // n_dev) * n_dev
@@ -315,30 +336,89 @@ def build_mcmc_nd_pallas(
             from ..sampling import normal_from_u01
             from .mcmc_pallas import _RW_LS_MAX, _RW_LS_MIN
 
-            def rw_move(i, xs, logp, scale):
-                # Symmetric per-dimension Gaussian steps (dimension j
-                # draws under tag j); the q terms cancel.
-                xp = tuple(
-                    x_j
-                    + scale
-                    * rw_steps[j]
-                    * normal_from_u01(
-                        _uniform_halfopen01(
-                            rng, (rows, LANES), 3 * i + 1, j
+            if hmc_leapfrog:
+                # Elementwise gradient tuple of the summed log-density
+                # (closed forms or the traced joint fn — both trace to
+                # gather-free elementwise Mosaic ops).
+                grad_lp = jax.grad(lambda xv: jnp.sum(lp_t(xv)))
+
+                def rw_move(i, xs, logp, scale):
+                    # nd leapfrog: fresh d-vector momenta (dimension j
+                    # draws under tag j, the walk's stream layout),
+                    # per-dimension steps as a diagonal mass matrix,
+                    # exact energy-corrected accept.
+                    z = tuple(
+                        normal_from_u01(
+                            _uniform_halfopen01(
+                                rng, (rows, LANES), 3 * i + 1, j
+                            )
                         )
+                        for j in range(d)
                     )
-                    for j, x_j in enumerate(xs)
-                )
-                logp_prop = lp_t(xp)
-                log_alpha = logp_prop - logp
-                u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
-                accept = jnp.log(u) < log_alpha
-                xs = tuple(
-                    jnp.where(accept, xp_j, x_j)
-                    for xp_j, x_j in zip(xp, xs)
-                )
-                logp = jnp.where(accept, logp_prop, logp)
-                return xs, logp, accept, log_alpha
+                    eps = [scale * rw_steps[j] for j in range(d)]
+                    xq, p, g = xs, z, grad_lp(xs)
+                    for _ in range(hmc_leapfrog):
+                        p = tuple(
+                            p[j] + 0.5 * eps[j] * g[j] for j in range(d)
+                        )
+                        xq = tuple(
+                            xq[j] + eps[j] * p[j] for j in range(d)
+                        )
+                        g = grad_lp(xq)
+                        p = tuple(
+                            p[j] + 0.5 * eps[j] * g[j] for j in range(d)
+                        )
+                    logp_prop = lp_t(xq)
+                    kin0 = z[0] * z[0]
+                    kinf = p[0] * p[0]
+                    for j in range(1, d):
+                        kin0 = kin0 + z[j] * z[j]
+                        kinf = kinf + p[j] * p[j]
+                    log_alpha = (logp_prop - 0.5 * kinf) - (
+                        logp - 0.5 * kin0
+                    )
+                    # Diverged trajectories reject rather than NaN-poison
+                    # the adaptation (NaN != NaN).
+                    log_alpha = jnp.where(
+                        log_alpha != log_alpha,
+                        jnp.float32(-3.0e38),
+                        log_alpha,
+                    )
+                    u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
+                    accept = jnp.log(u) < log_alpha
+                    xs = tuple(
+                        jnp.where(accept, xq_j, x_j)
+                        for xq_j, x_j in zip(xq, xs)
+                    )
+                    logp = jnp.where(accept, logp_prop, logp)
+                    return xs, logp, accept, log_alpha
+
+            else:
+
+                def rw_move(i, xs, logp, scale):
+                    # Symmetric per-dimension Gaussian steps (dimension j
+                    # draws under tag j); the q terms cancel.
+                    xp = tuple(
+                        x_j
+                        + scale
+                        * rw_steps[j]
+                        * normal_from_u01(
+                            _uniform_halfopen01(
+                                rng, (rows, LANES), 3 * i + 1, j
+                            )
+                        )
+                        for j, x_j in enumerate(xs)
+                    )
+                    logp_prop = lp_t(xp)
+                    log_alpha = logp_prop - logp
+                    u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
+                    accept = jnp.log(u) < log_alpha
+                    xs = tuple(
+                        jnp.where(accept, xp_j, x_j)
+                        for xp_j, x_j in zip(xp, xs)
+                    )
+                    logp = jnp.where(accept, logp_prop, logp)
+                    return xs, logp, accept, log_alpha
 
             if rw_adapt:
                 # ONE per-chain log-scale multiplying the whole step
@@ -364,7 +444,7 @@ def build_mcmc_nd_pallas(
 
                 xs0, logp0, ls_f = _unrolled_fori(
                     0, n_burnin, burn_body,
-                    (xs0, logp0, zero_block), UNROLL_STEPS,
+                    (xs0, logp0, zero_block), unroll_steps,
                 )
                 scale_fin = jnp.exp(ls_f)
             else:
@@ -375,7 +455,7 @@ def build_mcmc_nd_pallas(
                     return (xs, logp)
 
                 xs0, logp0 = _unrolled_fori(
-                    0, n_burnin, burn_body, (xs0, logp0), UNROLL_STEPS
+                    0, n_burnin, burn_body, (xs0, logp0), unroll_steps
                 )
                 scale_fin = 1.0
 
@@ -388,7 +468,7 @@ def build_mcmc_nd_pallas(
 
             _, _, accs, n_acc = _unrolled_fori(
                 n_burnin, n_iters, body,
-                (xs0, logp0, zero_accs, zero_block), UNROLL_STEPS,
+                (xs0, logp0, zero_accs, zero_block), unroll_steps,
             )
         else:
 

@@ -89,6 +89,7 @@ def mcmc_vmem_fits(
     table_bytes: int = 0,
     budget_bytes: int = 16 * 1024 * 1024,
     with_stderr: bool = False,
+    hmc: bool = False,
 ) -> bool:
     """Conservative VMEM estimate for the MH kernel (same model as
     integrate_vmem_fits): carried chain state (x, log_p, log_q, accept
@@ -103,6 +104,8 @@ def mcmc_vmem_fits(
     blocks = k + 8  # x/logp/logq/n_acc carried + xp/logp'/logq'/u temps
     if with_stderr:
         blocks += 1  # end-of-kernel chain-means temporary
+    if hmc:
+        blocks += 3  # leapfrog (position, momentum, gradient) temps
     est = 2 * blocks * rows * LANES * 4
     if with_stderr:
         # stderr stats leave through per-grid-step index-mapped (8,
@@ -252,6 +255,7 @@ def build_mcmc_fn_pallas(
     with_stderr: bool = False,
     random_walk: bool = False,
     rw_adapt: bool = False,
+    hmc_leapfrog: int = 0,
 ):
     """Build a jitted MH program.
 
@@ -307,6 +311,17 @@ def build_mcmc_fn_pallas(
     (``gamma_i = i^-0.6``, computed vectorially — Mosaic has no scalar
     int->float casts) and freezing it for the sampling phase.
 
+    ``hmc_leapfrog=L`` (with ``random_walk=True``; distributions.HMC):
+    the step becomes an L-step leapfrog trajectory through
+    ``H(x, p) = -log p(x) + p^2/2`` with the exact Metropolis energy
+    correction — Hamiltonian Monte Carlo fully IN-KERNEL.  The position
+    gradient is ``jax.grad`` of the closed-form analytic log-density,
+    traced at kernel-build time into elementwise Mosaic ops (gather-free,
+    so ANALYTIC targets only — the caller gates CUSTOM tables to the XLA
+    backend).  Stream structure per iteration is the random walk's (one
+    uniform block feeds the momentum via ``normal_from_u01``, one the
+    accept test); step adaptation reuses the ``rw_adapt`` machinery.
+
     ``with_stderr=True`` (stateless, unbatched): the program returns
     ``(values, acceptance, stderrs)`` with stderr from the BETWEEN-CHAIN
     variance of per-chain means.  Accumulators are pilot-shifted (pilot =
@@ -349,6 +364,12 @@ def build_mcmc_fn_pallas(
     k = len(eval_fns)
     if k >= LANES:
         raise ValueError(f"at most {LANES - 1} fused functions supported")
+    if hmc_leapfrog and not random_walk:
+        raise ValueError("hmc_leapfrog requires random_walk=True")
+    if hmc_leapfrog and target_kind == DistKind.CUSTOM:
+        # The gradient of a table lerp needs gathers whose VJP is a
+        # scatter Mosaic has no lowering for; table targets take XLA.
+        raise ValueError("in-kernel HMC supports analytic targets only")
     if random_walk:
         if not mcmc_pallas_supports(target_kind, target_kind):
             raise ValueError(
@@ -365,6 +386,14 @@ def build_mcmc_fn_pallas(
     prop_custom = (not random_walk) and proposal_kind == DistKind.CUSTOM
     targ_custom = target_kind == DistKind.CUSTOM
 
+    # HMC inlines L leapfrog grad evals per MH step; dividing the step
+    # unroll by L keeps the inlined kernel body (and its scoped-VMEM
+    # temporaries) at the plain walk's scale.
+    unroll_steps = (
+        max(1, UNROLL_STEPS // hmc_leapfrog)
+        if hmc_leapfrog
+        else UNROLL_STEPS
+    )
     n_dev = 1 if mesh is None else mesh.size
     programs, rows, chains_actual = plan_mcmc_grid(total_chains)
     programs = -(-programs // n_dev) * n_dev
@@ -478,19 +507,64 @@ def build_mcmc_fn_pallas(
         if random_walk:
             from ..sampling import normal_from_u01
 
-            def rw_move(i, x, logp, step_sz):
-                # Symmetric Gaussian step: the q terms cancel from the
-                # acceptance ratio.  Same two uniform blocks per
-                # iteration as the independence kernel.
-                u = _uniform_halfopen01(rng, (rows, LANES), 3 * i + 1, 0)
-                xp = x + step_sz * normal_from_u01(u)
-                logp_prop = lp_t(xp)
-                log_alpha = logp_prop - logp
-                u2 = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
-                accept = jnp.log(u2) < log_alpha
-                x = jnp.where(accept, xp, x)
-                logp = jnp.where(accept, logp_prop, logp)
-                return x, logp, accept, log_alpha
+            if hmc_leapfrog:
+                # Elementwise gradient of the closed-form log-density:
+                # jax.grad of the block sum traces to pure elementwise
+                # Mosaic ops (the cotangent is a broadcast 1).
+                grad_lp = jax.grad(lambda v: jnp.sum(lp_t(v)))
+
+                def rw_move(i, x, logp, step_sz):
+                    # L kick-drift-kick leapfrog steps from a fresh
+                    # momentum, then the exact energy-corrected accept.
+                    # Same two blocks per iteration as the plain walk.
+                    u = _uniform_halfopen01(
+                        rng, (rows, LANES), 3 * i + 1, 0
+                    )
+                    p0 = normal_from_u01(u)
+                    xq, p, g = x, p0, grad_lp(x)
+                    for _ in range(hmc_leapfrog):
+                        p = p + 0.5 * step_sz * g
+                        xq = xq + step_sz * p
+                        g = grad_lp(xq)
+                        p = p + 0.5 * step_sz * g
+                    logp_prop = lp_t(xq)
+                    log_alpha = (logp_prop - 0.5 * p * p) - (
+                        logp - 0.5 * p0 * p0
+                    )
+                    # Diverged trajectories (f32 inf - inf) must reject,
+                    # not NaN-poison the adaptation (NaN != NaN).
+                    log_alpha = jnp.where(
+                        log_alpha != log_alpha,
+                        jnp.float32(-3.0e38),
+                        log_alpha,
+                    )
+                    u2 = _uniform_open01(
+                        rng, (rows, LANES), 3 * i + 2, 0
+                    )
+                    accept = jnp.log(u2) < log_alpha
+                    x = jnp.where(accept, xq, x)
+                    logp = jnp.where(accept, logp_prop, logp)
+                    return x, logp, accept, log_alpha
+
+            else:
+
+                def rw_move(i, x, logp, step_sz):
+                    # Symmetric Gaussian step: the q terms cancel from
+                    # the acceptance ratio.  Same two uniform blocks per
+                    # iteration as the independence kernel.
+                    u = _uniform_halfopen01(
+                        rng, (rows, LANES), 3 * i + 1, 0
+                    )
+                    xp = x + step_sz * normal_from_u01(u)
+                    logp_prop = lp_t(xp)
+                    log_alpha = logp_prop - logp
+                    u2 = _uniform_open01(
+                        rng, (rows, LANES), 3 * i + 2, 0
+                    )
+                    accept = jnp.log(u2) < log_alpha
+                    x = jnp.where(accept, xp, x)
+                    logp = jnp.where(accept, logp_prop, logp)
+                    return x, logp, accept, log_alpha
 
             rw_step = q1  # (4,) row slot 0
             if rw_adapt:
@@ -518,7 +592,7 @@ def build_mcmc_fn_pallas(
                     return (x, logp, ls)
 
                 x0, logp0, ls_f = _unrolled_fori(
-                    0, n_burnin, burn_body, (x0, logp0, ls0), UNROLL_STEPS
+                    0, n_burnin, burn_body, (x0, logp0, ls0), unroll_steps
                 )
                 step_fin = jnp.exp(ls_f)
             else:
@@ -529,7 +603,7 @@ def build_mcmc_fn_pallas(
                     return (x, logp)
 
                 x0, logp0 = _unrolled_fori(
-                    0, n_burnin, burn_body, (x0, logp0), UNROLL_STEPS
+                    0, n_burnin, burn_body, (x0, logp0), unroll_steps
                 )
                 step_fin = rw_step
 
@@ -545,7 +619,7 @@ def build_mcmc_fn_pallas(
                 n_iters,
                 body,
                 (x0, logp0, zero_accs, zero_block),
-                UNROLL_STEPS,
+                unroll_steps,
             )
         else:
 
