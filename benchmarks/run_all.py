@@ -407,6 +407,43 @@ def main():
     emit("c10b_rw_nd_joint_4096", "chain_steps_per_sec", csps,
          "steps/s", est)
 
+    # Config 11 (round 3 cont.): in-kernel HMC.  Each MH step inlines
+    # L leapfrog (gradient, position, momentum) updates, so steps/s is
+    # expected ~L-fold under the random walk's — the quantity to watch
+    # is GRADIENT evals/s = steps/s * L, which should approach c10's
+    # step rate.  c11: 1-D adaptive leapfrog on N(0,1); c11b: 2-D
+    # correlated joint target, gradient traced from the expression.
+    from tpu_montecarlo import HMC
+
+    L11 = 8
+    prog = integrator.compile_mcmc(
+        [lambda x: x * x],
+        Distribution.normal(0.0, 1.0),
+        HMC(step_size=0.9, n_leapfrog=L11, adapt=True),
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+        seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c11_hmc_adapt_4096_L8", "chain_steps_per_sec", csps,
+         "steps/s", est)
+    emit("c11_hmc_grad_evals", "grad_evals_per_sec", csps * L11,
+         "evals/s", est)
+
+    prog = integrator.compile_mcmc(
+        [lambda x, y: x * y],
+        lambda x, y: -c9c * (x * x - 2.0 * rho9 * x * y + y * y),
+        HMC(step_size=0.4, n_leapfrog=L11, init_range=(-4.0, 4.0)),
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+        seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c11b_hmc_nd_joint_4096_L8", "chain_steps_per_sec", csps,
+         "steps/s", est)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)

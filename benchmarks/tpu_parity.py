@@ -1003,6 +1003,57 @@ def main() -> int:
                 "param-batched random-walk sweep (adaptive + fixed "
                 "rows) bit-equal to unbatched calls")
 
+    # Hamiltonian Monte Carlo in-kernel: leapfrog + exact Metropolis
+    # energy correction.  Analytic target moments, burn-in step
+    # adaptation toward the 0.8 HMC optimum, a 2-D correlated joint
+    # target (gradient traced from the density expression), and
+    # kernel-vs-XLA statistical agreement.
+    rh = mc.integrate_mcmc(
+        [lambda x: x, lambda x: x * x],
+        mc.Distribution.normal(3.0, 2.0),
+        mc.HMC(step_size=0.4, n_leapfrog=8),
+        n_steps=3000, n_chains=2048, n_burnin=400, seed=42,
+    )
+    ok &= check("hmc_normal_moments",
+                list(rh.values) + [rh.acceptance_rate > 0.6],
+                [3.0, 13.0, 1.0], [0.1, 0.5, 1e-9],
+                "in-kernel leapfrog HMC: N(3,2) moments, healthy "
+                "acceptance")
+    rha = mc.integrate_mcmc(
+        [lambda x: x],
+        mc.Distribution.normal(0.0, 1.0),
+        mc.HMC(step_size=2.5, n_leapfrog=5, adapt=True),
+        n_steps=3000, n_chains=2048, n_burnin=1000, seed=42,
+    )
+    ok &= check("hmc_adapt_acceptance",
+                [rha.values[0], rha.acceptance_rate], [0.0, 0.8],
+                [0.1, 0.08],
+                "Robbins-Monro leapfrog-step adaptation reaches the "
+                "0.8 HMC target from a 5x-off step")
+    rho_h = 0.6
+    c_h = 1.0 / (2.0 * (1.0 - rho_h * rho_h))
+    rhn = mc.integrate_mcmc(
+        [lambda x, y: x * y],
+        lambda x, y: -c_h * (x * x - 2.0 * rho_h * x * y + y * y),
+        mc.HMC(step_size=0.5, n_leapfrog=6, init_range=(-3.0, 3.0)),
+        n_steps=3000, n_chains=2048, n_burnin=400, seed=42,
+    )
+    ok &= check("hmc_nd_joint_corr", rhn.values, [rho_h], 0.06,
+                "2-D in-kernel HMC on a correlated joint log-density: "
+                "E[XY] = rho (gradient traced from the expression)")
+    rhx = mc.MonteCarloIntegrator(backend="xla").integrate_mcmc(
+        [lambda x: x, lambda x: x * x],
+        mc.Distribution.normal(3.0, 2.0),
+        mc.HMC(step_size=0.4, n_leapfrog=8),
+        n_steps=3000, n_chains=2048, n_burnin=400, seed=42,
+    )
+    ok &= check("hmc_kernel_vs_xla",
+                [rh.values[0] - rhx.values[0],
+                 rh.values[1] - rhx.values[1]], [0.0, 0.0],
+                [0.1, 0.5],
+                "kernel and XLA HMC agree statistically "
+                "(different RNG streams)")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",

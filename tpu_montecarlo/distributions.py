@@ -769,10 +769,14 @@ class HMC(RandomWalk):
     neighbourhood (0.65 asymptotic, 0.8 the robust practical choice).
     ``init_range`` places the chains as for :class:`RandomWalk`.
 
-    Runs on the XLA backend (autodiff).  Targets whose log-density has
-    zero gradient almost everywhere (e.g. piecewise-constant traced
-    expressions) reduce HMC to an isotropic random walk of scale
-    ``step_size * n_leapfrog`` — prefer :class:`RandomWalk` there.
+    Analytic-family and traced joint/WGSL targets run the full leapfrog
+    trajectory INSIDE the Pallas MCMC kernels (the gradient is traced
+    symbolically into the kernel body); table (``from_pdf``/custom)
+    targets route the XLA backend, where autodiff differentiates the
+    interpolant.  Targets whose log-density has zero gradient almost
+    everywhere (e.g. piecewise-constant traced expressions) reduce HMC
+    to an isotropic random walk of scale ``step_size * n_leapfrog`` —
+    prefer :class:`RandomWalk` there.
 
     Pick the trajectory length ``step_size * n_leapfrog`` away from the
     target's oscillation period: on a Gaussian of scale sigma a
