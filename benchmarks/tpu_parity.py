@@ -1054,6 +1054,36 @@ def main() -> int:
                 "kernel and XLA HMC agree statistically "
                 "(different RNG streams)")
 
+    # Parallel tempering: the multimodal escape itself, on-chip.  A
+    # step-0.5 walk initialised in the right-hand basin of
+    # 0.5 N(-4,1) + 0.5 N(4,1) is provably trapped there (the ~8-sigma
+    # barrier); the tempered ladder recovers both global moments.
+    def _pt_logmix(x):
+        return math.log(
+            math.exp(-0.5 * (x + 4.0) ** 2)
+            + math.exp(-0.5 * (x - 4.0) ** 2)
+        )
+
+    r_trap = mc.integrate_mcmc(
+        [lambda x: x], _pt_logmix,
+        mc.RandomWalk(step_size=0.5, init_range=(3.0, 5.0)),
+        n_steps=2000, n_chains=1024, n_burnin=500, seed=42,
+    )
+    r_temp = mc.integrate_mcmc(
+        [lambda x: x, lambda x: x * x], _pt_logmix,
+        mc.RandomWalk(step_size=0.5, adapt=True,
+                      init_range=(3.0, 5.0)),
+        n_steps=2000, n_chains=1024, n_burnin=500, seed=42,
+        temperatures=[1.0, 2.0, 4.0, 8.0, 16.0],
+    )
+    ok &= check("tempering_multimodal_escape",
+                [float(r_trap.values[0] > 3.0), r_temp.values[0],
+                 r_temp.values[1],
+                 float(0.0 < r_temp.diagnostics["swap_rate"] <= 1.0)],
+                [1.0, 0.0, 17.0, 1.0], [1e-9, 0.4, 0.8, 1e-9],
+                "plain walk trapped at the right mode; replica "
+                "exchange recovers E[X]=0, E[X^2]=17")
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY_TPU.json",
