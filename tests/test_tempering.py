@@ -205,6 +205,31 @@ class TestTemperedComposition:
         assert pt.diagnostics["r_hat"][0] < 1.1
         assert pt.diagnostics["ess"][0] > 100.0
 
+    def test_samples_visit_both_modes(self, integ):
+        # Thinned cold-rung draws must cover BOTH mixture components —
+        # the raw-sample witness of the multimodal escape.
+        pt = integ.integrate_mcmc(
+            [lambda x: x], logmix,
+            RandomWalk(step_size=0.5, adapt=True, init_range=(3.0, 5.0)),
+            n_steps=2000, n_chains=512, n_burnin=500, seed=15,
+            temperatures=LADDER, return_samples=20,
+        )
+        s = np.asarray(pt.samples)
+        assert s.shape == (20, 512, 1)  # joint-fn target keeps d
+        frac_left = float(np.mean(s < 0.0))
+        assert 0.3 < frac_left < 0.7
+
+    def test_samples_shape_1d_distribution_target(self, integ):
+        pt = integ.integrate_mcmc(
+            [lambda x: x], Distribution.normal(2.0, 1.0),
+            RandomWalk(step_size=1.5),
+            n_steps=400, n_chains=256, n_burnin=100, seed=16,
+            temperatures=[1.0, 4.0], return_samples=8,
+        )
+        s = np.asarray(pt.samples)
+        assert s.shape == (8, 256)
+        assert abs(s.mean() - 2.0) < 0.3
+
     def test_program_cache_reuse_across_steps(self, integ):
         # Walk rows are runtime args: two step sizes reuse one program.
         kw = dict(
@@ -268,13 +293,13 @@ class TestTemperedValidation:
                 temperatures=[1.0, 2.0], return_state=True,
             )
 
-    def test_no_samples(self, integ):
+    def test_bad_samples_count(self, integ):
         with pytest.raises(ValueError, match="return_samples"):
             integ.integrate_mcmc(
                 [lambda x: x], Distribution.normal(0.0, 1.0),
                 RandomWalk(step_size=1.0),
                 n_steps=100, n_chains=64, n_burnin=10,
-                temperatures=[1.0, 2.0], return_samples=10,
+                temperatures=[1.0, 2.0], return_samples=101,
             )
 
     def test_joint_target_needs_init_range(self, integ):

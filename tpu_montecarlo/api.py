@@ -2424,9 +2424,10 @@ class MonteCarloIntegrator:
                 "temperatures applies to stateless MCMC runs only "
                 "(the ladder state is not checkpointed)"
             )
-        if return_samples:
+        if return_samples and not 1 <= int(return_samples) <= n_steps:
             raise ValueError(
-                "return_samples is not supported with temperatures"
+                f"return_samples must be in [1, n_steps={n_steps}], "
+                f"got {return_samples}"
             )
         if return_diagnostics and n_steps < 4:
             raise ValueError("return_diagnostics needs n_steps >= 4")
@@ -2449,12 +2450,13 @@ class MonteCarloIntegrator:
         run, dev_args = self._pt_mcmc_program(
             traced, targets, target_fn, betas, proposal, d,
             n_steps, n_burnin, total_chains, return_stderr,
-            return_diagnostics,
+            return_diagnostics, with_samples=int(return_samples or 0),
         )
         out = run(np.uint32(seed), *dev_args)
         values, acc_rate, swap_rate = out[0], out[1], out[2]
         idx = 3
         stderr = None
+        samples = None
         # Tempered runs always surface the swap rate — THE ladder-tuning
         # diagnostic (~0: rungs don't overlap, add rungs; ~1: rungs
         # redundant, spread them).
@@ -2465,6 +2467,15 @@ class MonteCarloIntegrator:
         if return_diagnostics:
             diagnostics["r_hat"] = np.array(out[idx], dtype=np.float64)
             diagnostics["ess"] = np.array(out[idx + 1], dtype=np.float64)
+            idx += 2
+        if return_samples:
+            # Builder buffer is (m, d, total_chains); surface the
+            # family's conventions — (m, n_chains) for a 1-D
+            # Distribution target, (m, n_chains, d) otherwise.
+            arr = np.transpose(np.asarray(out[idx]), (0, 2, 1))
+            samples = (
+                arr[:, :, 0] if (d == 1 and target_fn is None) else arr
+            )
         return IntegrationResult(
             values=values,
             n_samples=n_chains * n_steps,
@@ -2472,12 +2483,13 @@ class MonteCarloIntegrator:
             acceptance_rate=float(acc_rate),
             stderr=stderr,
             diagnostics=diagnostics,
+            samples=samples,
         )
 
     def _pt_mcmc_program(
         self, traced, targets, target_fn, betas, proposal_rw, d,
         n_steps, n_burnin, total_chains, return_stderr,
-        with_diagnostics,
+        with_diagnostics, with_samples: int = 0,
     ):
         """Cached parallel-tempering program + its device args.  The
         walk rows ride as runtime args (a step-size change re-uses the
@@ -2543,6 +2555,7 @@ class MonteCarloIntegrator:
             _mesh_key(mesh),
             return_stderr,
             with_diagnostics,
+            with_samples,
         )
         run = self._cache.get_or_build(
             key,
@@ -2554,6 +2567,7 @@ class MonteCarloIntegrator:
                 with_diagnostics=with_diagnostics,
                 rw_adapt=proposal_rw.adapt,
                 hmc_leapfrog=hmc_L,
+                with_samples=with_samples,
             ),
         )
         dev_args = (prop_params_t, targ_params_t, targ_lx_t, targ_lp_t)
@@ -2687,8 +2701,9 @@ class MonteCarloIntegrator:
         always carry ``result.diagnostics["swap_rate"]`` (accepted /
         attempted exchanges — ~0 means the ladder's rungs don't
         overlap, near 1 means rungs are redundant; healthy is roughly
-        0.2-0.6).  Composes with ``return_stderr`` and
-        ``return_diagnostics``; stateless runs only; XLA backend.
+        0.2-0.6).  Composes with ``return_stderr``,
+        ``return_diagnostics`` and ``return_samples`` (cold-rung
+        draws); stateless runs only; XLA backend.
 
         ``return_samples=m`` (stateless runs, ``1 <= m <= n_steps``):
         ``result.samples`` holds (m, n_chains) float32 thinned

@@ -100,6 +100,7 @@ def build_pt_mcmc_fn(
     rw_adapt: bool = False,
     hmc_leapfrog: int = 0,
     swap_every: int = 1,
+    with_samples: int = 0,
 ):
     """Build a jitted parallel-tempering MH program.
 
@@ -127,6 +128,11 @@ def build_pt_mcmc_fn(
     whole run — the ladder-tuning diagnostic (healthy ladders sit
     around 0.2-0.6; ~0 means the rungs don't overlap, ~1 means wasted
     rungs).
+
+    ``with_samples=m``: additionally returns an (m, d, total_chains)
+    float32 buffer of thinned post-burn-in COLD-RUNG draws (every
+    ``n_steps // m`` sampling steps, the nd builder's convention,
+    ops/mcmc_nd.py) — appended last, sharded over chains on a mesh.
     """
     if (targ_kinds is None) == (target_logpdf_fn is None):
         raise ValueError(
@@ -160,6 +166,12 @@ def build_pt_mcmc_fn(
     n_iters = n_burnin + n_steps
     if with_diagnostics and n_steps < 4:
         raise ValueError("with_diagnostics needs n_steps >= 4")
+    if with_samples and not 1 <= int(with_samples) <= n_steps:
+        raise ValueError(
+            f"with_samples must be in [1, n_steps={n_steps}], got "
+            f"{with_samples}"
+        )
+    sample_stride = n_steps // with_samples if with_samples else 0
     if target_logpdf_fn is not None:
         v_target = jax.vmap(target_logpdf_fn)
 
@@ -220,6 +232,8 @@ def build_pt_mcmc_fn(
         n1 = n_steps // 2  # split-half length (odd last step excluded)
 
         def step(carry, i):
+            if with_samples:
+                carry, buf = carry[:-1], carry[-1]
             if with_diagnostics:
                 xs, logp, lsc, acc, n_accept, sw_acc, halves = carry
             else:
@@ -354,6 +368,25 @@ def build_pt_mcmc_fn(
                 jnp.sum(accept[:local_chains].astype(jnp.float32)),
                 0.0,
             )
+            if with_samples:
+                # Thinned post-swap cold-rung draw at sampling steps
+                # n_burnin + j*stride (ops/mcmc_nd.py's convention).
+                j = (i - jnp.int32(n_burnin)) // jnp.int32(sample_stride)
+                on_grid = (
+                    i - jnp.int32(n_burnin)
+                ) % jnp.int32(sample_stride) == 0
+                hit = jnp.logical_and(
+                    i >= n_burnin,
+                    jnp.logical_and(on_grid, j < with_samples),
+                )
+                pos = jnp.clip(j, 0, with_samples - 1)
+                cur = jax.lax.dynamic_index_in_dim(
+                    buf, pos, 0, keepdims=False
+                )
+                buf = jax.lax.dynamic_update_index_in_dim(
+                    buf, jnp.where(hit, jnp.stack(cold), cur), pos, 0
+                )
+            samp = (buf,) if with_samples else ()
             if with_diagnostics:
                 acc1, sq1, acc2, sq2 = halves
                 h1 = jnp.logical_and(i >= n_burnin, i < n_burnin + n1)
@@ -367,8 +400,8 @@ def build_pt_mcmc_fn(
                 return (
                     xs, logp, lsc, acc, n_accept, sw_acc,
                     (acc1, sq1, acc2, sq2),
-                ), None
-            return (xs, logp, lsc, acc, n_accept, sw_acc), None
+                ) + samp, None
+            return (xs, logp, lsc, acc, n_accept, sw_acc) + samp, None
 
         zk = lambda: jnp.zeros((k, local_chains), jnp.float32)  # noqa: E731
         init = (
@@ -377,9 +410,16 @@ def build_pt_mcmc_fn(
         )
         if with_diagnostics:
             init = init + ((zk(), zk(), zk(), zk()),)
+        if with_samples:
+            init = init + (
+                jnp.zeros((with_samples, d, local_chains), jnp.float32),
+            )
         carry, _ = jax.lax.scan(
             step, init, jnp.arange(n_iters, dtype=jnp.int32)
         )
+        samples_buf = ()
+        if with_samples:
+            carry, samples_buf = carry[:-1], (carry[-1],)
         if with_diagnostics:
             _, _, _, acc, n_accept, sw_acc, halves = carry
         else:
@@ -408,8 +448,12 @@ def build_pt_mcmc_fn(
                 jnp.sum(chain_means, axis=1)
                 + jnp.float32(local_chains) * pilot
             )
-            return (sums, n_accept, sw_acc, ss, mb_s + pilot) + diag
-        return (jnp.sum(chain_means, axis=1), n_accept, sw_acc) + diag
+            return (
+                sums, n_accept, sw_acc, ss, mb_s + pilot
+            ) + diag + samples_buf
+        return (
+            jnp.sum(chain_means, axis=1), n_accept, sw_acc
+        ) + diag + samples_buf
 
     denom_vals = jnp.float32(total_chains)
     denom_acc = jnp.float32(total_chains) * jnp.float32(max(n_steps, 1))
@@ -443,7 +487,10 @@ def build_pt_mcmc_fn(
                 res = res + (_stderr_of(out[3]),)
             if with_diagnostics:
                 w_sum, _, ss_d = out[pos]
+                pos += 1
                 res = res + _rhat_of(w_sum, ss_d)
+            if with_samples:
+                res = res + (out[pos],)  # (m, d, total_chains) draws
             return res
 
         return run
@@ -469,6 +516,7 @@ def build_pt_mcmc_fn(
         pos = 5 if with_stderr else 3
         if with_diagnostics:
             w_sum, mb_d, ss_d = out[pos]
+            pos += 1
             n_loc = jnp.float32(2 * local_chains)
             m_seq = jax.lax.psum(n_loc * mb_d, axis_name) / m_total
             ss_tot = jax.lax.psum(
@@ -476,6 +524,8 @@ def build_pt_mcmc_fn(
             )
             w_tot = jax.lax.psum(w_sum, axis_name)
             res = res + _rhat_of(w_tot, ss_tot)
+        if with_samples:
+            res = res + (out[pos],)  # (m, d, local) -> sharded chains
         return res
 
     dim_rep = (replicated,) * d
@@ -487,6 +537,9 @@ def build_pt_mcmc_fn(
         out_specs = out_specs + (replicated,)
     if with_diagnostics:
         out_specs = out_specs + (replicated, replicated)
+    if with_samples:
+        # (m, d, total_chains): thinned cold-rung draws over chains.
+        out_specs = out_specs + (P(None, None, axis_name),)
 
     shard_mapped = jax.shard_map(
         sharded_body,
