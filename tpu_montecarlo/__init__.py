@@ -30,6 +30,7 @@ from .api import (
     pack_random_walk_batch,
     pack_random_walk_batch_nd,
 )
+from .adaptive import adapt_proposal
 from .distributions import Distribution, DistributionType, HMC, RandomWalk
 from .tracing import TraceError, is_traceable, trace_function
 from .wgsl_frontend import WgslError, trace_wgsl_function
@@ -50,6 +51,7 @@ __all__ = [
     "HMC",
     "IntegrationResult",
     "McmcState",
+    "adapt_proposal",
     "expectation_fn",
     "integrate",
     "integrate_importance_sampling",
