@@ -333,6 +333,10 @@ class MonteCarloIntegrator:
                 getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
             )
             and _block_traceable(traced)
+            # Heavy-tailed customs: the kernel's uniform-u stratified
+            # tables share the resampled inverse's tail-moment bias, so
+            # they must take the XLA searchsorted sampler.
+            and not spec.heavy_tail
             and (
                 spec.kind != DistKind.CUSTOM
                 # Zero-density-span (exact_inverse) customs sample through
@@ -3035,7 +3039,7 @@ class MonteCarloIntegrator:
             ok = (
                 _proposal_kernel_log_tables(proposal_distribution)
                 is not None
-            ) and (
+            ) and not prop_spec.heavy_tail and (
                 prop_spec.exact_inverse
                 or (
                     prop_spec.x_table is not None

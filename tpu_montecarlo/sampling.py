@@ -77,6 +77,12 @@ class DistSpec(NamedTuple):
     # must be used (x_table then holds the ORIGINAL x grid, not the
     # inverse table).  Static — part of every compiled-program cache key.
     exact_inverse: bool = False
+    # True when the table is heavy-tailed enough that ANY uniform-u
+    # resampled inverse (including the kernel's gap-respecting stratified
+    # tables) measurably biases the moments (tables.inverse_table_distorts)
+    # — such distributions must route to the XLA searchsorted sampler.
+    # Implies exact_inverse.
+    heavy_tail: bool = False
 
 
 def dist_spec_of(dist) -> DistSpec:
@@ -129,8 +135,26 @@ def _build_spec(dist, DistributionType, compute_inverse_cdf_table) -> DistSpec:
             )
         inv = getattr(dist, "_inv_cdf_table", None)
         if inv is None:
+            from .tables import inverse_table_distorts
+
             inv = compute_inverse_cdf_table(dist._x_table, dist._cdf_table)
-            dist._inv_cdf_table = inv
+            if inverse_table_distorts(dist._x_table, dist._cdf_table, inv):
+                # Heavy-tailed table: the resampled inverse's outermost
+                # uniform slabs would bias the moments (Student-t(5)
+                # measured E[X^2] 1.95 vs 1.667) — keep the knot-exact
+                # searchsorted inverse, like zero-density spans above.
+                dist._inv_cdf_table = False
+            else:
+                dist._inv_cdf_table = inv
+        if dist._inv_cdf_table is False:
+            return DistSpec(
+                DistKind.CUSTOM,
+                np.zeros(2, np.float32),
+                np.asarray(dist._x_table, np.float32),
+                cdf,
+                exact_inverse=True,
+                heavy_tail=True,
+            )
         return DistSpec(DistKind.CUSTOM, np.zeros(2, np.float32), inv, cdf)
     raise ValueError(f"Unknown distribution type: {t}")
 

@@ -297,6 +297,48 @@ def needs_exact_inverse(
     return False
 
 
+def inverse_table_distorts(
+    x_table: np.ndarray,
+    cdf_table: np.ndarray,
+    inv_table: np.ndarray,
+    rtol: float = 5e-3,
+) -> bool:
+    """True if sampling through the uniform-u resampled inverse table
+    would measurably shift the distribution's first two moments relative
+    to the knot-exact piecewise-linear CDF model.
+
+    The resampled inverse spreads each 1/(m-1) slab of probability
+    uniformly over the x-interval between consecutive inverse knots.
+    For bounded or light-tailed tables the two models agree to float
+    precision, but a heavy-tailed table (Student-t, Pareto-like user
+    PDFs) puts its outermost slab across a huge x-range: measured on
+    Student-t(5) over the 1e-7..1-1e-7 quantile span, the spread alone
+    inflates E[X^2] from 1.667 to 1.95 — a 38-sigma bias at 4e5 samples.
+    Such tables must sample through the exact searchsorted inverse (the
+    reference's 12-iteration binary search, src/distribution.rs:128-158,
+    is always knot-exact and cannot produce this bias).
+
+    Both moments are compared in units of the distribution's own scale
+    (sigma for the mean, variance for the second moment)."""
+    x = np.asarray(x_table, np.float64)
+    c = np.asarray(cdf_table, np.float64)
+    inv = np.asarray(inv_table, np.float64)
+
+    def _moments(knots, mass):
+        a, b = knots[:-1], knots[1:]
+        m1 = float(np.sum(mass * (a + b) / 2.0))
+        m2 = float(np.sum(mass * (a * a + a * b + b * b) / 3.0))
+        return m1, m2
+
+    m1_k, m2_k = _moments(x, np.diff(c))
+    m1_i, m2_i = _moments(inv, np.full(len(inv) - 1, 1.0 / (len(inv) - 1)))
+    var = max(m2_k - m1_k * m1_k, 1e-30)
+    return (
+        abs(m1_i - m1_k) > rtol * np.sqrt(var)
+        or abs(m2_i - m2_k) > rtol * max(var, abs(m2_k))
+    )
+
+
 def is_uniform_grid(x_table: np.ndarray, rtol: float = 1e-3) -> bool:
     """True if the grid is uniform enough for arithmetic indexing
     (linspace-built grids always are; user from_pdf_table grids may not
