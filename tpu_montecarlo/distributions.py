@@ -395,6 +395,52 @@ class Distribution:
         )
 
     @staticmethod
+    def mixture(
+        components, weights=None, table_size: int = 4096
+    ) -> "Distribution":
+        """Finite mixture ``sum_i w_i p_i(x)`` of Distributions, as one
+        CUSTOM table over the union of the components' central
+        1 - 2e-6 quantile spans.
+
+        The table machinery composes: widely separated modes leave
+        zero-density runs between them, which the gap-respecting
+        exact-inverse sampler jumps at a knot (no samples in the dead
+        zone); heavy-tailed components trip the tail-moment guard and
+        route knot-exact.  The mixture works anywhere a Distribution
+        does — integrands' sampling distribution, IS proposal/target,
+        and (the flagship) a multimodal MCMC target for
+        ``temperatures=[...]`` replica exchange.  The reference's only
+        route to a multimodal density is a hand-written pdf through
+        ``from_pdf`` (python/wgpu_montecarlo/__init__.py:416-460)."""
+        comps = list(components)
+        if len(comps) < 2:
+            raise ValueError(
+                f"mixture needs at least 2 components, got {len(comps)}"
+            )
+        if not all(isinstance(c, Distribution) for c in comps):
+            raise TypeError("mixture components must be Distributions")
+        if weights is None:
+            w = np.full(len(comps), 1.0 / len(comps))
+        else:
+            w = np.asarray(weights, np.float64)
+            if w.shape != (len(comps),):
+                raise ValueError(
+                    f"weights must be one per component: got shape "
+                    f"{w.shape} for {len(comps)} components"
+                )
+            if np.any(w <= 0):
+                raise ValueError("mixture weights must be positive")
+            w = w / w.sum()
+        eps = 1e-6
+        lo = min(c.quantile(eps) for c in comps)
+        hi = max(c.quantile(1.0 - eps) for c in comps)
+        x = np.linspace(lo, hi, int(table_size))
+        pdf = np.zeros_like(x)
+        for wi, c in zip(w, comps):
+            pdf += wi * np.array([max(c.pdf(float(v)), 0.0) for v in x])
+        return Distribution.from_pdf_table(x, pdf)
+
+    @staticmethod
     def from_pdf(
         pdf_func: Callable[[float], float],
         support: Optional[tuple] = None,
