@@ -399,19 +399,29 @@ class Distribution:
         components, weights=None, table_size: int = 4096
     ) -> "Distribution":
         """Finite mixture ``sum_i w_i p_i(x)`` of Distributions, as one
-        CUSTOM table over the union of the components' central
-        1 - 2e-6 quantile spans.
+        CUSTOM table on PER-COMPONENT QUANTILE-SPACED knots: each
+        component contributes a weight-proportional share of the knot
+        budget, placed at its own quantile levels (linear core +
+        geometric tail levels, the `_from_scipy_frozen` recipe), and the
+        union is deduped in float32.  A uniform-x grid over the union
+        span cannot resolve separated or scale-mismatched modes — two
+        unit-scale modes 1000 apart get ~4 knots each, and a Cauchy
+        component's 1e-7-quantile span (±3.2e6 scale) starves a normal
+        component entirely (measured P(|X|<1) = 0.005 vs true 0.25);
+        per-component quantile knots land every mode's mass on its own
+        dense grid regardless of the union span.
 
         The table machinery composes: widely separated modes leave
         zero-density runs between them, which the gap-respecting
         exact-inverse sampler jumps at a knot (no samples in the dead
-        zone); heavy-tailed components trip the tail-moment guard and
-        route knot-exact.  The mixture works anywhere a Distribution
-        does — integrands' sampling distribution, IS proposal/target,
-        and (the flagship) a multimodal MCMC target for
-        ``temperatures=[...]`` replica exchange.  The reference's only
-        route to a multimodal density is a hand-written pdf through
-        ``from_pdf`` (python/wgpu_montecarlo/__init__.py:416-460)."""
+        zone); heavy tails trip the tail-moment guard on the actual
+        device-table model and route knot-exact.  The mixture works
+        anywhere a Distribution does — integrands' sampling
+        distribution, IS proposal/target, and (the flagship) a
+        multimodal MCMC target for ``temperatures=[...]`` replica
+        exchange.  The reference's only route to a multimodal density is
+        a hand-written pdf through ``from_pdf``
+        (python/wgpu_montecarlo/__init__.py:416-460)."""
         comps = list(components)
         if len(comps) < 2:
             raise ValueError(
@@ -432,12 +442,27 @@ class Distribution:
                 raise ValueError("mixture weights must be positive")
             w = w / w.sum()
         eps = 1e-6
-        lo = min(c.quantile(eps) for c in comps)
-        hi = max(c.quantile(1.0 - eps) for c in comps)
-        x = np.linspace(lo, hi, int(table_size))
-        pdf = np.zeros_like(x)
+        knot_sets = []
         for wi, c in zip(w, comps):
-            pdf += wi * np.array([max(c.pdf(float(v)), 0.0) for v in x])
+            n_i = max(int(round(table_size * wi)), 64)
+            u = _quantile_levels(n_i, eps)
+            knot_sets.append(
+                np.array([c.quantile(float(q)) for q in u], np.float64)
+            )
+        x = _dedupe_knots_f32(np.concatenate(knot_sets))
+        if len(x) < 2:
+            raise ValueError(
+                "mixture components collapse to fewer than 2 distinct "
+                "float32 knots — components are degenerate or their "
+                "supports exceed the float32 range"
+            )
+        x = _subdivide_wide_cells(x)
+        pdf = np.zeros(len(x))
+        for wi, c in zip(w, comps):
+            pdf += wi * np.array(
+                [max(c.pdf(float(v)), 0.0) for v in x], np.float64
+            )
+        pdf = np.nan_to_num(pdf, nan=0.0, posinf=0.0, neginf=0.0)
         return Distribution.from_pdf_table(x, pdf)
 
     @staticmethod
@@ -705,17 +730,99 @@ def _from_scipy_frozen(frozen, table_size: int) -> "Distribution":
     GEOMETRIC tail levels (log-spaced quantiles => roughly log-spaced
     tail knots, bounding each cell's x-ratio); heavy-tail tables then
     trip :func:`tables.inverse_table_distorts` and sample knot-exact."""
-    n = int(table_size)
-    eps = 1e-7
-    core = np.linspace(eps, 1.0 - eps, n // 2)
-    tail = np.geomspace(eps, 0.5, n // 4)
-    u = np.unique(np.concatenate([core, tail, 1.0 - tail]))
+    u = _quantile_levels(int(table_size), 1e-7)
     x = np.asarray(frozen.ppf(u), np.float64)
-    # Dedupe any knots that collide (flat ppf stretches / float rounding).
-    keep = np.concatenate(([True], np.diff(x) > 0))
-    x, u = x[keep], u[keep]
-    pdf = np.maximum(np.asarray(frozen.pdf(x), np.float64), 0.0)
-    return Distribution.from_pdf_table(x, pdf, cdf_table=u)
+    # Dedupe in FLOAT32, where from_pdf_table re-validates strict ascent:
+    # float64-distinct extreme knots collide (or overflow to inf) after
+    # the cast — e.g. student_t(df=3, loc=1e8) — and would raise a
+    # confusing 'x_table must be sorted' error.  Non-finite knots (ppf
+    # overflow for tiny df) are dropped first; from_pdf_table then
+    # renormalises the CDF so the trimmed tail mass stays consistent.
+    with np.errstate(over="ignore"):
+        x32 = x.astype(np.float32)
+    finite = np.isfinite(x32)
+    x32, u = x32[finite], u[finite]
+    keep = (
+        np.concatenate(([True], np.diff(x32) > 0))
+        if len(x32)
+        else np.zeros(0, bool)
+    )
+    x32, u = x32[keep], u[keep]
+    if len(x32) < 2:
+        raise ValueError(
+            "distribution parameters leave fewer than 2 distinct "
+            "float32 quantile knots (location/scale out of float32 "
+            "range, or a quantile span too extreme to represent); "
+            "bring the parameters into float32 range"
+        )
+    pdf = np.maximum(
+        np.asarray(frozen.pdf(x32.astype(np.float64)), np.float64), 0.0
+    )
+    pdf = np.nan_to_num(pdf, nan=0.0, posinf=0.0, neginf=0.0)
+    return Distribution.from_pdf_table(x32, pdf, cdf_table=u)
+
+
+def _quantile_levels(n: int, eps: float) -> np.ndarray:
+    """Quantile levels for an n-knot equal-mass table: a linear core over
+    [eps, 1-eps] plus geometric tail levels on both sides (log-spaced
+    quantiles => roughly log-spaced tail knots, bounding each tail
+    cell's x-ratio)."""
+    core = np.linspace(eps, 1.0 - eps, max(n // 2, 2))
+    tail = np.geomspace(eps, 0.5, max(n // 4, 2))
+    return np.unique(np.concatenate([core, tail, 1.0 - tail]))
+
+
+def _subdivide_wide_cells(
+    x: np.ndarray, factor: float = 8.0
+) -> np.ndarray:
+    """Insert geometric knot ladders into cells much wider than both
+    neighbours — the dead zones between separated mixture modes.
+
+    A component's outermost quantile knot still carries eps-level
+    density; a single trapezoid cell bridging it to the next mode reads
+    ``p_edge * gap_width`` of phantom mass (measured 0.25% of total for
+    N(±500, 1), deflating every true cell by the same factor on
+    normalisation).  Ladders doubling outward from both edges shrink
+    that to ``~p_edge * neighbour_width``: the first ladder knot sits
+    one neighbour-cell away, where a light-tailed pdf has already
+    decayed to nothing, while a genuinely dense wide cell (a heavy tail
+    bridging a light mode) simply gains resolution."""
+    x = np.asarray(x, np.float64)
+    if len(x) < 3:
+        return x.astype(np.float32)
+    w = np.diff(x)
+    prev_w = np.concatenate([[w[0]], w[:-1]])
+    next_w = np.concatenate([w[1:], [w[-1]]])
+    wide = np.flatnonzero(w > factor * np.minimum(prev_w, next_w))
+    if len(wide) == 0:
+        return x.astype(np.float32)
+    extra = []
+    for i in wide:
+        a, b = x[i], x[i + 1]
+        mid = 0.5 * (a + b)
+        for edge, step_0, sign in (
+            (a, prev_w[i], 1.0),
+            (b, next_w[i], -1.0),
+        ):
+            step = max(step_0, (b - a) * 1e-9)
+            pos = edge + sign * step
+            while (pos - mid) * sign < 0:
+                extra.append(pos)
+                step *= 2.0
+                pos = edge + sign * step
+    return _dedupe_knots_f32(np.concatenate([x, np.asarray(extra)]))
+
+
+def _dedupe_knots_f32(x: np.ndarray) -> np.ndarray:
+    """Sort, drop non-finite, and dedupe knots in float32 — the dtype
+    ``from_pdf_table`` validates strict ascent in."""
+    with np.errstate(over="ignore"):
+        x32 = np.sort(np.asarray(x, np.float64)).astype(np.float32)
+    x32 = x32[np.isfinite(x32)]
+    if len(x32) == 0:
+        return x32
+    keep = np.concatenate(([True], np.diff(x32) > 0))
+    return x32[keep]
 
 
 class RandomWalk:

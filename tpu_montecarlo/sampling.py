@@ -126,12 +126,31 @@ def _build_spec(dist, DistributionType, compute_inverse_cdf_table) -> DistSpec:
         _, pdf_vals = dist.get_or_compute_pdf_table()
         if needs_exact_inverse(cdf, pdf_vals):
             # Zero-density spans: keep the exact searchsorted inverse.
+            # A table can be BOTH gapped and heavy-tailed (a mixture of
+            # separated heavy-tailed modes); the Pallas kernels' gap-
+            # respecting (t, dt) tables are still uniform-u resampled, so
+            # their outermost slabs bias tail moments exactly like the
+            # plain resampled inverse's.  Vet the actual device-table
+            # model and set heavy_tail so _pallas_eligible reroutes to
+            # the XLA searchsorted sampler when it distorts.
+            from .tables import (
+                find_zero_density_gaps,
+                gapped_inverse_tables,
+                sample_intervals_distort,
+            )
+
+            gaps = find_zero_density_gaps(dist._x_table, cdf, pdf_vals)
+            t, dt = gapped_inverse_tables(dist._x_table, cdf, gaps)
+            heavy = sample_intervals_distort(
+                dist._x_table, cdf, t[:-1], t[:-1] + dt[:-1]
+            )
             return DistSpec(
                 DistKind.CUSTOM,
                 np.zeros(2, np.float32),
                 np.asarray(dist._x_table, np.float32),
                 cdf,
                 exact_inverse=True,
+                heavy_tail=heavy,
             )
         inv = getattr(dist, "_inv_cdf_table", None)
         if inv is None:

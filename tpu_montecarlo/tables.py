@@ -21,6 +21,7 @@ __all__ = [
     "compute_pdf_table",
     "compute_inverse_cdf_table",
     "log_pdf_from_pdf",
+    "sample_intervals_distort",
     "resample_uniform_table",
     "is_uniform_grid",
     "MIN_TABLE_POINTS",
@@ -320,18 +321,41 @@ def inverse_table_distorts(
 
     Both moments are compared in units of the distribution's own scale
     (sigma for the mean, variance for the second moment)."""
+    inv = np.asarray(inv_table, np.float64)
+    return sample_intervals_distort(
+        x_table, cdf_table, inv[:-1], inv[1:], rtol
+    )
+
+
+def sample_intervals_distort(
+    x_table: np.ndarray,
+    cdf_table: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    rtol: float = 5e-3,
+) -> bool:
+    """Moment-distortion check for ANY equal-mass interval sampler model:
+    each of the ``len(a)`` slabs carries equal probability spread
+    uniformly over [a_i, b_i] (b_i may equal a_i for gap-jump slabs whose
+    dt was rewritten to end at a gap edge — a point mass there).  Compares
+    against the knot-exact piecewise-linear CDF model in sigma units, the
+    same criterion as :func:`inverse_table_distorts` — which is the
+    ``a = inv[:-1], b = inv[1:]`` special case.  Used to vet the
+    gap-respecting (t, dt) device tables: a mixture of separated
+    heavy-tailed modes is BOTH gapped and heavy-tailed, and its outermost
+    slabs bias moments exactly like the plain resampled inverse's."""
     x = np.asarray(x_table, np.float64)
     c = np.asarray(cdf_table, np.float64)
-    inv = np.asarray(inv_table, np.float64)
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
 
-    def _moments(knots, mass):
-        a, b = knots[:-1], knots[1:]
-        m1 = float(np.sum(mass * (a + b) / 2.0))
-        m2 = float(np.sum(mass * (a * a + a * b + b * b) / 3.0))
+    def _moments(lo, hi, mass):
+        m1 = float(np.sum(mass * (lo + hi) / 2.0))
+        m2 = float(np.sum(mass * (lo * lo + lo * hi + hi * hi) / 3.0))
         return m1, m2
 
-    m1_k, m2_k = _moments(x, np.diff(c))
-    m1_i, m2_i = _moments(inv, np.full(len(inv) - 1, 1.0 / (len(inv) - 1)))
+    m1_k, m2_k = _moments(x[:-1], x[1:], np.diff(c))
+    m1_i, m2_i = _moments(a, b, 1.0 / len(a))
     var = max(m2_k - m1_k * m1_k, 1e-30)
     return (
         abs(m1_i - m1_k) > rtol * np.sqrt(var)
