@@ -309,3 +309,125 @@ class TestTemperedValidation:
                 n_steps=100, n_chains=64, n_burnin=10,
                 temperatures=[1.0, 2.0],
             )
+
+
+class TestTemperedPallasKernel:
+    """The in-kernel tempering tier (ops/mcmc_pt_pallas.py): rung-block
+    replica exchange as elementwise selects, interpret mode on CPU.
+    backend='pallas' must ride the kernel WITHOUT a fallback warning for
+    eligible workloads (warnings escalate to errors here)."""
+
+    @pytest.fixture(scope="class")
+    def integ_p(self):
+        return MonteCarloIntegrator(backend="pallas")
+
+    def _strict(self):
+        import contextlib
+        import warnings
+
+        @contextlib.contextmanager
+        def strict():
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                yield
+
+        return strict()
+
+    def test_joint_fn_multimodal_escape(self, integ_p):
+        with self._strict():
+            pt = integ_p.integrate_mcmc(
+                [lambda x: x, lambda x: x * x], logmix,
+                RandomWalk(step_size=0.5, adapt=True, init_range=(3.0, 5.0)),
+                n_steps=400, n_chains=512, n_burnin=200, seed=1,
+                temperatures=LADDER,
+            )
+        assert abs(pt.values[0]) < 1.0
+        assert abs(pt.values[1] - 17.0) < 2.0
+        assert 0.0 < pt.diagnostics["swap_rate"] < 1.0
+        assert 0.0 < pt.acceptance_rate < 1.0
+
+    def test_analytic_target(self, integ_p):
+        with self._strict():
+            pt = integ_p.integrate_mcmc(
+                [lambda x: x, lambda x: x * x],
+                Distribution.normal(1.0, 2.0),
+                RandomWalk(step_size=1.0, adapt=True,
+                           init_range=(-3.0, 5.0)),
+                n_steps=600, n_chains=512, n_burnin=200, seed=2,
+                temperatures=[1.0, 3.0, 9.0],
+            )
+        assert abs(pt.values[0] - 1.0) < 0.25
+        assert abs(pt.values[1] - 5.0) < 1.0
+
+    def test_table_target(self, integ_p):
+        target = Distribution.from_pdf(
+            lambda x: np.exp(-0.5 * (x + 4.0) ** 2)
+            + np.exp(-0.5 * (x - 4.0) ** 2),
+            support=(-9.0, 9.0),
+        )
+        with self._strict():
+            pt = integ_p.integrate_mcmc(
+                [lambda x: x * x], target,
+                RandomWalk(step_size=0.5, adapt=True,
+                           init_range=(3.0, 5.0)),
+                n_steps=400, n_chains=512, n_burnin=200, seed=3,
+                temperatures=LADDER,
+            )
+        assert abs(pt.values[0] - 17.0) < 2.0
+
+    def test_hmc_2d_joint(self, integ_p):
+        def banana(x, y):
+            return -0.5 * (x * x / 4.0 + (y - 0.5 * x * x) ** 2)
+
+        with self._strict():
+            pt = integ_p.integrate_mcmc(
+                [lambda x, y: x, lambda x, y: y], banana,
+                HMC(step_size=0.15, n_leapfrog=5, adapt=True,
+                    init_range=(-2.0, 2.0)),
+                n_steps=300, n_chains=512, n_burnin=200, seed=4,
+                temperatures=[1.0, 2.0, 4.0],
+            )
+        assert abs(pt.values[0]) < 0.4
+
+    def test_swap_rate_matches_xla(self, integ_p):
+        # Same ladder/physics through both implementations: the swap
+        # rates must agree (they estimate the same acceptance integral).
+        kw = dict(
+            n_steps=400, n_chains=512, n_burnin=200, seed=1,
+            temperatures=LADDER,
+        )
+        walk = RandomWalk(step_size=0.5, adapt=True, init_range=(3.0, 5.0))
+        with self._strict():
+            kern = integ_p.integrate_mcmc(
+                [lambda x: x * x], logmix, walk, **kw
+            )
+        xla = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            [lambda x: x * x], logmix, walk, **kw
+        )
+        assert abs(
+            kern.diagnostics["swap_rate"] - xla.diagnostics["swap_rate"]
+        ) < 0.05
+        assert abs(kern.values[0] - xla.values[0]) < 2.0
+
+    def test_inference_outputs_fall_back_with_warning(self, integ_p):
+        walk = RandomWalk(step_size=0.5, init_range=(3.0, 5.0))
+        with pytest.warns(UserWarning, match="XLA backend"):
+            pt = integ_p.integrate_mcmc(
+                [lambda x: x], logmix, walk,
+                n_steps=100, n_chains=128, n_burnin=20, seed=5,
+                temperatures=[1.0, 2.0], return_stderr=True,
+            )
+        assert pt.stderr is not None
+
+    def test_sharded_kernel(self, mesh8):
+        integ = MonteCarloIntegrator(backend="pallas", mesh=mesh8)
+        with self._strict():
+            pt = integ.integrate_mcmc(
+                [lambda x: x, lambda x: x * x], logmix,
+                RandomWalk(step_size=0.5, adapt=True,
+                           init_range=(3.0, 5.0)),
+                n_steps=300, n_chains=1024, n_burnin=150, seed=6,
+                temperatures=[1.0, 2.0, 4.0, 8.0, 16.0],
+            )
+        assert abs(pt.values[0]) < 1.2
+        assert abs(pt.values[1] - 17.0) < 2.5

@@ -128,11 +128,34 @@ class _PtMixin:
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
-        if self._backend == "pallas":
+        inference = bool(
+            return_stderr or return_diagnostics or return_samples
+        )
+        if (
+            not inference
+            and self._use_pallas(DistKind.NORMAL)
+            and self._pt_pallas_eligible(
+                targets, target_fn, proposal, traced, d, total_chains,
+                betas,
+            )
+        ):
+            run, dev_args = self._pt_kernel_program(
+                traced, targets, target_fn, betas, proposal, d,
+                n_steps, n_burnin, total_chains,
+            )
+            values, acc_rate, swap_rate = run(np.uint32(seed), *dev_args)
+            return IntegrationResult(
+                values=values,
+                n_samples=n_chains * n_steps,
+                n_functions=len(functions),
+                acceptance_rate=float(acc_rate),
+                diagnostics={"swap_rate": float(swap_rate)},
+            )
+        if inference and self._backend == "pallas":
             warnings.warn(
-                "backend='pallas' requested but parallel tempering runs "
-                "on the XLA backend (an exploration surface, not a "
-                "throughput path)",
+                "backend='pallas' requested but tempered "
+                "stderr/diagnostics/samples runs execute on the XLA "
+                "backend (inference surfaces, not the throughput path)",
                 stacklevel=3,
             )
         run, dev_args = self._pt_mcmc_program(
@@ -260,3 +283,133 @@ class _PtMixin:
         )
         dev_args = (prop_params_t, targ_params_t, targ_lx_t, targ_lp_t)
         return run, dev_args
+
+    def _pt_pallas_eligible(
+        self, targets, target_fn, proposal_rw, traced, d, total_chains,
+        betas,
+    ) -> bool:
+        """Tempered-kernel gate: RandomWalk/HMC proposal (guaranteed by
+        the temperatures validation), <=126 fused d-ary integrands
+        evaluating on lane blocks (columns k/k+1 carry the accept and
+        swap counters), a target the kernel can evaluate — analytic
+        product, block-traceable joint fn, or (1-D, non-HMC) a CUSTOM
+        uniform-grid log table — and the T-rung state fitting VMEM."""
+        from ..ops.mcmc_pallas import plan_mcmc_grid
+        from ..ops.mcmc_pt_pallas import pt_vmem_fits
+        from ..sampling import ANALYTIC_KINDS
+
+        hmc_L = (
+            proposal_rw.n_leapfrog
+            if isinstance(proposal_rw, HMC)
+            else 0
+        )
+        n_dev = 1 if self._mesh is None else self._mesh.size
+        programs, rows, _ = plan_mcmc_grid(total_chains)
+        programs = -(-programs // n_dev) * n_dev
+        ok = (
+            len(traced) <= 126
+            and not any(
+                getattr(f, "__tpu_mc_no_pallas__", False) for f in traced
+            )
+            and _block_traceable(traced, n_args=d)
+        )
+        table_bytes = 0
+        if ok:
+            if target_fn is not None:
+                ok = not getattr(
+                    target_fn, "__tpu_mc_no_pallas__", False
+                ) and _block_traceable((target_fn,), n_args=d)
+            else:
+                kinds = tuple(dist_spec_of(t).kind for t in targets)
+                if all(kk in ANALYTIC_KINDS for kk in kinds):
+                    pass
+                elif (
+                    d == 1
+                    and kinds[0] == DistKind.CUSTOM
+                    and hmc_L == 0
+                    and _uniform_log_tables(targets[0]) is not None
+                ):
+                    lx, _ = _device_uniform_log_tables(targets[0])
+                    table_bytes = 2 * (-(-int(lx.shape[0]) // 128) * 128) * 4
+                else:
+                    ok = False
+        ok = ok and pt_vmem_fits(
+            len(traced), d, rows, programs // n_dev, len(betas),
+            rw_adapt=proposal_rw.adapt, hmc=bool(hmc_L),
+            table_bytes=table_bytes,
+        )
+        if not ok and self._backend == "pallas":
+            warnings.warn(
+                "backend='pallas' requested but this tempered workload "
+                "is not kernel-eligible (a table-sampled dimension, a "
+                "function that does not evaluate on lane blocks, or a "
+                "ladder over the VMEM budget); running the XLA backend "
+                "instead",
+                stacklevel=4,
+            )
+        return ok
+
+    def _pt_kernel_program(
+        self, traced, targets, target_fn, betas, proposal_rw, d,
+        n_steps, n_burnin, total_chains,
+    ):
+        """Cached in-kernel parallel-tempering program + device args
+        ``(prop_rows, targ_params, targ_lx, targ_lp)`` — see
+        ops/mcmc_pt_pallas.py for the rung-block design."""
+        from ..ops.mcmc_pt_pallas import build_pt_mcmc_fn_pallas
+
+        mesh = self._mesh
+        dummy = _tbl(None)
+        hmc_L = (
+            proposal_rw.n_leapfrog
+            if isinstance(proposal_rw, HMC)
+            else 0
+        )
+        prop_dev = jnp.asarray(proposal_rw.pack_params_nd(targets, d))
+        targ_custom = False
+        log_dev = (dummy, dummy)
+        targ_kinds = None
+        if target_fn is not None:
+            targ_params = jnp.zeros((1, 2), jnp.float32)
+            targ_key = ("fn", _fn_key(target_fn))
+        else:
+            specs = [dist_spec_of(t) for t in targets]
+            kinds = tuple(s.kind for s in specs)
+            if d == 1 and kinds[0] == DistKind.CUSTOM:
+                targ_custom = True
+                targ_params = jnp.zeros((1, 2), jnp.float32)
+                log_dev = _device_uniform_log_tables(targets[0])
+                targ_key = ("custom", tuple(log_dev[0].shape))
+            else:
+                targ_kinds = kinds
+                targ_params = jnp.stack(
+                    [
+                        _device_args_of(t, s)[0]
+                        for t, s in zip(targets, specs)
+                    ]
+                )
+                targ_key = ("kinds", kinds)
+        interpret = jax.default_backend() != "tpu"
+        key = (
+            "mcmc_pt_pallas",
+            _fns_key(traced),
+            betas,
+            ("hmc", hmc_L, proposal_rw.adapt),
+            targ_key,
+            n_steps,
+            n_burnin,
+            total_chains,
+            _mesh_key(mesh),
+            interpret,
+        )
+        run = self._cache.get_or_build(
+            key,
+            lambda: build_pt_mcmc_fn_pallas(
+                traced, d, betas, n_steps, n_burnin, total_chains,
+                targ_kinds=targ_kinds, target_logpdf_fn=target_fn,
+                targ_custom_1d=targ_custom, mesh=mesh,
+                interpret=interpret, rw_adapt=proposal_rw.adapt,
+                hmc_leapfrog=hmc_L,
+            ),
+        )
+        return run, (prop_dev, targ_params, log_dev[0], log_dev[1])

@@ -1,0 +1,596 @@
+"""Parallel tempering (replica exchange) MCMC kernel — Pallas/Mosaic.
+
+The kernel-speed tier of the tempering family (ops/mcmc_pt.py is the
+portable XLA sweep; see its docstring for the algorithm).  The ladder
+maps onto the TPU even more directly than the XLA path's flat
+``T * chains`` lane ensemble: T is a small compile-time constant, so
+each program carries the T rungs of its chain block as T SEPARATE
+(rows, 128) VMEM state blocks, unrolled in Python.  A replica exchange
+between adjacent rungs is then a pure ELEMENTWISE select between two
+resident blocks — no lane permutation, no gather, no scatter, and the
+pair's shared uniform is just one block both rungs read.  Nothing about
+a swap leaves the VPU.
+
+Per iteration, every rung advances with the tempered random-walk / HMC
+MH update of ops/mcmc_pallas.py (acceptance ``beta_t * (logp' - logp)``;
+HMC integrates the tempered Hamiltonian, feeling ``beta_t * grad``), and
+the alternating even/odd adjacent pairings attempt exchanges with the
+symmetric rule ``log v < (beta_t - beta_u) (logp_u - logp_t)`` (both
+parities' pairs are computed every step and gated by the iteration
+parity — pairs are disjoint within a parity, so the inactive parity's
+selects are no-ops).  Estimates and the acceptance counter come from the
+COLD (beta=1) rung only; the accepted-swap counter covers the whole run
+(the attempted count is deterministic and divided out host-side).  The
+per-lane step scale adapted in burn-in stays with its RUNG — rung state
+blocks swap (x, log_p) but never the scale, matching ops/mcmc_pt.py.
+
+Targets: a product of analytic per-dimension families, a traced joint
+log-density, or (1-D) a CUSTOM uniform-grid log table (the shared
+segment lane-gather lookup).  Proposals: RandomWalk / HMC only —
+tempering repairs LOCAL samplers (validated at the API layer).
+
+RNG streams: rung t's dimension-j proposal draws ride tag ``t*d + j``,
+its accept draw tag ``t``, and pair t's swap uniform tag ``t`` under a
+third per-iteration counter — the PT extension of the reference's
++1000000/+999999 stream separation (src/shader_gen.rs:477-536).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from ..sampling import DistKind
+from .integrate_pallas import (
+    LANES,
+    CounterRng,
+    HardwareRng,
+    _uniform_halfopen01,
+    _uniform_open01,
+    pad_uniform_table,
+    uniform_table_value,
+)
+from ..tables import LOG_PDF_FLOOR
+from .mcmc_pallas import (
+    UNROLL_STEPS,
+    _RW_LS_MAX,
+    _RW_LS_MIN,
+    _log_pdf,
+    _unrolled_fori,
+)
+
+__all__ = [
+    "build_pt_mcmc_fn_pallas",
+    "pt_attempted_swaps",
+    "pt_vmem_fits",
+]
+
+from ..sampling import ANALYTIC_KINDS as _ANALYTIC
+
+# Seed-word mix distinguishing the tempered stream family from the plain
+# MCMC kernels' (0x5BD1E995 / 0x27D4EB2F) and the integrate kernels'.
+_PT_STREAM_MIX = 0x165667B1
+
+
+def pt_vmem_fits(
+    k: int,
+    d: int,
+    rows: int,
+    local_programs: int,
+    n_temps: int,
+    rw_adapt: bool = False,
+    hmc: bool = False,
+    table_bytes: int = 0,
+    budget_bytes: int = 16 * 1024 * 1024,
+) -> bool:
+    """Conservative VMEM estimate, same model as the plain MCMC gates
+    (mcmc_pallas.mcmc_vmem_fits): T rungs of (d state + log_p [+ log
+    step scale]) carried blocks + K accumulators + accept/swap counters
+    + one rung's move temporaries + a swap pair's temporaries, doubled
+    for Mosaic's scoped temporaries, plus the output buffer and any
+    VMEM-resident target tables."""
+    carried = n_temps * (d + 1 + (1 if rw_adapt else 0)) + k + 2
+    temps = d + 3  # xp tuple, logp', u, u2
+    if hmc:
+        temps += 3 * d  # leapfrog (position, momentum, gradient) tuples
+    temps += 2  # swap v + delta
+    est = 2 * (carried + temps) * rows * LANES * 4
+    est += local_programs * LANES * 4
+    est += table_bytes
+    return est <= budget_bytes
+
+
+def pt_attempted_swaps(n_temps: int, n_iters: int, chains: int) -> int:
+    """Total attempted adjacent exchanges over the run (deterministic):
+    even iterations attempt the (0,1),(2,3),... pairs, odd the
+    (1,2),(3,4),... pairs, every chain column, burn-in included — the
+    XLA builder's counting (ops/mcmc_pt.py)."""
+    n_pairs_even = n_temps // 2
+    n_pairs_odd = (n_temps - 1) // 2
+    n_even = (n_iters + 1) // 2
+    n_odd = n_iters // 2
+    return chains * (n_even * n_pairs_even + n_odd * n_pairs_odd)
+
+
+def build_pt_mcmc_fn_pallas(
+    eval_fns: Sequence[Callable],
+    d: int,
+    betas: Sequence[float],
+    n_steps: int,
+    n_burnin: int,
+    total_chains: int,
+    targ_kinds: Optional[Sequence[DistKind]] = None,
+    target_logpdf_fn: Optional[Callable] = None,
+    targ_custom_1d: bool = False,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    axis_name: str = "mc",
+    interpret: bool = False,
+    rw_adapt: bool = False,
+    hmc_leapfrog: int = 0,
+):
+    """Build a jitted in-kernel parallel-tempering MH program.
+
+    Returned signature (the kernel subset of ops/mcmc_pt.py's)::
+
+        (seed, prop_params, targ_params, targ_lx, targ_lp)
+        -> ((K,) estimates, () cold acceptance, () swap rate)
+
+    ``prop_params``: the (d, 4) RandomWalk rows; ``targ_params`` a
+    (d, 2) array of analytic family words (dummy (1, 2) for joint-fn /
+    table targets); ``targ_lx``/``targ_lp`` the 1-D CUSTOM log table
+    when ``targ_custom_1d`` (dummy (1,) arrays otherwise).
+    ``total_chains`` counts COLD-RUNG chains; each program runs its
+    block's full ladder.  ``betas`` must start at 1.0 and strictly
+    decrease (API-validated).
+    """
+    n_modes = sum(
+        x is not None
+        for x in (targ_kinds, target_logpdf_fn)
+    ) + int(targ_custom_1d)
+    if n_modes != 1:
+        raise ValueError(
+            "exactly one of targ_kinds / target_logpdf_fn / "
+            "targ_custom_1d must be given"
+        )
+    betas = tuple(float(b) for b in betas)
+    n_temps = len(betas)
+    if n_temps < 2:
+        raise ValueError("parallel tempering needs >= 2 temperatures")
+    if betas[0] != 1.0 or any(
+        b2 >= b1 for b1, b2 in zip(betas, betas[1:])
+    ):
+        raise ValueError(
+            f"betas must start at 1.0 and strictly decrease, got {betas}"
+        )
+    if targ_custom_1d and d != 1:
+        raise ValueError("table targets are 1-D only in-kernel")
+    if hmc_leapfrog and targ_custom_1d:
+        raise ValueError("in-kernel HMC supports analytic/fn targets only")
+    if targ_kinds is not None:
+        targ_kinds = tuple(targ_kinds)
+        if len(targ_kinds) != d:
+            raise ValueError("targ_kinds must have one entry per dim")
+        if not all(kk in _ANALYTIC for kk in targ_kinds):
+            raise ValueError(
+                "product targets must be analytic families in-kernel"
+            )
+    k = len(eval_fns)
+    if k >= LANES - 1:
+        # Columns k and k+1 carry the accept and swap counters.
+        raise ValueError(f"at most {LANES - 2} fused functions supported")
+    from .fast_math import kernelize
+
+    eval_fns = tuple(kernelize(f) for f in eval_fns)
+    if target_logpdf_fn is not None:
+        target_logpdf_fn = kernelize(target_logpdf_fn)
+
+    # Each iteration advances T rungs (x hmc_leapfrog gradient evals);
+    # scale the step unroll down accordingly, as the plain kernels do.
+    per_step = n_temps * max(1, hmc_leapfrog)
+    unroll_steps = max(1, UNROLL_STEPS // per_step)
+    n_dev = 1 if mesh is None else mesh.size
+    from .mcmc_pallas import plan_mcmc_grid
+
+    programs, rows, chains_actual = plan_mcmc_grid(total_chains)
+    programs = -(-programs // n_dev) * n_dev
+    chains_actual = programs * rows * LANES
+    local_programs = programs // n_dev
+    n_iters = n_burnin + n_steps
+    attempted = float(
+        pt_attempted_swaps(n_temps, n_iters, chains_actual)
+    )
+
+    rng_factory = CounterRng if interpret else HardwareRng
+
+    def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, *rest):
+        rest = list(rest)
+        targ_tab = (
+            (rest.pop(0), rest.pop(0), rest.pop(0))
+            if targ_custom_1d
+            else None
+        )
+        (out_ref,) = rest
+
+        pid = pl.program_id(0)
+        rng = rng_factory()
+        rng.seed(
+            seed_ref[0, 0] ^ _PT_STREAM_MIX, pid_base_ref[0, 0] + pid
+        )
+        rw_steps = [prop_ref[j, 0] for j in range(d)]
+        rw_los = [prop_ref[j, 1] for j in range(d)]
+        rw_his = [prop_ref[j, 2] for j in range(d)]
+        rw_target = prop_ref[0, 3]
+        if targ_kinds is not None:
+            tp = [
+                (targ_ref[j, 0], targ_ref[j, 1]) for j in range(d)
+            ]
+
+        def lp_t(xs):
+            if target_logpdf_fn is not None:
+                return jnp.broadcast_to(
+                    target_logpdf_fn(*xs).astype(jnp.float32),
+                    (rows, LANES),
+                )
+            if targ_custom_1d:
+                return uniform_table_value(
+                    xs[0], targ_tab, rows, LOG_PDF_FLOOR,
+                    max_unroll_segments=4,
+                )
+            tot = None
+            for j in range(d):
+                lp = _log_pdf(targ_kinds[j], *tp[j], xs[j], rows)
+                tot = lp if tot is None else tot + lp
+            return tot
+
+        from ..sampling import normal_from_u01
+
+        if hmc_leapfrog:
+            grad_lp = jax.grad(lambda xv: jnp.sum(lp_t(xv)))
+
+        def rung_move(i, t, xs, logp, scale):
+            """One tempered MH step for rung t (beta = betas[t]): the
+            plain kernels' random-walk / HMC move with the acceptance
+            (and, for HMC, the force) scaled by the rung's beta."""
+            beta = betas[t]
+            if hmc_leapfrog:
+                z = tuple(
+                    normal_from_u01(
+                        _uniform_halfopen01(
+                            rng, (rows, LANES), 3 * i + 1, t * d + j
+                        )
+                    )
+                    for j in range(d)
+                )
+                eps = [scale * rw_steps[j] for j in range(d)]
+                # Tempered Hamiltonian H_t = -beta log pi + |p|^2/2:
+                # the leapfrog force is beta * grad log pi.
+                xq, p = xs, z
+                g = grad_lp(xs)
+                for _ in range(hmc_leapfrog):
+                    p = tuple(
+                        p[j] + (0.5 * beta) * eps[j] * g[j]
+                        for j in range(d)
+                    )
+                    xq = tuple(xq[j] + eps[j] * p[j] for j in range(d))
+                    g = grad_lp(xq)
+                    p = tuple(
+                        p[j] + (0.5 * beta) * eps[j] * g[j]
+                        for j in range(d)
+                    )
+                logp_prop = lp_t(xq)
+                kin0 = z[0] * z[0]
+                kinf = p[0] * p[0]
+                for j in range(1, d):
+                    kin0 = kin0 + z[j] * z[j]
+                    kinf = kinf + p[j] * p[j]
+                log_alpha = (beta * logp_prop - 0.5 * kinf) - (
+                    beta * logp - 0.5 * kin0
+                )
+                # Diverged trajectories (f32 inf - inf) reject rather
+                # than NaN-poison the adaptation (NaN != NaN).
+                log_alpha = jnp.where(
+                    log_alpha != log_alpha,
+                    jnp.float32(-3.0e38),
+                    log_alpha,
+                )
+                xp = xq
+            else:
+                xp = tuple(
+                    xs[j]
+                    + scale
+                    * rw_steps[j]
+                    * normal_from_u01(
+                        _uniform_halfopen01(
+                            rng, (rows, LANES), 3 * i + 1, t * d + j
+                        )
+                    )
+                    for j in range(d)
+                )
+                logp_prop = lp_t(xp)
+                # Symmetric proposal against the rung's tempered target.
+                log_alpha = beta * (logp_prop - logp)
+            u2 = _uniform_open01(rng, (rows, LANES), 3 * i + 2, t)
+            accept = jnp.log(u2) < log_alpha
+            xs = tuple(
+                jnp.where(accept, xp_j, x_j)
+                for xp_j, x_j in zip(xp, xs)
+            )
+            logp = jnp.where(accept, logp_prop, logp)
+            return xs, logp, accept, log_alpha
+
+        def swap_all(i, xs_l, logp_l, sw):
+            """Alternating even/odd adjacent exchanges.  Both parities'
+            pairs are computed and gated by the iteration parity (pairs
+            within a parity are disjoint; the inactive parity's selects
+            are no-ops), so the traced body draws a fixed number of
+            blocks per iteration."""
+            for t in range(n_temps - 1):
+                v = _uniform_halfopen01(rng, (rows, LANES), 3 * i + 3, t)
+                # Pair (t, t+1) is attempted when i and t share parity
+                # (even i: pairs starting at even t — ops/mcmc_pt.py's
+                # even/odd scheme with swap_every=1).
+                active = (i % 2) == (t % 2)
+                delta = (betas[t] - betas[t + 1]) * (
+                    logp_l[t + 1] - logp_l[t]
+                )
+                acc_sw = jnp.logical_and(
+                    jnp.log(jnp.maximum(v, 1e-38)) < delta, active
+                )
+                for j in range(d):
+                    a, b = xs_l[t][j], xs_l[t + 1][j]
+                    xs_l[t][j] = jnp.where(acc_sw, b, a)
+                    xs_l[t + 1][j] = jnp.where(acc_sw, a, b)
+                pa, pb = logp_l[t], logp_l[t + 1]
+                logp_l[t] = jnp.where(acc_sw, pb, pa)
+                logp_l[t + 1] = jnp.where(acc_sw, pa, pb)
+                sw = sw + acc_sw.astype(jnp.float32)
+            return xs_l, logp_l, sw
+
+        # Overdispersed uniform init over the per-dimension ranges,
+        # every rung alike (ops/mcmc_pt.py's init).
+        xs_l = [
+            [
+                rw_los[j]
+                + (rw_his[j] - rw_los[j])
+                * _uniform_halfopen01(rng, (rows, LANES), 0, t * d + j)
+                for j in range(d)
+            ]
+            for t in range(n_temps)
+        ]
+        logp_l = [lp_t(tuple(xs_l[t])) for t in range(n_temps)]
+
+        zero_block = jnp.zeros((rows, LANES), jnp.float32)
+        zero_accs = tuple(
+            jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
+        )
+
+        def flat(xs_l, logp_l, ls_l, *extra):
+            out = []
+            for t in range(n_temps):
+                out += list(xs_l[t])
+            out += list(logp_l)
+            out += list(ls_l)
+            return tuple(out) + tuple(extra)
+
+        def unflat(carry):
+            pos = 0
+            xs_l = []
+            for _ in range(n_temps):
+                xs_l.append(list(carry[pos : pos + d]))
+                pos += d
+            logp_l = list(carry[pos : pos + n_temps])
+            pos += n_temps
+            ls_l = (
+                list(carry[pos : pos + n_temps]) if rw_adapt else []
+            )
+            pos += len(ls_l)
+            return xs_l, logp_l, ls_l, carry[pos:]
+
+        # Burn-in: rung moves (+ per-rung Robbins-Monro step adaptation
+        # when rw_adapt) and exchanges, no accumulation — the plain
+        # kernels' split-loop shape.
+        if rw_adapt:
+            ls0 = [zero_block for _ in range(n_temps)]
+
+            def burn_body(i, carry):
+                xs_l, logp_l, ls_l, extra = unflat(carry)
+                sw = extra[0]
+                i_f = jnp.full((rows, LANES), i + 1, jnp.int32).astype(
+                    jnp.float32
+                )
+                gamma = jnp.exp(jnp.float32(-0.6) * jnp.log(i_f))
+                for t in range(n_temps):
+                    xs, logp, _, log_alpha = rung_move(
+                        i, t, tuple(xs_l[t]), logp_l[t],
+                        jnp.exp(ls_l[t]),
+                    )
+                    xs_l[t] = list(xs)
+                    logp_l[t] = logp
+                    alpha_p = jnp.exp(jnp.minimum(log_alpha, 0.0))
+                    ls_l[t] = jnp.clip(
+                        ls_l[t] + gamma * (alpha_p - rw_target),
+                        _RW_LS_MIN,
+                        _RW_LS_MAX,
+                    )
+                xs_l, logp_l, sw = swap_all(i, xs_l, logp_l, sw)
+                return flat(xs_l, logp_l, ls_l, sw)
+
+            carry = _unrolled_fori(
+                0, n_burnin, burn_body,
+                flat(xs_l, logp_l, ls0, zero_block), unroll_steps,
+            )
+            xs_l, logp_l, ls_l, extra = unflat(carry)
+            sw0 = extra[0]
+            scales = [jnp.exp(ls) for ls in ls_l]
+        else:
+
+            def burn_body(i, carry):
+                xs_l, logp_l, _, extra = unflat(carry)
+                sw = extra[0]
+                for t in range(n_temps):
+                    xs, logp, _, _ = rung_move(
+                        i, t, tuple(xs_l[t]), logp_l[t], 1.0
+                    )
+                    xs_l[t] = list(xs)
+                    logp_l[t] = logp
+                xs_l, logp_l, sw = swap_all(i, xs_l, logp_l, sw)
+                return flat(xs_l, logp_l, [], sw)
+
+            carry = _unrolled_fori(
+                0, n_burnin, burn_body,
+                flat(xs_l, logp_l, [], zero_block), unroll_steps,
+            )
+            xs_l, logp_l, _, extra = unflat(carry)
+            sw0 = extra[0]
+            scales = [1.0] * n_temps
+
+        ls_keep = [jnp.log(s) + zero_block for s in scales] if rw_adapt else []
+
+        def body(i, carry):
+            xs_l, logp_l, ls_l, extra = unflat(carry)
+            sw, n_acc = extra[0], extra[1]
+            accs = extra[2:]
+            for t in range(n_temps):
+                scale = jnp.exp(ls_l[t]) if rw_adapt else 1.0
+                xs, logp, accept, _ = rung_move(
+                    i, t, tuple(xs_l[t]), logp_l[t], scale
+                )
+                xs_l[t] = list(xs)
+                logp_l[t] = logp
+                if t == 0:
+                    n_acc = n_acc + accept.astype(jnp.float32)
+            xs_l, logp_l, sw = swap_all(i, xs_l, logp_l, sw)
+            # Post-swap cold-rung state feeds the estimates, as on the
+            # XLA path (the swap is part of the transition kernel).
+            cold = tuple(xs_l[0])
+            accs = tuple(
+                acc + f(*cold).astype(jnp.float32)
+                for acc, f in zip(accs, eval_fns)
+            )
+            return flat(xs_l, logp_l, ls_l, sw, n_acc, *accs)
+
+        carry = _unrolled_fori(
+            n_burnin, n_iters, body,
+            flat(xs_l, logp_l, ls_keep, sw0, zero_block, *zero_accs),
+            unroll_steps,
+        )
+        _, _, _, extra = unflat(carry)
+        sw, n_acc = extra[0], extra[1]
+        accs = extra[2:]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        row_out = jnp.zeros((1, LANES), jnp.float32)
+        for i, acc in enumerate(accs):
+            row_out = jnp.where(col == i, jnp.sum(acc), row_out)
+        row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
+        row_out = jnp.where(col == k + 1, jnp.sum(sw), row_out)
+        out_ref[pl.ds(pid, 1), :] = row_out
+
+    smem_seed = pl.BlockSpec(
+        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    smem_prop = pl.BlockSpec(
+        (d, 4), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    td = d if targ_kinds is not None else 1
+    smem_targ = pl.BlockSpec(
+        (td, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    smem_grid = pl.BlockSpec(
+        (1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def pallas_sweep(seed_a, prop_a, targ_a, pid_base, tabs):
+        in_specs = [smem_seed, smem_prop, smem_targ, smem_seed]
+        if targ_custom_1d:
+            in_specs += [vmem, vmem, smem_grid]
+        out = pl.pallas_call(
+            kernel,
+            grid=(local_programs,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (local_programs, LANES),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (local_programs, LANES), jnp.float32
+            ),
+            interpret=interpret,
+        )(seed_a, prop_a, targ_a, pid_base, *tabs)
+        totals = jnp.sum(out, axis=0)
+        return totals[:k], totals[k], totals[k + 1]
+
+    denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
+    denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
+    denom_sw = jnp.float32(max(attempted, 1.0))
+
+    def _prep(seed, prop_params, targ_params, targ_lx, targ_lp):
+        seed_a = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        prop_a = jnp.asarray(prop_params, jnp.float32).reshape(d, 4)
+        targ_a = jnp.asarray(targ_params, jnp.float32).reshape(td, 2)
+        tabs = ()
+        if targ_custom_1d:
+            tabs = tuple(
+                pad_uniform_table(
+                    jnp.asarray(targ_lx, jnp.float32),
+                    jnp.asarray(targ_lp, jnp.float32),
+                    LOG_PDF_FLOOR,
+                )
+            )
+        return seed_a, prop_a, targ_a, tabs
+
+    if mesh is None:
+
+        @jax.jit
+        def run(seed, prop_params, targ_params, targ_lx, targ_lp):
+            seed_a, prop_a, targ_a, tabs = _prep(
+                seed, prop_params, targ_params, targ_lx, targ_lp
+            )
+            base = jnp.zeros((1, 1), jnp.int32)
+            sums, n_acc, sw = pallas_sweep(
+                seed_a, prop_a, targ_a, base, tabs
+            )
+            return (
+                sums / denom_vals,
+                n_acc / denom_acc,
+                sw / denom_sw,
+            )
+
+        return run
+
+    replicated = P()
+
+    def sharded_body(seed_a, prop_a, targ_a, *tabs):
+        dev = jax.lax.axis_index(axis_name)
+        base = (dev * local_programs).astype(jnp.int32).reshape(1, 1)
+        sums, n_acc, sw = pallas_sweep(seed_a, prop_a, targ_a, base, tabs)
+        return (
+            jax.lax.psum(sums, axis_name) / denom_vals,
+            jax.lax.psum(n_acc, axis_name) / denom_acc,
+            jax.lax.psum(sw, axis_name) / denom_sw,
+        )
+
+    n_tabs = 3 if targ_custom_1d else 0
+    shard_mapped = jax.shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(replicated,) * (3 + n_tabs),
+        out_specs=(replicated, replicated, replicated),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(seed, prop_params, targ_params, targ_lx, targ_lp):
+        seed_a, prop_a, targ_a, tabs = _prep(
+            seed, prop_params, targ_params, targ_lx, targ_lp
+        )
+        return shard_mapped(seed_a, prop_a, targ_a, *tabs)
+
+    return run
