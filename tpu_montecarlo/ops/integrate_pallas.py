@@ -601,17 +601,24 @@ def pad_uniform_table(xs, values, fill):
     return vals.reshape(seg, LANES), dx.reshape(seg, LANES), grid
 
 
-def uniform_table_value(x, tab, rows, outside):
+def uniform_table_value(x, tab, rows, outside, max_unroll_segments=0):
     """Interpolated lookup of ``x`` against a pad_uniform_table() trio;
     ``outside`` outside [x0, x_max] (0.0 for PDFs, -100 for log-PDFs —
     reference conventions, src/distribution.rs:173-281, 367-475).
 
-    Uses the fori_loop segment scan: these lookups run inside the
+    Defaults to the fori_loop segment scan: these lookups run inside the
     integrate kernel's UNROLL_BLOCKS-deep eval chain, where the unrolled
     scan keeps every segment's gather temporaries live on the Mosaic
     stack — measured compile-OOM at 34.6 MB scoped VMEM (16 MB limit)
     on a 16-segment weight table with k=2 + stderr accumulators; the
-    loop form bounds the stack at one segment's temporaries."""
+    loop form bounds the stack at one segment's temporaries.
+
+    ``max_unroll_segments``: tables with at most this many 128-knot
+    segments use the UNROLLED scan instead — the fori_loop costs a
+    carry store/reload per segment, which dominates a 1-2-segment
+    lookup.  Safe only where the caller's in-flight temporaries are
+    small (the MCMC kernels: chain blocks are <= 64 rows and the step
+    unroll is bounded)."""
     v_ref, dx_ref, grid_ref = tab
     x0 = grid_ref[0, 0]
     step = grid_ref[0, 1]
@@ -620,7 +627,12 @@ def uniform_table_value(x, tab, rows, outside):
     pos = (x - x0) / step
     i0 = jnp.clip(pos.astype(jnp.int32), 0, n_pad - 2)
     frac = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
-    val = _table_lookup_loop(v_ref, dx_ref, i0, frac, rows)
+    lookup = (
+        _table_lookup
+        if v_ref.shape[0] <= max_unroll_segments
+        else _table_lookup_loop
+    )
+    val = lookup(v_ref, dx_ref, i0, frac, rows)
     inside = jnp.logical_and(x >= x0, x <= x_max)
     return jnp.where(inside, val, outside)
 

@@ -223,9 +223,13 @@ def _log_pdf(kind: DistKind, p1, p2, x, rows, log_tab=None):
     families (sampling.analytic_log_pdf — same expressions as the XLA
     backend, so acceptance conventions cannot drift); uniform-x-grid
     table lookup with the -100 floor for CUSTOM (reference conventions:
-    src/shader_gen.rs:543-571, src/distribution.rs:367-475)."""
+    src/shader_gen.rs:543-571, src/distribution.rs:367-475).  Small
+    (<= 4-segment) tables unroll the segment scan — the MCMC kernels'
+    per-step lookup is dominated by the fori_loop carry otherwise."""
     if kind == DistKind.CUSTOM:
-        return uniform_table_value(x, log_tab, rows, LOG_PDF_FLOOR)
+        return uniform_table_value(
+            x, log_tab, rows, LOG_PDF_FLOOR, max_unroll_segments=4
+        )
     from ..sampling import analytic_log_pdf
 
     return analytic_log_pdf(kind, p1, p2, x)

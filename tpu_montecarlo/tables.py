@@ -431,7 +431,7 @@ def downsample_log_table(
     bound: float = 0.01,
     max_nats: float = 2.0,
     floor_margin: float = -90.0,
-    min_knots: int = 256,
+    min_knots: int = 128,
     strict: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Shrink a uniform-grid log-pdf table to the smallest knot count whose
