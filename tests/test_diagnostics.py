@@ -124,14 +124,82 @@ class TestSplitRhat:
                 return_diagnostics=True,
             )
 
-    def test_forced_pallas_warns(self):
-        with pytest.warns(UserWarning, match="XLA MCMC"):
-            MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+    def test_diagnostics_ride_the_kernel(self):
+        # Round 4: split-R-hat/ESS run IN-KERNEL (split-half stat rows
+        # in the per-grid-step block) — a forced Pallas backend must
+        # not warn-fallback, and the statistics must match the XLA
+        # implementation's on a healthy sampler.
+        import warnings as _w
+
+        kw = dict(
+            n_steps=200, n_chains=256, n_burnin=10, seed=5,
+            return_diagnostics=True,
+        )
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            rp = MonteCarloIntegrator(backend="pallas").integrate_mcmc(
                 [lambda x: x], Distribution.normal(0.0, 1.0),
-                Distribution.normal(0.0, 2.0),
-                n_steps=200, n_chains=256, n_burnin=10,
-                return_diagnostics=True,
+                Distribution.normal(0.0, 2.0), **kw,
             )
+        rx = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0), **kw,
+        )
+        assert abs(rp.diagnostics["r_hat"][0] - rx.diagnostics["r_hat"][0]) < 0.02
+        assert rp.diagnostics["ess"][0] > 0
+        # ESS scales with the kernel's rounded-up chain count (1024 vs
+        # the XLA plan's 512 at 256 requested) — compare per chain.
+        per_chain_p = rp.diagnostics["ess"][0] / 1024.0
+        per_chain_x = rx.diagnostics["ess"][0] / 256.0
+        assert abs(per_chain_p - per_chain_x) / per_chain_x < 0.25
+
+    def test_kernel_diagnostics_with_stderr(self):
+        # The combined stat block (rows 0-2 error bars + rows 3-6
+        # split-half diagnostics) in one kernel pass, no fallback.
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            r = MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+                [lambda x: x, lambda x: x * x],
+                Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0),
+                n_steps=600, n_chains=512, n_burnin=60, seed=9,
+                return_stderr=True, return_diagnostics=True,
+            )
+        assert r.stderr is not None and r.stderr[0] > 0
+        assert 0.99 < r.diagnostics["r_hat"][0] < 1.05
+        assert abs(r.values[0]) < 4 * r.stderr[0]
+        assert abs(r.values[1] - 1.0) < 0.1
+
+    def test_kernel_diagnostics_sharded(self, mesh8):
+        # Sharded kernel diagnostics: per-device sequence stats psum'd
+        # before the split-R-hat reduction — values must agree with the
+        # single-device kernel run (same total chains, same seed).
+        import warnings as _w
+
+        kw = dict(
+            n_steps=400, n_chains=2048, n_burnin=50, seed=11,
+            return_diagnostics=True,
+        )
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            rs = MonteCarloIntegrator(
+                backend="pallas", mesh=mesh8
+            ).integrate_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0), **kw,
+            )
+            r1 = MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+                [lambda x: x], Distribution.normal(0.0, 1.0),
+                Distribution.normal(0.0, 2.0), **kw,
+            )
+        assert abs(rs.diagnostics["r_hat"][0] - 1.0) < 0.05
+        assert (
+            abs(rs.diagnostics["r_hat"][0] - r1.diagnostics["r_hat"][0])
+            < 0.02
+        )
+        assert rs.diagnostics["ess"][0] > 0
 
 
 class TestRhatFormula:

@@ -431,3 +431,95 @@ class TestTemperedPallasKernel:
             )
         assert abs(pt.values[0]) < 1.2
         assert abs(pt.values[1] - 17.0) < 2.5
+
+
+class TestTemperedCompile:
+    """``compile_mcmc(temperatures=[...])`` — the tempered serving
+    handle: prog(seed) -> (values, acceptance, swap_rate), seed_batch=R
+    batching R tempered runs as the kernel's leading grid dimension
+    (each rep seeded exactly like its unbatched call)."""
+
+    @pytest.fixture(scope="class")
+    def integ_p(self):
+        return MonteCarloIntegrator(backend="pallas")
+
+    KW = dict(n_steps=120, n_chains=128, n_burnin=40,
+              temperatures=[1.0, 2.0, 4.0])
+
+    def test_handle_matches_integrate_mcmc(self, integ_p):
+        walk = RandomWalk(step_size=0.5, adapt=True,
+                          init_range=(3.0, 5.0))
+        prog = integ_p.compile_mcmc(
+            [lambda x: x, lambda x: x * x], logmix, walk, **self.KW
+        )
+        vals, acc, sw = prog(7)
+        ref = integ_p.integrate_mcmc(
+            [lambda x: x, lambda x: x * x], logmix, walk,
+            seed=7, **self.KW,
+        )
+        np.testing.assert_allclose(
+            np.asarray(vals), ref.values, rtol=1e-6
+        )
+        assert abs(float(acc) - ref.acceptance_rate) < 1e-6
+        assert abs(float(sw) - ref.diagnostics["swap_rate"]) < 1e-6
+
+    def test_seed_batched_rows_match_unbatched(self, integ_p):
+        walk = RandomWalk(step_size=0.5, init_range=(3.0, 5.0))
+        args = ([lambda x: x * x], logmix, walk)
+        prog = integ_p.compile_mcmc(*args, seed_batch=3, **self.KW)
+        vals, acc, sw = prog([11, 12, 13])
+        assert np.asarray(vals).shape == (3, 1)
+        assert np.asarray(acc).shape == (3,)
+        single = integ_p.compile_mcmc(*args, **self.KW)
+        for r, seed in enumerate((11, 12, 13)):
+            v1, a1, s1 = single(seed)
+            np.testing.assert_allclose(
+                np.asarray(vals)[r], np.asarray(v1), rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                float(np.asarray(acc)[r]), float(a1), rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                float(np.asarray(sw)[r]), float(s1), rtol=1e-6
+            )
+
+    def test_stderr_falls_back_to_xla(self, integ_p):
+        walk = RandomWalk(step_size=0.5, init_range=(3.0, 5.0))
+        with pytest.warns(UserWarning, match="XLA backend"):
+            prog = integ_p.compile_mcmc(
+                [lambda x: x], logmix, walk,
+                return_stderr=True, **self.KW,
+            )
+        out = prog(3)
+        assert len(out) == 4 and float(out[3][0]) > 0.0
+
+    def test_analytic_target_estimates(self, integ_p):
+        prog = integ_p.compile_mcmc(
+            [lambda x: x, lambda x: x * x],
+            Distribution.normal(1.0, 2.0),
+            RandomWalk(step_size=1.0, adapt=True,
+                       init_range=(-3.0, 5.0)),
+            n_steps=400, n_chains=512, n_burnin=150,
+            temperatures=[1.0, 3.0],
+        )
+        vals, _, _ = prog(2)
+        assert abs(float(vals[0]) - 1.0) < 0.3
+        assert abs(float(vals[1]) - 5.0) < 1.2
+
+    def test_param_batch_rejected(self, integ_p):
+        with pytest.raises(ValueError, match="param_batch"):
+            integ_p.compile_mcmc(
+                [lambda x: x], logmix,
+                RandomWalk(step_size=0.5, init_range=(3.0, 5.0)),
+                param_batch=True, **self.KW,
+            )
+
+    def test_bad_ladder_rejected(self, integ_p):
+        for temps in ([1.0], [2.0, 4.0], [1.0, 4.0, 2.0]):
+            with pytest.raises(ValueError, match="temperatures"):
+                integ_p.compile_mcmc(
+                    [lambda x: x], logmix,
+                    RandomWalk(step_size=0.5, init_range=(3.0, 5.0)),
+                    n_steps=100, n_chains=128, n_burnin=20,
+                    temperatures=temps,
+                )

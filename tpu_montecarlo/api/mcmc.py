@@ -329,6 +329,7 @@ class _McmcMixin:
         seed_batch: int = 1,
         param_batch: bool = False,
         return_stderr: bool = False,
+        temperatures: Optional[List[float]] = None,
     ) -> Callable:
         """Ahead-of-time MCMC handle for serving: ``prog(seed) ->
         ((K,) jax.Array, acceptance jax scalar)`` — tracing, compilation and
@@ -361,6 +362,15 @@ class _McmcMixin:
             raise ValueError("n_chains must be positive")
         if n_burnin < 0:
             raise ValueError("n_burnin must be non-negative")
+        if temperatures is not None:
+            # Tempered serving handle: prog(seed[s]) -> (values,
+            # acceptance, swap_rate) triples; rides the tempering
+            # kernel's batch grid when eligible (see _compile_mcmc_pt).
+            return self._compile_mcmc_pt(
+                functions, target_distribution, proposal_distribution,
+                temperatures, n_steps, n_chains, n_burnin, seed_batch,
+                param_batch, return_stderr,
+            )
         p_seq = isinstance(proposal_distribution, (list, tuple))
         t_dist = isinstance(target_distribution, Distribution)
         if p_seq or isinstance(target_distribution, (list, tuple)) or (
@@ -517,23 +527,20 @@ class _McmcMixin:
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
-        # Diagnostics and raw-draw runs take the XLA backend (inference
-        # surfaces, not the serving hot path; the kernel reduces chains
+        # Raw-draw runs take the XLA backend (the kernel reduces chains
         # to program sums and Mosaic has no dynamic_update_slice for the
-        # thinned-draw buffer).
-        if (with_diagnostics or with_samples) and self._backend == "pallas":
+        # thinned-draw buffer); split-R-hat/ESS diagnostics ride the
+        # kernel (split-half stat rows in the per-grid-step block).
+        if with_samples and self._backend == "pallas":
             warnings.warn(
-                "backend='pallas' requested but "
-                + ("return_diagnostics" if with_diagnostics
-                   else "return_samples")
-                + " runs the XLA MCMC backend",
+                "backend='pallas' requested but return_samples runs "
+                "the XLA MCMC backend",
                 stacklevel=3,
             )
         # In-kernel HMC needs the gradient traced from a closed form:
         # table targets would need gather-VJP scatters Mosaic lacks.
         pallas_ok = (
-            not with_diagnostics
-            and not with_samples
+            not with_samples
             and (hmc_L == 0 or targ_spec.kind != DistKind.CUSTOM)
         ) and self._mcmc_pallas_ok(
             traced, prop_spec, targ_spec,
@@ -559,6 +566,7 @@ class _McmcMixin:
                 ),
                 with_stderr=with_stderr,
                 hmc=bool(hmc_L),
+                with_diagnostics=with_diagnostics,
             )
         if pallas_ok and with_state:
             from ..ops.mcmc_pallas import plan_state_chains
@@ -572,10 +580,10 @@ class _McmcMixin:
                 pallas_ok = False  # state minted by the XLA backend
         if (
             not pallas_ok
-            and not (with_diagnostics or with_samples)
+            and not with_samples
             and self._backend == "pallas"
         ):
-            # (with_diagnostics / with_samples already warned above.)
+            # (with_samples already warned above.)
             warnings.warn(
                 "backend='pallas' requested but this MCMC workload is "
                 "not Pallas-eligible; running the XLA backend instead",
@@ -609,6 +617,7 @@ class _McmcMixin:
                 seed_batch,
                 param_batch,
                 with_stderr,
+                with_diagnostics,
             )
             native_batch = seed_batch
             run = self._cache.get_or_build(
@@ -632,6 +641,7 @@ class _McmcMixin:
                         random_walk=random_walk,
                         rw_adapt=rw_adapt,
                         hmc_leapfrog=hmc_L,
+                        with_diagnostics=with_diagnostics,
                     ),
                     native_batch,
                     param_batch=param_batch,

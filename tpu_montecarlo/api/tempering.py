@@ -349,9 +349,86 @@ class _PtMixin:
             )
         return ok
 
+    def _compile_mcmc_pt(
+        self, functions, target, proposal, temperatures, n_steps,
+        n_chains, n_burnin, seed_batch, param_batch, return_stderr,
+    ) -> Callable:
+        """AOT handle for tempered MCMC: ``prog(seed) -> ((K,) values,
+        () acceptance, () swap_rate)``, batched ``prog(seeds) ->
+        ((R, K), (R,), (R,))`` with ``seed_batch=R`` — R tempered runs
+        ride the kernel's grid dimension when eligible, else a traced
+        lax.map over the XLA tempering program.  ``return_stderr``
+        appends a stderr output (XLA path).  The serving tier for the
+        multimodal capability — one compiled ladder, one dispatch per
+        seed batch."""
+        if param_batch:
+            raise ValueError(
+                "param_batch is not supported with temperatures (the "
+                "ladder is compile-time; batch seeds instead)"
+            )
+        if not isinstance(proposal, RandomWalk):
+            raise TypeError(
+                "temperatures requires a RandomWalk or HMC proposal "
+                "(tempering repairs LOCAL samplers), got "
+                f"{type(proposal)}"
+            )
+        temps = [float(t) for t in temperatures]
+        if (
+            len(temps) < 2
+            or temps[0] != 1.0
+            or any(
+                not np.isfinite(t) or t2 <= t1
+                for t, (t1, t2) in zip(
+                    temps[1:], zip(temps, temps[1:])
+                )
+            )
+        ):
+            raise ValueError(
+                "temperatures must be finite, strictly increasing and "
+                f"start at 1.0, got {temps}"
+            )
+        _check_random_walk_args(proposal, n_burnin, False)
+        betas = tuple(1.0 / t for t in temps)
+        _, targets, target_fn, d = self._parse_nd_mcmc_args(
+            target, proposal
+        )
+        traced = self._trace_user_functions(functions, n_args=d)
+        mesh = self._mesh
+        n_dev = 1 if mesh is None else mesh.size
+        total_chains = plan_chains(n_chains, self._target_threads, n_dev)
+        if (
+            not return_stderr
+            and self._use_pallas(DistKind.NORMAL)
+            and self._pt_pallas_eligible(
+                targets, target_fn, proposal, traced, d, total_chains,
+                betas,
+            )
+        ):
+            run, dev_args = self._pt_kernel_program(
+                traced, targets, target_fn, betas, proposal, d,
+                n_steps, n_burnin, total_chains, seed_batch=seed_batch,
+            )
+            return self._finalize_prog(
+                run, dev_args, seed_batch, n_param_args=0
+            )
+        if self._backend == "pallas":
+            warnings.warn(
+                "backend='pallas' requested but this tempered handle "
+                "runs on the XLA backend",
+                stacklevel=3,
+            )
+        run, dev_args = self._pt_mcmc_program(
+            traced, targets, target_fn, betas, proposal, d,
+            n_steps, n_burnin, total_chains, return_stderr,
+            False,
+        )
+        return self._finalize_prog(
+            run, dev_args, seed_batch, n_param_args=0
+        )
+
     def _pt_kernel_program(
         self, traced, targets, target_fn, betas, proposal_rw, d,
-        n_steps, n_burnin, total_chains,
+        n_steps, n_burnin, total_chains, seed_batch: int = 1,
     ):
         """Cached in-kernel parallel-tempering program + device args
         ``(prop_rows, targ_params, targ_lx, targ_lp)`` — see
@@ -401,15 +478,19 @@ class _PtMixin:
             total_chains,
             _mesh_key(mesh),
             interpret,
+            seed_batch,
         )
         run = self._cache.get_or_build(
             key,
-            lambda: build_pt_mcmc_fn_pallas(
-                traced, d, betas, n_steps, n_burnin, total_chains,
-                targ_kinds=targ_kinds, target_logpdf_fn=target_fn,
-                targ_custom_1d=targ_custom, mesh=mesh,
-                interpret=interpret, rw_adapt=proposal_rw.adapt,
-                hmc_leapfrog=hmc_L,
+            lambda: _tag_native_batch(
+                build_pt_mcmc_fn_pallas(
+                    traced, d, betas, n_steps, n_burnin, total_chains,
+                    targ_kinds=targ_kinds, target_logpdf_fn=target_fn,
+                    targ_custom_1d=targ_custom, mesh=mesh,
+                    interpret=interpret, rw_adapt=proposal_rw.adapt,
+                    hmc_leapfrog=hmc_L, seed_batch=seed_batch,
+                ),
+                seed_batch,
             ),
         )
         return run, (prop_dev, targ_params, log_dev[0], log_dev[1])

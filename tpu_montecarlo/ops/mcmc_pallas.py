@@ -90,6 +90,7 @@ def mcmc_vmem_fits(
     budget_bytes: int = 16 * 1024 * 1024,
     with_stderr: bool = False,
     hmc: bool = False,
+    with_diagnostics: bool = False,
 ) -> bool:
     """Conservative VMEM estimate for the MH kernel (same model as
     integrate_vmem_fits): carried chain state (x, log_p, log_q, accept
@@ -104,12 +105,14 @@ def mcmc_vmem_fits(
     blocks = k + 8  # x/logp/logq/n_acc carried + xp/logp'/logq'/u temps
     if with_stderr:
         blocks += 1  # end-of-kernel chain-means temporary
+    if with_diagnostics:
+        blocks += 4 * k  # split-half (sum, sum-of-squares) pairs
     if hmc:
         blocks += 3  # leapfrog (position, momentum, gradient) temps
     est = 2 * blocks * rows * LANES * 4
-    if with_stderr:
-        # stderr stats leave through per-grid-step index-mapped (8,
-        # LANES) blocks (double-buffered), not a whole resident buffer.
+    if with_stderr or with_diagnostics:
+        # stats leave through per-grid-step index-mapped (8, LANES)
+        # blocks (double-buffered), not a whole resident buffer.
         est += 2 * 8 * LANES * 4
     else:
         est += seed_batch * local_programs * LANES * 4
@@ -260,6 +263,7 @@ def build_mcmc_fn_pallas(
     random_walk: bool = False,
     rw_adapt: bool = False,
     hmc_leapfrog: int = 0,
+    with_diagnostics: bool = False,
 ):
     """Build a jitted MH program.
 
@@ -334,6 +338,17 @@ def build_mcmc_fn_pallas(
     program reports (chain-mean sum, sum of squared deviations from its
     own centroid, centroid), and programs/devices recombine exactly via
     Chan's parallel-variance formula around the global mean.
+
+    ``with_diagnostics=True`` (stateless, unbatched): the program
+    additionally returns ``(r_hat, ess)`` split-half convergence
+    diagnostics (the XLA backend's split-R-hat semantics,
+    ops/mcmc_xla.split_rhat_ess).  The kernel carries four extra
+    pilot-shifted accumulator sets (first/second-half sums and squares)
+    and writes per-program sequence statistics — within-sequence
+    variance sum, sequence-mean sums/SS/centroid — into the same
+    per-grid-step (8, 128) stat block the error bars use (rows 3-6);
+    programs and devices recombine via Chan's formula exactly as the
+    XLA tiers do, so values match within f32 tolerance.
     """
     if seed_batch != 1 and with_state:
         raise ValueError("seed_batch applies to stateless MCMC programs only")
@@ -349,6 +364,15 @@ def build_mcmc_fn_pallas(
             "use_init_state requires with_state=True (the stateless "
             "program has no state inputs)"
         )
+    if with_diagnostics and (
+        with_state or seed_batch != 1 or param_batch
+    ):
+        raise ValueError(
+            "with_diagnostics applies to stateless unbatched MCMC "
+            "programs only"
+        )
+    if with_diagnostics and n_steps < 4:
+        raise ValueError("with_diagnostics needs n_steps >= 4")
     if param_batch:
         from ..sampling import ensure_param_batch_family
 
@@ -474,7 +498,9 @@ def build_mcmc_fn_pallas(
             logq0 = lp_q(x0)
 
         n_block = jnp.float32(rows * LANES)
-        if with_stderr:
+        stat_mode = with_stderr or with_diagnostics
+        n1 = n_steps // 2  # split-half length (odd last step excluded)
+        if stat_mode:
             # Accumulation pilot per program: f evaluated at the init
             # draw is on the right scale, and shifting the accumulators
             # by it keeps the between-chain signal out of the f32 ulp of
@@ -486,21 +512,47 @@ def build_mcmc_fn_pallas(
                 for f in eval_fns
             ]
 
-        def accumulate(accs, x):
-            if with_stderr:
-                return tuple(
-                    acc + (f(x).astype(jnp.float32) - p)
-                    for acc, f, p in zip(accs, eval_fns, pilots)
+        def accumulate(i, accs, halves, x):
+            vals = [f(x).astype(jnp.float32) for f in eval_fns]
+            if stat_mode:
+                vals = [v - p for v, p in zip(vals, pilots)]
+            accs = tuple(a + v for a, v in zip(accs, vals))
+            if with_diagnostics:
+                # Split-half sums and squares (pilot-shifted — variances
+                # are shift-invariant): the XLA backend's split-R-hat
+                # ingredients (ops/mcmc_xla.py), gated by the scalar
+                # iteration index.
+                acc1, sq1, acc2, sq2 = halves
+                h1 = jnp.logical_and(i >= n_burnin, i < n_burnin + n1)
+                h2 = jnp.logical_and(
+                    i >= n_burnin + n1, i < n_burnin + 2 * n1
                 )
-            return tuple(
-                acc + f(x).astype(jnp.float32)
-                for acc, f in zip(accs, eval_fns)
-            )
+                acc1 = tuple(
+                    a + jnp.where(h1, v, 0.0) for a, v in zip(acc1, vals)
+                )
+                sq1 = tuple(
+                    a + jnp.where(h1, v * v, 0.0)
+                    for a, v in zip(sq1, vals)
+                )
+                acc2 = tuple(
+                    a + jnp.where(h2, v, 0.0) for a, v in zip(acc2, vals)
+                )
+                sq2 = tuple(
+                    a + jnp.where(h2, v * v, 0.0)
+                    for a, v in zip(sq2, vals)
+                )
+                halves = (acc1, sq1, acc2, sq2)
+            return accs, halves
 
         zero_accs = tuple(
             jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
         )
         zero_block = jnp.zeros((rows, LANES), jnp.float32)
+        zero_halves = (
+            (zero_accs, zero_accs, zero_accs, zero_accs)
+            if with_diagnostics
+            else ()
+        )
 
         # Burn-in advances the chains WITHOUT evaluating the K integrands
         # or the accept counter (the reference's burn-in loop runs only
@@ -612,17 +664,17 @@ def build_mcmc_fn_pallas(
                 step_fin = rw_step
 
             def body(i, carry):
-                x, logp, accs, n_acc = carry
+                x, logp, accs, halves, n_acc = carry
                 x, logp, accept, _ = rw_move(i, x, logp, step_fin)
-                accs = accumulate(accs, x)
+                accs, halves = accumulate(i, accs, halves, x)
                 n_acc = n_acc + accept.astype(jnp.float32)
-                return (x, logp, accs, n_acc)
+                return (x, logp, accs, halves, n_acc)
 
-            x_f, logp_f, accs, n_acc = _unrolled_fori(
+            x_f, logp_f, accs, halves, n_acc = _unrolled_fori(
                 n_burnin,
                 n_iters,
                 body,
-                (x0, logp0, zero_accs, zero_block),
+                (x0, logp0, zero_accs, zero_halves, zero_block),
                 unroll_steps,
             )
         else:
@@ -654,23 +706,23 @@ def build_mcmc_fn_pallas(
             )
 
             def body(i, carry):
-                x, logp, logq, accs, n_acc = carry
+                x, logp, logq, accs, halves, n_acc = carry
                 x, logp, logq, accept = mh_move(i, x, logp, logq)
-                accs = accumulate(accs, x)
+                accs, halves = accumulate(i, accs, halves, x)
                 n_acc = n_acc + accept.astype(jnp.float32)
-                return (x, logp, logq, accs, n_acc)
+                return (x, logp, logq, accs, halves, n_acc)
 
-            x_f, logp_f, _, accs, n_acc = _unrolled_fori(
+            x_f, logp_f, _, accs, halves, n_acc = _unrolled_fori(
                 n_burnin,
                 n_iters,
                 body,
-                (x0, logp0, logq0, zero_accs, zero_block),
+                (x0, logp0, logq0, zero_accs, zero_halves, zero_block),
                 UNROLL_STEPS,
             )
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         row_out = jnp.zeros((1, LANES), jnp.float32)
-        if with_stderr:
+        if stat_mode:
             # Per-program between-chain statistics from the pilot-shifted
             # accumulators: chain means, program centroid, sum of squared
             # deviations.  The shift cancels inside the deviations and is
@@ -695,15 +747,52 @@ def build_mcmc_fn_pallas(
                 row_ss = jnp.where(col == i, ss, row_ss)
                 row_mb = jnp.where(col == i, mb, row_mb)
             row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
+            extra_rows = []
+            if with_diagnostics:
+                # Split-half sequence statistics, reduced per program:
+                # sequence-mean sums (restored), SS around the program's
+                # sequence centroid, the centroid, and the summed
+                # within-sequence variance — rows 3-6 of the stat block,
+                # Chan-recombined in the wrapper exactly like the
+                # chain-mean stats (the XLA backend's reduction,
+                # ops/mcmc_xla.py).
+                acc1, sq1, acc2, sq2 = halves
+                n1f = jnp.float32(max(n1, 1))
+                inv_n1 = jnp.float32(1.0) / n1f
+                denom_w = jnp.float32(max(n1 - 1, 1))
+                r_seq_sum = jnp.zeros((1, LANES), jnp.float32)
+                r_seq_ss = jnp.zeros((1, LANES), jnp.float32)
+                r_seq_mb = jnp.zeros((1, LANES), jnp.float32)
+                r_w = jnp.zeros((1, LANES), jnp.float32)
+                for i in range(k):
+                    m1 = acc1[i] * inv_n1
+                    m2 = acc2[i] * inv_n1
+                    s_m = jnp.sum(m1) + jnp.sum(m2)
+                    s_msq = jnp.sum(m1 * m1) + jnp.sum(m2 * m2)
+                    w = (
+                        jnp.sum(sq1[i]) + jnp.sum(sq2[i]) - n1f * s_msq
+                    ) / denom_w
+                    mbs = s_m / (2.0 * n_block)
+                    ss_seq = jnp.maximum(
+                        s_msq - 2.0 * n_block * mbs * mbs, 0.0
+                    )
+                    mb_seq = mbs + pilots[i]
+                    r_seq_sum = jnp.where(
+                        col == i, 2.0 * n_block * mb_seq, r_seq_sum
+                    )
+                    r_seq_ss = jnp.where(col == i, ss_seq, r_seq_ss)
+                    r_seq_mb = jnp.where(col == i, mb_seq, r_seq_mb)
+                    r_w = jnp.where(col == i, w, r_w)
+                extra_rows = [r_seq_sum, r_seq_ss, r_seq_mb, r_w]
             # Static full-block store into this grid step's own
-            # index-mapped (8, 128) block: 3 stat rows + 5 padding
-            # (Mosaic requires sublane block sizes divisible by 8).
-            # Per-step output blocks let Mosaic stream each program's
-            # stats out by DMA instead of keeping a whole (8*R*P, 128)
-            # buffer resident for the full sweep.
+            # index-mapped (8, 128) block: 3 (+4 diagnostic) stat rows
+            # padded to 8 (Mosaic requires sublane block sizes divisible
+            # by 8).  Per-step output blocks let Mosaic stream each
+            # program's stats out by DMA instead of keeping a whole
+            # (8*R*P, 128) buffer resident for the full sweep.
             out_ref[:, :] = jnp.concatenate(
-                [row_out, row_ss, row_mb,
-                 jnp.zeros((5, LANES), jnp.float32)],
+                [row_out, row_ss, row_mb, *extra_rows,
+                 jnp.zeros((5 - len(extra_rows), LANES), jnp.float32)],
                 axis=0,
             )
         else:
@@ -752,8 +841,9 @@ def build_mcmc_fn_pallas(
         if use_init_state:
             in_specs += [state_block, state_block]  # x0, logp0
         out_rows = seed_batch * local_programs
-        total_rows = 8 * out_rows if with_stderr else out_rows
-        if with_stderr:
+        stat_mode = with_stderr or with_diagnostics
+        total_rows = 8 * out_rows if stat_mode else out_rows
+        if stat_mode:
             # Each grid step owns its own (8, LANES) output block
             # (block index r*P + i → rows [8*(r*P+i), 8*(r*P+i)+8)):
             # the kernel stores the whole block statically and Mosaic
@@ -786,18 +876,27 @@ def build_mcmc_fn_pallas(
         )(seed, prop, targ, pid_base, *rest)
         if with_state:
             out, x_f, logp_f = out
-        if with_stderr:
+        if stat_mode:
             # Program-major layout: program slot = rep*P + pid owns rows
             # [8*slot, 8*slot + 8) = (chain-mean sums + accept col k,
-            # per-program SS, per-program centroids, 5 padding rows).
+            # per-program SS, per-program centroids[, 4 diagnostic
+            # rows], padding).
             grouped = out.reshape(seed_batch, local_programs, 8, LANES)
             sums = jnp.sum(grouped[:, :, 0, :], axis=1)  # (R, LANES)
-            return (
+            ret = (
                 sums[:, :k],
                 sums[:, k],
                 grouped[:, :, 1, :k],  # (R, P, K)
                 grouped[:, :, 2, :k],
             )
+            if with_diagnostics:
+                ret = ret + (
+                    jnp.sum(grouped[:, :, 3, :k], axis=1),  # seq sums
+                    grouped[:, :, 4, :k],  # per-program seq SS
+                    grouped[:, :, 5, :k],  # per-program seq centroids
+                    jnp.sum(grouped[:, :, 6, :k], axis=1),  # within-var
+                )
+            return ret
         # (R, LANES): per-batch-element sums over that element's programs.
         totals = jnp.sum(
             out.reshape(seed_batch, local_programs, LANES), axis=1
@@ -826,6 +925,25 @@ def build_mcmc_fn_pallas(
         # Batched shapes: values (R, K), ss/mb (R, P, K).
         corr = block_f * (mb - values[:, None, :]) ** 2
         return jnp.sum(ss + corr, axis=1)
+
+    def _diag_of(values, seq_sums, seq_ss, seq_mb, w_sums, psum=None):
+        # Split-R-hat/ESS from the per-program sequence stats (rows 3-6
+        # of the stat block): Chan-recombine the 2*block_f sequence
+        # means per program around the global sequence mean, then the
+        # XLA backend's split_rhat_ess on the totals.  ``psum``: the
+        # cross-device reducer on a mesh (identity off-mesh).
+        from .mcmc_xla import split_rhat_ess
+
+        del values  # (the sequence mean differs from the full-run mean)
+        if psum is None:
+            psum = lambda v: v  # noqa: E731
+        m_seq = psum(seq_sums) / (2.0 * chains_f)  # (R, K) global mean
+        corr = (2.0 * block_f) * (seq_mb - m_seq[:, None, :]) ** 2
+        ss_tot = psum(jnp.sum(seq_ss + corr, axis=1))
+        w_tot = psum(w_sums)
+        return split_rhat_ess(
+            w_tot[0], ss_tot[0], 2 * chains_actual, n_steps // 2
+        )
 
     def _shape_stderr(values, acc, se):
         if seed_batch == 1 and not param_batch:
@@ -910,6 +1028,29 @@ def build_mcmc_fn_pallas(
 
             return run
 
+        if with_diagnostics:
+
+            @jax.jit
+            def run(seed, prop_params, targ_params, *tables):
+                seed_a, prop_a, targ_a, prepped = _prep(
+                    seed, prop_params, targ_params, tables
+                )
+                base = jnp.zeros((1, 1), jnp.int32)
+                out = pallas_sweep(seed_a, prop_a, targ_a, base, *prepped)
+                sums, n_acc, ss, mb = out[:4]
+                seq_sums, seq_ss, seq_mb, w_sums = out[4:]
+                values = sums / chains_f  # chain-MEAN sums (stat mode)
+                res = (values[0], (n_acc / denom_acc)[0])
+                if with_stderr:
+                    ss_total = _chan_combine(values, ss, mb)
+                    res = res + (_stderr_of(ss_total)[0],)
+                res = res + _diag_of(
+                    values, seq_sums, seq_ss, seq_mb, w_sums
+                )
+                return res
+
+            return run
+
         if with_stderr:
 
             @jax.jit
@@ -952,6 +1093,22 @@ def build_mcmc_fn_pallas(
             rest = rest[:-2] + tuple(
                 a.reshape(-1, LANES) for a in rest[-2:]
             )
+        if with_diagnostics:
+            out = pallas_sweep(seed_a, prop_a, targ_a, base, *rest)
+            sums, n_acc, ss, mb = out[:4]
+            seq_sums, seq_ss, seq_mb, w_sums = out[4:]
+            values = jax.lax.psum(sums, axis_name) / chains_f
+            acc = jax.lax.psum(n_acc, axis_name) / denom_acc
+            res = (values[0], acc[0])
+            if with_stderr:
+                ss_total = jax.lax.psum(
+                    _chan_combine(values, ss, mb), axis_name
+                )
+                res = res + (_stderr_of(ss_total)[0],)
+            return res + _diag_of(
+                values, seq_sums, seq_ss, seq_mb, w_sums,
+                psum=lambda v: jax.lax.psum(v, axis_name),
+            )
         if with_stderr:
             sums, n_acc, ss, mb = pallas_sweep(
                 seed_a, prop_a, targ_a, base, *rest
@@ -977,6 +1134,8 @@ def build_mcmc_fn_pallas(
     body_out_specs = (replicated, replicated)
     if with_stderr:
         body_out_specs = body_out_specs + (replicated,)
+    if with_diagnostics:
+        body_out_specs = body_out_specs + (replicated, replicated)
     if with_state:
         # segment scalar (replicated, right after params) + per-chain state
         # blocks (sharded over the chain axis, trailing).

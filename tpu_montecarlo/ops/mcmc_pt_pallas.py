@@ -132,6 +132,7 @@ def build_pt_mcmc_fn_pallas(
     interpret: bool = False,
     rw_adapt: bool = False,
     hmc_leapfrog: int = 0,
+    seed_batch: int = 1,
 ):
     """Build a jitted in-kernel parallel-tempering MH program.
 
@@ -147,6 +148,12 @@ def build_pt_mcmc_fn_pallas(
     ``total_chains`` counts COLD-RUNG chains; each program runs its
     block's full ladder.  ``betas`` must start at 1.0 and strictly
     decrease (API-validated).
+
+    ``seed_batch=R``: the seed arg becomes an (R,) vector and the
+    program returns ((R, K), (R,), (R,)) — R independent tempered runs
+    batched as a leading grid dimension (traced once), each seeded
+    exactly like its unbatched call (the plain MCMC kernel's serving
+    design, ops/mcmc_pallas.py).
     """
     n_modes = sum(
         x is not None
@@ -216,10 +223,11 @@ def build_pt_mcmc_fn_pallas(
         )
         (out_ref,) = rest
 
-        pid = pl.program_id(0)
+        rep = pl.program_id(0)
+        pid = pl.program_id(1)
         rng = rng_factory()
         rng.seed(
-            seed_ref[0, 0] ^ _PT_STREAM_MIX, pid_base_ref[0, 0] + pid
+            seed_ref[0, rep] ^ _PT_STREAM_MIX, pid_base_ref[0, 0] + pid
         )
         rw_steps = [prop_ref[j, 0] for j in range(d)]
         rw_los = [prop_ref[j, 1] for j in range(d)]
@@ -489,50 +497,61 @@ def build_pt_mcmc_fn_pallas(
             row_out = jnp.where(col == i, jnp.sum(acc), row_out)
         row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
         row_out = jnp.where(col == k + 1, jnp.sum(sw), row_out)
-        out_ref[pl.ds(pid, 1), :] = row_out
+        out_ref[pl.ds(rep * local_programs + pid, 1), :] = row_out
 
-    smem_seed = pl.BlockSpec(
-        (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+    smem_seeds = pl.BlockSpec(
+        (1, seed_batch), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+    )
+    smem_scalar = pl.BlockSpec(
+        (1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     smem_prop = pl.BlockSpec(
-        (d, 4), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (d, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     td = d if targ_kinds is not None else 1
     smem_targ = pl.BlockSpec(
-        (td, 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (td, 2), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     smem_grid = pl.BlockSpec(
-        (1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def pallas_sweep(seed_a, prop_a, targ_a, pid_base, tabs):
-        in_specs = [smem_seed, smem_prop, smem_targ, smem_seed]
+        in_specs = [smem_seeds, smem_prop, smem_targ, smem_scalar]
         if targ_custom_1d:
             in_specs += [vmem, vmem, smem_grid]
+        total_rows = seed_batch * local_programs
         out = pl.pallas_call(
             kernel,
-            grid=(local_programs,),
+            grid=(seed_batch, local_programs),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (local_programs, LANES),
-                lambda i: (0, 0),
+                (total_rows, LANES),
+                lambda r, i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (local_programs, LANES), jnp.float32
+                (total_rows, LANES), jnp.float32
             ),
             interpret=interpret,
         )(seed_a, prop_a, targ_a, pid_base, *tabs)
-        totals = jnp.sum(out, axis=0)
-        return totals[:k], totals[k], totals[k + 1]
+        totals = jnp.sum(
+            out.reshape(seed_batch, local_programs, LANES), axis=1
+        )
+        return totals[:, :k], totals[:, k], totals[:, k + 1]
 
     denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
     denom_sw = jnp.float32(max(attempted, 1.0))
 
+    def _shape(*outs):
+        if seed_batch == 1:
+            outs = tuple(o[0] for o in outs)
+        return outs
+
     def _prep(seed, prop_params, targ_params, targ_lx, targ_lp):
-        seed_a = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+        seed_a = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
         prop_a = jnp.asarray(prop_params, jnp.float32).reshape(d, 4)
         targ_a = jnp.asarray(targ_params, jnp.float32).reshape(td, 2)
         tabs = ()
@@ -557,7 +576,7 @@ def build_pt_mcmc_fn_pallas(
             sums, n_acc, sw = pallas_sweep(
                 seed_a, prop_a, targ_a, base, tabs
             )
-            return (
+            return _shape(
                 sums / denom_vals,
                 n_acc / denom_acc,
                 sw / denom_sw,
@@ -571,7 +590,7 @@ def build_pt_mcmc_fn_pallas(
         dev = jax.lax.axis_index(axis_name)
         base = (dev * local_programs).astype(jnp.int32).reshape(1, 1)
         sums, n_acc, sw = pallas_sweep(seed_a, prop_a, targ_a, base, tabs)
-        return (
+        return _shape(
             jax.lax.psum(sums, axis_name) / denom_vals,
             jax.lax.psum(n_acc, axis_name) / denom_acc,
             jax.lax.psum(sw, axis_name) / denom_sw,
