@@ -444,6 +444,96 @@ def main():
     emit("c11b_hmc_nd_joint_4096_L8", "chain_steps_per_sec", csps,
          "steps/s", est)
 
+    # Config 12 (round 4): in-kernel parallel tempering.  The T-rung
+    # ladder runs as ONE flat lane ensemble (T * n_chains lanes) with
+    # rung-block replica exchange inside the Pallas kernel, so the
+    # honest device-throughput unit is LANE-steps/s (every lane pays a
+    # full MH step per iteration; the cold rung supplies the
+    # estimates).  Compare against c5b/c10: at T=4 a lane-steps rate
+    # near the plain kernel means tempering's multimodal coverage is
+    # ~free per lane.  Target: 0.5*N(-4,1)+0.5*N(4,1), an ~8-sigma
+    # barrier a step-0.5 walk cannot cross without the hot rungs.
+    import math as _math
+
+    def _logmix(x):
+        return _math.log(
+            _math.exp(-0.5 * (x + 4.0) ** 2)
+            + _math.exp(-0.5 * (x - 4.0) ** 2)
+        )
+
+    from tpu_montecarlo import RandomWalk
+
+    T12 = 4
+    chains12 = 4096
+    temps12 = [1.0, 2.0, 4.0, 8.0]
+    prog = integrator.compile_mcmc(
+        [lambda x: x, lambda x: x * x], _logmix,
+        RandomWalk(step_size=0.5, adapt=True, init_range=(3.0, 5.0)),
+        n_steps=steps5, n_chains=chains12, n_burnin=burn5,
+        temperatures=temps12, seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, T12 * chains12 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c12_pt_rw_T4_4096", "lane_steps_per_sec", csps, "steps/s", est)
+
+    # c12b: tempered HMC — leapfrog trajectories on every rung.
+    prog = integrator.compile_mcmc(
+        [lambda x: x * x], _logmix,
+        HMC(step_size=0.35, n_leapfrog=L11, init_range=(3.0, 5.0)),
+        n_steps=steps5, n_chains=chains12, n_burnin=burn5,
+        temperatures=temps12, seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, T12 * chains12 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c12b_pt_hmc_T4_4096_L8", "lane_steps_per_sec", csps,
+         "steps/s", est)
+
+    # Config 13 (round 4): adaptive-IS production sampling.  VEGAS
+    # learns a table proposal for a narrow tail bump under N(0,1)
+    # (host-side, excluded from the timed region — it is a one-off
+    # calibration), then the learned CUSTOM table rides the in-kernel
+    # stratified IS path at full production rate.
+    from tpu_montecarlo import adapt_proposal
+
+    def _bump(x):
+        return _math.exp(-0.5 * ((x - 2.5) / 0.1) ** 2)
+
+    target13 = Distribution.normal(0.0, 1.0)
+    q13 = adapt_proposal(_bump, target13, seed=11)
+    n13 = 100_000_000 // scale
+    r13b = rbatch(n13)
+    prog = integrator.compile_importance_sampling(
+        [_bump], target13, q13, n_samples=n13, seed_batch=r13b,
+    )
+    sps, est = _throughput(prog, n13, r13b)
+    emit("c13_adaptive_is_1e8", "samples_per_sec", sps, "samples/s", est)
+
+    # Config 14 (round 4): in-kernel thinned draws.  return_samples=m
+    # DMA-streams (rows, 128) chain blocks to HBM from inside the MCMC
+    # kernel; the step rate should sit at the plain kernel's (the DMA
+    # hides under the next stride of MH steps).  Unbatched program
+    # (samples are a single-run inference surface), so the run is long
+    # enough (50k steps x 4096 chains) that device time dominates the
+    # per-dispatch RPC; `outer` back-to-back dispatches still pipeline.
+    steps14, m14 = 50_000 // scale, 500 // scale
+    prog14 = integrator.compile_mcmc(
+        [lambda x: x * x], Distribution.normal(0.0, 1.0),
+        RandomWalk(step_size=2.4, init_range=(-4.0, 4.0)),
+        n_steps=steps14, n_chains=4096, n_burnin=burn5,
+        return_samples=m14,
+    )
+    fetch14 = lambda out: np.asarray(out[-1])  # noqa: E731
+    fetch14(prog14(42))
+    t0 = time.perf_counter()
+    outs14 = [prog14(100 + o) for o in range(3)]
+    last14 = [fetch14(o) for o in outs14][-1]
+    dt14 = time.perf_counter() - t0
+    csps = 3 * 4096 * (steps14 + burn5) / dt14
+    emit("c14_mcmc_samples_kernel", "chain_steps_per_sec", csps,
+         "steps/s", [float(last14.mean()), float(last14.std())])
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)

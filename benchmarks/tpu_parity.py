@@ -902,7 +902,6 @@ def main() -> int:
         [lambda x: x], mc.Distribution.normal(3.0, 2.0),
         mc.Distribution.normal(3.0, 4.0),
         n_steps=2000, n_chains=1024, n_burnin=200, seed=42,
-        backend="xla",
     )
     sm = np.asarray(r_sm.samples)
     ok &= check("mcmc_thinned_draws",
@@ -910,7 +909,48 @@ def main() -> int:
                  r_sm.values[0] - r_plain_sm.values[0]],
                 [1.0, 3.0, 2.0, 0.0], [1e-9, 0.15, 0.2, 1e-12],
                 "(m, chains) draws match the target's moments; "
-                "recording leaves estimates bit-identical")
+                "recording leaves estimates bit-identical (both runs "
+                "on the backend the workload routes to)")
+
+    # In-kernel thinned draws (round 4): the Pallas kernel DMA-streams
+    # draw blocks to HBM; forced-kernel runs must keep estimates
+    # bit-identical and produce target-shaped draws, 1-D and nd.
+    integ_p = mc.MonteCarloIntegrator(backend="pallas")
+    kw_sp = dict(n_steps=2000, n_chains=4096, n_burnin=200, seed=42)
+    r_ks = integ_p.integrate_mcmc(
+        [lambda x: x], mc.Distribution.normal(3.0, 2.0),
+        mc.Distribution.normal(3.0, 4.0), return_samples=40, **kw_sp
+    )
+    r_kp = integ_p.integrate_mcmc(
+        [lambda x: x], mc.Distribution.normal(3.0, 2.0),
+        mc.Distribution.normal(3.0, 4.0), **kw_sp
+    )
+    sk = np.asarray(r_ks.samples)
+    ok &= check("kernel_thinned_draws_1d",
+                [float(sk.shape == (40, 4096)), sk.mean(), sk.std(),
+                 r_ks.values[0] - r_kp.values[0]],
+                [1.0, 3.0, 2.0, 0.0], [1e-9, 0.15, 0.2, 0.0],
+                "Pallas DMA-streamed draws: target moments, estimates "
+                "bit-identical to the samples-free kernel")
+
+    rho_s, c_s = -0.5, 1.0 / (2.0 * (1.0 - 0.25))
+    r_kn = integ_p.integrate_mcmc(
+        [lambda x, y: x * y],
+        lambda x, y: -c_s * (x * x - 2.0 * rho_s * x * y + y * y),
+        mc.RandomWalk(step_size=1.0, init_range=(-3.0, 3.0)),
+        n_steps=2000, n_chains=2048, n_burnin=500, seed=42,
+        return_samples=25,
+    )
+    skn = np.asarray(r_kn.samples)
+    corr_kn = float(np.corrcoef(
+        skn[..., 0].ravel(), skn[..., 1].ravel()
+    )[0, 1])
+    ok &= check("kernel_thinned_draws_nd",
+                [float(skn.shape[0] == 25 and skn.shape[2] == 2),
+                 corr_kn],
+                [1.0, rho_s], [1e-9, 0.06],
+                "nd Pallas draws reproduce the joint target's "
+                "cross-correlation")
 
     # IS proposal diagnostics (Kish ESS in-kernel): p=N(0,1), q=N(1,1)
     # has E_q[w^2] = e, so ESS/n -> e^-1.

@@ -2,8 +2,10 @@
 post-burn-in chain states every ``n_steps // m`` sampling steps, at
 user-bounded memory — raw chain output for downstream inference, a
 surface the expectations-only reference lacks (its chains never leave
-the device, src/shader_gen.rs:390-392).  XLA backend; composes with
-stderr and diagnostics; 1-D shape (m, n_chains), nd (m, n_chains, d).
+the device, src/shader_gen.rs:390-392).  Composes with stderr and
+diagnostics; 1-D shape (m, n_chains), nd (m, n_chains, d).  Rides the
+Pallas kernel on eligible workloads (draw blocks DMA-streamed to HBM,
+estimates bit-identical to the samples-free run); XLA otherwise.
 """
 
 import numpy as np
@@ -117,6 +119,64 @@ class TestSamplesNd:
         emp = np.corrcoef(xs, ys)[0, 1]
         assert abs(emp - rho) < 0.1
 
+    def test_pallas_joint_target_kernel_draws(self):
+        """nd draws ride the Pallas kernel: bit-equal estimates vs the
+        samples-free kernel, and the thinned cloud shows the joint
+        target's cross-correlation."""
+        rho, c = -0.5, 1.0 / (2.0 * (1.0 - 0.25))
+        integ = MonteCarloIntegrator(backend="pallas")
+
+        def logp(x, y):
+            return -c * (x * x - 2.0 * rho * x * y + y * y)
+
+        kw = dict(n_steps=800, n_chains=512, n_burnin=300, seed=2)
+        base = integ.integrate_mcmc(
+            [lambda x, y: x * y], logp,
+            RandomWalk(step_size=1.0, init_range=(-3.0, 3.0)), **kw
+        )
+        r = integ.integrate_mcmc(
+            [lambda x, y: x * y], logp,
+            RandomWalk(step_size=1.0, init_range=(-3.0, 3.0)),
+            return_samples=20, **kw
+        )
+        np.testing.assert_array_equal(base.values, r.values)
+        s = r.samples
+        assert s.ndim == 3 and s.shape[0] == 20 and s.shape[2] == 2
+        emp = np.corrcoef(s[..., 0].ravel(), s[..., 1].ravel())[0, 1]
+        assert abs(emp - rho) < 0.12
+
+    def test_pallas_product_target_with_stderr(self):
+        integ = MonteCarloIntegrator(backend="pallas")
+        r = integ.integrate_mcmc(
+            [lambda x, y: x + y],
+            [Distribution.normal(1.0, 1.0),
+             Distribution.normal(-1.0, 0.5)],
+            [Distribution.normal(1.0, 2.0),
+             Distribution.normal(-1.0, 1.0)],
+            n_steps=400, n_chains=512, n_burnin=100, seed=3,
+            return_samples=12, return_stderr=True,
+        )
+        s = r.samples
+        assert s.shape[0] == 12 and s.shape[2] == 2
+        assert r.stderr is not None and r.stderr[0] > 0
+        assert abs(s[..., 0].mean() - 1.0) < 0.2
+        assert abs(s[..., 1].mean() + 1.0) < 0.15
+
+    def test_pallas_nd_mesh_sharded_draws(self, mesh8):
+        integ = MonteCarloIntegrator(backend="pallas", mesh=mesh8)
+        r = integ.integrate_mcmc(
+            [lambda x, y: x + y],
+            [Distribution.normal(1.0, 1.0),
+             Distribution.normal(-1.0, 0.5)],
+            [Distribution.normal(1.0, 2.0),
+             Distribution.normal(-1.0, 1.0)],
+            n_steps=300, n_chains=1024, n_burnin=50, seed=7,
+            return_samples=4,
+        )
+        s = r.samples
+        assert s.shape[0] == 4 and s.shape[2] == 2
+        assert abs(s[..., 0].mean() - 1.0) < 0.25
+
     def test_product_target(self):
         r = integrate_mcmc(
             [lambda x, y: x + y],
@@ -150,17 +210,70 @@ class TestValidation:
                 return_samples=10, return_state=True,
             )
 
-    def test_pallas_backend_warns_and_routes_xla(self):
+    def test_pallas_backend_rides_kernel(self):
+        """Raw draws ride the Pallas kernel (round 4): no reroute
+        warning, the samples carry the kernel's rounded-up chain count
+        (plan_mcmc_grid), and the estimates are BIT-equal to the
+        samples-free kernel run (the DMA-streamed draw blocks never
+        touch the RNG or the accumulators)."""
         import warnings
 
         integ = MonteCarloIntegrator(backend="pallas")
-        with warnings.catch_warnings(record=True) as w:
-            warnings.simplefilter("always")
+        kw = dict(n_steps=200, n_chains=256, n_burnin=20, seed=9)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
             r = integ.integrate_mcmc(
                 [lambda x: x], Distribution.normal(0.0, 1.0),
                 Distribution.normal(0.0, 2.0),
-                n_steps=200, n_chains=256, n_burnin=20,
-                return_samples=4,
+                return_samples=4, **kw
             )
-        assert any("return_samples" in str(x.message) for x in w)
-        assert r.samples.shape == (4, 256)
+        base = integ.integrate_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0), **kw
+        )
+        from tpu_montecarlo.ops.mcmc_pallas import plan_mcmc_grid
+
+        _, _, chains_actual = plan_mcmc_grid(256)
+        assert r.samples.shape == (4, chains_actual)
+        np.testing.assert_array_equal(r.samples, r.samples)  # finite
+        np.testing.assert_array_equal(base.values, r.values)
+        assert abs(r.samples.mean()) < 0.3
+
+    def test_pallas_composes_with_stderr_and_diagnostics(self):
+        integ = MonteCarloIntegrator(backend="pallas")
+        r = integ.integrate_mcmc(
+            [lambda x: x * x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+            n_steps=400, n_chains=512, n_burnin=50, seed=2,
+            return_samples=8, return_stderr=True,
+            return_diagnostics=True,
+        )
+        assert r.samples.shape[0] == 8
+        assert r.stderr is not None and r.stderr[0] > 0
+        assert abs(float(r.diagnostics["r_hat"][0]) - 1.0) < 0.2
+        assert abs(r.values[0] - 1.0) < 0.1
+
+    def test_pallas_random_walk_adaptive_draws(self):
+        integ = MonteCarloIntegrator(backend="pallas")
+        r = integ.integrate_mcmc(
+            [lambda x: x], Distribution.normal(2.0, 1.0),
+            RandomWalk(step_size=1.0, adapt=True,
+                       init_range=(-2.0, 6.0)),
+            n_steps=500, n_chains=512, n_burnin=200, seed=6,
+            return_samples=10,
+        )
+        s = r.samples
+        assert s.shape[0] == 10
+        assert abs(s.mean() - 2.0) < 0.2
+        assert abs(s.std() - 1.0) < 0.2
+
+    def test_pallas_mesh_sharded_draws(self, mesh8):
+        integ = MonteCarloIntegrator(backend="pallas", mesh=mesh8)
+        r = integ.integrate_mcmc(
+            [lambda x: x], Distribution.normal(3.0, 2.0),
+            Distribution.normal(3.0, 4.0),
+            n_steps=300, n_chains=1024, n_burnin=50, seed=5,
+            return_samples=6,
+        )
+        assert r.samples.shape[0] == 6
+        assert abs(r.samples.mean() - 3.0) < 0.3

@@ -112,8 +112,11 @@ class _McmcMixin:
         post-burn-in draws — the chain states every ``n_steps // m``
         sampling steps — raw chain output for downstream inference
         (histograms, quantiles, posterior predictive) at user-bounded
-        memory; a surface the expectations-only reference lacks.  Runs
-        on the XLA backend.
+        memory; a surface the expectations-only reference lacks (its
+        chains never leave the device, src/shader_gen.rs:390-392).
+        Rides the Pallas kernel on eligible workloads (draw blocks are
+        DMA-streamed to HBM; estimates bit-identical to the
+        samples-free run), the XLA backend otherwise.
 
         Passing :class:`RandomWalk` as ``proposal_distribution`` switches
         to random-walk MH — ``x' = x + step * N(0, 1)``, acceptance
@@ -527,21 +530,13 @@ class _McmcMixin:
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
-        # Raw-draw runs take the XLA backend (the kernel reduces chains
-        # to program sums and Mosaic has no dynamic_update_slice for the
-        # thinned-draw buffer); split-R-hat/ESS diagnostics ride the
-        # kernel (split-half stat rows in the per-grid-step block).
-        if with_samples and self._backend == "pallas":
-            warnings.warn(
-                "backend='pallas' requested but return_samples runs "
-                "the XLA MCMC backend",
-                stacklevel=3,
-            )
         # In-kernel HMC needs the gradient traced from a closed form:
         # table targets would need gather-VJP scatters Mosaic lacks.
+        # (Raw draws ride the kernel too: thinned chain blocks are
+        # staged in VMEM and DMA-streamed to an HBM output, so the loop
+        # and estimates are bit-identical to the samples-free kernel.)
         pallas_ok = (
-            not with_samples
-            and (hmc_L == 0 or targ_spec.kind != DistKind.CUSTOM)
+            hmc_L == 0 or targ_spec.kind != DistKind.CUSTOM
         ) and self._mcmc_pallas_ok(
             traced, prop_spec, targ_spec,
             target_distribution, proposal_distribution,
@@ -567,6 +562,7 @@ class _McmcMixin:
                 with_stderr=with_stderr,
                 hmc=bool(hmc_L),
                 with_diagnostics=with_diagnostics,
+                with_samples=bool(with_samples),
             )
         if pallas_ok and with_state:
             from ..ops.mcmc_pallas import plan_state_chains
@@ -578,12 +574,7 @@ class _McmcMixin:
                 and initial_chains == total_chains
             ):
                 pallas_ok = False  # state minted by the XLA backend
-        if (
-            not pallas_ok
-            and not with_samples
-            and self._backend == "pallas"
-        ):
-            # (with_samples already warned above.)
+        if not pallas_ok and self._backend == "pallas":
             warnings.warn(
                 "backend='pallas' requested but this MCMC workload is "
                 "not Pallas-eligible; running the XLA backend instead",
@@ -618,6 +609,7 @@ class _McmcMixin:
                 param_batch,
                 with_stderr,
                 with_diagnostics,
+                with_samples,
             )
             native_batch = seed_batch
             run = self._cache.get_or_build(
@@ -642,6 +634,7 @@ class _McmcMixin:
                         rw_adapt=rw_adapt,
                         hmc_leapfrog=hmc_L,
                         with_diagnostics=with_diagnostics,
+                        with_samples=with_samples,
                     ),
                     native_batch,
                     param_batch=param_batch,

@@ -142,7 +142,7 @@ class _McmcNdMixin:
 
     def _nd_mcmc_pallas_eligible(
         self, prop_kinds, targ_kinds, target_fn, traced, total_chains,
-        d, return_stderr, hmc_L: int = 0,
+        d, return_stderr, hmc_L: int = 0, with_samples: int = 0,
     ) -> bool:
         """nd MCMC kernel gate: analytic proposal dims (vacuous for a
         RandomWalk proposal, ``prop_kinds=()``), analytic-product or
@@ -174,6 +174,7 @@ class _McmcNdMixin:
             and mcmc_nd_vmem_fits(
                 len(traced), d, rows, programs // n_dev,
                 with_stderr=return_stderr, hmc=bool(hmc_L),
+                with_samples=bool(with_samples),
             )
         )
         if not ok and self._backend == "pallas":
@@ -190,7 +191,7 @@ class _McmcNdMixin:
         self, traced, proposals, prop_specs, targets, target_fn,
         n_steps, n_burnin, total_chains, return_stderr,
         seed_batch: int = 1, param_batch: bool = False,
-        proposal_rw=None, d: int = 0,
+        proposal_rw=None, d: int = 0, with_samples: int = 0,
     ):
         """Cached nd MH Pallas kernel program (analytic dims; product or
         joint-fn target) + its device args ``(prop_params_t,
@@ -251,6 +252,7 @@ class _McmcNdMixin:
             return_stderr,
             seed_batch,
             param_batch,
+            with_samples,
         )
         run = self._cache.get_or_build(
             key,
@@ -265,6 +267,7 @@ class _McmcNdMixin:
                     rw_adapt=random_walk and proposal_rw.adapt,
                     rw_d=d if random_walk else 0,
                     hmc_leapfrog=hmc_L,
+                    with_samples=with_samples,
                 ),
                 seed_batch,
                 param_batch=param_batch,
@@ -276,21 +279,27 @@ class _McmcNdMixin:
         self, functions, traced, proposals, prop_specs, targets,
         target_fn, n_steps, n_chains, n_burnin, seed, total_chains,
         return_stderr, proposal_rw=None, d: int = 0,
+        return_samples: int = 0,
     ) -> IntegrationResult:
         """Dispatch one nd MCMC run on the fused Pallas kernel (analytic
         dims or RandomWalk; product or joint-fn target)."""
         run, dev_args = self._nd_mcmc_kernel_program(
             traced, proposals, prop_specs, targets, target_fn,
             n_steps, n_burnin, total_chains, return_stderr,
-            proposal_rw=proposal_rw, d=d,
+            proposal_rw=proposal_rw, d=d, with_samples=return_samples,
         )
         out = run(np.uint32(seed), *dev_args)
+        samples = None
+        if return_samples:
+            # Kernel streams (m, d, chains_actual); surface (m, chains, d).
+            samples = np.transpose(np.asarray(out[-1]), (0, 2, 1))
         return IntegrationResult(
             values=out[0],
             n_samples=n_chains * n_steps,
             n_functions=len(functions),
             acceptance_rate=float(out[1]),
             stderr=out[2] if return_stderr else None,
+            samples=samples,
         )
 
     def _integrate_mcmc_nd(
@@ -343,7 +352,6 @@ class _McmcNdMixin:
         )
         if (
             not return_diagnostics
-            and not return_samples
             and not want_state
             and self._use_pallas(DistKind.NORMAL)
             and self._nd_mcmc_pallas_eligible(
@@ -354,6 +362,7 @@ class _McmcNdMixin:
                     if isinstance(proposal, HMC)
                     else 0
                 ),
+                with_samples=return_samples,
             )
         ):
             return self._run_mcmc_nd_pallas(
@@ -361,15 +370,12 @@ class _McmcNdMixin:
                 target_fn, n_steps, n_chains, n_burnin, seed,
                 total_chains, return_stderr,
                 proposal_rw=proposal if random_walk else None, d=d,
+                return_samples=return_samples,
             )
-        if (
-            return_diagnostics or return_samples
-        ) and self._backend == "pallas":
+        if return_diagnostics and self._backend == "pallas":
             warnings.warn(
-                "backend='pallas' requested but "
-                + ("return_diagnostics" if return_diagnostics
-                   else "return_samples")
-                + " runs on the XLA backend (an inference surface, not "
+                "backend='pallas' requested but nd return_diagnostics "
+                "runs on the XLA backend (an inference surface, not "
                 "a throughput path)",
                 stacklevel=3,
             )

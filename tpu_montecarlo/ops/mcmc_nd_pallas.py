@@ -92,6 +92,7 @@ def mcmc_nd_vmem_fits(
     budget_bytes: int = 16 * 1024 * 1024,
     with_stderr: bool = False,
     hmc: bool = False,
+    with_samples: bool = False,
 ) -> bool:
     """Conservative VMEM estimate, same model as the 1-D gate
     (mcmc_pallas.mcmc_vmem_fits): d carried state blocks + (log_p,
@@ -103,6 +104,8 @@ def mcmc_nd_vmem_fits(
         blocks += 1  # end-of-kernel chain-means temporary
     if hmc:
         blocks += 3 * d  # leapfrog (position, momentum, gradient) tuples
+    if with_samples:
+        blocks += 1  # draw staging block (DMA-streamed, VMEM-flat in m*d)
     est = 2 * blocks * rows * LANES * 4
     if with_stderr:
         est += 2 * 8 * LANES * 4  # double-buffered per-step stat blocks
@@ -129,6 +132,7 @@ def build_mcmc_nd_pallas(
     rw_adapt: bool = False,
     rw_d: int = 0,
     hmc_leapfrog: int = 0,
+    with_samples: int = 0,
 ):
     """Build a jitted nd MH kernel program.
 
@@ -177,6 +181,16 @@ def build_mcmc_nd_pallas(
     into the kernel — closed forms for analytic product targets AND
     traced joint log-density fns (both gather-free elementwise Mosaic
     ops); table targets route to the XLA sweep at the call site.
+
+    ``with_samples=m`` (unbatched; ``1 <= m <= n_steps``): the program
+    additionally returns — LAST — an ``(m, d, chains_actual)`` float32
+    array of thinned post-burn-in d-vector draws at sampling steps
+    ``n_burnin + j * (n_steps // m)`` (the XLA nd builder's buffer
+    layout; the api surfaces it transposed as (m, chains, d)).  Each
+    hit DMA-streams the d per-dimension (rows, 128) chain blocks from a
+    VMEM staging block to the ANY-space output, so VMEM stays flat in
+    ``m * d`` and the estimates are bit-identical to the samples-free
+    kernel (the 1-D kernel's streaming design, ops/mcmc_pallas.py).
     """
     if (targ_kinds is None) == (target_logpdf_fn is None):
         raise ValueError(
@@ -201,6 +215,17 @@ def build_mcmc_nd_pallas(
             "param_batch needs a product-analytic target (a joint "
             "log-density function carries no runtime parameters)"
         )
+    if with_samples:
+        if seed_batch != 1 or param_batch:
+            raise ValueError(
+                "with_samples applies to unbatched nd MCMC programs only"
+            )
+        if not 1 <= int(with_samples) <= n_steps:
+            raise ValueError(
+                f"with_samples must be in [1, n_steps={n_steps}], got "
+                f"{with_samples}"
+            )
+    sample_stride = n_steps // with_samples if with_samples else 0
     k = len(eval_fns)
     if k >= LANES:
         raise ValueError(f"at most {LANES - 1} fused functions supported")
@@ -228,7 +253,9 @@ def build_mcmc_nd_pallas(
 
     rng_factory = CounterRng if interpret else HardwareRng
 
-    def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, out_ref):
+    def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, out_ref, *rest):
+        if with_samples:
+            samp_ref, samp_stage, samp_sem = rest
         rep = pl.program_id(0)
         pid = pl.program_id(1)
         rng = rng_factory()
@@ -322,6 +349,48 @@ def build_mcmc_nd_pallas(
                 acc + f(*xs).astype(jnp.float32)
                 for acc, f in zip(accs, eval_fns)
             )
+
+        if with_samples:
+            stride_c = jnp.int32(sample_stride)
+
+            def write_sample(i, xs):
+                # Thinned d-vector draw at sampling steps n_burnin +
+                # j*stride: stage each dimension's (rows, 128) chain
+                # block and DMA it to the ANY-space output at the
+                # (draw, dim, program) row offset (the 1-D kernel's
+                # streaming design — VMEM-flat, RNG untouched).
+                rel = i - jnp.int32(n_burnin)
+                j = rel // stride_c
+                hit = jnp.logical_and(
+                    rel % stride_c == 0, j < with_samples
+                )
+
+                @pl.when(hit)
+                def _():
+                    for dim in range(d):
+                        samp_stage[...] = xs[dim]
+                        cp = pltpu.make_async_copy(
+                            samp_stage,
+                            samp_ref.at[
+                                pl.ds(
+                                    (
+                                        (j * d + dim) * local_programs
+                                        + pid
+                                    )
+                                    * rows,
+                                    rows,
+                                ),
+                                :,
+                            ],
+                            samp_sem,
+                        )
+                        cp.start()
+                        cp.wait()
+
+        else:
+
+            def write_sample(i, xs):
+                return None
 
         zero_accs = tuple(
             jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
@@ -463,6 +532,7 @@ def build_mcmc_nd_pallas(
                 xs, logp, accs, n_acc = carry
                 xs, logp, accept, _ = rw_move(i, xs, logp, scale_fin)
                 accs = accumulate(accs, xs)
+                write_sample(i, xs)
                 n_acc = n_acc + accept.astype(jnp.float32)
                 return (xs, logp, accs, n_acc)
 
@@ -500,6 +570,7 @@ def build_mcmc_nd_pallas(
                 xs, logp, logq, accs, n_acc = carry
                 xs, logp, logq, accept = mh_move(i, xs, logp, logq)
                 accs = accumulate(accs, xs)
+                write_sample(i, xs)
                 n_acc = n_acc + accept.astype(jnp.float32)
                 return (xs, logp, logq, accs, n_acc)
 
@@ -571,16 +642,40 @@ def build_mcmc_nd_pallas(
                 memory_space=pltpu.VMEM,
             )
             total_rows = seed_batch * local_programs
+        out_specs = out_spec
+        out_shape = jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32)
+        scratch_shapes = ()
+        if with_samples:
+            # Thinned d-vector draws stream by DMA into an ANY-space
+            # (HBM) output; only the (rows, LANES) staging block costs
+            # VMEM.
+            out_specs = (out_spec, pl.BlockSpec(memory_space=pl.ANY))
+            out_shape = (
+                out_shape,
+                jax.ShapeDtypeStruct(
+                    (with_samples * d * local_programs * rows, LANES),
+                    jnp.float32,
+                ),
+            )
+            scratch_shapes = (
+                pltpu.VMEM((rows, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            )
         out = pl.pallas_call(
             kernel,
             grid=(seed_batch, local_programs),
             in_specs=[smem_seeds, smem_prop, smem_targ, smem_scalar],
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (total_rows, LANES), jnp.float32
-            ),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(seed_a, prop_a, targ_a, pid_base)
+        samp = ()
+        if with_samples:
+            # (m * d * P * rows, LANES) -> (m, d, local_chains): the
+            # XLA nd builder's buffer layout (api transposes outside).
+            out, samp_raw = out
+            samp = (samp_raw.reshape(with_samples, d, -1),)
         if with_stderr:
             grouped = out.reshape(seed_batch, local_programs, 8, LANES)
             sums = jnp.sum(grouped[:, :, 0, :], axis=1)  # (R, LANES)
@@ -589,11 +684,11 @@ def build_mcmc_nd_pallas(
                 sums[:, k],
                 grouped[:, :, 1, :k],  # (R, P, K) per-program SS
                 grouped[:, :, 2, :k],  # (R, P, K) per-program centroids
-            )
+            ) + samp
         totals = jnp.sum(
             out.reshape(seed_batch, local_programs, LANES), axis=1
         )
-        return totals[:, :k], totals[:, k]
+        return (totals[:, :k], totals[:, k]) + samp
 
     denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
@@ -653,17 +748,19 @@ def build_mcmc_nd_pallas(
                 seed, prop_params_t, targ_params_t
             )
             base = jnp.zeros((1, 1), jnp.int32)
+            out = pallas_sweep(seed_a, prop_a, targ_a, base)
+            samp = ()
+            if with_samples:
+                out, samp = out[:-1], (out[-1],)
             if with_stderr:
-                sums, n_acc, ss, mb = pallas_sweep(
-                    seed_a, prop_a, targ_a, base
-                )
+                sums, n_acc, ss, mb = out
                 values = sums / chains_f  # chain-MEAN sums
                 ss_total = _chan_combine(values, ss, mb)
                 return _shape(
                     values, n_acc / denom_acc, _stderr_of(ss_total)
-                )
-            sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base)
-            return _shape(sums / denom_vals, n_acc / denom_acc)
+                ) + samp
+            sums, n_acc = out
+            return _shape(sums / denom_vals, n_acc / denom_acc) + samp
 
         return run
 
@@ -672,25 +769,30 @@ def build_mcmc_nd_pallas(
     def sharded_body(seed_a, prop_a, targ_a):
         dev = jax.lax.axis_index(axis_name)
         base = (dev * local_programs).astype(jnp.int32).reshape(1, 1)
+        out = pallas_sweep(seed_a, prop_a, targ_a, base)
+        samp = ()
+        if with_samples:
+            out, samp = out[:-1], (out[-1],)
         if with_stderr:
-            sums, n_acc, ss, mb = pallas_sweep(
-                seed_a, prop_a, targ_a, base
-            )
+            sums, n_acc, ss, mb = out
             values = jax.lax.psum(sums, axis_name) / chains_f
             n_acc = jax.lax.psum(n_acc, axis_name) / denom_acc
             ss_total = jax.lax.psum(
                 _chan_combine(values, ss, mb), axis_name
             )
-            return _shape(values, n_acc, _stderr_of(ss_total))
-        sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base)
+            return _shape(values, n_acc, _stderr_of(ss_total)) + samp
+        sums, n_acc = out
         return _shape(
             jax.lax.psum(sums, axis_name) / denom_vals,
             jax.lax.psum(n_acc, axis_name) / denom_acc,
-        )
+        ) + samp
 
     out_specs = (replicated, replicated)
     if with_stderr:
         out_specs = out_specs + (replicated,)
+    if with_samples:
+        # (m, d, local_chains) per device, chain-sharded on the last axis.
+        out_specs = out_specs + (P(None, None, axis_name),)
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,

@@ -91,6 +91,7 @@ def mcmc_vmem_fits(
     with_stderr: bool = False,
     hmc: bool = False,
     with_diagnostics: bool = False,
+    with_samples: bool = False,
 ) -> bool:
     """Conservative VMEM estimate for the MH kernel (same model as
     integrate_vmem_fits): carried chain state (x, log_p, log_q, accept
@@ -109,6 +110,8 @@ def mcmc_vmem_fits(
         blocks += 4 * k  # split-half (sum, sum-of-squares) pairs
     if hmc:
         blocks += 3  # leapfrog (position, momentum, gradient) temps
+    if with_samples:
+        blocks += 1  # draw staging block (DMA-streamed, VMEM-flat in m)
     est = 2 * blocks * rows * LANES * 4
     if with_stderr or with_diagnostics:
         # stats leave through per-grid-step index-mapped (8, LANES)
@@ -264,6 +267,7 @@ def build_mcmc_fn_pallas(
     rw_adapt: bool = False,
     hmc_leapfrog: int = 0,
     with_diagnostics: bool = False,
+    with_samples: int = 0,
 ):
     """Build a jitted MH program.
 
@@ -339,6 +343,19 @@ def build_mcmc_fn_pallas(
     own centroid, centroid), and programs/devices recombine exactly via
     Chan's parallel-variance formula around the global mean.
 
+    ``with_samples=m`` (stateless, unbatched; ``1 <= m <= n_steps``):
+    the program additionally returns — LAST in the tuple — an
+    ``(m, chains_actual)`` float32 array of thinned post-burn-in
+    draws, the chain states at sampling steps ``n_burnin + j * (n_steps
+    // m)`` (the XLA backend's thinning grid, ops/mcmc_xla.py).  The
+    draws STREAM to HBM: each hit stages the (rows, 128) chain block in
+    a VMEM scratch and async-DMAs it to the kernel's ANY-space output
+    at the (draw, program) row offset, so VMEM stays flat in ``m`` and
+    the chain loop — and therefore the estimates — is bit-identical to
+    the samples-free kernel (the RNG never sees the extra stores).
+    The reference's chains never leave the GPU at all
+    (src/shader_gen.rs:390-392); this raw-draw surface is beyond it.
+
     ``with_diagnostics=True`` (stateless, unbatched): the program
     additionally returns ``(r_hat, ess)`` split-half convergence
     diagnostics (the XLA backend's split-R-hat semantics,
@@ -373,6 +390,18 @@ def build_mcmc_fn_pallas(
         )
     if with_diagnostics and n_steps < 4:
         raise ValueError("with_diagnostics needs n_steps >= 4")
+    if with_samples:
+        if with_state or seed_batch != 1 or param_batch:
+            raise ValueError(
+                "with_samples applies to stateless unbatched MCMC "
+                "programs only"
+            )
+        if not 1 <= int(with_samples) <= n_steps:
+            raise ValueError(
+                f"with_samples must be in [1, n_steps={n_steps}], got "
+                f"{with_samples}"
+            )
+    sample_stride = n_steps // with_samples if with_samples else 0
     if param_batch:
         from ..sampling import ensure_param_batch_family
 
@@ -446,6 +475,8 @@ def build_mcmc_fn_pallas(
             logp0_ref = rest.pop(0)
         if with_state:
             out_ref, x_out_ref, logp_out_ref = rest
+        elif with_samples:
+            out_ref, samp_ref, samp_stage, samp_sem = rest
         else:
             (out_ref,) = rest
 
@@ -543,6 +574,41 @@ def build_mcmc_fn_pallas(
                 )
                 halves = (acc1, sq1, acc2, sq2)
             return accs, halves
+
+        if with_samples:
+            stride_c = jnp.int32(sample_stride)
+
+            def write_sample(i, x):
+                # Thinned draw: the post-step state at sampling steps
+                # n_burnin + j*stride (the states the accumulators
+                # integrate; XLA-backend grid).  Staged in VMEM and
+                # DMA-streamed to the ANY-space output at the
+                # (draw, program) row offset — no resident (m, ...)
+                # buffer, no RNG interaction, estimates bit-identical.
+                rel = i - jnp.int32(n_burnin)
+                j = rel // stride_c
+                hit = jnp.logical_and(
+                    rel % stride_c == 0, j < with_samples
+                )
+
+                @pl.when(hit)
+                def _():
+                    samp_stage[...] = x
+                    cp = pltpu.make_async_copy(
+                        samp_stage,
+                        samp_ref.at[
+                            pl.ds((j * local_programs + pid) * rows, rows),
+                            :,
+                        ],
+                        samp_sem,
+                    )
+                    cp.start()
+                    cp.wait()
+
+        else:
+
+            def write_sample(i, x):
+                return None
 
         zero_accs = tuple(
             jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
@@ -667,6 +733,7 @@ def build_mcmc_fn_pallas(
                 x, logp, accs, halves, n_acc = carry
                 x, logp, accept, _ = rw_move(i, x, logp, step_fin)
                 accs, halves = accumulate(i, accs, halves, x)
+                write_sample(i, x)
                 n_acc = n_acc + accept.astype(jnp.float32)
                 return (x, logp, accs, halves, n_acc)
 
@@ -709,6 +776,7 @@ def build_mcmc_fn_pallas(
                 x, logp, logq, accs, halves, n_acc = carry
                 x, logp, logq, accept = mh_move(i, x, logp, logq)
                 accs, halves = accumulate(i, accs, halves, x)
+                write_sample(i, x)
                 n_acc = n_acc + accept.astype(jnp.float32)
                 return (x, logp, logq, accs, halves, n_acc)
 
@@ -860,9 +928,25 @@ def build_mcmc_fn_pallas(
             )
         sums_shape = jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32)
         state_shape = jax.ShapeDtypeStruct((state_rows, LANES), jnp.float32)
+        scratch_shapes = ()
         if with_state:
             out_specs = (sums_spec, state_block, state_block)
             out_shape = (sums_shape, state_shape, state_shape)
+        elif with_samples:
+            # Thinned draws stream by DMA into an ANY-space (HBM)
+            # output; only the (rows, LANES) staging block costs VMEM.
+            out_specs = (sums_spec, pl.BlockSpec(memory_space=pl.ANY))
+            out_shape = (
+                sums_shape,
+                jax.ShapeDtypeStruct(
+                    (with_samples * local_programs * rows, LANES),
+                    jnp.float32,
+                ),
+            )
+            scratch_shapes = (
+                pltpu.VMEM((rows, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            )
         else:
             out_specs = sums_spec
             out_shape = sums_shape
@@ -872,10 +956,17 @@ def build_mcmc_fn_pallas(
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(seed, prop, targ, pid_base, *rest)
+        samp = ()
         if with_state:
             out, x_f, logp_f = out
+        elif with_samples:
+            # (m * P * rows, LANES) -> (m, local_chains); row-major
+            # chain order matches the state path's reshape(-1).
+            out, samp_raw = out
+            samp = (samp_raw.reshape(with_samples, -1),)
         if stat_mode:
             # Program-major layout: program slot = rep*P + pid owns rows
             # [8*slot, 8*slot + 8) = (chain-mean sums + accept col k,
@@ -896,7 +987,7 @@ def build_mcmc_fn_pallas(
                     grouped[:, :, 5, :k],  # per-program seq centroids
                     jnp.sum(grouped[:, :, 6, :k], axis=1),  # within-var
                 )
-            return ret
+            return ret + samp
         # (R, LANES): per-batch-element sums over that element's programs.
         totals = jnp.sum(
             out.reshape(seed_batch, local_programs, LANES), axis=1
@@ -906,7 +997,7 @@ def build_mcmc_fn_pallas(
                 totals[0, :k], totals[0, k],
                 x_f.reshape(-1), logp_f.reshape(-1),
             )
-        return totals[:, :k], totals[:, k]
+        return (totals[:, :k], totals[:, k]) + samp
 
     denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
@@ -1037,6 +1128,9 @@ def build_mcmc_fn_pallas(
                 )
                 base = jnp.zeros((1, 1), jnp.int32)
                 out = pallas_sweep(seed_a, prop_a, targ_a, base, *prepped)
+                samp = ()
+                if with_samples:
+                    out, samp = out[:-1], (out[-1],)
                 sums, n_acc, ss, mb = out[:4]
                 seq_sums, seq_ss, seq_mb, w_sums = out[4:]
                 values = sums / chains_f  # chain-MEAN sums (stat mode)
@@ -1047,7 +1141,7 @@ def build_mcmc_fn_pallas(
                 res = res + _diag_of(
                     values, seq_sums, seq_ss, seq_mb, w_sums
                 )
-                return res
+                return res + samp
 
             return run
 
@@ -1059,14 +1153,18 @@ def build_mcmc_fn_pallas(
                     seed, prop_params, targ_params, tables
                 )
                 base = jnp.zeros((1, 1), jnp.int32)
-                sums, n_acc, ss, mb = pallas_sweep(
+                out = pallas_sweep(
                     seed_a, prop_a, targ_a, base, *prepped
                 )
+                samp = ()
+                if with_samples:
+                    out, samp = out[:-1], (out[-1],)
+                sums, n_acc, ss, mb = out
                 values = sums / chains_f  # sums are chain-MEAN sums here
                 ss_total = _chan_combine(values, ss, mb)
                 return _shape_stderr(
                     values, n_acc / denom_acc, _stderr_of(ss_total)
-                )
+                ) + samp
 
             return run
 
@@ -1076,8 +1174,14 @@ def build_mcmc_fn_pallas(
                 seed, prop_params, targ_params, tables
             )
             base = jnp.zeros((1, 1), jnp.int32)
-            sums, n_acc = pallas_sweep(seed_a, prop_a, targ_a, base, *prepped)
-            return _shape_stateless(sums / denom_vals, n_acc / denom_acc)
+            out = pallas_sweep(seed_a, prop_a, targ_a, base, *prepped)
+            samp = ()
+            if with_samples:
+                out, samp = out[:-1], (out[-1],)
+            sums, n_acc = out
+            return _shape_stateless(
+                sums / denom_vals, n_acc / denom_acc
+            ) + samp
 
         return run
 
@@ -1095,6 +1199,9 @@ def build_mcmc_fn_pallas(
             )
         if with_diagnostics:
             out = pallas_sweep(seed_a, prop_a, targ_a, base, *rest)
+            samp = ()
+            if with_samples:
+                out, samp = out[:-1], (out[-1],)
             sums, n_acc, ss, mb = out[:4]
             seq_sums, seq_ss, seq_mb, w_sums = out[4:]
             values = jax.lax.psum(sums, axis_name) / chains_f
@@ -1108,11 +1215,15 @@ def build_mcmc_fn_pallas(
             return res + _diag_of(
                 values, seq_sums, seq_ss, seq_mb, w_sums,
                 psum=lambda v: jax.lax.psum(v, axis_name),
-            )
+            ) + samp
         if with_stderr:
-            sums, n_acc, ss, mb = pallas_sweep(
+            out = pallas_sweep(
                 seed_a, prop_a, targ_a, base, *rest
             )
+            samp = ()
+            if with_samples:
+                out, samp = out[:-1], (out[-1],)
+            sums, n_acc, ss, mb = out
             values = jax.lax.psum(sums, axis_name) / chains_f
             n_acc = jax.lax.psum(n_acc, axis_name) / denom_acc
             # Chan recombination around the GLOBAL mean, then psum the
@@ -1120,15 +1231,19 @@ def build_mcmc_fn_pallas(
             ss_total = jax.lax.psum(
                 _chan_combine(values, ss, mb), axis_name
             )
-            return _shape_stderr(values, n_acc, _stderr_of(ss_total))
-        sums, n_acc, *state = pallas_sweep(seed_a, prop_a, targ_a, base, *rest)
+            return _shape_stderr(values, n_acc, _stderr_of(ss_total)) + samp
+        out = pallas_sweep(seed_a, prop_a, targ_a, base, *rest)
+        samp = ()
+        if with_samples:
+            out, samp = out[:-1], (out[-1],)
+        sums, n_acc, *state = out
         sums = jax.lax.psum(sums, axis_name)
         n_acc = jax.lax.psum(n_acc, axis_name)
         sums = sums / denom_vals
         n_acc = n_acc / denom_acc
         if not with_state:
             sums, n_acc = _shape_stateless(sums, n_acc)
-        return (sums, n_acc, *state)
+        return (sums, n_acc, *state) + samp
 
     body_in_specs = (replicated,) * (3 + n_extra)
     body_out_specs = (replicated, replicated)
@@ -1136,6 +1251,9 @@ def build_mcmc_fn_pallas(
         body_out_specs = body_out_specs + (replicated,)
     if with_diagnostics:
         body_out_specs = body_out_specs + (replicated, replicated)
+    if with_samples:
+        # Thinned draws: (m, local_chains) per device, chain-sharded.
+        body_out_specs = body_out_specs + (P(None, axis_name),)
     if with_state:
         # segment scalar (replicated, right after params) + per-chain state
         # blocks (sharded over the chain axis, trailing).
