@@ -172,6 +172,87 @@ class TestComposition:
         assert abs(r.values[0] - BUMP_TRUTH) < 5e-4
 
 
+class TestSamplerModeWeights:
+    """Learned VEGAS tables have PAIRED knots (spacing ~1e-6 beside
+    bin-sized gaps), so their pdf cannot be resampled onto a uniform
+    grid for the in-kernel x-space weight lookup.  Round 4: the kernel
+    takes q from the SAMPLER instead — the stratified inverse tables'
+    reciprocal slope is exactly the density the draws come from (one
+    extra gather) — so adaptive-IS production sampling stays on the
+    Pallas path instead of the ~4000x-slower XLA closure reroute."""
+
+    def test_learned_table_rides_pallas_no_warning(self, bump_proposal):
+        import warnings
+
+        from tpu_montecarlo import MonteCarloIntegrator
+
+        integ = MonteCarloIntegrator(backend="pallas")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            r = integ.integrate_importance_sampling(
+                [bump], TARGET, bump_proposal,
+                n_samples=1_000_000, seed=2,
+            )
+        assert abs(r.values[0] - BUMP_TRUTH) < 2e-4
+
+    def test_matches_xla_face_value_weights(self, bump_proposal):
+        from tpu_montecarlo import MonteCarloIntegrator
+
+        rp = MonteCarloIntegrator(
+            backend="pallas"
+        ).integrate_importance_sampling(
+            [bump], TARGET, bump_proposal, n_samples=2_000_000, seed=3
+        )
+        rx = MonteCarloIntegrator(
+            backend="xla"
+        ).integrate_importance_sampling(
+            [bump], TARGET, bump_proposal, n_samples=2_000_000, seed=3
+        )
+        # Different streams and q conventions (sampler density vs
+        # face-value lerp), but the proposal is normalized so both are
+        # unbiased for the same integral.
+        assert abs(rp.values[0] - BUMP_TRUTH) < 2e-4
+        assert abs(rx.values[0] - BUMP_TRUTH) < 2e-4
+
+    def test_mean_weight_is_one(self, bump_proposal):
+        """E_q[p/q] = 1 for a normalized proposal — the sampler-mode
+        denominator is the actual sampling density, so the identity
+        holds to MC accuracy."""
+        from tpu_montecarlo import MonteCarloIntegrator
+
+        integ = MonteCarloIntegrator(backend="pallas")
+        r = integ.integrate_importance_sampling(
+            [lambda x: 1.0], TARGET, bump_proposal,
+            n_samples=2_000_000, seed=5,
+        )
+        assert abs(r.values[0] - 1.0) < 0.02
+
+    def test_stderr_and_methods_compose(self, bump_proposal):
+        from tpu_montecarlo import MonteCarloIntegrator
+
+        integ = MonteCarloIntegrator(backend="pallas")
+        r = integ.integrate_importance_sampling(
+            [bump], TARGET, bump_proposal,
+            n_samples=1_000_000, seed=4, return_stderr=True,
+        )
+        assert r.stderr is not None and r.stderr[0] > 0
+        assert abs(r.values[0] - BUMP_TRUTH) < 6 * float(r.stderr[0])
+        for method in ("antithetic", "qmc"):
+            rm = integ.integrate_importance_sampling(
+                [bump], TARGET, bump_proposal,
+                n_samples=1_000_000, seed=4, method=method,
+            )
+            assert abs(rm.values[0] - BUMP_TRUTH) < 2e-4
+
+    def test_mesh_sharded(self, mesh8, bump_proposal):
+        from tpu_montecarlo import MonteCarloIntegrator
+
+        integ = MonteCarloIntegrator(backend="pallas", mesh=mesh8)
+        r = integ.integrate_importance_sampling(
+            [bump], TARGET, bump_proposal, n_samples=2_000_000, seed=6
+        )
+        assert abs(r.values[0] - BUMP_TRUTH) < 2e-4
+
 class TestValidation:
     def test_bad_target_type(self):
         with pytest.raises(TypeError):

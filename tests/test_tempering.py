@@ -433,6 +433,68 @@ class TestTemperedPallasKernel:
         assert abs(pt.values[1] - 17.0) < 2.5
 
 
+class TestTemperedKernelSamples:
+    """Cold-rung draws ride the PT kernel (round 4): DMA-streamed from
+    the flat rung ensemble's cold block, estimates bit-identical to the
+    samples-free kernel run, no fallback warning."""
+
+    @pytest.fixture(scope="class")
+    def integ_p(self):
+        return MonteCarloIntegrator(backend="pallas")
+
+    def test_kernel_draws_bit_equal_and_bimodal(self, integ_p):
+        import warnings
+
+        walk = RandomWalk(step_size=0.5, adapt=True,
+                          init_range=(3.0, 5.0))
+        kw = dict(n_steps=600, n_chains=256, n_burnin=200, seed=15,
+                  temperatures=[1.0, 2.0, 4.0, 8.0, 16.0])
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            pt = integ_p.integrate_mcmc(
+                [lambda x: x], logmix, walk,
+                return_samples=20, **kw
+            )
+        base = integ_p.integrate_mcmc([lambda x: x], logmix, walk, **kw)
+        np.testing.assert_array_equal(base.values, pt.values)
+        assert (
+            base.diagnostics["swap_rate"] == pt.diagnostics["swap_rate"]
+        )
+        s = np.asarray(pt.samples)
+        assert s.shape[0] == 20 and s.ndim == 3  # joint-fn keeps d
+        frac_left = float(np.mean(s < 0.0))
+        assert 0.3 < frac_left < 0.7
+        assert abs(float(np.mean(s * s)) - 17.0) < 2.0
+
+    def test_kernel_draws_1d_distribution_target_shape(self, integ_p):
+        pt = integ_p.integrate_mcmc(
+            [lambda x: x], Distribution.normal(2.0, 1.0),
+            RandomWalk(step_size=1.5, init_range=(-2.0, 6.0)),
+            n_steps=400, n_chains=256, n_burnin=100, seed=16,
+            temperatures=[1.0, 4.0], return_samples=8,
+        )
+        s = np.asarray(pt.samples)
+        from tpu_montecarlo.ops.mcmc_pallas import plan_mcmc_grid
+
+        _, _, chains_actual = plan_mcmc_grid(256)
+        assert s.shape == (8, chains_actual)  # 1-D target squeezes d
+        assert abs(s.mean() - 2.0) < 0.3
+
+    def test_kernel_draws_sharded(self, mesh8):
+        integ = MonteCarloIntegrator(backend="pallas", mesh=mesh8)
+        pt = integ.integrate_mcmc(
+            [lambda x: x * x], logmix,
+            RandomWalk(step_size=0.5, adapt=True,
+                       init_range=(3.0, 5.0)),
+            n_steps=300, n_chains=1024, n_burnin=150, seed=9,
+            temperatures=[1.0, 2.0, 4.0, 8.0, 16.0],
+            return_samples=5,
+        )
+        s = np.asarray(pt.samples)
+        assert s.shape[0] == 5
+        assert abs(float(np.mean(s * s)) - 17.0) < 2.5
+
+
 class TestTemperedCompile:
     """``compile_mcmc(temperatures=[...])`` — the tempered serving
     handle: prog(seed) -> (values, acceptance, swap_rate), seed_batch=R

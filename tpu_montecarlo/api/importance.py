@@ -276,12 +276,33 @@ class _ImportanceMixin:
             q_mode_k = _uniform_table_mode(
                 proposal_distribution, q_mode, "proposal"
             )
+            if (
+                pallas_ok
+                and q_mode_k is None
+                and spec.kind == DistKind.CUSTOM
+                and not spec.exact_inverse
+            ):
+                # The denominator table's x-grid is too irregular to
+                # resample (e.g. a paired-knot VEGAS proposal from
+                # adapt_proposal) but the proposal is kernel-SAMPLED —
+                # so take q from the sampler itself: the stratified
+                # inverse tables' reciprocal slope IS the density the
+                # samples are drawn from (one extra gather, exact for
+                # the resampled inverse).  Safe only when the user's
+                # pdf table is self-normalized — otherwise reference
+                # face-value semantics (weights scaled by the user's
+                # normalization) would silently change; those rare
+                # unnormalized-irregular tables keep the XLA path.
+                x_t = np.asarray(q_mode[1], np.float64)
+                v_t = np.asarray(q_mode[2], np.float64)
+                if abs(np.trapezoid(v_t, x_t) - 1.0) <= 1e-3:
+                    q_mode_k = ("sampler",)
             for mode in (p_mode_k, q_mode_k):
                 if not pallas_ok:
                     break
                 if mode is None:
                     pallas_ok = False
-                elif mode[0] != "table":
+                elif mode[0] not in ("table", "sampler"):
                     pallas_ok = _block_traceable((mode[1],))
             if pallas_ok:
                 # Re-check the kernel VMEM budget with the IS extras: the
@@ -295,7 +316,8 @@ class _ImportanceMixin:
                 pallas_ok = (
                     pick_block_rows(
                         len(traced), spec.kind,
-                        n_weight_tables=n_wt, extra_blocks=3,
+                        n_weight_tables=n_wt,
+                        extra_blocks=3 + int(q_mode_k[0] == "sampler"),
                         gapped=spec.kind == DistKind.CUSTOM
                         and spec.exact_inverse,
                         plan_samples=plan.actual_samples,
@@ -319,9 +341,13 @@ class _ImportanceMixin:
             interpret = jax.default_backend() != "tpu"
 
             def mode_arg(mode):
-                return "table" if mode[0] == "table" else mode[1]
+                if mode[0] in ("table", "sampler"):
+                    return mode[0]
+                return mode[1]
 
             def mode_key(mode, dist):
+                if mode[0] == "sampler":
+                    return ("sampler",)
                 if mode[0] == "table":
                     return (
                         "pdf_table",

@@ -128,33 +128,48 @@ class _PtMixin:
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
-        inference = bool(
-            return_stderr or return_diagnostics or return_samples
-        )
+        # Cold-rung draws ride the kernel (DMA-streamed, round 4);
+        # stderr/split-R-hat still take the XLA tempering sweep.
+        stat_inference = bool(return_stderr or return_diagnostics)
         if (
-            not inference
+            not stat_inference
             and self._use_pallas(DistKind.NORMAL)
             and self._pt_pallas_eligible(
                 targets, target_fn, proposal, traced, d, total_chains,
-                betas,
+                betas, with_samples=int(return_samples or 0),
             )
         ):
+            m_samp = int(return_samples or 0)
             run, dev_args = self._pt_kernel_program(
                 traced, targets, target_fn, betas, proposal, d,
                 n_steps, n_burnin, total_chains,
+                with_samples=m_samp,
             )
-            values, acc_rate, swap_rate = run(np.uint32(seed), *dev_args)
+            out = run(np.uint32(seed), *dev_args)
+            values, acc_rate, swap_rate = out[0], out[1], out[2]
+            samples = None
+            if m_samp:
+                # Kernel streams (m, d, chains_actual); surface the
+                # family's conventions — (m, n_chains) for a 1-D
+                # Distribution target, (m, n_chains, d) otherwise.
+                arr = np.transpose(np.asarray(out[3]), (0, 2, 1))
+                samples = (
+                    arr[:, :, 0]
+                    if (d == 1 and target_fn is None)
+                    else arr
+                )
             return IntegrationResult(
                 values=values,
                 n_samples=n_chains * n_steps,
                 n_functions=len(functions),
                 acceptance_rate=float(acc_rate),
                 diagnostics={"swap_rate": float(swap_rate)},
+                samples=samples,
             )
-        if inference and self._backend == "pallas":
+        if stat_inference and self._backend == "pallas":
             warnings.warn(
                 "backend='pallas' requested but tempered "
-                "stderr/diagnostics/samples runs execute on the XLA "
+                "stderr/diagnostics runs execute on the XLA "
                 "backend (inference surfaces, not the throughput path)",
                 stacklevel=3,
             )
@@ -286,7 +301,7 @@ class _PtMixin:
 
     def _pt_pallas_eligible(
         self, targets, target_fn, proposal_rw, traced, d, total_chains,
-        betas,
+        betas, with_samples: int = 0,
     ) -> bool:
         """Tempered-kernel gate: RandomWalk/HMC proposal (guaranteed by
         the temperatures validation), <=126 fused d-ary integrands
@@ -336,7 +351,7 @@ class _PtMixin:
         ok = ok and pt_vmem_fits(
             len(traced), d, rows, programs // n_dev, len(betas),
             rw_adapt=proposal_rw.adapt, hmc=bool(hmc_L),
-            table_bytes=table_bytes,
+            table_bytes=table_bytes, with_samples=bool(with_samples),
         )
         if not ok and self._backend == "pallas":
             warnings.warn(
@@ -429,6 +444,7 @@ class _PtMixin:
     def _pt_kernel_program(
         self, traced, targets, target_fn, betas, proposal_rw, d,
         n_steps, n_burnin, total_chains, seed_batch: int = 1,
+        with_samples: int = 0,
     ):
         """Cached in-kernel parallel-tempering program + device args
         ``(prop_rows, targ_params, targ_lx, targ_lp)`` — see
@@ -479,6 +495,7 @@ class _PtMixin:
             _mesh_key(mesh),
             interpret,
             seed_batch,
+            with_samples,
         )
         run = self._cache.get_or_build(
             key,
@@ -489,6 +506,7 @@ class _PtMixin:
                     targ_custom_1d=targ_custom, mesh=mesh,
                     interpret=interpret, rw_adapt=proposal_rw.adapt,
                     hmc_leapfrog=hmc_L, seed_batch=seed_batch,
+                    with_samples=with_samples,
                 ),
                 seed_batch,
             ),

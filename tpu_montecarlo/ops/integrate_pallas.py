@@ -314,7 +314,9 @@ def pick_block_rows(
     return None
 
 
-def prep_inv_table_stratified(x_table, rows: int, segments=None):
+def prep_inv_table_stratified(
+    x_table, rows: int, segments=None, with_pdf: bool = False
+):
     """Row-stratified inverse-CDF tables for the integrate kernel.
 
     u-space splits into S equal-mass strata (S = table segments); block row
@@ -330,6 +332,17 @@ def prep_inv_table_stratified(x_table, rows: int, segments=None):
 
     Returns (ts, dts), both (rows, 128): per-stratum 128-knot resamplings
     of the piecewise-linear inverse CDF and their forward differences.
+
+    ``with_pdf=True`` additionally returns ``qs`` (rows, 128): the exact
+    density of THIS sampler at each knot segment, ``du/dx = 1 / (S *
+    (LANES-1) * dts)`` — the reciprocal inverse-CDF slope.  Gathered with
+    the same lane index as the draw, it gives the importance-sampling
+    denominator q(x) for free (one extra gather), with no x-space table
+    lookup and no uniform-grid requirement: this is what keeps
+    paired-knot VEGAS proposals (adaptive.py) fully in-kernel.  For a
+    normalized user pdf it matches the face-value table within the
+    inverse-resampling error; it IS the density the samples were drawn
+    from, so the weighted estimator stays exactly unbiased.
     """
     t = jnp.asarray(x_table, jnp.float32)
     m = t.shape[0]
@@ -361,6 +374,14 @@ def prep_inv_table_stratified(x_table, rows: int, segments=None):
         axis=1,
     )
     rep = rows // segments
+    if with_pdf:
+        inv_c = jnp.float32(1.0 / (segments * (LANES - 1)))
+        qs = jnp.where(dts > 0, inv_c / jnp.maximum(dts, 1e-38), 0.0)
+        return (
+            jnp.repeat(ts, rep, axis=0),
+            jnp.repeat(dts, rep, axis=0),
+            jnp.repeat(qs, rep, axis=0),
+        )
     return (
         jnp.repeat(ts, rep, axis=0),
         jnp.repeat(dts, rep, axis=0),
@@ -385,6 +406,19 @@ def _stratified_sample(ts_ref, dts_ref, rng, counter, rows):
     return _stratified_sample_from_w(ts_ref, dts_ref, w)
 
 
+def _stratified_sample_pdf_from_w(ts_ref, dts_ref, qs_ref, w):
+    """Stratified draw + its own sampling density (the qs table from
+    ``prep_inv_table_stratified(with_pdf=True)``, gathered with the same
+    lane index) — the free in-kernel IS denominator."""
+    pos = w * jnp.float32(LANES - 1)
+    j = pos.astype(jnp.int32)
+    frac = pos - j.astype(jnp.float32)
+    x0 = jnp.take_along_axis(ts_ref[...], j, axis=1)
+    dx = jnp.take_along_axis(dts_ref[...], j, axis=1)
+    q = jnp.take_along_axis(qs_ref[...], j, axis=1)
+    return x0 + frac * dx, q
+
+
 def _qmc_pos(rows):
     """Row-major (rows, 128) within-block offsets, int32."""
     return (
@@ -396,7 +430,7 @@ def _qmc_pos(rows):
 
 def _sample_subblocks_qmc(
     kind: DistKind, p1, p2, block_num, shift,
-    tables=None, rows=BLOCK_ROWS,
+    tables=None, rows=BLOCK_ROWS, with_pdf: bool = False,
 ):
     """QMC counterpart of _sample_subblocks: uniforms come from the
     rotated radical inverse of the global sample index (ops/qmc.py)
@@ -442,6 +476,12 @@ def _sample_subblocks_qmc(
         u = qmc_u01_open(g, s1)
         return [-jnp.log(jnp.maximum(u, 1e-7)) / p1]
     if kind == DistKind.CUSTOM:
+        if with_pdf:
+            ts_ref, dts_ref, qs_ref = tables
+            w = qmc_u01_halfopen(g, s1)
+            return [
+                _stratified_sample_pdf_from_w(ts_ref, dts_ref, qs_ref, w)
+            ]
         ts_ref, dts_ref = tables
         w = qmc_u01_halfopen(g, s1)
         return [_stratified_sample_from_w(ts_ref, dts_ref, w)]
@@ -458,12 +498,18 @@ def _sample_subblocks_qmc(
 
 
 def _sample_subblocks(
-    kind: DistKind, p1, p2, rng, counter, tables=None, rows=BLOCK_ROWS
+    kind: DistKind, p1, p2, rng, counter, tables=None, rows=BLOCK_ROWS,
+    with_pdf: bool = False,
 ):
     """Sample rows*128 values as a list of equal-shape sub-blocks
     (NORMAL returns two half-blocks, keeping the accumulator shapes of
     the Box-Muller pair construction it replaced, so no concatenate/copy
-    is needed; integrands just run once per sub-block)."""
+    is needed; integrands just run once per sub-block).
+
+    ``with_pdf=True`` (CUSTOM only): each sub-block is an ``(x, q)``
+    pair with q the sampler's own density at x (the third qs table from
+    ``prep_inv_table_stratified(with_pdf=True)``) — the in-kernel IS
+    denominator for irregular-grid proposals."""
     if kind == DistKind.UNIFORM:
         from ..sampling import next_below_f32
 
@@ -487,6 +533,12 @@ def _sample_subblocks(
         u = _uniform_open01(rng, (rows, LANES), counter, 0)
         return [-jnp.log(jnp.maximum(u, 1e-7)) / p1]
     if kind == DistKind.CUSTOM:
+        if with_pdf:
+            ts_ref, dts_ref, qs_ref = tables
+            w = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+            return [
+                _stratified_sample_pdf_from_w(ts_ref, dts_ref, qs_ref, w)
+            ]
         ts_ref, dts_ref = tables
         return [_stratified_sample(ts_ref, dts_ref, rng, counter, rows)]
     from ..sampling import ANALYTIC_EXT
@@ -501,7 +553,8 @@ def _sample_subblocks(
 
 
 def _sample_subblocks_antithetic(
-    kind: DistKind, p1, p2, rng, counter, tables=None, rows=BLOCK_ROWS
+    kind: DistKind, p1, p2, rng, counter, tables=None, rows=BLOCK_ROWS,
+    with_pdf: bool = False,
 ):
     """Antithetic counterpart of :func:`_sample_subblocks`: the SAME
     uniform draws (same shapes, counters and tags, so the RNG stream
@@ -544,6 +597,17 @@ def _sample_subblocks_antithetic(
             -jnp.log(jnp.maximum(1.0 - u, 1e-7)) / p1,
         ]
     if kind == DistKind.CUSTOM:
+        if with_pdf:
+            ts_ref, dts_ref, qs_ref = tables
+            w = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
+            return [
+                _stratified_sample_pdf_from_w(
+                    ts_ref, dts_ref, qs_ref, w
+                ),
+                _stratified_sample_pdf_from_w(
+                    ts_ref, dts_ref, qs_ref, 1.0 - w
+                ),
+            ]
         ts_ref, dts_ref = tables
         w = _uniform_halfopen01(rng, (rows, LANES), counter, 0)
         return [
@@ -745,6 +809,16 @@ def build_integrate_fn_pallas(
     p_mode, q_mode = is_weight if is_weight is not None else (None, None)
     p_table = p_mode == "table"
     q_table = q_mode == "table"
+    # "sampler": the IS denominator is the CUSTOM proposal's own sampling
+    # density, gathered from the stratified tables' qs column during the
+    # draw (prep_inv_table_stratified(with_pdf=True)) — no x-space
+    # lookup, no uniform-grid requirement.  The in-kernel path for
+    # irregular-grid (e.g. paired-knot VEGAS) proposals.
+    q_sampler = q_mode == "sampler"
+    if q_sampler and (not is_custom or gapped_tables):
+        raise ValueError(
+            "sampler-mode IS weights need a non-gapped CUSTOM proposal"
+        )
 
     n_dev = 1 if mesh is None else mesh.size
     # Block row count fitted to the VMEM budget (shrinks for high K so
@@ -761,7 +835,10 @@ def build_integrate_fn_pallas(
         block_rows = pick_block_rows(
             k, kind,
             n_weight_tables=int(p_table) + int(q_table),
-            extra_blocks=3 if is_weight is not None else 0,
+            # +1 sampler block: the resident qs table and its gather temp.
+            extra_blocks=(
+                (3 + int(q_sampler)) if is_weight is not None else 0
+            ),
             gapped=gapped_tables,
             plan_samples=grid_samples,
             n_dev=n_dev,
@@ -818,7 +895,8 @@ def build_integrate_fn_pallas(
     def kernel(seed_ref, params_ref, pid_base_ref, *rest):
         rest = list(rest)
         pilot_ref = rest.pop(0) if with_stderr else None
-        tables = (rest.pop(0), rest.pop(0)) if is_custom else None
+        n_tab = (3 if q_sampler else 2) if is_custom else 0
+        tables = tuple(rest.pop(0) for _ in range(n_tab)) or None
         p_tab = (
             (rest.pop(0), rest.pop(0), rest.pop(0)) if p_table else None
         )
@@ -854,7 +932,7 @@ def build_integrate_fn_pallas(
         p2 = params_ref[prow, 1]
         rows = _acc_rows(kind, block_rows)
 
-        def weight(x):
+        def weight(x, q_samp=None):
             if is_weight is None:
                 return None
             p_val = (
@@ -862,11 +940,15 @@ def build_integrate_fn_pallas(
                 if p_table
                 else p_mode(x).astype(jnp.float32)
             )
-            q_val = (
-                uniform_table_value(x, q_tab, rows, 0.0)
-                if q_table
-                else q_mode(x).astype(jnp.float32)
-            )
+            if q_sampler:
+                # The draw's own density, gathered during sampling.
+                q_val = q_samp
+            else:
+                q_val = (
+                    uniform_table_value(x, q_tab, rows, 0.0)
+                    if q_table
+                    else q_mode(x).astype(jnp.float32)
+                )
             # q > 0 guard: a rounding-edge sample with zero proposal
             # density would otherwise poison the whole mean with inf/NaN
             # (zero-mass points, so weight 0 is exact).
@@ -906,15 +988,24 @@ def build_integrate_fn_pallas(
                         shift_b = shift
                     subs += _sample_subblocks_qmc(
                         kind, p1, p2, b, shift_b, tables, block_rows,
+                        with_pdf=q_sampler,
                     )
                 elif anti:
                     subs += _sample_subblocks_antithetic(
-                        kind, p1, p2, rng, blk, tables, block_rows
+                        kind, p1, p2, rng, blk, tables, block_rows,
+                        with_pdf=q_sampler,
                     )
                 else:
                     subs += _sample_subblocks(
-                        kind, p1, p2, rng, blk, tables, block_rows
+                        kind, p1, p2, rng, blk, tables, block_rows,
+                        with_pdf=q_sampler,
                     )
+            if q_sampler:
+                # Sampler-mode sub-blocks are (x, q) pairs.
+                subs_q = [s[1] for s in subs]
+                subs = [s[0] for s in subs]
+            else:
+                subs_q = [None] * len(subs)
             if anti and with_stderr:
                 # Antithetic sub-blocks come in adjacent mirror pairs;
                 # squares accumulate on the PAIR MEAN (the estimator's
@@ -922,9 +1013,11 @@ def build_integrate_fn_pallas(
                 # within-pair covariance the method exists to exploit.
                 # The value accumulators still add both members, keeping
                 # means bit-equal to the stderr-off antithetic kernel.
-                for x1, x2 in zip(subs[0::2], subs[1::2]):
-                    w1 = weight(x1)
-                    w2 = weight(x2)
+                for x1, x2, qs1, qs2 in zip(
+                    subs[0::2], subs[1::2], subs_q[0::2], subs_q[1::2]
+                ):
+                    w1 = weight(x1, qs1)
+                    w2 = weight(x2, qs2)
                     for j, f in enumerate(eval_fns):
                         v1 = f(x1).astype(jnp.float32)
                         v2 = f(x2).astype(jnp.float32)
@@ -938,8 +1031,8 @@ def build_integrate_fn_pallas(
                         d = 0.5 * (v1 + v2) - pilots[j]
                         sqs[j] = sqs[j] + d * d
                 return tuple(accs) + tuple(sqs)
-            for x in subs:
-                w = weight(x)
+            for x, q_s in zip(subs, subs_q):
+                w = weight(x, q_s)
                 for j, f in enumerate(eval_fns):
                     v = f(x).astype(jnp.float32)
                     if w is not None:
@@ -1006,7 +1099,7 @@ def build_integrate_fn_pallas(
         if with_stderr:
             in_specs.append(vmem)
         if is_custom:
-            in_specs += [vmem, vmem]
+            in_specs += [vmem, vmem] + ([vmem] if q_sampler else [])
         for flag in (p_table, q_table):
             if flag:
                 in_specs += [vmem, vmem, smem_grid]
@@ -1063,7 +1156,7 @@ def build_integrate_fn_pallas(
             return sums
         return sums[0] if seed_batch == 1 else sums
 
-    def _pilot_weight(x, weight_tables):
+    def _pilot_weight(x, weight_tables, q_pilot_val=None):
         """Pilot-grid IS weight p(x)/q(x) OUTSIDE the kernel.  Table
         modes interpolate the raw uniform-grid tables (0 outside
         support, like the in-kernel uniform_table_value); traced modes
@@ -1084,7 +1177,14 @@ def build_integrate_fn_pallas(
             return jnp.where(inside, v, 0.0).astype(jnp.float32)
 
         p_val = mode_val(p_mode, p_table)
-        q_val = mode_val(q_mode, q_table)
+        if q_sampler:
+            # The pilot x block IS the stratified ts table (prepped[0]),
+            # so the qs table (prepped[2]) is the density at exactly
+            # those knots — no lookup needed (q_pilot threaded by the
+            # caller).
+            q_val = q_pilot_val
+        else:
+            q_val = mode_val(q_mode, q_table)
         safe_q = jnp.where(q_val > 0, q_val, 1.0)
         return jnp.where(q_val > 0, p_val / safe_q, 0.0)
 
@@ -1115,7 +1215,9 @@ def build_integrate_fn_pallas(
                 from ..sampling import ANALYTIC_EXT
 
                 x = ANALYTIC_EXT[kind].inv_cdf(u, p1, p2)
-        w = _pilot_weight(x, weight_tables)
+        w = _pilot_weight(
+            x, weight_tables, prepped[2] if q_sampler else None
+        )
 
         def f_val(f):
             v = f(x).astype(jnp.float32)
@@ -1170,7 +1272,9 @@ def build_integrate_fn_pallas(
                 ]
             else:
                 prepped += list(
-                    prep_inv_table_stratified(x_table, block_rows)
+                    prep_inv_table_stratified(
+                        x_table, block_rows, with_pdf=q_sampler
+                    )
                 )
         wt = list(weight_tables)
         for flag in (p_table, q_table):
@@ -1224,7 +1328,9 @@ def build_integrate_fn_pallas(
             jax.lax.psum(sums, axis_name) / jnp.float32(actual)
         )
 
-    n_extra = (2 if is_custom else 0) + 3 * (int(p_table) + int(q_table))
+    n_extra = ((3 if q_sampler else 2) if is_custom else 0) + 3 * (
+        int(p_table) + int(q_table)
+    )
     if with_stderr:
         n_extra += 1  # replicated pilot row
     shard_mapped = jax.shard_map(

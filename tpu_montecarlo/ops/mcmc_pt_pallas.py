@@ -87,6 +87,7 @@ def pt_vmem_fits(
     hmc: bool = False,
     table_bytes: int = 0,
     budget_bytes: int = 16 * 1024 * 1024,
+    with_samples: bool = False,
 ) -> bool:
     """Conservative VMEM estimate, same model as the plain MCMC gates
     (mcmc_pallas.mcmc_vmem_fits): T rungs of (d state + log_p [+ log
@@ -99,6 +100,8 @@ def pt_vmem_fits(
     if hmc:
         temps += 3 * d  # leapfrog (position, momentum, gradient) tuples
     temps += 2  # swap v + delta
+    if with_samples:
+        temps += 1  # draw staging block (DMA-streamed, VMEM-flat in m*d)
     est = 2 * (carried + temps) * rows * LANES * 4
     est += local_programs * LANES * 4
     est += table_bytes
@@ -133,6 +136,7 @@ def build_pt_mcmc_fn_pallas(
     rw_adapt: bool = False,
     hmc_leapfrog: int = 0,
     seed_batch: int = 1,
+    with_samples: int = 0,
 ):
     """Build a jitted in-kernel parallel-tempering MH program.
 
@@ -154,6 +158,15 @@ def build_pt_mcmc_fn_pallas(
     batched as a leading grid dimension (traced once), each seeded
     exactly like its unbatched call (the plain MCMC kernel's serving
     design, ops/mcmc_pallas.py).
+
+    ``with_samples=m`` (unbatched; ``1 <= m <= n_steps``): additionally
+    returns — LAST — an ``(m, d, chains_actual)`` float32 array of
+    thinned post-burn-in COLD-RUNG draws, the post-swap cold states at
+    sampling steps ``n_burnin + j * (n_steps // m)`` (the XLA tempering
+    sweep's convention, ops/mcmc_pt.py).  Draw blocks DMA-stream from a
+    VMEM staging block to the ANY-space output, so VMEM stays flat in
+    ``m * d`` and the estimates are bit-identical to the samples-free
+    kernel (the plain kernels' streaming design, ops/mcmc_pallas.py).
     """
     n_modes = sum(
         x is not None
@@ -186,6 +199,17 @@ def build_pt_mcmc_fn_pallas(
             raise ValueError(
                 "product targets must be analytic families in-kernel"
             )
+    if with_samples:
+        if seed_batch != 1:
+            raise ValueError(
+                "with_samples applies to unbatched tempered programs only"
+            )
+        if not 1 <= int(with_samples) <= n_steps:
+            raise ValueError(
+                f"with_samples must be in [1, n_steps={n_steps}], got "
+                f"{with_samples}"
+            )
+    sample_stride = n_steps // with_samples if with_samples else 0
     k = len(eval_fns)
     if k >= LANES - 1:
         # Columns k and k+1 carry the accept and swap counters.
@@ -221,7 +245,10 @@ def build_pt_mcmc_fn_pallas(
             if targ_custom_1d
             else None
         )
-        (out_ref,) = rest
+        if with_samples:
+            out_ref, samp_ref, samp_stage, samp_sem = rest
+        else:
+            (out_ref,) = rest
 
         rep = pl.program_id(0)
         pid = pl.program_id(1)
@@ -377,6 +404,47 @@ def build_pt_mcmc_fn_pallas(
             jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
         )
 
+        if with_samples:
+            stride_c = jnp.int32(sample_stride)
+
+            def write_sample(i, cold):
+                # Thinned post-swap COLD-rung draw at sampling steps
+                # n_burnin + j*stride — the same states the accumulators
+                # integrate (ops/mcmc_pt.py's convention), DMA-streamed
+                # per dimension like the plain kernels'.
+                rel = i - jnp.int32(n_burnin)
+                j = rel // stride_c
+                hit = jnp.logical_and(
+                    rel % stride_c == 0, j < with_samples
+                )
+
+                @pl.when(hit)
+                def _():
+                    for dim in range(d):
+                        samp_stage[...] = cold[dim]
+                        cp = pltpu.make_async_copy(
+                            samp_stage,
+                            samp_ref.at[
+                                pl.ds(
+                                    (
+                                        (j * d + dim) * local_programs
+                                        + pid
+                                    )
+                                    * rows,
+                                    rows,
+                                ),
+                                :,
+                            ],
+                            samp_sem,
+                        )
+                        cp.start()
+                        cp.wait()
+
+        else:
+
+            def write_sample(i, cold):
+                return None
+
         def flat(xs_l, logp_l, ls_l, *extra):
             out = []
             for t in range(n_temps):
@@ -480,6 +548,7 @@ def build_pt_mcmc_fn_pallas(
                 acc + f(*cold).astype(jnp.float32)
                 for acc, f in zip(accs, eval_fns)
             )
+            write_sample(i, cold)
             return flat(xs_l, logp_l, ls_l, sw, n_acc, *accs)
 
         carry = _unrolled_fori(
@@ -522,24 +591,47 @@ def build_pt_mcmc_fn_pallas(
         if targ_custom_1d:
             in_specs += [vmem, vmem, smem_grid]
         total_rows = seed_batch * local_programs
+        out_specs = pl.BlockSpec(
+            (total_rows, LANES),
+            lambda r, i: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32)
+        scratch_shapes = ()
+        if with_samples:
+            # Cold-rung draws stream by DMA into an ANY-space (HBM)
+            # output; only the (rows, LANES) staging block costs VMEM.
+            out_specs = (out_specs, pl.BlockSpec(memory_space=pl.ANY))
+            out_shape = (
+                out_shape,
+                jax.ShapeDtypeStruct(
+                    (with_samples * d * local_programs * rows, LANES),
+                    jnp.float32,
+                ),
+            )
+            scratch_shapes = (
+                pltpu.VMEM((rows, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            )
         out = pl.pallas_call(
             kernel,
             grid=(seed_batch, local_programs),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (total_rows, LANES),
-                lambda r, i: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (total_rows, LANES), jnp.float32
-            ),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(seed_a, prop_a, targ_a, pid_base, *tabs)
+        samp = ()
+        if with_samples:
+            # (m * d * P * rows, LANES) -> (m, d, local_chains): the XLA
+            # tempering sweep's buffer layout (api transposes outside).
+            out, samp_raw = out
+            samp = (samp_raw.reshape(with_samples, d, -1),)
         totals = jnp.sum(
             out.reshape(seed_batch, local_programs, LANES), axis=1
         )
-        return totals[:, :k], totals[:, k], totals[:, k + 1]
+        return (totals[:, :k], totals[:, k], totals[:, k + 1]) + samp
 
     denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
@@ -573,14 +665,16 @@ def build_pt_mcmc_fn_pallas(
                 seed, prop_params, targ_params, targ_lx, targ_lp
             )
             base = jnp.zeros((1, 1), jnp.int32)
-            sums, n_acc, sw = pallas_sweep(
-                seed_a, prop_a, targ_a, base, tabs
-            )
+            out = pallas_sweep(seed_a, prop_a, targ_a, base, tabs)
+            samp = ()
+            if with_samples:
+                out, samp = out[:-1], (out[-1],)
+            sums, n_acc, sw = out
             return _shape(
                 sums / denom_vals,
                 n_acc / denom_acc,
                 sw / denom_sw,
-            )
+            ) + samp
 
         return run
 
@@ -589,19 +683,27 @@ def build_pt_mcmc_fn_pallas(
     def sharded_body(seed_a, prop_a, targ_a, *tabs):
         dev = jax.lax.axis_index(axis_name)
         base = (dev * local_programs).astype(jnp.int32).reshape(1, 1)
-        sums, n_acc, sw = pallas_sweep(seed_a, prop_a, targ_a, base, tabs)
+        out = pallas_sweep(seed_a, prop_a, targ_a, base, tabs)
+        samp = ()
+        if with_samples:
+            out, samp = out[:-1], (out[-1],)
+        sums, n_acc, sw = out
         return _shape(
             jax.lax.psum(sums, axis_name) / denom_vals,
             jax.lax.psum(n_acc, axis_name) / denom_acc,
             jax.lax.psum(sw, axis_name) / denom_sw,
-        )
+        ) + samp
 
     n_tabs = 3 if targ_custom_1d else 0
+    out_specs = (replicated, replicated, replicated)
+    if with_samples:
+        # (m, d, local_chains) per device, chain-sharded on the last axis.
+        out_specs = out_specs + (P(None, None, axis_name),)
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
         in_specs=(replicated,) * (3 + n_tabs),
-        out_specs=(replicated, replicated, replicated),
+        out_specs=out_specs,
         check_vma=False,
     )
 
