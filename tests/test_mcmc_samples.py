@@ -191,6 +191,46 @@ class TestSamplesNd:
         assert abs(s[..., 1].mean() + 1.0) < 0.1
 
 
+class TestCompiledDraws:
+    """``compile_mcmc(return_samples=m)`` — the serving handle returns
+    the thinned draws LAST; unbatched untempered 1-D handles only."""
+
+    def test_handle_matches_integrate_mcmc(self):
+        integ = MonteCarloIntegrator()
+        kw = dict(n_steps=400, n_chains=512, n_burnin=100)
+        prog = integ.compile_mcmc(
+            [lambda x: x], Distribution.normal(1.0, 1.0),
+            Distribution.normal(1.0, 2.0), return_samples=10, **kw
+        )
+        vals, acc, samp = prog(7)
+        ref = integ.integrate_mcmc(
+            [lambda x: x], Distribution.normal(1.0, 1.0),
+            Distribution.normal(1.0, 2.0), seed=7,
+            return_samples=10, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(samp), ref.samples)
+        np.testing.assert_allclose(
+            np.asarray(vals), ref.values, rtol=1e-6
+        )
+
+    def test_batched_and_tempered_rejected(self):
+        integ = MonteCarloIntegrator()
+        args = (
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+        )
+        kw = dict(n_steps=100, n_chains=256, n_burnin=10)
+        with pytest.raises(ValueError, match="unbatched"):
+            integ.compile_mcmc(
+                *args, return_samples=4, seed_batch=2, **kw
+            )
+        with pytest.raises(ValueError, match="unbatched"):
+            integ.compile_mcmc(
+                *args, return_samples=4,
+                temperatures=[1.0, 2.0], **kw
+            )
+
+
 class TestValidation:
     def test_rejects_more_than_n_steps(self):
         with pytest.raises(ValueError, match="return_samples"):

@@ -732,7 +732,9 @@ class _IntegrateMixin:
         )
 
     def _nd_pallas_eligible(
-        self, specs, traced, plan_samples, with_stderr, method
+        self, specs, traced, plan_samples, with_stderr, method,
+        n_weight_tables: int = 0, weight_extra: int = 0,
+        quiet: bool = False,
     ) -> bool:
         """nd kernel gate: analytic or plain-table dims (gap-respecting
         exact_inverse customs route to XLA), <=128 fused d-ary integrands
@@ -776,6 +778,8 @@ class _IntegrateMixin:
                 with_stderr=with_stderr,
                 kinds=kinds, table_sizes=tuple(table_sizes),
                 method=method,
+                n_weight_tables=n_weight_tables,
+                weight_extra=weight_extra,
             )
             is not None
             and not any(
@@ -783,7 +787,7 @@ class _IntegrateMixin:
             )
             and _block_traceable(traced, n_args=d)
         )
-        if not ok and self._backend == "pallas":
+        if not ok and not quiet and self._backend == "pallas":
             warnings.warn(
                 "backend='pallas' requested but this nd workload is not "
                 "kernel-eligible (gap-respecting or incompatible table "

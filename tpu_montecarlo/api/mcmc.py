@@ -333,12 +333,18 @@ class _McmcMixin:
         param_batch: bool = False,
         return_stderr: bool = False,
         temperatures: Optional[List[float]] = None,
+        return_samples: Optional[int] = None,
     ) -> Callable:
         """Ahead-of-time MCMC handle for serving: ``prog(seed) ->
         ((K,) jax.Array, acceptance jax scalar)`` — tracing, compilation and
         uploads done once; each call is one device dispatch.  With
         ``seed_batch=R``: ``prog(seeds) -> ((R, K), (R,))`` in one dispatch
         (see compile_integrate).
+
+        ``return_samples=m`` (unbatched, untempered 1-D handles): the
+        handle additionally returns — LAST — the (m, chains) thinned
+        post-burn-in draws (see :meth:`integrate_mcmc`); rides the
+        Pallas kernel's DMA-streamed draw output on eligible workloads.
 
         ``return_stderr=True``: the handle returns ``(values,
         acceptance, stderrs)`` — with a seed or param batch,
@@ -365,6 +371,20 @@ class _McmcMixin:
             raise ValueError("n_chains must be positive")
         if n_burnin < 0:
             raise ValueError("n_burnin must be non-negative")
+        if return_samples is not None:
+            m_samp = int(return_samples)
+            if not 1 <= m_samp <= n_steps:
+                raise ValueError(
+                    f"return_samples must be in [1, n_steps={n_steps}], "
+                    f"got {return_samples}"
+                )
+            if temperatures is not None or seed_batch != 1 or param_batch:
+                raise ValueError(
+                    "compile_mcmc(return_samples=...) supports unbatched "
+                    "untempered handles only"
+                )
+        else:
+            m_samp = 0
         if temperatures is not None:
             # Tempered serving handle: prog(seed[s]) -> (values,
             # acceptance, swap_rate) triples; rides the tempering
@@ -382,6 +402,11 @@ class _McmcMixin:
                 or isinstance(target_distribution, str)
             )
         ):
+            if m_samp:
+                raise ValueError(
+                    "compile_mcmc(return_samples=...) supports 1-D "
+                    "handles only (use integrate_mcmc for nd draws)"
+                )
             return self._compile_mcmc_nd(
                 functions, target_distribution, proposal_distribution,
                 n_steps, n_chains, n_burnin, seed_batch, param_batch,
@@ -415,6 +440,7 @@ class _McmcMixin:
             seed_batch=seed_batch,
             param_batch=param_batch,
             with_stderr=return_stderr,
+            with_samples=m_samp,
         )
         return prog
 

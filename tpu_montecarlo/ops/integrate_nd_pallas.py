@@ -52,13 +52,16 @@ from .integrate_pallas import (
     _local_out_rows,
     _qmc_pos,
     _stratified_sample_from_w,
+    _stratified_sample_pdf_from_w,
     _table_lookup_loop,
     _uniform_halfopen01,
     _uniform_open01,
     integrate_vmem_fits,
+    pad_uniform_table,
     plan_pallas_grid,
     prep_inv_table,
     prep_inv_table_stratified,
+    uniform_table_value,
 )
 
 __all__ = ["build_integrate_nd_pallas", "nd_pallas_supports", "pick_nd_rows"]
@@ -96,6 +99,8 @@ def pick_nd_rows(
     kinds: Sequence[DistKind] = (),
     table_sizes: Sequence[int] = (),
     method: str = "mc",
+    n_weight_tables: int = 0,
+    weight_extra: int = 0,
 ) -> Optional[int]:
     """Largest block row count fitting the VMEM budget with d sample
     blocks in flight per unroll step (the 1-D model charges one; each
@@ -104,7 +109,7 @@ def pick_nd_rows(
     tables: the stratified dim costs 2 (rows, 128) blocks, each
     full-inverse dim 2 flat m-knot tables."""
     rows = BLOCK_ROWS
-    extra = (UNROLL_BLOCKS + 2) * max(d - 1, 0)
+    extra = (UNROLL_BLOCKS + 2) * max(d - 1, 0) + weight_extra
     sdim = _strat_dim(tuple(kinds), method)
     budget = 16 * 1024 * 1024
     while rows >= 8:
@@ -115,11 +120,13 @@ def pick_nd_rows(
         )
         if with_stderr:
             out_rows = 2 * out_rows + 1
-        table_bytes = 0
+        table_bytes = n_weight_tables * 2 * 16 * LANES * 4
         for j, kk in enumerate(kinds):
             if kk != DistKind.CUSTOM:
                 continue
             if j == sdim:
+                # (+1 qs block under sampler-mode weights — charged via
+                # weight_extra by the caller.)
                 table_bytes += 2 * rows * LANES * 4
             else:
                 table_bytes += 2 * int(table_sizes[j]) * 4
@@ -209,6 +216,7 @@ def build_integrate_nd_pallas(
     with_stderr: bool = False,
     table_sizes: Sequence[int] = (),
     param_batch: bool = False,
+    is_weight_nd=None,
 ):
     """Build a jitted ``(seed, params[, x_tables]) -> (K,) float32`` nd
     kernel program; ``params`` is the (d, 2) per-dimension family
@@ -225,7 +233,22 @@ def build_integrate_nd_pallas(
     own per-dimension parameter rows, resident in SMEM as (R*d, 2) and
     indexed per grid rep, so one compiled program serves a whole
     d-dimensional parameter sweep per dispatch (the 1-D kernel's
-    serving design)."""
+    serving design).
+
+    ``is_weight_nd``: optional d-tuple of per-dimension ``(p_arg,
+    q_arg)`` importance-weight descriptors — the product weight
+    ``prod_j p_j(x_j) / q_j(x_j)`` multiplies every integrand (all K
+    functions see identical weights, reference lib.rs semantics).
+    ``p_arg``: a traced elementwise pdf closure or ``"table"`` (a
+    uniform-grid (xs, vals) pair rides as runtime ``weight_tables``
+    entries, looked up like the 1-D kernel's).  ``q_arg``: a traced
+    closure, or ``"sampler"`` (CUSTOM dims only) — the denominator is
+    the dimension's own sampling density, gathered from the stratified
+    qs column (the stratified dim) or computed as ``(1/(m-1)) /
+    dt[i0]`` from the full-inverse dim's resident slope table; exactly
+    the density the draws come from, so irregular (paired-knot VEGAS)
+    proposal dims stay fully in-kernel (the 1-D sampler-mode design,
+    ops/integrate_pallas.py)."""
     if method not in ("mc", "qmc", "antithetic"):
         raise ValueError(
             f"method must be 'mc', 'qmc' or 'antithetic', got {method!r}"
@@ -252,6 +275,34 @@ def build_integrate_nd_pallas(
             "param_batch supports analytic dimensions only (custom "
             "tables are baked per distribution)"
         )
+    p_table_dims = ()
+    sampler_dims = ()
+    if is_weight_nd is not None:
+        is_weight_nd = tuple(
+            (
+                p if p == "table" else kernelize(p),
+                q if q == "sampler" else kernelize(q),
+            )
+            for p, q in is_weight_nd
+        )
+        if len(is_weight_nd) != d:
+            raise ValueError("is_weight_nd must have one entry per dim")
+        if param_batch:
+            raise ValueError(
+                "param_batch is not supported with importance-sampling "
+                "weights (weight closures bake distribution parameters)"
+            )
+        p_table_dims = tuple(
+            j for j, (p, _) in enumerate(is_weight_nd) if p == "table"
+        )
+        sampler_dims = tuple(
+            j for j, (_, q) in enumerate(is_weight_nd) if q == "sampler"
+        )
+        for j in sampler_dims:
+            if kinds[j] != DistKind.CUSTOM:
+                raise ValueError(
+                    "sampler-mode nd IS weights need CUSTOM dims"
+                )
     sdim = _strat_dim(kinds, method)
     table_sizes = tuple(table_sizes) or (0,) * d
     for j in custom_dims:
@@ -270,6 +321,12 @@ def build_integrate_nd_pallas(
     block_rows = pick_nd_rows(
         k, d, grid_samples, n_dev, seed_batch, with_stderr,
         kinds=kinds, table_sizes=table_sizes, method=method,
+        n_weight_tables=len(p_table_dims),
+        # p/q/w value blocks per eval, +1 resident qs block when the
+        # stratified dim samples in sampler mode.
+        weight_extra=(
+            (3 + int(sdim in sampler_dims)) if is_weight_nd else 0
+        ),
     )
     if block_rows is None:
         raise ValueError(
@@ -317,7 +374,13 @@ def build_integrate_nd_pallas(
         rest = list(rest)
         tabs = {}
         for j in custom_dims:
-            tabs[j] = (rest.pop(0), rest.pop(0))
+            if j == sdim and j in sampler_dims:
+                tabs[j] = (rest.pop(0), rest.pop(0), rest.pop(0))
+            else:
+                tabs[j] = (rest.pop(0), rest.pop(0))
+        p_tabs = {}
+        for j in p_table_dims:
+            p_tabs[j] = (rest.pop(0), rest.pop(0), rest.pop(0))
         pilot_ref = rest.pop(0) if with_stderr else None
         (out_ref,) = rest
         rep = pl.program_id(0)
@@ -346,44 +409,111 @@ def build_integrate_nd_pallas(
         rows = block_rows
 
         def draw_custom(j, get_u):
-            t, dt = tabs[j]
+            """One draw for custom dim j; sampler-mode weight dims
+            additionally return the draw's own density q = du/dx —
+            from the pre-tiled qs column (stratified dim) or the
+            full-inverse slope table ((1/(m-1)) / dt[i0])."""
+            want_q = j in sampler_dims
             w = get_u(False)
             if j == sdim:
+                if want_q:
+                    t, dt, qs = tabs[j]
+                    return _stratified_sample_pdf_from_w(t, dt, qs, w)
+                t, dt = tabs[j]
                 # Row-stratified draw (one lane-gather): the pre-tiled
                 # (rows, 128) tables bake each row's stratum.
                 return _stratified_sample_from_w(t, dt, w)
+            t, dt = tabs[j]
             m = t.shape[0] * LANES
             pos = w * jnp.float32(m - 1)
             i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
             frac = pos - i0.astype(jnp.float32)
-            return _table_lookup_loop(t, dt, i0, frac, rows)
+            if not want_q:
+                return _table_lookup_loop(t, dt, i0, frac, rows)
+            x, dt_i0 = _table_lookup_loop(
+                t, dt, i0, frac, rows, with_slope=True
+            )
+            inv_du = jnp.float32(1.0 / (m - 1))
+            q = jnp.where(
+                dt_i0 > 0, inv_du / jnp.maximum(dt_i0, 1e-38), 0.0
+            )
+            return x, q
 
         def draw_custom_pair(j, get_u):
             """Antithetic pair for a custom dim: w and 1-w through the
             same table — WITHIN the row's stratum for the stratified
-            dim, so stratification survives the mirroring."""
-            t, dt = tabs[j]
+            dim, so stratification survives the mirroring.  Sampler
+            dims return ((x1, q1), (x2, q2))."""
+            want_q = j in sampler_dims
             w = get_u(False)
             if j == sdim:
+                if want_q:
+                    t, dt, qs = tabs[j]
+                    return (
+                        _stratified_sample_pdf_from_w(t, dt, qs, w),
+                        _stratified_sample_pdf_from_w(t, dt, qs, 1.0 - w),
+                    )
+                t, dt = tabs[j]
                 return (
                     _stratified_sample_from_w(t, dt, w),
                     _stratified_sample_from_w(t, dt, 1.0 - w),
                 )
+            t, dt = tabs[j]
             m = t.shape[0] * LANES
 
             def look(ww):
                 pos = ww * jnp.float32(m - 1)
                 i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
                 frac = pos - i0.astype(jnp.float32)
-                return _table_lookup_loop(t, dt, i0, frac, rows)
+                if not want_q:
+                    return _table_lookup_loop(t, dt, i0, frac, rows)
+                x, dt_i0 = _table_lookup_loop(
+                    t, dt, i0, frac, rows, with_slope=True
+                )
+                inv_du = jnp.float32(1.0 / (m - 1))
+                q = jnp.where(
+                    dt_i0 > 0, inv_du / jnp.maximum(dt_i0, 1e-38), 0.0
+                )
+                return x, q
 
             return look(w), look(1.0 - w)
+
+        def _split_q(j, v):
+            """(x, q) for sampler dims, (x, None) otherwise."""
+            if j in sampler_dims:
+                return v
+            return v, None
+
+        def weight(xs, qvals):
+            """Product importance weight prod_j p_j(x_j)/q_j(x_j) with
+            the 1-D kernel's per-dimension q > 0 guard (a zero-density
+            draw carries zero mass, so weight 0 is exact)."""
+            if is_weight_nd is None:
+                return None
+            w = None
+            for j in range(d):
+                p_arg, q_arg = is_weight_nd[j]
+                p_val = (
+                    uniform_table_value(xs[j], p_tabs[j], rows, 0.0)
+                    if p_arg == "table"
+                    else p_arg(xs[j]).astype(jnp.float32)
+                )
+                q_val = (
+                    qvals[j]
+                    if q_arg == "sampler"
+                    else q_arg(xs[j]).astype(jnp.float32)
+                )
+                safe_q = jnp.where(q_val > 0, q_val, 1.0)
+                r = jnp.where(q_val > 0, p_val / safe_q, 0.0)
+                w = r if w is None else w * r
+            return w
 
         def draw_all_pair(blk):
             """Two componentwise-mirrored d-tuples from ONE uniform set
             per dimension (the nd antithetic pair: x' mirrors x through
-            every dimension's monotone inverse jointly)."""
-            xs1, xs2 = [], []
+            every dimension's monotone inverse jointly).  Returns
+            ((xs1, q1), (xs2, q2)) with per-dim sampler densities."""
+            xs1, xs2, q1, q2 = [], [], [], []
             for j in range(d):
                 get_u = (
                     lambda open01, j=j: _uniform_open01(
@@ -394,11 +524,16 @@ def build_integrate_nd_pallas(
                 )
                 if kinds[j] == DistKind.CUSTOM:
                     a, b2 = draw_custom_pair(j, get_u)
+                    a, qa = _split_q(j, a)
+                    b2, qb = _split_q(j, b2)
                 else:
                     a, b2 = _draw_dim_pair(kinds[j], *ps[j], get_u)
+                    qa = qb = None
                 xs1.append(a)
                 xs2.append(b2)
-            return tuple(xs1), tuple(xs2)
+                q1.append(qa)
+                q2.append(qb)
+            return (tuple(xs1), q1), (tuple(xs2), q2)
 
         def draw_all(blk):
             """d equal-shape sample blocks for global block ``blk``."""
@@ -421,7 +556,7 @@ def build_integrate_nd_pallas(
                 g = (
                     b * jnp.int32(rows * LANES) + _qmc_pos(rows)
                 ).astype(jnp.uint32)
-                xs = []
+                xs, qv = [], []
                 for j in range(d):
                     get_u = (
                         lambda open01, j=j: sobol_u01_open(
@@ -431,11 +566,13 @@ def build_integrate_nd_pallas(
                         else sobol_u01_halfopen(g, shifts_b[j], sobol_vs[j])
                     )
                     if kinds[j] == DistKind.CUSTOM:
-                        xs.append(draw_custom(j, get_u))
+                        x, q = _split_q(j, draw_custom(j, get_u))
                     else:
-                        xs.append(_draw_dim(kinds[j], *ps[j], get_u))
-                return tuple(xs)
-            xs = []
+                        x, q = _draw_dim(kinds[j], *ps[j], get_u), None
+                    xs.append(x)
+                    qv.append(q)
+                return tuple(xs), qv
+            xs, qv = [], []
             for j in range(d):
                 get_u = (
                     lambda open01, j=j: _uniform_open01(
@@ -445,10 +582,12 @@ def build_integrate_nd_pallas(
                     else _uniform_halfopen01(rng, (rows, LANES), blk, j)
                 )
                 if kinds[j] == DistKind.CUSTOM:
-                    xs.append(draw_custom(j, get_u))
+                    x, q = _split_q(j, draw_custom(j, get_u))
                 else:
-                    xs.append(_draw_dim(kinds[j], *ps[j], get_u))
-            return tuple(xs)
+                    x, q = _draw_dim(kinds[j], *ps[j], get_u), None
+                xs.append(x)
+                qv.append(q)
+            return tuple(xs), qv
 
         def body(i, carry):
             # Same batch-generate-then-evaluate unroll shape as the 1-D
@@ -469,18 +608,28 @@ def build_integrate_nd_pallas(
                 # the PAIR MEAN (the antithetic estimator's iid unit),
                 # value adds stay per-member so means are bit-equal to
                 # the stderr-off antithetic kernel (1-D convention).
-                for xs1, xs2 in zip(xsets[0::2], xsets[1::2]):
+                for (xs1, qv1), (xs2, qv2) in zip(
+                    xsets[0::2], xsets[1::2]
+                ):
+                    w1 = weight(xs1, qv1)
+                    w2 = weight(xs2, qv2)
                     for j, f in enumerate(eval_fns):
                         v1 = f(*xs1).astype(jnp.float32)
                         v2 = f(*xs2).astype(jnp.float32)
+                        if w1 is not None:
+                            v1 = v1 * w1
+                            v2 = v2 * w2
                         accs[j] = accs[j] + v1
                         accs[j] = accs[j] + v2
                         dd = 0.5 * (v1 + v2) - pilots[j]
                         sqs[j] = sqs[j] + dd * dd
                 return tuple(accs) + tuple(sqs)
-            for xs in xsets:
+            for xs, qv in xsets:
+                w = weight(xs, qv)
                 for j, f in enumerate(eval_fns):
                     v = f(*xs).astype(jnp.float32)
+                    if w is not None:
+                        v = v * w
                     accs[j] = accs[j] + v
                     if with_stderr:
                         dd = v - pilots[j]
@@ -528,11 +677,20 @@ def build_integrate_nd_pallas(
     out_rows = seed_batch * local_programs
     total_out_rows = 2 * out_rows if with_stderr else out_rows
 
+    smem_grid = pl.BlockSpec(
+        (1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+    )
+    n_custom_refs = 2 * len(custom_dims) + int(
+        sdim in sampler_dims and sdim >= 0
+    )
+
     def pallas_sweep(seed, params, pid_base, *extra):
-        # extra = 2 prepped table refs per custom dim, then the pilot row
-        # when with_stderr.
+        # extra = prepped table refs per custom dim (3 for a sampler-
+        # mode stratified dim), 3 refs per p-side weight table, then
+        # the pilot row when with_stderr.
         in_specs = [smem_seeds, smem_params, smem_scalar]
-        in_specs += [vmem] * (2 * len(custom_dims))
+        in_specs += [vmem] * n_custom_refs
+        in_specs += [vmem, vmem, smem_grid] * len(p_table_dims)
         if with_stderr:
             in_specs.append(vmem)
         out = pl.pallas_call(
@@ -574,18 +732,28 @@ def build_integrate_nd_pallas(
         params_arr = jnp.asarray(params, jnp.float32).reshape(pshape)
         return seed_arr, params_arr
 
-    def _prep_tables(x_tables):
-        """Flat tuple of device table pairs, kernel-arg order: the
-        stratified dim gets (rows, 128) pre-tiled (value, slope) tables,
-        full-inverse dims the (m/128, 128) segment layout + forward
-        differences (shared with the MCMC kernel)."""
+    def _prep_tables(x_tables, weight_tables=()):
+        """Flat tuple of device table refs, kernel-arg order: the
+        stratified dim gets (rows, 128) pre-tiled (value, slope[, qs])
+        tables, full-inverse dims the (m/128, 128) segment layout +
+        forward differences (shared with the MCMC kernel), then 3 refs
+        per p-side weight table (pad_uniform_table)."""
         prepped = []
         for j in custom_dims:
             t = jnp.asarray(x_tables[j], jnp.float32)
             if j == sdim:
-                prepped.extend(prep_inv_table_stratified(t, block_rows))
+                prepped.extend(
+                    prep_inv_table_stratified(
+                        t, block_rows, with_pdf=j in sampler_dims
+                    )
+                )
             else:
                 prepped.extend(prep_inv_table(t))
+        wt = list(weight_tables)
+        for _ in p_table_dims:
+            xs = jnp.asarray(wt.pop(0), jnp.float32)
+            vals = jnp.asarray(wt.pop(0), jnp.float32)
+            prepped.extend(pad_uniform_table(xs, vals, 0.0))
         return tuple(prepped)
 
     def _shape_result(sums):
@@ -593,7 +761,47 @@ def build_integrate_nd_pallas(
         # (the 1-D kernel's convention).
         return sums[0] if seed_batch == 1 and not param_batch else sums
 
-    def _pilot_row_of(params_arr, x_tables=()):
+    def _pilot_weight_nd(xs_list, x_tables, weight_tables):
+        """Product IS weight at the pilot grid, OUTSIDE the kernel
+        (plain XLA; the pilot is an arbitrary deterministic shift, so
+        this need not be bit-equal to the in-kernel weight).  Sampler-
+        mode q densities come from the raw x_table slopes via
+        searchsorted."""
+        if is_weight_nd is None:
+            return None
+        wt = list(weight_tables)
+        w = None
+        for j in range(d):
+            p_arg, q_arg = is_weight_nd[j]
+            x = xs_list[j]
+            if p_arg == "table":
+                gx = jnp.asarray(wt.pop(0), jnp.float32)
+                gv = jnp.asarray(wt.pop(0), jnp.float32)
+                inside = jnp.logical_and(x >= gx[0], x <= gx[-1])
+                pv = jnp.where(inside, jnp.interp(x, gx, gv), 0.0)
+            else:
+                pv = p_arg(x).astype(jnp.float32)
+            if q_arg == "sampler":
+                t = jnp.asarray(x_tables[j], jnp.float32)
+                m = t.shape[0]
+                i = jnp.clip(
+                    jnp.searchsorted(t, x, side="right") - 1, 0, m - 2
+                )
+                dt = jnp.take(t, i + 1) - jnp.take(t, i)
+                qv = jnp.where(
+                    dt > 0,
+                    jnp.float32(1.0 / (m - 1))
+                    / jnp.maximum(dt, 1e-38),
+                    0.0,
+                )
+            else:
+                qv = q_arg(x).astype(jnp.float32)
+            safe_q = jnp.where(qv > 0, qv, 1.0)
+            r = jnp.where(qv > 0, pv / safe_q, 0.0)
+            w = r if w is None else w * r
+        return w
+
+    def _pilot_row_of(params_arr, x_tables=(), weight_tables=()):
         """(1, 128) pilot row: per-function means over per-dimension
         quantile grids, golden-ratio-offset per dim (deterministic, pure
         function of replicated inputs — devices agree).  Custom dims map
@@ -628,21 +836,26 @@ def build_integrate_nd_pallas(
                 from ..sampling import ANALYTIC_EXT
 
                 xs.append(ANALYTIC_EXT[kinds[j]].inv_cdf(u, p1, p2))
-        vals = jnp.stack(
-            [jnp.mean(f(*xs).astype(jnp.float32)) for f in eval_fns]
-        )
+        w = _pilot_weight_nd(xs, x_tables, weight_tables)
+
+        def f_val(f):
+            v = f(*xs).astype(jnp.float32)
+            return v if w is None else v * w
+
+        vals = jnp.stack([jnp.mean(f_val(f)) for f in eval_fns])
         return jnp.zeros((1, LANES), jnp.float32).at[0, :k].set(vals)
 
-    def _pilot_of(params_arr, x_tables=()):
+    def _pilot_of(params_arr, x_tables=(), weight_tables=()):
         """Pilot block: one shared row, or one row per rep when the
         params are batched (each rep's pilot comes from its own
         parameter rows, as in the 1-D kernel)."""
         if not param_batch:
-            return _pilot_row_of(params_arr, x_tables)
+            return _pilot_row_of(params_arr, x_tables, weight_tables)
         return jnp.concatenate(
             [
                 _pilot_row_of(
-                    params_arr[r * d : (r + 1) * d], x_tables
+                    params_arr[r * d : (r + 1) * d], x_tables,
+                    weight_tables,
                 )
                 for r in range(seed_batch)
             ],
@@ -664,12 +877,12 @@ def build_integrate_nd_pallas(
     if mesh is None:
 
         @jax.jit
-        def run(seed, params, x_tables=()):
+        def run(seed, params, x_tables=(), weight_tables=()):
             seed_arr, params_arr = _prep(seed, params)
-            tabs = _prep_tables(x_tables)
+            tabs = _prep_tables(x_tables, weight_tables)
             base = jnp.zeros((1, 1), jnp.int32)
             if with_stderr:
-                pilot = _pilot_of(params_arr, x_tables)
+                pilot = _pilot_of(params_arr, x_tables, weight_tables)
                 sums, sqs = pallas_sweep(
                     seed_arr, params_arr, base, *tabs, pilot
                 )
@@ -700,7 +913,7 @@ def build_integrate_nd_pallas(
             jax.lax.psum(sums, axis_name) / jnp.float32(actual)
         )
 
-    tabs_rep = (replicated,) * (2 * len(custom_dims))
+    tabs_rep = (replicated,) * (n_custom_refs + 3 * len(p_table_dims))
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
@@ -711,11 +924,11 @@ def build_integrate_nd_pallas(
     )
 
     @jax.jit
-    def run(seed, params, x_tables=()):
+    def run(seed, params, x_tables=(), weight_tables=()):
         seed_arr, params_arr = _prep(seed, params)
-        tabs = _prep_tables(x_tables)
+        tabs = _prep_tables(x_tables, weight_tables)
         if with_stderr:
-            pilot = _pilot_of(params_arr, x_tables)
+            pilot = _pilot_of(params_arr, x_tables, weight_tables)
             return shard_mapped(seed_arr, params_arr, tabs, pilot)
         return shard_mapped(seed_arr, params_arr, tabs)
 

@@ -176,7 +176,7 @@ def _table_lookup(table_ref, dx_ref, i0, frac, rows):
     return x0 + frac * dx
 
 
-def _table_lookup_loop(table_ref, dx_ref, i0, frac, rows):
+def _table_lookup_loop(table_ref, dx_ref, i0, frac, rows, with_slope=False):
     """``fori_loop`` form of :func:`_table_lookup`: one segment per
     iteration with loop-local temporaries.  The unrolled scan keeps every
     segment's gather temporaries live on the Mosaic stack — fine at MCMC
@@ -209,6 +209,10 @@ def _table_lookup_loop(table_ref, dx_ref, i0, frac, rows):
             jnp.zeros((rows, LANES), jnp.float32),
         ),
     )
+    if with_slope:
+        # The gathered forward difference rides along for free — the
+        # sampler-mode IS denominator needs it (q = du / dx).
+        return x0 + frac * dx, dx
     return x0 + frac * dx
 
 
