@@ -515,22 +515,29 @@ def main():
     # kernel; the step rate should sit at the plain kernel's (the DMA
     # hides under the next stride of MH steps).  Unbatched program
     # (samples are a single-run inference surface), so the run is long
-    # enough (50k steps x 4096 chains) that device time dominates the
-    # per-dispatch RPC; `outer` back-to-back dispatches still pipeline.
-    steps14, m14 = 50_000 // scale, 500 // scale
+    # enough (500k steps x 4096 chains ~ 128ms/dispatch) that device
+    # time dominates the ~25ms per-dispatch RPC; `outer` back-to-back
+    # dispatches still pipeline.
+    steps14, m14 = 500_000 // scale, 500 // scale
     prog14 = integrator.compile_mcmc(
         [lambda x: x * x], Distribution.normal(0.0, 1.0),
         RandomWalk(step_size=2.4, init_range=(-4.0, 4.0)),
         n_steps=steps14, n_chains=4096, n_burnin=burn5,
         return_samples=m14,
     )
-    fetch14 = lambda out: np.asarray(out[-1])  # noqa: E731
+    # Timing fetches the SMALL values output only — one fetch
+    # synchronises the whole program (the draws land in HBM either
+    # way); pulling the 8MB draw array through the dev tunnel per
+    # dispatch measured the tunnel, not the device (2.5e8 "steps/s").
+    fetch14 = lambda out: np.asarray(out[0])  # noqa: E731
     fetch14(prog14(42))
     t0 = time.perf_counter()
     outs14 = [prog14(100 + o) for o in range(3)]
-    last14 = [fetch14(o) for o in outs14][-1]
+    for o in outs14:
+        fetch14(o)
     dt14 = time.perf_counter() - t0
     csps = 3 * 4096 * (steps14 + burn5) / dt14
+    last14 = np.asarray(outs14[-1][-1])  # draws: sanity, untimed
     emit("c14_mcmc_samples_kernel", "chain_steps_per_sec", csps,
          "steps/s", [float(last14.mean()), float(last14.std())])
 

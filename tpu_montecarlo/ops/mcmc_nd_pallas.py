@@ -351,46 +351,59 @@ def build_mcmc_nd_pallas(
             )
 
         if with_samples:
-            stride_c = jnp.int32(sample_stride)
 
-            def write_sample(i, xs):
-                # Thinned d-vector draw at sampling steps n_burnin +
+            def write_draw(j, xs):
+                # Thinned d-vector draw at sampling step n_burnin +
                 # j*stride: stage each dimension's (rows, 128) chain
                 # block and DMA it to the ANY-space output at the
                 # (draw, dim, program) row offset (the 1-D kernel's
                 # streaming design — VMEM-flat, RNG untouched).
-                rel = i - jnp.int32(n_burnin)
-                j = rel // stride_c
-                hit = jnp.logical_and(
-                    rel % stride_c == 0, j < with_samples
+                for dim in range(d):
+                    samp_stage[...] = xs[dim]
+                    cp = pltpu.make_async_copy(
+                        samp_stage,
+                        samp_ref.at[
+                            pl.ds(
+                                (
+                                    (j * d + dim) * local_programs
+                                    + pid
+                                )
+                                * rows,
+                                rows,
+                            ),
+                            :,
+                        ],
+                        samp_sem,
+                    )
+                    cp.start()
+                    cp.wait()
+
+        def run_sampling(body, carry0, unroll):
+            """Sampling-phase loop, segmented under with_samples so the
+            draw DMA runs unconditionally once per stride instead of a
+            per-step pl.when (which measured ~20x slower in the 1-D
+            kernel — the conditional semaphore ops serialize the
+            unrolled iteration).  Step order identical to the plain
+            loop; estimates bit-equal."""
+            if not with_samples:
+                return _unrolled_fori(
+                    n_burnin, n_iters, body, carry0, unroll
+                )
+            from .mcmc_pallas import _unrolled_fori_offset
+
+            def seg(j, c):
+                base = jnp.int32(n_burnin) + j * jnp.int32(sample_stride)
+                c = body(base, c)
+                write_draw(j, c[0])
+                return _unrolled_fori_offset(
+                    base + 1, sample_stride - 1, body, c, unroll
                 )
 
-                @pl.when(hit)
-                def _():
-                    for dim in range(d):
-                        samp_stage[...] = xs[dim]
-                        cp = pltpu.make_async_copy(
-                            samp_stage,
-                            samp_ref.at[
-                                pl.ds(
-                                    (
-                                        (j * d + dim) * local_programs
-                                        + pid
-                                    )
-                                    * rows,
-                                    rows,
-                                ),
-                                :,
-                            ],
-                            samp_sem,
-                        )
-                        cp.start()
-                        cp.wait()
-
-        else:
-
-            def write_sample(i, xs):
-                return None
+            carry = jax.lax.fori_loop(0, with_samples, seg, carry0)
+            done = n_burnin + with_samples * sample_stride
+            if done < n_iters:
+                carry = _unrolled_fori(done, n_iters, body, carry, unroll)
+            return carry
 
         zero_accs = tuple(
             jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
@@ -532,13 +545,11 @@ def build_mcmc_nd_pallas(
                 xs, logp, accs, n_acc = carry
                 xs, logp, accept, _ = rw_move(i, xs, logp, scale_fin)
                 accs = accumulate(accs, xs)
-                write_sample(i, xs)
                 n_acc = n_acc + accept.astype(jnp.float32)
                 return (xs, logp, accs, n_acc)
 
-            _, _, accs, n_acc = _unrolled_fori(
-                n_burnin, n_iters, body,
-                (xs0, logp0, zero_accs, zero_block), unroll_steps,
+            _, _, accs, n_acc = run_sampling(
+                body, (xs0, logp0, zero_accs, zero_block), unroll_steps,
             )
         else:
 
@@ -570,12 +581,11 @@ def build_mcmc_nd_pallas(
                 xs, logp, logq, accs, n_acc = carry
                 xs, logp, logq, accept = mh_move(i, xs, logp, logq)
                 accs = accumulate(accs, xs)
-                write_sample(i, xs)
                 n_acc = n_acc + accept.astype(jnp.float32)
                 return (xs, logp, logq, accs, n_acc)
 
-            _, _, _, accs, n_acc = _unrolled_fori(
-                n_burnin, n_iters, body,
+            _, _, _, accs, n_acc = run_sampling(
+                body,
                 (xs0, logp0, logq0, zero_accs, zero_block), UNROLL_STEPS,
             )
 

@@ -158,6 +158,26 @@ _RW_LS_MAX = 13.815511  # log(1e6)
 UNROLL_STEPS = 8
 
 
+def _unrolled_fori_offset(base, count: int, step_fn, carry, unroll: int):
+    """``_unrolled_fori`` over ``[base, base + count)`` where ``base`` is
+    a TRACED scalar but ``count`` is static — the per-segment inner loop
+    of the thinned-draw kernels (each segment's bounds shift with the
+    draw index).  Same step_fn calls in the same order as the plain
+    form, so streams and accumulation stay bit-identical."""
+    main = count // unroll
+
+    def body(t, c):
+        i0 = base + t * jnp.int32(unroll)
+        for u in range(unroll):
+            c = step_fn(i0 + jnp.int32(u), c)
+        return c
+
+    carry = jax.lax.fori_loop(0, main, body, carry)
+    for u in range(main * unroll, count):
+        carry = step_fn(base + jnp.int32(u), carry)
+    return carry
+
+
 def _unrolled_fori(lo: int, hi: int, step_fn, carry, unroll: int):
     """fori_loop running ``step_fn(i, carry)`` for i in [lo, hi) with
     ``unroll`` steps inlined per iteration, plus a short remainder loop —
@@ -576,39 +596,57 @@ def build_mcmc_fn_pallas(
             return accs, halves
 
         if with_samples:
-            stride_c = jnp.int32(sample_stride)
 
-            def write_sample(i, x):
-                # Thinned draw: the post-step state at sampling steps
+            def write_draw(j, x):
+                # Thinned draw: the post-step state at sampling step
                 # n_burnin + j*stride (the states the accumulators
                 # integrate; XLA-backend grid).  Staged in VMEM and
                 # DMA-streamed to the ANY-space output at the
                 # (draw, program) row offset — no resident (m, ...)
                 # buffer, no RNG interaction, estimates bit-identical.
-                rel = i - jnp.int32(n_burnin)
-                j = rel // stride_c
-                hit = jnp.logical_and(
-                    rel % stride_c == 0, j < with_samples
+                samp_stage[...] = x
+                cp = pltpu.make_async_copy(
+                    samp_stage,
+                    samp_ref.at[
+                        pl.ds((j * local_programs + pid) * rows, rows),
+                        :,
+                    ],
+                    samp_sem,
+                )
+                cp.start()
+                cp.wait()
+
+        def run_sampling(body, carry0, unroll):
+            """The sampling-phase loop.  Plain runs take one unrolled
+            fori; thinned-draw runs SEGMENT it — each of the m segments
+            runs its draw step, DMAs the post-step state block
+            unconditionally, then runs the remaining stride-1 steps at
+            full unroll — so the hot loop carries NO per-step draw
+            conditional (a pl.when'd DMA inside the step body measured
+            ~20x slower: the conditional semaphore ops serialize the
+            whole unrolled iteration).  Step indices and op order are
+            identical to the plain loop, so streams and estimates stay
+            bit-equal."""
+            if not with_samples:
+                return _unrolled_fori(
+                    n_burnin, n_iters, body, carry0, unroll
                 )
 
-                @pl.when(hit)
-                def _():
-                    samp_stage[...] = x
-                    cp = pltpu.make_async_copy(
-                        samp_stage,
-                        samp_ref.at[
-                            pl.ds((j * local_programs + pid) * rows, rows),
-                            :,
-                        ],
-                        samp_sem,
-                    )
-                    cp.start()
-                    cp.wait()
+            def seg(j, c):
+                base = jnp.int32(n_burnin) + j * jnp.int32(sample_stride)
+                c = body(base, c)
+                write_draw(j, c[0])
+                return _unrolled_fori_offset(
+                    base + 1, sample_stride - 1, body, c, unroll
+                )
 
-        else:
-
-            def write_sample(i, x):
-                return None
+            carry = jax.lax.fori_loop(0, with_samples, seg, carry0)
+            done = n_burnin + with_samples * sample_stride
+            if done < n_iters:
+                carry = _unrolled_fori(
+                    done, n_iters, body, carry, unroll
+                )
+            return carry
 
         zero_accs = tuple(
             jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
@@ -733,13 +771,10 @@ def build_mcmc_fn_pallas(
                 x, logp, accs, halves, n_acc = carry
                 x, logp, accept, _ = rw_move(i, x, logp, step_fin)
                 accs, halves = accumulate(i, accs, halves, x)
-                write_sample(i, x)
                 n_acc = n_acc + accept.astype(jnp.float32)
                 return (x, logp, accs, halves, n_acc)
 
-            x_f, logp_f, accs, halves, n_acc = _unrolled_fori(
-                n_burnin,
-                n_iters,
+            x_f, logp_f, accs, halves, n_acc = run_sampling(
                 body,
                 (x0, logp0, zero_accs, zero_halves, zero_block),
                 unroll_steps,
@@ -776,13 +811,10 @@ def build_mcmc_fn_pallas(
                 x, logp, logq, accs, halves, n_acc = carry
                 x, logp, logq, accept = mh_move(i, x, logp, logq)
                 accs, halves = accumulate(i, accs, halves, x)
-                write_sample(i, x)
                 n_acc = n_acc + accept.astype(jnp.float32)
                 return (x, logp, logq, accs, halves, n_acc)
 
-            x_f, logp_f, _, accs, halves, n_acc = _unrolled_fori(
-                n_burnin,
-                n_iters,
+            x_f, logp_f, _, accs, halves, n_acc = run_sampling(
                 body,
                 (x0, logp0, logq0, zero_accs, zero_halves, zero_block),
                 UNROLL_STEPS,

@@ -405,45 +405,60 @@ def build_pt_mcmc_fn_pallas(
         )
 
         if with_samples:
-            stride_c = jnp.int32(sample_stride)
 
-            def write_sample(i, cold):
-                # Thinned post-swap COLD-rung draw at sampling steps
+            def write_draw(j, cold):
+                # Thinned post-swap COLD-rung draw at sampling step
                 # n_burnin + j*stride — the same states the accumulators
                 # integrate (ops/mcmc_pt.py's convention), DMA-streamed
                 # per dimension like the plain kernels'.
-                rel = i - jnp.int32(n_burnin)
-                j = rel // stride_c
-                hit = jnp.logical_and(
-                    rel % stride_c == 0, j < with_samples
+                for dim in range(d):
+                    samp_stage[...] = cold[dim]
+                    cp = pltpu.make_async_copy(
+                        samp_stage,
+                        samp_ref.at[
+                            pl.ds(
+                                (
+                                    (j * d + dim) * local_programs
+                                    + pid
+                                )
+                                * rows,
+                                rows,
+                            ),
+                            :,
+                        ],
+                        samp_sem,
+                    )
+                    cp.start()
+                    cp.wait()
+
+        def run_sampling(body, carry0):
+            """Sampling-phase loop, segmented under with_samples so the
+            cold-rung draw DMA runs unconditionally once per stride (a
+            per-step pl.when'd DMA measured ~20x slower in the plain
+            kernel).  The flat carry leads with rung 0's d state blocks
+            (flat() packs xs_l[0] first), so the post-swap cold state is
+            carry[:d].  Step order identical; estimates bit-equal."""
+            if not with_samples:
+                return _unrolled_fori(
+                    n_burnin, n_iters, body, carry0, unroll_steps
+                )
+            from .mcmc_pallas import _unrolled_fori_offset
+
+            def seg(j, c):
+                base = jnp.int32(n_burnin) + j * jnp.int32(sample_stride)
+                c = body(base, c)
+                write_draw(j, tuple(c[:d]))
+                return _unrolled_fori_offset(
+                    base + 1, sample_stride - 1, body, c, unroll_steps
                 )
 
-                @pl.when(hit)
-                def _():
-                    for dim in range(d):
-                        samp_stage[...] = cold[dim]
-                        cp = pltpu.make_async_copy(
-                            samp_stage,
-                            samp_ref.at[
-                                pl.ds(
-                                    (
-                                        (j * d + dim) * local_programs
-                                        + pid
-                                    )
-                                    * rows,
-                                    rows,
-                                ),
-                                :,
-                            ],
-                            samp_sem,
-                        )
-                        cp.start()
-                        cp.wait()
-
-        else:
-
-            def write_sample(i, cold):
-                return None
+            carry = jax.lax.fori_loop(0, with_samples, seg, carry0)
+            done = n_burnin + with_samples * sample_stride
+            if done < n_iters:
+                carry = _unrolled_fori(
+                    done, n_iters, body, carry, unroll_steps
+                )
+            return carry
 
         def flat(xs_l, logp_l, ls_l, *extra):
             out = []
@@ -548,13 +563,11 @@ def build_pt_mcmc_fn_pallas(
                 acc + f(*cold).astype(jnp.float32)
                 for acc, f in zip(accs, eval_fns)
             )
-            write_sample(i, cold)
             return flat(xs_l, logp_l, ls_l, sw, n_acc, *accs)
 
-        carry = _unrolled_fori(
-            n_burnin, n_iters, body,
+        carry = run_sampling(
+            body,
             flat(xs_l, logp_l, ls_keep, sw0, zero_block, *zero_accs),
-            unroll_steps,
         )
         _, _, _, extra = unflat(carry)
         sw, n_acc = extra[0], extra[1]
