@@ -50,17 +50,25 @@ def _throughput(
     independent jobs in one device program.  `outer` dispatches are issued
     back-to-back before any fetch — the per-dispatch host RPC overlaps the
     previous dispatch's device execution — then ALL outputs are fetched
-    before the clock stops.  Returns (throughput, last job's estimates)."""
+    before the clock stops.  Two timed rounds, best kept: the first
+    post-warm round still pays one-off costs through the tunnel (program
+    residency; measured 4-5x low on c2 while round 2 reproduced the
+    steady rate), so a single round under-reports sustained throughput.
+    Returns (throughput, last job's estimates)."""
     warm_seeds = [42 + r for r in range(repeats)]
     fetch(prog(warm_seeds))  # warm: compile + upload + first run, fetched
-    t0 = time.perf_counter()
-    outs = [
-        prog([100 + o * repeats + r for r in range(repeats)])
-        for o in range(outer)
-    ]
-    fetched = [fetch(out) for out in outs]
-    dt = time.perf_counter() - t0
-    return work_per_call * repeats * outer / dt, fetched[-1][-1]
+    best_dt, fetched = None, None
+    for rnd in range(2):
+        t0 = time.perf_counter()
+        outs = [
+            prog([100 + (rnd * outer + o) * repeats + r for r in range(repeats)])
+            for o in range(outer)
+        ]
+        round_fetched = [fetch(out) for out in outs]
+        dt = time.perf_counter() - t0
+        if best_dt is None or dt < best_dt:
+            best_dt, fetched = dt, round_fetched
+    return work_per_call * repeats * outer / best_dt, fetched[-1][-1]
 
 
 def main():
