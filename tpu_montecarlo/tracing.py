@@ -90,7 +90,265 @@ def _int_pow(base, exp: int):
     return 1.0 / result if inv else result
 
 
+class _Vec:
+    """WGSL ``vecN<f32>`` / ``array<f32, N>`` value: a fixed-length tuple
+    of SCALAR components (Python floats or JAX tracers).
+
+    Components stay independent scalar dataflow — never stacked into an
+    (N, ...) array — so vec code lowers to exactly the elementwise ops the
+    Pallas kernels accept (a stacked leading axis would make 3-D blocks
+    Mosaic cannot tile, and lane-axis gathers the kernels must avoid).
+    Registered as a pytree, so ``lax.while_loop`` carries and branch
+    merges thread vec-typed variables transparently.
+
+    The reference accepts any WGSL naga compiles, including vector and
+    array locals (python/wgpu_montecarlo/__init__.py:738-747 passes source
+    through unchanged); this is the TPU counterpart for that surface.
+    """
+
+    __slots__ = ("comps",)
+
+    _SWIZZLE = {c: i for i, c in enumerate("xyzw")}
+    _SWIZZLE.update({c: i for i, c in enumerate("rgba")})
+
+    def __init__(self, comps):
+        self.comps = tuple(comps)
+        if not 1 <= len(self.comps):
+            raise TraceError("empty vector value")
+
+    def __len__(self):
+        return len(self.comps)
+
+    def __repr__(self):
+        return f"_Vec({len(self.comps)})"
+
+    # -- elementwise arithmetic (scalar operands broadcast) -----------------
+
+    def _zip(self, other, op, swap=False):
+        if isinstance(other, _Vec):
+            if len(other) != len(self):
+                raise TraceError(
+                    f"vector size mismatch: {len(self)} vs {len(other)}"
+                )
+            pairs = zip(self.comps, other.comps)
+        else:
+            pairs = ((c, other) for c in self.comps)
+        if swap:
+            return _Vec(op(b, a) for a, b in pairs)
+        return _Vec(op(a, b) for a, b in pairs)
+
+    def __add__(self, o):
+        return self._zip(o, lambda a, b: a + b)
+
+    def __radd__(self, o):
+        return self._zip(o, lambda a, b: a + b, swap=True)
+
+    def __sub__(self, o):
+        return self._zip(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._zip(o, lambda a, b: a - b, swap=True)
+
+    def __mul__(self, o):
+        return self._zip(o, lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return self._zip(o, lambda a, b: a * b, swap=True)
+
+    def __truediv__(self, o):
+        return self._zip(o, lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return self._zip(o, lambda a, b: a / b, swap=True)
+
+    def __neg__(self):
+        return _Vec(-c for c in self.comps)
+
+    def __pos__(self):
+        return self
+
+    # -- component access ----------------------------------------------------
+
+    def swizzle(self, attr: str):
+        try:
+            idx = [self._SWIZZLE[ch] for ch in attr]
+        except KeyError:
+            raise TraceError(
+                f"Unknown vector component or swizzle: '.{attr}'"
+            ) from None
+        if max(idx) >= len(self):
+            raise TraceError(
+                f"Swizzle '.{attr}' out of range for a {len(self)}-component "
+                "vector"
+            )
+        if len(idx) == 1:
+            return self.comps[idx[0]]
+        return _Vec(self.comps[i] for i in idx)
+
+    def with_component(self, attr: str, value):
+        """Single-component store (``v.x = e``).  WGSL forbids assigning
+        through multi-component swizzles; enforce the same."""
+        if len(attr) != 1 or attr not in self._SWIZZLE:
+            raise TraceError(
+                f"Cannot assign through '.{attr}': only single components "
+                "(.x/.y/.z/.w) are assignable"
+            )
+        i = self._SWIZZLE[attr]
+        if i >= len(self):
+            raise TraceError(
+                f"Component '.{attr}' out of range for a {len(self)}-"
+                "component vector"
+            )
+        comps = list(self.comps)
+        comps[i] = value
+        return _Vec(comps)
+
+    @staticmethod
+    def _static_index(idx) -> Optional[int]:
+        if isinstance(idx, (int, float)) and float(idx).is_integer():
+            return int(idx)
+        return None
+
+    def index(self, idx):
+        """``v[i]`` — static indices resolve at trace time (negative or
+        out-of-range raises, as naga does for constant OOB); dynamic
+        indices lower to a running select chain whose result is the
+        clamped component (WGSL's out-of-bounds behaviour is an
+        implementation-defined clamp; the chain realises clamp-to-edge
+        with no gather, keeping the kernel path lane-local)."""
+        k = self._static_index(idx)
+        if k is not None:
+            if not 0 <= k < len(self):
+                raise TraceError(
+                    f"Index {k} out of range for {len(self)} components"
+                )
+            return self.comps[k]
+        pos = jnp.asarray(idx, jnp.float32)
+        out = self.comps[0]
+        for j in range(1, len(self)):
+            out = _merge(pos >= (j - 0.5), self.comps[j], out)
+        return out
+
+    def with_index(self, idx, value):
+        """``a[i] = e`` — static index rebuilds the tuple; dynamic index
+        writes through per-component equality masks on the clamped
+        position (same clamp-to-edge convention as reads)."""
+        k = self._static_index(idx)
+        if k is not None:
+            if not 0 <= k < len(self):
+                raise TraceError(
+                    f"Index {k} out of range for {len(self)} components"
+                )
+            comps = list(self.comps)
+            comps[k] = value
+            return _Vec(comps)
+        pos = jnp.clip(
+            jnp.floor(jnp.asarray(idx, jnp.float32) + 0.5), 0.0, len(self) - 1.0
+        )
+        return _Vec(
+            _merge(pos == float(j), value, c)
+            for j, c in enumerate(self.comps)
+        )
+
+
+jax.tree_util.register_pytree_node(
+    _Vec,
+    lambda v: (v.comps, len(v.comps)),
+    lambda n, comps: _Vec(comps),
+)
+
+
+def _vec_map(fn, *args):
+    """Apply a scalar function componentwise across _Vec args (scalars
+    broadcast), the lowering for WGSL's elementwise builtins on vectors."""
+    n = None
+    for a in args:
+        if isinstance(a, _Vec):
+            if n is not None and len(a) != n:
+                raise TraceError(
+                    f"vector size mismatch in call: {n} vs {len(a)}"
+                )
+            n = len(a)
+    if n is None:
+        return fn(*args)
+    return _Vec(
+        fn(*[a.comps[i] if isinstance(a, _Vec) else a for a in args])
+        for i in range(n)
+    )
+
+
+def _require_vec(val, fname: str) -> _Vec:
+    if not isinstance(val, _Vec):
+        raise TraceError(f"{fname}() requires a vector argument")
+    return val
+
+
+def _vec_dot(a, b):
+    a = _require_vec(a, "dot")
+    b = _require_vec(b, "dot")
+    if len(a) != len(b):
+        raise TraceError(f"dot(): size mismatch {len(a)} vs {len(b)}")
+    total = a.comps[0] * b.comps[0]
+    for x, y in zip(a.comps[1:], b.comps[1:]):
+        total = total + x * y
+    return total
+
+
+def _vec_length(a):
+    if not isinstance(a, _Vec):
+        return jnp.abs(jnp.asarray(a, jnp.float32))  # WGSL length(scalar)
+    return jnp.sqrt(_vec_dot(a, a))
+
+
+def _vec_distance(a, b):
+    if isinstance(a, _Vec):
+        return _vec_length(a - b)
+    if isinstance(b, _Vec):
+        return _vec_length(b._zip(a, lambda x, y: y - x))
+    return jnp.abs(jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32))
+
+
+def _vec_normalize(a):
+    a = _require_vec(a, "normalize")
+    return a * (1.0 / _vec_length(a))
+
+
+def _vec_cross(a, b):
+    a = _require_vec(a, "cross")
+    b = _require_vec(b, "cross")
+    if len(a) != 3 or len(b) != 3:
+        raise TraceError("cross() requires vec3 arguments")
+    (a0, a1, a2), (b0, b1, b2) = a.comps, b.comps
+    return _Vec((a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0))
+
+
+def _vec_any(a):
+    a = _require_vec(a, "any")
+    acc = _truthy(a.comps[0])
+    for c in a.comps[1:]:
+        acc = jnp.logical_or(acc, _truthy(c))
+    return acc
+
+
+def _vec_all(a):
+    a = _require_vec(a, "all")
+    acc = _truthy(a.comps[0])
+    for c in a.comps[1:]:
+        acc = jnp.logical_and(acc, _truthy(c))
+    return acc
+
+
+for _vfn in (_vec_dot, _vec_length, _vec_distance, _vec_normalize,
+             _vec_cross, _vec_any, _vec_all):
+    _vfn.__wgsl_vec_aware__ = True
+
+
 def _truthy(v):
+    if isinstance(v, _Vec):
+        raise TraceError(
+            "a vector cannot be used as a condition: reduce it with "
+            "all() or any()"
+        )
     v = jnp.asarray(v)
     if v.dtype == jnp.bool_:
         return v
@@ -121,6 +379,19 @@ def _merge(cond, t_val, f_val):
     truncation" — hit by WGSL ``switch``/BoolOp code on the kernel
     path), so bool branches compute the select logically (identical
     semantics).  ``cond`` must already be boolean."""
+    if isinstance(t_val, _Vec) or isinstance(f_val, _Vec):
+        # Branch merges of vector variables: componentwise, scalars
+        # broadcast (e.g. a masked-return vector merging with the scalar
+        # zero-initialised return slot).
+        n = len(t_val) if isinstance(t_val, _Vec) else len(f_val)
+        t_c = t_val.comps if isinstance(t_val, _Vec) else (t_val,) * n
+        f_c = f_val.comps if isinstance(f_val, _Vec) else (f_val,) * n
+        if len(t_c) != len(f_c):
+            raise TraceError(
+                f"vector size mismatch in branch merge: {len(t_c)} vs "
+                f"{len(f_c)}"
+            )
+        return _Vec(_merge(cond, t, f) for t, f in zip(t_c, f_c))
     t_arr = jnp.asarray(t_val)
     f_arr = jnp.asarray(f_val)
     if t_arr.dtype == jnp.bool_ and f_arr.dtype == jnp.bool_:
@@ -405,6 +676,11 @@ def _collect_assigned(stmts: Sequence[ast.stmt]) -> List[str]:
                 for tgt in sub.targets:
                     if isinstance(tgt, ast.Name):
                         names.append(tgt.id)
+                    elif isinstance(
+                        tgt, (ast.Attribute, ast.Subscript)
+                    ) and isinstance(tgt.value, ast.Name):
+                        # v.x = / a[i] = rebind the whole vector variable.
+                        names.append(tgt.value.id)
             elif isinstance(sub, (ast.AugAssign, ast.AnnAssign)):
                 if isinstance(sub.target, ast.Name):
                     names.append(sub.target.id)
@@ -645,10 +921,26 @@ class _Interpreter:
             return env[node.id]
         return self.resolve_external(node.id)
 
+    _VEC_BINOPS = {
+        "Add": lambda a, b: a + b,
+        "Sub": lambda a, b: a - b,
+        "Mult": lambda a, b: a * b,
+        "Div": lambda a, b: a / b,
+        "Mod": lambda a, b: jnp.mod(a, b),
+        "Pow": lambda a, b: jnp.power(a, b),
+    }
+
     def _eval_BinOp(self, node, env):
         left = self.eval(node.left, env)
         right = self.eval(node.right, env)
         op = type(node.op).__name__
+        if isinstance(left, _Vec) or isinstance(right, _Vec):
+            impl = self._VEC_BINOPS.get(op)
+            if impl is None:
+                raise TraceError(f"Unsupported vector operator: {op}")
+            if isinstance(left, _Vec):
+                return left._zip(right, impl)
+            return right._zip(left, impl, swap=True)
         if op == "Add":
             return left + right
         if op == "Sub":
@@ -684,6 +976,8 @@ class _Interpreter:
         if op == "UAdd":
             return +val
         if op == "Not":
+            if isinstance(val, _Vec):  # WGSL '!' on vec<bool>: componentwise
+                return _Vec(jnp.logical_not(_truthy(c)) for c in val.comps)
             return jnp.logical_not(_truthy(val))
         raise TraceError(f"Unsupported unary operator: {op}")
 
@@ -704,6 +998,18 @@ class _Interpreter:
             if opname not in self._CMP:
                 raise TraceError(f"Unsupported comparison: {opname}")
             right = self.eval(comparator, env)
+            if isinstance(left, _Vec) or isinstance(right, _Vec):
+                # WGSL vector comparisons are componentwise -> vec<bool>;
+                # chained vec comparisons (a < b < c) have no WGSL meaning.
+                if result is not None or comparator is not node.comparators[-1]:
+                    raise TraceError(
+                        "Chained comparisons are not supported on vectors"
+                    )
+                op = self._CMP[opname]
+                cmpfn = lambda a, b: op(jnp.asarray(a), jnp.asarray(b))
+                if isinstance(left, _Vec):
+                    return left._zip(right, cmpfn)
+                return right._zip(left, cmpfn, swap=True)
             term = self._CMP[opname](jnp.asarray(left), jnp.asarray(right))
             result = term if result is None else jnp.logical_and(result, term)
             left = right
@@ -732,6 +1038,8 @@ class _Interpreter:
 
     def _eval_Attribute(self, node, env):
         base = self.eval(node.value, env)
+        if isinstance(base, _Vec):
+            return base.swizzle(node.attr)
         if isinstance(base, _ModuleRef):
             if node.attr in _CONSTANTS:
                 if node.attr == "euler_gamma" and base.kind == "math":
@@ -771,7 +1079,24 @@ class _Interpreter:
 
         fn = self._resolve_callable(node.func, env)
         args = [self.eval(a, env) for a in node.args]
+        if any(isinstance(a, _Vec) for a in args) and not getattr(
+            fn, "__wgsl_vec_aware__", False
+        ):
+            # WGSL's math builtins extend componentwise to vectors; only
+            # the genuinely vector-typed builtins (dot/cross/length/...)
+            # and user-defined WGSL functions see the _Vec itself.
+            return _vec_map(fn, *args)
         return fn(*args)
+
+    def _eval_Subscript(self, node, env):
+        base = self.eval(node.value, env)
+        if not isinstance(base, _Vec):
+            raise TraceError(
+                "Indexing is only supported on vector/array values"
+            )
+        if isinstance(node.slice, ast.Slice):
+            raise TraceError("Slicing is not supported on vectors/arrays")
+        return base.index(self.eval(node.slice, env))
 
     def _resolve_callable(self, func_node: ast.expr, env: Dict[str, Any]):
         if isinstance(func_node, ast.Name):
@@ -843,15 +1168,44 @@ class _Interpreter:
                 return env, val
 
             if kind == "Assign":
-                if len(stmt.targets) != 1 or not isinstance(
-                    stmt.targets[0], ast.Name
-                ):
+                if len(stmt.targets) != 1:
                     raise TraceError(
                         "Only single-variable assignments are supported"
                     )
-                env = dict(env)
-                env[stmt.targets[0].id] = self.eval(stmt.value, env)
-                continue
+                tgt = stmt.targets[0]
+                if isinstance(tgt, ast.Name):
+                    env = dict(env)
+                    env[tgt.id] = self.eval(stmt.value, env)
+                    continue
+                # Component / element stores (v.x = e, a[i] = e) rebuild
+                # the whole _Vec binding: pure dataflow, so branch merges
+                # and loop carries see an ordinary variable update.
+                if isinstance(tgt, (ast.Attribute, ast.Subscript)) and isinstance(
+                    tgt.value, ast.Name
+                ):
+                    name = tgt.value.id
+                    if name not in env:
+                        raise TraceError(f"Unknown variable: '{name}'")
+                    base = env[name]
+                    if not isinstance(base, _Vec):
+                        raise TraceError(
+                            f"'{name}' is not a vector/array value"
+                        )
+                    val = self.eval(stmt.value, env)
+                    env = dict(env)
+                    if isinstance(tgt, ast.Attribute):
+                        env[name] = base.with_component(tgt.attr, val)
+                    else:
+                        if isinstance(tgt.slice, ast.Slice):
+                            raise TraceError(
+                                "Slicing is not supported on vectors/arrays"
+                            )
+                        idx = self.eval(tgt.slice, env)
+                        env[name] = base.with_index(idx, val)
+                    continue
+                raise TraceError(
+                    "Only single-variable assignments are supported"
+                )
 
             if kind == "AugAssign":
                 if not isinstance(stmt.target, ast.Name):
@@ -973,8 +1327,13 @@ class _Interpreter:
             )
 
         def to_carry(e):
+            # tree_map so _Vec-typed carries (pytrees of scalars) thread
+            # through lax.while_loop exactly like plain scalars.
             return tuple(
-                jnp.asarray(e[n], dtype=jnp.float32) for n in carry_names
+                jax.tree_util.tree_map(
+                    lambda v: jnp.asarray(v, dtype=jnp.float32), e[n]
+                )
+                for n in carry_names
             )
 
         base_env = dict(env)

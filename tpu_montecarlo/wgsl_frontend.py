@@ -41,9 +41,17 @@ from .tracing import (
     TraceError,
     _FUNC_MAP,
     _Interpreter,
+    _Vec,
     _as_scalar_f32,
     _contains_return,
     _RET_VAL,
+    _vec_all,
+    _vec_any,
+    _vec_cross,
+    _vec_distance,
+    _vec_dot,
+    _vec_length,
+    _vec_normalize,
 )
 
 __all__ = ["WgslError", "trace_wgsl_function"]
@@ -60,6 +68,55 @@ def _inverse_sqrt(x):
 def _trunc_mod(a, b):
     """WGSL '%' semantics: remainder with the sign of the dividend."""
     return jnp.fmod(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+
+
+def _make_vec_ctor(n: int):
+    """``vecN(...)`` value constructor: a single scalar splats; otherwise
+    the scalar/vector arguments must flatten to exactly N components
+    (WGSL's mixed constructor forms, e.g. ``vec4<f32>(v.xy, 0.0, 1.0)``)."""
+
+    def ctor(*args):
+        comps = []
+        for a in args:
+            comps.extend(a.comps if isinstance(a, _Vec) else (a,))
+        if len(comps) == n:
+            return _Vec(comps)
+        if len(comps) == 1 and not isinstance(args[0], _Vec):
+            return _Vec(comps * n)
+        raise TraceError(
+            f"vec{n} constructor got {len(comps)} component(s)"
+        )
+
+    ctor.__wgsl_vec_aware__ = True
+    ctor.__name__ = f"__wgsl_vec{n}__"
+    return ctor
+
+
+def _arr_ctor(*args):
+    for a in args:
+        if isinstance(a, _Vec):
+            raise TraceError(
+                "array constructors take scalar elements (arrays of "
+                "vectors are not supported)"
+            )
+    return _Vec(args)
+
+
+_arr_ctor.__wgsl_vec_aware__ = True
+
+_VEC_FUNCS = {
+    "__wgsl_vec2__": _make_vec_ctor(2),
+    "__wgsl_vec3__": _make_vec_ctor(3),
+    "__wgsl_vec4__": _make_vec_ctor(4),
+    "__wgsl_arr__": _arr_ctor,
+    "dot": _vec_dot,
+    "cross": _vec_cross,
+    "length": _vec_length,
+    "distance": _vec_distance,
+    "normalize": _vec_normalize,
+    "any": _vec_any,
+    "all": _vec_all,
+}
 
 
 def _wgsl_mod_call(left: ast.expr, right: ast.expr) -> ast.expr:
@@ -217,6 +274,9 @@ _KEYWORDS = {"fn", "let", "var", "return", "if", "else", "while", "for", "loop",
              "break", "continue", "true", "false", "const", "discard"}
 
 _TYPES = {"f32", "f16", "u32", "i32", "bool"}
+_VEC_TYPES = {"vec2": 2, "vec3": 3, "vec4": 4}
+_VEC_CTOR = {"vec2": "__wgsl_vec2__", "vec3": "__wgsl_vec3__",
+             "vec4": "__wgsl_vec4__"}
 
 
 def _tokenize(src: str) -> List[Tuple[str, str]]:
@@ -292,24 +352,56 @@ class _Parser:
             raise WgslError(f"Expected function name, got {name!r}")
         self.expect("(")
         params: List[str] = []
+        param_types: List[Tuple[str, int]] = []
         while not self.accept(")"):
             k, pname = self.next()
             if k != "name":
                 raise WgslError(f"Expected parameter name, got {pname!r}")
             self.expect(":")
-            self._parse_type()
+            param_types.append(self._parse_type())
             params.append(pname)
             if self.peek()[1] == ",":
                 self.next()
         self.expect("->")
         self._parse_type()
         body = self.parse_block()
-        return name, params, body
+        return name, params, body, param_types
 
     def _parse_type(self):
+        """Parse a type; returns ("scalar", 0) | ("vec", n) | ("array", n)
+        so declarations without initialisers can zero-init correctly."""
         kind, val = self.next()
-        if val not in _TYPES:
-            raise WgslError(f"Unsupported WGSL type: {val!r}")
+        if val in _TYPES:
+            return ("scalar", 0)
+        if val in _VEC_TYPES:
+            if self.accept("<"):
+                _, elem = self.next()
+                if elem not in _TYPES:
+                    raise WgslError(
+                        f"Unsupported vector element type: {elem!r}"
+                    )
+                self.expect(">")
+            return ("vec", _VEC_TYPES[val])
+        if val == "array":
+            self.expect("<")
+            _, elem = self.next()
+            if elem not in _TYPES:
+                raise WgslError(
+                    f"Unsupported array element type: {elem!r} (arrays of "
+                    "scalars only)"
+                )
+            self.expect(",")
+            nk, nv = self.next()
+            if nk != "num" or not nv.rstrip("fhui").isdigit():
+                raise WgslError(
+                    f"array size must be an integer literal, got {nv!r}"
+                )
+            n = int(nv.rstrip("fhui"))
+            if not 1 <= n <= 256:
+                raise WgslError(f"Unsupported array size: {n}")
+            self.expect(">")
+            return ("array", n)
+        raise WgslError(f"Unsupported WGSL type: {val!r}")
 
     def parse_block(self) -> List[ast.stmt]:
         self.expect("{")
@@ -408,42 +500,95 @@ class _Parser:
         """``let/var/const name (: type)? (= expr)?`` without the ';'."""
         self.next()
         _, name = self.next()
+        ty = ("scalar", 0)
         if self.accept(":"):
-            self._parse_type()
+            ty = self._parse_type()
         if self.accept("="):
             value = self.parse_expr()
-        else:
+        elif ty[0] == "scalar":
             value = ast.Constant(value=0.0)
+        else:
+            # WGSL zero-value: vecN() splats 0.0; arrays take one explicit
+            # zero per element (no splat form in the array constructor).
+            kind, n = ty
+            ctor = _VEC_CTOR[f"vec{n}"] if kind == "vec" else "__wgsl_arr__"
+            nargs = 1 if kind == "vec" else n
+            value = _loc(
+                ast.Call(
+                    func=_loc(ast.Name(id=ctor, ctx=ast.Load())),
+                    args=[_loc(ast.Constant(value=0.0)) for _ in range(nargs)],
+                    keywords=[],
+                )
+            )
         return self._assign(name, value)
 
     def parse_assign_stmt(self) -> ast.stmt:
-        """``name = expr`` / ``name op= expr`` / ``name++`` / ``name--``
-        without the trailing ';'."""
+        """``lvalue = expr`` / ``lvalue op= expr`` / ``lvalue++`` /
+        ``lvalue--`` without the trailing ';'.  An lvalue is a name
+        optionally followed by ONE component access or index
+        (``v.x = …``, ``a[i] = …``); deeper paths would need nested
+        aggregate types the scalar-element surface does not have."""
         _, name = self.next()
+        path = None  # ("attr", name) | ("index", expr)
+        while self.peek()[1] in (".", "["):
+            if path is not None:
+                raise WgslError(
+                    "Nested component assignment is not supported "
+                    "(arrays and vectors hold scalars)"
+                )
+            if self.accept("."):
+                k, attr = self.next()
+                if k != "name":
+                    raise WgslError(
+                        f"Expected member name after '.', got {attr!r}"
+                    )
+                path = ("attr", attr)
+            else:
+                self.expect("[")
+                idx = self.parse_expr()
+                self.expect("]")
+                path = ("index", idx)
+
+        def load():
+            e = _loc(ast.Name(id=name, ctx=ast.Load()))
+            if path is None:
+                return e
+            if path[0] == "attr":
+                return _loc(ast.Attribute(value=e, attr=path[1], ctx=ast.Load()))
+            return _loc(ast.Subscript(value=e, slice=path[1], ctx=ast.Load()))
+
+        def store(value: ast.expr) -> ast.stmt:
+            if path is None:
+                return self._assign(name, value)
+            base = _loc(ast.Name(id=name, ctx=ast.Load()))
+            if path[0] == "attr":
+                tgt = _loc(
+                    ast.Attribute(value=base, attr=path[1], ctx=ast.Store())
+                )
+            else:
+                tgt = _loc(
+                    ast.Subscript(value=base, slice=path[1], ctx=ast.Store())
+                )
+            return _loc(ast.Assign(targets=[tgt], value=value))
+
         _, op = self.next()
-        lhs = _loc(ast.Name(id=name, ctx=ast.Load()))
         if op == "=":
-            return self._assign(name, self.parse_expr())
+            return store(self.parse_expr())
         if op in ("++", "--"):
             delta = _loc(ast.Constant(value=1.0))
             node_op = ast.Add() if op == "++" else ast.Sub()
-            return self._assign(
-                name, _loc(ast.BinOp(left=lhs, op=node_op, right=delta))
-            )
+            return store(_loc(ast.BinOp(left=load(), op=node_op, right=delta)))
         if op in ("+=", "-=", "*=", "/=", "%="):
             value = self.parse_expr()
             if op == "%=":
-                return self._assign(name, _wgsl_mod_call(lhs, value))
+                return store(_wgsl_mod_call(load(), value))
             binop = {
                 "+=": ast.Add,
                 "-=": ast.Sub,
                 "*=": ast.Mult,
                 "/=": ast.Div,
             }[op]
-            return self._assign(
-                name,
-                _loc(ast.BinOp(left=lhs, op=binop(), right=value)),
-            )
+            return store(_loc(ast.BinOp(left=load(), op=binop(), right=value)))
         raise WgslError(f"Unexpected token after identifier: {op!r}")
 
     def parse_for(self) -> List[ast.stmt]:
@@ -874,7 +1019,24 @@ class _Parser:
         if tok == "!":
             self.next()
             return _loc(ast.UnaryOp(op=ast.Not(), operand=self.parse_unary()))
-        return self.parse_primary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> ast.expr:
+        """Primary expression followed by member/swizzle access and
+        indexing (``v.xy``, ``a[i]``), in any combination."""
+        e = self.parse_primary()
+        while True:
+            if self.accept("."):
+                k, attr = self.next()
+                if k != "name":
+                    raise WgslError(f"Expected member name after '.', got {attr!r}")
+                e = _loc(ast.Attribute(value=e, attr=attr, ctx=ast.Load()))
+            elif self.accept("["):
+                idx = self.parse_expr()
+                self.expect("]")
+                e = _loc(ast.Subscript(value=e, slice=idx, ctx=ast.Load()))
+            else:
+                return e
 
     def parse_primary(self) -> ast.expr:
         kind, val = self.next()
@@ -891,6 +1053,8 @@ class _Parser:
             self.expect(")")
             return e
         if kind == "name":
+            if val in _VEC_TYPES or val == "array":
+                return self._parse_ctor(val)
             if self.peek()[1] == "(":
                 self.next()
                 args: List[ast.expr] = []
@@ -907,6 +1071,53 @@ class _Parser:
                 )
             return _loc(ast.Name(id=val, ctx=ast.Load()))
         raise WgslError(f"Unexpected token in expression: {val!r}")
+
+    def _parse_ctor(self, tyname: str) -> ast.expr:
+        """``vecN<f32>(...)`` / ``vecN(...)`` / ``array<f32, N>(...)``
+        constructor expressions.  vec constructors take a splat scalar,
+        N scalars, or any scalar/vector mix totalling N components
+        (validated at trace time, where swizzle widths are known); array
+        constructors take exactly N scalars or zero args (zero-value)."""
+        size = None
+        if self.peek()[1] == "<":
+            # Re-parse the generic suffix through _parse_type by backing
+            # up to the type name token.
+            self.i -= 1
+            ty = self._parse_type()
+            size = ty[1]
+        elif tyname == "array":
+            size = None  # inferred from the argument count
+        self.expect("(")
+        args: List[ast.expr] = []
+        while not self.accept(")"):
+            args.append(self.parse_expr())
+            if self.peek()[1] == ",":
+                self.next()
+        if tyname == "array":
+            if not args:
+                if size is None:
+                    raise WgslError(
+                        "array() with no arguments needs an explicit "
+                        "array<T, N> type"
+                    )
+                args = [_loc(ast.Constant(value=0.0)) for _ in range(size)]
+            elif size is not None and len(args) != size:
+                raise WgslError(
+                    f"array<_, {size}> constructor got {len(args)} "
+                    "arguments"
+                )
+            ctor = "__wgsl_arr__"
+        else:
+            if not args:
+                args = [_loc(ast.Constant(value=0.0))]
+            ctor = _VEC_CTOR[tyname]
+        return _loc(
+            ast.Call(
+                func=_loc(ast.Name(id=ctor, ctx=ast.Load())),
+                args=args,
+                keywords=[],
+            )
+        )
 
 
 class _RenameVar(ast.NodeTransformer):
@@ -945,7 +1156,7 @@ def trace_wgsl_function(code: str) -> Callable:
     # switch it binds to during parsing.  A leftover marker would execute as
     # a silent no-op (the interpreter ignores bare expressions), turning a
     # front-end bug into wrong semantics instead of an error.
-    for _name, _params, _body in fns:
+    for _name, _params, _body, _ptypes in fns:
         if _has_marker(_body, (_BREAK_MARKER, _CONTINUE_MARKER)):
             raise WgslError(
                 "internal: unconsumed break/continue marker after parsing"
@@ -977,16 +1188,25 @@ def trace_wgsl_function(code: str) -> Callable:
             namespace = dict(_FUNC_MAP)
             namespace["inverseSqrt"] = _inverse_sqrt
             namespace["__wgsl_mod__"] = _trunc_mod
+            namespace.update(_VEC_FUNCS)
             namespace.update(registry)
             interp = _Interpreter(captured=namespace)
             return interp.run(fdef, args)
 
+        # User functions take vec-typed parameters as the _Vec itself —
+        # never componentwise-mapped by the interpreter's call dispatch.
+        call.__wgsl_vec_aware__ = True
         return call
 
-    for name, params, body in fns:
+    for name, params, body, _ptypes in fns:
         registry[name] = make_callable(params, body)
 
-    entry_name, entry_params, _ = fns[0]
+    entry_name, entry_params, _, entry_ptypes = fns[0]
+    if any(t[0] != "scalar" for t in entry_ptypes):
+        raise WgslError(
+            "the entry function must take scalar parameters (vectors and "
+            "arrays may appear in locals and helper functions)"
+        )
     entry = registry[entry_name]
 
     def traced(*args):
