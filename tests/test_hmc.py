@@ -299,9 +299,9 @@ class TestCompositions:
 class TestPallasKernel:
     """In-kernel HMC: the leapfrog gradient is jax.grad of the
     closed-form analytic log-density traced into the kernel body
-    (gather-free elementwise ops), so analytic targets run at kernel
-    speed; CUSTOM table targets route to XLA (their gradient would need
-    gather-VJP scatters Mosaic lacks)."""
+    (gather-free elementwise ops); CUSTOM table targets gather the
+    log-table interpolant's slope instead (mcmc_pallas._log_pdf_grad),
+    so both run at kernel speed."""
 
     @pytest.fixture(scope="class")
     def kern(self):
@@ -615,26 +615,51 @@ class TestValidation:
         s = repr(h)
         assert "HMC" in s and "n_leapfrog=12" in s
 
-    def test_pallas_table_target_warns_and_routes_xla(self):
-        # In-kernel HMC needs a closed-form gradient; a CUSTOM table
-        # target (gather-VJP scatter Mosaic lacks) routes to XLA with a
-        # warning when the kernel was explicitly requested.
+    def test_pallas_table_target_rides_kernel(self):
+        # In-kernel HMC on a CUSTOM table target: the position gradient
+        # is the log-table interpolant's gathered slope
+        # (mcmc_pallas._log_pdf_grad) — no fallback warning, and the
+        # estimates match the XLA route's autodiff-of-interp statistics.
         import warnings
 
         tab = Distribution.from_pdf(
             lambda x: np.exp(-0.5 * x * x), support=(-6.0, 6.0)
         )
         integ = MonteCarloIntegrator(backend="pallas")
+        kw = dict(n_steps=1200, n_chains=512, n_burnin=200, seed=1)
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             r = integ.integrate_mcmc(
-                [lambda x: x],
+                [lambda x: x, lambda x: x * x],
                 tab,
-                HMC(step_size=0.5, n_leapfrog=5),
-                n_steps=400,
-                n_chains=256,
-                n_burnin=100,
-                seed=1,
+                HMC(step_size=0.4, n_leapfrog=5),
+                **kw,
             )
-        assert any("XLA" in str(x.message) for x in w)
+        assert not any("XLA" in str(x.message) for x in w)
+        r_x = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            [lambda x: x, lambda x: x * x],
+            tab,
+            HMC(step_size=0.4, n_leapfrog=5),
+            **kw,
+        )
         assert abs(r.values[0]) < 0.1
+        assert abs(r.values[1] - 1.0) < 0.1
+        assert abs(r.values[1] - r_x.values[1]) < 0.12
+        assert 0.5 < r.acceptance_rate < 1.0
+
+    def test_pallas_beta_table_target_adaptive(self):
+        # Bounded table target + step adaptation: the steep floor-edge
+        # slopes act as reflecting walls, keeping trajectories inside
+        # the support at kernel speed.
+        integ = MonteCarloIntegrator(backend="pallas")
+        b = Distribution.beta(2.0, 5.0)
+        r = integ.integrate_mcmc(
+            [lambda x: x],
+            b,
+            HMC(step_size=0.1, n_leapfrog=6, adapt=True),
+            n_steps=1500,
+            n_chains=512,
+            n_burnin=500,
+            seed=3,
+        )
+        assert abs(r.values[0] - 2.0 / 7.0) < 0.03

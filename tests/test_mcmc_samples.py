@@ -193,7 +193,9 @@ class TestSamplesNd:
 
 class TestCompiledDraws:
     """``compile_mcmc(return_samples=m)`` — the serving handle returns
-    the thinned draws LAST; unbatched untempered 1-D handles only."""
+    the thinned draws LAST; composes with seed/param batches (round 5:
+    the kernel's draw DMA offset carries the grid-rep index), untempered
+    handles only."""
 
     def test_handle_matches_integrate_mcmc(self):
         integ = MonteCarloIntegrator()
@@ -213,22 +215,74 @@ class TestCompiledDraws:
             np.asarray(vals), ref.values, rtol=1e-6
         )
 
-    def test_batched_and_tempered_rejected(self):
+    def test_tempered_rejected(self):
         integ = MonteCarloIntegrator()
         args = (
             [lambda x: x], Distribution.normal(0.0, 1.0),
             Distribution.normal(0.0, 2.0),
         )
         kw = dict(n_steps=100, n_chains=256, n_burnin=10)
-        with pytest.raises(ValueError, match="unbatched"):
-            integ.compile_mcmc(
-                *args, return_samples=4, seed_batch=2, **kw
-            )
-        with pytest.raises(ValueError, match="unbatched"):
+        with pytest.raises(ValueError, match="untempered"):
             integ.compile_mcmc(
                 *args, return_samples=4,
                 temperatures=[1.0, 2.0], **kw
             )
+
+    def test_seed_batched_draws_bit_equal_per_rep(self):
+        # Each batch rep streams its own (m, chains) draw slab, equal
+        # bit-for-bit to the unbatched handle at that seed.
+        import warnings as _w
+
+        integ = MonteCarloIntegrator(backend="pallas")
+        args = (
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 2.0),
+        )
+        kw = dict(n_steps=200, n_chains=512, n_burnin=20)
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            prog = integ.compile_mcmc(
+                *args, return_samples=5, seed_batch=3, **kw
+            )
+            vb, ab, sb = prog(np.arange(3, dtype=np.uint32) + 40)
+            prog1 = integ.compile_mcmc(*args, return_samples=5, **kw)
+            v1, a1, s1 = prog1(41)
+        assert np.asarray(sb).shape == (3, 5, 1024)
+        np.testing.assert_array_equal(np.asarray(sb)[1], np.asarray(s1))
+
+    def test_param_batched_draws_follow_their_targets(self):
+        from tpu_montecarlo import pack_param_batch
+
+        integ = MonteCarloIntegrator(backend="pallas")
+        means = (0.0, 2.0, -1.0)
+        tp = pack_param_batch(
+            [Distribution.normal(m, 1.0) for m in means]
+        )
+        pp = pack_param_batch([Distribution.normal(0.0, 3.0)] * 3)
+        prog = integ.compile_mcmc(
+            [lambda x: x], Distribution.normal(0.0, 1.0),
+            Distribution.normal(0.0, 3.0),
+            n_steps=400, n_chains=512, n_burnin=50,
+            seed_batch=3, param_batch=True, return_samples=8,
+        )
+        v, a, s = prog(np.arange(3, dtype=np.uint32), tp, pp)
+        s = np.asarray(s)
+        assert s.shape == (3, 8, 1024)
+        for i, m in enumerate(means):
+            assert abs(s[i].mean() - m) < 0.2
+
+    def test_nd_seed_batched_handle_draws(self):
+        integ = MonteCarloIntegrator(backend="pallas")
+        n01 = Distribution.normal(0.0, 1.0)
+        prop = Distribution.normal(0.0, 2.0)
+        prog = integ.compile_mcmc(
+            [lambda x, y: x + y], [n01, n01], [prop, prop],
+            n_steps=200, n_chains=512, n_burnin=20,
+            seed_batch=2, return_samples=4,
+        )
+        v, a, s = prog(np.arange(2, dtype=np.uint32) + 7)
+        assert np.asarray(s).shape == (2, 4, 1024, 2)
+        assert abs(np.asarray(s).mean()) < 0.1
 
 
 class TestValidation:

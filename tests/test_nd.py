@@ -656,18 +656,67 @@ class TestNdMcmcPallasKernel:
         assert r.stderr[0] > 0
         assert r.stderr[1] < 1e-6
 
-    def test_table_dim_falls_back_with_warning(self, kern):
+    def test_table_dims_ride_the_kernel(self, kern):
+        # CUSTOM table dims (target AND proposal side) run fully
+        # in-kernel — per-dim inverse-CDF sampling + log-table
+        # lane-gathers, the 1-D kernel's machinery — and match the XLA
+        # sweep's statistics; Beta(2,5): E[X]=2/7, E[X^2]=15/140.
         import warnings as _w
 
         b = Distribution.beta(2.0, 5.0)
         n01 = Distribution.normal(0.0, 1.0)
-        u = Distribution.uniform(0.0, 1.0)
         prop = Distribution.normal(0.0, 2.0)
+        fns = [lambda x, y: x * y, lambda x, y: x * x]
+        kw = dict(n_steps=1500, n_chains=1024, n_burnin=200, seed=11)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            r = kern.integrate_mcmc(fns, [b, n01], [b, prop], **kw)
+            assert not any("XLA" in str(x.message) for x in rec)
+        rx = mc.MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            fns, [b, n01], [b, prop], **kw
+        )
+        assert abs(r.values[0]) < 0.02
+        assert abs(r.values[1] - 15.0 / 140.0) < 0.01
+        assert abs(r.values[1] - rx.values[1]) < 0.01
+        assert 0.2 < r.acceptance_rate < 0.9
+
+    def test_gapped_table_proposal_dim_in_kernel(self, kern):
+        # A zero-density-span (exact_inverse) proposal dim samples
+        # through the host-built gap-respecting tables in-kernel; the
+        # chain never lands inside the gap.
+        x = np.linspace(0.0, 3.0, 3001)
+        p = np.where((x < 1.0) | (x > 2.0), 1.0, 0.0)
+        gapped = Distribution.from_pdf_table(x, p)
+        n01 = Distribution.normal(0.0, 1.0)
+        import warnings as _w
+
         with _w.catch_warnings(record=True) as rec:
             _w.simplefilter("always")
             r = kern.integrate_mcmc(
-                [lambda x, y: x * y], [b, n01], [u, prop],
-                n_steps=1500, n_chains=1024, n_burnin=200, seed=11,
+                [
+                    lambda x, y: x,
+                    # 1 strictly inside the (1, 2) gap, 0 outside.
+                    lambda x, y: max(0.0, np.sign((x - 1.0) * (2.0 - x))),
+                ],
+                [gapped, n01], [gapped, n01],
+                n_steps=1500, n_chains=1024, n_burnin=150, seed=9,
+            )
+            assert not any("XLA" in str(w.message) for w in rec)
+        assert abs(r.values[0] - 1.5) < 0.05
+        assert r.values[1] < 0.01  # no mass inside the gap
+
+    def test_heavy_tail_dim_falls_back_with_warning(self, kern):
+        # A heavy-tailed table proposal dim (exact searchsorted inverse
+        # required) keeps the XLA reroute + warning.
+        import warnings as _w
+
+        t5 = Distribution.student_t(5.0)
+        n01 = Distribution.normal(0.0, 1.0)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            r = kern.integrate_mcmc(
+                [lambda x, y: x * y], [n01, n01], [t5, n01],
+                n_steps=600, n_chains=512, n_burnin=100, seed=11,
             )
             assert any("XLA" in str(x.message) for x in rec)
         assert abs(r.values[0]) < 0.05

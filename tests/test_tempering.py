@@ -409,15 +409,33 @@ class TestTemperedPallasKernel:
         ) < 0.05
         assert abs(kern.values[0] - xla.values[0]) < 2.0
 
-    def test_inference_outputs_fall_back_with_warning(self, integ_p):
+    def test_inference_outputs_ride_the_kernel(self, integ_p):
+        # Round 5: cold-rung stderr + split-R-hat run IN-KERNEL (the
+        # plain kernels' pilot-shifted stat blocks on the cold rung) —
+        # no fallback warning, values match the XLA tempering sweep.
+        import warnings as _w
+
         walk = RandomWalk(step_size=0.5, init_range=(3.0, 5.0))
-        with pytest.warns(UserWarning, match="XLA backend"):
-            pt = integ_p.integrate_mcmc(
-                [lambda x: x], logmix, walk,
-                n_steps=100, n_chains=128, n_burnin=20, seed=5,
-                temperatures=[1.0, 2.0], return_stderr=True,
-            )
-        assert pt.stderr is not None
+        kw = dict(
+            n_steps=400, n_chains=512, n_burnin=100, seed=5,
+            temperatures=[1.0, 2.0, 4.0],
+            return_stderr=True, return_diagnostics=True,
+        )
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            pt = integ_p.integrate_mcmc([lambda x: x], logmix, walk, **kw)
+        ptx = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            [lambda x: x], logmix, walk, **kw
+        )
+        assert pt.stderr is not None and pt.stderr[0] > 0
+        assert "r_hat" in pt.diagnostics and "swap_rate" in pt.diagnostics
+        assert (
+            abs(pt.diagnostics["swap_rate"] - ptx.diagnostics["swap_rate"])
+            < 0.06
+        )
+        assert abs(pt.values[0] - ptx.values[0]) < max(
+            6 * (pt.stderr[0] + ptx.stderr[0]), 0.5
+        )
 
     def test_sharded_kernel(self, mesh8):
         integ = MonteCarloIntegrator(backend="pallas", mesh=mesh8)
@@ -545,14 +563,19 @@ class TestTemperedCompile:
                 float(np.asarray(sw)[r]), float(s1), rtol=1e-6
             )
 
-    def test_stderr_falls_back_to_xla(self, integ_p):
+    def test_stderr_handle_rides_kernel(self, integ_p):
+        # Round 5: tempered stderr serving handles ride the kernel too
+        # (seed-batched cold-rung stat blocks).
+        import warnings as _w
+
         walk = RandomWalk(step_size=0.5, init_range=(3.0, 5.0))
-        with pytest.warns(UserWarning, match="XLA backend"):
+        with _w.catch_warnings():
+            _w.simplefilter("error")
             prog = integ_p.compile_mcmc(
                 [lambda x: x], logmix, walk,
                 return_stderr=True, **self.KW,
             )
-        out = prog(3)
+            out = prog(3)
         assert len(out) == 4 and float(out[3][0]) > 0.0
 
     def test_analytic_target_estimates(self, integ_p):

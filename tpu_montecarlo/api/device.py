@@ -316,3 +316,37 @@ def _mcmc_table_bytes(
         if t is not None:
             total += 2 * _padded(len(t[0])) * 4
     return total
+
+
+def _mcmc_nd_table_bytes(prop_specs, targ_specs, targets, proposals) -> int:
+    """nd form of :func:`_mcmc_table_bytes`: sum the per-dimension
+    CUSTOM-table residency over all dims (proposal inverse-CDF pairs +
+    guarded q log tables; target log tables).  ``prop_specs`` is None
+    for RandomWalk/HMC proposals; ``targ_specs`` is None for joint-fn
+    targets."""
+
+    def _padded(n: int) -> int:
+        return -(-int(n) // 128) * 128
+
+    total = 0
+    if prop_specs is not None:
+        for p, s in zip(proposals, prop_specs):
+            if s.kind != DistKind.CUSTOM:
+                continue
+            if s.exact_inverse:
+                from ..tables import INV_CDF_TABLE_SIZE
+
+                total += 2 * INV_CDF_TABLE_SIZE * 4
+            elif s.x_table is not None:
+                total += 2 * int(s.x_table.shape[0]) * 4
+            t = _proposal_kernel_log_tables(p)
+            if t is not None:
+                total += 2 * _padded(len(t[0])) * 4
+    if targ_specs is not None:
+        for t_dist, s in zip(targets, targ_specs):
+            if s.kind != DistKind.CUSTOM:
+                continue
+            t = _uniform_log_tables(t_dist)
+            if t is not None:
+                total += 2 * _padded(len(t[0])) * 4
+    return total

@@ -341,10 +341,12 @@ class _McmcMixin:
         ``seed_batch=R``: ``prog(seeds) -> ((R, K), (R,))`` in one dispatch
         (see compile_integrate).
 
-        ``return_samples=m`` (unbatched, untempered 1-D handles): the
-        handle additionally returns — LAST — the (m, chains) thinned
+        ``return_samples=m`` (untempered 1-D handles): the handle
+        additionally returns — LAST — the (m, chains) thinned
         post-burn-in draws (see :meth:`integrate_mcmc`); rides the
         Pallas kernel's DMA-streamed draw output on eligible workloads.
+        Composes with ``seed_batch``/``param_batch``: each batch rep
+        streams its own draw slab, returned as (R, m, chains).
 
         ``return_stderr=True``: the handle returns ``(values,
         acceptance, stderrs)`` — with a seed or param batch,
@@ -378,10 +380,11 @@ class _McmcMixin:
                     f"return_samples must be in [1, n_steps={n_steps}], "
                     f"got {return_samples}"
                 )
-            if temperatures is not None or seed_batch != 1 or param_batch:
+            if temperatures is not None:
                 raise ValueError(
-                    "compile_mcmc(return_samples=...) supports unbatched "
-                    "untempered handles only"
+                    "compile_mcmc(return_samples=...) supports untempered "
+                    "handles only (tempered cold-rung draws ride "
+                    "integrate_mcmc)"
                 )
         else:
             m_samp = 0
@@ -402,15 +405,15 @@ class _McmcMixin:
                 or isinstance(target_distribution, str)
             )
         ):
-            if m_samp:
+            if m_samp and param_batch:
                 raise ValueError(
-                    "compile_mcmc(return_samples=...) supports 1-D "
-                    "handles only (use integrate_mcmc for nd draws)"
+                    "compile_mcmc(return_samples=...) does not compose "
+                    "with nd param_batch"
                 )
             return self._compile_mcmc_nd(
                 functions, target_distribution, proposal_distribution,
                 n_steps, n_chains, n_burnin, seed_batch, param_batch,
-                return_stderr,
+                return_stderr, return_samples=m_samp,
             )
         if isinstance(proposal_distribution, RandomWalk):
             _check_random_walk_args(
@@ -532,15 +535,10 @@ class _McmcMixin:
                 raise ValueError(
                     "with_diagnostics is not supported on batched programs"
                 )
-        if with_samples:
-            if with_state:
-                raise ValueError(
-                    "return_samples applies to stateless MCMC runs only"
-                )
-            if seed_batch != 1 or param_batch:
-                raise ValueError(
-                    "return_samples is not supported on batched programs"
-                )
+        if with_samples and with_state:
+            raise ValueError(
+                "return_samples applies to stateless MCMC runs only"
+            )
         random_walk = isinstance(proposal_distribution, RandomWalk)
         rw_adapt = random_walk and proposal_distribution.adapt
         hmc_L = (
@@ -556,14 +554,13 @@ class _McmcMixin:
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
 
-        # In-kernel HMC needs the gradient traced from a closed form:
-        # table targets would need gather-VJP scatters Mosaic lacks.
-        # (Raw draws ride the kernel too: thinned chain blocks are
+        # (HMC rides the kernel on CUSTOM table targets too: the
+        # position gradient is the log-table interpolant's gathered
+        # slope, not a gather-VJP scatter — see mcmc_pallas._log_pdf_grad.
+        # Raw draws ride the kernel as well: thinned chain blocks are
         # staged in VMEM and DMA-streamed to an HBM output, so the loop
         # and estimates are bit-identical to the samples-free kernel.)
-        pallas_ok = (
-            hmc_L == 0 or targ_spec.kind != DistKind.CUSTOM
-        ) and self._mcmc_pallas_ok(
+        pallas_ok = self._mcmc_pallas_ok(
             traced, prop_spec, targ_spec,
             target_distribution, proposal_distribution,
             random_walk=random_walk,

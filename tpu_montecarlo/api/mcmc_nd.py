@@ -53,6 +53,7 @@ from .device import (
     _device_log_tables_of,
     _device_mode_tables,
     _device_uniform_log_tables,
+    _mcmc_nd_table_bytes,
     _mcmc_table_bytes,
     _proposal_kernel_log_tables,
     _table_shapes,
@@ -143,11 +144,15 @@ class _McmcNdMixin:
     def _nd_mcmc_pallas_eligible(
         self, prop_kinds, targ_kinds, target_fn, traced, total_chains,
         d, return_stderr, hmc_L: int = 0, with_samples: int = 0,
+        proposals=None, prop_specs=None, targets=None,
+        with_diagnostics: bool = False,
     ) -> bool:
-        """nd MCMC kernel gate: analytic proposal dims (vacuous for a
-        RandomWalk proposal, ``prop_kinds=()``), analytic-product or
-        block-traceable joint-fn target, <=127 fused d-ary integrands
-        evaluating on lane blocks, and d state blocks fitting VMEM."""
+        """nd MCMC kernel gate: analytic or CUSTOM-table dims (CUSTOM
+        needs uniform log-pdf x-grids and, proposal-side, the
+        table-fidelity pipeline — per-dim, the 1-D kernel's checks),
+        analytic/CUSTOM-product or block-traceable joint-fn target,
+        <=127 fused d-ary integrands evaluating on lane blocks, and d
+        state blocks + resident tables fitting VMEM."""
         from ..ops.mcmc_nd_pallas import (
             mcmc_nd_pallas_supports,
             mcmc_nd_vmem_fits,
@@ -157,6 +162,11 @@ class _McmcNdMixin:
         n_dev = 1 if self._mesh is None else self._mesh.size
         programs, rows, _ = plan_mcmc_grid(total_chains)
         programs = -(-programs // n_dev) * n_dev
+        targ_specs = (
+            None
+            if targets is None or targ_kinds is None
+            else [dist_spec_of(t) for t in targets]
+        )
         ok = (
             mcmc_nd_pallas_supports(prop_kinds, targ_kinds)
             and len(traced) < 128
@@ -175,14 +185,43 @@ class _McmcNdMixin:
                 len(traced), d, rows, programs // n_dev,
                 with_stderr=return_stderr, hmc=bool(hmc_L),
                 with_samples=bool(with_samples),
+                table_bytes=_mcmc_nd_table_bytes(
+                    prop_specs, targ_specs, targets, proposals
+                ),
+                with_diagnostics=with_diagnostics,
             )
         )
+        # Per-dim CUSTOM table checks, exactly the 1-D kernel's
+        # (_mcmc_pallas_ok): target dims need a uniform log grid,
+        # proposal dims additionally the fidelity pipeline, no heavy
+        # tail, and a lane-multiple (or gap-respecting) inverse table.
+        if ok and targ_specs is not None:
+            for t_dist, s in zip(targets, targ_specs):
+                if s.kind == DistKind.CUSTOM:
+                    ok = ok and _uniform_log_tables(t_dist) is not None
+        if ok and prop_specs is not None:
+            for p, s in zip(proposals, prop_specs):
+                if s.kind != DistKind.CUSTOM:
+                    continue
+                ok = (
+                    ok
+                    and _proposal_kernel_log_tables(p) is not None
+                    and not s.heavy_tail
+                    and (
+                        s.exact_inverse
+                        or (
+                            s.x_table is not None
+                            and s.x_table.shape[0] % 128 == 0
+                        )
+                    )
+                )
         if not ok and self._backend == "pallas":
             warnings.warn(
                 "backend='pallas' requested but this nd MCMC workload is "
-                "not kernel-eligible (table-sampled dimension, a function "
-                "that does not evaluate on lane blocks, or over the VMEM "
-                "budget); running the XLA backend instead",
+                "not kernel-eligible (a table dimension failing the "
+                "uniform-grid/fidelity checks, a function that does not "
+                "evaluate on lane blocks, or over the VMEM budget); "
+                "running the XLA backend instead",
                 stacklevel=4,
             )
         return ok
@@ -192,6 +231,7 @@ class _McmcNdMixin:
         n_steps, n_burnin, total_chains, return_stderr,
         seed_batch: int = 1, param_batch: bool = False,
         proposal_rw=None, d: int = 0, with_samples: int = 0,
+        with_diagnostics: bool = False,
     ):
         """Cached nd MH Pallas kernel program (analytic dims; product or
         joint-fn target) + its device args ``(prop_params_t,
@@ -209,6 +249,9 @@ class _McmcNdMixin:
             if isinstance(proposal_rw, HMC)
             else 0
         )
+        prop_inv_tables = []
+        prop_log_tables = []
+        prop_gapped = []
         if random_walk:
             prop_kinds = ()
             prop_params_t = jnp.asarray(
@@ -225,7 +268,32 @@ class _McmcNdMixin:
                 _device_args_of(p, s)[0]
                 for p, s in zip(proposals, prop_specs)
             )
-            prop_key = prop_kinds
+            # CUSTOM proposal dims sample in-kernel through their
+            # inverse-CDF tables (gap-respecting host-built pairs for
+            # exact_inverse dims) and evaluate q through the guarded
+            # uniform log tables — per dim, the 1-D kernel's staging.
+            for p, s in zip(proposals, prop_specs):
+                if s.kind != DistKind.CUSTOM:
+                    continue
+                if s.exact_inverse:
+                    t, dt = _device_gapped_tables(p, s, stratified=False)
+                    prop_inv_tables.append((t, dt))
+                    prop_gapped.append(True)
+                else:
+                    prop_inv_tables.append(
+                        (_device_args_of(p, s)[1],)
+                    )
+                    prop_gapped.append(False)
+                prop_log_tables.append(
+                    _device_uniform_log_tables(p, "proposal")
+                )
+            prop_key = (
+                prop_kinds,
+                tuple(prop_gapped),
+                tuple(e[0].shape for e in prop_inv_tables),
+                tuple(t[0].shape for t in prop_log_tables),
+            )
+        targ_log_tables = []
         if target_fn is not None:
             targ_kinds = None
             targ_params_t = ()
@@ -237,7 +305,16 @@ class _McmcNdMixin:
                 _device_args_of(t, s)[0]
                 for t, s in zip(targets, targ_specs)
             )
-            targ_key = ("kinds", targ_kinds)
+            targ_log_tables = [
+                _device_uniform_log_tables(t)
+                for t, s in zip(targets, targ_specs)
+                if s.kind == DistKind.CUSTOM
+            ]
+            targ_key = (
+                "kinds",
+                targ_kinds,
+                tuple(t[0].shape for t in targ_log_tables),
+            )
         interpret = jax.default_backend() != "tpu"
         key = (
             "mcmc_nd_pallas",
@@ -253,6 +330,7 @@ class _McmcNdMixin:
             seed_batch,
             param_batch,
             with_samples,
+            with_diagnostics,
         )
         run = self._cache.get_or_build(
             key,
@@ -268,37 +346,60 @@ class _McmcNdMixin:
                     rw_d=d if random_walk else 0,
                     hmc_leapfrog=hmc_L,
                     with_samples=with_samples,
+                    prop_gapped=tuple(prop_gapped),
+                    with_diagnostics=with_diagnostics,
                 ),
                 seed_batch,
                 param_batch=param_batch,
             ),
         )
-        return run, (prop_params_t, targ_params_t)
+        return run, (
+            prop_params_t,
+            targ_params_t,
+            tuple(prop_inv_tables),
+            tuple(targ_log_tables),
+            tuple(prop_log_tables),
+        )
 
     def _run_mcmc_nd_pallas(
         self, functions, traced, proposals, prop_specs, targets,
         target_fn, n_steps, n_chains, n_burnin, seed, total_chains,
         return_stderr, proposal_rw=None, d: int = 0,
-        return_samples: int = 0,
+        return_samples: int = 0, return_diagnostics: bool = False,
     ) -> IntegrationResult:
         """Dispatch one nd MCMC run on the fused Pallas kernel (analytic
-        dims or RandomWalk; product or joint-fn target)."""
+        or CUSTOM-table dims, RandomWalk/HMC; product or joint-fn
+        target)."""
         run, dev_args = self._nd_mcmc_kernel_program(
             traced, proposals, prop_specs, targets, target_fn,
             n_steps, n_burnin, total_chains, return_stderr,
             proposal_rw=proposal_rw, d=d, with_samples=return_samples,
+            with_diagnostics=return_diagnostics,
         )
         out = run(np.uint32(seed), *dev_args)
+        idx = 2
+        stderr = None
+        diagnostics = None
         samples = None
+        if return_stderr:
+            stderr = out[idx]
+            idx += 1
+        if return_diagnostics:
+            diagnostics = {
+                "r_hat": np.array(out[idx], dtype=np.float64),
+                "ess": np.array(out[idx + 1], dtype=np.float64),
+            }
+            idx += 2
         if return_samples:
             # Kernel streams (m, d, chains_actual); surface (m, chains, d).
-            samples = np.transpose(np.asarray(out[-1]), (0, 2, 1))
+            samples = np.transpose(np.asarray(out[idx]), (0, 2, 1))
         return IntegrationResult(
             values=out[0],
             n_samples=n_chains * n_steps,
             n_functions=len(functions),
             acceptance_rate=float(out[1]),
-            stderr=out[2] if return_stderr else None,
+            stderr=stderr,
+            diagnostics=diagnostics,
             samples=samples,
         )
 
@@ -351,8 +452,7 @@ class _McmcNdMixin:
             else tuple(dist_spec_of(t).kind for t in targets)
         )
         if (
-            not return_diagnostics
-            and not want_state
+            not want_state
             and self._use_pallas(DistKind.NORMAL)
             and self._nd_mcmc_pallas_eligible(
                 prop_kinds_early, targ_kinds_early, target_fn, traced,
@@ -363,6 +463,9 @@ class _McmcNdMixin:
                     else 0
                 ),
                 with_samples=return_samples,
+                proposals=proposals, prop_specs=prop_specs,
+                targets=targets,
+                with_diagnostics=return_diagnostics,
             )
         ):
             return self._run_mcmc_nd_pallas(
@@ -371,13 +474,7 @@ class _McmcNdMixin:
                 total_chains, return_stderr,
                 proposal_rw=proposal if random_walk else None, d=d,
                 return_samples=return_samples,
-            )
-        if return_diagnostics and self._backend == "pallas":
-            warnings.warn(
-                "backend='pallas' requested but nd return_diagnostics "
-                "runs on the XLA backend (an inference surface, not "
-                "a throughput path)",
-                stacklevel=3,
+                return_diagnostics=return_diagnostics,
             )
 
         use_init = initial_state is not None
@@ -598,6 +695,7 @@ class _McmcNdMixin:
     def _compile_mcmc_nd(
         self, functions, target, proposal, n_steps, n_chains, n_burnin,
         seed_batch, param_batch, return_stderr,
+        return_samples: int = 0,
     ) -> Callable:
         """AOT handle for multi-dimensional MCMC: ``prog(seed) ->
         ((K,), acceptance[, (K,) stderr])``, or batched ``prog(seeds)``
@@ -619,6 +717,7 @@ class _McmcNdMixin:
                 n_chains=n_chains, n_burnin=n_burnin,
                 seed_batch=seed_batch, param_batch=param_batch,
                 return_stderr=return_stderr,
+                return_samples=return_samples or None,
             )
         if param_batch and target_fn is not None:
             raise ValueError(
@@ -662,6 +761,9 @@ class _McmcNdMixin:
                     if isinstance(proposal, HMC)
                     else 0
                 ),
+                proposals=proposals, prop_specs=prop_specs,
+                targets=targets,
+                with_samples=return_samples,
             )
         )
         if kernel_ok:
@@ -670,12 +772,14 @@ class _McmcNdMixin:
                 n_steps, n_burnin, total_chains, return_stderr,
                 seed_batch=seed_batch, param_batch=param_batch,
                 proposal_rw=proposal if random_walk else None, d=d,
+                with_samples=return_samples,
             )
         else:
             run, dev_args = self._nd_mcmc_xla_program(
                 traced, proposals, prop_specs, targets, target_fn,
                 n_steps, n_burnin, total_chains, return_stderr,
                 proposal_rw=proposal if random_walk else None, d=d,
+                with_samples=return_samples,
             )
         if param_batch:
             if not kernel_ok:
@@ -685,6 +789,16 @@ class _McmcNdMixin:
                 random_walk=random_walk,
                 rw_adapt=random_walk and proposal.adapt,
             )
-        return self._finalize_prog(
+        inner = self._finalize_prog(
             run, dev_args, seed_batch, n_param_args=0
         )
+        if not return_samples:
+            return inner
+
+        def prog(seeds):
+            # Builder draw layout is (..., m, d, chains); surface the
+            # integrate_mcmc orientation (..., m, chains, d).
+            out = inner(seeds)
+            return out[:-1] + (jnp.swapaxes(out[-1], -1, -2),)
+
+        return prog

@@ -128,56 +128,29 @@ class _PtMixin:
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
-        # Cold-rung draws ride the kernel (DMA-streamed, round 4);
-        # stderr/split-R-hat still take the XLA tempering sweep.
-        stat_inference = bool(return_stderr or return_diagnostics)
-        if (
-            not stat_inference
-            and self._use_pallas(DistKind.NORMAL)
-            and self._pt_pallas_eligible(
-                targets, target_fn, proposal, traced, d, total_chains,
-                betas, with_samples=int(return_samples or 0),
-            )
+        # Cold-rung draws (round 4) AND cold-rung stderr/split-R-hat
+        # (round 5: the plain kernels' pilot-shifted stat blocks on the
+        # cold rung) all ride the kernel.
+        if self._use_pallas(DistKind.NORMAL) and self._pt_pallas_eligible(
+            targets, target_fn, proposal, traced, d, total_chains,
+            betas, with_samples=int(return_samples or 0),
+            with_stderr=return_stderr,
+            with_diagnostics=return_diagnostics,
         ):
-            m_samp = int(return_samples or 0)
             run, dev_args = self._pt_kernel_program(
                 traced, targets, target_fn, betas, proposal, d,
                 n_steps, n_burnin, total_chains,
-                with_samples=m_samp,
+                with_samples=int(return_samples or 0),
+                with_stderr=return_stderr,
+                with_diagnostics=return_diagnostics,
             )
-            out = run(np.uint32(seed), *dev_args)
-            values, acc_rate, swap_rate = out[0], out[1], out[2]
-            samples = None
-            if m_samp:
-                # Kernel streams (m, d, chains_actual); surface the
-                # family's conventions — (m, n_chains) for a 1-D
-                # Distribution target, (m, n_chains, d) otherwise.
-                arr = np.transpose(np.asarray(out[3]), (0, 2, 1))
-                samples = (
-                    arr[:, :, 0]
-                    if (d == 1 and target_fn is None)
-                    else arr
-                )
-            return IntegrationResult(
-                values=values,
-                n_samples=n_chains * n_steps,
-                n_functions=len(functions),
-                acceptance_rate=float(acc_rate),
-                diagnostics={"swap_rate": float(swap_rate)},
-                samples=samples,
+        else:
+            run, dev_args = self._pt_mcmc_program(
+                traced, targets, target_fn, betas, proposal, d,
+                n_steps, n_burnin, total_chains, return_stderr,
+                return_diagnostics,
+                with_samples=int(return_samples or 0),
             )
-        if stat_inference and self._backend == "pallas":
-            warnings.warn(
-                "backend='pallas' requested but tempered "
-                "stderr/diagnostics runs execute on the XLA "
-                "backend (inference surfaces, not the throughput path)",
-                stacklevel=3,
-            )
-        run, dev_args = self._pt_mcmc_program(
-            traced, targets, target_fn, betas, proposal, d,
-            n_steps, n_burnin, total_chains, return_stderr,
-            return_diagnostics, with_samples=int(return_samples or 0),
-        )
         out = run(np.uint32(seed), *dev_args)
         values, acc_rate, swap_rate = out[0], out[1], out[2]
         idx = 3
@@ -301,7 +274,8 @@ class _PtMixin:
 
     def _pt_pallas_eligible(
         self, targets, target_fn, proposal_rw, traced, d, total_chains,
-        betas, with_samples: int = 0,
+        betas, with_samples: int = 0, with_stderr: bool = False,
+        with_diagnostics: bool = False,
     ) -> bool:
         """Tempered-kernel gate: RandomWalk/HMC proposal (guaranteed by
         the temperatures validation), <=126 fused d-ary integrands
@@ -352,6 +326,7 @@ class _PtMixin:
             len(traced), d, rows, programs // n_dev, len(betas),
             rw_adapt=proposal_rw.adapt, hmc=bool(hmc_L),
             table_bytes=table_bytes, with_samples=bool(with_samples),
+            with_stderr=with_stderr, with_diagnostics=with_diagnostics,
         )
         if not ok and self._backend == "pallas":
             warnings.warn(
@@ -411,17 +386,14 @@ class _PtMixin:
         mesh = self._mesh
         n_dev = 1 if mesh is None else mesh.size
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
-        if (
-            not return_stderr
-            and self._use_pallas(DistKind.NORMAL)
-            and self._pt_pallas_eligible(
-                targets, target_fn, proposal, traced, d, total_chains,
-                betas,
-            )
+        if self._use_pallas(DistKind.NORMAL) and self._pt_pallas_eligible(
+            targets, target_fn, proposal, traced, d, total_chains,
+            betas, with_stderr=return_stderr,
         ):
             run, dev_args = self._pt_kernel_program(
                 traced, targets, target_fn, betas, proposal, d,
                 n_steps, n_burnin, total_chains, seed_batch=seed_batch,
+                with_stderr=return_stderr,
             )
             return self._finalize_prog(
                 run, dev_args, seed_batch, n_param_args=0
@@ -444,7 +416,8 @@ class _PtMixin:
     def _pt_kernel_program(
         self, traced, targets, target_fn, betas, proposal_rw, d,
         n_steps, n_burnin, total_chains, seed_batch: int = 1,
-        with_samples: int = 0,
+        with_samples: int = 0, with_stderr: bool = False,
+        with_diagnostics: bool = False,
     ):
         """Cached in-kernel parallel-tempering program + device args
         ``(prop_rows, targ_params, targ_lx, targ_lp)`` — see
@@ -496,6 +469,8 @@ class _PtMixin:
             interpret,
             seed_batch,
             with_samples,
+            with_stderr,
+            with_diagnostics,
         )
         run = self._cache.get_or_build(
             key,
@@ -507,6 +482,8 @@ class _PtMixin:
                     interpret=interpret, rw_adapt=proposal_rw.adapt,
                     hmc_leapfrog=hmc_L, seed_batch=seed_batch,
                     with_samples=with_samples,
+                    with_stderr=with_stderr,
+                    with_diagnostics=with_diagnostics,
                 ),
                 seed_batch,
             ),

@@ -176,6 +176,35 @@ def _table_lookup(table_ref, dx_ref, i0, frac, rows):
     return x0 + frac * dx
 
 
+def _table_gather(table_ref, i0, rows, max_unroll_segments=0):
+    """Lane-gather of ONE (SEGMENTS, 128) table at flat indices ``i0`` —
+    the single-table half of :func:`_table_lookup` for lookups that need
+    only one of the (value, difference) pair (e.g. the HMC slope
+    gradient).  Small tables unroll the segment scan exactly as
+    :func:`uniform_table_value` does."""
+    segments = table_ref.shape[0]
+    seg = i0 >> 7
+    col = i0 - (seg << 7)
+    if segments <= max_unroll_segments:
+        out = jnp.zeros((rows, LANES), jnp.float32)
+        for s in range(segments):
+            row = jnp.broadcast_to(table_ref[s : s + 1, :], (rows, LANES))
+            out = jnp.where(
+                seg == s, jnp.take_along_axis(row, col, axis=1), out
+            )
+        return out
+
+    def body(s, out):
+        row = jnp.broadcast_to(table_ref[pl.ds(s, 1), :], (rows, LANES))
+        return jnp.where(
+            seg == s, jnp.take_along_axis(row, col, axis=1), out
+        )
+
+    return jax.lax.fori_loop(
+        0, segments, body, jnp.zeros((rows, LANES), jnp.float32)
+    )
+
+
 def _table_lookup_loop(table_ref, dx_ref, i0, frac, rows, with_slope=False):
     """``fori_loop`` form of :func:`_table_lookup`: one segment per
     iteration with loop-local temporaries.  The unrolled scan keeps every
@@ -703,6 +732,27 @@ def uniform_table_value(x, tab, rows, outside, max_unroll_segments=0):
     val = lookup(v_ref, dx_ref, i0, frac, rows)
     inside = jnp.logical_and(x >= x0, x <= x_max)
     return jnp.where(inside, val, outside)
+
+
+def uniform_table_slope(x, tab, rows, max_unroll_segments=0):
+    """d/dx of :func:`uniform_table_value`'s piecewise-linear
+    interpolant: the gathered forward difference / grid step inside
+    [x0, x_max], 0.0 outside (the derivative of the constant ``outside``
+    arm of the where) — exactly ``jax.grad`` of the XLA backend's interp
+    log-pdf lookup (ops/mcmc_xla targets its autodiff at the same
+    table), so in-kernel HMC on CUSTOM table targets follows the same
+    piecewise-constant gradient field.  One single-table lane-gather per
+    128-knot segment."""
+    v_ref, dx_ref, grid_ref = tab
+    x0 = grid_ref[0, 0]
+    step = grid_ref[0, 1]
+    x_max = grid_ref[0, 2]
+    n_pad = dx_ref.shape[0] * LANES
+    pos = (x - x0) / step
+    i0 = jnp.clip(pos.astype(jnp.int32), 0, n_pad - 2)
+    dxg = _table_gather(dx_ref, i0, rows, max_unroll_segments)
+    inside = jnp.logical_and(x >= x0, x <= x_max)
+    return jnp.where(inside, dxg / step, 0.0)
 
 
 def build_integrate_fn_pallas(

@@ -10,13 +10,18 @@ exact MH semantics of the 1-D kernel (ops/mcmc_pallas.py): acceptance
 burn-in advanced but not accumulated, f(current x) added every sampling
 step, per-chain mean ``/ n_steps``, unweighted chain average.
 
-Targets: a PRODUCT of analytic per-dimension families (log-densities
-summed in-kernel via the shared closed forms) or an arbitrary traced
-JOINT log-density f(x_1..x_d) evaluated directly on the lane blocks —
-the capability the strictly 1-D reference cannot express at any speed
-(its MCMC binds one target Distribution per program,
-src/shader_gen.rs:496-509).  Analytic proposal dimensions only;
-table-sampled dimensions route to the XLA sweep.
+Targets: a PRODUCT of per-dimension families (log-densities summed
+in-kernel — closed forms for analytic families, uniform-grid log-table
+lane-gathers for CUSTOM dims, the 1-D kernel's machinery per dimension)
+or an arbitrary traced JOINT log-density f(x_1..x_d) evaluated directly
+on the lane blocks — the capability the strictly 1-D reference cannot
+express at any speed (its MCMC binds one target Distribution per
+program, src/shader_gen.rs:496-509).  CUSTOM proposal dimensions sample
+through their inverse-CDF tables (gap-respecting tables for
+exact_inverse dims) and evaluate q through the guarded log table, like
+the 1-D kernel (reference table conventions:
+src/distribution.rs:367-475); callers must ensure uniform log-pdf
+x-grids per CUSTOM dim (api/device.py's pipelines).
 
 ``with_stderr``: between-chain variance exactly as the 1-D kernel —
 pilot-shifted accumulators (pilot = per-program mean of f over the init
@@ -47,10 +52,16 @@ from .integrate_pallas import (
     _uniform_halfopen01,
     _uniform_open01,
 )
+from .integrate_pallas import prep_inv_table
 from .mcmc_pallas import (
     UNROLL_STEPS,
+    _diag_combine,
+    _diag_stat_rows,
     _log_pdf,
+    _log_pdf_grad,
+    _pad_log_table,
     _sample_chain_block,
+    _splithalf_add,
     _unrolled_fori,
     plan_mcmc_grid,
 )
@@ -72,13 +83,17 @@ def mcmc_nd_pallas_supports(
     prop_kinds: Sequence[DistKind],
     targ_kinds: Optional[Sequence[DistKind]],
 ) -> bool:
-    """Analytic proposal dims; target either analytic-product (kinds
-    given) or a joint traced fn (kinds None — fn checks happen at the
-    call site)."""
-    if not all(k in _ANALYTIC for k in prop_kinds):
+    """Every family runs in-kernel per dimension — analytic kinds via
+    their closed forms, CUSTOM via the 1-D kernel's table lookups (the
+    caller must additionally ensure uniform log-pdf x-grids and
+    table fidelity per CUSTOM dim, exactly as for the 1-D kernel); the
+    target is either a per-dim product (kinds given) or a joint traced
+    fn (kinds None — fn checks happen at the call site)."""
+    kinds_ok = _ANALYTIC + (DistKind.CUSTOM,)
+    if not all(k in kinds_ok for k in prop_kinds):
         return False
     if targ_kinds is not None and not all(
-        k in _ANALYTIC for k in targ_kinds
+        k in kinds_ok for k in targ_kinds
     ):
         return False
     return True
@@ -93,24 +108,30 @@ def mcmc_nd_vmem_fits(
     with_stderr: bool = False,
     hmc: bool = False,
     with_samples: bool = False,
+    table_bytes: int = 0,
+    with_diagnostics: bool = False,
 ) -> bool:
     """Conservative VMEM estimate, same model as the 1-D gate
     (mcmc_pallas.mcmc_vmem_fits): d carried state blocks + (log_p,
     log_q) + K accumulators + accept count, d proposal temporaries +
     (log_p', log_q', u), doubled for Mosaic's scoped temporaries, plus
-    the output buffer."""
+    the output buffer and the VMEM-resident CUSTOM-dim tables
+    (``table_bytes``, sized by the caller)."""
     blocks = 2 * d + k + 6
     if with_stderr:
         blocks += 1  # end-of-kernel chain-means temporary
+    if with_diagnostics:
+        blocks += 4 * k  # split-half (sum, sum-of-squares) pairs
     if hmc:
         blocks += 3 * d  # leapfrog (position, momentum, gradient) tuples
     if with_samples:
         blocks += 1  # draw staging block (DMA-streamed, VMEM-flat in m*d)
     est = 2 * blocks * rows * LANES * 4
-    if with_stderr:
+    if with_stderr or with_diagnostics:
         est += 2 * 8 * LANES * 4  # double-buffered per-step stat blocks
     else:
         est += local_programs * LANES * 4
+    est += table_bytes
     return est <= budget_bytes
 
 
@@ -133,17 +154,34 @@ def build_mcmc_nd_pallas(
     rw_d: int = 0,
     hmc_leapfrog: int = 0,
     with_samples: int = 0,
+    prop_gapped: Sequence[bool] = (),
+    with_diagnostics: bool = False,
 ):
     """Build a jitted nd MH kernel program.
 
-    Returned signature (the analytic subset of the XLA nd builder's —
+    Returned signature (the kernel subset of the XLA nd builder's —
     api passes only what the kernel consumes)::
 
-        (seed, prop_params_t, targ_params_t)
+        (seed, prop_params_t, targ_params_t,
+         prop_inv_tables, targ_log_tables, prop_log_tables)
         -> ((K,) estimates, () acceptance_rate [, (K,) stderr])
 
     ``prop_params_t``/``targ_params_t`` are d-tuples of (2,) family
     parameter arrays; ``targ_params_t`` is () for joint-fn targets.
+
+    CUSTOM dims run fully in-kernel via the 1-D kernel's table
+    machinery (per-dim inverse-CDF sampling + uniform-grid log-table
+    lookups, src/distribution.rs:367-475 conventions): the three
+    trailing table args carry — in DIMENSION order, one entry per
+    CUSTOM dim — the proposal inverse-CDF tables (``(x_table,)``
+    flat m-knot arrays, or host-built gap-respecting ``(value, slope)``
+    pairs for the dims flagged in ``prop_gapped``), the target-dim
+    uniform (log_x, log_pdf) pairs, and the proposal-dim guarded
+    (log_x, log_pdf) pairs.  Analytic dims contribute no entries.
+    ``prop_gapped`` has one flag per CUSTOM proposal dim (in dim
+    order); HMC product targets take the per-dim gradient — closed
+    forms for analytic dims, the table interpolant's gathered slope
+    for CUSTOM dims (mcmc_pallas._log_pdf_grad).
 
     ``seed_batch=R``: the seed arg becomes an (R,) vector and the
     program returns ((R, K), (R,)[, (R, K)]) — R independent nd MCMC
@@ -207,24 +245,54 @@ def build_mcmc_nd_pallas(
             raise ValueError("targ_kinds must match the proposal dims")
     if not mcmc_nd_pallas_supports(prop_kinds, targ_kinds):
         raise ValueError(
-            "nd Pallas MCMC supports analytic families only; "
-            "table-sampled dimensions take the XLA backend"
+            "nd Pallas MCMC supports analytic and CUSTOM table "
+            "families only"
         )
     if param_batch and targ_kinds is None:
         raise ValueError(
             "param_batch needs a product-analytic target (a joint "
             "log-density function carries no runtime parameters)"
         )
+    prop_custom_dims = tuple(
+        j for j, kk in enumerate(prop_kinds) if kk == DistKind.CUSTOM
+    )
+    targ_custom_dims = tuple(
+        j
+        for j, kk in enumerate(targ_kinds or ())
+        if kk == DistKind.CUSTOM
+    )
+    if param_batch and (prop_custom_dims or targ_custom_dims):
+        raise ValueError(
+            "param_batch applies to analytic families only (CUSTOM "
+            "dims carry tables, not runtime parameter words)"
+        )
+    prop_gapped = tuple(bool(g) for g in prop_gapped) or (False,) * len(
+        prop_custom_dims
+    )
+    if len(prop_gapped) != len(prop_custom_dims):
+        raise ValueError(
+            "prop_gapped needs one flag per CUSTOM proposal dimension"
+        )
     if with_samples:
-        if seed_batch != 1 or param_batch:
+        # Seed batches compose (round 5): the draw DMA offset gains the
+        # grid-rep index and the output grows a leading (R,) axis.
+        if param_batch:
             raise ValueError(
-                "with_samples applies to unbatched nd MCMC programs only"
+                "with_samples does not compose with nd param_batch"
             )
         if not 1 <= int(with_samples) <= n_steps:
             raise ValueError(
                 f"with_samples must be in [1, n_steps={n_steps}], got "
                 f"{with_samples}"
             )
+    if with_diagnostics:
+        if seed_batch != 1 or param_batch:
+            raise ValueError(
+                "with_diagnostics applies to unbatched nd MCMC "
+                "programs only"
+            )
+        if n_steps < 4:
+            raise ValueError("with_diagnostics needs n_steps >= 4")
     sample_stride = n_steps // with_samples if with_samples else 0
     k = len(eval_fns)
     if k >= LANES:
@@ -253,7 +321,21 @@ def build_mcmc_nd_pallas(
 
     rng_factory = CounterRng if interpret else HardwareRng
 
-    def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, out_ref, *rest):
+    def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, *rest):
+        rest = list(rest)
+        # CUSTOM-dim table refs, dim order: proposal inverse-CDF
+        # (value, slope/dx) pairs, then target log-table trios, then
+        # proposal log-table trios (the 1-D kernel's arg order).
+        prop_inv = {}
+        for j in prop_custom_dims:
+            prop_inv[j] = (rest.pop(0), rest.pop(0))
+        targ_tab = {}
+        for j in targ_custom_dims:
+            targ_tab[j] = (rest.pop(0), rest.pop(0), rest.pop(0))
+        prop_tab = {}
+        for j in prop_custom_dims:
+            prop_tab[j] = (rest.pop(0), rest.pop(0), rest.pop(0))
+        out_ref = rest.pop(0)
         if with_samples:
             samp_ref, samp_stage, samp_sem = rest
         rep = pl.program_id(0)
@@ -295,7 +377,8 @@ def build_mcmc_nd_pallas(
                 )
             return tuple(
                 _sample_chain_block(
-                    prop_kinds[j], *qp[j], rows, rng, counter, tag=j
+                    prop_kinds[j], *qp[j], rows, rng, counter,
+                    inv=prop_inv.get(j), tag=j,
                 )
                 for j in range(d)
             )
@@ -308,14 +391,18 @@ def build_mcmc_nd_pallas(
                 )
             tot = None
             for j in range(d):
-                lp = _log_pdf(targ_kinds[j], *tp[j], xs[j], rows)
+                lp = _log_pdf(
+                    targ_kinds[j], *tp[j], xs[j], rows, targ_tab.get(j)
+                )
                 tot = lp if tot is None else tot + lp
             return tot
 
         def lp_q(xs):
             tot = None
             for j in range(d):
-                lq = _log_pdf(prop_kinds[j], *qp[j], xs[j], rows)
+                lq = _log_pdf(
+                    prop_kinds[j], *qp[j], xs[j], rows, prop_tab.get(j)
+                )
                 tot = lq if tot is None else tot + lq
             return tot
 
@@ -325,7 +412,9 @@ def build_mcmc_nd_pallas(
             logq0 = lp_q(xs0)
 
         n_block = jnp.float32(rows * LANES)
-        if with_stderr:
+        stat_mode = with_stderr or with_diagnostics
+        n1 = n_steps // 2  # split-half length (odd last step excluded)
+        if stat_mode:
             # Per-program accumulation pilot from the init draw, exactly
             # the 1-D kernel's design (restored via Chan recombination in
             # the wrapper).
@@ -339,16 +428,19 @@ def build_mcmc_nd_pallas(
                 for f in eval_fns
             ]
 
-        def accumulate(accs, xs):
-            if with_stderr:
-                return tuple(
-                    acc + (f(*xs).astype(jnp.float32) - p)
-                    for acc, f, p in zip(accs, eval_fns, pilots)
+        def accumulate(i, accs, halves, xs):
+            vals = [
+                jnp.broadcast_to(
+                    f(*xs).astype(jnp.float32), (rows, LANES)
                 )
-            return tuple(
-                acc + f(*xs).astype(jnp.float32)
-                for acc, f in zip(accs, eval_fns)
-            )
+                for f in eval_fns
+            ]
+            if stat_mode:
+                vals = [v - p for v, p in zip(vals, pilots)]
+            accs = tuple(a + v for a, v in zip(accs, vals))
+            if with_diagnostics:
+                halves = _splithalf_add(i, halves, vals, n_burnin, n1)
+            return accs, halves
 
         if with_samples:
 
@@ -365,7 +457,11 @@ def build_mcmc_nd_pallas(
                         samp_ref.at[
                             pl.ds(
                                 (
-                                    (j * d + dim) * local_programs
+                                    (
+                                        (rep * with_samples + j) * d
+                                        + dim
+                                    )
+                                    * local_programs
                                     + pid
                                 )
                                 * rows,
@@ -409,6 +505,11 @@ def build_mcmc_nd_pallas(
             jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
         )
         zero_block = jnp.zeros((rows, LANES), jnp.float32)
+        zero_halves = (
+            (zero_accs, zero_accs, zero_accs, zero_accs)
+            if with_diagnostics
+            else ()
+        )
 
         # Burn-in advances the chains without touching the K integrands
         # or the accept counter; the iteration index runs through both
@@ -419,10 +520,24 @@ def build_mcmc_nd_pallas(
             from .mcmc_pallas import _RW_LS_MAX, _RW_LS_MIN
 
             if hmc_leapfrog:
-                # Elementwise gradient tuple of the summed log-density
-                # (closed forms or the traced joint fn — both trace to
-                # gather-free elementwise Mosaic ops).
-                grad_lp = jax.grad(lambda xv: jnp.sum(lp_t(xv)))
+                if target_logpdf_fn is not None:
+                    # Elementwise gradient tuple of the traced joint
+                    # log-density (gather-free elementwise Mosaic ops).
+                    grad_lp = jax.grad(lambda xv: jnp.sum(lp_t(xv)))
+                else:
+                    # Product target: per-dimension gradients — closed
+                    # forms for analytic dims, the log-table
+                    # interpolant's gathered slope for CUSTOM dims
+                    # (mcmc_pallas._log_pdf_grad, the same gradient
+                    # field the XLA backend's autodiff follows).
+                    def grad_lp(xv):
+                        return tuple(
+                            _log_pdf_grad(
+                                targ_kinds[j], *tp[j], xv[j], rows,
+                                targ_tab.get(j),
+                            )
+                            for j in range(d)
+                        )
 
                 def rw_move(i, xs, logp, scale):
                     # nd leapfrog: fresh d-vector momenta (dimension j
@@ -542,14 +657,16 @@ def build_mcmc_nd_pallas(
                 scale_fin = 1.0
 
             def body(i, carry):
-                xs, logp, accs, n_acc = carry
+                xs, logp, accs, halves, n_acc = carry
                 xs, logp, accept, _ = rw_move(i, xs, logp, scale_fin)
-                accs = accumulate(accs, xs)
+                accs, halves = accumulate(i, accs, halves, xs)
                 n_acc = n_acc + accept.astype(jnp.float32)
-                return (xs, logp, accs, n_acc)
+                return (xs, logp, accs, halves, n_acc)
 
-            _, _, accs, n_acc = run_sampling(
-                body, (xs0, logp0, zero_accs, zero_block), unroll_steps,
+            _, _, accs, halves, n_acc = run_sampling(
+                body,
+                (xs0, logp0, zero_accs, zero_halves, zero_block),
+                unroll_steps,
             )
         else:
 
@@ -578,23 +695,25 @@ def build_mcmc_nd_pallas(
             )
 
             def body(i, carry):
-                xs, logp, logq, accs, n_acc = carry
+                xs, logp, logq, accs, halves, n_acc = carry
                 xs, logp, logq, accept = mh_move(i, xs, logp, logq)
-                accs = accumulate(accs, xs)
+                accs, halves = accumulate(i, accs, halves, xs)
                 n_acc = n_acc + accept.astype(jnp.float32)
-                return (xs, logp, logq, accs, n_acc)
+                return (xs, logp, logq, accs, halves, n_acc)
 
-            _, _, _, accs, n_acc = run_sampling(
+            _, _, _, accs, halves, n_acc = run_sampling(
                 body,
-                (xs0, logp0, logq0, zero_accs, zero_block), UNROLL_STEPS,
+                (xs0, logp0, logq0, zero_accs, zero_halves, zero_block),
+                UNROLL_STEPS,
             )
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         row_out = jnp.zeros((1, LANES), jnp.float32)
-        if with_stderr:
+        if stat_mode:
             # Per-program between-chain stats (chain-mean sums row, SS
-            # row, centroid row + 5 padding rows), per-grid-step (8, 128)
-            # output block — the 1-D kernel's layout verbatim.
+            # row, centroid row [+ 4 split-half diagnostic rows] +
+            # padding), per-grid-step (8, 128) output block — the 1-D
+            # kernel's layout verbatim.
             inv_steps = jnp.float32(1.0) / jnp.float32(max(n_steps, 1))
             row_ss = jnp.zeros((1, LANES), jnp.float32)
             row_mb = jnp.zeros((1, LANES), jnp.float32)
@@ -609,9 +728,14 @@ def build_mcmc_nd_pallas(
                 row_ss = jnp.where(col == i, ss, row_ss)
                 row_mb = jnp.where(col == i, mb, row_mb)
             row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
+            extra_rows = []
+            if with_diagnostics:
+                extra_rows = _diag_stat_rows(
+                    halves, pilots, k, n1, n_block, col
+                )
             out_ref[:, :] = jnp.concatenate(
-                [row_out, row_ss, row_mb,
-                 jnp.zeros((5, LANES), jnp.float32)],
+                [row_out, row_ss, row_mb, *extra_rows,
+                 jnp.zeros((5 - len(extra_rows), LANES), jnp.float32)],
                 axis=0,
             )
         else:
@@ -636,9 +760,20 @@ def build_mcmc_nd_pallas(
         lambda r, i: (0, 0),
         memory_space=pltpu.SMEM,
     )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_grid = pl.BlockSpec(
+        (1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+    )
+    table_specs = (
+        [vmem, vmem] * len(prop_custom_dims)
+        + [vmem, vmem, smem_grid] * len(targ_custom_dims)
+        + [vmem, vmem, smem_grid] * len(prop_custom_dims)
+    )
 
-    def pallas_sweep(seed_a, prop_a, targ_a, pid_base):
-        if with_stderr:
+    stat_mode_outer = with_stderr or with_diagnostics
+
+    def pallas_sweep(seed_a, prop_a, targ_a, pid_base, *tables):
+        if stat_mode_outer:
             out_spec = pl.BlockSpec(
                 (8, LANES),
                 lambda r, i: (r * local_programs + i, 0),
@@ -663,7 +798,14 @@ def build_mcmc_nd_pallas(
             out_shape = (
                 out_shape,
                 jax.ShapeDtypeStruct(
-                    (with_samples * d * local_programs * rows, LANES),
+                    (
+                        seed_batch
+                        * with_samples
+                        * d
+                        * local_programs
+                        * rows,
+                        LANES,
+                    ),
                     jnp.float32,
                 ),
             )
@@ -674,27 +816,42 @@ def build_mcmc_nd_pallas(
         out = pl.pallas_call(
             kernel,
             grid=(seed_batch, local_programs),
-            in_specs=[smem_seeds, smem_prop, smem_targ, smem_scalar],
+            in_specs=[smem_seeds, smem_prop, smem_targ, smem_scalar]
+            + table_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
-        )(seed_a, prop_a, targ_a, pid_base)
+        )(seed_a, prop_a, targ_a, pid_base, *tables)
         samp = ()
         if with_samples:
-            # (m * d * P * rows, LANES) -> (m, d, local_chains): the
-            # XLA nd builder's buffer layout (api transposes outside).
+            # (R * m * d * P * rows, LANES) -> (m, d, local_chains)
+            # unbatched / (R, m, d, local_chains) batched: the XLA nd
+            # builder's buffer layout (api transposes outside).
             out, samp_raw = out
-            samp = (samp_raw.reshape(with_samples, d, -1),)
-        if with_stderr:
+            if seed_batch == 1:
+                samp = (samp_raw.reshape(with_samples, d, -1),)
+            else:
+                samp = (
+                    samp_raw.reshape(seed_batch, with_samples, d, -1),
+                )
+        if stat_mode_outer:
             grouped = out.reshape(seed_batch, local_programs, 8, LANES)
             sums = jnp.sum(grouped[:, :, 0, :], axis=1)  # (R, LANES)
-            return (
+            ret = (
                 sums[:, :k],
                 sums[:, k],
                 grouped[:, :, 1, :k],  # (R, P, K) per-program SS
                 grouped[:, :, 2, :k],  # (R, P, K) per-program centroids
-            ) + samp
+            )
+            if with_diagnostics:
+                ret = ret + (
+                    jnp.sum(grouped[:, :, 3, :k], axis=1),  # seq sums
+                    grouped[:, :, 4, :k],  # per-program seq SS
+                    grouped[:, :, 5, :k],  # per-program seq centroids
+                    jnp.sum(grouped[:, :, 6, :k], axis=1),  # within-var
+                )
+            return ret + samp
         totals = jnp.sum(
             out.reshape(seed_batch, local_programs, LANES), axis=1
         )
@@ -722,6 +879,31 @@ def build_mcmc_nd_pallas(
         if seed_batch == 1 and not param_batch:
             outs = tuple(o[0] for o in outs)
         return outs
+
+    def _prep_tables(prop_inv_t, targ_log_t, prop_log_t):
+        """Host-passed CUSTOM-dim tables -> kernel-layout arrays: the
+        inverse-CDF (value, dx) pairs ((SEGMENTS, 128), gapped pairs
+        passed through) and the 128-padded uniform log-table trios."""
+        prepped = []
+        for entry, gap in zip(prop_inv_t, prop_gapped):
+            if gap:
+                t, dt = entry
+                prepped += [
+                    jnp.asarray(t, jnp.float32).reshape(-1, LANES),
+                    jnp.asarray(dt, jnp.float32).reshape(-1, LANES),
+                ]
+            else:
+                prepped += list(
+                    prep_inv_table(jnp.asarray(entry[0], jnp.float32))
+                )
+        for lx, lp in tuple(targ_log_t) + tuple(prop_log_t):
+            prepped += list(
+                _pad_log_table(
+                    jnp.asarray(lx, jnp.float32),
+                    jnp.asarray(lp, jnp.float32),
+                )
+            )
+        return tuple(prepped)
 
     def _prep(seed, prop_params_t, targ_params_t):
         seed_a = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
@@ -753,15 +935,37 @@ def build_mcmc_nd_pallas(
     if mesh is None:
 
         @jax.jit
-        def run(seed, prop_params_t, targ_params_t=()):
+        def run(
+            seed,
+            prop_params_t,
+            targ_params_t=(),
+            prop_inv_tables=(),
+            targ_log_tables=(),
+            prop_log_tables=(),
+        ):
             seed_a, prop_a, targ_a = _prep(
                 seed, prop_params_t, targ_params_t
             )
+            tables = _prep_tables(
+                prop_inv_tables, targ_log_tables, prop_log_tables
+            )
             base = jnp.zeros((1, 1), jnp.int32)
-            out = pallas_sweep(seed_a, prop_a, targ_a, base)
+            out = pallas_sweep(seed_a, prop_a, targ_a, base, *tables)
             samp = ()
             if with_samples:
                 out, samp = out[:-1], (out[-1],)
+            if with_diagnostics:
+                sums, n_acc, ss, mb = out[:4]
+                values = sums / chains_f  # chain-MEAN sums
+                res = (values[0], (n_acc / denom_acc)[0])
+                if with_stderr:
+                    res = res + (
+                        _stderr_of(_chan_combine(values, ss, mb))[0],
+                    )
+                return res + _diag_combine(
+                    out[4], out[5], out[6], out[7],
+                    chains_f, block_f, chains_actual, n_steps,
+                ) + samp
             if with_stderr:
                 sums, n_acc, ss, mb = out
                 values = sums / chains_f  # chain-MEAN sums
@@ -775,14 +979,32 @@ def build_mcmc_nd_pallas(
         return run
 
     replicated = P()
+    n_table_args = 2 * len(prop_custom_dims) + 3 * (
+        len(targ_custom_dims) + len(prop_custom_dims)
+    )
 
-    def sharded_body(seed_a, prop_a, targ_a):
+    def sharded_body(seed_a, prop_a, targ_a, *tables):
         dev = jax.lax.axis_index(axis_name)
         base = (dev * local_programs).astype(jnp.int32).reshape(1, 1)
-        out = pallas_sweep(seed_a, prop_a, targ_a, base)
+        out = pallas_sweep(seed_a, prop_a, targ_a, base, *tables)
         samp = ()
         if with_samples:
             out, samp = out[:-1], (out[-1],)
+        if with_diagnostics:
+            sums, n_acc, ss, mb = out[:4]
+            values = jax.lax.psum(sums, axis_name) / chains_f
+            acc = jax.lax.psum(n_acc, axis_name) / denom_acc
+            res = (values[0], acc[0])
+            if with_stderr:
+                ss_total = jax.lax.psum(
+                    _chan_combine(values, ss, mb), axis_name
+                )
+                res = res + (_stderr_of(ss_total)[0],)
+            return res + _diag_combine(
+                out[4], out[5], out[6], out[7],
+                chains_f, block_f, chains_actual, n_steps,
+                psum=lambda v: jax.lax.psum(v, axis_name),
+            ) + samp
         if with_stderr:
             sums, n_acc, ss, mb = out
             values = jax.lax.psum(sums, axis_name) / chains_f
@@ -800,20 +1022,36 @@ def build_mcmc_nd_pallas(
     out_specs = (replicated, replicated)
     if with_stderr:
         out_specs = out_specs + (replicated,)
+    if with_diagnostics:
+        out_specs = out_specs + (replicated, replicated)
     if with_samples:
-        # (m, d, local_chains) per device, chain-sharded on the last axis.
-        out_specs = out_specs + (P(None, None, axis_name),)
+        # (m, d, local_chains) per device, chain-sharded on the last
+        # axis (leading (R,) axis when seed-batched).
+        if seed_batch == 1:
+            out_specs = out_specs + (P(None, None, axis_name),)
+        else:
+            out_specs = out_specs + (P(None, None, None, axis_name),)
     shard_mapped = jax.shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(replicated, replicated, replicated),
+        in_specs=(replicated,) * (3 + n_table_args),
         out_specs=out_specs,
         check_vma=False,
     )
 
     @jax.jit
-    def run(seed, prop_params_t, targ_params_t=()):
+    def run(
+        seed,
+        prop_params_t,
+        targ_params_t=(),
+        prop_inv_tables=(),
+        targ_log_tables=(),
+        prop_log_tables=(),
+    ):
         seed_a, prop_a, targ_a = _prep(seed, prop_params_t, targ_params_t)
-        return shard_mapped(seed_a, prop_a, targ_a)
+        tables = _prep_tables(
+            prop_inv_tables, targ_log_tables, prop_log_tables
+        )
+        return shard_mapped(seed_a, prop_a, targ_a, *tables)
 
     return run

@@ -265,6 +265,99 @@ def _pad_log_table(lx, lp):
     return pad_uniform_table(lx, lp, LOG_PDF_FLOOR)
 
 
+def _splithalf_add(i, halves, vals, n_burnin: int, n1: int):
+    """Split-half sums and squares update (pilot-shifted ``vals`` —
+    variances are shift-invariant): the XLA backend's split-R-hat
+    ingredients (ops/mcmc_xla.py), gated by the scalar iteration index.
+    Shared by the 1-D and nd MCMC kernels (the statistics live in
+    function-value space, so the chain dimensionality never enters)."""
+    acc1, sq1, acc2, sq2 = halves
+    h1 = jnp.logical_and(i >= n_burnin, i < n_burnin + n1)
+    h2 = jnp.logical_and(i >= n_burnin + n1, i < n_burnin + 2 * n1)
+    acc1 = tuple(a + jnp.where(h1, v, 0.0) for a, v in zip(acc1, vals))
+    sq1 = tuple(
+        a + jnp.where(h1, v * v, 0.0) for a, v in zip(sq1, vals)
+    )
+    acc2 = tuple(a + jnp.where(h2, v, 0.0) for a, v in zip(acc2, vals))
+    sq2 = tuple(
+        a + jnp.where(h2, v * v, 0.0) for a, v in zip(sq2, vals)
+    )
+    return (acc1, sq1, acc2, sq2)
+
+
+def _diag_stat_rows(halves, pilots, k: int, n1: int, n_block, col):
+    """Per-program split-half sequence statistics, reduced to the four
+    (1, LANES) stat-block rows (rows 3-6): sequence-mean sums
+    (pilot-restored), SS around the program's sequence centroid, the
+    centroid, and the summed within-sequence variance — Chan-recombined
+    across programs/devices by :func:`_diag_combine` exactly like the
+    chain-mean stats (the XLA backend's reduction, ops/mcmc_xla.py)."""
+    acc1, sq1, acc2, sq2 = halves
+    n1f = jnp.float32(max(n1, 1))
+    inv_n1 = jnp.float32(1.0) / n1f
+    denom_w = jnp.float32(max(n1 - 1, 1))
+    r_seq_sum = jnp.zeros((1, LANES), jnp.float32)
+    r_seq_ss = jnp.zeros((1, LANES), jnp.float32)
+    r_seq_mb = jnp.zeros((1, LANES), jnp.float32)
+    r_w = jnp.zeros((1, LANES), jnp.float32)
+    for i in range(k):
+        m1 = acc1[i] * inv_n1
+        m2 = acc2[i] * inv_n1
+        s_m = jnp.sum(m1) + jnp.sum(m2)
+        s_msq = jnp.sum(m1 * m1) + jnp.sum(m2 * m2)
+        w = (jnp.sum(sq1[i]) + jnp.sum(sq2[i]) - n1f * s_msq) / denom_w
+        mbs = s_m / (2.0 * n_block)
+        ss_seq = jnp.maximum(s_msq - 2.0 * n_block * mbs * mbs, 0.0)
+        mb_seq = mbs + pilots[i]
+        r_seq_sum = jnp.where(col == i, 2.0 * n_block * mb_seq, r_seq_sum)
+        r_seq_ss = jnp.where(col == i, ss_seq, r_seq_ss)
+        r_seq_mb = jnp.where(col == i, mb_seq, r_seq_mb)
+        r_w = jnp.where(col == i, w, r_w)
+    return [r_seq_sum, r_seq_ss, r_seq_mb, r_w]
+
+
+def _diag_combine(
+    seq_sums, seq_ss, seq_mb, w_sums,
+    chains_f, block_f, chains_actual: int, n_steps: int, psum=None,
+):
+    """Split-R-hat/ESS from the per-program sequence stats (stat-block
+    rows 3-6): Chan-recombine the 2*block_f sequence means per program
+    around the global sequence mean, then the XLA backend's
+    split_rhat_ess on the totals.  ``psum``: the cross-device reducer
+    on a mesh (identity off-mesh)."""
+    from .mcmc_xla import split_rhat_ess
+
+    if psum is None:
+        psum = lambda v: v  # noqa: E731
+    m_seq = psum(seq_sums) / (2.0 * chains_f)  # (R, K) global mean
+    corr = (2.0 * block_f) * (seq_mb - m_seq[:, None, :]) ** 2
+    ss_tot = psum(jnp.sum(seq_ss + corr, axis=1))
+    w_tot = psum(w_sums)
+    return split_rhat_ess(
+        w_tot[0], ss_tot[0], 2 * chains_actual, n_steps // 2
+    )
+
+
+def _log_pdf_grad(kind: DistKind, p1, p2, x, rows, log_tab=None):
+    """d/dx of :func:`_log_pdf` — the HMC position gradient, in-kernel.
+
+    Analytic families trace ``jax.grad`` of the closed form (pure
+    elementwise Mosaic ops); CUSTOM table targets gather the
+    piecewise-linear interpolant's slope from the same uniform-grid
+    (values, dx) pair the log-pdf lookup reads (zero outside support) —
+    matching the XLA backend's autodiff of its interp lookup, so both
+    backends follow the same gradient field."""
+    if kind == DistKind.CUSTOM:
+        from .integrate_pallas import uniform_table_slope
+
+        return uniform_table_slope(x, log_tab, rows, max_unroll_segments=4)
+    from ..sampling import analytic_log_pdf
+
+    return jax.grad(
+        lambda v: jnp.sum(analytic_log_pdf(kind, p1, p2, v))
+    )(x)
+
+
 
 
 def build_mcmc_fn_pallas(
@@ -348,9 +441,11 @@ def build_mcmc_fn_pallas(
     ``H(x, p) = -log p(x) + p^2/2`` with the exact Metropolis energy
     correction — Hamiltonian Monte Carlo fully IN-KERNEL.  The position
     gradient is ``jax.grad`` of the closed-form analytic log-density,
-    traced at kernel-build time into elementwise Mosaic ops (gather-free,
-    so ANALYTIC targets only — the caller gates CUSTOM tables to the XLA
-    backend).  Stream structure per iteration is the random walk's (one
+    traced at kernel-build time into elementwise Mosaic ops; CUSTOM
+    table targets gather the log-table interpolant's slope instead
+    (``_log_pdf_grad`` — the same piecewise-constant gradient field the
+    XLA backend's autodiff follows).  Stream structure per iteration is
+    the random walk's (one
     uniform block feeds the momentum via ``normal_from_u01``, one the
     accept test); step adaptation reuses the ``rw_adapt`` machinery.
 
@@ -363,10 +458,11 @@ def build_mcmc_fn_pallas(
     own centroid, centroid), and programs/devices recombine exactly via
     Chan's parallel-variance formula around the global mean.
 
-    ``with_samples=m`` (stateless, unbatched; ``1 <= m <= n_steps``):
-    the program additionally returns — LAST in the tuple — an
-    ``(m, chains_actual)`` float32 array of thinned post-burn-in
-    draws, the chain states at sampling steps ``n_burnin + j * (n_steps
+    ``with_samples=m`` (stateless; ``1 <= m <= n_steps``): the program
+    additionally returns — LAST in the tuple — an ``(m, chains_actual)``
+    float32 array of thinned post-burn-in draws (an ``(R, m,
+    chains_actual)`` array under seed/param batching, one slab per grid
+    rep), the chain states at sampling steps ``n_burnin + j * (n_steps
     // m)`` (the XLA backend's thinning grid, ops/mcmc_xla.py).  The
     draws STREAM to HBM: each hit stages the (rows, 128) chain block in
     a VMEM scratch and async-DMAs it to the kernel's ANY-space output
@@ -411,10 +507,13 @@ def build_mcmc_fn_pallas(
     if with_diagnostics and n_steps < 4:
         raise ValueError("with_diagnostics needs n_steps >= 4")
     if with_samples:
-        if with_state or seed_batch != 1 or param_batch:
+        # Seed/param batches compose (round 5): the draw DMA offset
+        # gains the grid-rep index and the output grows a leading (R,)
+        # axis; with_state stays excluded (resumed segments would need
+        # a draw-count ledger across segments).
+        if with_state:
             raise ValueError(
-                "with_samples applies to stateless unbatched MCMC "
-                "programs only"
+                "with_samples applies to stateless MCMC programs only"
             )
         if not 1 <= int(with_samples) <= n_steps:
             raise ValueError(
@@ -443,10 +542,6 @@ def build_mcmc_fn_pallas(
         raise ValueError(f"at most {LANES - 1} fused functions supported")
     if hmc_leapfrog and not random_walk:
         raise ValueError("hmc_leapfrog requires random_walk=True")
-    if hmc_leapfrog and target_kind == DistKind.CUSTOM:
-        # The gradient of a table lerp needs gathers whose VJP is a
-        # scatter Mosaic has no lowering for; table targets take XLA.
-        raise ValueError("in-kernel HMC supports analytic targets only")
     if random_walk:
         if not mcmc_pallas_supports(target_kind, target_kind):
             raise ValueError(
@@ -569,30 +664,7 @@ def build_mcmc_fn_pallas(
                 vals = [v - p for v, p in zip(vals, pilots)]
             accs = tuple(a + v for a, v in zip(accs, vals))
             if with_diagnostics:
-                # Split-half sums and squares (pilot-shifted — variances
-                # are shift-invariant): the XLA backend's split-R-hat
-                # ingredients (ops/mcmc_xla.py), gated by the scalar
-                # iteration index.
-                acc1, sq1, acc2, sq2 = halves
-                h1 = jnp.logical_and(i >= n_burnin, i < n_burnin + n1)
-                h2 = jnp.logical_and(
-                    i >= n_burnin + n1, i < n_burnin + 2 * n1
-                )
-                acc1 = tuple(
-                    a + jnp.where(h1, v, 0.0) for a, v in zip(acc1, vals)
-                )
-                sq1 = tuple(
-                    a + jnp.where(h1, v * v, 0.0)
-                    for a, v in zip(sq1, vals)
-                )
-                acc2 = tuple(
-                    a + jnp.where(h2, v, 0.0) for a, v in zip(acc2, vals)
-                )
-                sq2 = tuple(
-                    a + jnp.where(h2, v * v, 0.0)
-                    for a, v in zip(sq2, vals)
-                )
-                halves = (acc1, sq1, acc2, sq2)
+                halves = _splithalf_add(i, halves, vals, n_burnin, n1)
             return accs, halves
 
         if with_samples:
@@ -602,13 +674,22 @@ def build_mcmc_fn_pallas(
                 # n_burnin + j*stride (the states the accumulators
                 # integrate; XLA-backend grid).  Staged in VMEM and
                 # DMA-streamed to the ANY-space output at the
-                # (draw, program) row offset — no resident (m, ...)
-                # buffer, no RNG interaction, estimates bit-identical.
+                # (batch rep, draw, program) row offset — no resident
+                # (m, ...) buffer, no RNG interaction, estimates
+                # bit-identical.
                 samp_stage[...] = x
                 cp = pltpu.make_async_copy(
                     samp_stage,
                     samp_ref.at[
-                        pl.ds((j * local_programs + pid) * rows, rows),
+                        pl.ds(
+                            (
+                                (rep * with_samples + j)
+                                * local_programs
+                                + pid
+                            )
+                            * rows,
+                            rows,
+                        ),
                         :,
                     ],
                     samp_sem,
@@ -668,10 +749,14 @@ def build_mcmc_fn_pallas(
             from ..sampling import normal_from_u01
 
             if hmc_leapfrog:
-                # Elementwise gradient of the closed-form log-density:
-                # jax.grad of the block sum traces to pure elementwise
-                # Mosaic ops (the cotangent is a broadcast 1).
-                grad_lp = jax.grad(lambda v: jnp.sum(lp_t(v)))
+                # Position gradient of the target log-density: jax.grad
+                # of the closed form for analytic families (elementwise
+                # Mosaic ops); the table interpolant's gathered slope for
+                # CUSTOM targets (see _log_pdf_grad).
+                def grad_lp(v):
+                    return _log_pdf_grad(
+                        target_kind, t1, t2, v, rows, targ_tab
+                    )
 
                 def rw_move(i, x, logp, step_sz):
                     # L kick-drift-kick leapfrog steps from a fresh
@@ -849,41 +934,11 @@ def build_mcmc_fn_pallas(
             row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
             extra_rows = []
             if with_diagnostics:
-                # Split-half sequence statistics, reduced per program:
-                # sequence-mean sums (restored), SS around the program's
-                # sequence centroid, the centroid, and the summed
-                # within-sequence variance — rows 3-6 of the stat block,
-                # Chan-recombined in the wrapper exactly like the
-                # chain-mean stats (the XLA backend's reduction,
-                # ops/mcmc_xla.py).
-                acc1, sq1, acc2, sq2 = halves
-                n1f = jnp.float32(max(n1, 1))
-                inv_n1 = jnp.float32(1.0) / n1f
-                denom_w = jnp.float32(max(n1 - 1, 1))
-                r_seq_sum = jnp.zeros((1, LANES), jnp.float32)
-                r_seq_ss = jnp.zeros((1, LANES), jnp.float32)
-                r_seq_mb = jnp.zeros((1, LANES), jnp.float32)
-                r_w = jnp.zeros((1, LANES), jnp.float32)
-                for i in range(k):
-                    m1 = acc1[i] * inv_n1
-                    m2 = acc2[i] * inv_n1
-                    s_m = jnp.sum(m1) + jnp.sum(m2)
-                    s_msq = jnp.sum(m1 * m1) + jnp.sum(m2 * m2)
-                    w = (
-                        jnp.sum(sq1[i]) + jnp.sum(sq2[i]) - n1f * s_msq
-                    ) / denom_w
-                    mbs = s_m / (2.0 * n_block)
-                    ss_seq = jnp.maximum(
-                        s_msq - 2.0 * n_block * mbs * mbs, 0.0
-                    )
-                    mb_seq = mbs + pilots[i]
-                    r_seq_sum = jnp.where(
-                        col == i, 2.0 * n_block * mb_seq, r_seq_sum
-                    )
-                    r_seq_ss = jnp.where(col == i, ss_seq, r_seq_ss)
-                    r_seq_mb = jnp.where(col == i, mb_seq, r_seq_mb)
-                    r_w = jnp.where(col == i, w, r_w)
-                extra_rows = [r_seq_sum, r_seq_ss, r_seq_mb, r_w]
+                # Split-half sequence statistics — rows 3-6 of the stat
+                # block, Chan-recombined in the wrapper (_diag_combine).
+                extra_rows = _diag_stat_rows(
+                    halves, pilots, k, n1, n_block, col
+                )
             # Static full-block store into this grid step's own
             # index-mapped (8, 128) block: 3 (+4 diagnostic) stat rows
             # padded to 8 (Mosaic requires sublane block sizes divisible
@@ -967,11 +1022,19 @@ def build_mcmc_fn_pallas(
         elif with_samples:
             # Thinned draws stream by DMA into an ANY-space (HBM)
             # output; only the (rows, LANES) staging block costs VMEM.
+            # Batched programs (seed/param reps) get one (m, chains)
+            # slab per rep, leading axis R.
             out_specs = (sums_spec, pl.BlockSpec(memory_space=pl.ANY))
             out_shape = (
                 sums_shape,
                 jax.ShapeDtypeStruct(
-                    (with_samples * local_programs * rows, LANES),
+                    (
+                        seed_batch
+                        * with_samples
+                        * local_programs
+                        * rows,
+                        LANES,
+                    ),
                     jnp.float32,
                 ),
             )
@@ -995,10 +1058,16 @@ def build_mcmc_fn_pallas(
         if with_state:
             out, x_f, logp_f = out
         elif with_samples:
-            # (m * P * rows, LANES) -> (m, local_chains); row-major
-            # chain order matches the state path's reshape(-1).
+            # (R * m * P * rows, LANES) -> (m, local_chains) unbatched
+            # / (R, m, local_chains) batched; row-major chain order
+            # matches the state path's reshape(-1).
             out, samp_raw = out
-            samp = (samp_raw.reshape(with_samples, -1),)
+            if seed_batch == 1 and not param_batch:
+                samp = (samp_raw.reshape(with_samples, -1),)
+            else:
+                samp = (
+                    samp_raw.reshape(seed_batch, with_samples, -1),
+                )
         if stat_mode:
             # Program-major layout: program slot = rep*P + pid owns rows
             # [8*slot, 8*slot + 8) = (chain-mean sums + accept col k,
@@ -1050,22 +1119,12 @@ def build_mcmc_fn_pallas(
         return jnp.sum(ss + corr, axis=1)
 
     def _diag_of(values, seq_sums, seq_ss, seq_mb, w_sums, psum=None):
-        # Split-R-hat/ESS from the per-program sequence stats (rows 3-6
-        # of the stat block): Chan-recombine the 2*block_f sequence
-        # means per program around the global sequence mean, then the
-        # XLA backend's split_rhat_ess on the totals.  ``psum``: the
-        # cross-device reducer on a mesh (identity off-mesh).
-        from .mcmc_xla import split_rhat_ess
-
+        # Shared split-R-hat/ESS recombination (module-level helper,
+        # also used by the nd kernel).
         del values  # (the sequence mean differs from the full-run mean)
-        if psum is None:
-            psum = lambda v: v  # noqa: E731
-        m_seq = psum(seq_sums) / (2.0 * chains_f)  # (R, K) global mean
-        corr = (2.0 * block_f) * (seq_mb - m_seq[:, None, :]) ** 2
-        ss_tot = psum(jnp.sum(seq_ss + corr, axis=1))
-        w_tot = psum(w_sums)
-        return split_rhat_ess(
-            w_tot[0], ss_tot[0], 2 * chains_actual, n_steps // 2
+        return _diag_combine(
+            seq_sums, seq_ss, seq_mb, w_sums,
+            chains_f, block_f, chains_actual, n_steps, psum=psum,
         )
 
     def _shape_stderr(values, acc, se):
@@ -1284,8 +1343,14 @@ def build_mcmc_fn_pallas(
     if with_diagnostics:
         body_out_specs = body_out_specs + (replicated, replicated)
     if with_samples:
-        # Thinned draws: (m, local_chains) per device, chain-sharded.
-        body_out_specs = body_out_specs + (P(None, axis_name),)
+        # Thinned draws: (m, local_chains) per device, chain-sharded
+        # on the last axis (leading (R,) axis when batched).
+        if seed_batch == 1 and not param_batch:
+            body_out_specs = body_out_specs + (P(None, axis_name),)
+        else:
+            body_out_specs = body_out_specs + (
+                P(None, None, axis_name),
+            )
     if with_state:
         # segment scalar (replicated, right after params) + per-chain state
         # blocks (sharded over the chain axis, trailing).

@@ -60,7 +60,10 @@ from .mcmc_pallas import (
     UNROLL_STEPS,
     _RW_LS_MAX,
     _RW_LS_MIN,
+    _diag_combine,
+    _diag_stat_rows,
     _log_pdf,
+    _splithalf_add,
     _unrolled_fori,
 )
 
@@ -88,6 +91,8 @@ def pt_vmem_fits(
     table_bytes: int = 0,
     budget_bytes: int = 16 * 1024 * 1024,
     with_samples: bool = False,
+    with_stderr: bool = False,
+    with_diagnostics: bool = False,
 ) -> bool:
     """Conservative VMEM estimate, same model as the plain MCMC gates
     (mcmc_pallas.mcmc_vmem_fits): T rungs of (d state + log_p [+ log
@@ -96,6 +101,10 @@ def pt_vmem_fits(
     for Mosaic's scoped temporaries, plus the output buffer and any
     VMEM-resident target tables."""
     carried = n_temps * (d + 1 + (1 if rw_adapt else 0)) + k + 2
+    if with_stderr:
+        carried += 1  # end-of-kernel chain-means temporary
+    if with_diagnostics:
+        carried += 4 * k  # split-half (sum, sum-of-squares) pairs
     temps = d + 3  # xp tuple, logp', u, u2
     if hmc:
         temps += 3 * d  # leapfrog (position, momentum, gradient) tuples
@@ -103,7 +112,10 @@ def pt_vmem_fits(
     if with_samples:
         temps += 1  # draw staging block (DMA-streamed, VMEM-flat in m*d)
     est = 2 * (carried + temps) * rows * LANES * 4
-    est += local_programs * LANES * 4
+    if with_stderr or with_diagnostics:
+        est += 2 * 8 * LANES * 4  # double-buffered per-step stat blocks
+    else:
+        est += local_programs * LANES * 4
     est += table_bytes
     return est <= budget_bytes
 
@@ -137,6 +149,8 @@ def build_pt_mcmc_fn_pallas(
     hmc_leapfrog: int = 0,
     seed_batch: int = 1,
     with_samples: int = 0,
+    with_stderr: bool = False,
+    with_diagnostics: bool = False,
 ):
     """Build a jitted in-kernel parallel-tempering MH program.
 
@@ -167,6 +181,16 @@ def build_pt_mcmc_fn_pallas(
     VMEM staging block to the ANY-space output, so VMEM stays flat in
     ``m * d`` and the estimates are bit-identical to the samples-free
     kernel (the plain kernels' streaming design, ops/mcmc_pallas.py).
+
+    ``with_stderr=True``: appends (K,) between-chain error bars on the
+    COLD-rung chain means — the plain kernels' pilot-shifted
+    per-program stat rows, Chan-recombined (ops/mcmc_pallas.py); the
+    pilot comes from f at the cold rung's init draw.  Composes with
+    ``seed_batch``.  ``with_diagnostics=True`` (unbatched): appends
+    cold-rung split-R-hat/ESS — the shared split-half machinery, rows
+    3-6 of the per-grid-step stat block.  Return order matches the XLA
+    tempering sweep: (values, acceptance, swap_rate[, stderr]
+    [, r_hat, ess][, samples]).
     """
     n_modes = sum(
         x is not None
@@ -210,6 +234,14 @@ def build_pt_mcmc_fn_pallas(
                 f"{with_samples}"
             )
     sample_stride = n_steps // with_samples if with_samples else 0
+    if with_diagnostics:
+        if seed_batch != 1:
+            raise ValueError(
+                "with_diagnostics applies to unbatched tempered "
+                "programs only"
+            )
+        if n_steps < 4:
+            raise ValueError("with_diagnostics needs n_steps >= 4")
     k = len(eval_fns)
     if k >= LANES - 1:
         # Columns k and k+1 carry the accept and swap counters.
@@ -403,6 +435,25 @@ def build_pt_mcmc_fn_pallas(
         zero_accs = tuple(
             jnp.zeros((rows, LANES), jnp.float32) for _ in range(k)
         )
+        n_block = jnp.float32(rows * LANES)
+        stat_mode = with_stderr or with_diagnostics
+        n1 = n_steps // 2  # split-half length (odd last step excluded)
+        if stat_mode:
+            # Accumulation pilot from f at the COLD rung's init draw —
+            # the plain kernels' design (pilot-shift keeps the
+            # between-chain signal out of the f32 ulp; restored exactly
+            # via Chan recombination in the wrapper).
+            pilots = [
+                jnp.sum(
+                    jnp.broadcast_to(
+                        f(*tuple(xs_l[0])).astype(jnp.float32),
+                        (rows, LANES),
+                    )
+                )
+                / n_block
+                for f in eval_fns
+            ]
+        zero_hflat = zero_accs * 4 if with_diagnostics else ()
 
         if with_samples:
 
@@ -545,7 +596,8 @@ def build_pt_mcmc_fn_pallas(
         def body(i, carry):
             xs_l, logp_l, ls_l, extra = unflat(carry)
             sw, n_acc = extra[0], extra[1]
-            accs = extra[2:]
+            accs = extra[2 : 2 + k]
+            hflat = extra[2 + k :]
             for t in range(n_temps):
                 scale = jnp.exp(ls_l[t]) if rw_adapt else 1.0
                 xs, logp, accept, _ = rung_move(
@@ -559,27 +611,80 @@ def build_pt_mcmc_fn_pallas(
             # Post-swap cold-rung state feeds the estimates, as on the
             # XLA path (the swap is part of the transition kernel).
             cold = tuple(xs_l[0])
-            accs = tuple(
-                acc + f(*cold).astype(jnp.float32)
-                for acc, f in zip(accs, eval_fns)
-            )
-            return flat(xs_l, logp_l, ls_l, sw, n_acc, *accs)
+            vals = [
+                jnp.broadcast_to(
+                    f(*cold).astype(jnp.float32), (rows, LANES)
+                )
+                for f in eval_fns
+            ]
+            if stat_mode:
+                vals = [v - p for v, p in zip(vals, pilots)]
+            accs = tuple(a + v for a, v in zip(accs, vals))
+            if with_diagnostics:
+                halves = (
+                    hflat[0:k],
+                    hflat[k : 2 * k],
+                    hflat[2 * k : 3 * k],
+                    hflat[3 * k : 4 * k],
+                )
+                halves = _splithalf_add(i, halves, vals, n_burnin, n1)
+                hflat = tuple(b for grp in halves for b in grp)
+            return flat(xs_l, logp_l, ls_l, sw, n_acc, *accs, *hflat)
 
         carry = run_sampling(
             body,
-            flat(xs_l, logp_l, ls_keep, sw0, zero_block, *zero_accs),
+            flat(
+                xs_l, logp_l, ls_keep, sw0, zero_block,
+                *zero_accs, *zero_hflat,
+            ),
         )
         _, _, _, extra = unflat(carry)
         sw, n_acc = extra[0], extra[1]
-        accs = extra[2:]
+        accs = extra[2 : 2 + k]
+        hflat = extra[2 + k :]
 
         col = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         row_out = jnp.zeros((1, LANES), jnp.float32)
-        for i, acc in enumerate(accs):
-            row_out = jnp.where(col == i, jnp.sum(acc), row_out)
-        row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
-        row_out = jnp.where(col == k + 1, jnp.sum(sw), row_out)
-        out_ref[pl.ds(rep * local_programs + pid, 1), :] = row_out
+        if stat_mode:
+            # Per-program cold-rung stat block — the plain kernels'
+            # layout with the swap count riding column k+1 of row 0.
+            inv_steps = jnp.float32(1.0) / jnp.float32(max(n_steps, 1))
+            row_ss = jnp.zeros((1, LANES), jnp.float32)
+            row_mb = jnp.zeros((1, LANES), jnp.float32)
+            for i, acc in enumerate(accs):
+                cm = acc * inv_steps
+                s1 = jnp.sum(cm)
+                s2 = jnp.sum(cm * cm)
+                mbs = s1 / n_block
+                ss = jnp.maximum(s2 - n_block * mbs * mbs, 0.0)
+                mb = mbs + pilots[i]
+                row_out = jnp.where(col == i, n_block * mb, row_out)
+                row_ss = jnp.where(col == i, ss, row_ss)
+                row_mb = jnp.where(col == i, mb, row_mb)
+            row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
+            row_out = jnp.where(col == k + 1, jnp.sum(sw), row_out)
+            extra_rows = []
+            if with_diagnostics:
+                halves = (
+                    hflat[0:k],
+                    hflat[k : 2 * k],
+                    hflat[2 * k : 3 * k],
+                    hflat[3 * k : 4 * k],
+                )
+                extra_rows = _diag_stat_rows(
+                    halves, pilots, k, n1, n_block, col
+                )
+            out_ref[:, :] = jnp.concatenate(
+                [row_out, row_ss, row_mb, *extra_rows,
+                 jnp.zeros((5 - len(extra_rows), LANES), jnp.float32)],
+                axis=0,
+            )
+        else:
+            for i, acc in enumerate(accs):
+                row_out = jnp.where(col == i, jnp.sum(acc), row_out)
+            row_out = jnp.where(col == k, jnp.sum(n_acc), row_out)
+            row_out = jnp.where(col == k + 1, jnp.sum(sw), row_out)
+            out_ref[pl.ds(rep * local_programs + pid, 1), :] = row_out
 
     smem_seeds = pl.BlockSpec(
         (1, seed_batch), lambda r, i: (0, 0), memory_space=pltpu.SMEM
@@ -599,16 +704,29 @@ def build_pt_mcmc_fn_pallas(
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    stat_mode_outer = with_stderr or with_diagnostics
+
     def pallas_sweep(seed_a, prop_a, targ_a, pid_base, tabs):
         in_specs = [smem_seeds, smem_prop, smem_targ, smem_scalar]
         if targ_custom_1d:
             in_specs += [vmem, vmem, smem_grid]
-        total_rows = seed_batch * local_programs
-        out_specs = pl.BlockSpec(
-            (total_rows, LANES),
-            lambda r, i: (0, 0),
-            memory_space=pltpu.VMEM,
-        )
+        out_rows = seed_batch * local_programs
+        if stat_mode_outer:
+            # Per-grid-step (8, LANES) stat blocks (the plain kernels'
+            # streaming layout).
+            total_rows = 8 * out_rows
+            out_specs = pl.BlockSpec(
+                (8, LANES),
+                lambda r, i: (r * local_programs + i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            total_rows = out_rows
+            out_specs = pl.BlockSpec(
+                (total_rows, LANES),
+                lambda r, i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
         out_shape = jax.ShapeDtypeStruct((total_rows, LANES), jnp.float32)
         scratch_shapes = ()
         if with_samples:
@@ -641,6 +759,24 @@ def build_pt_mcmc_fn_pallas(
             # tempering sweep's buffer layout (api transposes outside).
             out, samp_raw = out
             samp = (samp_raw.reshape(with_samples, d, -1),)
+        if stat_mode_outer:
+            grouped = out.reshape(seed_batch, local_programs, 8, LANES)
+            sums = jnp.sum(grouped[:, :, 0, :], axis=1)  # (R, LANES)
+            ret = (
+                sums[:, :k],  # chain-MEAN sums
+                sums[:, k],
+                sums[:, k + 1],
+                grouped[:, :, 1, :k],  # (R, P, K) per-program SS
+                grouped[:, :, 2, :k],  # (R, P, K) per-program centroids
+            )
+            if with_diagnostics:
+                ret = ret + (
+                    jnp.sum(grouped[:, :, 3, :k], axis=1),  # seq sums
+                    grouped[:, :, 4, :k],  # per-program seq SS
+                    grouped[:, :, 5, :k],  # per-program seq centroids
+                    jnp.sum(grouped[:, :, 6, :k], axis=1),  # within-var
+                )
+            return ret + samp
         totals = jnp.sum(
             out.reshape(seed_batch, local_programs, LANES), axis=1
         )
@@ -649,11 +785,44 @@ def build_pt_mcmc_fn_pallas(
     denom_vals = jnp.float32(chains_actual) * jnp.float32(n_steps)
     denom_acc = jnp.float32(chains_actual) * jnp.float32(max(n_steps, 1))
     denom_sw = jnp.float32(max(attempted, 1.0))
+    chains_f = jnp.float32(chains_actual)
+    block_f = jnp.float32(rows * LANES)
 
     def _shape(*outs):
         if seed_batch == 1:
             outs = tuple(o[0] for o in outs)
         return outs
+
+    def _stderr_of(ss_total):
+        var = ss_total / jnp.maximum(chains_f - 1.0, 1.0)
+        return jnp.sqrt(var / chains_f)
+
+    def _chan_combine(values, ss, mb):
+        # Total SS around the global mean (this device's programs; psum
+        # outside on a mesh).  Batched shapes: values (R, K), ss/mb
+        # (R, P, K) — the plain kernels' recombination.
+        corr = block_f * (mb - values[:, None, :]) ** 2
+        return jnp.sum(ss + corr, axis=1)
+
+    def _stat_outs(out, psum=None):
+        """(values, acc, swap[, stderr][, r_hat, ess]) from a stat-mode
+        sweep's outputs; psum is the mesh reducer (identity off-mesh)."""
+        p = psum if psum is not None else (lambda v: v)
+        sums, n_acc, sw, ss, mb = out[:5]
+        values = p(sums) / chains_f
+        acc = p(n_acc) / denom_acc
+        sw_rate = p(sw) / denom_sw
+        res = (values, acc, sw_rate)
+        if with_stderr:
+            ss_total = p(_chan_combine(values, ss, mb))
+            res = res + (_stderr_of(ss_total),)
+        if with_diagnostics:
+            shaped = _shape(*res)
+            return shaped + _diag_combine(
+                out[5], out[6], out[7], out[8],
+                chains_f, block_f, chains_actual, n_steps, psum=psum,
+            )
+        return _shape(*res)
 
     def _prep(seed, prop_params, targ_params, targ_lx, targ_lp):
         seed_a = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
@@ -682,6 +851,8 @@ def build_pt_mcmc_fn_pallas(
             samp = ()
             if with_samples:
                 out, samp = out[:-1], (out[-1],)
+            if with_stderr or with_diagnostics:
+                return _stat_outs(out) + samp
             sums, n_acc, sw = out
             return _shape(
                 sums / denom_vals,
@@ -700,6 +871,10 @@ def build_pt_mcmc_fn_pallas(
         samp = ()
         if with_samples:
             out, samp = out[:-1], (out[-1],)
+        if with_stderr or with_diagnostics:
+            return _stat_outs(
+                out, psum=lambda v: jax.lax.psum(v, axis_name)
+            ) + samp
         sums, n_acc, sw = out
         return _shape(
             jax.lax.psum(sums, axis_name) / denom_vals,
@@ -709,6 +884,10 @@ def build_pt_mcmc_fn_pallas(
 
     n_tabs = 3 if targ_custom_1d else 0
     out_specs = (replicated, replicated, replicated)
+    if with_stderr:
+        out_specs = out_specs + (replicated,)
+    if with_diagnostics:
+        out_specs = out_specs + (replicated, replicated)
     if with_samples:
         # (m, d, local_chains) per device, chain-sharded on the last axis.
         out_specs = out_specs + (P(None, None, axis_name),)
