@@ -382,6 +382,23 @@ def main():
     emit("c9e_nd_mcmc_joint_4096", "chain_steps_per_sec", csps,
          "steps/s", est)
 
+    # c9f (round 5): a CUSTOM table dimension in the nd MCMC kernel —
+    # Beta(2,5) target AND proposal in dim 0 (inverse-CDF sampling +
+    # log-table lane-gathers per step), N(0,1)/N(0,2) analytic in dim 1.
+    # Target: within ~15% of c9d (the all-analytic product rate).
+    prog = integrator.compile_mcmc(
+        [lambda x, y: x * y],
+        [Distribution.beta(2.0, 5.0), Distribution.normal(0.0, 1.0)],
+        [Distribution.beta(2.0, 5.0), Distribution.normal(0.0, 2.0)],
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+        seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c9f_nd_mcmc_table_dim_4096", "chain_steps_per_sec", csps,
+         "steps/s", est)
+
     # Config 10 (round 3 cont.): random-walk Metropolis on the kernel
     # tier.  c10: 1-D adaptive walk (burn-in carries the per-chain
     # log-step + Robbins-Monro update); c10b: 2-D walk on a correlated
@@ -452,6 +469,25 @@ def main():
     emit("c11b_hmc_nd_joint_4096_L8", "chain_steps_per_sec", csps,
          "steps/s", est)
 
+    # c11c (round 5): in-kernel HMC on a CUSTOM table target — each
+    # leapfrog step gathers the log-table interpolant's slope
+    # (mcmc_pallas._log_pdf_grad) instead of tracing a closed-form
+    # gradient; L+1 table scans per MH step + the final density scan.
+    prog = integrator.compile_mcmc(
+        [lambda x: x],
+        Distribution.beta(2.0, 5.0),
+        HMC(step_size=0.05, n_leapfrog=L11, adapt=True),
+        n_steps=steps5, n_chains=4096, n_burnin=burn5,
+        seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c11c_hmc_table_4096_L8", "chain_steps_per_sec", csps,
+         "steps/s", est)
+    emit("c11c_hmc_table_grad_evals", "grad_evals_per_sec", csps * L11,
+         "evals/s", est)
+
     # Config 12 (round 4): in-kernel parallel tempering.  The T-rung
     # ladder runs as ONE flat lane ensemble (T * n_chains lanes) with
     # rung-block replica exchange inside the Pallas kernel, so the
@@ -496,6 +532,21 @@ def main():
         prog, T12 * chains12 * (steps5 + burn5), repeats, fetch=fetch_mcmc
     )
     emit("c12b_pt_hmc_T4_4096_L8", "lane_steps_per_sec", csps,
+         "steps/s", est)
+
+    # c12c (round 5): tempered INDEPENDENCE sampling — the reference's
+    # native proposal family under the replica-exchange ladder (every
+    # rung draws fresh proposals; logq exchanges with the state).
+    prog = integrator.compile_mcmc(
+        [lambda x: x, lambda x: x * x], _logmix,
+        Distribution.normal(0.0, 6.0),
+        n_steps=steps5, n_chains=chains12, n_burnin=burn5,
+        temperatures=temps12, seed_batch=repeats,
+    )
+    csps, est = _throughput(
+        prog, T12 * chains12 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+    )
+    emit("c12c_pt_independence_T4_4096", "lane_steps_per_sec", csps,
          "steps/s", est)
 
     # Config 13 (round 4): adaptive-IS production sampling.  VEGAS

@@ -261,15 +261,81 @@ class TestTemperedSharded:
         assert 0.0 < pt.diagnostics["swap_rate"] <= 1.0
 
 
-class TestTemperedValidation:
-    def test_requires_local_proposal(self, integ):
-        with pytest.raises(TypeError, match="RandomWalk or HMC"):
-            integ.integrate_mcmc(
-                [lambda x: x], Distribution.normal(0.0, 1.0),
-                Distribution.normal(0.0, 2.0),
-                n_steps=100, n_chains=64, n_burnin=10,
-                temperatures=[1.0, 2.0],
+class TestTemperedIndependence:
+    """Round 5: the reference's native INDEPENDENCE proposal tempers too
+    — acceptance ``beta (logp' - logp) + logq - logq'`` (q's terms stay
+    untempered), logq exchanges with the state on a swap.  Analytic
+    proposals ride the kernel; CUSTOM proposals take the XLA sweep."""
+
+    @pytest.fixture(scope="class")
+    def integ_p(self):
+        return MonteCarloIntegrator(backend="pallas")
+
+    def test_matches_xla_and_finds_both_modes(self, integ_p):
+        import warnings as _w
+
+        x = np.linspace(-8.0, 8.0, 4001)
+        p = np.exp(-0.5 * (x - 4) ** 2 / 0.25) + np.exp(
+            -0.5 * (x + 4) ** 2 / 0.25
+        )
+        bim = Distribution.from_pdf_table(x, p)
+        prop = Distribution.normal(0.0, 5.0)
+        fns = [lambda v: v, lambda v: v * v]
+        kw = dict(
+            n_steps=1500, n_chains=1024, n_burnin=300, seed=7,
+            temperatures=[1.0, 2.0, 4.0],
+        )
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            r = integ_p.integrate_mcmc(fns, bim, prop, **kw)
+        rx = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            fns, bim, prop, **kw
+        )
+        assert abs(r.values[0]) < 0.3  # both modes visited
+        assert abs(r.values[1] - 16.25) < 0.5
+        assert abs(r.values[1] - rx.values[1]) < 0.5
+        assert (
+            abs(r.diagnostics["swap_rate"] - rx.diagnostics["swap_rate"])
+            < 0.05
+        )
+
+    def test_analytic_kernel_with_stderr(self, integ_p):
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            r = integ_p.integrate_mcmc(
+                [lambda v: v * v], Distribution.normal(0.0, 1.5),
+                Distribution.normal(0.0, 3.0),
+                n_steps=800, n_chains=1024, n_burnin=100, seed=3,
+                temperatures=[1.0, 4.0], return_stderr=True,
             )
+        assert abs(r.values[0] - 2.25) < max(6 * r.stderr[0], 0.1)
+
+    def test_compiled_handle(self, integ_p):
+        prog = integ_p.compile_mcmc(
+            [lambda v: v], Distribution.normal(1.0, 1.0),
+            Distribution.normal(1.0, 3.0),
+            n_steps=300, n_chains=512, n_burnin=50,
+            temperatures=[1.0, 2.0], seed_batch=2,
+        )
+        v, a, sw = prog(np.arange(2, dtype=np.uint32))
+        assert abs(float(np.asarray(v)[0, 0]) - 1.0) < 0.1
+        assert 0.0 <= float(np.asarray(sw)[0]) <= 1.0
+
+    def test_adapt_and_hmc_stay_walk_only(self, integ):
+        from tpu_montecarlo.ops.mcmc_pt import build_pt_mcmc_fn
+        from tpu_montecarlo.sampling import DistKind
+
+        with pytest.raises(ValueError, match="walk-only"):
+            build_pt_mcmc_fn(
+                [lambda x: x], 1, (1.0, 0.5), 10, 2, 256,
+                targ_kinds=(DistKind.NORMAL,),
+                prop_kinds=(DistKind.NORMAL,), rw_adapt=True,
+            )
+
+
+class TestTemperedValidation:
 
     @pytest.mark.parametrize(
         "temps",

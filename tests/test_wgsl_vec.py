@@ -331,3 +331,98 @@ class TestEndToEnd:
             n_samples=50_000, seed=7,
         )
         assert r1[0] == r2[0]
+
+
+class TestDeclarationStrictness:
+    """Round-5 advisor fixes: annotated declarations are enforced
+    against their initializers, swizzle character sets cannot mix,
+    vectors cannot hide inside scalar slots, and dynamic indices
+    truncate like WGSL's u32() conversion."""
+
+    def _reject(self, src, match):
+        from tpu_montecarlo.wgsl_frontend import WgslError
+
+        with pytest.raises((TraceError, WgslError), match=match):
+            trace_wgsl_function(src)
+
+    def test_vec_decl_size_mismatch(self):
+        self._reject(
+            "fn f(x: f32) -> f32 { var v: vec2<f32> = "
+            "vec3<f32>(x, x, x); return v.x; }",
+            "declared vec2",
+        )
+
+    def test_scalar_decl_vec_initializer(self):
+        self._reject(
+            "fn f(x: f32) -> f32 { var v: f32 = vec2<f32>(x, x); "
+            "return v; }",
+            "declared a scalar",
+        )
+
+    def test_array_decl_size_mismatch(self):
+        self._reject(
+            "fn f(x: f32) -> f32 { var a: array<f32, 3> = "
+            "array<f32, 2>(x, x); return a[0]; }",
+            "declared array",
+        )
+
+    def test_annotated_match_passes(self):
+        f = _f(
+            "fn f(x: f32) -> f32 { var v: vec3<f32> = "
+            "vec3<f32>(x, x, x); return v.z; }"
+        )
+        assert float(f(jnp.float32(2.0))) == 2.0
+
+    def test_unannotated_decl_unchecked(self):
+        # Type inference: no annotation, any initializer binds.
+        f = _f(
+            "fn f(x: f32) -> f32 { let v = vec3<f32>(x, 1.0, 2.0); "
+            "return v.y; }"
+        )
+        assert float(f(jnp.float32(0.0))) == 1.0
+
+    def test_mixed_swizzle_sets_rejected(self):
+        self._reject(
+            "fn f(x: f32) -> f32 { var v = vec2<f32>(x, x); "
+            "return v.xg; }",
+            "mixes",
+        )
+
+    def test_rgba_swizzle_still_works(self):
+        f = _f(
+            "fn f(x: f32) -> f32 { var v = vec3<f32>(x, 2.0, 3.0); "
+            "return v.g + v.b; }"
+        )
+        assert float(f(jnp.float32(0.0))) == 5.0
+
+    def test_vec_into_component_rejected(self):
+        self._reject(
+            "fn f(x: f32) -> f32 { var v = vec2<f32>(x, x); "
+            "v.x = vec2<f32>(9.0, 9.0); return v.x; }",
+            "Cannot assign",
+        )
+
+    def test_vec_into_array_element_rejected(self):
+        self._reject(
+            "fn f(x: f32) -> f32 { var a = array<f32, 2>(x, x); "
+            "a[0] = vec2<f32>(9.0, 9.0); return a[0]; }",
+            "Cannot assign",
+        )
+
+    def test_dynamic_index_truncates(self):
+        # WGSL's u32(i/2) truncates: i=1 reads element 0 (the old
+        # round-to-nearest read element 1).
+        g = _f(
+            "fn g(x: f32) -> f32 { var a = array<f32, 2>(10.0, 20.0); "
+            "let i = x; return a[i / 2.0]; }"
+        )
+        assert float(g(jnp.float32(1.0))) == 10.0
+        assert float(g(jnp.float32(2.0))) == 20.0
+
+    def test_dynamic_index_store_truncates(self):
+        g = _f(
+            "fn g(x: f32) -> f32 { var a = array<f32, 2>(0.0, 0.0); "
+            "let i = x; a[i / 2.0] = 7.0; return a[0] - a[1]; }"
+        )
+        assert float(g(jnp.float32(1.0))) == 7.0  # wrote element 0
+        assert float(g(jnp.float32(2.0))) == -7.0  # wrote element 1

@@ -93,8 +93,11 @@ class _McmcMixin:
         Metropolis-Hastings chains (one chain per lane).
 
         ``temperatures=[1.0, T_2, ..., T_R]`` (ascending, first entry
-        1.0; requires a :class:`RandomWalk` or :class:`HMC` proposal)
-        switches on PARALLEL TEMPERING: every chain is replicated at
+        1.0; takes a :class:`RandomWalk` / :class:`HMC` proposal or a
+        proposal ``Distribution`` — the independence sampler tempers
+        too, with the state-independent log-q terms untempered in the
+        acceptance) switches on PARALLEL TEMPERING: every chain is
+        replicated at
         each temperature against ``p(x)^(1/T)``, adjacent rungs
         exchange states through the replica-exchange acceptance rule
         every step, and the estimates come from the T=1 rung — the hot

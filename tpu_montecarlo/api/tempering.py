@@ -81,13 +81,6 @@ class _PtMixin:
         a plain local sampler (see ops/mcmc_pt.py).  A capability beyond
         the reference's independence-only sampler
         (src/shader_gen.rs:466-539)."""
-        if not isinstance(proposal, RandomWalk):
-            raise TypeError(
-                "temperatures requires a RandomWalk or HMC proposal "
-                "(tempering repairs LOCAL samplers; an independence "
-                f"sampler already proposes globally), got "
-                f"{type(proposal)}"
-            )
         temps = [float(t) for t in temperatures]
         if len(temps) < 2:
             raise ValueError(
@@ -119,9 +112,13 @@ class _PtMixin:
             )
         if return_diagnostics and n_steps < 4:
             raise ValueError("return_diagnostics needs n_steps >= 4")
-        _check_random_walk_args(proposal, n_burnin, False)
+        if isinstance(proposal, RandomWalk):
+            _check_random_walk_args(proposal, n_burnin, False)
         betas = tuple(1.0 / t for t in temps)
-        _, targets, target_fn, d = self._parse_nd_mcmc_args(
+        # RandomWalk/HMC proposals return proposals=None; a Distribution
+        # (or sequence) switches on tempered INDEPENDENCE sampling — the
+        # reference's native proposal family, tempered (round 5).
+        proposals, targets, target_fn, d = self._parse_nd_mcmc_args(
             target, proposal
         )
         traced = self._trace_user_functions(functions, n_args=d)
@@ -136,6 +133,7 @@ class _PtMixin:
             betas, with_samples=int(return_samples or 0),
             with_stderr=return_stderr,
             with_diagnostics=return_diagnostics,
+            proposals=proposals,
         ):
             run, dev_args = self._pt_kernel_program(
                 traced, targets, target_fn, betas, proposal, d,
@@ -143,6 +141,7 @@ class _PtMixin:
                 with_samples=int(return_samples or 0),
                 with_stderr=return_stderr,
                 with_diagnostics=return_diagnostics,
+                proposals=proposals,
             )
         else:
             run, dev_args = self._pt_mcmc_program(
@@ -150,6 +149,7 @@ class _PtMixin:
                 n_steps, n_burnin, total_chains, return_stderr,
                 return_diagnostics,
                 with_samples=int(return_samples or 0),
+                proposals=proposals,
             )
         out = run(np.uint32(seed), *dev_args)
         values, acc_rate, swap_rate = out[0], out[1], out[2]
@@ -188,23 +188,59 @@ class _PtMixin:
     def _pt_mcmc_program(
         self, traced, targets, target_fn, betas, proposal_rw, d,
         n_steps, n_burnin, total_chains, return_stderr,
-        with_diagnostics, with_samples: int = 0,
+        with_diagnostics, with_samples: int = 0, proposals=None,
     ):
         """Cached parallel-tempering program + its device args.  The
-        walk rows ride as runtime args (a step-size change re-uses the
-        compiled program); the ladder itself (betas), the adapt mode and
-        the leapfrog length are compile-time."""
+        walk rows (or the independence proposals' family words) ride as
+        runtime args; the ladder itself (betas), the adapt mode and the
+        leapfrog length are compile-time.  ``proposals``: per-dimension
+        proposal Distributions — switches the sweep to tempered
+        INDEPENDENCE sampling (any family; tables ride the nd builder's
+        slots)."""
         from ..ops.mcmc_pt import build_pt_mcmc_fn
 
         mesh = self._mesh
         dummy = _tbl(None)
+        independence = proposals is not None
         hmc_L = (
             proposal_rw.n_leapfrog
             if isinstance(proposal_rw, HMC)
             else 0
         )
-        rows = proposal_rw.pack_params_nd(targets, d)
-        prop_params_t = tuple(jnp.asarray(rows[j]) for j in range(d))
+        if independence:
+            prop_specs = [dist_spec_of(p) for p in proposals]
+            prop_kinds = tuple(s.kind for s in prop_specs)
+            prop_exact = tuple(s.exact_inverse for s in prop_specs)
+            prop_dev = [
+                _device_args_of(p, s)
+                for p, s in zip(proposals, prop_specs)
+            ]
+            prop_log_dev = []
+            prop_uniform = []
+            for p, s in zip(proposals, prop_specs):
+                if s.kind == DistKind.CUSTOM:
+                    lx, lp = _device_log_tables_of(p, "proposal")
+                    prop_log_dev.append((lx, lp))
+                    prop_uniform.append(
+                        bool(is_uniform_grid(np.asarray(lx)))
+                    )
+                else:
+                    prop_log_dev.append((dummy, dummy))
+                    prop_uniform.append(False)
+            prop_params_t = tuple(p[0] for p in prop_dev)
+            prop_key = (
+                "ind", prop_kinds, tuple(prop_uniform), prop_exact,
+                tuple(_table_shapes(s) for s in prop_specs),
+            )
+            adapt_key = False
+        else:
+            prop_kinds = None
+            prop_uniform = ()
+            prop_exact = ()
+            rows = proposal_rw.pack_params_nd(targets, d)
+            prop_params_t = tuple(jnp.asarray(rows[j]) for j in range(d))
+            prop_key = ("hmc", hmc_L) if hmc_L else ("rw",)
+            adapt_key = proposal_rw.adapt
         if target_fn is not None:
             targ_kinds = None
             targ_uniform = ()
@@ -245,7 +281,8 @@ class _PtMixin:
             "mcmc_pt",
             _fns_key(traced),
             betas,
-            ("hmc", hmc_L, proposal_rw.adapt),
+            prop_key,
+            adapt_key,
             targ_key,
             n_steps,
             n_burnin,
@@ -264,29 +301,48 @@ class _PtMixin:
                 targ_uniform=targ_uniform, mesh=mesh,
                 with_stderr=return_stderr,
                 with_diagnostics=with_diagnostics,
-                rw_adapt=proposal_rw.adapt,
+                rw_adapt=False if independence else proposal_rw.adapt,
                 hmc_leapfrog=hmc_L,
                 with_samples=with_samples,
+                prop_kinds=prop_kinds,
+                prop_uniform=tuple(prop_uniform),
+                prop_exact_inverses=tuple(prop_exact),
             ),
         )
-        dev_args = (prop_params_t, targ_params_t, targ_lx_t, targ_lp_t)
+        if independence:
+            dev_args = (
+                prop_params_t,
+                targ_params_t,
+                tuple(p[1] for p in prop_dev),
+                tuple(p[2] for p in prop_dev),
+                targ_lx_t,
+                targ_lp_t,
+                tuple(t[0] for t in prop_log_dev),
+                tuple(t[1] for t in prop_log_dev),
+            )
+        else:
+            dev_args = (
+                prop_params_t, targ_params_t, targ_lx_t, targ_lp_t
+            )
         return run, dev_args
 
     def _pt_pallas_eligible(
         self, targets, target_fn, proposal_rw, traced, d, total_chains,
         betas, with_samples: int = 0, with_stderr: bool = False,
-        with_diagnostics: bool = False,
+        with_diagnostics: bool = False, proposals=None,
     ) -> bool:
-        """Tempered-kernel gate: RandomWalk/HMC proposal (guaranteed by
-        the temperatures validation), <=126 fused d-ary integrands
-        evaluating on lane blocks (columns k/k+1 carry the accept and
-        swap counters), a target the kernel can evaluate — analytic
-        product, block-traceable joint fn, or (1-D, non-HMC) a CUSTOM
-        uniform-grid log table — and the T-rung state fitting VMEM."""
+        """Tempered-kernel gate: RandomWalk/HMC or analytic-family
+        independence proposals (CUSTOM proposal dims take the XLA
+        sweep), <=126 fused d-ary integrands evaluating on lane blocks
+        (columns k/k+1 carry the accept and swap counters), a target
+        the kernel can evaluate — analytic product, block-traceable
+        joint fn, or (1-D, non-HMC) a CUSTOM uniform-grid log table —
+        and the T-rung state fitting VMEM."""
         from ..ops.mcmc_pallas import plan_mcmc_grid
         from ..ops.mcmc_pt_pallas import pt_vmem_fits
         from ..sampling import ANALYTIC_KINDS
 
+        independence = proposals is not None
         hmc_L = (
             proposal_rw.n_leapfrog
             if isinstance(proposal_rw, HMC)
@@ -302,6 +358,10 @@ class _PtMixin:
             )
             and _block_traceable(traced, n_args=d)
         )
+        if ok and independence:
+            ok = all(
+                dist_spec_of(p).kind in ANALYTIC_KINDS for p in proposals
+            )
         table_bytes = 0
         if ok:
             if target_fn is not None:
@@ -324,9 +384,11 @@ class _PtMixin:
                     ok = False
         ok = ok and pt_vmem_fits(
             len(traced), d, rows, programs // n_dev, len(betas),
-            rw_adapt=proposal_rw.adapt, hmc=bool(hmc_L),
+            rw_adapt=(not independence) and proposal_rw.adapt,
+            hmc=bool(hmc_L),
             table_bytes=table_bytes, with_samples=bool(with_samples),
             with_stderr=with_stderr, with_diagnostics=with_diagnostics,
+            independence=independence,
         )
         if not ok and self._backend == "pallas":
             warnings.warn(
@@ -356,12 +418,6 @@ class _PtMixin:
                 "param_batch is not supported with temperatures (the "
                 "ladder is compile-time; batch seeds instead)"
             )
-        if not isinstance(proposal, RandomWalk):
-            raise TypeError(
-                "temperatures requires a RandomWalk or HMC proposal "
-                "(tempering repairs LOCAL samplers), got "
-                f"{type(proposal)}"
-            )
         temps = [float(t) for t in temperatures]
         if (
             len(temps) < 2
@@ -377,9 +433,10 @@ class _PtMixin:
                 "temperatures must be finite, strictly increasing and "
                 f"start at 1.0, got {temps}"
             )
-        _check_random_walk_args(proposal, n_burnin, False)
+        if isinstance(proposal, RandomWalk):
+            _check_random_walk_args(proposal, n_burnin, False)
         betas = tuple(1.0 / t for t in temps)
-        _, targets, target_fn, d = self._parse_nd_mcmc_args(
+        proposals, targets, target_fn, d = self._parse_nd_mcmc_args(
             target, proposal
         )
         traced = self._trace_user_functions(functions, n_args=d)
@@ -388,12 +445,12 @@ class _PtMixin:
         total_chains = plan_chains(n_chains, self._target_threads, n_dev)
         if self._use_pallas(DistKind.NORMAL) and self._pt_pallas_eligible(
             targets, target_fn, proposal, traced, d, total_chains,
-            betas, with_stderr=return_stderr,
+            betas, with_stderr=return_stderr, proposals=proposals,
         ):
             run, dev_args = self._pt_kernel_program(
                 traced, targets, target_fn, betas, proposal, d,
                 n_steps, n_burnin, total_chains, seed_batch=seed_batch,
-                with_stderr=return_stderr,
+                with_stderr=return_stderr, proposals=proposals,
             )
             return self._finalize_prog(
                 run, dev_args, seed_batch, n_param_args=0
@@ -407,7 +464,7 @@ class _PtMixin:
         run, dev_args = self._pt_mcmc_program(
             traced, targets, target_fn, betas, proposal, d,
             n_steps, n_burnin, total_chains, return_stderr,
-            False,
+            False, proposals=proposals,
         )
         return self._finalize_prog(
             run, dev_args, seed_batch, n_param_args=0
@@ -417,21 +474,40 @@ class _PtMixin:
         self, traced, targets, target_fn, betas, proposal_rw, d,
         n_steps, n_burnin, total_chains, seed_batch: int = 1,
         with_samples: int = 0, with_stderr: bool = False,
-        with_diagnostics: bool = False,
+        with_diagnostics: bool = False, proposals=None,
     ):
         """Cached in-kernel parallel-tempering program + device args
         ``(prop_rows, targ_params, targ_lx, targ_lp)`` — see
-        ops/mcmc_pt_pallas.py for the rung-block design."""
+        ops/mcmc_pt_pallas.py for the rung-block design.
+        ``proposals``: per-dimension analytic proposal Distributions —
+        tempered INDEPENDENCE sampling; the prop slot then carries the
+        (d, 2) family rows."""
         from ..ops.mcmc_pt_pallas import build_pt_mcmc_fn_pallas
 
         mesh = self._mesh
         dummy = _tbl(None)
+        independence = proposals is not None
         hmc_L = (
             proposal_rw.n_leapfrog
             if isinstance(proposal_rw, HMC)
             else 0
         )
-        prop_dev = jnp.asarray(proposal_rw.pack_params_nd(targets, d))
+        if independence:
+            prop_specs = [dist_spec_of(p) for p in proposals]
+            prop_kinds = tuple(s.kind for s in prop_specs)
+            prop_dev = jnp.stack(
+                [
+                    _device_args_of(p, s)[0]
+                    for p, s in zip(proposals, prop_specs)
+                ]
+            )
+            prop_key = ("ind", prop_kinds)
+            rw_adapt = False
+        else:
+            prop_kinds = None
+            prop_dev = jnp.asarray(proposal_rw.pack_params_nd(targets, d))
+            prop_key = ("hmc", hmc_L, proposal_rw.adapt)
+            rw_adapt = proposal_rw.adapt
         targ_custom = False
         log_dev = (dummy, dummy)
         targ_kinds = None
@@ -460,7 +536,7 @@ class _PtMixin:
             "mcmc_pt_pallas",
             _fns_key(traced),
             betas,
-            ("hmc", hmc_L, proposal_rw.adapt),
+            prop_key,
             targ_key,
             n_steps,
             n_burnin,
@@ -479,11 +555,12 @@ class _PtMixin:
                     traced, d, betas, n_steps, n_burnin, total_chains,
                     targ_kinds=targ_kinds, target_logpdf_fn=target_fn,
                     targ_custom_1d=targ_custom, mesh=mesh,
-                    interpret=interpret, rw_adapt=proposal_rw.adapt,
+                    interpret=interpret, rw_adapt=rw_adapt,
                     hmc_leapfrog=hmc_L, seed_batch=seed_batch,
                     with_samples=with_samples,
                     with_stderr=with_stderr,
                     with_diagnostics=with_diagnostics,
+                    prop_kinds=prop_kinds,
                 ),
                 seed_batch,
             ),

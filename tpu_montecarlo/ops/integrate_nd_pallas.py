@@ -393,11 +393,22 @@ def build_integrate_nd_pallas(
                 for j in range(k)
             ]
         if method == "qmc":
-            from .qmc import derive_shift
+            from .qmc import derive_shift, sobol_offset_bits
 
             seed_w = seed_ref[0, rep]
             shifts = [derive_shift(seed_w, j + 1) for j in range(d)]
             rng = None
+            # Split Sobol generation (see qmc.sobol_base_bits): the
+            # within-block offset XORs are CONSTANT across the sample
+            # loop — hoist one per dimension here, leaving only a
+            # scalar base-XOR + one broadcast XOR per (dim, iteration).
+            qmc_pos_bits = (block_rows * LANES).bit_length() - 1
+            sobol_offs = [
+                sobol_offset_bits(
+                    _qmc_pos(block_rows), sobol_vs[j], qmc_pos_bits
+                )
+                for j in range(d)
+            ]
         else:
             rng = rng_factory()
             rng.seed(seed_ref[0, rep], pid_base_ref[0, 0] + pid)
@@ -540,8 +551,8 @@ def build_integrate_nd_pallas(
             if method == "qmc":
                 from .qmc import (
                     derive_segment_shift,
-                    sobol_u01_halfopen,
-                    sobol_u01_open,
+                    sobol_base_bits,
+                    sobol_u01_split,
                 )
 
                 b = (pid_base_ref[0, 0] + pid) * jnp.int32(loops) + blk
@@ -553,17 +564,18 @@ def build_integrate_nd_pallas(
                     ]
                 else:
                     shifts_b = shifts
-                g = (
-                    b * jnp.int32(rows * LANES) + _qmc_pos(rows)
-                ).astype(jnp.uint32)
+                # Split generation: scalar per-dimension base XOR for
+                # this block + the hoisted offset blocks (bit-identical
+                # to sobol_bits of the recombined index — see qmc.py).
+                bases = [
+                    sobol_base_bits(b, sobol_vs[j], qmc_pos_bits)
+                    for j in range(d)
+                ]
                 xs, qv = [], []
                 for j in range(d):
-                    get_u = (
-                        lambda open01, j=j: sobol_u01_open(
-                            g, shifts_b[j], sobol_vs[j]
-                        )
-                        if open01
-                        else sobol_u01_halfopen(g, shifts_b[j], sobol_vs[j])
+                    get_u = lambda open01, j=j: sobol_u01_split(
+                        bases[j], sobol_offs[j], shifts_b[j],
+                        open01=open01,
                     )
                     if kinds[j] == DistKind.CUSTOM:
                         x, q = _split_q(j, draw_custom(j, get_u))

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ..sampling import log_pdf
+from ..sampling import log_pdf, sample_block
 from .mcmc_xla import _RW_LOG_STEP_MAX, _RW_LOG_STEP_MIN
 
 __all__ = ["build_pt_mcmc_fn"]
@@ -101,6 +101,9 @@ def build_pt_mcmc_fn(
     hmc_leapfrog: int = 0,
     swap_every: int = 1,
     with_samples: int = 0,
+    prop_kinds=None,
+    prop_uniform: Sequence[bool] = (),
+    prop_exact_inverses: Sequence[bool] = (),
 ):
     """Build a jitted parallel-tempering MH program.
 
@@ -110,19 +113,33 @@ def build_pt_mcmc_fn(
     decrease (validated at the API layer from the user's ascending
     temperature ladder).
 
-    Proposals are random-walk / HMC only (``hmc_leapfrog=L`` switches to
-    leapfrog trajectories; tempering exists to fix LOCAL samplers — an
-    independence sampler is already global).  ``rw_adapt=True``
-    Robbins-Monro-tunes one log step-scale per LANE during burn-in, so
-    each rung finds its own temperature-matched step.
+    Proposals: random-walk / HMC (``hmc_leapfrog=L`` switches to
+    leapfrog trajectories; ``rw_adapt=True`` Robbins-Monro-tunes one
+    log step-scale per LANE during burn-in, so each rung finds its own
+    temperature-matched step), or — ``prop_kinds`` given — INDEPENDENCE
+    sampling per dimension (the reference's native proposal family,
+    src/shader_gen.rs:466-539, tempered): every rung draws fresh
+    proposals from q and accepts with ``beta * (logp' - logp) +
+    logq(x) - logq(x')`` — the state-independent log-q terms stay
+    untempered because q never changes with the rung.  Tempering is
+    usually paired with local samplers (an independence sampler already
+    proposes globally), but a tempered independence chain is
+    well-defined and useful when q covers every mode weakly: hot rungs
+    accept q's distant proposals more often and feed them down-ladder.
 
     Returned signature::
 
         (seed,
-         prop_params_t,                     # d-tuple of (4,) walk rows
+         prop_params_t,   # d-tuple of (4,) walk rows, or of (2,) family
+                          # rows under prop_kinds (independence)
          targ_params_t, targ_lx_t, targ_lp_t)   # target params/tables
         -> ((K,) estimates, () cold-rung acceptance, () swap rate
             [, (K,) stderr] [, (K,) r_hat, (K,) ess])
+
+    Independence mode appends proposal-table args after the target's:
+    ``(..., prop_x_t, prop_cdf_t, prop_lx_t, prop_lp_t)`` — d-tuples of
+    inverse-CDF x/cdf tables and log-pdf tables (dummies for analytic
+    dims), the nd builder's slots (ops/mcmc_nd.py).
 
     The swap rate is accepted / attempted adjacent exchanges over the
     whole run — the ladder-tuning diagnostic (healthy ladders sit
@@ -156,6 +173,18 @@ def build_pt_mcmc_fn(
         if len(targ_kinds) != d:
             raise ValueError("targ_kinds must have one entry per dim")
     targ_uniform = tuple(targ_uniform) or (False,) * d
+    independence = prop_kinds is not None
+    if independence:
+        prop_kinds = tuple(prop_kinds)
+        if len(prop_kinds) != d:
+            raise ValueError("prop_kinds must have one entry per dim")
+        if rw_adapt or hmc_leapfrog:
+            raise ValueError(
+                "independence tempering has no step to adapt or "
+                "integrate (rw_adapt/hmc_leapfrog are walk-only)"
+            )
+    prop_uniform = tuple(prop_uniform) or (False,) * d
+    prop_exact_inverses = tuple(prop_exact_inverses) or (False,) * d
     k = len(eval_fns)
     vfns = [jax.vmap(f) for f in eval_fns]
     n_dev = 1 if mesh is None else mesh.size
@@ -181,10 +210,17 @@ def build_pt_mcmc_fn(
     perm0, perm1, n_pairs0, n_pairs1 = _swap_perms(n_temps, local_chains)
     lane_idx = jnp.arange(n_lanes, dtype=jnp.int32)
 
-    def _chain_sweep(
-        seed, prop_params_t, targ_params_t, targ_lx_t, targ_lp_t,
-        device_idx,
-    ):
+    def _chain_sweep(seed, *sweep_args):
+        if independence:
+            (
+                prop_params_t, targ_params_t, prop_x_t, prop_cdf_t,
+                targ_lx_t, targ_lp_t, prop_lx_t, prop_lp_t, device_idx,
+            ) = sweep_args
+        else:
+            (
+                prop_params_t, targ_params_t, targ_lx_t, targ_lp_t,
+                device_idx,
+            ) = sweep_args
         key = jax.random.fold_in(jax.random.PRNGKey(seed), device_idx)
         key_init = jax.random.fold_in(key, _STREAM_INIT)
         key_prop = jax.random.fold_in(key, _STREAM_PROPOSAL)
@@ -203,24 +239,58 @@ def build_pt_mcmc_fn(
                 tot = lp if tot is None else tot + lp
             return tot
 
-        rw_steps = [prop_params_t[j][0] for j in range(d)]
-        rw_los = [prop_params_t[j][1] for j in range(d)]
-        rw_his = [prop_params_t[j][2] for j in range(d)]
-        rw_target = prop_params_t[0][3]
+        if independence:
 
-        # Overdispersed uniform init over the per-dimension ranges, every
-        # rung alike (ops/mcmc_nd.py's random-walk init).
-        xs0 = tuple(
-            rw_los[j]
-            + (rw_his[j] - rw_los[j])
-            * jax.random.uniform(
-                jax.random.fold_in(key_init, j), (n_lanes,), jnp.float32
+            def proposal_log(xs):
+                tot = None
+                for j in range(d):
+                    lq = log_pdf(
+                        prop_kinds[j], prop_params_t[j], xs[j],
+                        prop_lx_t[j], prop_lp_t[j],
+                        uniform=prop_uniform[j],
+                    )
+                    tot = lq if tot is None else tot + lq
+                return tot
+
+            def sample_prop(key_i):
+                return tuple(
+                    sample_block(
+                        jax.random.fold_in(key_i, j), (n_lanes,),
+                        prop_kinds[j], prop_params_t[j],
+                        prop_x_t[j], prop_cdf_t[j],
+                        exact_inverse=prop_exact_inverses[j],
+                    )
+                    for j in range(d)
+                )
+
+            # Init from the proposal itself, every rung alike (the 1-D
+            # independence sampler's init, ops/mcmc_xla.py).
+            xs0 = sample_prop(key_init)
+            logp0 = target_log(xs0)
+            # The carried third slot holds the chain's own proposal
+            # log-density (it changes on acceptance AND on exchange —
+            # logq is a function of the swapped state).
+            scale0 = proposal_log(xs0)
+        else:
+            rw_steps = [prop_params_t[j][0] for j in range(d)]
+            rw_los = [prop_params_t[j][1] for j in range(d)]
+            rw_his = [prop_params_t[j][2] for j in range(d)]
+            rw_target = prop_params_t[0][3]
+
+            # Overdispersed uniform init over the per-dimension ranges,
+            # every rung alike (ops/mcmc_nd.py's random-walk init).
+            xs0 = tuple(
+                rw_los[j]
+                + (rw_his[j] - rw_los[j])
+                * jax.random.uniform(
+                    jax.random.fold_in(key_init, j), (n_lanes,),
+                    jnp.float32,
+                )
+                for j in range(d)
             )
-            for j in range(d)
-        )
-        logp0 = target_log(xs0)
-        # Per-lane log step-scale (adapted during burn-in when rw_adapt).
-        scale0 = jnp.zeros((n_lanes,), jnp.float32)
+            logp0 = target_log(xs0)
+            # Per-lane log step-scale (adapted in burn-in when rw_adapt).
+            scale0 = jnp.zeros((n_lanes,), jnp.float32)
 
         shift_needed = with_stderr or with_diagnostics
         if shift_needed:
@@ -240,13 +310,27 @@ def build_pt_mcmc_fn(
                 xs, logp, lsc, acc, n_accept, sw_acc = carry
             key_i = jax.random.fold_in(key_prop, i)
             scale = jnp.exp(lsc) if rw_adapt else jnp.float32(1.0)
-            z = tuple(
-                jax.random.normal(
-                    jax.random.fold_in(key_i, j), (n_lanes,), jnp.float32
+            if independence:
+                # Tempered independence MH: q is rung-independent, so
+                # its log terms enter the acceptance untempered.
+                xp = sample_prop(key_i)
+                logp_prop = target_log(xp)
+                logq_prop = proposal_log(xp)
+                log_alpha = (
+                    beta_vec * (logp_prop - logp) + lsc - logq_prop
                 )
-                for j in range(d)
-            )
-            if hmc_leapfrog:
+                z = None
+            else:
+                z = tuple(
+                    jax.random.normal(
+                        jax.random.fold_in(key_i, j), (n_lanes,),
+                        jnp.float32,
+                    )
+                    for j in range(d)
+                )
+            if independence:
+                pass
+            elif hmc_leapfrog:
                 # Tempered Hamiltonian: H_t = -beta_t log pi + |p|^2/2,
                 # so the leapfrog force is beta * grad log pi (hot rungs
                 # feel weaker gradients and roam further per step).
@@ -301,6 +385,8 @@ def build_pt_mcmc_fn(
                 for xp_j, x_j in zip(xp, xs)
             )
             logp = jnp.where(accept, logp_prop, logp)
+            if independence:
+                lsc = jnp.where(accept, logq_prop, lsc)
             if rw_adapt:
                 # Robbins-Monro on the per-lane log-scale, burn-in only
                 # (ops/mcmc_xla.py's update) — each rung self-tunes to
@@ -347,6 +433,11 @@ def build_pt_mcmc_fn(
                 for x_j in xs
             )
             logp = jnp.where(acc_sw, logp_part, logp)
+            if independence:
+                # logq travels with the exchanged STATE (it is a
+                # function of x); a walk's step scale stays with its
+                # rung instead (a temperature property).
+                lsc = jnp.where(acc_sw, jnp.take(lsc, perm), lsc)
             n_att = jnp.where(
                 parity_even, jnp.float32(n_pairs0), jnp.float32(n_pairs1)
             ) * jnp.float32(local_chains) * do_swap.astype(jnp.float32)
@@ -531,7 +622,13 @@ def build_pt_mcmc_fn(
     dim_rep = (replicated,) * d
     td = len(targ_kinds) if targ_kinds is not None else 0
     targ_rep = (replicated,) * td
-    in_specs = (replicated, dim_rep, targ_rep, targ_rep, targ_rep)
+    if independence:
+        in_specs = (
+            replicated, dim_rep, targ_rep, dim_rep, dim_rep,
+            targ_rep, targ_rep, dim_rep, dim_rep,
+        )
+    else:
+        in_specs = (replicated, dim_rep, targ_rep, targ_rep, targ_rep)
     out_specs = (replicated, replicated, replicated)
     if with_stderr:
         out_specs = out_specs + (replicated,)

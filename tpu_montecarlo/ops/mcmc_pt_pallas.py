@@ -93,6 +93,7 @@ def pt_vmem_fits(
     with_samples: bool = False,
     with_stderr: bool = False,
     with_diagnostics: bool = False,
+    independence: bool = False,
 ) -> bool:
     """Conservative VMEM estimate, same model as the plain MCMC gates
     (mcmc_pallas.mcmc_vmem_fits): T rungs of (d state + log_p [+ log
@@ -101,6 +102,8 @@ def pt_vmem_fits(
     for Mosaic's scoped temporaries, plus the output buffer and any
     VMEM-resident target tables."""
     carried = n_temps * (d + 1 + (1 if rw_adapt else 0)) + k + 2
+    if independence:
+        carried += n_temps + 1  # per-rung logq blocks + logq' temp
     if with_stderr:
         carried += 1  # end-of-kernel chain-means temporary
     if with_diagnostics:
@@ -151,6 +154,7 @@ def build_pt_mcmc_fn_pallas(
     with_samples: int = 0,
     with_stderr: bool = False,
     with_diagnostics: bool = False,
+    prop_kinds: Optional[Sequence[DistKind]] = None,
 ):
     """Build a jitted in-kernel parallel-tempering MH program.
 
@@ -181,6 +185,17 @@ def build_pt_mcmc_fn_pallas(
     VMEM staging block to the ANY-space output, so VMEM stays flat in
     ``m * d`` and the estimates are bit-identical to the samples-free
     kernel (the plain kernels' streaming design, ops/mcmc_pallas.py).
+
+    ``prop_kinds`` (a d-tuple of ANALYTIC families): INDEPENDENCE
+    tempering — every rung draws fresh per-dimension proposals through
+    the closed-form inverse CDFs (dimension j of rung t rides stream
+    tag ``t*d + j``, the walk's layout) and accepts with
+    ``beta (logp' - logp) + logq(x) - logq(x')`` (q is
+    rung-independent, so its terms stay untempered); the ``prop_params``
+    arg is then the (d, 2) family rows and each rung carries its logq
+    block, which EXCHANGES with the state on a swap (logq is a function
+    of x, unlike a walk's per-rung step scale).  CUSTOM proposal dims
+    route to the XLA sweep (ops/mcmc_pt.py) at the call site.
 
     ``with_stderr=True``: appends (K,) between-chain error bars on the
     COLD-rung chain means — the plain kernels' pilot-shifted
@@ -222,6 +237,21 @@ def build_pt_mcmc_fn_pallas(
         if not all(kk in _ANALYTIC for kk in targ_kinds):
             raise ValueError(
                 "product targets must be analytic families in-kernel"
+            )
+    independence = prop_kinds is not None
+    if independence:
+        prop_kinds = tuple(prop_kinds)
+        if len(prop_kinds) != d:
+            raise ValueError("prop_kinds must have one entry per dim")
+        if not all(kk in _ANALYTIC for kk in prop_kinds):
+            raise ValueError(
+                "independence tempering supports analytic proposal "
+                "dims in-kernel (CUSTOM routes to the XLA sweep)"
+            )
+        if rw_adapt or hmc_leapfrog:
+            raise ValueError(
+                "independence tempering has no step to adapt or "
+                "integrate (rw_adapt/hmc_leapfrog are walk-only)"
             )
     if with_samples:
         if seed_batch != 1:
@@ -288,10 +318,15 @@ def build_pt_mcmc_fn_pallas(
         rng.seed(
             seed_ref[0, rep] ^ _PT_STREAM_MIX, pid_base_ref[0, 0] + pid
         )
-        rw_steps = [prop_ref[j, 0] for j in range(d)]
-        rw_los = [prop_ref[j, 1] for j in range(d)]
-        rw_his = [prop_ref[j, 2] for j in range(d)]
-        rw_target = prop_ref[0, 3]
+        if independence:
+            qp = [
+                (prop_ref[j, 0], prop_ref[j, 1]) for j in range(d)
+            ]
+        else:
+            rw_steps = [prop_ref[j, 0] for j in range(d)]
+            rw_los = [prop_ref[j, 1] for j in range(d)]
+            rw_his = [prop_ref[j, 2] for j in range(d)]
+            rw_target = prop_ref[0, 3]
         if targ_kinds is not None:
             tp = [
                 (targ_ref[j, 0], targ_ref[j, 1]) for j in range(d)
@@ -318,6 +353,43 @@ def build_pt_mcmc_fn_pallas(
 
         if hmc_leapfrog:
             grad_lp = jax.grad(lambda xv: jnp.sum(lp_t(xv)))
+
+        if independence:
+            from .mcmc_pallas import _sample_chain_block
+
+            def lp_q(xs):
+                tot = None
+                for j in range(d):
+                    lq = _log_pdf(prop_kinds[j], *qp[j], xs[j], rows)
+                    tot = lq if tot is None else tot + lq
+                return tot
+
+            def sample_prop(counter, t):
+                return tuple(
+                    _sample_chain_block(
+                        prop_kinds[j], *qp[j], rows, rng, counter,
+                        tag=t * d + j,
+                    )
+                    for j in range(d)
+                )
+
+            def ind_move(i, t, xs, logp, logq):
+                """Tempered independence MH for rung t: q is
+                rung-independent, so its log terms stay untempered."""
+                beta = betas[t]
+                xp = sample_prop(3 * i + 1, t)
+                logp_prop = lp_t(xp)
+                logq_prop = lp_q(xp)
+                log_alpha = beta * (logp_prop - logp) + logq - logq_prop
+                u2 = _uniform_open01(rng, (rows, LANES), 3 * i + 2, t)
+                accept = jnp.log(u2) < log_alpha
+                xs = tuple(
+                    jnp.where(accept, xp_j, x_j)
+                    for xp_j, x_j in zip(xp, xs)
+                )
+                logp = jnp.where(accept, logp_prop, logp)
+                logq = jnp.where(accept, logq_prop, logq)
+                return xs, logp, logq, accept
 
         def rung_move(i, t, xs, logp, scale):
             """One tempered MH step for rung t (beta = betas[t]): the
@@ -390,12 +462,14 @@ def build_pt_mcmc_fn_pallas(
             logp = jnp.where(accept, logp_prop, logp)
             return xs, logp, accept, log_alpha
 
-        def swap_all(i, xs_l, logp_l, sw):
+        def swap_all(i, xs_l, logp_l, logq_l, sw):
             """Alternating even/odd adjacent exchanges.  Both parities'
             pairs are computed and gated by the iteration parity (pairs
             within a parity are disjoint; the inactive parity's selects
             are no-ops), so the traced body draws a fixed number of
-            blocks per iteration."""
+            blocks per iteration.  Under independence tempering the
+            per-rung logq blocks exchange with the state (logq is a
+            function of x); a walk's step scale stays with its rung."""
             for t in range(n_temps - 1):
                 v = _uniform_halfopen01(rng, (rows, LANES), 3 * i + 3, t)
                 # Pair (t, t+1) is attempted when i and t share parity
@@ -415,20 +489,33 @@ def build_pt_mcmc_fn_pallas(
                 pa, pb = logp_l[t], logp_l[t + 1]
                 logp_l[t] = jnp.where(acc_sw, pb, pa)
                 logp_l[t + 1] = jnp.where(acc_sw, pa, pb)
+                if independence:
+                    qa, qb = logq_l[t], logq_l[t + 1]
+                    logq_l[t] = jnp.where(acc_sw, qb, qa)
+                    logq_l[t + 1] = jnp.where(acc_sw, qa, qb)
                 sw = sw + acc_sw.astype(jnp.float32)
-            return xs_l, logp_l, sw
+            return xs_l, logp_l, logq_l, sw
 
-        # Overdispersed uniform init over the per-dimension ranges,
-        # every rung alike (ops/mcmc_pt.py's init).
-        xs_l = [
-            [
-                rw_los[j]
-                + (rw_his[j] - rw_los[j])
-                * _uniform_halfopen01(rng, (rows, LANES), 0, t * d + j)
-                for j in range(d)
+        if independence:
+            # Init from the proposal itself, every rung alike (the 1-D
+            # independence sampler's init, ops/mcmc_pallas.py).
+            xs_l = [list(sample_prop(0, t)) for t in range(n_temps)]
+            logq_l = [lp_q(tuple(xs_l[t])) for t in range(n_temps)]
+        else:
+            # Overdispersed uniform init over the per-dimension ranges,
+            # every rung alike (ops/mcmc_pt.py's init).
+            xs_l = [
+                [
+                    rw_los[j]
+                    + (rw_his[j] - rw_los[j])
+                    * _uniform_halfopen01(
+                        rng, (rows, LANES), 0, t * d + j
+                    )
+                    for j in range(d)
+                ]
+                for t in range(n_temps)
             ]
-            for t in range(n_temps)
-        ]
+            logq_l = []
         logp_l = [lp_t(tuple(xs_l[t])) for t in range(n_temps)]
 
         zero_block = jnp.zeros((rows, LANES), jnp.float32)
@@ -511,11 +598,12 @@ def build_pt_mcmc_fn_pallas(
                 )
             return carry
 
-        def flat(xs_l, logp_l, ls_l, *extra):
+        def flat(xs_l, logp_l, logq_l, ls_l, *extra):
             out = []
             for t in range(n_temps):
                 out += list(xs_l[t])
             out += list(logp_l)
+            out += list(logq_l)
             out += list(ls_l)
             return tuple(out) + tuple(extra)
 
@@ -527,20 +615,45 @@ def build_pt_mcmc_fn_pallas(
                 pos += d
             logp_l = list(carry[pos : pos + n_temps])
             pos += n_temps
+            logq_l = (
+                list(carry[pos : pos + n_temps]) if independence else []
+            )
+            pos += len(logq_l)
             ls_l = (
                 list(carry[pos : pos + n_temps]) if rw_adapt else []
             )
             pos += len(ls_l)
-            return xs_l, logp_l, ls_l, carry[pos:]
+            return xs_l, logp_l, logq_l, ls_l, carry[pos:]
 
         # Burn-in: rung moves (+ per-rung Robbins-Monro step adaptation
         # when rw_adapt) and exchanges, no accumulation — the plain
         # kernels' split-loop shape.
+        def advance_rungs(i, xs_l, logp_l, logq_l, ls_l, count_cold=None):
+            """Advance every rung one MH step (walk/HMC or independence)
+            in place; returns the cold-rung accept block when asked."""
+            cold_accept = None
+            for t in range(n_temps):
+                if independence:
+                    xs, logp, logq, accept = ind_move(
+                        i, t, tuple(xs_l[t]), logp_l[t], logq_l[t]
+                    )
+                    logq_l[t] = logq
+                else:
+                    scale = jnp.exp(ls_l[t]) if rw_adapt else 1.0
+                    xs, logp, accept, _ = rung_move(
+                        i, t, tuple(xs_l[t]), logp_l[t], scale
+                    )
+                xs_l[t] = list(xs)
+                logp_l[t] = logp
+                if t == 0:
+                    cold_accept = accept
+            return cold_accept
+
         if rw_adapt:
             ls0 = [zero_block for _ in range(n_temps)]
 
             def burn_body(i, carry):
-                xs_l, logp_l, ls_l, extra = unflat(carry)
+                xs_l, logp_l, logq_l, ls_l, extra = unflat(carry)
                 sw = extra[0]
                 i_f = jnp.full((rows, LANES), i + 1, jnp.int32).astype(
                     jnp.float32
@@ -559,55 +672,50 @@ def build_pt_mcmc_fn_pallas(
                         _RW_LS_MIN,
                         _RW_LS_MAX,
                     )
-                xs_l, logp_l, sw = swap_all(i, xs_l, logp_l, sw)
-                return flat(xs_l, logp_l, ls_l, sw)
+                xs_l, logp_l, logq_l, sw = swap_all(
+                    i, xs_l, logp_l, logq_l, sw
+                )
+                return flat(xs_l, logp_l, logq_l, ls_l, sw)
 
             carry = _unrolled_fori(
                 0, n_burnin, burn_body,
-                flat(xs_l, logp_l, ls0, zero_block), unroll_steps,
+                flat(xs_l, logp_l, [], ls0, zero_block), unroll_steps,
             )
-            xs_l, logp_l, ls_l, extra = unflat(carry)
+            xs_l, logp_l, logq_l, ls_l, extra = unflat(carry)
             sw0 = extra[0]
             scales = [jnp.exp(ls) for ls in ls_l]
         else:
 
             def burn_body(i, carry):
-                xs_l, logp_l, _, extra = unflat(carry)
+                xs_l, logp_l, logq_l, ls_l, extra = unflat(carry)
                 sw = extra[0]
-                for t in range(n_temps):
-                    xs, logp, _, _ = rung_move(
-                        i, t, tuple(xs_l[t]), logp_l[t], 1.0
-                    )
-                    xs_l[t] = list(xs)
-                    logp_l[t] = logp
-                xs_l, logp_l, sw = swap_all(i, xs_l, logp_l, sw)
-                return flat(xs_l, logp_l, [], sw)
+                advance_rungs(i, xs_l, logp_l, logq_l, ls_l)
+                xs_l, logp_l, logq_l, sw = swap_all(
+                    i, xs_l, logp_l, logq_l, sw
+                )
+                return flat(xs_l, logp_l, logq_l, [], sw)
 
             carry = _unrolled_fori(
                 0, n_burnin, burn_body,
-                flat(xs_l, logp_l, [], zero_block), unroll_steps,
+                flat(xs_l, logp_l, logq_l, [], zero_block),
+                unroll_steps,
             )
-            xs_l, logp_l, _, extra = unflat(carry)
+            xs_l, logp_l, logq_l, _, extra = unflat(carry)
             sw0 = extra[0]
             scales = [1.0] * n_temps
 
         ls_keep = [jnp.log(s) + zero_block for s in scales] if rw_adapt else []
 
         def body(i, carry):
-            xs_l, logp_l, ls_l, extra = unflat(carry)
+            xs_l, logp_l, logq_l, ls_l, extra = unflat(carry)
             sw, n_acc = extra[0], extra[1]
             accs = extra[2 : 2 + k]
             hflat = extra[2 + k :]
-            for t in range(n_temps):
-                scale = jnp.exp(ls_l[t]) if rw_adapt else 1.0
-                xs, logp, accept, _ = rung_move(
-                    i, t, tuple(xs_l[t]), logp_l[t], scale
-                )
-                xs_l[t] = list(xs)
-                logp_l[t] = logp
-                if t == 0:
-                    n_acc = n_acc + accept.astype(jnp.float32)
-            xs_l, logp_l, sw = swap_all(i, xs_l, logp_l, sw)
+            cold_accept = advance_rungs(i, xs_l, logp_l, logq_l, ls_l)
+            n_acc = n_acc + cold_accept.astype(jnp.float32)
+            xs_l, logp_l, logq_l, sw = swap_all(
+                i, xs_l, logp_l, logq_l, sw
+            )
             # Post-swap cold-rung state feeds the estimates, as on the
             # XLA path (the swap is part of the transition kernel).
             cold = tuple(xs_l[0])
@@ -629,16 +737,18 @@ def build_pt_mcmc_fn_pallas(
                 )
                 halves = _splithalf_add(i, halves, vals, n_burnin, n1)
                 hflat = tuple(b for grp in halves for b in grp)
-            return flat(xs_l, logp_l, ls_l, sw, n_acc, *accs, *hflat)
+            return flat(
+                xs_l, logp_l, logq_l, ls_l, sw, n_acc, *accs, *hflat
+            )
 
         carry = run_sampling(
             body,
             flat(
-                xs_l, logp_l, ls_keep, sw0, zero_block,
+                xs_l, logp_l, logq_l, ls_keep, sw0, zero_block,
                 *zero_accs, *zero_hflat,
             ),
         )
-        _, _, _, extra = unflat(carry)
+        _, _, _, _, extra = unflat(carry)
         sw, n_acc = extra[0], extra[1]
         accs = extra[2 : 2 + k]
         hflat = extra[2 + k :]
@@ -692,8 +802,9 @@ def build_pt_mcmc_fn_pallas(
     smem_scalar = pl.BlockSpec(
         (1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
+    prop_w = 2 if independence else 4
     smem_prop = pl.BlockSpec(
-        (d, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM
+        (d, prop_w), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
     td = d if targ_kinds is not None else 1
     smem_targ = pl.BlockSpec(
@@ -826,7 +937,7 @@ def build_pt_mcmc_fn_pallas(
 
     def _prep(seed, prop_params, targ_params, targ_lx, targ_lp):
         seed_a = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
-        prop_a = jnp.asarray(prop_params, jnp.float32).reshape(d, 4)
+        prop_a = jnp.asarray(prop_params, jnp.float32).reshape(d, prop_w)
         targ_a = jnp.asarray(targ_params, jnp.float32).reshape(td, 2)
         tabs = ()
         if targ_custom_1d:

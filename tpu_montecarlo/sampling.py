@@ -292,9 +292,21 @@ def _cauchy_inv(u, p1, p2):
 
 
 def _cauchy_logpdf(x, p1, p2):
-    z = (x - p1) / p2
+    # Split the log so |z| > 1e15 takes 2*log|z| instead of squaring
+    # (z*z overflows f32 past 1.8e19, which is mathematically harmless —
+    # log(inf) floors — but raises a host-side RuntimeWarning on the
+    # numpy path); the branches agree to f32 precision at the crossover
+    # (log(1 + z^2) == 2 log|z| well before 1e15).  jnp.log only — log1p
+    # has no Mosaic lowering (see ops/fast_math.py).
+    az = jnp.abs((x - p1) / p2)
+    zc = jnp.minimum(az, np.float32(1e15))
+    log_term = jnp.where(
+        az > np.float32(1e15),
+        2.0 * jnp.log(jnp.maximum(az, np.float32(1e-30))),
+        jnp.log(1.0 + zc * zc),
+    )
     return jnp.maximum(
-        -jnp.log(_PI_F * p2 * (1.0 + z * z)), LOG_PDF_FLOOR
+        -(jnp.log(_PI_F * p2) + log_term), LOG_PDF_FLOOR
     )
 
 

@@ -108,8 +108,26 @@ class _Vec:
 
     __slots__ = ("comps",)
 
+    # Two separate character sets: WGSL forbids mixing them in one
+    # swizzle (naga rejects e.g. ``v.xg``), so resolution tries each set
+    # whole rather than one merged map.
+    _SWIZZLE_SETS = ("xyzw", "rgba")
     _SWIZZLE = {c: i for i, c in enumerate("xyzw")}
     _SWIZZLE.update({c: i for i, c in enumerate("rgba")})
+
+    @classmethod
+    def _swizzle_indices(cls, attr: str):
+        for chars in cls._SWIZZLE_SETS:
+            if all(ch in chars for ch in attr):
+                return [chars.index(ch) for ch in attr]
+        if all(ch in cls._SWIZZLE for ch in attr):
+            raise TraceError(
+                f"Swizzle '.{attr}' mixes the xyzw and rgba character "
+                "sets (WGSL forbids mixed-set swizzles)"
+            )
+        raise TraceError(
+            f"Unknown vector component or swizzle: '.{attr}'"
+        )
 
     def __init__(self, comps):
         self.comps = tuple(comps)
@@ -170,12 +188,7 @@ class _Vec:
     # -- component access ----------------------------------------------------
 
     def swizzle(self, attr: str):
-        try:
-            idx = [self._SWIZZLE[ch] for ch in attr]
-        except KeyError:
-            raise TraceError(
-                f"Unknown vector component or swizzle: '.{attr}'"
-            ) from None
+        idx = self._swizzle_indices(attr)
         if max(idx) >= len(self):
             raise TraceError(
                 f"Swizzle '.{attr}' out of range for a {len(self)}-component "
@@ -198,6 +211,11 @@ class _Vec:
             raise TraceError(
                 f"Component '.{attr}' out of range for a {len(self)}-"
                 "component vector"
+            )
+        if isinstance(value, _Vec):
+            raise TraceError(
+                f"Cannot assign a {len(value)}-component vector to the "
+                f"scalar component '.{attr}'"
             )
         comps = list(self.comps)
         comps[i] = value
@@ -223,7 +241,10 @@ class _Vec:
                     f"Index {k} out of range for {len(self)} components"
                 )
             return self.comps[k]
-        pos = jnp.asarray(idx, jnp.float32)
+        # Truncate first: the frontend models WGSL integers as f32, and
+        # u32(x) truncates — ``a[i / 2]`` at i=1 must read element 0,
+        # not round to element 1.
+        pos = jnp.floor(jnp.asarray(idx, jnp.float32))
         out = self.comps[0]
         for j in range(1, len(self)):
             out = _merge(pos >= (j - 0.5), self.comps[j], out)
@@ -231,8 +252,14 @@ class _Vec:
 
     def with_index(self, idx, value):
         """``a[i] = e`` — static index rebuilds the tuple; dynamic index
-        writes through per-component equality masks on the clamped
-        position (same clamp-to-edge convention as reads)."""
+        writes through per-component equality masks on the clamped,
+        truncated position (same clamp-to-edge + u32-truncation
+        convention as reads)."""
+        if isinstance(value, _Vec):
+            raise TraceError(
+                f"Cannot assign a {len(value)}-component vector to a "
+                "scalar array element"
+            )
         k = self._static_index(idx)
         if k is not None:
             if not 0 <= k < len(self):
@@ -243,7 +270,7 @@ class _Vec:
             comps[k] = value
             return _Vec(comps)
         pos = jnp.clip(
-            jnp.floor(jnp.asarray(idx, jnp.float32) + 0.5), 0.0, len(self) - 1.0
+            jnp.floor(jnp.asarray(idx, jnp.float32)), 0.0, len(self) - 1.0
         )
         return _Vec(
             _merge(pos == float(j), value, c)
@@ -256,6 +283,294 @@ jax.tree_util.register_pytree_node(
     lambda v: (v.comps, len(v.comps)),
     lambda n, comps: _Vec(comps),
 )
+
+
+class _Mat:
+    """WGSL ``matCxR<f32>`` value: C column :class:`_Vec`\\ s of R
+    components each (WGSL's column-major convention) — like ``_Vec``,
+    a trace-time aggregate of SCALAR lane values, never a stacked
+    array, so matrix-typed locals stay Pallas-eligible.  The reference
+    accepts any WGSL naga compiles
+    (python/wgpu_montecarlo/__init__.py:738-747); this closes the
+    matrix slice of that surface."""
+
+    __slots__ = ("cols",)
+
+    def __init__(self, cols):
+        cols = tuple(cols)
+        if not cols or not all(isinstance(c, _Vec) for c in cols):
+            raise TraceError("matrix columns must be vectors")
+        r = len(cols[0])
+        if any(len(c) != r for c in cols):
+            raise TraceError("matrix columns must have equal length")
+        if not (2 <= len(cols) <= 4 and 2 <= r <= 4):
+            raise TraceError(
+                f"unsupported matrix shape mat{len(cols)}x{r}"
+            )
+        self.cols = cols
+
+    @property
+    def shape(self):
+        """(columns, rows) — WGSL's CxR."""
+        return (len(self.cols), len(self.cols[0]))
+
+    def __repr__(self):
+        c, r = self.shape
+        return f"_Mat({c}x{r})"
+
+    def __neg__(self):
+        return _Mat(-c for c in self.cols)
+
+    def __pos__(self):
+        return self
+
+    def index(self, idx):
+        """``m[i]`` — the i-th COLUMN (WGSL convention).  Static
+        indices resolve at trace time; dynamic indices lower to the
+        clamp-to-edge select chain per component (the _Vec design)."""
+        k = _Vec._static_index(idx)
+        if k is not None:
+            if not 0 <= k < len(self.cols):
+                raise TraceError(
+                    f"Column index {k} out of range for "
+                    f"{len(self.cols)} columns"
+                )
+            return self.cols[k]
+        pos = jnp.floor(jnp.asarray(idx, jnp.float32))
+        out = list(self.cols[0].comps)
+        for j in range(1, len(self.cols)):
+            out = [
+                _merge(pos >= (j - 0.5), c, o)
+                for c, o in zip(self.cols[j].comps, out)
+            ]
+        return _Vec(out)
+
+    def with_index(self, idx, value):
+        """``m[i] = v`` — replace a column (static index) or write
+        through per-column equality masks (dynamic, clamped+truncated
+        like _Vec stores)."""
+        if not isinstance(value, _Vec) or len(value) != self.shape[1]:
+            got = (
+                f"a {len(value)}-component vector"
+                if isinstance(value, _Vec)
+                else "a scalar"
+            )
+            raise TraceError(
+                f"matrix columns take {self.shape[1]}-component "
+                f"vectors, got {got}"
+            )
+        k = _Vec._static_index(idx)
+        if k is not None:
+            if not 0 <= k < len(self.cols):
+                raise TraceError(
+                    f"Column index {k} out of range for "
+                    f"{len(self.cols)} columns"
+                )
+            cols = list(self.cols)
+            cols[k] = value
+            return _Mat(cols)
+        pos = jnp.clip(
+            jnp.floor(jnp.asarray(idx, jnp.float32)),
+            0.0,
+            len(self.cols) - 1.0,
+        )
+        return _Mat(
+            _Vec(
+                _merge(pos == float(j), v, c)
+                for v, c in zip(value.comps, col.comps)
+            )
+            for j, col in enumerate(self.cols)
+        )
+
+
+jax.tree_util.register_pytree_node(
+    _Mat,
+    lambda m: (m.cols, len(m.cols)),
+    lambda n, cols: _Mat(cols),
+)
+
+
+class _Struct:
+    """WGSL ``struct`` value: an ordered (field name -> value) record
+    whose members are scalars, vectors, matrices, arrays, or nested
+    structs — a trace-time aggregate like :class:`_Vec`/:class:`_Mat`
+    (pure dataflow, no stacked axes), closing the last WGSL value-type
+    slice of the reference's pass-any-string surface
+    (python/wgpu_montecarlo/__init__.py:738-747)."""
+
+    __slots__ = ("tyname", "names", "values")
+
+    def __init__(self, tyname, names, values):
+        self.tyname = tyname
+        self.names = tuple(names)
+        self.values = tuple(values)
+        if len(self.names) != len(self.values):
+            raise TraceError("struct field/value count mismatch")
+
+    def __repr__(self):
+        return f"_Struct({self.tyname})"
+
+    def field(self, attr: str):
+        try:
+            return self.values[self.names.index(attr)]
+        except ValueError:
+            raise TraceError(
+                f"struct '{self.tyname}' has no member '.{attr}'"
+            ) from None
+
+    def with_field(self, attr: str, value):
+        try:
+            i = self.names.index(attr)
+        except ValueError:
+            raise TraceError(
+                f"struct '{self.tyname}' has no member '.{attr}'"
+            ) from None
+        vals = list(self.values)
+        vals[i] = value
+        return _Struct(self.tyname, self.names, vals)
+
+
+jax.tree_util.register_pytree_node(
+    _Struct,
+    lambda s: (s.values, (s.tyname, s.names)),
+    lambda aux, values: _Struct(aux[0], aux[1], values),
+)
+
+
+def _mat_vec(m: _Mat, v: _Vec) -> _Vec:
+    """``m * v``: (C, R) by vec C -> vec R (linear combination of the
+    columns — pure scalar multiply-adds)."""
+    if len(v) != len(m.cols):
+        raise TraceError(
+            f"mat{m.shape[0]}x{m.shape[1]} * vec{len(v)}: the vector "
+            f"must have {len(m.cols)} components"
+        )
+    out = None
+    for col, s in zip(m.cols, v.comps):
+        t = col._zip(s, lambda a, b: a * b)
+        out = t if out is None else out._zip(t, lambda a, b: a + b)
+    return out
+
+
+def _vec_mat(v: _Vec, m: _Mat) -> _Vec:
+    """``v * m``: vec R by (C, R) -> vec C (row vector times matrix)."""
+    if len(v) != m.shape[1]:
+        raise TraceError(
+            f"vec{len(v)} * mat{m.shape[0]}x{m.shape[1]}: the vector "
+            f"must have {m.shape[1]} components"
+        )
+    comps = []
+    for col in m.cols:
+        s = None
+        for a, b in zip(v.comps, col.comps):
+            t = a * b
+            s = t if s is None else s + t
+        comps.append(s)
+    return _Vec(comps)
+
+
+def _mat_binop(op: str, a, b):
+    """Matrix arithmetic: +/- between equal-shape matrices, * for
+    mat-mat / mat-vec / vec-mat / mat-scalar, / by a scalar — WGSL's
+    operator surface for matCxR<f32>."""
+    if op == "Mult":
+        if isinstance(a, _Mat) and isinstance(b, _Mat):
+            # (C1, R) * (C2, C1) -> (C2, R): each result column is
+            # a * (column of b).
+            if len(a.cols) != b.shape[1]:
+                raise TraceError(
+                    f"mat{a.shape[0]}x{a.shape[1]} * "
+                    f"mat{b.shape[0]}x{b.shape[1]}: inner dimensions "
+                    "must agree"
+                )
+            return _Mat(_mat_vec(a, col) for col in b.cols)
+        if isinstance(a, _Mat) and isinstance(b, _Vec):
+            return _mat_vec(a, b)
+        if isinstance(a, _Vec) and isinstance(b, _Mat):
+            return _vec_mat(a, b)
+        m, s = (a, b) if isinstance(a, _Mat) else (b, a)
+        return _Mat(c._zip(s, lambda x, y: x * y) for c in m.cols)
+    if op in ("Add", "Sub"):
+        if not (isinstance(a, _Mat) and isinstance(b, _Mat)):
+            raise TraceError(
+                "matrix +/- takes two matrices of the same shape"
+            )
+        if a.shape != b.shape:
+            raise TraceError(
+                f"matrix shape mismatch: {a.shape} vs {b.shape}"
+            )
+        impl = (
+            (lambda x, y: x + y) if op == "Add" else (lambda x, y: x - y)
+        )
+        return _Mat(
+            ca._zip(cb, impl) for ca, cb in zip(a.cols, b.cols)
+        )
+    if op == "Div" and isinstance(a, _Mat) and not isinstance(
+        b, (_Mat, _Vec)
+    ):
+        return _Mat(c._zip(b, lambda x, y: x / y) for c in a.cols)
+    raise TraceError(f"Unsupported matrix operator: {op}")
+
+
+def _is_bool_like(v):
+    if isinstance(v, (bool, np.bool_)):
+        return True
+    dt = getattr(v, "dtype", None)
+    return dt is not None and dt == jnp.bool_
+
+
+def _bit_binop(op: str, a, b):
+    """WGSL's ``& | ^ << >>`` on the front-end's f32-modeled integers:
+    convert to int32, operate, convert back — both conversions have
+    Mosaic lowerings (the kernels already use them), unlike uint32
+    bitcasts.  On BOOL operands ``& | ^`` are the logical connectives
+    (Python traced lambdas write ``(x > a) & (x < b)``).  Shift
+    amounts mask to the 32-bit width, as WGSL mandates.  Note the
+    model's limits: integers are exact only to 2^24 (f32 mantissa) and
+    ``~``/``>>`` follow int32 (two's-complement, arithmetic-shift)
+    semantics."""
+    if op in ("BitAnd", "BitOr", "BitXor") and (
+        _is_bool_like(a) or _is_bool_like(b)
+    ):
+        fn = {
+            "BitAnd": jnp.logical_and,
+            "BitOr": jnp.logical_or,
+            "BitXor": jnp.logical_xor,
+        }[op]
+        return fn(_truthy(a), _truthy(b))
+    if isinstance(a, float) and isinstance(b, float):
+        # Constant folding in exact Python ints.
+        if not (a.is_integer() and b.is_integer()):
+            raise TraceError(
+                "bitwise/shift operators need integer operands"
+            )
+        ai, bi = int(a), int(b)
+        impl = {
+            "BitAnd": lambda x, y: x & y,
+            "BitOr": lambda x, y: x | y,
+            "BitXor": lambda x, y: x ^ y,
+            "LShift": lambda x, y: _wrap_i32(x << (y & 31)),
+            "RShift": lambda x, y: x >> (y & 31),
+        }[op]
+        return float(impl(ai, bi))
+    ai = jnp.asarray(a).astype(jnp.int32)
+    bi = jnp.asarray(b).astype(jnp.int32)
+    if op == "BitAnd":
+        r = ai & bi
+    elif op == "BitOr":
+        r = ai | bi
+    elif op == "BitXor":
+        r = ai ^ bi
+    elif op == "LShift":
+        r = ai << (bi & jnp.int32(31))
+    else:
+        r = ai >> (bi & jnp.int32(31))
+    return r.astype(jnp.float32)
+
+
+def _wrap_i32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
 
 
 def _vec_map(fn, *args):
@@ -379,6 +694,39 @@ def _merge(cond, t_val, f_val):
     truncation" — hit by WGSL ``switch``/BoolOp code on the kernel
     path), so bool branches compute the select logically (identical
     semantics).  ``cond`` must already be boolean."""
+    if isinstance(t_val, _Struct) or isinstance(f_val, _Struct):
+        # Branch merges of struct variables: field-by-field.
+        if not (
+            isinstance(t_val, _Struct)
+            and isinstance(f_val, _Struct)
+            and t_val.tyname == f_val.tyname
+            and t_val.names == f_val.names
+        ):
+            raise TraceError(
+                "cannot merge differently-typed struct values in a "
+                "branch"
+            )
+        return _Struct(
+            t_val.tyname,
+            t_val.names,
+            (
+                _merge(cond, tv, fv)
+                for tv, fv in zip(t_val.values, f_val.values)
+            ),
+        )
+    if isinstance(t_val, _Mat) or isinstance(f_val, _Mat):
+        # Branch merges of matrix variables: column-by-column.
+        if not (isinstance(t_val, _Mat) and isinstance(f_val, _Mat)):
+            raise TraceError("cannot merge a matrix with a non-matrix")
+        if t_val.shape != f_val.shape:
+            raise TraceError(
+                f"matrix shape mismatch in branch merge: {t_val.shape} "
+                f"vs {f_val.shape}"
+            )
+        return _Mat(
+            _merge(cond, tc, fc)
+            for tc, fc in zip(t_val.cols, f_val.cols)
+        )
     if isinstance(t_val, _Vec) or isinstance(f_val, _Vec):
         # Branch merges of vector variables: componentwise, scalars
         # broadcast (e.g. a masked-return vector merging with the scalar
@@ -934,6 +1282,20 @@ class _Interpreter:
         left = self.eval(node.left, env)
         right = self.eval(node.right, env)
         op = type(node.op).__name__
+        if isinstance(left, _Struct) or isinstance(right, _Struct):
+            raise TraceError(
+                "WGSL defines no operators on struct values; operate "
+                "on their members"
+            )
+        if isinstance(left, _Mat) or isinstance(right, _Mat):
+            return _mat_binop(op, left, right)
+        if op in ("BitAnd", "BitOr", "BitXor", "LShift", "RShift"):
+            if isinstance(left, _Vec) or isinstance(right, _Vec):
+                impl = lambda a, b, op=op: _bit_binop(op, a, b)  # noqa: E731
+                if isinstance(left, _Vec):
+                    return left._zip(right, impl)
+                return right._zip(left, impl, swap=True)
+            return _bit_binop(op, left, right)
         if isinstance(left, _Vec) or isinstance(right, _Vec):
             impl = self._VEC_BINOPS.get(op)
             if impl is None:
@@ -979,6 +1341,14 @@ class _Interpreter:
             if isinstance(val, _Vec):  # WGSL '!' on vec<bool>: componentwise
                 return _Vec(jnp.logical_not(_truthy(c)) for c in val.comps)
             return jnp.logical_not(_truthy(val))
+        if op == "Invert":
+            # WGSL '~' on the f32-modeled integers: int32 bitwise not
+            # (two's complement — see _bit_binop's model notes).
+            if isinstance(val, _Vec):
+                return _Vec(
+                    _bit_binop("BitXor", c, -1.0) for c in val.comps
+                )
+            return _bit_binop("BitXor", val, -1.0)
         raise TraceError(f"Unsupported unary operator: {op}")
 
     _CMP = {
@@ -1040,6 +1410,8 @@ class _Interpreter:
         base = self.eval(node.value, env)
         if isinstance(base, _Vec):
             return base.swizzle(node.attr)
+        if isinstance(base, _Struct):
+            return base.field(node.attr)
         if isinstance(base, _ModuleRef):
             if node.attr in _CONSTANTS:
                 if node.attr == "euler_gamma" and base.kind == "math":
@@ -1079,6 +1451,14 @@ class _Interpreter:
 
         fn = self._resolve_callable(node.func, env)
         args = [self.eval(a, env) for a in node.args]
+        if any(isinstance(a, (_Mat, _Struct)) for a in args) and not getattr(
+            fn, "__wgsl_vec_aware__", False
+        ):
+            raise TraceError(
+                "matrices/structs are not componentwise-mappable; only "
+                "the aggregate-aware builtins and user-defined "
+                "functions take them as arguments"
+            )
         if any(isinstance(a, _Vec) for a in args) and not getattr(
             fn, "__wgsl_vec_aware__", False
         ):
@@ -1090,9 +1470,9 @@ class _Interpreter:
 
     def _eval_Subscript(self, node, env):
         base = self.eval(node.value, env)
-        if not isinstance(base, _Vec):
+        if not isinstance(base, (_Vec, _Mat)):
             raise TraceError(
-                "Indexing is only supported on vector/array values"
+                "Indexing is only supported on vector/array/matrix values"
             )
         if isinstance(node.slice, ast.Slice):
             raise TraceError("Slicing is not supported on vectors/arrays")
@@ -1187,13 +1567,31 @@ class _Interpreter:
                     if name not in env:
                         raise TraceError(f"Unknown variable: '{name}'")
                     base = env[name]
-                    if not isinstance(base, _Vec):
+                    if not isinstance(base, (_Vec, _Mat, _Struct)):
                         raise TraceError(
-                            f"'{name}' is not a vector/array value"
+                            f"'{name}' is not a vector/array/matrix/"
+                            "struct value"
+                        )
+                    if isinstance(base, _Mat) and isinstance(
+                        tgt, ast.Attribute
+                    ):
+                        raise TraceError(
+                            "matrices have no component names; assign "
+                            "columns by index (m[i] = ...)"
+                        )
+                    if isinstance(base, _Struct) and isinstance(
+                        tgt, ast.Subscript
+                    ):
+                        raise TraceError(
+                            "structs are indexed by member name, not "
+                            "position"
                         )
                     val = self.eval(stmt.value, env)
                     env = dict(env)
                     if isinstance(tgt, ast.Attribute):
+                        if isinstance(base, _Struct):
+                            env[name] = base.with_field(tgt.attr, val)
+                            continue
                         env[name] = base.with_component(tgt.attr, val)
                     else:
                         if isinstance(tgt.slice, ast.Slice):

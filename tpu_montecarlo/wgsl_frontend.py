@@ -41,6 +41,8 @@ from .tracing import (
     TraceError,
     _FUNC_MAP,
     _Interpreter,
+    _Mat,
+    _Struct,
     _Vec,
     _as_scalar_f32,
     _contains_return,
@@ -104,11 +106,157 @@ def _arr_ctor(*args):
 
 _arr_ctor.__wgsl_vec_aware__ = True
 
+
+def _cast_f32(x):
+    return x
+
+
+def _cast_int(x):
+    """WGSL u32()/i32() conversion: truncate toward zero (the all-f32
+    integer model; floor/ceil both have Mosaic lowerings, trunc via the
+    sign select)."""
+    if isinstance(x, float):
+        return float(int(x))
+    import jax.numpy as jnp
+
+    xa = jnp.asarray(x, jnp.float32)
+    return jnp.where(xa >= 0, jnp.floor(xa), jnp.ceil(xa))
+
+
+def _make_mat_ctor(c, r):
+    """``matCxR<f32>(...)`` constructor: C*R scalars in column-major
+    order, or C column vectors of R components (WGSL's two forms)."""
+
+    def ctor(*args):
+        if len(args) == c and all(isinstance(a, _Vec) for a in args):
+            if any(len(a) != r for a in args):
+                raise TraceError(
+                    f"mat{c}x{r} column constructor needs "
+                    f"{r}-component vectors"
+                )
+            return _Mat(args)
+        comps = []
+        for a in args:
+            comps.extend(a.comps if isinstance(a, _Vec) else (a,))
+        if len(comps) != c * r:
+            raise TraceError(
+                f"mat{c}x{r} constructor got {len(comps)} component(s), "
+                f"needs {c * r} (column-major) or {c} column vectors"
+            )
+        return _Mat(
+            _Vec(comps[i * r : (i + 1) * r]) for i in range(c)
+        )
+
+    ctor.__wgsl_vec_aware__ = True
+    ctor.__name__ = f"__wgsl_mat{c}x{r}__"
+    return ctor
+
+
+def _mat_transpose(m):
+    if not isinstance(m, _Mat):
+        raise TraceError("transpose takes a matrix")
+    c, r = m.shape
+    return _Mat(
+        _Vec(m.cols[j].comps[i] for j in range(c)) for i in range(r)
+    )
+
+
+def _mat_determinant(m):
+    """determinant(matNxN) by cofactor expansion on the scalar
+    components (N <= 4: at most 40 multiplies, pure elementwise)."""
+    if not isinstance(m, _Mat):
+        raise TraceError("determinant takes a matrix")
+    c, r = m.shape
+    if c != r:
+        raise TraceError("determinant takes a square matrix")
+
+    def det(rows_):
+        n = len(rows_)
+        if n == 1:
+            return rows_[0][0]
+        if n == 2:
+            return rows_[0][0] * rows_[1][1] - rows_[0][1] * rows_[1][0]
+        total = None
+        for j in range(n):
+            minor = [
+                [row[jj] for jj in range(n) if jj != j]
+                for row in rows_[1:]
+            ]
+            term = rows_[0][j] * det(minor)
+            if j % 2:
+                term = -term
+            total = term if total is None else total + term
+        return total
+
+    # element (i, j) = column j, component i
+    rows_ = [[m.cols[j].comps[i] for j in range(c)] for i in range(r)]
+    return det(rows_)
+
+
+_mat_transpose.__wgsl_vec_aware__ = True
+_mat_determinant.__wgsl_vec_aware__ = True
+
+
+def _decl_check(value, kind_code, n):
+    """Trace-time check that an ANNOTATED declaration's initializer
+    matches the declared type (naga rejects e.g. ``var v: vec2<f32> =
+    vec3<f32>(...)``; without this the mismatched value would silently
+    bind).  ``kind_code``: 0 scalar, 1 vec, 2 array (numeric so the
+    tracer's constant admission stays numbers-only)."""
+    kind_code = int(kind_code)
+    n = int(n)
+    if kind_code == 3:
+        c, r = divmod(n, 10)
+        if not isinstance(value, _Mat) or value.shape != (c, r):
+            got = (
+                f"mat{value.shape[0]}x{value.shape[1]}"
+                if isinstance(value, _Mat)
+                else (
+                    f"a {len(value)}-component vector"
+                    if isinstance(value, _Vec)
+                    else "a scalar"
+                )
+            )
+            raise TraceError(
+                f"declared mat{c}x{r} but the initializer is {got}"
+            )
+        return value
+    if kind_code == 0:
+        if isinstance(value, (_Vec, _Mat, _Struct)):
+            raise TraceError(
+                "declared a scalar but the initializer is an "
+                "aggregate value"
+            )
+        return value
+    label = f"vec{n}" if kind_code == 1 else f"array<f32, {n}>"
+    if not isinstance(value, _Vec):
+        raise TraceError(
+            f"declared {label} but the initializer is not a "
+            "vector/array value"
+        )
+    if len(value) != n:
+        raise TraceError(
+            f"declared {label} but the initializer has "
+            f"{len(value)} component(s)"
+        )
+    return value
+
+
+_decl_check.__wgsl_vec_aware__ = True
+
 _VEC_FUNCS = {
     "__wgsl_vec2__": _make_vec_ctor(2),
     "__wgsl_vec3__": _make_vec_ctor(3),
     "__wgsl_vec4__": _make_vec_ctor(4),
     "__wgsl_arr__": _arr_ctor,
+    "__wgsl_declcheck__": _decl_check,
+    **{
+        f"__wgsl_mat{c}x{r}__": _make_mat_ctor(c, r)
+        for c in (2, 3, 4)
+        for r in (2, 3, 4)
+    },
+    "transpose": _mat_transpose,
+    "determinant": _mat_determinant,
     "dot": _vec_dot,
     "cross": _vec_cross,
     "length": _vec_length,
@@ -265,7 +413,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
   | (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?[fhui]?)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>->|&&|\|\||==|!=|<=|>=|\+\+|--|\+=|-=|\*=|/=|%=|[-+*/%<>=!(){},;:.&|@\[\]])
+  | (?P<op>->|&&|\|\||==|!=|<=|>=|<<|>>|\+\+|--|\+=|-=|\*=|/=|%=|[-+*/%<>=!(){},;:.&|^~@\[\]])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -277,6 +425,10 @@ _TYPES = {"f32", "f16", "u32", "i32", "bool"}
 _VEC_TYPES = {"vec2": 2, "vec3": 3, "vec4": 4}
 _VEC_CTOR = {"vec2": "__wgsl_vec2__", "vec3": "__wgsl_vec3__",
              "vec4": "__wgsl_vec4__"}
+# matCxR: C columns x R rows (WGSL column-major), f32 only.
+_MAT_TYPES = {
+    f"mat{c}x{r}": (c, r) for c in (2, 3, 4) for r in (2, 3, 4)
+}
 
 
 def _tokenize(src: str) -> List[Tuple[str, str]]:
@@ -309,6 +461,8 @@ class _Parser:
         # WITHIN the continuing (it then cannot exit the continuing).
         self._continuing_switch_base = 0
         self._flag_seq = 0  # unique ids for desugared flag/temp variables
+        # struct name -> ordered [(field, type)] — declare-before-use.
+        self.structs: Dict[str, List[Tuple[str, Tuple[str, int]]]] = {}
 
     # -- token helpers -------------------------------------------------------
 
@@ -336,14 +490,46 @@ class _Parser:
     def parse_program(self) -> List[Tuple[str, List[str], List[ast.stmt]]]:
         fns = []
         while self.peek()[0] != "eof":
+            if self.peek()[1] == "struct":
+                self.parse_struct()
+                continue
             if self.peek()[1] != "fn":
                 raise WgslError(
-                    f"Expected 'fn' at top level, got {self.peek()[1]!r}"
+                    f"Expected 'fn' or 'struct' at top level, got "
+                    f"{self.peek()[1]!r}"
                 )
             fns.append(self.parse_fn())
         if not fns:
             raise WgslError("No WGSL functions found")
         return fns
+
+    def parse_struct(self):
+        """``struct Name { field: type, ... }`` — ',' or ';' member
+        separators, optional trailing separator (both WGSL syntaxes)."""
+        self.next()  # 'struct'
+        kind, name = self.next()
+        if kind != "name":
+            raise WgslError(f"Expected struct name, got {name!r}")
+        if name in self.structs or name in _TYPES or name in _VEC_TYPES \
+                or name in _MAT_TYPES:
+            raise WgslError(f"Duplicate or reserved type name: {name!r}")
+        self.expect("{")
+        fields: List[Tuple[str, Tuple[str, int]]] = []
+        while not self.accept("}"):
+            k, fname = self.next()
+            if k != "name":
+                raise WgslError(
+                    f"Expected struct member name, got {fname!r}"
+                )
+            self.expect(":")
+            fields.append((fname, self._parse_type()))
+            if self.peek()[1] in (",", ";"):
+                self.next()
+        if not fields:
+            raise WgslError(f"struct {name!r} has no members")
+        if len(set(f for f, _ in fields)) != len(fields):
+            raise WgslError(f"struct {name!r} has duplicate members")
+        self.structs[name] = fields
 
     def parse_fn(self):
         self.expect("fn")
@@ -368,11 +554,23 @@ class _Parser:
         return name, params, body, param_types
 
     def _parse_type(self):
-        """Parse a type; returns ("scalar", 0) | ("vec", n) | ("array", n)
-        so declarations without initialisers can zero-init correctly."""
+        """Parse a type; returns ("scalar", 0) | ("vec", n) |
+        ("array", n) | ("mat", c*10 + r) so declarations without
+        initialisers can zero-init correctly."""
         kind, val = self.next()
         if val in _TYPES:
             return ("scalar", 0)
+        if val in _MAT_TYPES:
+            if self.accept("<"):
+                _, elem = self.next()
+                if elem != "f32":
+                    raise WgslError(
+                        f"Unsupported matrix element type: {elem!r} "
+                        "(f32 only)"
+                    )
+                self.expect(">")
+            c, r = _MAT_TYPES[val]
+            return ("mat", c * 10 + r)
         if val in _VEC_TYPES:
             if self.accept("<"):
                 _, elem = self.next()
@@ -401,6 +599,10 @@ class _Parser:
                 raise WgslError(f"Unsupported array size: {n}")
             self.expect(">")
             return ("array", n)
+        if val in self.structs:
+            # Declared-before-use struct type; the index keys the
+            # per-parse struct table (see _register_structs).
+            return ("struct", list(self.structs).index(val))
         raise WgslError(f"Unsupported WGSL type: {val!r}")
 
     def parse_block(self) -> List[ast.stmt]:
@@ -501,18 +703,79 @@ class _Parser:
         self.next()
         _, name = self.next()
         ty = ("scalar", 0)
+        annotated = False
         if self.accept(":"):
             ty = self._parse_type()
+            annotated = True
         if self.accept("="):
             value = self.parse_expr()
+            if annotated:
+                # Enforce the annotation against the initializer at
+                # trace time (naga rejects the mismatch; see
+                # _decl_check / __wgsl_structcheck__).
+                if ty[0] == "struct":
+                    value = _loc(
+                        ast.Call(
+                            func=_loc(
+                                ast.Name(
+                                    id="__wgsl_structcheck__",
+                                    ctx=ast.Load(),
+                                )
+                            ),
+                            args=[
+                                value,
+                                _loc(ast.Constant(value=float(ty[1]))),
+                            ],
+                            keywords=[],
+                        )
+                    )
+                else:
+                    kind_code = {
+                        "scalar": 0, "vec": 1, "array": 2, "mat": 3,
+                    }[ty[0]]
+                    value = _loc(
+                        ast.Call(
+                            func=_loc(
+                                ast.Name(
+                                    id="__wgsl_declcheck__", ctx=ast.Load()
+                                )
+                            ),
+                            args=[
+                                value,
+                                _loc(ast.Constant(value=float(kind_code))),
+                                _loc(ast.Constant(value=float(ty[1]))),
+                            ],
+                            keywords=[],
+                        )
+                    )
         elif ty[0] == "scalar":
             value = ast.Constant(value=0.0)
+        elif ty[0] == "struct":
+            # Zero-value: the struct's own constructor with no args
+            # (fills recursive zero members).
+            value = _loc(
+                ast.Call(
+                    func=_loc(
+                        ast.Name(
+                            id=list(self.structs)[ty[1]], ctx=ast.Load()
+                        )
+                    ),
+                    args=[],
+                    keywords=[],
+                )
+            )
         else:
-            # WGSL zero-value: vecN() splats 0.0; arrays take one explicit
-            # zero per element (no splat form in the array constructor).
+            # WGSL zero-value: vecN() splats 0.0; arrays take one
+            # explicit zero per element (no splat form in the array
+            # constructor); matCxR takes C*R zeros column-major.
             kind, n = ty
-            ctor = _VEC_CTOR[f"vec{n}"] if kind == "vec" else "__wgsl_arr__"
-            nargs = 1 if kind == "vec" else n
+            if kind == "vec":
+                ctor, nargs = _VEC_CTOR[f"vec{n}"], 1
+            elif kind == "mat":
+                c, r = divmod(n, 10)
+                ctor, nargs = f"__wgsl_mat{c}x{r}__", c * r
+            else:
+                ctor, nargs = "__wgsl_arr__", n
             value = _loc(
                 ast.Call(
                     func=_loc(ast.Name(id=ctor, ctx=ast.Load())),
@@ -949,13 +1212,51 @@ class _Parser:
         return _loc(ast.BoolOp(op=ast.Or(), values=vals))
 
     def parse_and(self) -> ast.expr:
-        left = self.parse_cmp()
+        left = self.parse_bitor()
         vals = [left]
         while self.accept("&&"):
-            vals.append(self.parse_cmp())
+            vals.append(self.parse_bitor())
         if len(vals) == 1:
             return left
         return _loc(ast.BoolOp(op=ast.And(), values=vals))
+
+    # Bitwise/shift precedence is C-like (| < ^ < & < cmp, shifts
+    # between cmp and additive) — a strict superset of WGSL's grammar,
+    # which simply REQUIRES parentheses when mixing these levels, so
+    # every valid WGSL expression parses identically here.
+
+    def parse_bitor(self) -> ast.expr:
+        left = self.parse_bitxor()
+        while self.peek()[1] == "|":
+            self.next()
+            left = _loc(
+                ast.BinOp(
+                    left=left, op=ast.BitOr(), right=self.parse_bitxor()
+                )
+            )
+        return left
+
+    def parse_bitxor(self) -> ast.expr:
+        left = self.parse_bitand()
+        while self.peek()[1] == "^":
+            self.next()
+            left = _loc(
+                ast.BinOp(
+                    left=left, op=ast.BitXor(), right=self.parse_bitand()
+                )
+            )
+        return left
+
+    def parse_bitand(self) -> ast.expr:
+        left = self.parse_cmp()
+        while self.peek()[1] == "&":
+            self.next()
+            left = _loc(
+                ast.BinOp(
+                    left=left, op=ast.BitAnd(), right=self.parse_cmp()
+                )
+            )
+        return left
 
     _CMP_OPS = {
         "<": ast.Lt,
@@ -967,14 +1268,27 @@ class _Parser:
     }
 
     def parse_cmp(self) -> ast.expr:
-        left = self.parse_add()
+        left = self.parse_shift()
         op = self.peek()[1]
         if op in self._CMP_OPS:
             self.next()
-            right = self.parse_add()
+            right = self.parse_shift()
             return _loc(
                 ast.Compare(
                     left=left, ops=[self._CMP_OPS[op]()], comparators=[right]
+                )
+            )
+        return left
+
+    def parse_shift(self) -> ast.expr:
+        left = self.parse_add()
+        while self.peek()[1] in ("<<", ">>"):
+            op = self.next()[1]
+            left = _loc(
+                ast.BinOp(
+                    left=left,
+                    op=ast.LShift() if op == "<<" else ast.RShift(),
+                    right=self.parse_add(),
                 )
             )
         return left
@@ -1019,6 +1333,11 @@ class _Parser:
         if tok == "!":
             self.next()
             return _loc(ast.UnaryOp(op=ast.Not(), operand=self.parse_unary()))
+        if tok == "~":
+            self.next()
+            return _loc(
+                ast.UnaryOp(op=ast.Invert(), operand=self.parse_unary())
+            )
         return self.parse_postfix()
 
     def parse_postfix(self) -> ast.expr:
@@ -1053,7 +1372,7 @@ class _Parser:
             self.expect(")")
             return e
         if kind == "name":
-            if val in _VEC_TYPES or val == "array":
+            if val in _VEC_TYPES or val in _MAT_TYPES or val == "array":
                 return self._parse_ctor(val)
             if self.peek()[1] == "(":
                 self.next()
@@ -1107,6 +1426,14 @@ class _Parser:
                     "arguments"
                 )
             ctor = "__wgsl_arr__"
+        elif tyname in _MAT_TYPES:
+            c, r = _MAT_TYPES[tyname]
+            if not args:
+                # matCxR() zero-value: C*R zeros, column-major.
+                args = [
+                    _loc(ast.Constant(value=0.0)) for _ in range(c * r)
+                ]
+            ctor = f"__wgsl_mat{c}x{r}__"
         else:
             if not args:
                 args = [_loc(ast.Constant(value=0.0))]
@@ -1143,6 +1470,73 @@ def _loc(node):
     return node
 
 
+def _register_structs(registry, struct_defs):
+    """Per-parse struct machinery: one value constructor per declared
+    struct (positional member values, or no args for the WGSL
+    zero-value — recursive zeros) plus the annotated-declaration type
+    check (``__wgsl_structcheck__``)."""
+    order = list(struct_defs)
+
+    def zero_value(ty):
+        kind, n = ty
+        if kind == "scalar":
+            return 0.0
+        if kind in ("vec", "array"):
+            return _Vec((0.0,) * n)
+        if kind == "mat":
+            c, r = divmod(n, 10)
+            return _Mat(_Vec((0.0,) * r) for _ in range(c))
+        return registry[order[n]]()  # nested struct zero-value
+
+    def field_matches(val, ty):
+        kind, n = ty
+        if kind == "scalar":
+            return not isinstance(val, (_Vec, _Mat, _Struct))
+        if kind in ("vec", "array"):
+            return isinstance(val, _Vec) and len(val) == n
+        if kind == "mat":
+            return isinstance(val, _Mat) and val.shape == divmod(n, 10)
+        return isinstance(val, _Struct) and val.tyname == order[n]
+
+    for name, fields in struct_defs.items():
+
+        def ctor(*args, _name=name, _fields=fields):
+            if not args:
+                args = [zero_value(ty) for _, ty in _fields]
+            if len(args) != len(_fields):
+                raise TraceError(
+                    f"struct {_name} constructor takes "
+                    f"{len(_fields)} member value(s), got {len(args)}"
+                )
+            for a, (fname, ty) in zip(args, _fields):
+                if not field_matches(a, ty):
+                    raise TraceError(
+                        f"struct {_name} member '{fname}' type "
+                        "mismatch in constructor"
+                    )
+            return _Struct(_name, [f for f, _ in _fields], args)
+
+        ctor.__wgsl_vec_aware__ = True
+        ctor.__name__ = name
+        registry[name] = ctor
+
+    def structcheck(value, idx):
+        name = order[int(idx)]
+        if not isinstance(value, _Struct) or value.tyname != name:
+            got = (
+                f"a {value.tyname} value"
+                if isinstance(value, _Struct)
+                else "not a struct value"
+            )
+            raise TraceError(
+                f"declared struct {name} but the initializer is {got}"
+            )
+        return value
+
+    structcheck.__wgsl_vec_aware__ = True
+    registry["__wgsl_structcheck__"] = structcheck
+
+
 def trace_wgsl_function(code: str) -> Callable:
     """Parse a WGSL string (one or more scalar functions) and return a
     jittable JAX scalar function for the FIRST definition.
@@ -1150,7 +1544,8 @@ def trace_wgsl_function(code: str) -> Callable:
     Raises:
         WgslError: on unsupported syntax or constructs.
     """
-    fns = _Parser(_tokenize(code)).parse_program()
+    parser = _Parser(_tokenize(code))
+    fns = parser.parse_program()
 
     # Safety net: every jump marker must have been consumed by the loop or
     # switch it binds to during parsing.  A leftover marker would execute as
@@ -1165,6 +1560,8 @@ def trace_wgsl_function(code: str) -> Callable:
     # Late-bound registry so functions can call each other regardless of
     # definition order (the reference IS wrappers call later-defined fns).
     registry: Dict[str, Callable] = {}
+    if parser.structs:
+        _register_structs(registry, parser.structs)
 
     def make_callable(params: List[str], body: List[ast.stmt]) -> Callable:
         fdef = _loc(
@@ -1188,6 +1585,12 @@ def trace_wgsl_function(code: str) -> Callable:
             namespace = dict(_FUNC_MAP)
             namespace["inverseSqrt"] = _inverse_sqrt
             namespace["__wgsl_mod__"] = _trunc_mod
+            # WGSL value-conversion builtins under the all-f32 model:
+            # u32()/i32() truncate toward zero (per spec); f32() is the
+            # identity.  Componentwise over vectors via _vec_map.
+            namespace["f32"] = _cast_f32
+            namespace["u32"] = _cast_int
+            namespace["i32"] = _cast_int
             namespace.update(_VEC_FUNCS)
             namespace.update(registry)
             interp = _Interpreter(captured=namespace)
