@@ -1242,6 +1242,29 @@ def main() -> int:
                 "native proposal, round 5): q terms untempered, logq "
                 "swaps with the state; both modes recovered")
 
+    r = mc.integrate_mcmc(
+        [lambda x, y: x * y, lambda x, y: x * x], [beta25, n01d],
+        mc.RandomWalk(
+            step_size=0.3, init_range=[(0.05, 0.95), (-2.0, 2.0)]
+        ),
+        n_steps=2000, n_chains=2048, n_burnin=400, seed=7,
+        temperatures=[1.0, 2.0, 4.0],
+    )
+    ok &= check("tempered_nd_table_dim_kernel", r.values,
+                [0.0, 15.0 / 140.0], [0.01, 0.005],
+                "tempered nd product target with a CUSTOM table dim "
+                "runs in-kernel (round 5): Beta(2,5) x N(0,1)")
+
+    r = mc.integrate_mcmc(
+        [lambda v: v], beta25,
+        mc.HMC(step_size=0.05, n_leapfrog=5, init_range=(0.05, 0.95)),
+        n_steps=2000, n_chains=2048, n_burnin=400, seed=9,
+        temperatures=[1.0, 2.0],
+    )
+    ok &= check("tempered_hmc_table_kernel", r.values, [2.0 / 7.0],
+                0.01, "tempered HMC on a CUSTOM table target in-kernel "
+                "(gathered interpolant slopes, round 5)")
+
     _integ_b = mc.MonteCarloIntegrator()
     prog_b = _integ_b.compile_mcmc(
         [lambda x: x], mc.Distribution.normal(1.0, 1.0), nprop,

@@ -323,6 +323,46 @@ class TestTemperedIndependence:
         assert abs(float(np.asarray(v)[0, 0]) - 1.0) < 0.1
         assert 0.0 <= float(np.asarray(sw)[0]) <= 1.0
 
+    def test_nd_mixed_table_dims_in_kernel(self, integ_p):
+        # Round 5: any analytic/CUSTOM mix of product target dims runs
+        # tempered in-kernel (per-dim log-table lane-gathers).
+        import warnings as _w
+
+        b = Distribution.beta(2.0, 5.0)
+        n01 = Distribution.normal(0.0, 1.0)
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            r = integ_p.integrate_mcmc(
+                [lambda x, y: x * y, lambda x, y: x * x], [b, n01],
+                RandomWalk(
+                    step_size=0.3,
+                    init_range=[(0.05, 0.95), (-2.0, 2.0)],
+                ),
+                n_steps=1200, n_chains=1024, n_burnin=300, seed=7,
+                temperatures=[1.0, 2.0, 4.0],
+            )
+        assert abs(r.values[0]) < 0.02
+        assert abs(r.values[1] - 15.0 / 140.0) < 0.01
+
+    def test_tempered_hmc_table_target_in_kernel(self, integ_p):
+        # Round 5: tempered HMC gradients on CUSTOM table targets are
+        # gathered interpolant slopes — no XLA reroute.
+        import warnings as _w
+
+        b = Distribution.beta(2.0, 5.0)
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            r = integ_p.integrate_mcmc(
+                [lambda v: v], b,
+                HMC(
+                    step_size=0.05, n_leapfrog=5,
+                    init_range=(0.05, 0.95),
+                ),
+                n_steps=1200, n_chains=1024, n_burnin=300, seed=9,
+                temperatures=[1.0, 2.0],
+            )
+        assert abs(r.values[0] - 2.0 / 7.0) < 0.02
+
     def test_adapt_and_hmc_stay_walk_only(self, integ):
         from tpu_montecarlo.ops.mcmc_pt import build_pt_mcmc_fn
         from tpu_montecarlo.sampling import DistKind

@@ -369,19 +369,23 @@ class _PtMixin:
                     target_fn, "__tpu_mc_no_pallas__", False
                 ) and _block_traceable((target_fn,), n_args=d)
             else:
-                kinds = tuple(dist_spec_of(t).kind for t in targets)
-                if all(kk in ANALYTIC_KINDS for kk in kinds):
-                    pass
-                elif (
-                    d == 1
-                    and kinds[0] == DistKind.CUSTOM
-                    and hmc_L == 0
-                    and _uniform_log_tables(targets[0]) is not None
-                ):
-                    lx, _ = _device_uniform_log_tables(targets[0])
-                    table_bytes = 2 * (-(-int(lx.shape[0]) // 128) * 128) * 4
-                else:
-                    ok = False
+                # Any mix of analytic and CUSTOM table dims runs
+                # tempered in-kernel (round 5; HMC included — table
+                # gradients are gathered interpolant slopes); CUSTOM
+                # dims need the uniform-grid log tables.
+                for t in targets:
+                    kk = dist_spec_of(t).kind
+                    if kk in ANALYTIC_KINDS:
+                        continue
+                    if kk != DistKind.CUSTOM or (
+                        _uniform_log_tables(t) is None
+                    ):
+                        ok = False
+                        break
+                    lx, _ = _device_uniform_log_tables(t)
+                    table_bytes += (
+                        2 * (-(-int(lx.shape[0]) // 128) * 128) * 4
+                    )
         ok = ok and pt_vmem_fits(
             len(traced), d, rows, programs // n_dev, len(betas),
             rw_adapt=(not independence) and proposal_rw.adapt,
@@ -508,29 +512,38 @@ class _PtMixin:
             prop_dev = jnp.asarray(proposal_rw.pack_params_nd(targets, d))
             prop_key = ("hmc", hmc_L, proposal_rw.adapt)
             rw_adapt = proposal_rw.adapt
-        targ_custom = False
         log_dev = (dummy, dummy)
         targ_kinds = None
         if target_fn is not None:
             targ_params = jnp.zeros((1, 2), jnp.float32)
             targ_key = ("fn", _fn_key(target_fn))
         else:
+            # Any analytic/CUSTOM mix (round 5): per-dim family rows
+            # (CUSTOM rows unread) + one uniform log-table pair per
+            # CUSTOM dim, dim order.
             specs = [dist_spec_of(t) for t in targets]
-            kinds = tuple(s.kind for s in specs)
-            if d == 1 and kinds[0] == DistKind.CUSTOM:
-                targ_custom = True
-                targ_params = jnp.zeros((1, 2), jnp.float32)
-                log_dev = _device_uniform_log_tables(targets[0])
-                targ_key = ("custom", tuple(log_dev[0].shape))
-            else:
-                targ_kinds = kinds
-                targ_params = jnp.stack(
-                    [
-                        _device_args_of(t, s)[0]
-                        for t, s in zip(targets, specs)
-                    ]
+            targ_kinds = tuple(s.kind for s in specs)
+            targ_params = jnp.stack(
+                [
+                    _device_args_of(t, s)[0]
+                    for t, s in zip(targets, specs)
+                ]
+            )
+            custom_tabs = [
+                _device_uniform_log_tables(t)
+                for t, s in zip(targets, specs)
+                if s.kind == DistKind.CUSTOM
+            ]
+            if custom_tabs:
+                log_dev = (
+                    tuple(t[0] for t in custom_tabs),
+                    tuple(t[1] for t in custom_tabs),
                 )
-                targ_key = ("kinds", kinds)
+            targ_key = (
+                "kinds",
+                targ_kinds,
+                tuple(t[0].shape for t in custom_tabs),
+            )
         interpret = jax.default_backend() != "tpu"
         key = (
             "mcmc_pt_pallas",
@@ -554,7 +567,7 @@ class _PtMixin:
                 build_pt_mcmc_fn_pallas(
                     traced, d, betas, n_steps, n_burnin, total_chains,
                     targ_kinds=targ_kinds, target_logpdf_fn=target_fn,
-                    targ_custom_1d=targ_custom, mesh=mesh,
+                    mesh=mesh,
                     interpret=interpret, rw_adapt=rw_adapt,
                     hmc_leapfrog=hmc_L, seed_batch=seed_batch,
                     with_samples=with_samples,

@@ -53,7 +53,6 @@ from .integrate_pallas import (
     _uniform_halfopen01,
     _uniform_open01,
     pad_uniform_table,
-    uniform_table_value,
 )
 from ..tables import LOG_PDF_FLOOR
 from .mcmc_pallas import (
@@ -63,6 +62,7 @@ from .mcmc_pallas import (
     _diag_combine,
     _diag_stat_rows,
     _log_pdf,
+    _log_pdf_grad,
     _splithalf_add,
     _unrolled_fori,
 )
@@ -226,18 +226,32 @@ def build_pt_mcmc_fn_pallas(
         raise ValueError(
             f"betas must start at 1.0 and strictly decrease, got {betas}"
         )
-    if targ_custom_1d and d != 1:
-        raise ValueError("table targets are 1-D only in-kernel")
-    if hmc_leapfrog and targ_custom_1d:
-        raise ValueError("in-kernel HMC supports analytic/fn targets only")
+    if targ_custom_1d:
+        # Legacy 1-D table-target flag: the round-5 generic per-dim
+        # CUSTOM machinery subsumes it.
+        if d != 1:
+            raise ValueError("targ_custom_1d is the 1-D flag")
+        if targ_kinds is not None:
+            raise ValueError(
+                "give either targ_kinds or targ_custom_1d, not both"
+            )
+        targ_kinds = (DistKind.CUSTOM,)
     if targ_kinds is not None:
         targ_kinds = tuple(targ_kinds)
         if len(targ_kinds) != d:
             raise ValueError("targ_kinds must have one entry per dim")
-        if not all(kk in _ANALYTIC for kk in targ_kinds):
+        if not all(
+            kk in _ANALYTIC + (DistKind.CUSTOM,) for kk in targ_kinds
+        ):
             raise ValueError(
-                "product targets must be analytic families in-kernel"
+                "product targets must be analytic or CUSTOM table "
+                "families in-kernel"
             )
+    targ_custom_dims = tuple(
+        j
+        for j, kk in enumerate(targ_kinds or ())
+        if kk == DistKind.CUSTOM
+    )
     independence = prop_kinds is not None
     if independence:
         prop_kinds = tuple(prop_kinds)
@@ -302,11 +316,12 @@ def build_pt_mcmc_fn_pallas(
 
     def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, *rest):
         rest = list(rest)
-        targ_tab = (
-            (rest.pop(0), rest.pop(0), rest.pop(0))
-            if targ_custom_1d
-            else None
-        )
+        # Per-CUSTOM-dim uniform log-table trios, dim order (the nd
+        # MCMC kernel's staging, round 5 — any mix of analytic and
+        # table dims runs tempered in-kernel).
+        targ_tabs = {}
+        for j in targ_custom_dims:
+            targ_tabs[j] = (rest.pop(0), rest.pop(0), rest.pop(0))
         if with_samples:
             out_ref, samp_ref, samp_stage, samp_sem = rest
         else:
@@ -338,21 +353,32 @@ def build_pt_mcmc_fn_pallas(
                     target_logpdf_fn(*xs).astype(jnp.float32),
                     (rows, LANES),
                 )
-            if targ_custom_1d:
-                return uniform_table_value(
-                    xs[0], targ_tab, rows, LOG_PDF_FLOOR,
-                    max_unroll_segments=4,
-                )
             tot = None
             for j in range(d):
-                lp = _log_pdf(targ_kinds[j], *tp[j], xs[j], rows)
+                lp = _log_pdf(
+                    targ_kinds[j], *tp[j], xs[j], rows, targ_tabs.get(j)
+                )
                 tot = lp if tot is None else tot + lp
             return tot
 
         from ..sampling import normal_from_u01
 
         if hmc_leapfrog:
-            grad_lp = jax.grad(lambda xv: jnp.sum(lp_t(xv)))
+            if target_logpdf_fn is not None:
+                grad_lp = jax.grad(lambda xv: jnp.sum(lp_t(xv)))
+            else:
+                # Per-dimension gradients — closed forms for analytic
+                # dims, gathered interpolant slopes for CUSTOM dims
+                # (mcmc_pallas._log_pdf_grad): tempered HMC on table
+                # targets rides the kernel too (round 5).
+                def grad_lp(xv):
+                    return tuple(
+                        _log_pdf_grad(
+                            targ_kinds[j], *tp[j], xv[j], rows,
+                            targ_tabs.get(j),
+                        )
+                        for j in range(d)
+                    )
 
         if independence:
             from .mcmc_pallas import _sample_chain_block
@@ -819,8 +845,7 @@ def build_pt_mcmc_fn_pallas(
 
     def pallas_sweep(seed_a, prop_a, targ_a, pid_base, tabs):
         in_specs = [smem_seeds, smem_prop, smem_targ, smem_scalar]
-        if targ_custom_1d:
-            in_specs += [vmem, vmem, smem_grid]
+        in_specs += [vmem, vmem, smem_grid] * len(targ_custom_dims)
         out_rows = seed_batch * local_programs
         if stat_mode_outer:
             # Per-grid-step (8, LANES) stat blocks (the plain kernels'
@@ -940,14 +965,27 @@ def build_pt_mcmc_fn_pallas(
         prop_a = jnp.asarray(prop_params, jnp.float32).reshape(d, prop_w)
         targ_a = jnp.asarray(targ_params, jnp.float32).reshape(td, 2)
         tabs = ()
-        if targ_custom_1d:
-            tabs = tuple(
-                pad_uniform_table(
-                    jnp.asarray(targ_lx, jnp.float32),
-                    jnp.asarray(targ_lp, jnp.float32),
-                    LOG_PDF_FLOOR,
-                )
+        if targ_custom_dims:
+            # One (lx, lp) per CUSTOM dim, dim order; single arrays
+            # (the 1-D legacy signature) normalize to 1-tuples.
+            lxs = (
+                tuple(targ_lx)
+                if isinstance(targ_lx, (tuple, list))
+                else (targ_lx,)
             )
+            lps = (
+                tuple(targ_lp)
+                if isinstance(targ_lp, (tuple, list))
+                else (targ_lp,)
+            )
+            for lx, lp in zip(lxs, lps):
+                tabs += tuple(
+                    pad_uniform_table(
+                        jnp.asarray(lx, jnp.float32),
+                        jnp.asarray(lp, jnp.float32),
+                        LOG_PDF_FLOOR,
+                    )
+                )
         return seed_a, prop_a, targ_a, tabs
 
     if mesh is None:
@@ -993,7 +1031,7 @@ def build_pt_mcmc_fn_pallas(
             jax.lax.psum(sw, axis_name) / denom_sw,
         ) + samp
 
-    n_tabs = 3 if targ_custom_1d else 0
+    n_tabs = 3 * len(targ_custom_dims)
     out_specs = (replicated, replicated, replicated)
     if with_stderr:
         out_specs = out_specs + (replicated,)
