@@ -44,6 +44,52 @@ def _device_args_of(distribution, spec):
     return cached
 
 
+def _mcmc_prop_inverse(distribution, spec):
+    """Error-bounded DOWNSAMPLED inverse-CDF table for the MCMC kernels'
+    i.i.d. proposal draws (sampler-mode logq paths only, non-gapped).
+
+    The in-kernel lookup scans one lane-gather pair per 128-entry
+    segment, so a 4096-entry table costs 32 segment iterations PER MH
+    STEP — measured as the dominant term of table-proposal chains.
+    Under sampler-mode logq the MH acceptance uses the sampler's own
+    exact density (mcmc_pallas._sample_chain_block), so the chain stays
+    exactly invariant for the target at ANY inverse resolution — a
+    coarser table only makes the proposal a slightly coarser
+    approximation of the requested distribution.  The resolution is the
+    smallest power-of-two u-grid (floor 256 entries — two segments;
+    sizes stay lane multiples for the kernel layout) whose resampled
+    inverse stays within 2e-4 * span WASSERSTEIN-1 distance of the full
+    table's sampler (W1 between two inverse-CDF samplers is exactly
+    the mean |x_c(u) - x(u)| over uniform u) — a mass-aware bound: a
+    sup-norm bound is dominated by the steep last ~0.1% of u where the
+    per-cell mass is ~1/size (measured Beta(2,5): sup 4.8e-2 * span at
+    2048 entries vs W1 1.2e-4 * span already at 512; endpoints are
+    interpolation knots, so the support span is preserved exactly).
+
+    Stateful (resume-capable) runs keep the full-resolution table: they
+    carry table-mode logq, whose fidelity pipeline is calibrated
+    against the full inverse.  Cached per Distribution."""
+    cached = getattr(distribution, "_mcmc_inv_table", None)
+    if cached is None:
+        x = np.asarray(spec.x_table, np.float64)
+        m = x.shape[0]
+        u_full = np.linspace(0.0, 1.0, m)
+        span = float(x[-1] - x[0])
+        tol = 2e-4 * span if span > 0 else 0.0
+        best = x
+        size = 256
+        while size < m:
+            u_c = np.linspace(0.0, 1.0, size)
+            x_c = np.interp(u_full, u_c, np.interp(u_c, u_full, x))
+            if np.trapezoid(np.abs(x_c - x), u_full) <= tol:
+                best = np.interp(u_c, u_full, x)
+                break
+            size *= 2
+        cached = jnp.asarray(best, jnp.float32)
+        distribution._mcmc_inv_table = cached
+    return cached
+
+
 def _device_gapped_tables(
     distribution, spec, stratified: bool, segments: Optional[int] = None
 ):

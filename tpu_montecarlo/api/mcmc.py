@@ -53,6 +53,7 @@ from .device import (
     _device_log_tables_of,
     _device_mode_tables,
     _device_uniform_log_tables,
+    _mcmc_prop_inverse,
     _mcmc_table_bytes,
     _proposal_kernel_log_tables,
     _table_shapes,
@@ -454,6 +455,7 @@ class _McmcMixin:
         self, traced, prop_spec, targ_spec,
         target_distribution, proposal_distribution,
         random_walk: bool = False,
+        stateful: bool = False,
     ) -> bool:
         """Pallas-kernel eligibility for an MCMC workload: CUSTOM families
         need uniform log-pdf x-grids (host-built ones are) and a
@@ -477,18 +479,24 @@ class _McmcMixin:
             ok = _uniform_log_tables(target_distribution) is not None
         if ok and not random_walk and prop_spec.kind == DistKind.CUSTOM:
             # exact_inverse proposals sample through host-built
-            # gap-respecting tables (always lane-multiple); the q-table
-            # must additionally pass the proposal-fidelity pipeline.
-            ok = (
-                _proposal_kernel_log_tables(proposal_distribution)
-                is not None
-            ) and not prop_spec.heavy_tail and (
+            # gap-respecting tables (always lane-multiple).  STATELESS
+            # non-gapped proposals run sampler-mode logq (the draw's
+            # own slope is the exact proposal density), so they need no
+            # q-table fidelity pipeline at all; gapped and stateful
+            # runs evaluate the q-table per step and must pass it.
+            needs_q_table = stateful or prop_spec.exact_inverse
+            ok = not prop_spec.heavy_tail and (
                 prop_spec.exact_inverse
                 or (
                     prop_spec.x_table is not None
                     and prop_spec.x_table.shape[0] % 128 == 0
                 )
             )
+            if ok and needs_q_table:
+                ok = (
+                    _proposal_kernel_log_tables(proposal_distribution)
+                    is not None
+                )
         return ok
 
     def _get_mcmc_program(
@@ -567,6 +575,7 @@ class _McmcMixin:
             traced, prop_spec, targ_spec,
             target_distribution, proposal_distribution,
             random_walk=random_walk,
+            stateful=with_state or use_init_state,
         )
         if pallas_ok:
             # The kernel keeps the (seed_batch x programs, 128) sums
@@ -615,8 +624,25 @@ class _McmcMixin:
                 and prop_spec.kind == DistKind.CUSTOM
                 and prop_spec.exact_inverse
             )
+            # Sampler-mode logq (the kernel's stateless CUSTOM-proposal
+            # path) permits an error-bounded coarser inverse table — the
+            # draw's own slope supplies the exact proposal density at
+            # any resolution (see device._mcmc_prop_inverse).  The
+            # downsampled size is per-Distribution, so it joins the
+            # program cache key.
+            prop_inv_ds = None
+            if (
+                not random_walk
+                and prop_spec.kind == DistKind.CUSTOM
+                and not prop_gapped
+                and not (with_state or use_init_state)
+            ):
+                prop_inv_ds = _mcmc_prop_inverse(
+                    proposal_distribution, prop_spec
+                )
             key = (
                 "mcmc_pallas",
+                None if prop_inv_ds is None else prop_inv_ds.shape,
                 _fns_key(traced),
                 (
                     (("hmc", hmc_L, rw_adapt) if hmc_L else ("rw", rw_adapt))
@@ -693,6 +719,8 @@ class _McmcMixin:
                 prop_dev = _device_args_of(
                     proposal_distribution, prop_spec
                 )
+                if prop_inv_ds is not None:
+                    prop_dev = (prop_dev[0], prop_inv_ds, prop_dev[2])
             targ_dev = _device_args_of(target_distribution, targ_spec)
             targ_log_dev = (
                 _device_uniform_log_tables(target_distribution)
@@ -701,7 +729,9 @@ class _McmcMixin:
             )
             prop_log_dev = (
                 _device_uniform_log_tables(proposal_distribution, "proposal")
-                if not random_walk and prop_spec.kind == DistKind.CUSTOM
+                if not random_walk
+                and prop_spec.kind == DistKind.CUSTOM
+                and prop_inv_ds is None
                 else (dummy, dummy)
             )
             static_args = (

@@ -54,6 +54,7 @@ from .device import (
     _device_mode_tables,
     _device_uniform_log_tables,
     _mcmc_nd_table_bytes,
+    _mcmc_prop_inverse,
     _mcmc_table_bytes,
     _proposal_kernel_log_tables,
     _table_shapes,
@@ -193,8 +194,11 @@ class _McmcNdMixin:
         )
         # Per-dim CUSTOM table checks, exactly the 1-D kernel's
         # (_mcmc_pallas_ok): target dims need a uniform log grid,
-        # proposal dims additionally the fidelity pipeline, no heavy
-        # tail, and a lane-multiple (or gap-respecting) inverse table.
+        # proposal dims no heavy tail and a lane-multiple (or
+        # gap-respecting) inverse table.  Non-gapped proposal dims run
+        # sampler-mode logq (the draw's own slope is the exact
+        # proposal density — the nd kernel is stateless-only), so only
+        # GAPPED dims additionally need the q-table fidelity pipeline.
         if ok and targ_specs is not None:
             for t_dist, s in zip(targets, targ_specs):
                 if s.kind == DistKind.CUSTOM:
@@ -205,7 +209,6 @@ class _McmcNdMixin:
                     continue
                 ok = (
                     ok
-                    and _proposal_kernel_log_tables(p) is not None
                     and not s.heavy_tail
                     and (
                         s.exact_inverse
@@ -215,6 +218,8 @@ class _McmcNdMixin:
                         )
                     )
                 )
+                if ok and s.exact_inverse:
+                    ok = _proposal_kernel_log_tables(p) is not None
         if not ok and self._backend == "pallas":
             warnings.warn(
                 "backend='pallas' requested but this nd MCMC workload is "
@@ -280,13 +285,23 @@ class _McmcNdMixin:
                     prop_inv_tables.append((t, dt))
                     prop_gapped.append(True)
                 else:
+                    # Sampler-mode logq dims (the nd kernel is
+                    # stateless-only) take the error-bounded
+                    # downsampled inverse — the draw's own slope is the
+                    # exact proposal density at any resolution
+                    # (device._mcmc_prop_inverse); the table shape
+                    # flows into prop_key below.
                     prop_inv_tables.append(
-                        (_device_args_of(p, s)[1],)
+                        (_mcmc_prop_inverse(p, s),)
                     )
                     prop_gapped.append(False)
-                prop_log_tables.append(
-                    _device_uniform_log_tables(p, "proposal")
-                )
+                if prop_gapped[-1]:
+                    # Sampler-mode (non-gapped) dims never read a
+                    # q-table — logq rides the draw; only gapped dims
+                    # stage the guarded log tables.
+                    prop_log_tables.append(
+                        _device_uniform_log_tables(p, "proposal")
+                    )
             prop_key = (
                 prop_kinds,
                 tuple(prop_gapped),

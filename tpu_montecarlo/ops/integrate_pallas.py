@@ -151,7 +151,7 @@ def _uniform_halfopen01(rng, shape, counter=0, tag=0):
     return m.astype(jnp.float32) * _INV_2POW24
 
 
-def _table_lookup(table_ref, dx_ref, i0, frac, rows):
+def _table_lookup(table_ref, dx_ref, i0, frac, rows, with_slope=False):
     """Inverse-CDF lookup of ``i0``/``frac`` indices against a uniform-u
     table laid out (SEGMENTS, 128) in VMEM.
 
@@ -159,7 +159,11 @@ def _table_lookup(table_ref, dx_ref, i0, frac, rows):
     shapes equal, so the lookup decomposes into one broadcast-row lane
     gather per 128-entry segment plus a segment-select — all VPU work, no
     searchsorted (the reference's 12-iteration device binary search,
-    distribution.rs:128-158, is pathological on TPU)."""
+    distribution.rs:128-158, is pathological on TPU).
+
+    ``with_slope=True`` also returns the gathered forward difference —
+    the MCMC kernels' sampler-mode proposal density needs it (q = du/dx,
+    the exact density of this piecewise-linear-in-u sampler)."""
     segments = table_ref.shape[0]
     seg = i0 >> 7
     col = i0 - (seg << 7)
@@ -173,6 +177,8 @@ def _table_lookup(table_ref, dx_ref, i0, frac, rows):
         hit = seg == s
         x0 = jnp.where(hit, g_x, x0)
         dx = jnp.where(hit, g_d, dx)
+    if with_slope:
+        return x0 + frac * dx, dx
     return x0 + frac * dx
 
 

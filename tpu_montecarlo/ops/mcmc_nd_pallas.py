@@ -176,8 +176,11 @@ def build_mcmc_nd_pallas(
     CUSTOM dim — the proposal inverse-CDF tables (``(x_table,)``
     flat m-knot arrays, or host-built gap-respecting ``(value, slope)``
     pairs for the dims flagged in ``prop_gapped``), the target-dim
-    uniform (log_x, log_pdf) pairs, and the proposal-dim guarded
-    (log_x, log_pdf) pairs.  Analytic dims contribute no entries.
+    uniform (log_x, log_pdf) pairs, and the GAPPED proposal dims'
+    guarded (log_x, log_pdf) pairs — non-gapped proposal dims run
+    sampler-mode logq (the draw's own slope is the exact sampling
+    density; see mcmc_pallas._sample_chain_block) and stage no
+    q-table.  Analytic dims contribute no entries.
     ``prop_gapped`` has one flag per CUSTOM proposal dim (in dim
     order); HMC product targets take the per-dim gradient — closed
     forms for analytic dims, the table interpolant's gathered slope
@@ -273,6 +276,17 @@ def build_mcmc_nd_pallas(
         raise ValueError(
             "prop_gapped needs one flag per CUSTOM proposal dimension"
         )
+    # Sampler-mode proposal log-density for non-gapped CUSTOM dims:
+    # these dims' logq contributions come from the draw's own gathered
+    # slope (the exact density of the inverse-table sampler — see
+    # mcmc_pallas._sample_chain_block) instead of a per-step x-space
+    # log-table segment scan.  The nd kernel is stateless-only, so no
+    # resume-consistency carve-out is needed (cf. the 1-D builder).
+    sampler_dims = frozenset(
+        j
+        for j, gap in zip(prop_custom_dims, prop_gapped)
+        if not gap
+    )
     if with_samples:
         # Seed batches compose (round 5): the draw DMA offset gains the
         # grid-rep index and the output grows a leading (R,) axis.
@@ -334,7 +348,9 @@ def build_mcmc_nd_pallas(
             targ_tab[j] = (rest.pop(0), rest.pop(0), rest.pop(0))
         prop_tab = {}
         for j in prop_custom_dims:
-            prop_tab[j] = (rest.pop(0), rest.pop(0), rest.pop(0))
+            # Sampler-mode dims stage no q-table (logq rides the draw).
+            if j not in sampler_dims:
+                prop_tab[j] = (rest.pop(0), rest.pop(0), rest.pop(0))
         out_ref = rest.pop(0)
         if with_samples:
             samp_ref, samp_stage, samp_sem = rest
@@ -383,6 +399,26 @@ def build_mcmc_nd_pallas(
                 for j in range(d)
             )
 
+        def sample_all_lq(counter):
+            """Independence-path draw: (xs, summed sampler-mode logq
+            over the sampler dims, or None when there are none).  Same
+            RNG calls in the same order as sample_all."""
+            xs, lq = [], None
+            for j in range(d):
+                if j in sampler_dims:
+                    x, l = _sample_chain_block(
+                        prop_kinds[j], *qp[j], rows, rng, counter,
+                        inv=prop_inv.get(j), tag=j, with_logq=True,
+                    )
+                    lq = l if lq is None else lq + l
+                else:
+                    x = _sample_chain_block(
+                        prop_kinds[j], *qp[j], rows, rng, counter,
+                        inv=prop_inv.get(j), tag=j,
+                    )
+                xs.append(x)
+            return tuple(xs), lq
+
         def lp_t(xs):
             if target_logpdf_fn is not None:
                 return jnp.broadcast_to(
@@ -397,19 +433,34 @@ def build_mcmc_nd_pallas(
                 tot = lp if tot is None else tot + lp
             return tot
 
-        def lp_q(xs):
+        def lp_q_rest(xs):
+            """Proposal log-density over the NON-sampler dims (analytic
+            closed forms + gapped-table lookups); sampler dims' terms
+            ride in from the draw itself."""
             tot = None
             for j in range(d):
+                if j in sampler_dims:
+                    continue
                 lq = _log_pdf(
                     prop_kinds[j], *qp[j], xs[j], rows, prop_tab.get(j)
                 )
                 tot = lq if tot is None else tot + lq
             return tot
 
-        xs0 = sample_all(0)
+        def _add_lq(lq_draw, lq_rest):
+            if lq_draw is None:
+                return lq_rest
+            if lq_rest is None:
+                return lq_draw
+            return lq_draw + lq_rest
+
+        if random_walk:
+            xs0 = sample_all(0)
+        else:
+            xs0, lq0_draw = sample_all_lq(0)
         logp0 = lp_t(xs0)
         if not random_walk:
-            logq0 = lp_q(xs0)
+            logq0 = _add_lq(lq0_draw, lp_q_rest(xs0))
 
         n_block = jnp.float32(rows * LANES)
         stat_mode = with_stderr or with_diagnostics
@@ -671,9 +722,9 @@ def build_mcmc_nd_pallas(
         else:
 
             def mh_move(i, xs, logp, logq):
-                xp = sample_all(3 * i + 1)
+                xp, lq_draw = sample_all_lq(3 * i + 1)
                 logp_prop = lp_t(xp)
-                logq_prop = lp_q(xp)
+                logq_prop = _add_lq(lq_draw, lp_q_rest(xp))
                 log_alpha = logp_prop + logq - logp - logq_prop
                 u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
                 accept = jnp.log(u) < log_alpha
@@ -764,10 +815,11 @@ def build_mcmc_nd_pallas(
     smem_grid = pl.BlockSpec(
         (1, 4), lambda r, i: (0, 0), memory_space=pltpu.SMEM
     )
+    n_gapped = len(prop_custom_dims) - len(sampler_dims)
     table_specs = (
         [vmem, vmem] * len(prop_custom_dims)
         + [vmem, vmem, smem_grid] * len(targ_custom_dims)
-        + [vmem, vmem, smem_grid] * len(prop_custom_dims)
+        + [vmem, vmem, smem_grid] * n_gapped
     )
 
     stat_mode_outer = with_stderr or with_diagnostics
@@ -980,7 +1032,7 @@ def build_mcmc_nd_pallas(
 
     replicated = P()
     n_table_args = 2 * len(prop_custom_dims) + 3 * (
-        len(targ_custom_dims) + len(prop_custom_dims)
+        len(targ_custom_dims) + n_gapped
     )
 
     def sharded_body(seed_a, prop_a, targ_a, *tables):

@@ -199,12 +199,25 @@ def _unrolled_fori(lo: int, hi: int, step_fn, carry, unroll: int):
 
 
 def _sample_chain_block(
-    kind: DistKind, p1, p2, rows, rng, counter, inv=None, tag=0
+    kind: DistKind, p1, p2, rows, rng, counter, inv=None, tag=0,
+    with_logq=False,
 ):
     """One (rows, 128) proposal block.  ``tag`` separates the streams of
     different dimensions in the nd kernel (the counter RNG folds it in;
     the hardware PRNG is sequential so tags are naturally distinct);
-    1-D callers leave it 0, keeping their streams unchanged."""
+    1-D callers leave it 0, keeping their streams unchanged.
+
+    ``with_logq=True`` (CUSTOM only, non-gapped tables): returns
+    ``(x, logq)`` where ``logq`` is the EXACT log-density of this
+    sampler at the drawn point, ``-log((m-1) * dx_i)`` — the
+    piecewise-linear-in-u inverse makes q piecewise-constant in x, and
+    the segment slope ``dx_i`` is already gathered for the draw itself,
+    so the proposal log-density costs ONE log instead of an x-space
+    log-table segment scan.  Same convention as the sampler-mode IS
+    weights (integrate_pallas.prep_inv_table_stratified(with_pdf=True));
+    with it the MH acceptance uses the sampler's true density, keeping
+    the chain exactly invariant for the target at ANY table
+    resolution."""
     if kind == DistKind.UNIFORM:
         from ..sampling import next_below_f32
 
@@ -234,6 +247,17 @@ def _sample_chain_block(
         pos = u * jnp.float32(m - 1)
         i0 = jnp.clip(pos.astype(jnp.int32), 0, m - 2)
         frac = pos - i0.astype(jnp.float32)
+        if with_logq:
+            x, dx = _table_lookup(
+                inv_t, inv_dx, i0, frac, rows, with_slope=True
+            )
+            # Sanitised CDF tables are strictly increasing, but guard
+            # the log anyway (a zero slope would be an atom: infinite
+            # density, clamped to a large finite logq).
+            logq = -jnp.log(
+                jnp.maximum(dx, jnp.float32(1e-30))
+            ) - jnp.float32(np.log(float(m - 1)))
+            return x, logq
         return _table_lookup(inv_t, inv_dx, i0, frac, rows)
     from ..sampling import ANALYTIC_EXT
 
@@ -557,6 +581,16 @@ def build_mcmc_fn_pallas(
     eval_fns = tuple(kernelize(f) for f in eval_fns)
     prop_custom = (not random_walk) and proposal_kind == DistKind.CUSTOM
     targ_custom = target_kind == DistKind.CUSTOM
+    # Sampler-mode proposal log-density (stateless CUSTOM proposals,
+    # non-gapped tables): logq comes from the draw's own gathered slope
+    # (see _sample_chain_block), replacing the per-step x-space log-table
+    # segment scan — the dominant cost of table-proposal chains (measured
+    # 11.6x at a 2048-knot q-table + 4096-entry inverse).  Stateful runs
+    # keep the table path: a resumed chain recomputes logq from x alone,
+    # which must match how the minting program computed it.
+    sampler_logq = prop_custom and not prop_gapped and not (
+        with_state or use_init_state
+    )
 
     # HMC inlines L leapfrog grad evals per MH step; dividing the step
     # unroll by L keeps the inlined kernel body (and its scoped-VMEM
@@ -582,8 +616,12 @@ def build_mcmc_fn_pallas(
         targ_tab = (
             (rest.pop(0), rest.pop(0), rest.pop(0)) if targ_custom else None
         )
+        # Sampler-mode programs never read a q-table (logq rides the
+        # draw), so none is staged.
         prop_tab = (
-            (rest.pop(0), rest.pop(0), rest.pop(0)) if prop_custom else None
+            (rest.pop(0), rest.pop(0), rest.pop(0))
+            if prop_custom and not sampler_logq
+            else None
         )
         if use_init_state:
             x0_ref = rest.pop(0)
@@ -618,8 +656,11 @@ def build_mcmc_fn_pallas(
             rw_target = prop_ref[prow, 3]
 
         def sample(counter):
+            # Sampler mode returns (x, logq) — logq gathered with the
+            # draw; otherwise x alone (logq via the lp_q table scan).
             return _sample_chain_block(
-                proposal_kind, q1, q2, rows, rng, counter, inv
+                proposal_kind, q1, q2, rows, rng, counter, inv,
+                with_logq=sampler_logq,
             )
 
         def lp_t(v):
@@ -637,10 +678,13 @@ def build_mcmc_fn_pallas(
             u0 = _uniform_halfopen01(rng, (rows, LANES), 0, 0)
             x0 = rw_lo + u0 * (rw_hi - rw_lo)
             logp0 = lp_t(x0)
+        elif sampler_logq:
+            x0, logq0 = sample(0)
+            logp0 = lp_t(x0)
         else:
             x0 = sample(0)
             logp0 = lp_t(x0)
-        if not random_walk:
+        if not random_walk and not sampler_logq:
             logq0 = lp_q(x0)
 
         n_block = jnp.float32(rows * LANES)
@@ -872,9 +916,12 @@ def build_mcmc_fn_pallas(
                 # counters per draw purpose — the reference's stream
                 # separation via +1000000/+999999 offsets
                 # (shader_gen.rs:477-536).
-                xp = sample(3 * i + 1)
+                if sampler_logq:
+                    xp, logq_prop = sample(3 * i + 1)
+                else:
+                    xp = sample(3 * i + 1)
+                    logq_prop = lp_q(xp)
                 logp_prop = lp_t(xp)
-                logq_prop = lp_q(xp)
                 log_alpha = logp_prop + logq - logp - logq_prop
                 u = _uniform_open01(rng, (rows, LANES), 3 * i + 2, 0)
                 accept = jnp.log(u) < log_alpha
@@ -991,7 +1038,7 @@ def build_mcmc_fn_pallas(
             in_specs += [vmem, vmem]  # inverse-CDF table + dx
         if targ_custom:
             in_specs += [vmem, vmem, smem_grid]  # log table, dx, grid
-        if prop_custom:
+        if prop_custom and not sampler_logq:
             in_specs += [vmem, vmem, smem_grid]
         if use_init_state:
             in_specs += [state_block, state_block]  # x0, logp0
@@ -1161,7 +1208,7 @@ def build_mcmc_fn_pallas(
                     jnp.asarray(targ_lp, jnp.float32),
                 )
             )
-        if prop_custom:
+        if prop_custom and not sampler_logq:
             prepped += list(
                 _pad_log_table(
                     jnp.asarray(prop_lx, jnp.float32),
@@ -1278,7 +1325,9 @@ def build_mcmc_fn_pallas(
 
     replicated = P()
     sharded = P(axis_name)
-    n_extra = (5 if prop_custom else 0) + (3 if targ_custom else 0)
+    n_extra = ((2 if sampler_logq else 5) if prop_custom else 0) + (
+        3 if targ_custom else 0
+    )
 
     def sharded_body(seed_a, prop_a, targ_a, *rest):
         d = jax.lax.axis_index(axis_name)
