@@ -192,13 +192,29 @@ def main():
 
     steps5 = 10_000 // scale
     burn5 = 1_000 // scale
+    work5 = 4096 * (steps5 + burn5)
+
+    def mbatch(work_per_job):
+        """MCMC jobs per dispatch.  The measured dispatch-cost model
+        (benchmarks/mcmc_scaling.json: t_dispatch = t0 + work/rate with
+        t0 ~ 23 ms and rate ~ 6.3e10 steps/s) makes the 4096 x 11k shape
+        OVERHEAD-BOUND at a flat R=10 (~7 ms device time under a 23 ms
+        RPC — the kernel sat at ~26% of its own rate).  Size R to put
+        ~1e10 lane-iterations in every dispatch (>= 150 ms device time
+        at the kernel rate, overhead < 15%); each job keeps exact
+        single-call semantics as everywhere else."""
+        if not on_tpu:
+            return repeats
+        return max(repeats, min(500, -(-10_000_000_000 // work_per_job)))
+
+    rmc5 = mbatch(work5)
     table_target = Distribution.from_pdf(bimodal, support=(-6.0, 6.0))
     prog = integrator.compile_mcmc(
         [lambda x: x * x], table_target, Distribution.uniform(-6.0, 6.0),
-        n_steps=steps5, n_chains=4096, n_burnin=burn5, seed_batch=repeats,
+        n_steps=steps5, n_chains=4096, n_burnin=burn5, seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c5_mcmc_4096x10k_table", "chain_steps_per_sec", csps, "steps/s", est)
 
@@ -207,10 +223,10 @@ def main():
         [lambda x: x * x],
         Distribution.normal(0.0, 1.0),
         Distribution.normal(0.0, 2.0),
-        n_steps=steps5, n_chains=4096, n_burnin=burn5, seed_batch=repeats,
+        n_steps=steps5, n_chains=4096, n_burnin=burn5, seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c5b_mcmc_4096x10k_analytic", "chain_steps_per_sec", csps, "steps/s", est)
 
@@ -223,10 +239,10 @@ def main():
         k8,
         Distribution.normal(0.0, 1.0),
         Distribution.normal(0.0, 2.0),
-        n_steps=steps5, n_chains=4096, n_burnin=burn5, seed_batch=repeats,
+        n_steps=steps5, n_chains=4096, n_burnin=burn5, seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c5c_mcmc_k8_burnin_split", "chain_steps_per_sec", csps,
          "steps/s", est)
@@ -235,10 +251,10 @@ def main():
         Distribution.normal(0.0, 1.0),
         Distribution.normal(0.0, 2.0),
         n_steps=steps5 + burn5, n_chains=4096, n_burnin=0,
-        seed_batch=repeats,
+        seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c5c_fused_shape_all_evals", "chain_steps_per_sec", csps,
          "steps/s", est)
@@ -298,10 +314,10 @@ def main():
         Distribution.normal(0.0, 1.0),
         Distribution.normal(0.0, 2.0),
         n_steps=steps5, n_chains=4096, n_burnin=burn5,
-        seed_batch=repeats, return_stderr=True,
+        seed_batch=rmc5, return_stderr=True,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_first
+        prog, work5, rmc5, fetch=fetch_first
     )
     emit("c8b_mcmc_stderr_kernel", "chain_steps_per_sec", csps,
          "steps/s", est)
@@ -359,10 +375,10 @@ def main():
         [Distribution.normal(0.0, 1.0), Distribution.normal(0.0, 1.0)],
         [Distribution.normal(0.0, 2.0), Distribution.normal(0.0, 2.0)],
         n_steps=steps5, n_chains=4096, n_burnin=burn5,
-        seed_batch=repeats,
+        seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c9d_nd_mcmc_product_4096", "chain_steps_per_sec", csps,
          "steps/s", est)
@@ -374,10 +390,10 @@ def main():
         lambda x, y: -c9c * (x * x - 2.0 * rho9 * x * y + y * y),
         [Distribution.normal(0.0, 2.0), Distribution.normal(0.0, 2.0)],
         n_steps=steps5, n_chains=4096, n_burnin=burn5,
-        seed_batch=repeats,
+        seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c9e_nd_mcmc_joint_4096", "chain_steps_per_sec", csps,
          "steps/s", est)
@@ -391,10 +407,10 @@ def main():
         [Distribution.beta(2.0, 5.0), Distribution.normal(0.0, 1.0)],
         [Distribution.beta(2.0, 5.0), Distribution.normal(0.0, 2.0)],
         n_steps=steps5, n_chains=4096, n_burnin=burn5,
-        seed_batch=repeats,
+        seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c9f_nd_mcmc_table_dim_4096", "chain_steps_per_sec", csps,
          "steps/s", est)
@@ -410,10 +426,10 @@ def main():
         Distribution.normal(0.0, 1.0),
         RandomWalk(step_size=2.4, adapt=True),
         n_steps=steps5, n_chains=4096, n_burnin=burn5,
-        seed_batch=repeats,
+        seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c10_rw_adapt_4096", "chain_steps_per_sec", csps, "steps/s", est)
 
@@ -424,10 +440,10 @@ def main():
             step_size=1.0, target_accept=0.234, init_range=(-4.0, 4.0)
         ),
         n_steps=steps5, n_chains=4096, n_burnin=burn5,
-        seed_batch=repeats,
+        seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c10b_rw_nd_joint_4096", "chain_steps_per_sec", csps,
          "steps/s", est)
@@ -446,10 +462,10 @@ def main():
         Distribution.normal(0.0, 1.0),
         HMC(step_size=0.9, n_leapfrog=L11, adapt=True),
         n_steps=steps5, n_chains=4096, n_burnin=burn5,
-        seed_batch=repeats,
+        seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c11_hmc_adapt_4096_L8", "chain_steps_per_sec", csps,
          "steps/s", est)
@@ -461,10 +477,10 @@ def main():
         lambda x, y: -c9c * (x * x - 2.0 * rho9 * x * y + y * y),
         HMC(step_size=0.4, n_leapfrog=L11, init_range=(-4.0, 4.0)),
         n_steps=steps5, n_chains=4096, n_burnin=burn5,
-        seed_batch=repeats,
+        seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c11b_hmc_nd_joint_4096_L8", "chain_steps_per_sec", csps,
          "steps/s", est)
@@ -478,10 +494,10 @@ def main():
         Distribution.beta(2.0, 5.0),
         HMC(step_size=0.05, n_leapfrog=L11, adapt=True),
         n_steps=steps5, n_chains=4096, n_burnin=burn5,
-        seed_batch=repeats,
+        seed_batch=rmc5,
     )
     csps, est = _throughput(
-        prog, 4096 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work5, rmc5, fetch=fetch_mcmc
     )
     emit("c11c_hmc_table_4096_L8", "chain_steps_per_sec", csps,
          "steps/s", est)
@@ -510,14 +526,16 @@ def main():
     T12 = 4
     chains12 = 4096
     temps12 = [1.0, 2.0, 4.0, 8.0]
+    work12 = T12 * chains12 * (steps5 + burn5)
+    rmc12 = mbatch(work12)
     prog = integrator.compile_mcmc(
         [lambda x: x, lambda x: x * x], _logmix,
         RandomWalk(step_size=0.5, adapt=True, init_range=(3.0, 5.0)),
         n_steps=steps5, n_chains=chains12, n_burnin=burn5,
-        temperatures=temps12, seed_batch=repeats,
+        temperatures=temps12, seed_batch=rmc12,
     )
     csps, est = _throughput(
-        prog, T12 * chains12 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work12, rmc12, fetch=fetch_mcmc
     )
     emit("c12_pt_rw_T4_4096", "lane_steps_per_sec", csps, "steps/s", est)
 
@@ -526,10 +544,10 @@ def main():
         [lambda x: x * x], _logmix,
         HMC(step_size=0.35, n_leapfrog=L11, init_range=(3.0, 5.0)),
         n_steps=steps5, n_chains=chains12, n_burnin=burn5,
-        temperatures=temps12, seed_batch=repeats,
+        temperatures=temps12, seed_batch=rmc12,
     )
     csps, est = _throughput(
-        prog, T12 * chains12 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work12, rmc12, fetch=fetch_mcmc
     )
     emit("c12b_pt_hmc_T4_4096_L8", "lane_steps_per_sec", csps,
          "steps/s", est)
@@ -541,10 +559,10 @@ def main():
         [lambda x: x, lambda x: x * x], _logmix,
         Distribution.normal(0.0, 6.0),
         n_steps=steps5, n_chains=chains12, n_burnin=burn5,
-        temperatures=temps12, seed_batch=repeats,
+        temperatures=temps12, seed_batch=rmc12,
     )
     csps, est = _throughput(
-        prog, T12 * chains12 * (steps5 + burn5), repeats, fetch=fetch_mcmc
+        prog, work12, rmc12, fetch=fetch_mcmc
     )
     emit("c12c_pt_independence_T4_4096", "lane_steps_per_sec", csps,
          "steps/s", est)
