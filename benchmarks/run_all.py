@@ -567,6 +567,23 @@ def main():
     emit("c12c_pt_independence_T4_4096", "lane_steps_per_sec", csps,
          "steps/s", est)
 
+    # c12d (round 5): tempered independence with a CUSTOM table
+    # proposal — the sampler-mode-logq kernel path (logq rides the
+    # draw; no q-table staged; the proposal inverse is the W1-bounded
+    # downsample).  Target: the bimodal table (E[X^2] = 5).
+    wide_q = Distribution.from_pdf(
+        lambda x: _math.exp(-0.5 * (x / 3.0) ** 2),
+        support=(-7.0, 7.0),
+    )
+    prog = integrator.compile_mcmc(
+        [lambda x: x, lambda x: x * x], table_target, wide_q,
+        n_steps=steps5, n_chains=chains12, n_burnin=burn5,
+        temperatures=temps12, seed_batch=rmc12,
+    )
+    csps, est = _throughput(prog, work12, rmc12, fetch=fetch_mcmc)
+    emit("c12d_pt_custom_prop_T4_4096", "lane_steps_per_sec", csps,
+         "steps/s", est)
+
     # Config 13 (round 4): adaptive-IS production sampling.  VEGAS
     # learns a table proposal for a narrow tail bump under N(0,1)
     # (host-side, excluded from the timed region — it is a one-off

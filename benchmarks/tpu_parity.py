@@ -1242,6 +1242,32 @@ def main() -> int:
                 "native proposal, round 5): q terms untempered, logq "
                 "swaps with the state; both modes recovered")
 
+    # Tempered independence with a CUSTOM (table) proposal — the
+    # sampler-mode-logq kernel path (round 5): logq is the draw's own
+    # gathered inverse slope, so no q-table is staged and the values
+    # swap between rungs like closed forms.  Target 0.5 N(-2,1) +
+    # 0.5 N(2,1) (table): E[X] = 0, E[X^2] = 5.
+    bi_t = mc.Distribution.from_pdf(
+        lambda x: math.exp(-0.5 * (x - 2.0) ** 2)
+        + math.exp(-0.5 * (x + 2.0) ** 2),
+        support=(-6.0, 6.0),
+    )
+    wide_q = mc.Distribution.from_pdf(
+        lambda x: math.exp(-0.5 * (x / 3.0) ** 2),
+        support=(-7.0, 7.0),
+    )
+    r = mc.integrate_mcmc(
+        [lambda x: x, lambda x: x * x], bi_t, wide_q,
+        n_steps=2000, n_chains=2048, n_burnin=300, seed=7,
+        temperatures=[1.0, 2.0, 4.0],
+    )
+    ok &= check("tempered_custom_proposal_kernel",
+                [r.values[0], r.values[1],
+                 float(0.0 < r.diagnostics["swap_rate"] <= 1.0)],
+                [0.0, 5.0, 1.0], [0.1, 0.2, 1e-9],
+                "tempered CUSTOM table proposal in-kernel via "
+                "sampler-mode logq (round 5)")
+
     r = mc.integrate_mcmc(
         [lambda x, y: x * y, lambda x, y: x * x], [beta25, n01d],
         mc.RandomWalk(

@@ -106,6 +106,56 @@ class TestSamplerLogqEstimates:
         assert r.values[0] == pytest.approx(0.0, abs=0.03)
         assert r.values[1] == pytest.approx(2.0 / 7.0, abs=0.02)
 
+    def test_tempered_custom_proposal_rides_kernel(self):
+        # Round 5: CUSTOM proposal dims in the TEMPERED kernel too —
+        # sampler-mode logq needs no q-table, and the logq values swap
+        # between rungs exactly like analytic closed forms (q is
+        # rung-independent).  Target 0.5 N(-2,1) + 0.5 N(2,1) (table):
+        # E[X] = 0, E[X^2] = 5.
+        import math
+
+        target = Distribution.from_pdf(
+            lambda x: math.exp(-0.5 * (x - 2.0) ** 2)
+            + math.exp(-0.5 * (x + 2.0) ** 2),
+            support=(-6.0, 6.0),
+        )
+        prop = Distribution.from_pdf(
+            lambda x: math.exp(-0.5 * (x / 3.0) ** 2),
+            support=(-7.0, 7.0),
+        )
+        r = MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+            [lambda x: x, lambda x: x * x], target, prop,
+            n_steps=2000, n_chains=512, n_burnin=200, seed=3,
+            temperatures=[1.0, 2.0, 4.0],
+        )
+        assert r.values[0] == pytest.approx(0.0, abs=0.1)
+        assert r.values[1] == pytest.approx(5.0, abs=0.2)
+        assert 0.0 < r.diagnostics["swap_rate"] <= 1.0
+        rx = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            [lambda x: x, lambda x: x * x], target, prop,
+            n_steps=2000, n_chains=512, n_burnin=200, seed=4,
+            temperatures=[1.0, 2.0, 4.0],
+        )
+        # Acceptance rates agree closely: both backends evaluate the
+        # same proposal (the downsampled inverse's density is exact for
+        # the samples it draws).
+        assert r.acceptance_rate == pytest.approx(
+            rx.acceptance_rate, abs=0.05
+        )
+        np.testing.assert_allclose(r.values, rx.values, atol=0.2)
+
+    def test_tempered_custom_dim_nd_product(self):
+        # Mixed analytic + CUSTOM proposal dims under the ladder.
+        beta = _beta()
+        r = MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+            [lambda x, y: x * y],
+            [beta, Distribution.normal(0.0, 1.0)],
+            [Distribution.beta(2.0, 5.0), Distribution.normal(0.0, 2.0)],
+            n_steps=1500, n_chains=512, n_burnin=200, seed=5,
+            temperatures=[1.0, 2.0],
+        )
+        assert r.values[0] == pytest.approx(0.0, abs=0.03)
+
     def test_stateful_run_keeps_table_logq_path(self):
         # Resume-capable runs recompute logq from x alone, so they keep
         # the table-mode convention AND the full-resolution inverse;

@@ -53,6 +53,7 @@ from .device import (
     _device_log_tables_of,
     _device_mode_tables,
     _device_uniform_log_tables,
+    _mcmc_prop_inverse,
     _mcmc_table_bytes,
     _proposal_kernel_log_tables,
     _table_shapes,
@@ -358,11 +359,28 @@ class _PtMixin:
             )
             and _block_traceable(traced, n_args=d)
         )
-        if ok and independence:
-            ok = all(
-                dist_spec_of(p).kind in ANALYTIC_KINDS for p in proposals
-            )
         table_bytes = 0
+        if ok and independence:
+            # Analytic dims, or non-gapped CUSTOM dims (round 5):
+            # sampler-mode logq needs no q-table, just a lane-multiple
+            # inverse (downsampled, device._mcmc_prop_inverse); gapped
+            # (exact_inverse) and heavy-tail dims take the XLA sweep.
+            for p in proposals:
+                s = dist_spec_of(p)
+                if s.kind in ANALYTIC_KINDS:
+                    continue
+                if (
+                    s.kind != DistKind.CUSTOM
+                    or s.exact_inverse
+                    or s.heavy_tail
+                    or s.x_table is None
+                    or s.x_table.shape[0] % 128 != 0
+                ):
+                    ok = False
+                    break
+                table_bytes += (
+                    2 * int(_mcmc_prop_inverse(p, s).shape[0]) * 4
+                )
         if ok:
             if target_fn is not None:
                 ok = not getattr(
@@ -496,6 +514,7 @@ class _PtMixin:
             if isinstance(proposal_rw, HMC)
             else 0
         )
+        prop_inv_dev = ()
         if independence:
             prop_specs = [dist_spec_of(p) for p in proposals]
             prop_kinds = tuple(s.kind for s in prop_specs)
@@ -505,7 +524,18 @@ class _PtMixin:
                     for p, s in zip(proposals, prop_specs)
                 ]
             )
-            prop_key = ("ind", prop_kinds)
+            # CUSTOM dims: downsampled inverse tables, dim order
+            # (sampler-mode logq in-kernel — no q-tables staged).
+            prop_inv_dev = tuple(
+                _mcmc_prop_inverse(p, s)
+                for p, s in zip(proposals, prop_specs)
+                if s.kind == DistKind.CUSTOM
+            )
+            prop_key = (
+                "ind",
+                prop_kinds,
+                tuple(t.shape for t in prop_inv_dev),
+            )
             rw_adapt = False
         else:
             prop_kinds = None
@@ -578,4 +608,6 @@ class _PtMixin:
                 seed_batch,
             ),
         )
-        return run, (prop_dev, targ_params, log_dev[0], log_dev[1])
+        return run, (
+            prop_dev, targ_params, log_dev[0], log_dev[1], prop_inv_dev
+        )

@@ -53,6 +53,7 @@ from .integrate_pallas import (
     _uniform_halfopen01,
     _uniform_open01,
     pad_uniform_table,
+    prep_inv_table,
 )
 from ..tables import LOG_PDF_FLOOR
 from .mcmc_pallas import (
@@ -253,15 +254,29 @@ def build_pt_mcmc_fn_pallas(
         if kk == DistKind.CUSTOM
     )
     independence = prop_kinds is not None
+    prop_custom_dims = ()
     if independence:
         prop_kinds = tuple(prop_kinds)
         if len(prop_kinds) != d:
             raise ValueError("prop_kinds must have one entry per dim")
-        if not all(kk in _ANALYTIC for kk in prop_kinds):
+        if not all(
+            kk in _ANALYTIC + (DistKind.CUSTOM,) for kk in prop_kinds
+        ):
             raise ValueError(
-                "independence tempering supports analytic proposal "
-                "dims in-kernel (CUSTOM routes to the XLA sweep)"
+                "independence tempering supports analytic or CUSTOM "
+                "(non-gapped) proposal dims in-kernel"
             )
+        # CUSTOM proposal dims run sampler-mode logq (round 5): the
+        # draw's own gathered inverse slope is the exact sampling
+        # density, so no q-table is staged and the logq values swap
+        # between rungs exactly like the analytic closed forms (q is
+        # rung-independent).  Gapped/heavy-tail dims are gated to the
+        # XLA sweep by the api layer.
+        prop_custom_dims = tuple(
+            j
+            for j, kk in enumerate(prop_kinds)
+            if kk == DistKind.CUSTOM
+        )
         if rw_adapt or hmc_leapfrog:
             raise ValueError(
                 "independence tempering has no step to adapt or "
@@ -316,9 +331,13 @@ def build_pt_mcmc_fn_pallas(
 
     def kernel(seed_ref, prop_ref, targ_ref, pid_base_ref, *rest):
         rest = list(rest)
-        # Per-CUSTOM-dim uniform log-table trios, dim order (the nd
-        # MCMC kernel's staging, round 5 — any mix of analytic and
-        # table dims runs tempered in-kernel).
+        # CUSTOM proposal dims' inverse-CDF (value, dx) pairs first,
+        # then per-CUSTOM-target-dim uniform log-table trios, dim order
+        # (the nd MCMC kernel's staging, round 5 — any mix of analytic
+        # and table dims runs tempered in-kernel).
+        prop_invs = {}
+        for j in prop_custom_dims:
+            prop_invs[j] = (rest.pop(0), rest.pop(0))
         targ_tabs = {}
         for j in targ_custom_dims:
             targ_tabs[j] = (rest.pop(0), rest.pop(0), rest.pop(0))
@@ -383,29 +402,50 @@ def build_pt_mcmc_fn_pallas(
         if independence:
             from .mcmc_pallas import _sample_chain_block
 
-            def lp_q(xs):
+            def lp_q_rest(xs):
+                """Analytic dims' proposal log-density; sampler-mode
+                (CUSTOM) dims' terms ride in from the draw itself."""
                 tot = None
                 for j in range(d):
+                    if j in prop_custom_dims:
+                        continue
                     lq = _log_pdf(prop_kinds[j], *qp[j], xs[j], rows)
                     tot = lq if tot is None else tot + lq
                 return tot
 
+            def _addq(lq_draw, lq_rest):
+                if lq_draw is None:
+                    return lq_rest
+                if lq_rest is None:
+                    return lq_draw
+                return lq_draw + lq_rest
+
             def sample_prop(counter, t):
-                return tuple(
-                    _sample_chain_block(
-                        prop_kinds[j], *qp[j], rows, rng, counter,
-                        tag=t * d + j,
-                    )
-                    for j in range(d)
-                )
+                """(xs, summed sampler-mode logq or None) for rung t."""
+                xs, lq = [], None
+                for j in range(d):
+                    if j in prop_custom_dims:
+                        x, l = _sample_chain_block(
+                            prop_kinds[j], *qp[j], rows, rng, counter,
+                            inv=prop_invs[j], tag=t * d + j,
+                            with_logq=True,
+                        )
+                        lq = l if lq is None else lq + l
+                    else:
+                        x = _sample_chain_block(
+                            prop_kinds[j], *qp[j], rows, rng, counter,
+                            tag=t * d + j,
+                        )
+                    xs.append(x)
+                return tuple(xs), lq
 
             def ind_move(i, t, xs, logp, logq):
                 """Tempered independence MH for rung t: q is
                 rung-independent, so its log terms stay untempered."""
                 beta = betas[t]
-                xp = sample_prop(3 * i + 1, t)
+                xp, lq_draw = sample_prop(3 * i + 1, t)
                 logp_prop = lp_t(xp)
-                logq_prop = lp_q(xp)
+                logq_prop = _addq(lq_draw, lp_q_rest(xp))
                 log_alpha = beta * (logp_prop - logp) + logq - logq_prop
                 u2 = _uniform_open01(rng, (rows, LANES), 3 * i + 2, t)
                 accept = jnp.log(u2) < log_alpha
@@ -525,8 +565,12 @@ def build_pt_mcmc_fn_pallas(
         if independence:
             # Init from the proposal itself, every rung alike (the 1-D
             # independence sampler's init, ops/mcmc_pallas.py).
-            xs_l = [list(sample_prop(0, t)) for t in range(n_temps)]
-            logq_l = [lp_q(tuple(xs_l[t])) for t in range(n_temps)]
+            draws0 = [sample_prop(0, t) for t in range(n_temps)]
+            xs_l = [list(xs) for xs, _ in draws0]
+            logq_l = [
+                _addq(lq, lp_q_rest(tuple(xs)))
+                for xs, lq in draws0
+            ]
         else:
             # Overdispersed uniform init over the per-dimension ranges,
             # every rung alike (ops/mcmc_pt.py's init).
@@ -845,6 +889,7 @@ def build_pt_mcmc_fn_pallas(
 
     def pallas_sweep(seed_a, prop_a, targ_a, pid_base, tabs):
         in_specs = [smem_seeds, smem_prop, smem_targ, smem_scalar]
+        in_specs += [vmem, vmem] * len(prop_custom_dims)
         in_specs += [vmem, vmem, smem_grid] * len(targ_custom_dims)
         out_rows = seed_batch * local_programs
         if stat_mode_outer:
@@ -960,11 +1005,19 @@ def build_pt_mcmc_fn_pallas(
             )
         return _shape(*res)
 
-    def _prep(seed, prop_params, targ_params, targ_lx, targ_lp):
+    def _prep(seed, prop_params, targ_params, targ_lx, targ_lp,
+              prop_inv=()):
         seed_a = jnp.asarray(seed, jnp.int32).reshape(1, seed_batch)
         prop_a = jnp.asarray(prop_params, jnp.float32).reshape(d, prop_w)
         targ_a = jnp.asarray(targ_params, jnp.float32).reshape(td, 2)
         tabs = ()
+        for t in prop_inv:
+            # CUSTOM proposal dims' (value, dx) inverse pairs, dim order
+            # (downsampled by the api layer — sampler-mode logq keeps MH
+            # exact at any inverse resolution).
+            tabs += tuple(
+                prep_inv_table(jnp.asarray(t, jnp.float32))
+            )
         if targ_custom_dims:
             # One (lx, lp) per CUSTOM dim, dim order; single arrays
             # (the 1-D legacy signature) normalize to 1-tuples.
@@ -991,9 +1044,11 @@ def build_pt_mcmc_fn_pallas(
     if mesh is None:
 
         @jax.jit
-        def run(seed, prop_params, targ_params, targ_lx, targ_lp):
+        def run(seed, prop_params, targ_params, targ_lx, targ_lp,
+                prop_inv=()):
             seed_a, prop_a, targ_a, tabs = _prep(
-                seed, prop_params, targ_params, targ_lx, targ_lp
+                seed, prop_params, targ_params, targ_lx, targ_lp,
+                prop_inv,
             )
             base = jnp.zeros((1, 1), jnp.int32)
             out = pallas_sweep(seed_a, prop_a, targ_a, base, tabs)
@@ -1031,7 +1086,7 @@ def build_pt_mcmc_fn_pallas(
             jax.lax.psum(sw, axis_name) / denom_sw,
         ) + samp
 
-    n_tabs = 3 * len(targ_custom_dims)
+    n_tabs = 2 * len(prop_custom_dims) + 3 * len(targ_custom_dims)
     out_specs = (replicated, replicated, replicated)
     if with_stderr:
         out_specs = out_specs + (replicated,)
@@ -1049,9 +1104,10 @@ def build_pt_mcmc_fn_pallas(
     )
 
     @jax.jit
-    def run(seed, prop_params, targ_params, targ_lx, targ_lp):
+    def run(seed, prop_params, targ_params, targ_lx, targ_lp,
+            prop_inv=()):
         seed_a, prop_a, targ_a, tabs = _prep(
-            seed, prop_params, targ_params, targ_lx, targ_lp
+            seed, prop_params, targ_params, targ_lx, targ_lp, prop_inv
         )
         return shard_mapped(seed_a, prop_a, targ_a, *tabs)
 
