@@ -332,9 +332,10 @@ class _PtMixin:
         betas, with_samples: int = 0, with_stderr: bool = False,
         with_diagnostics: bool = False, proposals=None,
     ) -> bool:
-        """Tempered-kernel gate: RandomWalk/HMC or analytic-family
-        independence proposals (CUSTOM proposal dims take the XLA
-        sweep), <=126 fused d-ary integrands evaluating on lane blocks
+        """Tempered-kernel gate: RandomWalk/HMC or independence proposals
+        over analytic / non-gapped CUSTOM dims (sampler-mode logq —
+        gapped and heavy-tail dims take the XLA sweep), <=126 fused
+        d-ary integrands evaluating on lane blocks
         (columns k/k+1 carry the accept and swap counters), a target
         the kernel can evaluate — analytic product, block-traceable
         joint fn, or (1-D, non-HMC) a CUSTOM uniform-grid log table —
