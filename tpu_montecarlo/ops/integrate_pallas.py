@@ -174,6 +174,12 @@ def _table_lookup(table_ref, dx_ref, i0, frac, rows, with_slope=False):
         row_d = jnp.broadcast_to(dx_ref[s : s + 1, :], (rows, LANES))
         g_x = jnp.take_along_axis(row_x, col, axis=1)
         g_d = jnp.take_along_axis(row_d, col, axis=1)
+        if segments == 1:
+            # Clipped i0 < 128 here, so seg is identically 0: skip the
+            # vacuous segment compare+selects (this is the hot shape —
+            # every 128-knot downsampled log table).
+            x0, dx = g_x, g_d
+            break
         hit = seg == s
         x0 = jnp.where(hit, g_x, x0)
         dx = jnp.where(hit, g_d, dx)
@@ -191,6 +197,11 @@ def _table_gather(table_ref, i0, rows, max_unroll_segments=0):
     segments = table_ref.shape[0]
     seg = i0 >> 7
     col = i0 - (seg << 7)
+    if segments == 1:
+        # Clipped i0 < 128: seg is identically 0 — one bare lane gather
+        # (the hot shape: 128-knot downsampled log/slope tables).
+        row = jnp.broadcast_to(table_ref[0:1, :], (rows, LANES))
+        return jnp.take_along_axis(row, col, axis=1)
     if segments <= max_unroll_segments:
         out = jnp.zeros((rows, LANES), jnp.float32)
         for s in range(segments):
@@ -732,7 +743,10 @@ def uniform_table_value(x, tab, rows, outside, max_unroll_segments=0):
     frac = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
     lookup = (
         _table_lookup
-        if v_ref.shape[0] <= max_unroll_segments
+        # A 1-segment table always unrolls (one bare gather beats a
+        # 1-iteration fori_loop's carry store/reload at any caller's
+        # VMEM pressure).
+        if v_ref.shape[0] <= max(max_unroll_segments, 1)
         else _table_lookup_loop
     )
     val = lookup(v_ref, dx_ref, i0, frac, rows)
