@@ -106,6 +106,38 @@ class TestSamplerLogqEstimates:
         assert r.values[0] == pytest.approx(0.0, abs=0.03)
         assert r.values[1] == pytest.approx(2.0 / 7.0, abs=0.02)
 
+    def test_fidelity_pipeline_failure_now_kernel_eligible(self):
+        # A spiky irregular-grid table whose uniform-grid q-table
+        # resample FAILS the strict 0.01-nat fidelity pipeline
+        # (previously: XLA-only as a kernel proposal).  Sampler-mode
+        # logq needs no q-table at all, so the stateless kernel path
+        # takes it — and is exact by construction (the acceptance uses
+        # the density the sampler actually draws from).
+        from tpu_montecarlo.api.device import _proposal_kernel_log_tables
+
+        x = np.sort(np.concatenate([
+            np.linspace(0.0, 4.0, 900),
+            np.linspace(1.999, 2.001, 200),
+        ]))
+        pv = 0.2 + np.exp(-0.5 * ((x - 2.0) / 0.0005) ** 2) * 50.0
+
+        def mk():
+            return Distribution.from_pdf_table(x, pv)
+
+        assert _proposal_kernel_log_tables(mk()) is None
+        target = Distribution.normal(2.0, 0.8)
+        kw = dict(n_steps=3000, n_chains=512, n_burnin=300, seed=5)
+        rp = MonteCarloIntegrator(backend="pallas").integrate_mcmc(
+            [lambda v: v, lambda v: v * v], target, mk(), **kw
+        )
+        rx = MonteCarloIntegrator(backend="xla").integrate_mcmc(
+            [lambda v: v, lambda v: v * v], target, mk(), **kw
+        )
+        np.testing.assert_allclose(rp.values, rx.values, atol=0.05)
+        assert rp.acceptance_rate == pytest.approx(
+            rx.acceptance_rate, abs=0.03
+        )
+
     def test_tempered_custom_proposal_rides_kernel(self):
         # Round 5: CUSTOM proposal dims in the TEMPERED kernel too —
         # sampler-mode logq needs no q-table, and the logq values swap
